@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staging → history archive with audit columns.
+  *
+  * The reference moves staging rows to `hist.archive_pedidos` in 5000-row
+  * ctid-batched transactions under an advisory lock
+  * (/root/reference/python/04_archive_pedidos.py:30-51,74-100). Batching and
+  * locking there are PostgreSQL lock-hygiene concerns, not semantics; the
+  * semantic contract is: every staging row lands in hist exactly once with
+  * `processed_ts` (:37) and a per-run `batch_id` uuid (:68), and staging ends
+  * empty, with inserted == deleted (:49-50).
+  *
+  * Spark-first: take one snapshot of staging, stamp audit columns, append to
+  * hist, then truncate staging — a single distributed job over the snapshot;
+  * exactly-once within a run comes from operating on the one snapshot.
+  * Concurrency control (the advisory lock) belongs to the pipeline runner
+  * (one run at a time), not the engine.
+  */
+object Archive {
+
+  case class Audit(moved: Long, batchId: String)
+
+  /** Stamp audit columns on a staging snapshot (ref :37-38,68).
+    * `hist_id` is a surrogate technical id: monotonically_increasing_id is
+    * unique-per-run (not gapless), which matches the reference's bigserial
+    * purpose. */
+  def stamp(staging: DataFrame, batchId: String): DataFrame =
+    staging
+      .withColumn("hist_id", monotonically_increasing_id())
+      .withColumn("processed_ts", current_timestamp())
+      .withColumn("batch_id", lit(batchId))
+      .select(Schemas.histSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Archive `stagingPath` parquet into `histPath` parquet and truncate
+    * staging (overwrite with an empty DataFrame of the same schema).
+    * Returns the audit counts the reference logs (:49-50). */
+  def run(spark: SparkSession, stagingPath: String, histPath: String): Audit = {
+    val batchId = java.util.UUID.randomUUID().toString
+    val snapshot = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
+    val stamped = stamp(snapshot, batchId)
+    val moved = stamped.count()
+    if (moved > 0) {
+      stamped.write.mode("append").parquet(histPath)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.stagingSchema)
+        .write.mode("overwrite").parquet(stagingPath)
+    }
+    Audit(moved, batchId)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.etl
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration of the four pipeline stages — the cron-driven
+  * sequence of the reference (README.md:107-110: ingest :00 → staging :05 →
+  * DW upsert :10 → archive :15, every 2 h) as composable methods over
+  * parquet-backed staging/dw/hist tables.
+  *
+  * Storage layout: plain parquet directories (the engine owns storage — no
+  * JDBC hop). DW write-back uses write-new-then-swap for atomicity (vanilla
+  * parquet has no transactions; single-runner discipline is assumed, like
+  * the reference's advisory lock).
+  */
+class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
+    histPath: String) {
+
+  /** Stage 2 (02_load_stage_pedidos.py processar :200-233): per new file —
+    * robust read → gate → map → append to staging; route the file to
+    * lidos/ (ok) or erros/ (empty/bad header/zero rows/any failure). */
+  def loadStage(novos: Path, lidos: Path, erros: Path): (Int, Int) = {
+    var ok = 0; var bad = 0
+    StageLoad.listarCsvNovos(novos, lidos, erros).foreach { file =>
+      try {
+        StageLoad.loadFile(spark, file) match {
+          case Some(df) if !df.isEmpty =>
+            df.write.mode("append").parquet(stagingPath)
+            StageLoad.safeCopy(file, lidos); ok += 1
+          case _ =>
+            StageLoad.safeCopy(file, erros); bad += 1
+        }
+      } catch {
+        case _: Exception => StageLoad.safeCopy(file, erros); bad += 1
+      }
+    }
+    (ok, bad)
+  }
+
+  /** Stage 3 (03_upsert_dw_pedidos.py run_upsert): staging → typed
+    * projection → latest-per-key dedup → conditional merge into DW →
+    * atomic write-back. One Catalyst plan up to the write. */
+  def upsertDw(): Unit = {
+    val staging = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
+    val updates = Dedup.latestPedido(Typed.project(staging))
+    val dw = readDw()
+    val merged = Merge.mergePedidos(dw, updates)
+    atomicOverwrite(merged, dwPath)
+  }
+
+  /** Stage 4 (04_archive_pedidos.py): staging snapshot → hist with audit
+    * columns; truncate staging. */
+  def archive(): Archive.Audit = Archive.run(spark, stagingPath, histPath)
+
+  def readDw(): DataFrame =
+    if (Files.exists(java.nio.file.Paths.get(dwPath)))
+      spark.read.schema(Schemas.fatSchema).parquet(dwPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
+
+  /** Write to a fresh directory then swap it into place — the parquet
+    * analog of the reference's single-transaction statement. */
+  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmp_" + System.nanoTime()
+    df.write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(path)
+    val trash = java.nio.file.Paths.get(path + ".old_" + System.nanoTime())
+    if (Files.exists(target)) Files.move(target, trash)
+    Files.move(java.nio.file.Paths.get(tmp), target)
+    if (Files.exists(trash)) {
+      // best-effort cleanup of the displaced generation
+      Files.walk(trash).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+}

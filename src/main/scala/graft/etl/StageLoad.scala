@@ -1,0 +1,222 @@
+package graft.etl
+
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Robust CSV → staging load: dialect sniffing, header validation, header
+  * mapping, fixed-order projection, lineage column.
+  *
+  * Re-expression of /root/reference/python/02_load_stage_pedidos.py:
+  *  - encoding trial over [cp1252, latin-1, utf-8-sig, utf-8] (:128-139)
+  *  - separator by frequency over the first 201 lines (:115-124)
+  *  - header trim + BOM strip (:145,172)
+  *  - accept iff ≥10 headers are known (:163-167)
+  *  - rename via DE_PARA, fill missing canonical cols with "", project to
+  *    the fixed column order (:169-177)
+  *  - per-row lineage column arquivo_origem = basename (:184)
+  *
+  * Division of labor (SURVEY §2 O-4): dialect detection is a driver-side
+  * probe of the file head — Spark's CSV reader takes encoding/sep as fixed
+  * options and does not sniff — while parsing/projection run distributed.
+  */
+object StageLoad {
+
+  case class Dialect(encoding: String, sep: String)
+
+  val candidateSeps = Seq(",", ";", "|", "\t")
+  /** Strict-decode trial order. The reference lists [cp1252, latin-1,
+    * utf-8-sig, utf-8] (:128) but opens with errors="replace", so its trial
+    * can never fail and cp1252 always wins — mojibake for UTF-8 input. We
+    * instead try UTF-8 first under STRICT decoding: UTF-8 is self-validating
+    * (accented cp1252 bytes are invalid UTF-8 sequences), so each real
+    * encoding lands on itself — a deliberate robustness improvement. */
+  val candidateEncodings = Seq("UTF-8", "windows-1252", "ISO-8859-1")
+  /** Lines inspected by the separator-frequency probe (ref :120-121). */
+  val sniffWindow = 201
+
+  /** Pick the separator with the highest total occurrence count in the first
+    * `sniffWindow` lines (ref :115-124; ties resolve in candidate order,
+    * matching Python's max-over-dict-iteration-order). */
+  def detectSep(lines: Seq[String]): String = {
+    val counts = candidateSeps.map(s => s -> lines.iterator.map(_.count(_ == s.head)).sum)
+    counts.maxBy(_._2)._1
+  }
+
+  /** Decode strictly, failing on malformed bytes — the trial-order semantics
+    * of the reference's encoding loop (:128-139). UTF-8-sig is folded into
+    * UTF-8 + BOM strip (the header normalizer drops the BOM either way). */
+  private def tryDecode(bytes: Array[Byte], charset: String): Option[String] = Try {
+    val dec = Charset.forName(charset).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }.toOption
+
+  /** Driver-side dialect sniff of one file's head. */
+  def sniffDialect(path: Path): Dialect = {
+    val head = {
+      val in = Files.newInputStream(path)
+      try in.readNBytes(1 << 20) finally in.close() // 1 MiB ≫ 201 lines
+    }
+    val (enc, text) = candidateEncodings.iterator
+      .flatMap(e => tryDecode(head, e).map(e -> _))
+      .nextOption()
+      .getOrElse("ISO-8859-1" -> new String(head, "ISO-8859-1")) // never fails
+    Dialect(enc, detectSep(text.linesIterator.take(sniffWindow).toSeq))
+  }
+
+  /** Normalize one header cell: trim + BOM strip (ref :145). */
+  def normHeader(h: String): String = h.trim.replace("﻿", "")
+
+  /** File-accept gate: ≥ minValidHeaders known headers (ref :163-167). */
+  def headerValido(columns: Seq[String]): Boolean =
+    columns.count(c => Schemas.dePara.contains(normHeader(c))) >= Schemas.minValidHeaders
+
+  /** Read one CSV with sniffed dialect into an all-string DataFrame.
+    * PERMISSIVE mode: ragged short rows → null-padded; Spark's univocity
+    * parser handles quotes/escapes like the reference's csv.reader
+    * (quotechar '"', doublequote, escapechar '\\'; ref :133-136). */
+  def readCsv(spark: SparkSession, path: String, dialect: Dialect): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("sep", dialect.sep)
+      .option("encoding", dialect.encoding)
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .option("mode", "PERMISSIVE")
+      .option("inferSchema", false)
+      .csv(path)
+
+  /** Exact ragged-row parity path (ref :150-156): a row longer than the
+    * header has its overflow cells re-joined with the separator into the
+    * last column; a shorter row is padded with "". Spark CSV PERMISSIVE
+    * cannot express the re-join, so this path reads lines as text and
+    * applies a small CSV splitter per partition (no driver materialization).
+    * Caveat: line-based, so quoted fields spanning physical lines are not
+    * supported on this path (use readCsv for those files). */
+  def readCsvRaggedParity(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
+    import spark.implicits._
+    val sep = dialect.sep.head
+    val lines = spark.read
+      .option("encoding", dialect.encoding)
+      .textFile(path)
+      .filter(l => l.trim.nonEmpty)
+    val headerLine = lines.head() // one tiny action on the head partition
+    val header = splitCsvLine(headerLine, sep).map(normHeader)
+    val n = header.length
+    val rows = lines
+      .filter(l => l != headerLine)
+      .map { l =>
+        val cells = splitCsvLine(l, sep)
+        val fixed =
+          if (cells.length > n) cells.take(n - 1) :+ cells.drop(n - 1).mkString(sep.toString)
+          else if (cells.length < n) cells ++ Seq.fill(n - cells.length)("")
+          else cells
+        fixed
+      }
+    rows.toDF("cells")
+      .select((0 until n).map(i => col("cells").getItem(i).as(header(i))): _*)
+      .filter(concat_ws("", header.map(h => trim(col(s"`$h`"))): _*) =!= "")
+  }
+
+  /** Minimal CSV field splitter with the reference dialect: quotechar '"',
+    * doublequote escaping, backslash escape (ref :133-136). */
+  def splitCsvLine(line: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '\\' && i + 1 < line.length) { cur += line.charAt(i + 1); i += 2 }
+      else if (inQ) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 2 }
+          else { inQ = false; i += 1 }
+        } else { cur += ch; i += 1 }
+      } else if (ch == '"') { inQ = true; i += 1 }
+      else if (ch == sep) { out += cur.result(); cur.clear(); i += 1 }
+      else { cur += ch; i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Rename via DE_PARA, fill missing canonical columns with "", project to
+    * the fixed 40-column order (lineage excluded; ref :169-177). */
+  def aplicarMapeamento(df: DataFrame): DataFrame = {
+    val renamed = df.columns.foldLeft(df) { (d, c) =>
+      Schemas.dePara.get(normHeader(c)) match {
+        case Some(canon) => d.withColumnRenamed(c, canon)
+        case None => d
+      }
+    }
+    val have = renamed.columns.toSet
+    val target = Schemas.colunasDestino.filterNot(_ == "arquivo_origem")
+    renamed.select(target.map(c =>
+      if (have(c)) col(c) else lit("").as(c)): _*)
+  }
+
+  /** Blank-row filter (ref :141): drop rows where every cell is whitespace
+    * (PERMISSIVE-read rows may carry nulls instead of ""). */
+  def dropBlankRows(df: DataFrame): DataFrame =
+    df.filter(
+      df.columns.map(c => trim(coalesce(col(s"`$c`"), lit(""))) =!= "").reduce(_ || _))
+
+  /** Full single-file load: sniff → read → blank-filter → gate → map →
+    * lineage. Returns None when the file fails the header gate (caller
+    * quarantines, ref :212-216). */
+  def loadFile(spark: SparkSession, file: Path,
+      raggedParity: Boolean = false): Option[DataFrame] = {
+    val dialect = sniffDialect(file)
+    val raw =
+      if (raggedParity) readCsvRaggedParity(spark, file.toString, dialect)
+      else readCsv(spark, file.toString, dialect)
+    if (!headerValido(raw.columns.toSeq)) None
+    else Some(
+      aplicarMapeamento(dropBlankRows(raw))
+        .withColumn("arquivo_origem", lit(file.getFileName.toString)))
+  }
+
+  /** File-queue discovery (ref :107-113): candidates in `novos` whose
+    * lowercased basename is not already in `lidos` ∪ `erros`. Driver-side —
+    * it is an anti-join over directory listings of a few hundred names. */
+  def listarCsvNovos(novos: Path, lidos: Path, erros: Path): Seq[Path] = {
+    def names(dir: Path): Set[String] =
+      if (!Files.isDirectory(dir)) Set.empty
+      else Files.list(dir).iterator.asScala
+        .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
+        .map(_.getFileName.toString.toLowerCase).toSet
+    val done = names(lidos) ++ names(erros)
+    if (!Files.isDirectory(novos)) Seq.empty
+    else Files.list(novos).iterator.asScala
+      .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
+      .filterNot(p => done(p.getFileName.toString.toLowerCase))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Quarantine-safe copy (ref :96-105): suffix `__dup_<ts>` on collision. */
+  def safeCopy(src: Path, dstDir: Path): Path = {
+    Files.createDirectories(dstDir)
+    val base = src.getFileName.toString
+    val dst0 = dstDir.resolve(base)
+    val dst =
+      if (!Files.exists(dst0)) dst0
+      else {
+        val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+          .format(java.time.LocalDateTime.now)
+        val (name, ext) = base.lastIndexOf('.') match {
+          case -1 => (base, "")
+          case i => (base.substring(0, i), base.substring(i))
+        }
+        dstDir.resolve(s"${name}__dup_$ts$ext")
+      }
+    Files.copy(src, dst, java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    dst
+  }
+}

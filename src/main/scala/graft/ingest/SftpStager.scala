@@ -1,0 +1,103 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** Driver-side file stager: copy new remote CSVs into the local landing dir
+  * (`novos/`) with size-verified, retried downloads — never deleting from
+  * the source.
+  *
+  * Re-expression of /root/reference/python/01_ingest_sftp_pedidos.py:
+  *  - list remote non-directories whose name uppercases to *.CSV (:46-49)
+  *  - skip files whose name already exists locally (:96,112-114)
+  *  - download via temp `.part` file, verify size, ≤3 attempts with 2 s
+  *    backoff (:25-26,62-88)
+  *  - clean stale `.part` files before a run (:51-60)
+  *  - process in filename order (:110)
+  *
+  * This is deliberately NOT a Spark DataSource (SURVEY §7.4): the workload is
+  * a few hundred small control-plane file transfers; Spark's entry point is
+  * the landing directory. The transport is abstracted behind [[RemoteStore]]
+  * so an SFTP-backed implementation (JSch/sshj) plugs in without touching the
+  * staging logic; [[LocalStore]] serves tests and local pipelines.
+  */
+object SftpStager {
+
+  /** Minimal remote-transport contract (list + streaming get + stat). */
+  trait RemoteStore {
+    def list(dir: String): Seq[RemoteFile]
+    def size(path: String): Long
+    def get(path: String, localTmp: Path): Unit
+  }
+
+  case class RemoteFile(name: String, path: String, size: Long, isDir: Boolean)
+
+  /** Local-filesystem transport (tests / same-host staging). */
+  class LocalStore(root: Path) extends RemoteStore {
+    def list(dir: String): Seq[RemoteFile] = {
+      val d = root.resolve(dir)
+      if (!Files.isDirectory(d)) Seq.empty
+      else Files.list(d).iterator.asScala.map { p =>
+        RemoteFile(p.getFileName.toString, root.relativize(p).toString,
+          if (Files.isRegularFile(p)) Files.size(p) else 0L, Files.isDirectory(p))
+      }.toSeq
+    }
+    def size(path: String): Long = Files.size(root.resolve(path))
+    def get(path: String, localTmp: Path): Unit =
+      Files.copy(root.resolve(path), localTmp, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  val retries = 3 // ref :25
+  val sleepBetweenMs = 2000L // ref :26
+
+  case class Report(downloaded: Seq[String], skipped: Seq[String], failed: Seq[String])
+
+  /** Delete stale *.part temp files (ref :51-60). */
+  def cleanupPartFiles(landing: Path): Int = {
+    if (!Files.isDirectory(landing)) return 0
+    val parts = Files.list(landing).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".part")).toSeq
+    parts.foreach(p => Try(Files.delete(p)))
+    parts.size
+  }
+
+  /** Size-verified download with retry (ref :62-88): fetch to `<name>.part`,
+    * compare sizes, atomically rename on success, delete partial on
+    * mismatch; up to [[retries]] attempts. */
+  def downloadWithVerify(store: RemoteStore, remote: RemoteFile, landing: Path,
+      sleeper: Long => Unit = Thread.sleep): Boolean = {
+    val tmp = landing.resolve(remote.name + ".part")
+    val dst = landing.resolve(remote.name)
+    (1 to retries).foreach { attempt =>
+      Try {
+        store.get(remote.path, tmp)
+        val got = Files.size(tmp)
+        if (got != remote.size)
+          throw new java.io.IOException(s"size mismatch: $got != ${remote.size}")
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+      } match {
+        case Success(_) => return true
+        case Failure(_) =>
+          Try(Files.deleteIfExists(tmp))
+          if (attempt < retries) sleeper(sleepBetweenMs)
+      }
+    }
+    false
+  }
+
+  /** Full staging run (ref main() :90-134): clean temps, list remote CSVs,
+    * anti-join against local names, download each in filename order. */
+  def stage(store: RemoteStore, remoteDir: String, landing: Path): Report = {
+    Files.createDirectories(landing)
+    cleanupPartFiles(landing)
+    val existing = Files.list(landing).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    val remoteCsvs = store.list(remoteDir)
+      .filter(f => !f.isDir && f.name.toUpperCase.endsWith(".CSV"))
+      .sortBy(_.name)
+    val (skip, fetch) = remoteCsvs.partition(f => existing(f.name))
+    val (ok, bad) = fetch.partition(f => downloadWithVerify(store, f, landing))
+    Report(ok.map(_.name), skip.map(_.name), bad.map(_.name))
+  }
+}

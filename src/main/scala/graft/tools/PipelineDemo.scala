@@ -1,0 +1,59 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl._
+import graft.ingest.SftpStager
+
+/** Runnable end-to-end demo of the engine's ETL surface:
+  * stage remote CSVs → load to staging → typed dedup upsert into DW →
+  * archive. Usage: runMain graft.tools.PipelineDemo <workdir>
+  * where <workdir>/remote contains input CSVs. Prints the DW state. */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val work = Paths.get(args.headOption.getOrElse("/tmp/graft-demo"))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val landing = work.resolve("novos")
+    val report = SftpStager.stage(new SftpStager.LocalStore(work), "remote", landing)
+    println(s"[stager] downloaded=${report.downloaded} skipped=${report.skipped} failed=${report.failed}")
+
+    val pipeline = new Pipeline(spark,
+      work.resolve("staging").toString,
+      work.resolve("dw").toString,
+      work.resolve("hist").toString)
+    val (ok, bad) = pipeline.loadStage(landing, work.resolve("lidos"), work.resolve("erros"))
+    println(s"[stage-load] loaded=$ok quarantined=$bad")
+
+    val stagingRows =
+      if (Files.exists(work.resolve("staging")))
+        spark.read.schema(Schemas.stagingSchema).parquet(work.resolve("staging").toString).count()
+      else 0L
+    println(s"[staging] rows=$stagingRows")
+
+    pipeline.upsertDw()
+    val dw = pipeline.readDw()
+    println(s"[dw] rows=${dw.count()}")
+    dw.select("chave_nfe", "id", "pedido", "valor_nfe", "peso", "uf",
+      "data_nfe", "data_ultima_ocr", "qtd_volumes", "arquivo_origem")
+      .orderBy("chave_nfe").show(20, truncate = false)
+
+    val audit = pipeline.archive()
+    println(s"[archive] moved=${audit.moved} batch_id=${audit.batchId}")
+    val histRows =
+      if (Files.exists(work.resolve("hist")))
+        spark.read.parquet(work.resolve("hist").toString).count()
+      else 0L
+    println(s"[hist] rows=$histRows")
+    spark.stop()
+  }
+}

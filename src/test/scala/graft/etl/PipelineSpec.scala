@@ -1,0 +1,115 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.ingest.SftpStager
+import java.nio.file.{Files, Path}
+
+/** End-to-end golden pipeline test (SURVEY §5.4): stage CSVs → staging →
+  * typed dedup upsert → DW → archive → hist; plus stager behavior. */
+class PipelineSpec extends SparkSpec {
+
+  private val header =
+    "ID;Pedido;Chave NFe;Valor Nfe;Peso;UF;Data Nfe;Data Última Ocr.;Qtd. Volumes;CD;Data Inserção"
+  private val k1 = "1" * 44
+  private val k2 = "2" * 44
+
+  private def writeCsv(dir: Path, name: String, rows: String*): Unit =
+    Files.write(dir.resolve(name), (header + "\n" + rows.mkString("\n") + "\n").getBytes("UTF-8"))
+
+  test("full pipeline: load → upsert (dedup + merge) → archive") {
+    val root = Files.createTempDirectory("pipe")
+    val novos = Files.createDirectories(root.resolve("novos"))
+    val lidos = root.resolve("lidos"); val erros = root.resolve("erros")
+    val pipeline = new Pipeline(spark,
+      root.resolve("staging").toString, root.resolve("dw").toString,
+      root.resolve("hist").toString)
+
+    // file 1: two occurrences of k1 (older + newer event) and one k2
+    writeCsv(novos, "f1.csv",
+      s"1;P1;$k1;1.234,56;1,5;SP;31/12/2024;01/01/2024 10:00:00;3;CD1;01/01/2024 09:00:00",
+      s"2;P1;$k1;;2,0;sp;31/12/2024;02/01/2024 10:00:00;;CD1;02/01/2024 09:00:00",
+      s"3;P2;$k2;10,0;0,5;RJ;2024-11-30;02/01/2024 08:00:00;1;CD2;02/01/2024 09:00:00")
+    // a quarantine file: unknown header
+    Files.write(novos.resolve("junk.csv"), "a;b\n1;2\n".getBytes)
+
+    val (ok, bad) = pipeline.loadStage(novos, lidos, erros)
+    assert(ok == 1 && bad == 1)
+    assert(Files.exists(lidos.resolve("f1.csv")))
+    assert(Files.exists(erros.resolve("junk.csv")))
+
+    pipeline.upsertDw()
+    val dw1 = pipeline.readDw().orderBy("chave_nfe").collect()
+    assert(dw1.length == 2)
+    val r1 = dw1(0)
+    // newest occurrence of k1 won (id=2), but valor_nfe coalesced from within
+    // the batch? No — dedup keeps only the newest row; its null valor stays null
+    // on first insert (no prior DW row to coalesce against).
+    assert(r1.getAs[String]("id") == "2")
+    assert(r1.getAs[java.math.BigDecimal]("valor_nfe") == null)
+    assert(r1.getAs[String]("uf") == "SP")
+
+    // archive drains staging between cycles (the reference cadence runs
+    // stage 4 after stage 3 every 2 h)
+    val audit1 = pipeline.archive()
+    assert(audit1.moved == 3)
+
+    // second batch: older event for k1 (must NOT replace event cols, but its
+    // non-null valor_nfe fills via COALESCE)
+    writeCsv(novos, "f2.csv",
+      s"9;P1;$k1;99,90;;SP;31/12/2024;01/01/2023 00:00:00;7;CD1;03/01/2024 09:00:00")
+    val (ok2, _) = pipeline.loadStage(novos, lidos, erros)
+    assert(ok2 == 1)
+    pipeline.upsertDw()
+    val dw2 = pipeline.readDw().orderBy("chave_nfe").collect()
+    assert(dw2.length == 2)
+    val r2 = dw2(0)
+    assert(r2.getAs[java.sql.Timestamp]("data_ultima_ocr") ==
+      java.sql.Timestamp.valueOf("2024-01-02 10:00:00")) // kept newer event
+    assert(r2.getAs[java.math.BigDecimal]("valor_nfe")
+      .compareTo(new java.math.BigDecimal("99.90")) == 0) // coalesce filled
+    assert(r2.getAs[Integer]("qtd_volumes") == 7)
+
+    // archive: staging drained into hist, one batch_id per run
+    val audit2 = pipeline.archive()
+    assert(audit2.moved == 1)
+    val hist = spark.read.parquet(root.resolve("hist").toString)
+    assert(hist.count() == 4)
+    assert(hist.select("batch_id").distinct().count() == 2)
+    val stagingAfter = spark.read.schema(Schemas.stagingSchema)
+      .parquet(root.resolve("staging").toString)
+    assert(stagingAfter.count() == 0)
+  }
+
+  test("stager: size-verified download, skip existing, retry then fail") {
+    val root = Files.createTempDirectory("sftp")
+    val remote = Files.createDirectories(root.resolve("remote"))
+    val landing = Files.createDirectories(root.resolve("landing"))
+    Files.write(remote.resolve("A.CSV"), "aaa".getBytes)
+    Files.write(remote.resolve("b.csv"), "bbb".getBytes)
+    Files.write(remote.resolve("skip.txt"), "no".getBytes)
+    Files.write(landing.resolve("b.csv"), "old".getBytes) // already present
+    Files.write(landing.resolve("stale.part"), "zz".getBytes)
+
+    val store = new SftpStager.LocalStore(root)
+    val report = SftpStager.stage(store, "remote", landing)
+    assert(report.downloaded == Seq("A.CSV"))
+    assert(report.skipped == Seq("b.csv"))
+    assert(report.failed.isEmpty)
+    assert(!Files.exists(landing.resolve("stale.part")))
+    assert(new String(Files.readAllBytes(landing.resolve("A.CSV"))) == "aaa")
+
+    // a store that always truncates → size mismatch → 3 attempts, failure
+    var attempts = 0
+    val bad = new SftpStager.RemoteStore {
+      def list(dir: String) = Seq.empty
+      def size(path: String) = 999L
+      def get(path: String, tmp: Path): Unit = {
+        attempts += 1; Files.write(tmp, "short".getBytes)
+      }
+    }
+    val okDl = SftpStager.downloadWithVerify(bad,
+      SftpStager.RemoteFile("x.csv", "x.csv", 999L, isDir = false), landing, _ => ())
+    assert(!okDl && attempts == 3)
+    assert(!Files.exists(landing.resolve("x.csv")))
+  }
+}
