@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Dedup, Merge, Parsers}
+import Util._
+
+/** The reference's own operator surface (SURVEY §2) exercised over the
+  * driver testdata, each with a DuckDB oracle twin:
+  *
+  *  - O-20 window dedup            → dedup_latest
+  *  - O-23 conditional merge       → conditional_merge
+  *  - O-17/18 anti-join discovery  → anti_join / semi_join
+  *  - O-15/E-6 date parsing        → parse_dates_roundtrip
+  *  - O-15/E-8 decimal parsing     → parse_decimals_localized
+  *  - E-2 key gate                 → nfe_key_gate
+  *  - O-14 lineage column          → lineage_file_counts
+  *  - O-8/E-15 backfill rendering  → backfill_render
+  *  - O-24 archive audit counts    → archive_audit
+  */
+object EtlQueries {
+
+  /** O-20: latest event per user (events plays staging; user_id plays
+    * chave_nfe, ts plays data_ultima_ocr; event_id is the deterministic
+    * tiebreak the reference gets from data_insercao). */
+  private def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Dedup.latestPerKey(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val dedupLatestSql =
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** O-23: two event snapshots merged with the reference's three policies.
+    * cur = latest even-id event per user, upd = latest odd-id event per user
+    * (value NULLed below 50 to exercise COALESCE). ts guards newer-wins. */
+  private def conditionalMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def snap(parity: Int): DataFrame =
+      Dedup.latestPerKey(ev.filter(col("event_id") % 2 === parity),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          when(col("value") < 50, lit(null)).otherwise(col("value")).as("value"))
+    val merged = Merge.conditionalMerge(
+      snap(0), snap(1), key = "user_id", eventTs = "ts",
+      policies = Map(
+        "ts" -> Merge.NewerEventWins,
+        "event_type" -> Merge.NewerEventWins,
+        "value" -> Merge.CoalesceKeepOld))
+    merged.orderBy("user_id")
+  }
+
+  private val conditionalMergeSql =
+    """WITH snap0 AS (
+      |  SELECT user_id, ts, event_type, CASE WHEN value < 50 THEN NULL ELSE value END AS value
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      |snap1 AS (
+      |  SELECT user_id, ts, event_type, CASE WHEN value < 50 THEN NULL ELSE value END AS value
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+      |SELECT COALESCE(u.user_id, c.user_id) AS user_id,
+      |  CASE WHEN c.user_id IS NULL THEN u.ts
+      |       WHEN u.user_id IS NULL THEN c.ts
+      |       WHEN u.ts > c.ts THEN u.ts ELSE c.ts END AS ts,
+      |  CASE WHEN c.user_id IS NULL THEN u.event_type
+      |       WHEN u.user_id IS NULL THEN c.event_type
+      |       WHEN u.ts > c.ts THEN u.event_type ELSE c.event_type END AS event_type,
+      |  CASE WHEN c.user_id IS NULL THEN u.value
+      |       WHEN u.user_id IS NULL THEN c.value
+      |       ELSE COALESCE(u.value, c.value) END AS value
+      |FROM snap0 c FULL OUTER JOIN snap1 u ON c.user_id = u.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** O-17/18: orders whose customer is NOT in a segment (left_anti). */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+  }
+
+  private val antiJoinSql =
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'AUTOMOBILE')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Semi-join twin (EXISTS). */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+  }
+
+  private val semiJoinSql =
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'AUTOMOBILE')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** E-6 roundtrip: render o_orderdate into the five accepted input formats
+    * (rotating by key) plus the zero sentinel, parse with parseBrDate; the
+    * oracle states the expected RESULT (the identity) rather than mirroring
+    * the mechanism. */
+  private def parseDatesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val d = col("o_orderdate")
+    val rendered = when(col("o_orderkey") % 97 === 0, lit("00/00/0000"))
+      .when(col("o_orderkey") % 5 === 0, date_format(d, "dd/MM/yyyy"))
+      .when(col("o_orderkey") % 5 === 1, date_format(d, "dd/MM/yyyy HH:mm:ss"))
+      .when(col("o_orderkey") % 5 === 2, date_format(d, "yyyy-MM-dd"))
+      .when(col("o_orderkey") % 5 === 3, date_format(d, "yyyyMMdd"))
+      .otherwise(date_format(d, "dd-MM-yyyy"))
+    o.select(col("o_orderkey"), Parsers.parseBrDate(rendered).as("parsed_date"))
+      .orderBy("o_orderkey")
+  }
+
+  private val parseDatesRoundtripSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS parsed_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** E-8 roundtrip: build localized decimal strings from integer parts
+    * (exact in both engines), parse with parseValor; oracle computes the
+    * expected decimal from the same integers via string cast. */
+  private def parseDecimalsLocalized(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val whole = (col("o_orderkey") % 90000 + 1000).cast("long")
+    val frac = (col("o_orderkey") % 100).cast("long")
+    val ptBr = concat((whole / 1000).cast("long"), lit("."),
+      lpad((whole % 1000).cast("string"), 3, "0"), lit(","),
+      lpad(frac.cast("string"), 2, "0"))
+    val enUs = concat((whole / 1000).cast("long"), lit(","),
+      lpad((whole % 1000).cast("string"), 3, "0"), lit("."),
+      lpad(frac.cast("string"), 2, "0"))
+    val plain = concat(whole, lit(","), lpad(frac.cast("string"), 2, "0"))
+    val fallback = concat(lit("R$ "), ptBr)
+    val rendered = when(col("o_orderkey") % 4 === 0, ptBr)
+      .when(col("o_orderkey") % 4 === 1, enUs)
+      .when(col("o_orderkey") % 4 === 2, plain)
+      .otherwise(fallback)
+    o.select(col("o_orderkey"), Parsers.parseValor(rendered).as("parsed_value"))
+      .orderBy("o_orderkey")
+  }
+
+  private val parseDecimalsLocalizedSql =
+    """SELECT o_orderkey,
+      |  CAST((o_orderkey % 90000 + 1000) || '.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+      |       AS DECIMAL(15,2)) AS parsed_value
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** E-2: the 44-digit key gate over synthesized keys (clean / punctuated /
+    * too-short by key mod 3). */
+  private def nfeKeyGate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = lpad(col("o_orderkey").cast("string"), 44, "0")
+    val input = when(col("o_orderkey") % 3 === 0, base)
+      .when(col("o_orderkey") % 3 === 1,
+        concat(substring(base, 1, 4), lit("."), substring(base, 5, 40)))
+      .otherwise(substring(base, 1, 40))
+    o.select(col("o_orderkey"), Parsers.nfeKey44(input).as("nfe_key"))
+      .orderBy("o_orderkey")
+  }
+
+  private val nfeKeyGateSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 2 THEN NULL
+      |       ELSE lpad(CAST(o_orderkey AS VARCHAR), 44, '0') END AS nfe_key
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** O-14: lineage via input_file_name() aggregated to per-file row counts. */
+  private def lineageFileCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy("file").agg(count(lit(1)).as("n_rows"))
+      .orderBy("file")
+
+  private val lineageFileCountsSql =
+    "SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows FROM lineitem"
+
+  /** O-8/E-15: schema-driven rendering of typed columns back to staging
+    * text (timestamp → dd/MM/yyyy HH:mm:ss, int → plain string, missing →
+    * NULL). */
+  private def backfillRender(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(
+      col("o_orderkey"),
+      Parsers.renderAsText(col("o_orderdate"),
+        org.apache.spark.sql.types.TimestampType).as("orderdate_text"),
+      Parsers.renderAsText(col("o_custkey"),
+        org.apache.spark.sql.types.LongType).as("custkey_text"),
+      lit(null).cast("string").as("missing_col"))
+      .orderBy("o_orderkey")
+  }
+
+  private val backfillRenderSql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS orderdate_text,
+      |  CAST(o_custkey AS VARCHAR) AS custkey_text,
+      |  CAST(NULL AS VARCHAR) AS missing_col
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** O-24/O-22: archive audit counts (moved == source rows, one batch id —
+    * the invariant the reference asserts at 04_archive_pedidos.py:49-50). */
+  private def archiveAudit(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "events")
+      .withColumn("batch_id", lit("batch-0"))
+      .withColumn("hist_id", monotonically_increasing_id())
+    staged.agg(
+      count(lit(1)).as("moved"),
+      countDistinct(col("batch_id")).as("n_batches"),
+      countDistinct(col("hist_id")).as("n_unique_ids"))
+  }
+
+  private val archiveAuditSql =
+    """SELECT COUNT(*) AS moved, CAST(1 AS BIGINT) AS n_batches,
+      |  COUNT(*) AS n_unique_ids FROM events""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_latest", dedupLatest, Some(dedupLatestSql)),
+    Q("conditional_merge", conditionalMerge, Some(conditionalMergeSql)),
+    Q("anti_join", antiJoin, Some(antiJoinSql)),
+    Q("semi_join", semiJoin, Some(semiJoinSql)),
+    Q("parse_dates_roundtrip", parseDatesRoundtrip, Some(parseDatesRoundtripSql)),
+    Q("parse_decimals_localized", parseDecimalsLocalized, Some(parseDecimalsLocalizedSql)),
+    Q("nfe_key_gate", nfeKeyGate, Some(nfeKeyGateSql)),
+    Q("lineage_file_counts", lineageFileCounts, Some(lineageFileCountsSql)),
+    Q("backfill_render", backfillRender, Some(backfillRenderSql)),
+    Q("archive_audit", archiveAudit, Some(archiveAuditSql)))
+}
