@@ -46,7 +46,9 @@ object SparkEntry {
   }
 
   /** All implemented operators, one entry each (SURVEY §2 inventory). */
-  private val groups: Seq[Q] = EtlQueries.all ++ Relational.all
+  private val groups: Seq[Q] =
+    EtlQueries.all ++ Relational.all ++ TextOps.all ++ DedupOps.all ++
+      SimilarityOps.all ++ MultimodalOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.fn).toMap

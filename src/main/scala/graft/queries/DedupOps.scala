@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Deduplication suite for a training-data pipeline over `documents`:
+  * exact (hash groupBy), word-shingle MinHash + LSH banding, SimHash
+  * fingerprints, and n-gram Jaccard verification.
+  *
+  * Engine-portable hashing: every hash is md5 (identical hex output in
+  * Spark and DuckDB); MinHash takes the lexicographic MIN of seeded md5
+  * hex strings — a valid random-permutation min because the strings are
+  * fixed-length hex, and fully order-deterministic.
+  *
+  * Scale shape: shingling is a narrow explode; the MinHash signature is one
+  * hash-aggregate keyed by (doc, seed); LSH candidates come from an
+  * equi-join on (band, band_sig) — the classic "join on bucket, never
+  * all-pairs" pattern, so cost tracks candidate count, not n². At 100 TB the
+  * band join is the only shuffle and its key is a hash — uniformly
+  * distributed by construction.
+  */
+object DedupOps {
+
+  /** Exact dedup: content-hash groups with canonical (min) doc id. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("content_hash")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** Word trigram shingles (distinct) of a text column, exploded. */
+  private def trigramShingles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val tris = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(array_distinct(tris)).as("sh"))
+  }
+
+  private val trigramShinglesSql =
+    """SELECT DISTINCT doc_id, s AS sh
+      |FROM docs, UNNEST(list_transform(range(greatest(len(w)-2, 0)),
+      |  i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) t(s)""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs: word-trigram shingle sets, pairwise
+    * intersection via shingle equi-join (not all-pairs), jaccard in exact
+    * milli units. Sampled (doc_id % 5 = 0) to bound candidate volume. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val sh = trigramShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+      col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jaccard_milli"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val ngramJaccardPairsSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') w FROM documents WHERE doc_id % 5 = 0),
+       |sh AS ($trigramShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter, sa.n + sb.n - inter AS uni,
+       |  CAST(floor(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_milli
+       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val minhashSeeds = 16
+  val bandSize = 4 // → 4 bands
+
+  /** MinHash + LSH banding over word (1-gram) shingles: 16 seeded minhashes
+    * per doc, grouped into 4 bands of 4; docs sharing a band signature are
+    * candidate pairs, reported with the band-collision count. */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("sh"))
+    val seeds = s.range(minhashSeeds).select(col("id").cast("int").as("seed"))
+    val minh = sh.crossJoin(seeds)
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
+    val bands = minh
+      .withColumn("band", (col("seed") / bandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(array_sort(collect_list(
+        concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("minh")))),
+        "|")).as("band_sig"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+      col("a.band_sig") === col("b.band_sig") &&
+      col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupMinhashLshSql =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, s AS sh FROM documents, UNNEST(string_split(text,' ')) t(s)),
+       |minh AS (
+       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS minh
+       |  FROM sh CROSS JOIN (SELECT CAST(r AS INT) seed FROM range($minhashSeeds) t(r))
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // $bandSize AS band,
+       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || minh, '|' ORDER BY seed)) AS band_sig
+       |  FROM minh GROUP BY doc_id, seed // $bandSize)
+       |SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+
+  /** 64-bit SimHash per document over distinct words, emitted as 16 hex
+    * nibbles (low nibble first). Bit j's source is bit (j mod 4) of hex
+    * digit (j div 4) of md5(word); contribution ±1; bit set iff the sum is
+    * ≥ 0. Everything is integer arithmetic on md5 hex digits, so the Spark
+    * and DuckDB results are identical by construction. */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wordsDf = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", md5(col("w")))
+    // per-word hex digit values d0..d15
+    val withDigits = (0 until 16).foldLeft(wordsDf) { (df, i) =>
+      df.withColumn(s"d$i",
+        (instr(lit("0123456789abcdef"), substring(col("h"), i + 1, 1)) - 1).cast("int"))
+    }
+    // per-doc signed bit sums s0..s63
+    val sumExprs = (0 until 64).map { j =>
+      val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sums = withDigits.groupBy(col("doc_id"))
+      .agg(sumExprs.head, sumExprs.tail: _*)
+    // reassemble nibbles → hex chars
+    val hexChars = (0 until 16).map { i =>
+      val n = (0 until 4).map { k =>
+        when(col(s"s${4 * i + k}") >= 0, 1 << k).otherwise(0)
+      }.reduce((a: Column, b: Column) => a + b)
+      lit("0123456789abcdef").substr(n + 1, lit(1))
+    }
+    sums.select(col("doc_id"), concat(hexChars: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSimhashSql = {
+    val digitDefs = (0 until 16).map(i =>
+      s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(",\n    ")
+    val sumDefs = (0 until 64).map(j =>
+      s"SUM(((d${j / 4} >> ${j % 4}) & 1) * 2 - 1) AS s$j").mkString(",\n    ")
+    val nibbleChars = (0 until 16).map { i =>
+      val n = (0 until 4).map(k => s"(CASE WHEN s${4 * i + k} >= 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($n) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH w AS (SELECT DISTINCT doc_id, s AS w FROM documents, UNNEST(string_split(text,' ')) t(s)),
+       |digits AS (SELECT doc_id, $digitDefs FROM (SELECT doc_id, md5(w) h FROM w)),
+       |sums AS (SELECT doc_id, $sumDefs FROM digits GROUP BY doc_id)
+       |SELECT doc_id, $nibbleChars AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
+    Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)))
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Multimodal-column plumbing: treat media as opaque `binary` payloads with
+  * typed metadata, keeping schema/partitioning/batching real while the
+  * actual codec is stubbed (no image/audio libraries in this environment).
+  *
+  * `multimodal_meta` is the oracle-checked query: payload = UTF-8 bytes of
+  * the document text standing in for media bytes; metadata = byte length,
+  * sha256, and deterministic fake decode dimensions derived from the hash.
+  *
+  * [[decodeStub]] is the library surface a real decoder would replace: a
+  * typed `mapPartitions` over (id, payload) batches — the Scala analog of a
+  * pandas-UDF `mapInPandas` decode — returning per-item features. Partition
+  * shape, schema, and batching are real; only the codec body is fake.
+  */
+object MultimodalOps {
+
+  /** Hex digit value of position `p` (1-based) of a hex string column. */
+  private def hexAt(c: org.apache.spark.sql.Column, p: Int) =
+    instr(lit("0123456789abcdef"), substring(c, p, 1)) - 1
+
+  /** Opaque binary payload + typed metadata, all from built-ins. */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val h = sha2(payload, 256)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(payload).as("n_bytes"),
+      h.as("sha256"),
+      // deterministic fake "decoded" dimensions from the content hash
+      (hexAt(h, 1) * 16 + hexAt(h, 2) + 64).cast("int").as("width"),
+      (hexAt(h, 3) * 16 + hexAt(h, 4) + 64).cast("int").as("height"),
+      substring(col("source"), 4, 10).cast("int").as("source_idx"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  sha256(text) AS sha256,
+      |  CAST((strpos('0123456789abcdef', substr(sha256(text),1,1))-1)*16
+      |     + (strpos('0123456789abcdef', substr(sha256(text),2,1))-1) + 64 AS INT) AS width,
+      |  CAST((strpos('0123456789abcdef', substr(sha256(text),3,1))-1)*16
+      |     + (strpos('0123456789abcdef', substr(sha256(text),4,1))-1) + 64 AS INT) AS height,
+      |  CAST(substr(source, 4, 10) AS INT) AS source_idx
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** One decoded media item (what a real image decoder would emit). */
+  case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,
+      meanByte: Double, nBytes: Long)
+
+  /** STUB decode: a real implementation would decode image/audio bytes per
+    * partition (batched, library handle reused across the partition — the
+    * pattern that matters at scale). The fake derives deterministic features
+    * from the bytes themselves. */
+  def decodeStub(items: Dataset[(Long, Array[Byte])]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // per-partition "codec" initialization would go here
+      it.map { case (id, bytes) =>
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+        MediaFeatures(id,
+          width = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 256),
+          height = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) / 256 % 256),
+          channels = 3, meanByte = mean, nBytes = bytes.length.toLong)
+      }
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+}

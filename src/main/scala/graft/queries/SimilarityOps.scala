@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Determinism design: vectors are quantized to integer thousandths
+  * (`round(x*1000) → BIGINT`), so dot products and norms are EXACT int64
+  * sums (order-independent — safe under any aggregation order in either
+  * engine). Cosine is then a single double division by a single sqrt of an
+  * exact int64 — one correctly-rounded IEEE op each, bit-identical across
+  * engines. Ranking ties break on neighbor id.
+  *
+  * Scale design: brute-force top-k is the oracle-able baseline — a broadcast
+  * of the (small) query set against a scan of the corpus, no shuffle until
+  * the final per-query top-k (a tiny aggregate). The LSH variant buckets by
+  * md5-derived random-hyperplane signatures: candidates come from an
+  * equi-join on (band, signature) — the 100 TB path where all-pairs is
+  * impossible. Signature computation is a narrow projection; the sign matrix
+  * is data-independent and engine-portable (derived from md5 hex).
+  */
+object SimilarityOps {
+
+  /** Quantized int64 vector: round(x*1000) per element, in double to match
+    * DuckDB's float→double promotion. */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  private val qvecSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
+
+  /** Exact int64 dot product of two quantized vectors. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5) against the
+    * whole corpus. */
+  private def knnBruteCosine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val joined = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotQ(col("qq"), col("q")))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("qn") * col("nrm")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val knnBruteCosineSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1]*b.q[i+1])) AS BIGINT) AS dot,
+       |    a.nrm AS qn, b.nrm AS nn
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE)/sqrt(CAST(qn*nn AS DOUBLE)) AS cos
+       |  FROM pairs)
+       |SELECT query_id, rk, neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  val lshBits = 16
+  val lshBandBits = 8 // 2 bands of 8 bits
+
+  /** Engine-portable pseudo-random hyperplane sign: +1 when the first hex
+    * digit of md5("<bit>_<dim>") is 0-7, else -1. Computed driver-side here
+    * and via SQL md5 in the oracle — identical by md5's definition. */
+  private def sign(bit: Int, dim: Int): Int = {
+    val mdBytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${bit}_$dim".getBytes("UTF-8"))
+    if (((mdBytes(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** LSH-bucketed cosine candidates: 16-bit random-hyperplane signatures in
+    * 2 bands of 8 bits; vectors sharing a band signature are candidates,
+    * verified with the exact quantized cosine. */
+  private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+    val withBits = (0 until lshBits).foldLeft(e) { (df, i) =>
+      val sgn = array((0 until dims).map(j => lit(sign(i, j))): _*)
+      df.withColumn(s"bit$i",
+        when(dotQ(col("q"), sgn) >= 0, lit("1")).otherwise(lit("0")))
+    }
+    val sigs = withBits
+      .withColumn("sig0", concat((0 until lshBandBits).map(i => col(s"bit$i")): _*))
+      .withColumn("sig1", concat((lshBandBits until lshBits).map(i => col(s"bit$i")): _*))
+    val bands = sigs.select(col("vec_id"), col("q"), col("nrm"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig0").as("sig")),
+        struct(lit(1).as("band"), col("sig1").as("sig")))).as("bs"))
+      .select(col("vec_id"), col("q"), col("nrm"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+      col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first(col("a.q")).as("qa"), first(col("a.nrm")).as("na"),
+        first(col("b.q")).as("qb"), first(col("b.nrm")).as("nb"))
+      .withColumn("cos", dotQ(col("qa"), col("qb")).cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")))
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val annLshCosineSql = {
+    def bitExpr(i: Int) =
+      s"""CASE WHEN list_sum(list_transform(range(len(q)), j ->
+         |  q[j+1] * (CASE WHEN strpos('01234567', substr(md5($i || '_' || j), 1, 1)) > 0
+         |            THEN 1 ELSE -1 END))) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    val sig0 = (0 until lshBandBits).map(bitExpr).mkString(" || ")
+    val sig1 = (lshBandBits until lshBits).map(bitExpr).mkString(" || ")
+    s"""WITH e AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |sigs AS (SELECT vec_id, q, nrm, $sig0 AS sig0, $sig1 AS sig1 FROM e),
+       |bands AS (
+       |  SELECT vec_id, q, nrm, 0 AS band, sig0 AS sig FROM sigs
+       |  UNION ALL SELECT vec_id, q, nrm, 1, sig1 FROM sigs),
+       |cand AS (
+       |  SELECT a.vec_id a_id, b.vec_id b_id, COUNT(*) AS n_shared_bands,
+       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na, ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared_bands,
+       |  CAST(CAST(list_sum(list_transform(range(len(qa)), i -> qa[i+1]*qb[i+1])) AS BIGINT) AS DOUBLE)
+       |    / sqrt(CAST(na*nb AS DOUBLE)) AS cos
+       |FROM cand ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Per-label corpus statistics in exact integers. */
+  private def embeddingStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size(col("q"))).as("min_dims"),
+        max(size(col("q"))).as("max_dims"),
+        sum(col("nrm")).as("sum_sq_norm"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy("label")
+
+  private val embeddingStatsSql =
+    s"""SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(MIN(len(q)) AS INT) AS min_dims, CAST(MAX(len(q)) AS INT) AS max_dims,
+       |  CAST(SUM(CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT)) AS BIGINT) AS sum_sq_norm,
+       |  MIN(vec_id) AS min_vec_id
+       |FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
+    Q("ann_lsh_cosine", annLshCosine, Some(annLshCosineSql)),
+    Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, heuristic language ID, fingerprinting.
+  *
+  * All scores are exact-integer (counts, milli-ratios via a single double
+  * divide + floor — bit-deterministic in both engines). Every operator is a
+  * narrow per-row projection + optional aggregation: embarrassingly parallel,
+  * no shuffle except final ordering — the shape that scales to 100 TB of
+  * documents (scan → codegen'd projection → write).
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** floor(1000 * a / b) with a single double division (IEEE-identical in
+    * Spark and DuckDB). */
+  private def milli(a: Column, b: Column): Column =
+    floor(lit(1000.0) * a / b).cast("long")
+
+  /** Token counting: whitespace tokens, alphabetic tokens, distinct tokens,
+    * chars per token. */
+  private def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      size(filter(w, x => x.rlike("^[a-z]+$"))).as("n_alpha_tokens"),
+      size(array_distinct(w)).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars_obs"),
+      milli(length(col("text")), size(w)).as("chars_per_token_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val textTokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x,'^[a-z]+$'))) AS INT) AS n_alpha_tokens,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_obs,
+      |  CAST(floor(1000.0*length(text)/len(string_split(text,' '))) AS BIGINT) AS chars_per_token_milli
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+    "for", "on")
+
+  /** Quality scoring: length/punctuation/stopword/uppercase signals plus a
+    * keep/drop gate — the standard pre-training corpus filters. */
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nStop = size(filter(w, x => x.isin(stopEn: _*)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val nUpper = length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Z]", ""))
+    val stopMilli = milli(nStop, nWords)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      nUpper.as("n_upper"),
+      stopMilli.as("stop_ratio_milli"),
+      (nWords.between(5, 2000) && stopMilli >= 10).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualitySql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS INT) AS n_words,
+       |  CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS INT) AS n_stopwords,
+       |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+       |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+       |  CAST(floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))/len(string_split(text,' '))) AS BIGINT) AS stop_ratio_milli,
+       |  (len(string_split(text,' ')) BETWEEN 5 AND 2000
+       |   AND floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))/len(string_split(text,' '))) >= 10) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-stopword lists per language (tiny, deterministic heuristic). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
+
+  /** Heuristic language ID: score = marker-word hits per language; argmax
+    * with alphabetical tiebreak. (A real system uses char n-gram models;
+    * the Spark shape — one codegen'd projection — is identical.) */
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val Seq(de, en, es, fr) = scores.map(_._2)
+    val pred = when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    t(s, dir, "documents").select(
+      Seq(col("doc_id")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") } ++
+        Seq(pred.as("lang_pred"), col("lang").as("lang_label")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val textLangidSql = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
+    s"""SELECT doc_id,
+       |  CAST($de AS INT) AS score_de, CAST($en AS INT) AS score_en,
+       |  CAST($es AS INT) AS score_es, CAST($fr AS INT) AS score_fr,
+       |  CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |       WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       |  lang AS lang_label
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: whitespace-normalized md5, head-of-doc md5
+    * (first 8 tokens), length bucket. */
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val head8 = array_join(slice(split(norm, " "), 1, 8), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(norm).as("fp_full"),
+      md5(head8).as("fp_head8"),
+      (length(norm).cast("long") / 100).cast("long").as("len_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val docFingerprintSql =
+    """SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_full,
+      |  md5(array_to_string(list_slice(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),' '), 1, 8), ' ')) AS fp_head8,
+      |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) // 100 AS BIGINT) AS len_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_tokens", textTokens, Some(textTokensSql)),
+    Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("text_langid", textLangid, Some(textLangidSql)),
+    Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)))
+}
