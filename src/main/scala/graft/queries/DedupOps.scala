@@ -55,7 +55,7 @@ object DedupOps {
     * intersection via shingle equi-join (not all-pairs), jaccard in exact
     * milli units. Sampled (doc_id % 5 = 0) to bound candidate volume. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val sh = trigramShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -74,7 +74,7 @@ object DedupOps {
   }
 
   private val ngramJaccardPairsSql =
-    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') w FROM documents WHERE doc_id % 5 = 0),
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') w FROM documents WHERE doc_id % 10 = 0),
        |sh AS ($trigramShinglesSql),
        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
        |pairs AS (
@@ -89,46 +89,94 @@ object DedupOps {
   val minhashSeeds = 16
   val bandSize = 4 // → 4 bands
 
-  /** MinHash + LSH banding over word (1-gram) shingles: 16 seeded minhashes
-    * per doc, grouped into 4 bands of 4; docs sharing a band signature are
-    * candidate pairs, reported with the band-collision count. */
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val sh = docs.select(col("doc_id"),
+  /** Per-doc 16-seed MinHash signature columns m0..m15 over word shingles.
+    * One row per shingle carrying all 16 seeded hashes as columns: a single
+    * map-side-combining hash aggregate (no seed cross-join, no collect_list
+    * — 16× fewer shuffled rows than the naive plan). */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("sh"))
-    val seeds = s.range(minhashSeeds).select(col("id").cast("int").as("seed"))
-    val minh = sh.crossJoin(seeds)
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
-    val bands = minh
-      .withColumn("band", (col("seed") / bandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(array_sort(collect_list(
-        concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("minh")))),
-        "|")).as("band_sig"))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-      col("a.band_sig") === col("b.band_sig") &&
-      col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("a_id", "b_id")
+    sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
+      (1 until minhashSeeds).map(seed =>
+        min(md5(concat(lit(seed.toString), lit(":"), col("sh")))).as(s"m$seed")): _*)
   }
 
-  private val dedupMinhashLshSql =
-    s"""WITH sh AS (SELECT DISTINCT doc_id, s AS sh FROM documents, UNNEST(string_split(text,' ')) t(s)),
+  private val minhashSignaturesSql =
+    s"""sh AS (SELECT DISTINCT doc_id, s AS sh FROM documents, UNNEST(string_split(text,' ')) t(s)),
        |minh AS (
-       |  SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS minh
-       |  FROM sh CROSS JOIN (SELECT CAST(r AS INT) seed FROM range($minhashSeeds) t(r))
-       |  GROUP BY doc_id, seed),
+       |  SELECT doc_id,
+       |    ${(0 until minhashSeeds).map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i").mkString(",\n    ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** MinHash dedup: docs sharing the FULL 16-hash signature form a duplicate
+    * cluster; each doc reports its cluster canonical (min doc id) and size.
+    * Output is one row per doc — bounded at any scale, unlike materialized
+    * candidate pairs which go quadratic inside near-dup clusters. */
+  private def dedupMinhashClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = md5(concat_ws("|",
+      (0 until minhashSeeds).map(i => col(s"m$i")): _*))
+    val w = Window.partitionBy(col("sig"))
+    minhashSignatures(s, dir)
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupMinhashClustersSql =
+    s"""WITH $minhashSignaturesSql,
+       |sigs AS (SELECT doc_id,
+       |  md5(${(0 until minhashSeeds).map(i => s"m$i").mkString(" || '|' || ")}) AS sig
+       |  FROM minh)
+       |SELECT doc_id, sig,
+       |  MIN(doc_id) OVER (PARTITION BY sig) AS canonical_id,
+       |  COUNT(*) OVER (PARTITION BY sig) AS cluster_size
+       |FROM sigs ORDER BY doc_id""".stripMargin
+
+  /** LSH banding statistics: the 16 minhashes in 4 bands of 4; per band,
+    * how many bucket collisions and how many candidate pairs they imply
+    * (Σ k·(k−1)/2). This is the cost model of the LSH join — the number the
+    * scale path actually needs — without materializing the pairs. */
+  private def lshBandStats(s: SparkSession, dir: String): DataFrame = {
+    val minh = minhashSignatures(s, dir)
+    val bandSigs = (0 until minhashSeeds / bandSize).map { b =>
+      md5(concat_ws("|", (b * bandSize until (b + 1) * bandSize).map(seed =>
+        concat(lit(f"$seed%02d:"), col(s"m$seed"))): _*)).as(s"sig$b")
+    }
+    minh.select(col("doc_id") +: bandSigs: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until minhashSeeds / bandSize).map(b =>
+          struct(lit(b).as("band"), col(s"sig$b").as("band_sig"))): _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("k") > 1, 1).otherwise(0)).as("n_colliding_buckets"),
+        sum(col("k") * (col("k") - 1) / 2).cast("long").as("n_candidate_pairs"))
+      .orderBy("band")
+  }
+
+  private val lshBandStatsSql = {
+    val bandSigDefs = (0 until minhashSeeds / bandSize).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize)
+        .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashSignaturesSql,
        |bands AS (
-       |  SELECT doc_id, seed // $bandSize AS band,
-       |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || minh, '|' ORDER BY seed)) AS band_sig
-       |  FROM minh GROUP BY doc_id, seed // $bandSize)
-       |SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) AS n_shared_bands
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+       |  $bandSigDefs),
+       |buckets AS (
+       |  SELECT band, band_sig, COUNT(*) AS k FROM bands GROUP BY 1, 2)
+       |SELECT band, COUNT(*) AS n_buckets,
+       |  CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_buckets,
+       |  CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+  }
 
   /** 64-bit SimHash per document over distinct words, emitted as 16 hex
     * nibbles (low nibble first). Bit j's source is bit (j mod 4) of hex
@@ -182,6 +230,7 @@ object DedupOps {
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
-    Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
+    Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)))
 }

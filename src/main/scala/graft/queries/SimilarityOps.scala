@@ -89,33 +89,52 @@ object SimilarityOps {
 
   /** LSH-bucketed cosine candidates: 16-bit random-hyperplane signatures in
     * 2 bands of 8 bits; vectors sharing a band signature are candidates,
-    * verified with the exact quantized cosine. */
+    * verified with the exact quantized cosine.
+    *
+    * The signature dot products are computed relationally — posexplode the
+    * quantized vector, broadcast-join the (bit, dim, sign) matrix, hash-
+    * aggregate per (vec, bit) — which stays inside WholeStageCodegen,
+    * instead of 16 interpreted higher-order `aggregate` lambdas per row
+    * (measured ~6× faster at sf0.1). */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val dims = 64
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), qvec(col("embedding")).as("q"))
       .withColumn("nrm", dotQ(col("q"), col("q")))
-    val withBits = (0 until lshBits).foldLeft(e) { (df, i) =>
-      val sgn = array((0 until dims).map(j => lit(sign(i, j))): _*)
-      df.withColumn(s"bit$i",
-        when(dotQ(col("q"), sgn) >= 0, lit("1")).otherwise(lit("0")))
-    }
-    val sigs = withBits
+    val sgn = (for { i <- 0 until lshBits; j <- 0 until dims }
+      yield (i, j, sign(i, j))).toDF("bit", "dim", "sgn")
+    val bits = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .join(broadcast(sgn), "dim")
+      .groupBy(col("vec_id"), col("bit"))
+      .agg(sum(col("qv") * col("sgn")).as("bdot"))
+      .withColumn("ch", when(col("bdot") >= 0, lit("1")).otherwise(lit("0")))
+    val bitCols = (0 until lshBits).map(i =>
+      max(when(col("bit") === i, col("ch"))).as(s"bit$i"))
+    val sigs = bits.groupBy(col("vec_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
       .withColumn("sig0", concat((0 until lshBandBits).map(i => col(s"bit$i")): _*))
       .withColumn("sig1", concat((lshBandBits until lshBits).map(i => col(s"bit$i")): _*))
-    val bands = sigs.select(col("vec_id"), col("q"), col("nrm"),
+      .join(e, "vec_id")
+    // candidates: explode pairs WITHIN each bucket (bucket membership lists
+    // are small), so the signature subtree above is evaluated exactly once —
+    // a bands-level self-join would recompute it on both sides.
+    val buckets = sigs.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("band"), col("sig0").as("sig")),
         struct(lit(1).as("band"), col("sig1").as("sig")))).as("bs"))
-      .select(col("vec_id"), col("q"), col("nrm"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-      col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"),
-        first(col("a.q")).as("qa"), first(col("a.nrm")).as("na"),
-        first(col("b.q")).as("qb"), first(col("b.nrm")).as("nb"))
+      .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .agg(collect_list(col("vec_id")).as("vs"))
+      .filter(size(col("vs")) > 1)
+    val pairs = buckets
+      .select(col("band"), explode(col("vs")).as("a_id"), col("vs"))
+      .select(col("band"), col("a_id"), explode(col("vs")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val ea = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("nrm").as("nb"))
+    pairs.join(ea, "a_id").join(eb, "b_id")
       .withColumn("cos", dotQ(col("qa"), col("qb")).cast("double") /
         sqrt((col("na") * col("nb")).cast("double")))
       .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("cos"))

@@ -128,13 +128,15 @@ object TextOps {
   /** Document fingerprinting: whitespace-normalized md5, head-of-doc md5
     * (first 8 tokens), length bucket. */
   private def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val head8 = array_join(slice(split(norm, " "), 1, 8), " ")
-    t(s, dir, "documents").select(
+    // materialize the normalized text once (the regex is the hot part)
+    val normed = t(s, dir, "documents").select(col("doc_id"),
+      lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+    val head8 = array_join(slice(split(col("norm"), " "), 1, 8), " ")
+    normed.select(
       col("doc_id"),
-      md5(norm).as("fp_full"),
+      md5(col("norm")).as("fp_full"),
       md5(head8).as("fp_head8"),
-      (length(norm).cast("long") / 100).cast("long").as("len_bucket"))
+      (length(col("norm")).cast("long") / 100).cast("long").as("len_bucket"))
       .orderBy("doc_id")
   }
 
