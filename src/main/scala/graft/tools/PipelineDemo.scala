@@ -9,10 +9,14 @@ import graft.ingest.SftpStager
 
 /** Runnable end-to-end demo of the engine's ETL surface:
   * stage remote CSVs → load to staging → typed dedup upsert into DW →
-  * archive. Usage: runMain graft.tools.PipelineDemo <workdir>
-  * where <workdir>/remote contains input CSVs. Prints the DW state. */
+  * archive. Usage: runMain graft.tools.PipelineDemo <workdir> [--stream]
+  * where <workdir>/remote contains input CSVs. Prints the DW state.
+  * With --stream, the landing dir is consumed by the Structured Streaming
+  * pipeline (checkpoint as the processed-file ledger) instead of the batch
+  * loader; CSVs must then be staging-shaped (41 canonical columns). */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--stream")) { streamMain(args.filterNot(_ == "--stream")); return }
     val work = Paths.get(args.headOption.getOrElse("/tmp/graft-demo"))
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -54,6 +58,28 @@ object PipelineDemo {
         spark.read.parquet(work.resolve("hist").toString).count()
       else 0L
     println(s"[hist] rows=$histRows")
+    spark.stop()
+  }
+
+  private def streamMain(args: Array[String]): Unit = {
+    val work = Paths.get(args.headOption.getOrElse("/tmp/graft-demo-stream"))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-stream-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dw = work.resolve("dw").toString
+    val q = graft.streaming.StreamingPipeline.pedidosStream(
+      spark, work.resolve("landing").toString, dw,
+      work.resolve("ckpt").toString)
+    q.awaitTermination()
+    val dwDf = spark.read.schema(Schemas.fatSchema).parquet(dw)
+    println(s"[stream-dw] rows=${dwDf.count()}")
+    dwDf.select("chave_nfe", "id", "valor_nfe", "data_ultima_ocr")
+      .orderBy("chave_nfe").show(10, truncate = false)
     spark.stop()
   }
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.etl.Schemas
+
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val k1 = "1" * 44
+  private val k2 = "2" * 44
+
+  /** One staging-shaped CSV row (41 canonical columns). */
+  private def stagingCsvRow(id: String, key: String, ocr: String, valor: String): String =
+    Schemas.colunasDestino.map {
+      case "id" => id
+      case "chave_nfe" => key
+      case "data_ultima_ocr" => ocr
+      case "valor_nfe" => valor
+      case "data_insercao" => "01/01/2025 00:00:00"
+      case _ => ""
+    }.mkString(";")
+
+  test("pedidosStream: file queue → typed dedup merge, checkpoint is the ledger") {
+    val root = Files.createTempDirectory("stream")
+    val landing = Files.createDirectories(root.resolve("landing"))
+    val dw = root.resolve("dw").toString
+    val ckpt = root.resolve("ckpt").toString
+    val header = Schemas.colunasDestino.mkString(";")
+
+    Files.write(landing.resolve("f1.csv"),
+      (header + "\n" +
+        stagingCsvRow("1", k1, "01/01/2025 10:00:00", "10,50") + "\n" +
+        stagingCsvRow("2", k1, "02/01/2025 10:00:00", "") + "\n" +
+        stagingCsvRow("3", k2, "01/01/2025 09:00:00", "7,25") + "\n").getBytes)
+
+    val q1 = StreamingPipeline.pedidosStream(spark, landing.toString, dw, ckpt)
+    q1.awaitTermination()
+    val dw1 = spark.read.schema(Schemas.fatSchema).parquet(dw)
+      .orderBy("chave_nfe").collect()
+    assert(dw1.length == 2)
+    assert(dw1(0).getAs[String]("id") == "2") // newest event per key wins
+
+    // second file arrives; restart from the same checkpoint → only the new
+    // file is processed (the streaming ledger), and the merge coalesces
+    Files.write(landing.resolve("f2.csv"),
+      (header + "\n" +
+        stagingCsvRow("9", k1, "01/01/2024 00:00:00", "99,99") + "\n").getBytes)
+    val q2 = StreamingPipeline.pedidosStream(spark, landing.toString, dw, ckpt)
+    q2.awaitTermination()
+    val dw2 = spark.read.schema(Schemas.fatSchema).parquet(dw)
+      .orderBy("chave_nfe").collect()
+    assert(dw2.length == 2)
+    val r = dw2(0)
+    assert(r.getAs[Timestamp]("data_ultima_ocr") == ts("2025-01-02 10:00:00")) // old event kept
+    assert(r.getAs[java.math.BigDecimal]("valor_nfe")
+      .compareTo(new java.math.BigDecimal("99.99")) == 0) // coalesce filled
+  }
+
+  test("windowedCounts: watermarked sliding windows over a bounded stream") {
+    val root = Files.createTempDirectory("winstream")
+    val src = root.resolve("events")
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"), 10L, "click", 1.0),
+      (2L, ts("2024-01-01 00:04:00"), 10L, "click", 2.0),
+      (3L, ts("2024-01-01 00:11:00"), 11L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    // Append would emit only watermark-closed windows, and a single
+    // AvailableNow micro-batch never advances the watermark — use Complete
+    // to observe all windows of the bounded replay.
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.windowedCounts(stream), "win_counts",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // event at 00:01 lands in sliding windows [23:55,00:05) and [00:00,00:10)
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+    assert(clicks.map(_.getAs[Long]("n")).sum == 4) // 2 events × 2 windows each
+    assert(clicks.exists(r => r.getAs[Long]("n") == 2)) // both in [00:00,00:10)
+  }
+
+  test("sessionize: explicit keyed state with gap rule") {
+    val root = Files.createTempDirectory("sessstream")
+    val src = root.resolve("events")
+    Seq(
+      StreamingPipeline.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      StreamingPipeline.Event(2, ts("2024-01-01 00:10:00"), 1, "a", 1.0),
+      StreamingPipeline.Event(3, ts("2024-01-01 01:00:00"), 1, "a", 1.0), // new session
+      StreamingPipeline.Event(4, ts("2024-01-01 00:05:00"), 2, "b", 1.0))
+      .toDS().write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .parquet(src.toString)
+      .as[StreamingPipeline.Event]
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.sessionize(stream).toDF(), "sessions")
+    // emitted sessions are the CLOSED ones (user 1's first session closed by
+    // the 50-min gap); open sessions remain in state
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val s = rows.head
+    assert(s.getAs[Long]("user_id") == 1L)
+    assert(s.getAs[Int]("n_events") == 2)
+  }
+}
