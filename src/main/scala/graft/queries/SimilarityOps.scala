@@ -32,13 +32,16 @@ object SimilarityOps {
   private val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — the engine's native
+    * codegen'd expression (one primitive loop; the equivalent
+    * aggregate∘zip_with composition runs interpreted per element). */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.quantized_dot(a, b)
 
   /** Brute-force cosine top-10 for query vectors (vec_id < 5) against the
     * whole corpus. */
   private def knnBruteCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), qvec(col("embedding")).as("q"))
@@ -97,6 +100,7 @@ object SimilarityOps {
     * instead of 16 interpreted higher-order `aggregate` lambdas per row
     * (measured ~6× faster at sf0.1). */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val dims = 64
     val e = t(s, dir, "embeddings")
@@ -168,7 +172,8 @@ object SimilarityOps {
   }
 
   /** Per-label corpus statistics in exact integers. */
-  private def embeddingStats(s: SparkSession, dir: String): DataFrame =
+  private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
       .withColumn("nrm", dotQ(col("q"), col("q")))
@@ -179,6 +184,7 @@ object SimilarityOps {
         sum(col("nrm")).as("sum_sq_norm"),
         min(col("vec_id")).as("min_vec_id"))
       .orderBy("label")
+  }
 
   private val embeddingStatsSql =
     s"""SELECT label, COUNT(*) AS n_vecs,
