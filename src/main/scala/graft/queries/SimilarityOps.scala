@@ -194,8 +194,28 @@ object SimilarityOps {
        |FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings)
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs: LSH candidates verified at a
+    * high cosine threshold, with the smaller id as canonical — the
+    * embedding-space member of the dedup family (SURVEY §7.5). τ is
+    * corpus-relative: real near-dup corpora use ~0.98; this synthetic corpus
+    * of random unit vectors tops out near 0.5, so τ=0.4 selects the extreme
+    * tail. The cosine is bit-identical cross-engine (exact int64 dot/norm,
+    * one IEEE divide+sqrt), so the cut is deterministic at the boundary. */
+  private def dedupEmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    annLshCosine(s, dir)
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id").as("canonical_id"), col("b_id").as("dup_id"), col("cos"))
+      .orderBy("canonical_id", "dup_id")
+  }
+
+  private val dedupEmbeddingNeardupSql =
+    s"""SELECT a_id AS canonical_id, b_id AS dup_id, cos
+       |FROM ($annLshCosineSql)
+       |WHERE cos >= 0.4 ORDER BY canonical_id, dup_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
     Q("ann_lsh_cosine", annLshCosine, Some(annLshCosineSql)),
+    Q("dedup_embedding_neardup", dedupEmbeddingNeardup, Some(dedupEmbeddingNeardupSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }

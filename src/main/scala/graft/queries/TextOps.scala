@@ -32,6 +32,9 @@ object TextOps {
       size(w).as("n_tokens"),
       size(filter(w, x => x.rlike("^[a-z]+$"))).as("n_alpha_tokens"),
       size(array_distinct(w)).as("n_distinct_tokens"),
+      // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .as("n_bpe_ish_tokens"),
       length(col("text")).as("n_chars_obs"),
       milli(length(col("text")), size(w)).as("chars_per_token_milli"))
       .orderBy("doc_id")
@@ -42,6 +45,7 @@ object TextOps {
       |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
       |  CAST(len(list_filter(string_split(text,' '), x -> regexp_matches(x,'^[a-z]+$'))) AS INT) AS n_alpha_tokens,
       |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpe_ish_tokens,
       |  CAST(length(text) AS INT) AS n_chars_obs,
       |  CAST(floor(1000.0*length(text)/len(string_split(text,' '))) AS BIGINT) AS chars_per_token_milli
       |FROM documents ORDER BY doc_id""".stripMargin
