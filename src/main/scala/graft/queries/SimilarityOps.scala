@@ -78,6 +78,38 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** Same top-10 as [[knnBruteCosine]] but through the engine's typed
+    * [[graft.functions.TopKByScore]] Aggregator instead of a ranking
+    * window: the aggregate keeps a bounded k-buffer with map-side partial
+    * aggregation, so the shuffle carries ≤ k rows per key per map task —
+    * the plan that survives millions of candidates per query at 100 TB.
+    * Shares the window variant's oracle: two physical strategies, one
+    * semantic contract. */
+  private def knnTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotQ(col("qq"), col("q")))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("qn") * col("nrm")).cast("double")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKByScore(10).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nc")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("nc._1").as("neighbor_id"), col("nc._2").as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   val lshBits = 16
   val lshBandBits = 8 // 2 bands of 8 bits
 
@@ -215,6 +247,9 @@ object SimilarityOps {
 
   val all: Seq[Q] = Seq(
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
+    Q("knn_topk_agg", knnTopkAgg, Some(knnBruteCosineSql
+      .replace("ORDER BY query_id, rk",
+        "ORDER BY query_id, rk -- same oracle as knn_brute_cosine: TopKByScore Aggregator plan must agree"))),
     Q("ann_lsh_cosine", annLshCosine, Some(annLshCosineSql)),
     Q("dedup_embedding_neardup", dedupEmbeddingNeardup, Some(dedupEmbeddingNeardupSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
