@@ -203,6 +203,90 @@ object SimilarityOps {
        |FROM cand ORDER BY a_id, b_id""".stripMargin
   }
 
+  val ivfCentroids = 8
+  val ivfProbes = 2
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * [[ivfCentroids]] vectors by id serve as "centroids" — a real system
+    * would k-means; the partition/probe shape is identical), every vector
+    * assigned to its max-cosine centroid (inverted lists), queries probe
+    * their [[ivfProbes]] nearest lists and rank only those members — the
+    * other classic scale path besides LSH: candidate count ∝ corpus/nlist ×
+    * nprobe, never all-pairs. All assignment and ranking on exact int64
+    * dots with id tiebreaks. */
+  private def annIvfCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+    val cents = e.filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+    // assignment: best centroid per vector (cos desc, cent_id asc)
+    val scoredC = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scoredC
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    // probe lists: 2 best centroids per query vector
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("qq"), col("cq")).cast("double") /
+        sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= ivfProbes)
+      .select(col("query_id"), col("qq"), col("qn"), col("cent_id"))
+    // candidates = members of probed lists; rank top-5 per query
+    val cand = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") /
+        sqrt((col("qn") * col("nrm")).cast("double")))
+    cand.withColumn("rk", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val annIvfCosineSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE vec_id < $ivfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cent_id, q, nrm FROM (
+       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qq, qn, cent_id FROM (
+       |    SELECT qu.query_id, qu.qq, qu.qn, c.cent_id,
+       |      row_number() OVER (PARTITION BY qu.query_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(qu.qq)), i -> qu.qq[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(qu.qn*c.cn AS DOUBLE)) DESC, c.cent_id) AS prn
+       |    FROM queries qu CROSS JOIN cents c)
+       |  WHERE prn <= $ivfProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(CAST(list_sum(list_transform(range(len(p.qq)), i -> p.qq[i+1]*a.q[i+1])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(p.qn*a.nrm AS DOUBLE)) AS cos
+       |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rk, vec_id AS neighbor_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM cand)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Per-label corpus statistics in exact integers. */
   private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -252,5 +336,6 @@ object SimilarityOps {
         "ORDER BY query_id, rk -- same oracle as knn_brute_cosine: TopKByScore Aggregator plan must agree"))),
     Q("ann_lsh_cosine", annLshCosine, Some(annLshCosineSql)),
     Q("dedup_embedding_neardup", dedupEmbeddingNeardup, Some(dedupEmbeddingNeardupSql)),
+    Q("ann_ivf_cosine", annIvfCosine, Some(annIvfCosineSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }
