@@ -167,7 +167,58 @@ object Relational2 {
       |  c_custkey % 7 = 0 AS lucky
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Exact median (lower of the two middle elements) per group via
+    * row_number selection — deterministic where percentile interpolation
+    * would be float-divergent cross-engine. */
+  private def exactMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === floor((col("n") + 1) / 2)) // integer lower-median index
+      .select(col("o_orderpriority"), col("cents").as("median_lo_cents"), col("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val exactMedianSql =
+    s"""SELECT o_orderpriority, cents AS median_lo_cents, n FROM (
+       |  SELECT o_orderpriority, ${centsSql("o_totalprice")} AS cents,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${centsSql("o_totalprice")}, o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact moment sums per segment (n, Σ, Σ²) — the sufficient statistics
+    * for mean/variance, kept in exact integers so downstream float math is
+    * the consumer's single division, not the engine's aggregation. */
+  private def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = cents(col("c_acctbal"))
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(c).as("sum_cents"),
+        sum(c * c).as("sum_sq_cents"),
+        min(c).as("min_cents"),
+        max(c).as("max_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val statsAggSql = {
+    val c = centsSql("c_acctbal")
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  SUM($c) AS sum_cents,
+       |  SUM($c * $c) AS sum_sq_cents,
+       |  MIN($c) AS min_cents, MAX($c) AS max_cents
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("exact_median", exactMedian, Some(exactMedianSql)),
+    Q("stats_agg", statsAgg, Some(statsAggSql)),
     Q("window_ranks", windowRanks, Some(windowRanksSql)),
     Q("date_funcs", dateFuncs, Some(dateFuncsSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)),
