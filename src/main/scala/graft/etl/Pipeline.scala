@@ -18,26 +18,44 @@ import org.apache.spark.sql.functions._
 class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
     histPath: String) {
 
+  /** One file's load outcome — the quarantine decision made queryable
+    * (the reference only logs it; 02_load_stage_pedidos.py:212-233). */
+  case class LoadResult(file: String, status: String, reason: String, rows: Long)
+
   /** Stage 2 (02_load_stage_pedidos.py processar :200-233): per new file —
     * robust read → gate → map → append to staging; route the file to
     * lidos/ (ok) or erros/ (empty/bad header/zero rows/any failure). */
-  def loadStage(novos: Path, lidos: Path, erros: Path): (Int, Int) = {
-    var ok = 0; var bad = 0
-    StageLoad.listarCsvNovos(novos, lidos, erros).foreach { file =>
+  def loadStage(novos: Path, lidos: Path, erros: Path): (Int, Int) =
+    loadStageReport(novos, lidos, erros).partition(_.status == "loaded") match {
+      case (ok, bad) => (ok.size, bad.size)
+    }
+
+  /** Like [[loadStage]] but returns the per-file audit trail. */
+  def loadStageReport(novos: Path, lidos: Path, erros: Path): Seq[LoadResult] =
+    StageLoad.listarCsvNovos(novos, lidos, erros).map { file =>
+      val name = file.getFileName.toString
       try {
         StageLoad.loadFile(spark, file) match {
-          case Some(df) if !df.isEmpty =>
-            df.write.mode("append").parquet(stagingPath)
-            StageLoad.safeCopy(file, lidos); ok += 1
-          case _ =>
-            StageLoad.safeCopy(file, erros); bad += 1
+          case Some(df) =>
+            val n = df.count()
+            if (n > 0) {
+              df.write.mode("append").parquet(stagingPath)
+              StageLoad.safeCopy(file, lidos)
+              LoadResult(name, "loaded", "", n)
+            } else {
+              StageLoad.safeCopy(file, erros)
+              LoadResult(name, "quarantined", "zero rows", 0)
+            }
+          case None =>
+            StageLoad.safeCopy(file, erros)
+            LoadResult(name, "quarantined", "empty or unrecognized header", 0)
         }
       } catch {
-        case _: Exception => StageLoad.safeCopy(file, erros); bad += 1
+        case e: Exception =>
+          StageLoad.safeCopy(file, erros)
+          LoadResult(name, "quarantined", s"failure: ${e.getMessage}", 0)
       }
     }
-    (ok, bad)
-  }
 
   /** Stage 3 (03_upsert_dw_pedidos.py run_upsert): staging → typed
     * projection → latest-per-key dedup → conditional merge into DW →

@@ -122,6 +122,16 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming dedup with bounded state: drop duplicate (user_id, event_id)
+    * arrivals within the watermark horizon — the streaming analog of the
+    * batch latest-per-key dedup for at-least-once upstream feeds. State for
+    * keys older than the watermark is GC'd (the knob that keeps an unbounded
+    * feed's dedup state bounded). */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -87,6 +87,25 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(clicks.exists(r => r.getAs[Long]("n") == 2)) // both in [00:00,00:10)
   }
 
+  test("dedupStream: duplicate arrivals within the watermark are dropped") {
+    val root = Files.createTempDirectory("dedupstream")
+    val src = root.resolve("events")
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"), 10L, "click", 1.0),
+      (1L, ts("2024-01-01 00:01:00"), 10L, "click", 1.0), // dup delivery
+      (2L, ts("2024-01-01 00:02:00"), 10L, "view", 2.0),
+      (1L, ts("2024-01-01 00:03:00"), 11L, "click", 3.0)) // same event_id, other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.dedupStream(stream), "dedup_out")
+    assert(out.count() == 3)
+    assert(out.filter("user_id = 10 AND event_id = 1").count() == 1)
+  }
+
   test("sessionize: explicit keyed state with gap rule") {
     val root = Files.createTempDirectory("sessstream")
     val src = root.resolve("events")
