@@ -151,7 +151,61 @@ object TextOps {
       |  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) // 100 AS BIGINT) AS len_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  val winnowK = 3 // words per gram
+  val winnowW = 4 // grams per window
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every k-word
+    * gram, slide a w-gram window, keep each window's minimal hash (position
+    * tiebreak) — guarantees any shared run of ≥ k+w−1 words between two
+    * docs shares a fingerprint, with ~2/(w+1) selection density.
+    *
+    * Relational shape: grams are a posexplode; each gram replicates into
+    * the ≤ w windows containing it (an exploded integer sequence, not a
+    * range self-join); per-window min is one hash aggregate; fingerprint
+    * set is a distinct. All narrow or hash-keyed — 100 TB-safe. */
+  private def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = when(size(w) >= winnowK,
+      transform(sequence(lit(0), size(w) - winnowK),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .withColumn("h", md5(col("gram")))
+    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    g.join(counts, "doc_id")
+      .filter(col("n_grams") >= winnowW)
+      .withColumn("wstart", explode(sequence(
+        greatest(lit(0), col("pos") - winnowW + 1),
+        least(col("n_grams") - winnowW, col("pos")))))
+      .groupBy(col("doc_id"), col("wstart"))
+      .agg(min(struct(col("h"), col("pos"))).as("m"))
+      .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
+  private val docWinnowFingerprintsSql =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos, md5(w[i+1]||' '||w[i+2]||' '||w[i+3]) AS h
+       |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |       UNNEST(range(greatest(len(w)-${winnowK - 1}, 0))) t(i)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+       |windowed AS (
+       |  SELECT g.doc_id, g.h, g.pos, CAST(ws AS INT) AS wstart
+       |  FROM g JOIN counts USING (doc_id),
+       |       UNNEST(range(greatest(0, g.pos - ${winnowW - 1}),
+       |                    least(counts.n_grams - $winnowW, g.pos) + 1)) t(ws)
+       |  WHERE counts.n_grams >= $winnowW),
+       |mins AS (
+       |  SELECT doc_id, wstart, MIN(struct_pack(h := h, pos := pos)) AS m
+       |  FROM windowed GROUP BY doc_id, wstart)
+       |SELECT DISTINCT doc_id, m.pos AS pos, m.h AS fp
+       |FROM mins ORDER BY doc_id, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("doc_winnow_fingerprints", docWinnowFingerprints, Some(docWinnowFingerprintsSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
