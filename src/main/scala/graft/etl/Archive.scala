@@ -39,6 +39,8 @@ object Archive {
     * Returns the audit counts the reference logs (:49-50). */
   def run(spark: SparkSession, stagingPath: String, histPath: String): Audit = {
     val batchId = java.util.UUID.randomUUID().toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingPath)))
+      return Audit(0, batchId) // nothing ever staged — a no-op run, not an error
     val snapshot = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
     val stamped = stamp(snapshot, batchId)
     val moved = stamped.count()

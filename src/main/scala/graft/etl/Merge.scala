@@ -40,6 +40,9 @@ object Merge {
   case object Greatest extends Policy
   /** Update value unless NULL, else keep old. */
   case object CoalesceKeepOld extends Policy
+  /** On conflict the old value always stands (column absent from the
+    * reference's SET list — insert-only). */
+  case object KeepOld extends Policy
 
   /** Event-versioned columns (03_upsert_dw_pedidos.py:204-214). */
   val newerEventCols: Seq[String] = Seq(
@@ -50,12 +53,18 @@ object Merge {
   /** GREATEST columns (:216). */
   val greatestCols: Seq[String] = Seq("data_insercao")
 
+  /** Columns the reference's ON CONFLICT SET list never touches
+    * (03_upsert_dw_pedidos.py:202-246 lists 38 of the 40 non-key columns;
+    * these two are absent) — on conflict the stored value stands. */
+  val keepOldCols: Seq[String] = Seq("data_nfe", "data_prev_entrega_original")
+
   /** The reference's full policy map over the fat schema (key excluded). */
   def pedidoPolicies: Map[String, Policy] = {
     val all = Schemas.fatSchema.fieldNames.toSeq.filterNot(_ == "chave_nfe")
     all.map { c =>
       c -> (if (newerEventCols.contains(c)) NewerEventWins
       else if (greatestCols.contains(c)) Greatest
+      else if (keepOldCols.contains(c)) KeepOld
       else CoalesceKeepOld)
     }.toMap
   }
@@ -85,6 +94,7 @@ object Merge {
         case NewerEventWins => when(newer, n).otherwise(o)
         case Greatest => greatest(o, n)
         case CoalesceKeepOld => coalesce(n, o)
+        case KeepOld => o
       }
       when(insertOnly, n).when(matched, onMatch).otherwise(o).as(c)
     }

@@ -36,7 +36,7 @@ object Parsers {
   /** Strip non-digits then cast to int; "" → NULL
     * (qtd_volumes / cod_cd, 03_upsert_dw_pedidos.py:127-128). */
   def digitsToInt(c: Column): Column =
-    nullif(regexp_replace(c, "\\D", ""), lit("")).cast("int")
+    nullif(regexp_replace(c, "\\D", ""), lit("")).try_cast("int")
 
   /** Identity-document normalizer (CNPJ/CPF): strip non-digits, trim,
     * empty→NULL (03_upsert_dw_pedidos.py:138,156). */
@@ -69,17 +69,18 @@ object Parsers {
     * datetime strings are truncated to their date prefix before parsing.
     *
     * Divergence note: where the reference's to_date would raise on a
-    * calendar-invalid match (e.g. "31-02-2024"), this returns NULL
-    * (CORRECTED time-parser policy) — a strictly more robust behavior for a
-    * load path that must never fail a batch.
+    * calendar-invalid match (e.g. "31-02-2024"), this returns NULL — a
+    * strictly more robust behavior for a load path that must never fail a
+    * batch. All parsing goes through try_to_date/try_to_timestamp/try_cast
+    * so the contract holds under Spark 4's default ANSI mode too.
     */
   def parseBrDate(c: Column): Column = {
     val t = trim(c)
     when(t.isin(dateSentinels: _*), lit(null))
-      .when(t.rlike(reBrDateOptTime), to_date(substring(t, 1, 10), "dd/MM/yyyy"))
-      .when(t.rlike(reBrDateDash), to_date(t, "dd-MM-yyyy"))
-      .when(t.rlike(reIsoDateOptTime), to_date(substring(t, 1, 10), "yyyy-MM-dd"))
-      .when(t.rlike(reCompact8), to_date(t, "yyyyMMdd"))
+      .when(t.rlike(reBrDateOptTime), try_to_date(substring(t, 1, 10), "dd/MM/yyyy"))
+      .when(t.rlike(reBrDateDash), try_to_date(t, "dd-MM-yyyy"))
+      .when(t.rlike(reIsoDateOptTime), try_to_date(substring(t, 1, 10), "yyyy-MM-dd"))
+      .when(t.rlike(reCompact8), try_to_date(t, "yyyyMMdd"))
       .otherwise(lit(null))
   }
 
@@ -101,9 +102,9 @@ object Parsers {
     val d = substring(t, 1, 10)
     val hm = substring(t, 12, 5)
     val ss = regexp_extract(t, "^.{16}:(\\d{2})", 1) // "" when absent
-    to_timestamp(
+    try_to_timestamp(
       concat(d, lit(" "), hm, lit(":"), when(ss === "", "00").otherwise(ss)),
-      "yyyy-MM-dd HH:mm:ss")
+      lit("yyyy-MM-dd HH:mm:ss"))
   }
 
   /** Multi-format TIMESTAMP parser, loose variant (data_ultima_ocr;
@@ -112,9 +113,9 @@ object Parsers {
     * else NULL. */
   def parseBrTimestamp(c: Column): Column = {
     val t = trim(c)
-    when(t.rlike(reBrTsFull), to_timestamp(t, "dd/MM/yyyy HH:mm:ss"))
+    when(t.rlike(reBrTsFull), try_to_timestamp(t, lit("dd/MM/yyyy HH:mm:ss")))
       .when(t.rlike(reIsoTsLoose), isoWallClock(t))
-      .when(t.rlike(reBrDateOnly), to_timestamp(t, "dd/MM/yyyy"))
+      .when(t.rlike(reBrDateOnly), try_to_timestamp(t, lit("dd/MM/yyyy")))
       .otherwise(lit(null))
   }
 
@@ -123,9 +124,9 @@ object Parsers {
     * branch accepts no fractional seconds or zone suffix. */
   def parseBrTimestampStrictIso(c: Column): Column = {
     val t = trim(c)
-    when(t.rlike(reBrTsFull), to_timestamp(t, "dd/MM/yyyy HH:mm:ss"))
+    when(t.rlike(reBrTsFull), try_to_timestamp(t, lit("dd/MM/yyyy HH:mm:ss")))
       .when(t.rlike(reIsoTsStrict), isoWallClock(t))
-      .when(t.rlike(reBrDateOnly), to_timestamp(t, "dd/MM/yyyy"))
+      .when(t.rlike(reBrDateOnly), try_to_timestamp(t, lit("dd/MM/yyyy")))
       .otherwise(lit(null))
   }
 
@@ -136,14 +137,14 @@ object Parsers {
     val t = trim(c)
     val parsed =
       when(t.rlike(reBrDateOptTime),
-        to_timestamp(
+        try_to_timestamp(
           when(t.contains(" "), t).otherwise(concat(t, lit(" 00:00:00"))),
-          "dd/MM/yyyy HH:mm:ss"))
+          lit("dd/MM/yyyy HH:mm:ss")))
         .when(t.rlike(reIsoDateOptTime),
-          to_timestamp(rpad(regexp_replace(t, "T", " "), lit(19),
+          try_to_timestamp(rpad(regexp_replace(t, "T", " "), lit(19),
             // pad "yyyy-MM-dd" → +" 00:00:00", "…HH:mm" → +":00"
             when(length(t) === 10, " 00:00:00").otherwise(":00")),
-            "yyyy-MM-dd HH:mm:ss"))
+            lit("yyyy-MM-dd HH:mm:ss")))
         .otherwise(lit(null))
     coalesce(parsed, defaultTs)
   }
@@ -176,15 +177,18 @@ object Parsers {
     val integer = "^[+-]?\\d+$"
     def deGroupPtBr(x: Column): Column =
       regexp_replace(regexp_replace(x, "\\.", ""), ",", ".")
+    // try_cast throughout: regex-valid values can still overflow the
+    // precision, and the fallback branch is unvalidated — both must yield
+    // NULL, not an ANSI exception
     when(c.isNull || t === "", lit(null).cast(dt))
-      .when(t.rlike(ptBr), deGroupPtBr(t).cast(dt))
-      .when(t.rlike(enUs), regexp_replace(t, ",", "").cast(dt))
-      .when(t.rlike(plainComma), regexp_replace(t, ",", ".").cast(dt))
-      .when(t.rlike(plainDot), t.cast(dt))
-      .when(t.rlike(dotThousands), regexp_replace(t, "\\.", "").cast(dt))
-      .when(t.rlike(commaThousands), regexp_replace(t, ",", "").cast(dt))
-      .when(t.rlike(integer), t.cast(dt))
-      .otherwise(deGroupPtBr(regexp_replace(c, "[^0-9,.-]", "")).cast(dt))
+      .when(t.rlike(ptBr), deGroupPtBr(t).try_cast(dt))
+      .when(t.rlike(enUs), regexp_replace(t, ",", "").try_cast(dt))
+      .when(t.rlike(plainComma), regexp_replace(t, ",", ".").try_cast(dt))
+      .when(t.rlike(plainDot), t.try_cast(dt))
+      .when(t.rlike(dotThousands), regexp_replace(t, "\\.", "").try_cast(dt))
+      .when(t.rlike(commaThousands), regexp_replace(t, ",", "").try_cast(dt))
+      .when(t.rlike(integer), t.try_cast(dt))
+      .otherwise(deGroupPtBr(regexp_replace(c, "[^0-9,.-]", "")).try_cast(dt))
   }
 
   /** valor_nfe flavor: numeric(15,2) (03_upsert_dw_pedidos.py:88-105). */

@@ -61,12 +61,20 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
     * projection → latest-per-key dedup → conditional merge into DW →
     * atomic write-back. One Catalyst plan up to the write. */
   def upsertDw(): Unit = {
-    val staging = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
-    val updates = Dedup.latestPedido(Typed.project(staging))
+    val updates = Dedup.latestPedido(Typed.project(readStaging()))
     val dw = readDw()
     val merged = Merge.mergePedidos(dw, updates)
     atomicOverwrite(merged, dwPath)
   }
+
+  /** Staging snapshot; empty DataFrame before the first successful load
+    * (nothing staged ≠ a failure). */
+  def readStaging(): DataFrame =
+    if (Files.exists(java.nio.file.Paths.get(stagingPath)))
+      spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.stagingSchema)
 
   /** Stage 4 (04_archive_pedidos.py): staging snapshot → hist with audit
     * columns; truncate staging. */
@@ -79,9 +87,16 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
 
+  private def atomicOverwrite(df: DataFrame, path: String): Unit =
+    Pipeline.atomicOverwrite(df, path)
+}
+
+object Pipeline {
   /** Write to a fresh directory then swap it into place — the parquet
-    * analog of the reference's single-transaction statement. */
-  private def atomicOverwrite(df: DataFrame, path: String): Unit = {
+    * analog of the reference's single-transaction statement. Generation
+    * names are nanoTime-suffixed so a crash mid-swap never collides with a
+    * leftover .tmp/.old from an earlier run. */
+  def atomicOverwrite(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp_" + System.nanoTime()
     df.write.mode("overwrite").parquet(tmp)
     val target = java.nio.file.Paths.get(path)

@@ -61,7 +61,18 @@ object StageLoad {
   def sniffDialect(path: Path): Dialect = {
     val head = {
       val in = Files.newInputStream(path)
-      try in.readNBytes(1 << 20) finally in.close() // 1 MiB ≫ 201 lines
+      val raw = try in.readNBytes(1 << 20) finally in.close() // 1 MiB ≫ 201 lines
+      // A truncated read can split a multi-byte UTF-8 sequence at the
+      // boundary, which would fail the strict UTF-8 trial and silently
+      // mojibake a valid UTF-8 file via the cp1252 fallback — drop any
+      // dangling partial sequence (≤ 3 continuation bytes) before judging.
+      if (raw.length < (1 << 20)) raw
+      else {
+        var end = raw.length
+        while (end > raw.length - 4 && (raw(end - 1) & 0xc0) == 0x80) end -= 1
+        if (end > 0 && (raw(end - 1) & 0x80) != 0) end -= 1 // the lead byte
+        java.util.Arrays.copyOf(raw, end)
+      }
     }
     val (enc, text) = candidateEncodings.iterator
       .flatMap(e => tryDecode(head, e).map(e -> _))
@@ -148,14 +159,24 @@ object StageLoad {
   }
 
   /** Rename via DE_PARA, fill missing canonical columns with "", project to
-    * the fixed 40-column order (lineage excluded; ref :169-177). */
+    * the fixed 40-column order (lineage excluded; ref :169-177). A file
+    * carrying two accepted spelling variants of the same header (DE_PARA
+    * maps three spellings to data_prev_entrega_original) keeps the FIRST
+    * occurrence — the reference's pandas path would produce a duplicate
+    * label and fail the COPY, quarantining a loadable file. */
   def aplicarMapeamento(df: DataFrame): DataFrame = {
-    val renamed = df.columns.foldLeft(df) { (d, c) =>
+    val seen = scala.collection.mutable.Set.empty[String]
+    val projected = df.columns.zipWithIndex.flatMap { case (c, i) =>
       Schemas.dePara.get(normHeader(c)) match {
-        case Some(canon) => d.withColumnRenamed(c, canon)
-        case None => d
+        case Some(canon) if !seen(canon) =>
+          seen += canon
+          Some(df.columns(i) -> canon)
+        case _ => None // unknown header or later duplicate variant: dropped
       }
-    }
+    }.toMap
+    val renamed = df.select(df.columns.zipWithIndex.collect {
+      case (c, i) if projected.contains(c) => col(s"`$c`").as(projected(c))
+    }.toIndexedSeq: _*)
     val have = renamed.columns.toSet
     val target = Schemas.colunasDestino.filterNot(_ == "arquivo_origem")
     renamed.select(target.map(c =>

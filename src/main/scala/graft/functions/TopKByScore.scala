@@ -19,8 +19,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** Total order: score desc, NaN ranked WORST (not Spark's sort-as-largest
+    * — a NaN similarity must never outrank a real one), id asc tiebreak. */
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val an = a._2.isNaN; val bn = b._2.isNaN
+    if (an && bn) a._1 < b._1
+    else if (an) false
+    else if (bn) true
+    else a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  }
 
   override def zero: Seq[(Long, Double)] = Vector.empty
 
@@ -28,14 +35,17 @@ class TopKByScore(k: Int)
     insert(buf, item)
 
   private def insert(buf: Seq[(Long, Double)], item: (Long, Double)): Seq[(Long, Double)] = {
-    if (buf.size >= k && better(buf.last, item)) buf
+    // A full buffer only admits an item strictly better than its tail; this
+    // also rejects NaN-scored items (better() is false both ways for NaN),
+    // preserving the ≤ k invariant instead of growing past it.
+    if (buf.size >= k && !better(item, buf.last)) buf
     else {
       val i = buf.indexWhere(b => better(item, b)) match {
         case -1 => buf.size
         case x => x
       }
       val (pre, post) = buf.splitAt(i)
-      (pre :+ item) ++ post.take(k - i - 1)
+      ((pre :+ item) ++ post).take(k)
     }
   }
 

@@ -45,7 +45,10 @@ object SimilarityOps {
     */
   private val baseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def quantizedBase(s: SparkSession, dir: String): DataFrame =
+  private def quantizedBase(s: SparkSession, dir: String): DataFrame = {
+    // evict entries whose session is gone so the map can't pin stopped
+    // sessions (and their cached blocks) for the JVM lifetime
+    baseCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     baseCache.getOrElseUpdate((s, dir), {
       graft.functions.GraftFunctions.register(s)
       val df = t(s, dir, "embeddings")
@@ -56,6 +59,7 @@ object SimilarityOps {
       df.count() // materialize eagerly so every consumer sees the cache
       df
     })
+  }
 
   /** Brute-force cosine top-10 for query vectors (vec_id < 5) against the
     * whole corpus. */

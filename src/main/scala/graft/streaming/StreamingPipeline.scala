@@ -53,17 +53,8 @@ object StreamingPipeline {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
         val merged = Merge.mergePedidos(dw, updates).cache()
         merged.count() // materialize before overwriting the input path
-        val tmp = dwPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        graft.etl.Pipeline.atomicOverwrite(merged, dwPath)
         merged.unpersist()
-        val t = java.nio.file.Paths.get(tmp); val d = java.nio.file.Paths.get(dwPath)
-        if (java.nio.file.Files.exists(d)) {
-          val old = java.nio.file.Paths.get(dwPath + ".old")
-          java.nio.file.Files.move(d, old)
-          java.nio.file.Files.move(t, d)
-          java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } else java.nio.file.Files.move(t, d)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -87,9 +78,11 @@ object StreamingPipeline {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
   /** Gap-based sessionization with explicit keyed state
-    * (flatMapGroupsWithState): emit a session when 30 min pass without
-    * events (processing-time timeout drives emission in this local-mode
-    * form; an event-time-timeout variant swaps the timeout conf). */
+    * (flatMapGroupsWithState): a session is emitted when a LATER event from
+    * the same user arrives past the gap. The trailing (still-open) session
+    * stays in state by design under NoTimeout — bounded-replay consumers
+    * read open sessions from state; a continuous deployment would add
+    * EventTimeTimeout + state.setTimeoutTimestamp to flush idle users. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
