@@ -170,17 +170,19 @@ object TextOps {
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
           element_at(w, i + 3))))
       .otherwise(array().cast("array<string>"))
-    val g = t(s, dir, "documents")
+    // Sliding-frame formulation: each window's min is a frame aggregate
+    // over [pos, pos+w-1] — ONE hash-partition on doc_id and a sort, no
+    // gram-row multiplication (the explode-into-windows variant shuffled
+    // w× the rows through two extra exchanges).
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = byDoc.orderBy(col("pos")).rowsBetween(0, winnowW - 1)
+    t(s, dir, "documents")
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .withColumn("h", md5(col("gram")))
-    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    g.join(counts, "doc_id")
-      .filter(col("n_grams") >= winnowW)
-      .withColumn("wstart", explode(sequence(
-        greatest(lit(0), col("pos") - winnowW + 1),
-        least(col("n_grams") - winnowW, col("pos")))))
-      .groupBy(col("doc_id"), col("wstart"))
-      .agg(min(struct(col("h"), col("pos"))).as("m"))
+      .withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("m", min(struct(col("h"), col("pos"))).over(frame))
+      .filter(col("pos") <= col("n_grams") - winnowW) // full windows only
       .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("fp"))
       .distinct()
       .orderBy("doc_id", "pos")
