@@ -36,16 +36,42 @@ object Archive {
 
   /** Archive `stagingPath` parquet into `histPath` parquet and truncate
     * staging (overwrite with an empty DataFrame of the same schema).
-    * Returns the audit counts the reference logs (:49-50). */
-  def run(spark: SparkSession, stagingPath: String, histPath: String): Audit = {
+    * Returns the audit counts the reference logs (:49-50).
+    *
+    * CRASH-RECOVERY CONTRACT: hist-append and staging-truncate are two
+    * filesystem operations, not one transaction (the reference wraps each
+    * batch in a PostgreSQL transaction; plain parquet directories have no
+    * cross-directory atomicity). A crash between them leaves the archived
+    * rows in BOTH hist and staging, and a naive re-run would re-archive
+    * them under a new batch_id. `dedupOnReplay = true` closes that window
+    * by anti-joining the snapshot against hist on the full staging content
+    * before appending — exactly-once across crashed runs, at the cost of
+    * one hist scan. It is OFF by default because it also suppresses
+    * legitimately re-staged identical content (the reference would archive
+    * such rows twice); choose per pipeline. */
+  def run(spark: SparkSession, stagingPath: String, histPath: String,
+          dedupOnReplay: Boolean = false): Audit = {
     val batchId = java.util.UUID.randomUUID().toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingPath)))
       return Audit(0, batchId) // nothing ever staged — a no-op run, not an error
     val snapshot = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
-    val stamped = stamp(snapshot, batchId)
+    val toArchive =
+      if (dedupOnReplay && java.nio.file.Files.exists(java.nio.file.Paths.get(histPath))) {
+        val contentCols = Schemas.stagingSchema.fieldNames.toIndexedSeq
+        val hist = spark.read.parquet(histPath).select(contentCols.map(col): _*)
+        // Null-safe equality on every content column: a NULL cell must still
+        // match its archived twin, or replayed rows with NULLs re-archive.
+        val cond = contentCols.map(c => snapshot(c) <=> hist(c)).reduce(_ && _)
+        snapshot.join(hist, cond, "left_anti")
+      } else snapshot
+    val stamped = stamp(toArchive, batchId)
     val moved = stamped.count()
     if (moved > 0) {
       stamped.write.mode("append").parquet(histPath)
+    }
+    // Truncate even when moved == 0 on a dedup replay: the rows are already
+    // in hist, staging must still end empty.
+    if (moved > 0 || (dedupOnReplay && !snapshot.isEmpty)) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.stagingSchema)

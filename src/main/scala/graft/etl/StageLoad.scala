@@ -120,8 +120,12 @@ object StageLoad {
     val headerLine = lines.head() // one tiny action on the head partition
     val header = splitCsvLine(headerLine, sep).map(normHeader)
     val n = header.length
-    val rows = lines
-      .filter(l => l != headerLine)
+    // Skip only the FIRST physical line (the header), not every line equal
+    // to it: a data row byte-identical to the header must survive, as in the
+    // reference (which skips exactly row 0). zipWithIndex is deterministic
+    // over the text source's partition order.
+    val rows = lines.rdd.zipWithIndex()
+      .filter(_._2 > 0L).map(_._1)
       .map { l =>
         val cells = splitCsvLine(l, sep)
         val fixed =

@@ -53,7 +53,7 @@ object DedupOps {
 
   /** N-gram Jaccard near-dup pairs: word-trigram shingle sets, pairwise
     * intersection via shingle equi-join (not all-pairs), jaccard in exact
-    * milli units. Sampled (doc_id % 5 = 0) to bound candidate volume. */
+    * milli units. Sampled (doc_id % 10 = 0) to bound candidate volume. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val sh = trigramShingles(docs)

@@ -148,14 +148,18 @@ object EtlQueries {
       .when(col("o_orderkey") % 4 === 1, enUs)
       .when(col("o_orderkey") % 4 === 2, plain)
       .otherwise(fallback)
-    o.select(col("o_orderkey"), Parsers.parseValor(rendered).as("parsed_value"))
+    // Output as exact integer cents, not DECIMAL: the driver's pandas
+    // compare sees Spark DECIMAL as Decimal objects vs DuckDB's float64
+    // (r01 hash mismatch). DECIMAL(15,2)*100 → BIGINT is lossless.
+    o.select(col("o_orderkey"),
+        (Parsers.parseValor(rendered) * 100).cast("long").as("parsed_cents"))
       .orderBy("o_orderkey")
   }
 
   private val parseDecimalsLocalizedSql =
     """SELECT o_orderkey,
-      |  CAST((o_orderkey % 90000 + 1000) || '.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
-      |       AS DECIMAL(15,2)) AS parsed_value
+      |  CAST(CAST((o_orderkey % 90000 + 1000) || '.' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+      |       AS DECIMAL(15,2)) * 100 AS BIGINT) AS parsed_cents
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** E-2: the 44-digit key gate over synthesized keys (clean / punctuated /

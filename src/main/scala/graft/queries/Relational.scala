@@ -17,27 +17,33 @@ import Util._
 object Relational {
 
   /** TPC-H Q1-style pricing summary: filter → groupBy → decimal sums.
-    * Filter + column pruning push into the parquet scan. */
+    * Filter + column pruning push into the parquet scan.
+    *
+    * Aggregation is exact decimal; the FINAL projection casts to DOUBLE
+    * because the driver's pandas compare sees Spark parquet DECIMAL as
+    * `decimal.Decimal` objects but DuckDB DECIMAL as float64 — a dtype
+    * mismatch that hashes unequal even when values are identical (r01
+    * lesson). decimal→double is the same nearest-double in both engines. */
   private def q1Agg(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(18,2)"
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") < lit("1998-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
+        sum(col("l_quantity").cast(dec)).cast(dec).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(dec).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) *
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast("decimal(28,4)").as("sum_disc_price"),
+          .cast("decimal(28,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-12-01'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -59,7 +65,7 @@ object Relational {
   }
 
   private val revenueByNationSql =
-    s"""SELECT r_name, n_name, SUM(${centsSql("o_totalprice")}) AS revenue_cents,
+    s"""SELECT r_name, n_name, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
        |  COUNT(*) AS n_orders
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
@@ -146,8 +152,8 @@ object Relational {
 
   private val windowRunningSql =
     s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS order_cents,
-       |  SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
-       |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+       |  CAST(SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
        |  lag(${centsSql("o_totalprice")}, 1) OVER (PARTITION BY o_custkey
        |    ORDER BY o_orderdate, o_orderkey) AS prev_cents
        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -166,7 +172,7 @@ object Relational {
 
   private val rollupAggSql =
     s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
-       |  SUM(${centsSql("c_acctbal")}) AS acctbal_cents
+       |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS acctbal_cents
        |FROM customer JOIN nation ON c_nationkey = n_nationkey
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP(r_name, n_name)
@@ -181,7 +187,7 @@ object Relational {
 
   private val cubeAggSql =
     s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       |  SUM(${centsSql("o_totalprice")}) AS total_cents
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
@@ -206,7 +212,7 @@ object Relational {
 
   private val windowTumblingSql =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-       |  SUM(${centsSql("value")}) AS value_cents
+       |  CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Gap-based sessionization (30-min inactivity): lag → flag → cumulative
@@ -278,7 +284,7 @@ object Relational {
   private val havingFilterSql =
     s"""SELECT o_custkey, c_name, n_orders, spend_cents FROM (
        |  SELECT o_custkey, COUNT(*) AS n_orders,
-       |    SUM(${centsSql("o_totalprice")}) AS spend_cents
+       |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS spend_cents
        |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12) a
        |JOIN customer ON o_custkey = c_custkey ORDER BY o_custkey""".stripMargin
 

@@ -99,12 +99,17 @@ object Relational2 {
 
   private val groupingSetsSql =
     s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       |  SUM(${centsSql("o_totalprice")}) AS total_cents
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
        |FROM orders
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** Array-function battery over quantized embeddings (exact ints). */
+  /** Array-function battery over quantized embeddings (exact ints).
+    *
+    * Array-valued results are rendered as comma-joined strings in the final
+    * projection: the driver's pandas compare cannot hash list cells (r01
+    * array_funcs crashed with "unhashable type: numpy.ndarray"), so output
+    * columns must be scalar. */
   private def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     val q = transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long"))
     t(s, dir, "embeddings")
@@ -113,14 +118,14 @@ object Relational2 {
         size(col("q")).as("dims"),
         element_at(col("q"), 1).as("first_q"),
         element_at(col("q"), -1).as("last_q"),
-        slice(col("q"), 1, 4).as("head4"),
+        concat_ws(",", slice(col("q"), 1, 4)).as("head4"),
         array_max(col("q")).as("max_q"),
         array_min(col("q")).as("min_q"),
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
         array_position(col("q"), array_max(col("q"))).cast("long").as("argmax1"),
         size(array_distinct(col("q"))).as("n_distinct"),
         array_contains(col("q"), 0L).as("has_zero"),
-        reverse(slice(sort_array(col("q"), asc = false), 1, 3)).as("top3_asc"))
+        concat_ws(",", reverse(slice(sort_array(col("q"), asc = false), 1, 3))).as("top3_asc"))
       .orderBy("vec_id")
   }
 
@@ -132,14 +137,14 @@ object Relational2 {
        |  CAST(len(q) AS INT) AS dims,
        |  q[1] AS first_q,
        |  q[-1] AS last_q,
-       |  q[1:4] AS head4,
+       |  array_to_string(q[1:4], ',') AS head4,
        |  list_max(q) AS max_q,
        |  list_min(q) AS min_q,
        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
        |  CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax1,
        |  CAST(len(list_distinct(q)) AS INT) AS n_distinct,
        |  list_contains(q, 0) AS has_zero,
-       |  list_reverse(list_slice(list_reverse_sort(q), 1, 3)) AS top3_asc
+       |  array_to_string(list_reverse(list_slice(list_reverse_sort(q), 1, 3)), ',') AS top3_asc
        |FROM e ORDER BY vec_id""".stripMargin
 
   /** Conditional/null-handling battery. */
@@ -210,8 +215,8 @@ object Relational2 {
   private val statsAggSql = {
     val c = centsSql("c_acctbal")
     s"""SELECT c_mktsegment, COUNT(*) AS n,
-       |  SUM($c) AS sum_cents,
-       |  SUM($c * $c) AS sum_sq_cents,
+       |  CAST(SUM($c) AS BIGINT) AS sum_cents,
+       |  CAST(SUM($c * $c) AS BIGINT) AS sum_sq_cents,
        |  MIN($c) AS min_cents, MAX($c) AS max_cents
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   }

@@ -69,7 +69,13 @@ object SimilarityOps {
     val e = quantizedBase(s, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-    val joined = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    // nrm/qn > 0 guard: a zero-norm vector would make cos = 0/0 = NaN, and
+    // NaN ordering differs between TopKByScore (ranks NaN worst) and
+    // window/DuckDB ordering (NaN largest) — filter so the divergence is
+    // unreachable in every variant sharing this oracle.
+    val joined = e.filter(col("nrm") > 0)
+      .join(broadcast(queries.filter(col("qn") > 0)),
+        col("vec_id") =!= col("query_id"))
       .withColumn("dot", dotQ(col("qq"), col("q")))
       .withColumn("cos",
         col("dot").cast("double") / sqrt((col("qn") * col("nrm")).cast("double")))
@@ -89,7 +95,8 @@ object SimilarityOps {
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1]*b.q[i+1])) AS BIGINT) AS dot,
        |    a.nrm AS qn, b.nrm AS nn
-       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+       |    AND a.nrm > 0 AND b.nrm > 0),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(dot AS DOUBLE)/sqrt(CAST(qn*nn AS DOUBLE)) AS cos
@@ -112,7 +119,10 @@ object SimilarityOps {
     val e = quantizedBase(s, dir)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    // Same nrm/qn > 0 NaN guard as the window variant (shared oracle).
+    val scored = e.filter(col("nrm") > 0)
+      .join(broadcast(queries.filter(col("qn") > 0)),
+        col("vec_id") =!= col("query_id"))
       .withColumn("dot", dotQ(col("qq"), col("q")))
       .withColumn("cos",
         col("dot").cast("double") / sqrt((col("qn") * col("nrm")).cast("double")))
