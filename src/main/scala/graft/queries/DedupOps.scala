@@ -227,10 +227,84 @@ object DedupOps {
        |SELECT doc_id, $nibbleChars AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** Connected components over the near-duplicate graph: nodes are sampled
+    * docs, edges are word-set Jaccard ≥ 0.5 pairs (exact milli units), and
+    * components come from iterative min-label propagation — the Pregel-style
+    * loop that dedups transitively linked clusters at 100 TB where a single
+    * groupBy on signature can't (A~B, B~C, A≁C must still merge).
+    *
+    * Each iteration is one join + one hash-agg (shuffle keyed by node), run
+    * until the label sum reaches a fixpoint; labels decrease monotonically,
+    * so the sum is a valid convergence metric and the fixpoint (min reachable
+    * label per node) is unique — deterministic regardless of execution
+    * order. localCheckpoint truncates the growing lineage each round.
+    * The oracle is a recursive-CTE transitive closure over the same edges. */
+  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val uw = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " "), x => x =!= ""))).as("w"))
+    val sz = uw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = uw.as("a"); val b = uw.as("b")
+    val inter = a.join(b, col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
+    val edges0 = inter
+      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .filter(expr("(1000 * i) div (na + nb - i) >= 500"))
+      .select("a_id", "b_id")
+    val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // edge discovery runs once; iterations re-join this
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var prevSum = -1L
+    var curSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var iter = 0
+    while (curSum != prevSum && iter < 20) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.unionByName(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum(col("label"))).head.getLong(0)
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .withColumn("comp_size", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy("doc_id")
+  }
+
+  private val connectedComponentsSql =
+    """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |uw AS (SELECT DISTINCT doc_id, w
+      |       FROM d, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM uw GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      |  FROM uw a JOIN uw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |edges0 AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE (1000 * i) // (sa.n + sb.n - i) >= 500),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
+      |          UNION ALL SELECT b_id, a_id FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM d
+      |  UNION
+      |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT doc_id, component,
+      |  COUNT(*) OVER (PARTITION BY component) AS comp_size
+      |FROM (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
+    Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)))
 }

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Third relational wave (round 2): temporal joins, subqueries, ordered
+  * string aggregation, arg-min/max, regexp battery, deterministic sampling,
+  * value-window battery, and a salted two-phase aggregation — the skew
+  * pattern that keeps a 100 TB groupBy from hot-spotting one reducer.
+  *
+  * Determinism contract as everywhere in graft.queries: identical column
+  * names both sides, exact integer/string arithmetic (no float aggregation),
+  * DuckDB SUMs cast back to BIGINT (HUGEINT → float64 in the driver's
+  * pandas otherwise), unique ORDER BY keys.
+  */
+object Relational3 {
+
+  // ---------------------------------------------------------------- as-of
+
+  /** AS-OF join: each purchase event picks the most recent click at-or-
+    * before it by the same user.
+    *
+    * Spark lacks a native as-of join; the scalable formulation is NOT a
+    * range join (quadratic per user) but a tagged union + ordered window:
+    * one shuffle on user_id, then `last(click_id, ignoreNulls)` over rows
+    * up to the current one. Clicks are pre-deduped to one per (user, ts)
+    * (max event_id) so ties are deterministic in both engines; clicks sort
+    * before purchases at equal ts (tag 0 < 1) to implement ts >= click_ts
+    * inclusively, matching DuckDB's ASOF `>=` semantics. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("click_id"), lit(null).cast("long").as("event_id"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("click_id"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), coalesce(col("event_id"), col("click_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("asof_click_id").as("click_id"), col("asof_click_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  private val asofJoinSql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.click_id, c.ts AS click_ts
+      |FROM p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ----------------------------------------------------------- range join
+
+  /** Interval/range join: clicks within the 10 minutes before each purchase
+    * by the same user.
+    *
+    * The scalable plan buckets time into 10-minute epochs and equi-joins on
+    * (user_id, bucket ∈ {b, b−1}) — each purchase expands to exactly two
+    * join keys, every candidate click joins at most once, and the exact
+    * range predicate filters after the (hash-partitioned, broadcast-free)
+    * equi-join. A naive θ-join on the inequality alone would be a BNL join:
+    * quadratic per user, dead at scale. */
+  private def rangeJoinCount(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600L * 1000000 // 10 min in µs
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      .withColumn("cb", expr(s"cus div ${winUs}L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("pus"))
+    val expanded = purchases.withColumn("cb",
+      explode(array(expr(s"pus div ${winUs}L"), expr(s"pus div ${winUs}L - 1"))))
+    val matched = expanded.join(clicks, Seq("user_id", "cb"))
+      .filter(col("cus") > col("pus") - winUs && col("cus") <= col("pus"))
+      .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_clicks_10m"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n_clicks_10m"), lit(0L)).as("n_clicks_10m"))
+      .orderBy("purchase_id")
+  }
+
+  private val rangeJoinCountSql =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, COUNT(c.cus) AS n_clicks_10m
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.cus > p.pus - 600000000 AND c.cus <= p.pus
+      |GROUP BY p.purchase_id, p.user_id
+      |ORDER BY purchase_id""".stripMargin
+
+  // ----------------------------------------------------------- subqueries
+
+  /** Correlated subquery battery: scalar COUNT subquery, EXISTS, and IN —
+    * one SQL text for both engines. Catalyst decorrelates all three into
+    * joins (scalar → left outer agg join, EXISTS → left semi, IN → left
+    * semi), so the executed plan is three hash joins, not nested loops. */
+  private val subqueryBatterySql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def subqueryBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(subqueryBatterySql)
+  }
+
+  // ------------------------------------------------- ordered string_agg
+
+  /** Ordered string aggregation per group. Spark's collect_list is
+    * unordered by contract, so order is imposed by sorting an array of
+    * (sort-key, value) structs before joining — the portable spelling of
+    * DuckDB's string_agg(... ORDER BY). Sampled to keep cell sizes sane. */
+  private def stringAggGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 25 === 0)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("c_custkey"), col("c_name")))),
+            x => x.getField("c_name")),
+          ",").as("names"))
+      .orderBy("c_nationkey")
+
+  private val stringAggGroupSql =
+    """SELECT c_nationkey, COUNT(*) AS n,
+      |  string_agg(c_name, ',' ORDER BY c_custkey) AS names
+      |FROM customer WHERE c_custkey % 25 = 0
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------- min/max_by
+
+  /** arg-min/arg-max per group. Ties are broken by folding the unique
+    * o_orderkey into the ordering value (cents · 10^7 + key), so both
+    * engines pick the same row without relying on tie behavior. */
+  private def minmaxBy(s: SparkSession, dir: String): DataFrame = {
+    val ord = cents(col("o_totalprice")) * 10000000L + col("o_orderkey")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), ord).as("top_orderkey"),
+        min_by(col("o_orderkey"), ord).as("bottom_orderkey"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val minmaxBySql =
+    s"""SELECT o_orderpriority,
+       |  max_by(o_orderkey, ${centsSql("o_totalprice")} * 10000000 + o_orderkey) AS top_orderkey,
+       |  min_by(o_orderkey, ${centsSql("o_totalprice")} * 10000000 + o_orderkey) AS bottom_orderkey,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------- regexp
+
+  /** Regexp battery: replace / extract-all / match, ASCII-only patterns
+    * where Java regex and RE2 semantics coincide. Array results are
+    * comma-joined (driver compare requires scalar cells). */
+  private def regexpBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        concat_ws(",", regexp_extract_all(col("p_name"), lit("(\\w+)"), lit(1)))
+          .as("words"),
+        col("p_type").rlike("^PROMO").as("is_promo"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  private val regexpBatterySql =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  array_to_string(regexp_extract_all(p_name, '(\w+)', 1), ',') AS words,
+      |  regexp_matches(p_type, '^PROMO') AS is_promo,
+      |  regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic hash sample: md5(key) first hex digit = '0' keeps an
+    * unbiased ~1/16 of rows, reproducibly, on any engine — the portable
+    * alternative to TABLESAMPLE (whose seeding is engine-private). The
+    * predicate evaluates at the scan: no shuffle, no state, and at 100 TB
+    * the sample never sees a coordinator. */
+  private def hashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  private val hashSampleSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------- value windows
+
+  /** first/last/nth_value battery with explicit full-partition frames and a
+    * unique ordering key (o_orderdate, o_orderkey). */
+  private def windowValues(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_key"),
+        last(col("o_orderkey")).over(full).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+        lead(col("o_orderkey"), 1).over(base).as("next_key"),
+        lag(col("o_orderkey"), 1).over(base).as("prev_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val windowValuesSql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  first_value(o_orderkey) OVER wf AS first_key,
+      |  last_value(o_orderkey) OVER wf AS last_key,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  lag(o_orderkey, 1) OVER w AS prev_key
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |WINDOW
+      |  w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ----------------------------------------------------- salted groupBy
+
+  /** Salted two-phase aggregation: phase 1 groups by (key, salt) — spreading
+    * a hot key over `nSalt` reducers — phase 2 combines the partials. The
+    * result is provably identical to a direct groupBy (sums are associative)
+    * and the oracle checks exactly that. This is the standard mitigation
+    * when one key owns a disproportionate share of a 100 TB shuffle and AQE
+    * skew handling can't split a single hash partition further. */
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    t(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(nSalt)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"), sum(col("pc")).as("value_cents"))
+      .orderBy("user_id")
+  }
+
+  private val saltedAggSql =
+    s"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("asof_join", asofJoin, Some(asofJoinSql)),
+    Q("range_join_count", rangeJoinCount, Some(rangeJoinCountSql)),
+    Q("subquery_battery", subqueryBattery, Some(subqueryBatterySql)),
+    Q("string_agg_group", stringAggGroup, Some(stringAggGroupSql)),
+    Q("minmax_by", minmaxBy, Some(minmaxBySql)),
+    Q("regexp_battery", regexpBattery, Some(regexpBatterySql)),
+    Q("hash_sample", hashSample, Some(hashSampleSql)),
+    Q("window_values", windowValues, Some(windowValuesSql)),
+    Q("salted_agg", saltedAgg, Some(saltedAggSql)))
+}

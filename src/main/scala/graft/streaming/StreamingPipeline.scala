@@ -115,6 +115,53 @@ object StreamingPipeline {
       }
   }
 
+  /** Event-time-timeout sessionization: like [[sessionize]] but sessions are
+    * ALSO flushed when the event-time watermark passes (last + gap) — the
+    * continuous-deployment variant where an idle user's open session must not
+    * sit in state forever. Requires a watermark on the input (`ts`); the
+    * timeout timestamp is re-armed to (last event µs + gap) on every update,
+    * so a group whose user went quiet emits exactly when the stream's
+    * watermark overtakes the gap horizon. State per user is one fixed-size
+    * record; watermark GC bounds total state on an unbounded feed. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close the session
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.start, st.last, st.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(st) if us - st.last <= gapUs =>
+                  cur = Some(st.copy(last = us, n = st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(userId, st.start, st.last, st.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000 + gapMinutes.toLong * 60 * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming dedup with bounded state: drop duplicate (user_id, event_id)
     * arrivals within the watermark horizon — the streaming analog of the
     * batch latest-per-key dedup for at-least-once upstream feeds. State for

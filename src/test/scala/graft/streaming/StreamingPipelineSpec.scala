@@ -106,6 +106,52 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.filter("user_id = 10 AND event_id = 1").count() == 1)
   }
 
+  test("sessionizeWithTimeout: idle session flushes when the watermark passes the gap") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("sesstimeout")
+    val src = Files.createDirectories(root.resolve("events"))
+    val ckpt = root.resolve("ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+        .parquet(src.toString)
+        .as[StreamingPipeline.Event]
+      val q = StreamingPipeline.sessionizeWithTimeout(stream).toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= b.collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: user 1 has an open 2-event session; watermark trails it
+    Seq(
+      StreamingPipeline.Event(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      StreamingPipeline.Event(2, ts("2024-01-01 00:10:00"), 1, "a", 1.0),
+      StreamingPipeline.Event(3, ts("2024-01-01 00:05:00"), 2, "b", 1.0))
+      .toDS().write.mode("append").parquet(src.toString)
+    run()
+    assert(buf.synchronized(buf.isEmpty)) // nothing closed yet
+    // batch 2 advances the watermark past user 1's last+gap; batch 3 fires
+    // the timeout (timeouts use the watermark as of batch START, so the
+    // flush lands one batch after the advance)
+    Seq(StreamingPipeline.Event(4, ts("2024-01-01 02:00:00"), 2, "b", 1.0))
+      .toDS().write.mode("append").parquet(src.toString)
+    run()
+    Seq(StreamingPipeline.Event(5, ts("2024-01-01 03:00:00"), 2, "b", 1.0))
+      .toDS().write.mode("append").parquet(src.toString)
+    run()
+    val u1 = buf.synchronized(buf.toList).filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 1, s"expected one flushed session for user 1, got $buf")
+    assert(u1.head.getAs[Int]("n_events") == 2)
+    assert(u1.head.getAs[Long]("end_us") - u1.head.getAs[Long]("start_us")
+      == 10L * 60 * 1000000) // the 00:00–00:10 span
+  }
+
   test("sessionize: explicit keyed state with gap rule") {
     val root = Files.createTempDirectory("sessstream")
     val src = root.resolve("events")
