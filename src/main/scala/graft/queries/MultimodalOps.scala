@@ -74,6 +74,41 @@ object MultimodalOps {
     }
   }
 
+  /** Frame sampling over an opaque payload: the payload is treated as a
+    * sequence of fixed 256-byte frames and every 4th frame is selected and
+    * fingerprinted — the Spark-side shape of video frame-sampling (explode
+    * of a per-item frame index sequence → narrow per-frame projection; at
+    * scale the explode is the only row-multiplying step and carries index +
+    * reference, never copied payloads per frame).
+    *
+    * The corpus payload is ASCII text, so frames are sliced with substring
+    * in both engines (a real codec would slice `binary`; [[decodeStub]]
+    * shows that path). */
+  private def mediaFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 256
+    val step = 4
+    t(s, dir, "documents")
+      .withColumn("nf",
+        greatest(ceil(length(col("text")) / lit(frameLen.toDouble)).cast("long"), lit(1L)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("nf") - 1, lit(step.toLong))))
+      .withColumn("frame", expr(s"substring(text, frame_idx * $frameLen + 1, $frameLen)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mediaFrameSampleSql =
+    """SELECT doc_id, fi AS frame_idx,
+      |  CAST(length(substr(text, CAST(fi*256+1 AS INT), 256)) AS INT) AS frame_len,
+      |  md5(substr(text, CAST(fi*256+1 AS INT), 256)) AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |        greatest(CAST(ceil(length(text)/256.0) AS BIGINT), 1) AS nf
+      |      FROM documents), UNNEST(range(0, nf, 4)) t(fi)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)))
+    Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Q("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)))
 }

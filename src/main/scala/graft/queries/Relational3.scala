@@ -278,7 +278,28 @@ object Relational3 {
        |  CAST(SUM(${centsSql("value")}) AS BIGINT) AS value_cents
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ sketches
+
+  /** Approximate-distinct (HLL++) and approximate-quantile sketches next to
+    * their exact answers. At 100 TB the sketch is the difference between a
+    * fixed-size partial aggregate (mergeable, one narrow shuffle) and an
+    * exact distinct that shuffles every key; rsd=0.05 keeps the HLL
+    * registers < 2 KB per group. NO DuckDB oracle on purpose: sketch
+    * estimates are engine-implementation-specific — the driver records a
+    * rows-only check, and the exact columns beside them let any reader
+    * audit the estimate error. */
+  private def approxSketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
+    Q("approx_sketches", approxSketches, None),
     Q("asof_join", asofJoin, Some(asofJoinSql)),
     Q("range_join_count", rangeJoinCount, Some(rangeJoinCountSql)),
     Q("subquery_battery", subqueryBattery, Some(subqueryBatterySql)),
