@@ -164,23 +164,28 @@ object TextOps {
     * range self-join); per-window min is one hash aggregate; fingerprint
     * set is a distinct. All narrow or hash-keyed — 100 TB-safe. */
   private def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = when(size(w) >= winnowK,
-      transform(sequence(lit(0), size(w) - winnowK),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-          element_at(w, i + 3))))
-      .otherwise(array().cast("array<string>"))
     // Sliding-frame formulation: each window's min is a frame aggregate
     // over [pos, pos+w-1] — ONE hash-partition on doc_id and a sort, no
     // gram-row multiplication (the explode-into-windows variant shuffled
     // w× the rows through two extra exchanges).
+    //
+    // Grams are assembled relationally — posexplode single words, then
+    // lead(word, 1..k-1) over the same (doc_id, pos) sort the frame-min
+    // already needs — instead of a `transform` higher-order lambda, which
+    // evaluates interpreted per element (millions of interpreter round
+    // trips at sf0.1; HOFs don't participate in whole-stage codegen).
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
-    val frame = byDoc.orderBy(col("pos")).rowsBetween(0, winnowW - 1)
+    val ord = byDoc.orderBy(col("pos"))
+    val frame = ord.rowsBetween(0, winnowW - 1)
     t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ", col("w0"),
+        lead(col("w0"), 1).over(ord), lead(col("w0"), 2).over(ord)))
+      .filter(col("pos") <= col("n_words") - winnowK) // full k-grams only
       .withColumn("h", md5(col("gram")))
-      .withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("n_grams", col("n_words") - (winnowK - 1))
       .withColumn("m", min(struct(col("h"), col("pos"))).over(frame))
       .filter(col("pos") <= col("n_grams") - winnowW) // full windows only
       .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("fp"))

@@ -80,6 +80,45 @@ class PipelineSpec extends SparkSpec {
     assert(stagingAfter.count() == 0)
   }
 
+  test("archive dedupOnReplay: crash between append and truncate does not double-archive") {
+    val root = Files.createTempDirectory("archive-replay")
+    val stagingPath = root.resolve("staging").toString
+    val histPath = root.resolve("hist").toString
+    val rows = Seq(("10", k1), ("11", k2)).map { case (id, key) =>
+      org.apache.spark.sql.Row.fromSeq(Schemas.stagingSchema.fieldNames.map {
+        case "id" => id
+        case "chave_nfe" => key
+        case _ => ""
+      }.toIndexedSeq)
+    }
+    def writeStaging(): Unit = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.stagingSchema)
+      .write.mode("overwrite").parquet(stagingPath)
+
+    writeStaging()
+    val a1 = Archive.run(spark, stagingPath, histPath)
+    assert(a1.moved == 2)
+    // simulate the crash window: hist append succeeded but the staging
+    // truncate was lost — the same rows are back in staging
+    writeStaging()
+    val a2 = Archive.run(spark, stagingPath, histPath, dedupOnReplay = true)
+    assert(a2.moved == 0) // already in hist — not re-archived
+    assert(spark.read.parquet(histPath).count() == 2)
+    assert(spark.read.schema(Schemas.stagingSchema).parquet(stagingPath).count() == 0) // still truncated
+    // a genuinely new row on replay IS archived
+    val rows3 = rows :+ org.apache.spark.sql.Row.fromSeq(
+      Schemas.stagingSchema.fieldNames.map {
+        case "id" => "12"
+        case "chave_nfe" => k1
+        case _ => ""
+      }.toIndexedSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows3), Schemas.stagingSchema)
+      .write.mode("overwrite").parquet(stagingPath)
+    val a3 = Archive.run(spark, stagingPath, histPath, dedupOnReplay = true)
+    assert(a3.moved == 1)
+    assert(spark.read.parquet(histPath).count() == 3)
+  }
+
   test("stager: size-verified download, skip existing, retry then fail") {
     val root = Files.createTempDirectory("sftp")
     val remote = Files.createDirectories(root.resolve("remote"))
