@@ -298,8 +298,99 @@ object Relational3 {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ------------------------------------------------------------- unpivot
+
+  /** UNPIVOT (wide → long): two metric columns melted into (metric, value)
+    * rows via Dataset.unpivot — the inverse of pivot_status. Narrow: each
+    * input row emits exactly |metrics| rows, no shuffle before the final
+    * sort. */
+  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("o_custkey").cast("long").as("custkey"))
+    base.unpivot(
+      Array(col("o_orderkey")),
+      Array(col("totalprice_cents"), col("custkey")),
+      "metric", "value")
+      .orderBy("o_orderkey", "metric")
+  }
+
+  private val unpivotMetricsSql =
+    s"""SELECT o_orderkey, 'totalprice_cents' AS metric,
+       |  ${centsSql("o_totalprice")} AS value
+       |FROM orders WHERE o_orderkey % 100 = 0
+       |UNION ALL
+       |SELECT o_orderkey, 'custkey', CAST(o_custkey AS BIGINT)
+       |FROM orders WHERE o_orderkey % 100 = 0
+       |ORDER BY o_orderkey, metric""".stripMargin
+
+  // ------------------------------------------------------------ gap fill
+
+  /** Time-series gap filling: the full hour × event_type grid (generated,
+    * not scanned), hourly counts with absent hours as 0, and a forward-
+    * filled last-known sum (`last(..., ignoreNulls)` over an ordered
+    * frame). The grid comes from one tiny sequence explode crossed with the
+    * distinct types — generation is O(grid), never a scan of the fact
+    * table, and the fill window shuffles grid-sized (not fact-sized) data. */
+  private def gapFillHours(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("vc"))
+    val hours = hourly.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+    val grid = hours.crossJoin(broadcast(ev.select("event_type").distinct()))
+    val ffill = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("vc"), ignoreNulls = true).over(ffill).as("ffill_cents"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val gapFillHoursSql =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS vc
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(hour) AS mn, MAX(hour) AS mx FROM hourly),
+       |hours AS (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+       |grid AS (SELECT hour, event_type FROM hours
+       |         CROSS JOIN (SELECT DISTINCT event_type FROM events))
+       |SELECT g.event_type, g.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+       |  last_value(h.vc IGNORE NULLS) OVER (PARTITION BY g.event_type
+       |    ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
+       |FROM grid g LEFT JOIN hourly h
+       |  ON g.hour = h.hour AND g.event_type = h.event_type
+       |ORDER BY g.event_type, g.hour""".stripMargin
+
+  // ----------------------------------------------------------- histogram
+
+  /** Fixed-width histogram in exact integers: bucket = cents div 10^6
+    * ($10k buckets). One hash aggregate keyed by bucket — the shape that
+    * histograms 100 TB in a single pass with map-side partials. */
+  private def histogramTotalprice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("c"))
+      .groupBy(expr("c div 1000000").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+      .orderBy("bucket")
+
+  private val histogramTotalpriceSql =
+    s"""SELECT ${centsSql("o_totalprice")} // 1000000 AS bucket, COUNT(*) AS n,
+       |  MIN(${centsSql("o_totalprice")}) AS min_cents,
+       |  MAX(${centsSql("o_totalprice")}) AS max_cents
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("approx_sketches", approxSketches, None),
+    Q("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
+    Q("gap_fill_hours", gapFillHours, Some(gapFillHoursSql)),
+    Q("histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
     Q("asof_join", asofJoin, Some(asofJoinSql)),
     Q("range_join_count", rangeJoinCount, Some(rangeJoinCountSql)),
     Q("subquery_battery", subqueryBattery, Some(subqueryBatterySql)),
