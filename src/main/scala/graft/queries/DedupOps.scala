@@ -183,8 +183,9 @@ object DedupOps {
     * digit (j div 4) of md5(word); contribution ±1; bit set iff the sum is
     * ≥ 0. Everything is integer arithmetic on md5 hex digits, so the Spark
     * and DuckDB results are identical by construction. */
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** Per-doc signed SimHash bit sums s0..s63 over distinct words (shared by
+    * the signature query and the near-dup pair query). */
+  private def simhashSums(docs: DataFrame): DataFrame = {
     val wordsDf = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
@@ -198,8 +199,11 @@ object DedupOps {
       val bit = shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(lit(1))
       sum(bit * 2 - 1).as(s"s$j")
     }
-    val sums = withDigits.groupBy(col("doc_id"))
-      .agg(sumExprs.head, sumExprs.tail: _*)
+    withDigits.groupBy(col("doc_id")).agg(sumExprs.head, sumExprs.tail: _*)
+  }
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sums = simhashSums(t(s, dir, "documents"))
     // reassemble nibbles → hex chars
     val hexChars = (0 until 16).map { i =>
       val n = (0 until 4).map { k =>
@@ -225,6 +229,84 @@ object DedupOps {
        |digits AS (SELECT doc_id, $digitDefs FROM (SELECT doc_id, md5(w) h FROM w)),
        |sums AS (SELECT doc_id, $sumDefs FROM digits GROUP BY doc_id)
        |SELECT doc_id, $nibbleChars AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-duplicate pairs — the full simhash dedup pipeline, not
+    * just the signature: the 64-bit signature splits into 4 bands of 16
+    * bits; by pigeonhole, any pair within Hamming distance 3·(64/16) must
+    * share at least one band, so candidates come from an equi-join on
+    * (band, value) — never all-pairs — and are verified with the exact
+    * Hamming distance (XOR + popcount per band). Sampled docs (% 10) bound
+    * candidate volume; the threshold flag (≤ 12 bits) marks near-dups.
+    *
+    * Scale shape: band bucketing is the same "join on bucket" discipline
+    * as MinHash-LSH; verification touches candidates only; popcount is a
+    * codegen'd integer op. */
+  private def simhashNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sums = simhashSums(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+    val bandCols = (0 until 4).map { m =>
+      (0 until 16).map { k =>
+        when(col(s"s${16 * m + k}") >= 0, 1 << k).otherwise(0)
+      }.reduce((a: Column, b: Column) => a + b).cast("int").as(s"b$m")
+    }
+    val bands = sums.select((col("doc_id") +: bandCols): _*)
+    // bucket per (band index, band value); pairs via per-bucket list + double
+    // explode so the (64-col aggregate) subtree is evaluated once, not twice
+    val longF = bands.select(col("doc_id"), explode(array(
+      (0 until 4).map(m => struct(lit(m).as("band"), col(s"b$m").as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = longF.groupBy(col("band"), col("v"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a_id"), col("ds"))
+      .select(col("a_id"), explode(col("ds")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+    val ba = bands.select(col("doc_id").as("a_id"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val bb = bands.select(col("doc_id").as("b_id"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ba, "a_id").join(bb, "b_id")
+      .withColumn("hamming", (0 until 4).map(m =>
+        bit_count(col(s"a$m").bitwiseXOR(col(s"c$m")).cast("long")))
+        .reduce((a: Column, b: Column) => a + b).cast("long"))
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        (col("hamming") <= 12).as("is_neardup"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val simhashNeardupPairsSql = {
+    val digitDefs = (0 until 16).map(i =>
+      s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(",\n    ")
+    val sumDefs = (0 until 64).map(j =>
+      s"SUM(((d${j / 4} >> ${j % 4}) & 1) * 2 - 1) AS s$j").mkString(",\n    ")
+    val bandDefs = (0 until 4).map { m =>
+      "(" + (0 until 16).map(k =>
+        s"(CASE WHEN s${16 * m + k} >= 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ") +
+        s") AS b$m"
+    }.mkString(",\n  ")
+    val hamming = (0 until 4).map(m =>
+      s"bit_count(xor(CAST(ba.b$m AS BIGINT), CAST(bb.b$m AS BIGINT)))").mkString("\n  + ")
+    s"""WITH w AS (SELECT DISTINCT doc_id, s AS w
+       |           FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) d,
+       |                UNNEST(string_split(text,' ')) t(s)),
+       |digits AS (SELECT doc_id, $digitDefs FROM (SELECT doc_id, md5(w) h FROM w)),
+       |sums AS (SELECT doc_id, $sumDefs FROM digits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandDefs FROM sums),
+       |long AS (
+       |  SELECT doc_id, 0 AS band, b0 AS v FROM bands
+       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM long a JOIN long b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |  CAST($hamming AS BIGINT) AS hamming,
+       |  ($hamming) <= 12 AS is_neardup
+       |FROM cand c JOIN bands ba ON ba.doc_id = c.a_id JOIN bands bb ON bb.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Connected components over the near-duplicate graph: nodes are sampled
@@ -306,5 +388,6 @@ object DedupOps {
     Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
-    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)))
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("simhash_neardup_pairs", simhashNeardupPairs, Some(simhashNeardupPairsSql)))
 }

@@ -257,7 +257,73 @@ object TextOps {
       |    ORDER BY score DESC, word) AS INT) AS rk FROM scored)
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** The composed training-corpus cleaning pipeline — quality gate →
+    * language gate → exact-dedup canonicalization — as ONE query: every
+    * document gets a final status (kept / quality / lang / duplicate), the
+    * shape a 100 TB corpus run needs (one pass computing all gate signals
+    * in a single codegen'd projection, one hash-agg for canonical ids, one
+    * join back; no per-gate rescans of the corpus). */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nStop = size(filter(w, x => x.isin(stopEn: _*)))
+    val stopMilli = milli(nStop, nWords)
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val Seq(de, en, es, fr) = scores.map(_._2)
+    val pred = when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    val g = t(s, dir, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      pred.as("lang_pred"),
+      (nWords.between(5, 2000) && stopMilli >= 10).as("q_keep"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val elig = g.filter(col("q_keep") && col("lang_pred") === "en")
+      .select(col("doc_id").as("e_id"), col("fp").as("e_fp"))
+    val canon = elig.groupBy(col("e_fp")).agg(min(col("e_id")).as("canonical"))
+    g.join(elig, g("doc_id") === elig("e_id"), "left")
+      .join(canon, elig("e_fp") === canon("e_fp"), "left")
+      .select(g("doc_id"), col("lang_pred"), col("n_words"),
+        when(!col("q_keep"), "quality")
+          .when(col("lang_pred") =!= "en", "lang")
+          .when(g("doc_id") =!= col("canonical"), "duplicate")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusCleanSql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS INT) AS n_words,
+       |    CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |         WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |         WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       |    (len(string_split(text,' ')) BETWEEN 5 AND 2000
+       |     AND floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))/len(string_split(text,' '))) >= 10) AS q_keep,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |elig AS (SELECT doc_id AS e_id, fp AS e_fp FROM g WHERE q_keep AND lang_pred = 'en'),
+       |canon AS (SELECT e_fp, MIN(e_id) AS canonical FROM elig GROUP BY e_fp)
+       |SELECT g.doc_id, g.lang_pred, g.n_words,
+       |  CASE WHEN NOT g.q_keep THEN 'quality'
+       |       WHEN g.lang_pred <> 'en' THEN 'lang'
+       |       WHEN g.doc_id <> c.canonical THEN 'duplicate'
+       |       ELSE 'kept' END AS status
+       |FROM g LEFT JOIN elig e ON e.e_id = g.doc_id
+       |LEFT JOIN canon c ON c.e_fp = e.e_fp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("doc_winnow_fingerprints", docWinnowFingerprints, Some(docWinnowFingerprintsSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
