@@ -386,8 +386,105 @@ object Relational3 {
        |  MAX(${centsSql("o_totalprice")}) AS max_cents
        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------- mode / quantile
+
+  /** Exact per-group mode with a deterministic tiebreak (highest count,
+    * then smallest value): value-count hash-agg → rank window → rn = 1.
+    * Two shuffles, both on bounded-cardinality keys. */
+  private def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cnt").desc, col("qv"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), (col("o_custkey") % 100).as("qv"))
+      .groupBy(col("o_orderpriority"), col("qv"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("qv").as("mode_value"), col("cnt").as("mode_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val modePerGroupSql =
+    """SELECT o_orderpriority, qv AS mode_value, cnt AS mode_count FROM (
+      |  SELECT o_orderpriority, qv, cnt,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cnt DESC, qv) AS rn
+      |  FROM (SELECT o_orderpriority, o_custkey % 100 AS qv, COUNT(*) AS cnt
+      |        FROM orders GROUP BY 1, 2))
+      |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact discrete quartiles (percentile_disc semantics: the element at
+    * ceil(q·n), never interpolated — interpolation is float-divergent
+    * cross-engine, element selection is not): one rank window, three
+    * element picks per group. */
+  private def quartilesDisc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = t(s, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    ranked
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.25), col("cents"))).as("q1_cents"),
+        max(when(col("rn") === ceil(col("n") * 0.50), col("cents"))).as("q2_cents"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("cents"))).as("q3_cents"),
+        max(col("n")).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val quartilesDiscSql =
+    s"""SELECT o_orderpriority,
+       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN cents END) AS q1_cents,
+       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN cents END) AS q2_cents,
+       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS q3_cents,
+       |  MAX(n) AS n
+       |FROM (
+       |  SELECT o_orderpriority, ${centsSql("o_totalprice")} AS cents,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${centsSql("o_totalprice")}, o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------- fuzzy match
+
+  /** Fuzzy string matching: Levenshtein distance over candidate pairs of
+    * part names bucketed by first word (never all-pairs — the same
+    * block-then-verify discipline as every dedup operator here). Both
+    * engines implement the identical integer DP, so distances are exact. */
+  private def fuzzyMatchLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"), col("p_name"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"), col("blk"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 12)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .orderBy("a_key", "b_key")
+  }
+
+  private val fuzzyMatchLevenshteinSql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      |  FROM part WHERE p_partkey % 10 = 0)
+      |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 12
+      |ORDER BY a_key, b_key""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("approx_sketches", approxSketches, None),
+    Q("mode_per_group", modePerGroup, Some(modePerGroupSql)),
+    Q("quartiles_disc", quartilesDisc, Some(quartilesDiscSql)),
+    Q("fuzzy_match_levenshtein", fuzzyMatchLevenshtein, Some(fuzzyMatchLevenshteinSql)),
     Q("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
     Q("gap_fill_hours", gapFillHours, Some(gapFillHoursSql)),
     Q("histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),

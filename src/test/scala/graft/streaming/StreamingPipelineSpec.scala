@@ -106,6 +106,45 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.filter("user_id = 10 AND event_id = 1").count() == 1)
   }
 
+  test("stream-stream join: clicks join purchases within the event-time bound") {
+    import org.apache.spark.sql.functions._
+    // the file stream source needs a DIRECTORY; the testdata table is a
+    // single file — stage it into one
+    val srcDir = Files.createTempDirectory("ssjoin")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val dir = srcDir.toString
+    // events.ts is TIMESTAMP(NANOS); batch reads go through Util.t — for the
+    // stream read the same nanosAsLong conf + truncation applies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def evStream() = spark.readStream.schema(
+      spark.read.parquet(dir).schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = evStream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = evStream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    // inner stream-stream join: equality on user + event-time range bound
+    // (the watermark + bound let Spark GC both sides' state)
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"))
+    val out = StreamingPipeline.runToMemory(spark, joined, "ssj")
+    // batch twin on the same data
+    val ev = graft.queries.Util.t(spark, "/root/testdata/sf0.001", "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expected = bp.join(bc,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts")).count()
+    assert(out.count() == expected)
+    assert(expected > 0)
+  }
+
   test("sessionizeWithTimeout: idle session flushes when the watermark passes the gap") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("sesstimeout")
