@@ -450,6 +450,41 @@ object Relational3 {
        |  FROM orders)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------- RANGE frames
+
+  /** Rolling 7-day revenue per customer with a RANGE frame (value-based:
+    * all rows whose order day falls in [day−6, day] — NOT the last 7 rows;
+    * the two differ whenever a customer places several orders on one day,
+    * and RANGE is the correct rolling-window semantics). Order key is the
+    * integer epoch day, so the frame bound is exact integer arithmetic. */
+  private def windowRangeRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long"))
+      .withColumn("cents", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("cents")).over(w).as("rolling7d_cents"),
+        count(lit(1)).over(w).as("rolling7d_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowRangeRollingSql =
+    s"""SELECT o_custkey, o_orderkey, day,
+       |  CAST(SUM(cents) OVER w AS BIGINT) AS rolling7d_cents,
+       |  COUNT(*) OVER w AS rolling7d_orders
+       |FROM (
+       |  SELECT o_custkey, o_orderkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    ${centsSql("o_totalprice")} AS cents
+       |  FROM orders WHERE o_custkey % 50 = 0)
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------- fuzzy match
 
   /** Fuzzy string matching: Levenshtein distance over candidate pairs of
@@ -485,6 +520,7 @@ object Relational3 {
     Q("mode_per_group", modePerGroup, Some(modePerGroupSql)),
     Q("quartiles_disc", quartilesDisc, Some(quartilesDiscSql)),
     Q("fuzzy_match_levenshtein", fuzzyMatchLevenshtein, Some(fuzzyMatchLevenshteinSql)),
+    Q("window_range_rolling", windowRangeRolling, Some(windowRangeRollingSql)),
     Q("unpivot_metrics", unpivotMetrics, Some(unpivotMetricsSql)),
     Q("gap_fill_hours", gapFillHours, Some(gapFillHoursSql)),
     Q("histogram_totalprice", histogramTotalprice, Some(histogramTotalpriceSql)),
