@@ -322,8 +322,102 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality scoring against the PREDICTED language's stopword list — the
+    * multilingual refinement of text_quality: a French document scored
+    * against English stopwords looks spuriously low-quality; scoring
+    * against its own language's markers fixes the gate. One codegen'd
+    * projection computing all four language scores, the argmax, and the
+    * ratio against the winning list. */
+  private def textQualityPerlang(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val Seq(de, en, es, fr) = scores.map(_._2)
+    val pred = when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    val predHits = when(pred === "de", de).when(pred === "en", en)
+      .when(pred === "es", es).otherwise(fr)
+    val stopMilli = milli(predHits, nWords)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      pred.as("lang_pred"),
+      nWords.as("n_words"),
+      predHits.as("n_stop_pred"),
+      stopMilli.as("stop_milli_pred"),
+      (nWords.between(5, 2000) && stopMilli >= 10).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualityPerlangSql = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
+    val pred = s"""CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+                  |       WHEN $en >= $es AND $en >= $fr THEN 'en'
+                  |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+    val predHits = s"""CASE ($pred) WHEN 'de' THEN $de WHEN 'en' THEN $en
+                      |  WHEN 'es' THEN $es ELSE $fr END""".stripMargin
+    s"""SELECT doc_id,
+       |  $pred AS lang_pred,
+       |  CAST(len(string_split(text,' ')) AS INT) AS n_words,
+       |  CAST($predHits AS INT) AS n_stop_pred,
+       |  CAST(floor(1000.0*($predHits)/len(string_split(text,' '))) AS BIGINT) AS stop_milli_pred,
+       |  (len(string_split(text,' ')) BETWEEN 5 AND 2000
+       |   AND floor(1000.0*($predHits)/len(string_split(text,' '))) >= 10) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Boilerplate detection (C4-style): the fraction of a document's
+    * distinct word trigrams that occur in ≥ 5 % of all documents — high
+    * ratios mark templated/boilerplate text. Trigrams are assembled with
+    * the same codegen-friendly lead() pattern as winnowing (no interpreted
+    * HOF); document frequency is one hash-agg on the trigram; the 5 %
+    * threshold is exact integer arithmetic (df · 20 ≥ N). */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("n_words", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("gram", concat_ws(" ", col("w0"),
+        lead(col("w0"), 1).over(ord), lead(col("w0"), 2).over(ord)))
+      .filter(col("pos") <= col("n_words") - 3)
+      .select(col("doc_id"), col("gram")).distinct()
+    val dfCnt = tri.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    tri.join(dfCnt, "gram")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("df") * 20 >= col("n_docs"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_tri"), col("n_boiler"),
+        when(col("n_tri") > 0, milli(col("n_boiler"), col("n_tri")))
+          .otherwise(lit(null).cast("long")).as("boiler_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val textBoilerplateSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS gram
+      |  FROM w, UNNEST(range(greatest(len(ws)-2, 0))) t(i)),
+      |dfc AS (SELECT gram, COUNT(*) AS df FROM tri GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_tri,
+      |  CAST(SUM(CASE WHEN df * 20 >= n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CASE WHEN COUNT(*) > 0 THEN CAST(floor(1000.0 * SUM(CASE WHEN df * 20 >= n_docs THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) END AS boiler_milli
+      |FROM tri JOIN dfc USING (gram) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("corpus_clean", corpusClean, Some(corpusCleanSql)),
+    Q("text_quality_perlang", textQualityPerlang, Some(textQualityPerlangSql)),
+    Q("text_boilerplate", textBoilerplate, Some(textBoilerplateSql)),
     Q("doc_winnow_fingerprints", docWinnowFingerprints, Some(docWinnowFingerprintsSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
