@@ -28,7 +28,13 @@ object Bench {
     try {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(1000)
+      // never warm the benchmarked dataset itself: pick a warm-up sf dir
+      // distinct from sfDir so page/file-listing caches stay cold for the
+      // measured queries
+      val warmDir =
+        if (sfDir.contains("sf0.001")) "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+      val o = spark.read.parquet(s"$warmDir/orders.parquet").limit(1000)
       o.withColumn("rn",
           row_number().over(Window.partitionBy("o_orderstatus").orderBy("o_orderkey")))
         .join(o.select("o_orderkey"), "o_orderkey")

@@ -64,19 +64,25 @@ object Archive {
         val cond = contentCols.map(c => snapshot(c) <=> hist(c)).reduce(_ && _)
         snapshot.join(hist, cond, "left_anti")
       } else snapshot
-    val stamped = stamp(toArchive, batchId)
-    val moved = stamped.count()
-    if (moved > 0) {
-      stamped.write.mode("append").parquet(histPath)
-    }
-    // Truncate even when moved == 0 on a dedup replay: the rows are already
-    // in hist, staging must still end empty.
-    if (moved > 0 || (dedupOnReplay && !snapshot.isEmpty)) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.stagingSchema)
-        .write.mode("overwrite").parquet(stagingPath)
-    }
-    Audit(moved, batchId)
+    // persist: (a) the count and the append share one evaluation of the
+    // (possibly hist-scanning) anti-join instead of two; (b) on a dedup
+    // replay the append's input is materialized BEFORE writing into
+    // histPath, so the job never reads the directory it is appending to
+    val stamped = stamp(toArchive, batchId).persist()
+    try {
+      val moved = stamped.count()
+      if (moved > 0) {
+        stamped.write.mode("append").parquet(histPath)
+      }
+      // Truncate even when moved == 0 on a dedup replay: the rows are
+      // already in hist, staging must still end empty.
+      if (moved > 0 || (dedupOnReplay && !snapshot.isEmpty)) {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.stagingSchema)
+          .write.mode("overwrite").parquet(stagingPath)
+      }
+      Audit(moved, batchId)
+    } finally stamped.unpersist()
   }
 }

@@ -233,11 +233,15 @@ object DedupOps {
 
   /** SimHash near-duplicate pairs — the full simhash dedup pipeline, not
     * just the signature: the 64-bit signature splits into 4 bands of 16
-    * bits; by pigeonhole, any pair within Hamming distance 3·(64/16) must
-    * share at least one band, so candidates come from an equi-join on
-    * (band, value) — never all-pairs — and are verified with the exact
-    * Hamming distance (XOR + popcount per band). Sampled docs (% 10) bound
-    * candidate volume; the threshold flag (≤ 12 bits) marks near-dups.
+    * bits; candidates are pairs sharing at least one band (equi-join on
+    * (band, value) — never all-pairs), verified with the exact Hamming
+    * distance (XOR + popcount per band). Recall contract: pigeonhole over
+    * 4 bands GUARANTEES candidates for Hamming ≤ 3; beyond that recall is
+    * probabilistic (standard LSH banding trade-off — more/narrower bands
+    * raise recall and candidate cost). The oracle applies the identical
+    * banding, so the compare checks the scheme, not an exhaustive pair
+    * list. Sampled docs (% 10) bound candidate volume; the ≤ 12-bit flag
+    * marks verified candidates as near-dups.
     *
     * Scale shape: band bucketing is the same "join on bucket" discipline
     * as MinHash-LSH; verification touches candidates only; popcount is a
@@ -250,7 +254,10 @@ object DedupOps {
         when(col(s"s${16 * m + k}") >= 0, 1 << k).otherwise(0)
       }.reduce((a: Column, b: Column) => a + b).cast("int").as(s"b$m")
     }
-    val bands = sums.select((col("doc_id") +: bandCols): _*)
+    // one row per doc, 5 ints — materialized so the (md5 explode + 64-col
+    // aggregate) subtree under it evaluates once, not once per downstream
+    // reference (bucket pairs + both verification sides)
+    val bands = sums.select((col("doc_id") +: bandCols): _*).localCheckpoint()
     // bucket per (band index, band value); pairs via per-bucket list + double
     // explode so the (64-col aggregate) subtree is evaluated once, not twice
     val longF = bands.select(col("doc_id"), explode(array(
@@ -344,16 +351,31 @@ object DedupOps {
     var prevSum = -1L
     var curSum = labels.agg(sum(col("label"))).head.getLong(0)
     var iter = 0
-    while (curSum != prevSum && iter < 20) {
+    val maxIter = 40
+    while (curSum != prevSum && iter < maxIter) {
+      // neighbor propagation: min over adjacent labels
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      labels = labels.unionByName(prop)
+      val stepped = labels.unionByName(prop)
         .groupBy("node").agg(min(col("label")).as("label"))
+      // pointer doubling: also adopt the label OF my label, which halves
+      // the remaining path each round — convergence in O(log diameter)
+      // iterations instead of O(diameter), so a 10^6-node chain needs ~20
+      // rounds, not 10^6
+      val byLabel = stepped.select(col("node").as("l_node"), col("label").as("l_label"))
+      labels = stepped.join(byLabel, stepped("label") === byLabel("l_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
       prevSum = curSum
       curSum = labels.agg(sum(col("label"))).head.getLong(0)
       iter += 1
     }
+    // fail loudly rather than emit wrong components: the oracle computes
+    // the exact closure, and a silent cap would diverge invisibly
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"connected_components did not converge in $maxIter iterations")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
       .withColumn("comp_size", count(lit(1)).over(Window.partitionBy(col("component"))))
       .orderBy("doc_id")

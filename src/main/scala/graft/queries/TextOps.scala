@@ -95,36 +95,52 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
 
+  /** Per-language marker-hit counts over a word array, in [[langMarkers]]
+    * order — THE single definition of the language scores (three operators
+    * consume it; a tweak here changes all of them in lockstep). */
+  private def langScores(w: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isin(ms: _*)))
+    }
+
+  /** Deterministic argmax language (ties break alphabetically). */
+  private def langPred(scores: Seq[(String, Column)]): Column = {
+    val Seq(de, en, es, fr) = scores.map(_._2)
+    when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** SQL twins of [[langScores]] / [[langPred]]. */
+  private def langScoresSql: Seq[String] = langMarkers.map { case (_, ms) =>
+    s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+  }
+  private def langPredSql: String = {
+    val Seq(de, en, es, fr) = langScoresSql
+    s"""CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |       WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+  }
+
   /** Heuristic language ID: score = marker-word hits per language; argmax
     * with alphabetical tiebreak. (A real system uses char n-gram models;
     * the Spark shape — one codegen'd projection — is identical.) */
   private def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms: _*)))
-    }
-    val Seq(de, en, es, fr) = scores.map(_._2)
-    val pred = when(de >= en && de >= es && de >= fr, "de")
-      .when(en >= es && en >= fr, "en")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val scores = langScores(words(col("text")))
     t(s, dir, "documents").select(
       Seq(col("doc_id")) ++
         scores.map { case (l, c) => c.as(s"score_$l") } ++
-        Seq(pred.as("lang_pred"), col("lang").as("lang_label")): _*)
+        Seq(langPred(scores).as("lang_pred"), col("lang").as("lang_label")): _*)
       .orderBy("doc_id")
   }
 
   private val textLangidSql = {
-    def hits(ms: Seq[String]) =
-      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
+    val Seq(de, en, es, fr) = langScoresSql
     s"""SELECT doc_id,
        |  CAST($de AS INT) AS score_de, CAST($en AS INT) AS score_en,
        |  CAST($es AS INT) AS score_es, CAST($fr AS INT) AS score_fr,
-       |  CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
-       |       WHEN $en >= $es AND $en >= $fr THEN 'en'
-       |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       |  $langPredSql AS lang_pred,
        |  lang AS lang_label
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -163,27 +179,34 @@ object TextOps {
     * the ≤ w windows containing it (an exploded integer sequence, not a
     * range self-join); per-window min is one hash aggregate; fingerprint
     * set is a distinct. All narrow or hash-keyed — 100 TB-safe. */
+  /** Word k-gram rows (doc_id, pos, n_words, gram), assembled relationally
+    * — posexplode single words, then lead(word, 1..k-1) over (doc_id, pos)
+    * — instead of a `transform` higher-order lambda, which evaluates
+    * interpreted per element (millions of interpreter round trips at
+    * sf0.1; HOFs don't participate in whole-stage codegen). Only full
+    * k-grams survive (pos ≤ n_words − k). Shared by winnowing and
+    * boilerplate detection — one definition of "gram". */
+  private def wordGrams(d: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ord = byDoc.orderBy(col("pos"))
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("gram", concat_ws(" ",
+        (col("w0") +: (1 until k).map(i => lead(col("w0"), i).over(ord))): _*))
+      .filter(col("pos") <= col("n_words") - k)
+  }
+
   private def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     // Sliding-frame formulation: each window's min is a frame aggregate
     // over [pos, pos+w-1] — ONE hash-partition on doc_id and a sort, no
     // gram-row multiplication (the explode-into-windows variant shuffled
-    // w× the rows through two extra exchanges).
-    //
-    // Grams are assembled relationally — posexplode single words, then
-    // lead(word, 1..k-1) over the same (doc_id, pos) sort the frame-min
-    // already needs — instead of a `transform` higher-order lambda, which
-    // evaluates interpreted per element (millions of interpreter round
-    // trips at sf0.1; HOFs don't participate in whole-stage codegen).
+    // w× the rows through two extra exchanges). Gram assembly rides the
+    // same sort (see wordGrams).
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ord = byDoc.orderBy(col("pos"))
-    val frame = ord.rowsBetween(0, winnowW - 1)
-    t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .withColumn("n_words", count(lit(1)).over(byDoc))
-      .withColumn("gram", concat_ws(" ", col("w0"),
-        lead(col("w0"), 1).over(ord), lead(col("w0"), 2).over(ord)))
-      .filter(col("pos") <= col("n_words") - winnowK) // full k-grams only
+    val frame = byDoc.orderBy(col("pos")).rowsBetween(0, winnowW - 1)
+    wordGrams(t(s, dir, "documents"), winnowK)
       .withColumn("h", md5(col("gram")))
       .withColumn("n_grams", col("n_words") - (winnowK - 1))
       .withColumn("m", min(struct(col("h"), col("pos"))).over(frame))
@@ -268,14 +291,7 @@ object TextOps {
     val nWords = size(w)
     val nStop = size(filter(w, x => x.isin(stopEn: _*)))
     val stopMilli = milli(nStop, nWords)
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms: _*)))
-    }
-    val Seq(de, en, es, fr) = scores.map(_._2)
-    val pred = when(de >= en && de >= es && de >= fr, "de")
-      .when(en >= es && en >= fr, "en")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val pred = langPred(langScores(w))
     val g = t(s, dir, "documents").select(
       col("doc_id"),
       nWords.as("n_words"),
@@ -297,15 +313,10 @@ object TextOps {
 
   private val corpusCleanSql = {
     val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
-    def hits(ms: Seq[String]) =
-      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
     s"""WITH g AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text,' ')) AS INT) AS n_words,
-       |    CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
-       |         WHEN $en >= $es AND $en >= $fr THEN 'en'
-       |         WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       |    $langPredSql AS lang_pred,
        |    (len(string_split(text,' ')) BETWEEN 5 AND 2000
        |     AND floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))/len(string_split(text,' '))) >= 10) AS q_keep,
        |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
@@ -331,14 +342,9 @@ object TextOps {
   private def textQualityPerlang(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w)
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms: _*)))
-    }
+    val scores = langScores(w)
     val Seq(de, en, es, fr) = scores.map(_._2)
-    val pred = when(de >= en && de >= es && de >= fr, "de")
-      .when(en >= es && en >= fr, "en")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val pred = langPred(scores)
     val predHits = when(pred === "de", de).when(pred === "en", en)
       .when(pred === "es", es).otherwise(fr)
     val stopMilli = milli(predHits, nWords)
@@ -353,12 +359,8 @@ object TextOps {
   }
 
   private val textQualityPerlangSql = {
-    def hits(ms: Seq[String]) =
-      s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val Seq(de, en, es, fr) = langMarkers.map(m => hits(m._2))
-    val pred = s"""CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
-                  |       WHEN $en >= $es AND $en >= $fr THEN 'en'
-                  |       WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+    val Seq(de, en, es, fr) = langScoresSql
+    val pred = langPredSql
     val predHits = s"""CASE ($pred) WHEN 'de' THEN $de WHEN 'en' THEN $en
                       |  WHEN 'es' THEN $es ELSE $fr END""".stripMargin
     s"""SELECT doc_id,
@@ -378,26 +380,20 @@ object TextOps {
     * HOF); document frequency is one hash-agg on the trigram; the 5 %
     * threshold is exact integer arithmetic (df · 20 ≥ N). */
   private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tri = d
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .withColumn("n_words", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("gram", concat_ws(" ", col("w0"),
-        lead(col("w0"), 1).over(ord), lead(col("w0"), 2).over(ord)))
-      .filter(col("pos") <= col("n_words") - 3)
-      .select(col("doc_id"), col("gram")).distinct()
+    val tri = wordGrams(d, 3).select(col("doc_id"), col("gram")).distinct()
     val dfCnt = tri.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // docs with < 3 words have no gram rows and are absent from the output
+    // (both engines); within a group n_tri >= 1 always, so the ratio needs
+    // no zero guard
     tri.join(dfCnt, "gram")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         sum(when(col("df") * 20 >= col("n_docs"), 1L).otherwise(0L)).as("n_boiler"))
       .select(col("doc_id"), col("n_tri"), col("n_boiler"),
-        when(col("n_tri") > 0, milli(col("n_boiler"), col("n_tri")))
-          .otherwise(lit(null).cast("long")).as("boiler_milli"))
+        milli(col("n_boiler"), col("n_tri")).as("boiler_milli"))
       .orderBy("doc_id")
   }
 
@@ -410,7 +406,7 @@ object TextOps {
       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
       |SELECT doc_id, COUNT(*) AS n_tri,
       |  CAST(SUM(CASE WHEN df * 20 >= n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-      |  CASE WHEN COUNT(*) > 0 THEN CAST(floor(1000.0 * SUM(CASE WHEN df * 20 >= n_docs THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) END AS boiler_milli
+      |  CAST(floor(1000.0 * SUM(CASE WHEN df * 20 >= n_docs THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS boiler_milli
       |FROM tri JOIN dfc USING (gram) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
