@@ -228,7 +228,78 @@ object EtlQueries {
     """SELECT COUNT(*) AS moved, CAST(1 AS BIGINT) AS n_batches,
       |  COUNT(*) AS n_unique_ids FROM events""".stripMargin
 
+  /** Schema-driven column profiling: per-column null and distinct counts in
+    * ONE aggregate pass over the table (the agg list is generated from
+    * df.schema — the same schema-walking idiom as the reference's backfill
+    * renderer, O-8), then unpivoted to long form. At 100 TB profiling must
+    * be one scan, never one scan per column. */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cols = o.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct")))
+    wide.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_null").as("n_null"),
+        col("p.n_distinct").as("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  private def profileColumnsSql: String = {
+    // the testdata orders schema is stable; mirror the generated agg list
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Referential-integrity audit: child/orphan counts for the star-schema
+    * relationships, each via a broadcast anti-join on the parent keys (the
+    * reference's key gates generalized to cross-table contracts). */
+  private def refIntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parentKeys: DataFrame): DataFrame = {
+      val orphans = child.join(broadcast(parentKeys), Seq(key), "left_anti")
+      child.agg(count(lit(1)).as("n_child")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(rel).as("relationship"), col("n_child"), col("n_orphan"))
+    }
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+    audit("orders->customer",
+        o.select(col("o_custkey").as("k")), "k", c.select(col("c_custkey").as("k")))
+      .unionByName(audit("lineitem->orders",
+        l.select(col("l_orderkey").as("k")), "k", o.select(col("o_orderkey").as("k"))))
+      .unionByName(audit("customer->nation",
+        c.select(col("c_nationkey").as("k")), "k", n.select(col("n_nationkey").as("k"))))
+      .orderBy("relationship")
+  }
+
+  private val refIntegrityAuditSql =
+    """SELECT 'orders->customer' AS relationship, (SELECT COUNT(*) FROM orders) AS n_child,
+      |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |     (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)) AS n_orphan
+      |UNION ALL
+      |SELECT 'lineitem->orders', (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'customer->nation', (SELECT COUNT(*) FROM customer),
+      |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |     (SELECT 1 FROM nation WHERE n_nationkey = c.c_nationkey))
+      |ORDER BY relationship""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("profile_columns", profileColumns, Some(profileColumnsSql)),
+    Q("ref_integrity_audit", refIntegrityAudit, Some(refIntegrityAuditSql)),
     Q("dedup_latest", dedupLatest, Some(dedupLatestSql)),
     Q("conditional_merge", conditionalMerge, Some(conditionalMergeSql)),
     Q("anti_join", antiJoin, Some(antiJoinSql)),
