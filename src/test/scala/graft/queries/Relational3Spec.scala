@@ -72,6 +72,39 @@ class Relational3Spec extends SparkSpec {
     assert(frac > 0.03 && frac < 0.10, s"sample fraction $frac outside [0.03, 0.10]")
   }
 
+  test("gap_fill_hours: the hour grid is complete and forward-fill is monotone-defined") {
+    val out = q("gap_fill_hours").cache()
+    val types = out.select("event_type").distinct().count()
+    val hours = out.select("hour").distinct().count()
+    assert(out.count() == types * hours, "grid must be the full cross product")
+    // after the first non-null fill value, ffill never returns to null
+    val badResets = out.selectExpr("event_type", "hour", "ffill_cents")
+      .collect().groupBy(_.getString(0)).count { case (_, rows) =>
+        val seq = rows.sortBy(_.getTimestamp(1).getTime).map(r => r.isNullAt(2))
+        val firstDefined = seq.indexOf(false)
+        firstDefined >= 0 && seq.drop(firstDefined).contains(true)
+      }
+    assert(badResets == 0, "forward fill must not reset to null")
+    out.unpersist()
+  }
+
+  test("quartiles_disc: q2 equals the row_number-selected median element") {
+    import org.apache.spark.sql.functions._
+    val q2 = q("quartiles_disc").select("o_orderpriority", "q2_cents")
+    // independent brute check: sort each group's cents, take element ceil(n/2)
+    val ev = Util.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), Util.cents(col("o_totalprice")).as("c"),
+        col("o_orderkey"))
+    val brute = ev.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(identity)
+      g -> sorted((math.ceil(sorted.length * 0.5).toInt - 1))._1
+    }
+    q2.collect().foreach { r =>
+      assert(r.getLong(1) == brute(r.getString(0)),
+        s"median mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("connected_components: components are label-closed over the edge relation") {
     val cc = graft.SparkEntry.queries("connected_components")(spark, dir).cache()
     // component id must be a member doc_id (min label reached)
