@@ -254,10 +254,13 @@ object DedupOps {
         when(col(s"s${16 * m + k}") >= 0, 1 << k).otherwise(0)
       }.reduce((a: Column, b: Column) => a + b).cast("int").as(s"b$m")
     }
-    // one row per doc, 5 ints — materialized so the (md5 explode + 64-col
-    // aggregate) subtree under it evaluates once, not once per downstream
-    // reference (bucket pairs + both verification sides)
-    val bands = sums.select((col("doc_id") +: bandCols): _*).localCheckpoint()
+    // one row per doc, 5 ints — checkpointed (lazily: eager would run a
+    // full job at plan-construction time, breaking explain/schema-only
+    // callers) so the (md5 explode + 64-col aggregate) subtree evaluates
+    // once, not once per downstream reference (bucket pairs + both
+    // verification sides)
+    val bands = sums.select((col("doc_id") +: bandCols): _*)
+      .localCheckpoint(eager = false)
     // bucket per (band index, band value); pairs via per-bucket list + double
     // explode so the (64-col aggregate) subtree is evaluated once, not twice
     val longF = bands.select(col("doc_id"), explode(array(
@@ -348,8 +351,12 @@ object DedupOps {
       .localCheckpoint() // edge discovery runs once; iterations re-join this
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
       .localCheckpoint()
+    // coalesce: sum over zero rows is null (empty node set must return an
+    // empty result, not NPE)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = -1L
-    var curSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var curSum = labelSum(labels)
     var iter = 0
     val maxIter = 40
     while (curSum != prevSum && iter < maxIter) {
@@ -368,7 +375,7 @@ object DedupOps {
           least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
       prevSum = curSum
-      curSum = labels.agg(sum(col("label"))).head.getLong(0)
+      curSum = labelSum(labels)
       iter += 1
     }
     // fail loudly rather than emit wrong components: the oracle computes

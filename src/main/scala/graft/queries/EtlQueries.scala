@@ -233,9 +233,17 @@ object EtlQueries {
     * df.schema — the same schema-walking idiom as the reference's backfill
     * renderer, O-8), then unpivoted to long form. At 100 TB profiling must
     * be one scan, never one scan per column. */
+  /** Single source of truth for the profiled column set — the Spark side
+    * asserts the live schema matches so drift fails fast with a clear
+    * message instead of as a confusing oracle hash mismatch. */
+  private val profiledOrdersCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
   private def profileColumns(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val cols = o.schema.fieldNames.toSeq
+    require(cols.sorted == profiledOrdersCols.sorted,
+      s"orders schema drifted: live=$cols, oracle mirrors=$profiledOrdersCols")
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__distinct"))
@@ -251,10 +259,7 @@ object EtlQueries {
   }
 
   private def profileColumnsSql: String = {
-    // the testdata orders schema is stable; mirror the generated agg list
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-      "o_orderdate", "o_orderpriority")
-    cols.map { c =>
+    profiledOrdersCols.map { c =>
       s"""SELECT '$c' AS col_name,
          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
@@ -262,12 +267,15 @@ object EtlQueries {
   }
 
   /** Referential-integrity audit: child/orphan counts for the star-schema
-    * relationships, each via a broadcast anti-join on the parent keys (the
-    * reference's key gates generalized to cross-table contracts). */
+    * relationships via anti-joins on the parent keys (the reference's key
+    * gates generalized to cross-table contracts). No broadcast hint: the
+    * parent side ranges from 25 rows (nation) to the orders key set, and a
+    * forced broadcast of a fact-sized key set would OOM the driver at
+    * scale — the planner (plus AQE) picks broadcast vs shuffle per side. */
   private def refIntegrityAudit(s: SparkSession, dir: String): DataFrame = {
     def audit(rel: String, child: DataFrame, key: String,
         parentKeys: DataFrame): DataFrame = {
-      val orphans = child.join(broadcast(parentKeys), Seq(key), "left_anti")
+      val orphans = child.join(parentKeys, Seq(key), "left_anti")
       child.agg(count(lit(1)).as("n_child")).crossJoin(
         orphans.agg(count(lit(1)).as("n_orphan")))
         .select(lit(rel).as("relationship"), col("n_child"), col("n_orphan"))

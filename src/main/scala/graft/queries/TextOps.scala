@@ -170,15 +170,6 @@ object TextOps {
   val winnowK = 3 // words per gram
   val winnowW = 4 // grams per window
 
-  /** Winnowing document fingerprints (the MOSS scheme): hash every k-word
-    * gram, slide a w-gram window, keep each window's minimal hash (position
-    * tiebreak) — guarantees any shared run of ≥ k+w−1 words between two
-    * docs shares a fingerprint, with ~2/(w+1) selection density.
-    *
-    * Relational shape: grams are a posexplode; each gram replicates into
-    * the ≤ w windows containing it (an exploded integer sequence, not a
-    * range self-join); per-window min is one hash aggregate; fingerprint
-    * set is a distinct. All narrow or hash-keyed — 100 TB-safe. */
   /** Word k-gram rows (doc_id, pos, n_words, gram), assembled relationally
     * — posexplode single words, then lead(word, 1..k-1) over (doc_id, pos)
     * — instead of a `transform` higher-order lambda, which evaluates
@@ -197,6 +188,11 @@ object TextOps {
       .filter(col("pos") <= col("n_words") - k)
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every k-word
+    * gram, slide a w-gram window, keep each window's minimal hash (position
+    * tiebreak) — guarantees any shared run of ≥ k+w−1 words between two
+    * docs shares a fingerprint, with ~2/(w+1) selection density.
+    * All narrow or hash-keyed — 100 TB-safe. */
   private def docWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     // Sliding-frame formulation: each window's min is a frame aggregate
     // over [pos, pos+w-1] — ONE hash-partition on doc_id and a sort, no

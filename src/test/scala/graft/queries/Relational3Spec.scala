@@ -74,9 +74,16 @@ class Relational3Spec extends SparkSpec {
 
   test("gap_fill_hours: the hour grid is complete and forward-fill is monotone-defined") {
     val out = q("gap_fill_hours").cache()
-    val types = out.select("event_type").distinct().count()
-    val hours = out.select("hour").distinct().count()
-    assert(out.count() == types * hours, "grid must be the full cross product")
+    // expected grid derived INDEPENDENTLY from the events table, so a
+    // truncated hour range in the query cannot self-certify
+    val ev = Util.t(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val b = ev.agg(min("h"), max("h")).head()
+    val expHours =
+      (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 3600000L + 1
+    val expTypes = ev.select("event_type").distinct().count()
+    assert(out.select("hour").distinct().count() == expHours, "hour span truncated")
+    assert(out.count() == expTypes * expHours, "grid must be the full cross product")
     // after the first non-null fill value, ffill never returns to null
     val badResets = out.selectExpr("event_type", "hour", "ffill_cents")
       .collect().groupBy(_.getString(0)).count { case (_, rows) =>
