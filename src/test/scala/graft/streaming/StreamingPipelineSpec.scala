@@ -145,6 +145,69 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit after the watermark expires their window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("ssleftjoin")
+    val src = Files.createDirectories(root.resolve("events"))
+    val ckpt = root.resolve("ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      val schema = spark.read.parquet(src.toString).schema
+      def ev() = spark.readStream.schema(schema).parquet(src.toString)
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"),
+        "left_outer")
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= b.collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // user 1: purchase with a click in-window (inner match, emits at once);
+    // user 2: purchase with no click (outer row waits for watermark expiry)
+    Seq(
+      (1L, ts("2024-01-01 00:55:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "purchase", 5.0),
+      (3L, ts("2024-01-01 01:00:00"), 2L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src.toString)
+    run()
+    val afterB1 = buf.synchronized(buf.toList)
+    assert(afterB1.exists(r => r.getAs[Long]("p_user") == 1L && !r.isNullAt(r.fieldIndex("c_ts"))),
+      "matched pair should emit in the first batch")
+    assert(!afterB1.exists(r => r.getAs[Long]("p_user") == 2L),
+      "unmatched purchase must wait for watermark expiry")
+    // two watermark-advancing batches. The operator watermark is the MIN
+    // across both input streams, so BOTH event types must advance — a
+    // click-only batch would leave the purchase-side watermark (and thus
+    // state expiry) pinned at the first batch.
+    Seq((4L, ts("2024-01-01 03:00:00"), 3L, "click", 1.0),
+        (5L, ts("2024-01-01 03:00:00"), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src.toString)
+    run()
+    Seq((6L, ts("2024-01-01 04:00:00"), 3L, "click", 1.0),
+        (7L, ts("2024-01-01 04:00:00"), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src.toString)
+    run()
+    val u2 = buf.synchronized(buf.toList).filter(_.getAs[Long]("p_user") == 2L)
+    assert(u2.length == 1, s"expected exactly one null-extended row, got $u2")
+    assert(u2.head.isNullAt(u2.head.fieldIndex("c_ts")))
+  }
+
   test("sessionizeWithTimeout: idle session flushes when the watermark passes the gap") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("sesstimeout")
