@@ -105,16 +105,32 @@ def canon_rows(df: pd.DataFrame):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def fresh_con():
+        # one connection PER QUERY: a heavy oracle that OOMs poisons the
+        # connection's memory accounting and every later query then fails
+        # with a spurious OOM (observed at sf0.1). Bounded budget + spill
+        # dir keep big oracles (winnow's ~20M-row windowed expand) honest.
+        c = duckdb.connect()
+        c.execute("SET memory_limit = '32GB'")
+        c.execute("SET temp_directory = '/tmp/duckdb_spill'")
+        for t in TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # optional arg 3: comma-separated query subset (process isolation for
+    # heavy oracles — an OOM'd duckdb can poison the whole process)
+    if len(sys.argv) > 3:
+        subset = set(sys.argv[3].split(","))
+        oracles = {k: v for k, v in oracles.items() if k in subset}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
+        con = fresh_con()
         spark_dir = Path(out_dir) / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output")
