@@ -18,6 +18,44 @@ final case class Q(
     oracle: Option[String])
 
 object Util {
+
+  /** Sessions that already have the drop-metric logger registered (weak so a
+    * stopped session can be collected — same hygiene as the query caches). */
+  private val dropLoggerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Attach a named observation to `df` counting keys a hot-key/bucket cap
+    * dropped, and register (once per session) a listener that logs any
+    * nonzero `graft_drop_*` metric after each action.
+    *
+    * This is the "log the drop" half of every df-cap in the dedup/similarity
+    * suite: the metric rides the existing job as a CollectMetrics node —
+    * zero extra Spark jobs, visible in driver logs when (and only when) a
+    * cap actually bit. At sf0.01/sf0.1 the caps are sized to never bind, so
+    * oracle output is unchanged; at web-corpus scale the log line is the
+    * audit trail for what was skipped. */
+  def withDropMetric(s: SparkSession, df: DataFrame, name: String,
+      dropped: Column): DataFrame = {
+    if (dropLoggerSessions.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (metricName, row) =>
+            if (metricName.startsWith("graft_drop_") &&
+                row.toSeq.exists { case l: Long => l != 0L; case _ => false })
+              System.err.println(s"[graft] $metricName dropped hot keys: $row")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+    df.observe(name, coalesce(dropped, lit(0L)).as("n_dropped"))
+  }
+
   /** Read one testdata table.
     *
     * `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark 4 rejects
