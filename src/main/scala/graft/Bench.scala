@@ -28,18 +28,34 @@ object Bench {
     try {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      // never warm the benchmarked dataset itself: pick a warm-up sf dir
-      // distinct from sfDir so page/file-listing caches stay cold for the
-      // measured queries
-      val warmDir =
-        if (sfDir.contains("sf0.001")) "/root/testdata/sf0.01"
-        else "/root/testdata/sf0.001"
+      // never warm the benchmarked dataset itself: pick the SMALLEST sibling
+      // sf dir of sfDir (derived from its parent, not hardcoded) so
+      // page/file-listing caches stay cold for the measured queries
+      val sfPath = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      val warmDir = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(sfPath.getParent)
+        val siblings =
+          try st.iterator().asScala.filter(p =>
+            java.nio.file.Files.isDirectory(p) && p != sfPath &&
+              java.nio.file.Files.exists(p.resolve("orders.parquet"))).toSeq
+          finally st.close()
+        siblings.sortBy(p => java.nio.file.Files.size(p.resolve("orders.parquet")))
+          .headOption.getOrElse(
+            throw new java.io.FileNotFoundException(
+              s"no sibling sf dir of $sfDir with orders.parquet"))
+      }
       val o = spark.read.parquet(s"$warmDir/orders.parquet").limit(1000)
       o.withColumn("rn",
           row_number().over(Window.partitionBy("o_orderstatus").orderBy("o_orderkey")))
         .join(o.select("o_orderkey"), "o_orderkey")
         .groupBy("o_orderstatus").agg(sum("o_totalprice")).collect()
-    } catch { case _: Throwable => () } // warm-up is best-effort
+    } catch { case e: Throwable =>
+      // a skipped warm-up must be VISIBLE: first-query JIT cost lands on a
+      // measured query, so flag it in the bench log
+      System.err.println(s"[bench] WARM-UP SKIPPED (${e.getMessage}) — " +
+        "first-query timing will include JIT/codegen cost")
+    }
 
     // A failed query is reported as NEGATIVE elapsed seconds (not a normal
     // measurement) and forces a nonzero exit, so breakage can't masquerade

