@@ -48,7 +48,8 @@ object SparkEntry {
   /** All implemented operators, one entry each (SURVEY §2 inventory). */
   private val groups: Seq[Q] =
     EtlQueries.all ++ Relational.all ++ Relational2.all ++ Relational3.all ++
-      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
+      CorpusOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Corpus-preparation operators a pre-training data pipeline runs after
+  * cleaning/dedup: benchmark decontamination and token-budget shard
+  * packing. Extends the reference's staging→curated movement (SURVEY §2
+  * O-24) with the two steps every LLM corpus build adds between "curated"
+  * and "training shards".
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with a held-out benchmark set — the standard pre-training
+    * hygiene step (the n-gram-overlap test popularized by the GPT-3 and
+    * C4/PaLM corpus reports, run here at n=3 so the synthetic corpus
+    * yields a non-trivial contaminated set).
+    *
+    * Scale shape: the benchmark side is tiny by construction (a held-out
+    * eval set, not a corpus) — its distinct grams BROADCAST; the train
+    * side streams through one broadcast hash join keyed on the gram plus
+    * one per-doc hash aggregate. No shuffle of the corpus, no skew risk:
+    * a hot train gram meets ≤ 1 bench row, so the join fans out at most
+    * 1:1. Every train doc is emitted with its hit count (0 = clean) so
+    * the keep/drop decision is a filter downstream.
+    *
+    * Determinism: distinct-gram counting in exact integers; the benchmark
+    * split (doc_id % 97) is content-independent on both engines. */
+  private def decontaminateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val docs = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val train = g.filter(col("doc_id") % 97 =!= 0)
+    val hits = train.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val trainTotals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // anchor on the documents table, not the gram relation: a short doc
+    // with zero grams must still be emitted (clean), or it silently skips
+    // the decontamination verdict
+    t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(trainTotals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("is_contaminated", col("n_contaminated") >= 1)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateNgramsSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, s AS g
+      |      FROM d, UNNEST(list_transform(range(greatest(len(w)-2, 0)),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+      |hits AS (SELECT t.doc_id, COUNT(*) AS n_contaminated
+      |         FROM train t JOIN bench b USING (g) GROUP BY 1),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(t.n_grams, 0) AS n_grams,
+      |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      |  COALESCE(h.n_contaminated, 0) >= 1 AS is_contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      |LEFT JOIN totals t ON d.doc_id = t.doc_id
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Token-budget shard packing: assign documents to fixed-budget training
+    * shards (512 whitespace tokens here) by running token offset, packing
+    * greedily in doc_id order WITHIN each source — documents are never
+    * split; the straddling document overflows its shard, the standard
+    * "document-boundary" packing trade-off.
+    *
+    * Scale shape: packing is per-source (one window partition each), so
+    * sources pack in parallel and the only movement is one hash partition
+    * per source — a GLOBAL greedy pack would serialize the corpus through
+    * one task. At 100 TB the unit is whatever the shard-group key is
+    * (source, date, domain-bucket…); the plan is identical. The running
+    * cumsum is exact int64 in both engines. */
+  private def packTokenShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", floor(col("start_offset") / budget).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  private val packTokenShardsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS start_offset
+      |  FROM toks)
+      |SELECT doc_id, source, n_tokens, start_offset,
+      |  CAST(floor(start_offset / 512.0) AS BIGINT) AS shard_id
+      |FROM packed ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
+    Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)))
+}

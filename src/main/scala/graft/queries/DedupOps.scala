@@ -281,13 +281,15 @@ object DedupOps {
         when(col(s"s${16 * m + k}") >= 0, 1 << k).otherwise(0)
       }.reduce((a: Column, b: Column) => a + b).cast("int").as(s"b$m")
     }
-    // one row per doc, 5 ints — checkpointed (lazily: eager would run a
-    // full job at plan-construction time, breaking explain/schema-only
-    // callers) so the (md5 explode + 64-col aggregate) subtree evaluates
-    // once, not once per downstream reference (bucket pairs + both
-    // verification sides)
-    val bands = sums.select((col("doc_id") +: bandCols): _*)
-      .localCheckpoint(eager = false)
+    // one row per doc, 5 ints, referenced four times downstream (bucket
+    // sizes, both self-join sides, both verification sides). A LAZY
+    // persist makes the heavy (md5 explode + 64-col aggregate) subtree
+    // evaluate once across those references without running anything at
+    // construction — a checkpoint would not: even
+    // localCheckpoint(eager = false) calls physicalPlan.execute() at
+    // construction, which under AQE materializes every shuffle stage and
+    // breaks schema/explain-only callers (LazyPlanSpec guards this).
+    val bands = sums.select((col("doc_id") +: bandCols): _*).persist()
     // bucket per (band index, band value); candidates via a self-equi-join
     // on the bucket key (band, v) — exactly the oracle's formulation — so
     // pairs STREAM through the join instead of collecting one array per

@@ -241,16 +241,22 @@ object SimilarityOps {
       max(when(col("bit") === i, col("ch"))).as(s"bit$i"))
     val sigs = bits.groupBy(col("vec_id"))
       .agg(bitCols.head, bitCols.tail: _*)
-    // long-form (vec_id, band, sig), lazily checkpointed so the signature
-    // subtree above evaluates once even though the candidate self-join
-    // below references it on both sides
+    // long-form (vec_id, band, sig). The candidate self-join below
+    // references this three times; a LAZY persist (2 small ints + a short
+    // string per vector-band; the cache manager dedups identical plans)
+    // makes the expensive signature subtree above evaluate once across
+    // those references WITHOUT running anything at construction — a
+    // checkpoint would not: even localCheckpoint(eager = false) calls
+    // physicalPlan.execute() at construction, which under AQE materializes
+    // every shuffle stage and breaks schema/explain-only callers
+    // (LazyPlanSpec guards this).
     val bands = sigs.select(col("vec_id"), explode(array(
         struct(lit(0).as("band"),
           concat((0 until bandBits).map(i => col(s"bit$i")): _*).as("sig")),
         struct(lit(1).as("band"),
           concat((bandBits until nBits).map(i => col(s"bit$i")): _*).as("sig")))).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .localCheckpoint(eager = false)
+      .persist()
     // candidates: equi-join on the bucket key (band, sig) — pairs STREAM
     // through the join instead of materializing one array per bucket, so a
     // degenerate bucket (all-near-zero vectors sharing the zero signature)

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** The de-skew caps are sized to never bind on the oracle corpora — this
+  * spec proves the BINDING path: a degenerate bucket (every sampled doc
+  * identical → one bucket per band holding the whole corpus, the web-scale
+  * template-page case) exceeds maxSimhashBucket, candidate generation
+  * drops it instead of exploding |bucket|² pairs, and the drop is visible
+  * through the `graft_drop_*` observation. */
+class CapBindingSpec extends SparkSpec {
+
+  test("simhash bucket cap binds: oversized bucket dropped, metric fired") {
+    assert(DedupOps.maxSimhashBucket == 1024)
+    val dir = java.nio.file.Files.createTempDirectory("capbind").toString
+    import spark.implicits._
+    // 1030 sampled docs (doc_id % 10 == 0) with identical text → every band
+    // bucket holds 1030 > 1024 members → dropped; plus one small pair of
+    // identical docs whose buckets (size 2) survive the cap. (With NO
+    // surviving bucket, AQE's empty-relation propagation prunes the
+    // observed subtree from the final plan and the metric never surfaces —
+    // the realistic partial-drop shape is what the log contract covers.)
+    val clones = (0 until 1030).map(i =>
+      (i * 10L, "alpha beta gamma delta epsilon zeta", "en", "src", 0L))
+    val pair = Seq(
+      (20000L, "totally different words entirely here", "en", "src", 0L),
+      (20010L, "totally different words entirely here", "en", "src", 0L))
+    (clones ++ pair)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_drop_")) metrics(name) = row.getLong(0)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = SparkEntry.queries("simhash_neardup_pairs")(spark, dir).collect()
+      // the 1030-clone bucket contributes NO pairs (529k pairs suppressed);
+      // the surviving small bucket yields exactly the identical pair
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((20000L, 20010L)), s"got ${out.mkString(", ")}")
+      assert(out.head.getLong(2) == 0L) // identical docs → hamming 0
+      // listener delivery is async — poll
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.contains("graft_drop_simhash_bucket") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      // 4 bands × 1 oversized bucket each
+      assert(metrics.get("graft_drop_simhash_bucket").contains(4L),
+        s"expected 4 dropped buckets, saw $metrics")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic edge cases for the corpus-prep operators (shard boundaries,
+  * document-boundary overflow, per-source independence, bench/train
+  * split) on a crafted documents table — the oracle gate checks the full
+  * corpus, this pins the contracts. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def words(n: Int, w: String = "tok"): String =
+    Seq.fill(n)(w).mkString(" ")
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("corpusops").toString
+    import spark.implicits._
+    Seq(
+      // source A: exact boundary then straddle
+      (0L, words(512), "en", "A", 0L),           // bench doc (0 % 97 == 0)
+      (1L, words(512, "alpha"), "en", "A", 0L),  // starts 0 → shard 0
+      (2L, words(1, "beta"), "en", "A", 0L),     // starts 512 → shard 1
+      (3L, words(600, "gamma"), "en", "A", 0L),  // starts 513 → shard 1 (overflow)
+      (4L, words(1, "delta"), "en", "A", 0L),    // starts 1113 → shard 2
+      // source B packs independently from offset 0
+      (5L, "tok tok tok extra words here", "en", "B", 0L),
+      (6L, "unrelated totally different trigram text", "en", "B", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("pack_token_shards: boundary, overflow, per-source restart") {
+    val out = SparkEntry.queries("pack_token_shards")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("shard_id"))).toMap
+    assert(out(0L) == (0L, 0L))
+    assert(out(1L) == (512L, 1L))
+    assert(out(2L) == (1024L, 2L))
+    assert(out(3L) == (1025L, 2L)) // straddles; never split
+    assert(out(4L) == (1625L, 3L))
+    assert(out(5L) == (0L, 0L))    // source B restarts at offset 0
+    assert(out(6L) == (6L, 0L))
+  }
+
+  test("decontaminate_ngrams: bench doc excluded, trigram overlap flags train docs") {
+    val out = SparkEntry.queries("decontaminate_ngrams")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_contaminated"), r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(!out.contains(0L)) // bench doc is not scored
+    assert(out(1L) == (0L, false))  // "alpha…" shares no trigram with "tok…"
+    assert(out(5L)._1 == 1L && out(5L)._2) // "tok tok tok" ∈ bench grams
+    assert(out(6L) == (0L, false))
+    // doc 2 has < 3 words → zero grams, still emitted as clean
+    assert(out(2L) == (0L, false))
+  }
+}
