@@ -179,13 +179,21 @@ object SimilarityOps {
     * bands), floored at [[lshBits]], capped at 64. Keeps expected bucket
     * population roughly constant (n / 2^(bits/2) per band) as the corpus
     * grows — with the fixed 16 bits, bucket size ∝ corpus size and the
-    * candidate join degenerates toward all-pairs at 100 TB. */
-  def lshBitsFor(dir: String): Int =
-    estimatedRows(dir, "embeddings") match {
-      case Some(n) =>
-        val raw = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4
-        math.min(64, math.max(lshBits, raw + (raw & 1)))
-      case None => lshBits
+    * candidate join degenerates toward all-pairs at 100 TB.
+    *
+    * Session conf `graft.lsh.bits` overrides the derivation — the explicit
+    * knob for deployments where the corpus is not on a stat-able local
+    * path (object stores) or where the operator knows n better than the
+    * file-size estimate. */
+  def lshBitsFor(s: SparkSession, dir: String): Int =
+    s.conf.getOption("graft.lsh.bits").map(_.toInt) match {
+      case Some(b) => math.min(64, math.max(2, b + (b & 1)))
+      case None => estimatedRows(dir, "embeddings") match {
+        case Some(n) =>
+          val raw = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4
+          math.min(64, math.max(lshBits, raw + (raw & 1)))
+        case None => lshBits
+      }
     }
 
   /** Engine-portable pseudo-random hyperplane sign: +1 when the first hex
@@ -227,7 +235,7 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val dims = 64
-    val nBits = lshBitsFor(dir)
+    val nBits = lshBitsFor(s, dir)
     val bandBits = nBits / 2
     val e = quantizedBase(s, dir)
     val sgn = (for { i <- 0 until nBits; j <- 0 until dims }

@@ -1,0 +1,20 @@
+package graft.queries
+
+/** The LSH signature-width derivation: verify-scale corpora resolve to the
+  * oracle width, growth follows log₂(n), and the `graft.lsh.bits` session
+  * conf is the explicit deployment override. */
+class LshKnobSpec extends graft.SparkSpec {
+
+  test("lshBitsFor: verify corpora pin 16; conf overrides; odd rounds even") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
+      assert(SimilarityOps.lshBitsFor(spark, s"/root/testdata/$sf") == 16,
+        s"oracle width must hold at $sf")
+    // unstat-able path → conservative default, not a crash
+    assert(SimilarityOps.lshBitsFor(spark, "s3://nowhere/corpus") == 16)
+    spark.conf.set("graft.lsh.bits", "21")
+    try {
+      assert(SimilarityOps.lshBitsFor(spark, "/root/testdata/sf0.01") == 22)
+    } finally spark.conf.unset("graft.lsh.bits")
+    assert(SimilarityOps.lshBitsFor(spark, "/root/testdata/sf0.01") == 16)
+  }
+}
