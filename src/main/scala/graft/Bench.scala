@@ -31,13 +31,16 @@ object Bench {
       // never warm the benchmarked dataset itself: pick the SMALLEST sibling
       // sf dir of sfDir (derived from its parent, not hardcoded) so
       // page/file-listing caches stay cold for the measured queries
-      val sfPath = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      // toRealPath: a symlinked or non-canonical sfDir must not match as
+      // its own "sibling" and warm the measured dataset
+      val sfPath = java.nio.file.Paths.get(sfDir).toRealPath()
       val warmDir = {
         import scala.jdk.CollectionConverters._
         val st = java.nio.file.Files.list(sfPath.getParent)
         val siblings =
           try st.iterator().asScala.filter(p =>
-            java.nio.file.Files.isDirectory(p) && p != sfPath &&
+            java.nio.file.Files.isDirectory(p) &&
+              p.toRealPath() != sfPath &&
               java.nio.file.Files.exists(p.resolve("orders.parquet"))).toSeq
           finally st.close()
         siblings.sortBy(p => java.nio.file.Files.size(p.resolve("orders.parquet")))

@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional 3rd arg: comma-separated query subset for scoped re-runs
-    // (the driver always passes exactly two args → full surface)
+    // (the driver always passes exactly two args → full surface). Unknown
+    // names fail FAST: a typo that silently matched nothing would let a
+    // broken query pass a scoped re-check with exit 0.
     val subset: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

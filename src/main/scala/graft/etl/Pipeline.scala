@@ -31,11 +31,14 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
 
   /** Stage 2 (02_load_stage_pedidos.py processar :200-233): per new file —
     * robust read → gate → map → append to staging; route the file to
-    * lidos/ (ok) or erros/ (empty/bad header/zero rows/any failure). */
-  def loadStage(novos: Path, lidos: Path, erros: Path): (Int, Int) =
-    loadStageReport(novos, lidos, erros).partition(_.status == "loaded") match {
-      case (ok, bad) => (ok.size, bad.size)
-    }
+    * lidos/ (ok) or erros/ (empty/bad header/zero rows/any failure).
+    * Returns (loaded, quarantined); a lock-busy no-op counts in NEITHER
+    * (it is not a file outcome — check [[loadStageReport]] for the
+    * `lock_busy` row when (0, 0) needs disambiguating). */
+  def loadStage(novos: Path, lidos: Path, erros: Path): (Int, Int) = {
+    val report = loadStageReport(novos, lidos, erros)
+    (report.count(_.status == "loaded"), report.count(_.status == "quarantined"))
+  }
 
   /** Like [[loadStage]] but returns the per-file audit trail. Runs under
     * the staging run lock: a concurrent runner gets a single `lock_busy`

@@ -23,26 +23,40 @@ import java.nio.file.{Path, StandardOpenOption}
   */
 object RunLock {
 
+  /** One JVM-wide channel per lock file, NEVER closed while the JVM lives:
+    * POSIX fcntl drops ALL of a process's locks on a file when ANY fd for
+    * it closes (the FileLock javadoc's explicit warning), so a busy
+    * waiter closing its own channel would silently release a lock another
+    * thread of this process still believes it holds — re-opening the
+    * double-move window the lock exists to close. The map is bounded by
+    * the number of distinct pipelines in the process. */
+  private val channels =
+    new java.util.concurrent.ConcurrentHashMap[Path, FileChannel]()
+
+  private def channelFor(lockFile: Path): FileChannel = {
+    val key = lockFile.toAbsolutePath.normalize
+    channels.computeIfAbsent(key, p => {
+      val parent = p.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    })
+  }
+
   /** Run `body` under an exclusive lock on `lockFile`, polling up to
     * `waitMs` ms for acquisition. Returns None (and runs nothing) if the
     * lock is still held elsewhere at the deadline — the caller reports a
     * clean "skipped: concurrent run" outcome, mirroring the reference's
     * abort message (04_archive_pedidos.py:82). */
   def tryWithLock[A](lockFile: Path, waitMs: Long)(body: => A): Option[A] = {
-    val parent = lockFile.toAbsolutePath.getParent
-    if (parent != null) java.nio.file.Files.createDirectories(parent)
-    val ch = FileChannel.open(lockFile,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val deadline = System.nanoTime() + waitMs * 1000000L
-      var lock: FileLock = tryAcquire(ch)
-      while (lock == null && System.nanoTime() < deadline) {
-        Thread.sleep(25)
-        lock = tryAcquire(ch)
-      }
-      if (lock == null) None
-      else try Some(body) finally lock.release()
-    } finally ch.close()
+    val ch = channelFor(lockFile)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var lock: FileLock = tryAcquire(ch)
+    while (lock == null && System.nanoTime() < deadline) {
+      Thread.sleep(25)
+      lock = tryAcquire(ch)
+    }
+    if (lock == null) None
+    else try Some(body) finally lock.release()
   }
 
   private def tryAcquire(ch: FileChannel): FileLock =

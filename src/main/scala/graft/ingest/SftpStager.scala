@@ -86,31 +86,45 @@ object SftpStager {
 
     /** `ls -l` long-listing line: perms(+optional ACL/SELinux suffix),
       * links, owner, group, SIZE, month day time/year, NAME. Emitted by
-      * both openssh-sftp's ls and GNU ls (the test transport). */
+      * both openssh-sftp's ls and GNU ls (the test transport). Symlink
+      * entries render the name as `link -> target`; keep the link name
+      * (get() follows the link server-side; a size mismatch against the
+      * link's own size then fails verification loudly rather than
+      * fabricating an un-downloadable path). */
     private val lsLine =
       """^([-dl])[rwxsStT-]{9}[.+]?\s+\S+\s+\S+\s+\S+\s+(\d+)\s+\S+\s+\S+\s+\S+\s+(.+?)\s*$""".r
 
     private def parseLs(lines: Seq[String]): Seq[(String, Long, Boolean)] =
       lines.collect { case lsLine(kind, size, name) =>
-        (name, size.toLong, kind == "d")
+        val cleanName =
+          if (kind == "l") name.split(" -> ", 2).head else name
+        (cleanName, size.toLong, kind == "d")
       }
 
+    /** Batch-file command injection guard: sftp batch syntax cannot escape
+      * a double-quote inside a quoted operand. */
+    private def q(path: String): String = {
+      require(!path.contains("\"") && !path.contains("\n"),
+        s"path not representable in sftp batch mode: $path")
+      "\"" + path + "\""
+    }
+
     def list(dir: String): Seq[RemoteFile] =
-      parseLs(runBatch(Seq(s"""ls -l "$dir""""))).map { case (name, sz, isDir) =>
+      parseLs(runBatch(Seq(s"ls -l ${q(dir)}"))).map { case (name, sz, isDir) =>
         // ls prints basenames for a directory listing; rejoin with dir
         val base = name.substring(name.lastIndexOf('/') + 1)
         RemoteFile(base, s"$dir/$base", sz, isDir)
       }
 
     def size(path: String): Long =
-      parseLs(runBatch(Seq(s"""ls -l "$path""""))) match {
+      parseLs(runBatch(Seq(s"ls -l ${q(path)}"))) match {
         case Seq((_, sz, false)) => sz
         case other => throw new java.io.IOException(
           s"stat of $path returned ${other.size} entries")
       }
 
     def get(path: String, localTmp: Path): Unit = {
-      runBatch(Seq(s"""get "$path" "$localTmp""""))
+      runBatch(Seq(s"get ${q(path)} ${q(localTmp.toString)}"))
       ()
     }
   }

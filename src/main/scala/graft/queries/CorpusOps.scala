@@ -19,13 +19,15 @@ object CorpusOps {
     * C4/PaLM corpus reports, run here at n=3 so the synthetic corpus
     * yields a non-trivial contaminated set).
     *
-    * Scale shape: the benchmark side is tiny by construction (a held-out
-    * eval set, not a corpus) — its distinct grams BROADCAST; the train
-    * side streams through one broadcast hash join keyed on the gram plus
-    * one per-doc hash aggregate. No shuffle of the corpus, no skew risk:
-    * a hot train gram meets ≤ 1 bench row, so the join fans out at most
-    * 1:1. Every train doc is emitted with its hit count (0 = clean) so
-    * the keep/drop decision is a filter downstream.
+    * Scale shape: a real benchmark side is an eval set, not a corpus —
+    * small enough that the optimizer broadcasts it (no hint forced: this
+    * synthetic split is corpus-proportional, so a hard `broadcast()`
+    * would OOM at the 100 TB target; with auto-broadcast the plan
+    * degrades gracefully to a shuffle join when the bench side outgrows
+    * the threshold). No skew risk either way: a hot train gram meets
+    * ≤ 1 distinct bench row, so the join fans out at most 1:1. Every
+    * train doc is emitted with its hit count (0 = clean) so the
+    * keep/drop decision is a filter downstream.
     *
     * Determinism: distinct-gram counting in exact integers; the benchmark
     * split (doc_id % 97) is content-independent on both engines. */
@@ -40,7 +42,7 @@ object CorpusOps {
     val g = docs.select(col("doc_id"), explode(array_distinct(grams)).as("g"))
     val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val train = g.filter(col("doc_id") % 97 =!= 0)
-    val hits = train.join(broadcast(bench), Seq("g"), "left_semi")
+    val hits = train.join(bench, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     val trainTotals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // anchor on the documents table, not the gram relation: a short doc

@@ -166,9 +166,15 @@ object SimilarityOps {
       val p = java.nio.file.Paths.get(dir, s"$table.parquet")
       val bytes =
         if (java.nio.file.Files.isDirectory(p)) {
+          // recursive walk over REGULAR files: a partitioned table is
+          // key=val subdirectories — Files.list would sum directory inode
+          // sizes (~4 KB each) and estimate a billion-row corpus at ~10
+          // rows, silently pinning the width at the floor
           import scala.jdk.CollectionConverters._
-          val st = java.nio.file.Files.list(p)
-          try st.iterator().asScala.map(java.nio.file.Files.size).sum
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
           finally st.close()
         } else java.nio.file.Files.size(p)
       Some(math.max(1L, bytes / 400L))
@@ -215,8 +221,10 @@ object SimilarityOps {
     * aggregate per (vec, bit) — which stays inside WholeStageCodegen,
     * instead of 16 interpreted higher-order `aggregate` lambdas per row
     * (measured ~6× faster at sf0.1). */
+  /** Keyed by (session, dir, resolved bits): a `graft.lsh.bits` retune in
+    * the same session must produce a fresh plan, not the memoized one. */
   private val lshCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
   /** Cached per (session, dir): `dedup_embedding_neardup` is a filter over
     * this exact result, so materializing it once (it is candidate-pair
     * sized — thousands of rows, not corpus-sized) halves the similarity
@@ -228,7 +236,8 @@ object SimilarityOps {
     * the bench results. */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
     lshCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    lshCache.getOrElseUpdate((s, dir), annLshCosineUncached(s, dir).persist())
+    lshCache.getOrElseUpdate((s, dir, lshBitsFor(s, dir)),
+      annLshCosineUncached(s, dir).persist())
   }
 
   private def annLshCosineUncached(s: SparkSession, dir: String): DataFrame = {

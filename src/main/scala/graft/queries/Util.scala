@@ -35,7 +35,14 @@ object Util {
     * zero extra Spark jobs, visible in driver logs when (and only when) a
     * cap actually bit. At sf0.01/sf0.1 the caps are sized to never bind, so
     * oracle output is unchanged; at web-corpus scale the log line is the
-    * audit trail for what was skipped. */
+    * audit trail for what was skipped.
+    *
+    * KNOWN BLIND SPOT: if a cap drops EVERY key feeding a join side, AQE's
+    * empty-relation propagation can prune the observed subtree from the
+    * final plan and the metric never surfaces (CapBindingSpec documents
+    * the partially-surviving shape it covers). A 100 %-suppressed run is
+    * also visible as an empty/near-empty RESULT, so the signal is not
+    * silent — but the drop count itself is best-effort under AQE. */
   def withDropMetric(s: SparkSession, df: DataFrame, name: String,
       dropped: Column): DataFrame = {
     if (dropLoggerSessions.add(s)) {
