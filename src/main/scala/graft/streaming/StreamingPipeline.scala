@@ -162,6 +162,37 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming benchmark decontamination — a STREAM-STATIC join: arriving
+    * documents (an unbounded ingest feed) are flagged against the fixed
+    * benchmark gram set, the streaming twin of the batch
+    * `decontaminate_ngrams` query (graft.queries.CorpusOps).
+    *
+    * Deliberately STATELESS: the static bench set (eval-set-sized by
+    * contract) collapses to one array row broadcast under every arriving
+    * doc, and the verdict is a per-row `array_intersect` — one row in, one
+    * row out, no watermark, no state store, append-mode safe. (A
+    * gram-level join + per-doc groupBy would re-count correctly in batch
+    * but turns into an unbounded stateful aggregation on a stream.) The
+    * static side is re-read per micro-batch, so a refreshed benchmark file
+    * takes effect on the next batch. */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val n = 3
+    val w = split(col("text"), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val bench = benchGrams.agg(collect_set(col("g")).as("bench_gs"))
+    docs
+      .withColumn("gs", array_distinct(grams))
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(array_intersect(col("gs"), col("bench_gs"))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("is_contaminated", col("n_contaminated") >= 1)
+  }
+
   /** Streaming dedup with bounded state: drop duplicate (user_id, event_id)
     * arrivals within the watermark horizon — the streaming analog of the
     * batch latest-per-key dedup for at-least-once upstream feeds. State for

@@ -42,6 +42,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(6L) == (6L, 0L))
   }
 
+  test("corpus invariants on sf0.001: packing is a per-source prefix sum; verdicts cover the train split") {
+    val sf = "/root/testdata/sf0.001"
+    val packed = SparkEntry.queries("pack_token_shards")(spark, sf).collect()
+    // per source: offsets are the prefix sums of token counts in doc_id
+    // order (equivalently: sorted by doc_id, each start_offset equals the
+    // previous start_offset + previous n_tokens), and shards start at 0
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("start_offset") == expected)
+        expected + r.getAs[Long]("n_tokens")
+      }
+      assert(sorted.head.getAs[Long]("shard_id") == 0L)
+      // shard ids never skip: consecutive docs differ by ≤ ceil(tokens/512)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("shard_id") >= a.getAs[Long]("shard_id"))
+        case _ => ()
+      }
+    }
+    val verdicts = SparkEntry.queries("decontaminate_ngrams")(spark, sf).collect()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly the train split is scored, once each
+    assert(verdicts.map(_.getAs[Long]("doc_id")).toSet ==
+      corpus.filter(_ % 97 != 0))
+    assert(verdicts.length == verdicts.map(_.getAs[Long]("doc_id")).distinct.length)
+    // hits never exceed the doc's gram count
+    verdicts.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Boolean]("is_contaminated") ==
+        (r.getAs[Long]("n_contaminated") >= 1))
+    }
+  }
+
   test("decontaminate_ngrams: bench doc excluded, trigram overlap flags train docs") {
     val out = SparkEntry.queries("decontaminate_ngrams")(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") ->

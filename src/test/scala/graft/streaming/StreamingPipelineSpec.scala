@@ -87,6 +87,29 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(clicks.exists(r => r.getAs[Long]("n") == 2)) // both in [00:00,00:10)
   }
 
+  test("decontaminateStream: stream-static verdicts, stateless append mode") {
+    val root = Files.createTempDirectory("decontstream")
+    val src = root.resolve("docs")
+    Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma"
+      (2L, "totally unrelated words here"),  // clean
+      (3L, "xy"))                            // < 3 words → 0 grams, clean
+      .toDF("doc_id", "text")
+      .write.parquet(src.toString)
+    val benchGrams = Seq("alpha beta gamma", "never seen").toDF("g")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.decontaminateStream(stream, benchGrams), "decont_out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(out(1L) == (2L, 1L, true))
+    assert(out(2L) == (2L, 0L, false))
+    assert(out(3L) == (0L, 0L, false))
+  }
+
   test("dedupStream: duplicate arrivals within the watermark are dropped") {
     val root = Files.createTempDirectory("dedupstream")
     val src = root.resolve("events")
