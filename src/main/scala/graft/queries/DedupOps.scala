@@ -28,8 +28,12 @@ object DedupOps {
     * logged. 100 TB rationale: the all-zero band shared by short docs is a
     * single join key carrying |bucket|² candidate pairs — the cap bounds
     * the worst key at ~500k pairs. Never binds at test scale (≤ 500
-    * sampled docs total), so oracle output is unchanged there. */
-  val maxSimhashBucket = 1024
+    * sampled docs total), so oracle output is unchanged there.
+    * Session conf `graft.cap.simhashBucket` overrides per deployment. */
+  val maxSimhashBucketDefault = 1024
+  def maxSimhashBucket(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.simhashBucket").map(_.toInt)
+      .getOrElse(maxSimhashBucketDefault)
 
   /** Document-frequency cap for the raw-token equi-joins (connected-
     * components edge discovery, n-gram Jaccard candidates): a token
@@ -38,8 +42,12 @@ object DedupOps {
     * rationale: a stop word with df = 10⁶ contributes 10¹² join rows while
     * carrying near-zero similarity signal — the classic quadratic key.
     * Never binds at test scale (max df ≤ 500 sampled docs), so oracle
-    * output is unchanged there. */
-  val maxTokenDf = 10000
+    * output is unchanged there.
+    * Session conf `graft.cap.tokenDf` overrides per deployment. */
+  val maxTokenDfDefault = 10000
+  def maxTokenDf(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.tokenDf").map(_.toInt)
+      .getOrElse(maxTokenDfDefault)
 
   /** Exact dedup: content-hash groups with canonical (min) doc id. */
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -82,8 +90,8 @@ object DedupOps {
     // log the drop; set sizes below still count every shingle
     val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val okSh = withDropMetric(s, shDf, "graft_drop_ngram_shingle",
-        sum(when(col("df") > maxTokenDf, 1L).otherwise(0L)))
-      .filter(col("df") <= maxTokenDf)
+        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf(s))
       .select(col("sh"))
     val a = sh.join(okSh, Seq("sh"), "left_semi").as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -305,8 +313,8 @@ object DedupOps {
     val bucketSizes = longF.groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_simhash_bucket",
-        sum(when(col("k") > maxSimhashBucket, 1L).otherwise(0L)))
-      .filter(col("k") > 1 && col("k") <= maxSimhashBucket)
+        sum(when(col("k") > maxSimhashBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxSimhashBucket(s))
       .select(col("band"), col("v"))
     val eligible = longF.join(okBuckets, Seq("band", "v"), "left_semi")
     val cand = eligible.as("x").join(longF.as("y"),
@@ -384,8 +392,8 @@ object DedupOps {
     // set sizes above still count every word. Never binds at test scale.
     val wDf = uw.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val okW = withDropMetric(s, wDf, "graft_drop_cc_word",
-        sum(when(col("df") > maxTokenDf, 1L).otherwise(0L)))
-      .filter(col("df") <= maxTokenDf)
+        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf(s))
       .select(col("w"))
     val a = uw.join(okW, Seq("w"), "left_semi").as("a"); val b = uw.as("b")
     val inter = a.join(b, col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

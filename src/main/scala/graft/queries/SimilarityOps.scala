@@ -153,8 +153,12 @@ object SimilarityOps {
     * corpora — otherwise yields |bucket|² candidate pairs on one join key.
     * The cap bounds that at ~500k pairs per bucket. Sized to never bind at
     * test scale (max observed bucket ≈ 30 at sf0.1), so oracle output is
-    * unchanged there. */
-  val maxLshBucket = 1024
+    * unchanged there.
+    * Session conf `graft.cap.lshBucket` overrides per deployment. */
+  val maxLshBucketDefault = 1024
+  def maxLshBucket(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.lshBucket").map(_.toInt)
+      .getOrElse(maxLshBucketDefault)
 
   /** Estimate corpus rows WITHOUT running a Spark job (query construction
     * must stay job-free for schema/explain callers): parquet bytes on local
@@ -284,8 +288,8 @@ object SimilarityOps {
     val bucketSizes = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_lsh_bucket",
-        sum(when(col("k") > maxLshBucket, 1L).otherwise(0L)))
-      .filter(col("k") > 1 && col("k") <= maxLshBucket)
+        sum(when(col("k") > maxLshBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxLshBucket(s))
       .select(col("band"), col("sig"))
     val eligible = bands.join(okBuckets, Seq("band", "sig"), "left_semi")
     val pairs = eligible.as("x").join(bands.as("y"),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
 class CapBindingSpec extends SparkSpec {
 
   test("simhash bucket cap binds: oversized bucket dropped, metric fired") {
-    assert(DedupOps.maxSimhashBucket == 1024)
+    assert(DedupOps.maxSimhashBucket(spark) == 1024)
     val dir = java.nio.file.Files.createTempDirectory("capbind").toString
     import spark.implicits._
     // 1030 sampled docs (doc_id % 10 == 0) with identical text → every band
