@@ -77,7 +77,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: a truncated stdout capture (seen when the
+    // harness logs clip the tail) must not lose the per-query record
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_last_run.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_last_run.json: $e")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
