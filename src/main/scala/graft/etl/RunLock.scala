@@ -23,24 +23,16 @@ import java.nio.file.{Path, StandardOpenOption}
   */
 object RunLock {
 
-  /** One JVM-wide channel per lock file, NEVER closed while the JVM lives:
-    * POSIX fcntl drops ALL of a process's locks on a file when ANY fd for
-    * it closes (the FileLock javadoc's explicit warning), so a busy
-    * waiter closing its own channel would silently release a lock another
-    * thread of this process still believes it holds — re-opening the
-    * double-move window the lock exists to close. The map is bounded by
-    * the number of distinct pipelines in the process. */
-  private val channels =
-    new java.util.concurrent.ConcurrentHashMap[Path, FileChannel]()
-
-  private def channelFor(lockFile: Path): FileChannel = {
-    val key = lockFile.toAbsolutePath.normalize
-    channels.computeIfAbsent(key, p => {
-      val parent = p.getParent
-      if (parent != null) java.nio.file.Files.createDirectories(parent)
-      FileChannel.open(p, StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    })
-  }
+  /** One shared, REFCOUNTED channel per lock file: POSIX fcntl drops ALL
+    * of a process's locks on a file when ANY fd for it closes (the
+    * FileLock javadoc's explicit warning), so a busy waiter closing its
+    * own channel would silently release a lock another thread of this
+    * process still believes it holds — re-opening the double-move window
+    * the lock exists to close. A channel therefore closes only when the
+    * LAST thread using that path leaves (no holder, no waiter), which
+    * also keeps the fd count bounded for dynamic per-run lock paths. */
+  private final class Entry(val ch: FileChannel) { var refs = 0 }
+  private val entries = scala.collection.mutable.HashMap.empty[Path, Entry]
 
   /** Run `body` under an exclusive lock on `lockFile`, polling up to
     * `waitMs` ms for acquisition. Returns None (and runs nothing) if the
@@ -48,15 +40,33 @@ object RunLock {
     * clean "skipped: concurrent run" outcome, mirroring the reference's
     * abort message (04_archive_pedidos.py:82). */
   def tryWithLock[A](lockFile: Path, waitMs: Long)(body: => A): Option[A] = {
-    val ch = channelFor(lockFile)
-    val deadline = System.nanoTime() + waitMs * 1000000L
-    var lock: FileLock = tryAcquire(ch)
-    while (lock == null && System.nanoTime() < deadline) {
-      Thread.sleep(25)
-      lock = tryAcquire(ch)
+    val key = lockFile.toAbsolutePath.normalize
+    val entry = entries.synchronized {
+      val e = entries.getOrElseUpdate(key, {
+        val parent = key.getParent
+        if (parent != null) java.nio.file.Files.createDirectories(parent)
+        new Entry(FileChannel.open(key,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE))
+      })
+      e.refs += 1
+      e
     }
-    if (lock == null) None
-    else try Some(body) finally lock.release()
+    try {
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      var lock: FileLock = tryAcquire(entry.ch)
+      while (lock == null && System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        lock = tryAcquire(entry.ch)
+      }
+      if (lock == null) None
+      else try Some(body) finally lock.release()
+    } finally entries.synchronized {
+      entry.refs -= 1
+      if (entry.refs == 0) {
+        entries.remove(key)
+        try entry.ch.close() catch { case _: Exception => () }
+      }
+    }
   }
 
   private def tryAcquire(ch: FileChannel): FileLock =

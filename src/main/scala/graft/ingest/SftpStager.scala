@@ -88,9 +88,12 @@ object SftpStager {
       * links, owner, group, SIZE, month day time/year, NAME. Emitted by
       * both openssh-sftp's ls and GNU ls (the test transport). Symlink
       * entries render the name as `link -> target`; keep the link name
-      * (get() follows the link server-side; a size mismatch against the
-      * link's own size then fails verification loudly rather than
-      * fabricating an un-downloadable path). */
+      * (get() follows the link server-side). The reported SIZE is the
+      * link inode's own, so verification fails loudly for symlinked
+      * files — the same behavior as the reference's paramiko
+      * `listdir_attr` size check (01_ingest_sftp_pedidos.py:46-49,78-82):
+      * lstat-sized listings are an SFTP protocol limitation, not an
+      * engine choice; publish real files, not links, on the remote. */
     private val lsLine =
       """^([-dl])[rwxsStT-]{9}[.+]?\s+\S+\s+\S+\s+\S+\s+(\d+)\s+\S+\s+\S+\s+\S+\s+(.+?)\s*$""".r
 
@@ -102,9 +105,11 @@ object SftpStager {
       }
 
     /** Batch-file command injection guard: sftp batch syntax cannot escape
-      * a double-quote inside a quoted operand. */
+      * a double-quote inside a quoted operand, and backslash is itself the
+      * client tokenizer's escape character. */
     private def q(path: String): String = {
-      require(!path.contains("\"") && !path.contains("\n"),
+      require(!path.contains("\"") && !path.contains("\\") &&
+        !path.contains("\n"),
         s"path not representable in sftp batch mode: $path")
       "\"" + path + "\""
     }

@@ -13,6 +13,19 @@ import Util._
   */
 object CorpusOps {
 
+  /** Word n-gram array of a text column (possibly with duplicates) — the
+    * ONE tokenization shared by the batch decontamination query and its
+    * streaming twin ([[graft.streaming.StreamingPipeline.decontaminateStream]]):
+    * a change here changes both sides together, preserving the
+    * twin-equivalence contract. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with a held-out benchmark set — the standard pre-training
     * hygiene step (the n-gram-overlap test popularized by the GPT-3 and
@@ -34,12 +47,8 @@ object CorpusOps {
   private def decontaminateNgrams(s: SparkSession, dir: String): DataFrame = {
     val n = 3
     val docs = t(s, dir, "documents")
-    val w = split(col("text"), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val g = docs.select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+    val g = docs.select(col("doc_id"),
+      explode(array_distinct(wordGrams(col("text"), n))).as("g"))
     val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val train = g.filter(col("doc_id") % 97 =!= 0)
     val hits = train.join(bench, Seq("g"), "left_semi")

@@ -227,12 +227,18 @@ object SimilarityOps {
     * (measured ~6× faster at sf0.1). */
   /** Keyed by (session, dir, resolved bits): a `graft.lsh.bits` retune in
     * the same session must produce a fresh plan, not the memoized one. */
-  private val lshCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
-  /** Cached per (session, dir): `dedup_embedding_neardup` is a filter over
-    * this exact result, so materializing it once (it is candidate-pair
-    * sized — thousands of rows, not corpus-sized) halves the similarity
-    * suite's wall time. Transparent to results.
+  /** Keyed by (session, dir, resolved bits, resolved cap): retuning EITHER
+    * knob in-session must produce a fresh plan, never the memoized one.
+    * The value carries every persisted DataFrame the plan owns (result +
+    * the bands intermediate) so a superseded entry for the same
+    * (session, dir) is fully unpersisted on replacement instead of
+    * leaking block-manager storage across retunes. */
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), Seq[DataFrame]]
+  /** Cached per (session, dir, knobs): `dedup_embedding_neardup` is a
+    * filter over this exact result, so materializing it once (it is
+    * candidate-pair sized — thousands of rows, not corpus-sized) halves
+    * the similarity suite's wall time. Transparent to results.
     *
     * The persist is LAZY (no count() at construction): schema/explain-only
     * callers trigger no Spark job, and bench timing attributes the first
@@ -240,11 +246,21 @@ object SimilarityOps {
     * the bench results. */
   private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
     lshCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    lshCache.getOrElseUpdate((s, dir, lshBitsFor(s, dir)),
-      annLshCosineUncached(s, dir).persist())
+    val key = (s, dir, lshBitsFor(s, dir), maxLshBucket(s))
+    lshCache.getOrElseUpdate(key, {
+      // evict + unpersist entries for the same (session, dir) under OLD
+      // knob values before building the new plan
+      lshCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k != key)
+        .foreach(k => lshCache.remove(k).foreach(_.foreach(_.unpersist())))
+      val (result, bands) = annLshCosineUncached(s, dir)
+      Seq(result.persist(), bands)
+    }).head
   }
 
-  private def annLshCosineUncached(s: SparkSession, dir: String): DataFrame = {
+  /** Returns (result, persisted bands intermediate) — the caller owns the
+    * cache registration and eventual unpersist of both. */
+  private def annLshCosineUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val dims = 64
@@ -299,11 +315,12 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_shared_bands"))
     val ea = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("nrm").as("nb"))
-    pairs.join(ea, "a_id").join(eb, "b_id")
+    val result = pairs.join(ea, "a_id").join(eb, "b_id")
       .withColumn("cos", dotQ(col("qa"), col("qb")).cast("double") /
         sqrt((col("na") * col("nb")).cast("double")))
       .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("cos"))
       .orderBy("a_id", "b_id")
+    (result, bands)
   }
 
   private val annLshCosineSql = {

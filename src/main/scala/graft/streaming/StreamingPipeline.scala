@@ -176,15 +176,10 @@ object StreamingPipeline {
     * static side is re-read per micro-batch, so a refreshed benchmark file
     * takes effect on the next batch. */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
-    val n = 3
-    val w = split(col("text"), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
     val bench = benchGrams.agg(collect_set(col("g")).as("bench_gs"))
     docs
-      .withColumn("gs", array_distinct(grams))
+      .withColumn("gs",
+        array_distinct(graft.queries.CorpusOps.wordGrams(col("text"), 3)))
       .crossJoin(broadcast(bench))
       .select(col("doc_id"),
         size(col("gs")).cast("long").as("n_grams"),

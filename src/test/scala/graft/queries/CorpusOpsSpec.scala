@@ -55,10 +55,15 @@ class CorpusOpsSpec extends SparkSpec {
         expected + r.getAs[Long]("n_tokens")
       }
       assert(sorted.head.getAs[Long]("shard_id") == 0L)
-      // shard ids never skip: consecutive docs differ by ≤ ceil(tokens/512)
+      // shard ids never skip: consecutive docs advance by at most the
+      // shards the earlier doc's tokens could span (ceil(tokens/512) + 1
+      // covers a straddling start), and never go backward
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          assert(b.getAs[Long]("shard_id") >= a.getAs[Long]("shard_id"))
+          val delta = b.getAs[Long]("shard_id") - a.getAs[Long]("shard_id")
+          val maxAdvance = (a.getAs[Long]("n_tokens") + 511) / 512 + 1
+          assert(delta >= 0 && delta <= maxAdvance,
+            s"shard jump $delta exceeds $maxAdvance")
         case _ => ()
       }
     }
