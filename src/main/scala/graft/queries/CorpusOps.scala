@@ -127,7 +127,47 @@ object CorpusOps {
       |  CAST(floor(start_offset / 512.0) AS BIGINT) AS shard_id
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** Document chunking for embedding/RAG prep: split each document into
+    * fixed-size token windows (64 tokens, stride 48 → 16-token overlap),
+    * the standard shape feeding an embedding model whose context is
+    * smaller than a document. Purely narrow — an array expression plus
+    * one posexplode, no shuffle until the output sort; at 100 TB chunking
+    * is embarrassingly parallel and the chunk count per doc is bounded by
+    * ⌈tokens/stride⌉. Empty docs emit zero chunks. Window arithmetic is
+    * identical integer logic in both engines. */
+  private def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    val n = size(w)
+    // sequence() throws on an empty range in ANSI mode — guard n >= 1
+    val starts = when(n >= 1, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts, st => struct(
+      st.as("start"),
+      least(lit(win), n - st).as("n_chunk_tokens"),
+      concat_ws(" ", slice(w, st + 1, lit(win))).as("chunk_text")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkDocumentsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(st // 48 AS BIGINT) AS chunk_id,
+      |  CAST(least(64, len(w) - st) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text
+      |FROM toks, UNNEST(range(0, len(w), 48)) u(st)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
-    Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)))
+    Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
+    Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)))
 }

@@ -42,6 +42,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(6L) == (6L, 0L))
   }
 
+  test("chunk_documents: stride windows, short tail, singleton doc") {
+    val chunks = SparkEntry.queries("chunk_documents")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1 = 512 tokens: starts 0,48,…,480 → 11 chunks; all full except
+    // the tail (512 − 480 = 32)
+    val d1 = chunks(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.length == 11)
+    assert(d1.init.forall(_.getAs[Long]("n_chunk_tokens") == 64L))
+    assert(d1.last.getAs[Long]("n_chunk_tokens") == 32L)
+    assert(d1.head.getAs[String]("chunk_text").split(" ").length == 64)
+    // doc 2 = 1 token: exactly one 1-token chunk
+    val d2 = chunks(2L)
+    assert(d2.length == 1 && d2.head.getAs[Long]("n_chunk_tokens") == 1L)
+    assert(d2.head.getAs[String]("chunk_text") == "beta")
+  }
+
   test("corpus invariants on sf0.001: packing is a per-source prefix sum; verdicts cover the train split") {
     val sf = "/root/testdata/sf0.001"
     val packed = SparkEntry.queries("pack_token_shards")(spark, sf).collect()
