@@ -269,15 +269,18 @@ object SimilarityOps {
     val e = quantizedBase(s, dir)
     val sgn = (for { i <- 0 until nBits; j <- 0 until dims }
       yield (i, j, sign(i, j))).toDF("bit", "dim", "sgn")
-    val bits = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+    // ONE aggregate: nBits conditional sums per vec_id (bit i's hyperplane
+    // dot = Σ qv·sgn over rows with bit == i), pivoted to sign chars in the
+    // same projection — one exchange fewer than the former
+    // (vec, bit)-aggregate + pivot-aggregate chain, same exact-int math
+    val sumCols = (0 until nBits).map(i =>
+      sum(when(col("bit") === i, col("qv") * col("sgn"))).as(s"b$i"))
+    val sigs = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
       .join(broadcast(sgn), "dim")
-      .groupBy(col("vec_id"), col("bit"))
-      .agg(sum(col("qv") * col("sgn")).as("bdot"))
-      .withColumn("ch", when(col("bdot") >= 0, lit("1")).otherwise(lit("0")))
-    val bitCols = (0 until nBits).map(i =>
-      max(when(col("bit") === i, col("ch"))).as(s"bit$i"))
-    val sigs = bits.groupBy(col("vec_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
+      .groupBy(col("vec_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("vec_id") +: (0 until nBits).map(i =>
+        when(col(s"b$i") >= 0, lit("1")).otherwise(lit("0")).as(s"bit$i")): _*)
     // long-form (vec_id, band, sig). The candidate self-join below
     // references this three times; a LAZY persist (2 small ints + a short
     // string per vector-band; the cache manager dedups identical plans)
