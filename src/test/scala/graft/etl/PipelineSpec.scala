@@ -156,6 +156,53 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.schema(Schemas.stagingSchema).parquet(stagingPath).count() == 0)
   }
 
+  test("run lock: a SECOND PROCESS holding the lock file blocks archive (true inter-process semantics)") {
+    val root = Files.createTempDirectory("runlock-xproc")
+    val stagingPath = root.resolve("staging").toString
+    val pipeline = new Pipeline(spark, stagingPath,
+      root.resolve("dw").toString, root.resolve("hist").toString,
+      lockWaitMs = 300)
+    val row = org.apache.spark.sql.Row.fromSeq(
+      Schemas.stagingSchema.fieldNames.map {
+        case "id" => "7"; case "chave_nfe" => k2; case _ => ""
+      }.toIndexedSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row)),
+      Schemas.stagingSchema).write.mode("overwrite").parquet(stagingPath)
+
+    // compile + run a tiny foreign JVM that holds an OS lock on the file
+    val src = root.resolve("LockHolder.java")
+    Files.write(src,
+      """import java.nio.channels.FileChannel;
+        |import java.nio.file.*;
+        |public class LockHolder {
+        |  public static void main(String[] a) throws Exception {
+        |    FileChannel ch = FileChannel.open(Paths.get(a[0]),
+        |      StandardOpenOption.CREATE, StandardOpenOption.WRITE);
+        |    ch.lock();
+        |    System.out.println("HELD");
+        |    System.out.flush();
+        |    Thread.sleep(60000);
+        |  }
+        |}
+        |""".stripMargin.getBytes("UTF-8"))
+    val javac = new ProcessBuilder("javac", src.toString).inheritIO().start()
+    assert(javac.waitFor() == 0, "javac failed")
+    val lockFile = stagingPath + ".runlock"
+    val holder = new ProcessBuilder(
+      "java", "-cp", root.toString, "LockHolder", lockFile).start()
+    try {
+      // wait until the foreign process reports the lock held
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(holder.getInputStream))
+      assert(r.readLine() == "HELD")
+      val busy = pipeline.archive()
+      assert(busy.lockBusy && busy.moved == 0)
+    } finally holder.destroyForcibly().waitFor()
+    // foreign holder gone → archive proceeds
+    val audit = pipeline.archive()
+    assert(!audit.lockBusy && audit.moved == 1)
+  }
+
   private val fakeSftp =
     """#!/bin/sh
       |# scripted sftp(1) stand-in: serves batch-mode ls/get against a local
