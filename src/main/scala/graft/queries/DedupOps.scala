@@ -35,14 +35,15 @@ object DedupOps {
     s.conf.getOption("graft.cap.simhashBucket").map(_.toInt)
       .getOrElse(maxSimhashBucketDefault)
 
-  /** Document-frequency cap for the raw-token equi-joins (connected-
-    * components edge discovery, n-gram Jaccard candidates): a token
-    * appearing in more than this many docs is excluded from CANDIDATE
-    * DISCOVERY (set sizes still count every token) and logged. 100 TB
-    * rationale: a stop word with df = 10⁶ contributes 10¹² join rows while
-    * carrying near-zero similarity signal — the classic quadratic key.
-    * Never binds at test scale (max df ≤ 500 sampled docs), so oracle
-    * output is unchanged there.
+  /** Document-frequency cap for the n-gram Jaccard shingle equi-join: a
+    * shingle appearing in more than this many docs is excluded from the
+    * WHOLE computation — candidate discovery AND both set sizes — so the
+    * output is a consistent restricted-vocabulary Jaccard (similarity over
+    * the sub-universe of shingles with df ≤ cap), never a mixed-universe
+    * underestimate. 100 TB rationale: a stop-shingle with df = 10⁶
+    * contributes 10¹² join rows while carrying near-zero similarity signal
+    * — the classic quadratic key. Never binds at test scale (max df ≤ 500
+    * sampled docs), so oracle output is unchanged there.
     * Session conf `graft.cap.tokenDf` overrides per deployment. */
   val maxTokenDfDefault = 10000
   def maxTokenDf(s: SparkSession): Int =
@@ -83,17 +84,20 @@ object DedupOps {
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val sh = trigramShingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // df-cap the join key: a shingle shared by > maxTokenDf docs is the
-    // quadratic key at web scale — drop it from ONE side of the equi-join
-    // (a pair needs the shingle on both sides, so one side kills it) and
-    // log the drop; set sizes below still count every shingle
+    // quadratic key at web scale — drop it and log the drop. The drop is
+    // applied CONSISTENTLY: intersection counts AND set sizes both run on
+    // the capped shingle set, so when the cap binds the output is the exact
+    // Jaccard over the restricted vocabulary (df ≤ cap), not a numerator-
+    // only underestimate. Never binds at test scale → oracle unchanged.
     val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val okSh = withDropMetric(s, shDf, "graft_drop_ngram_shingle",
         sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
       .filter(col("df") <= maxTokenDf(s))
       .select(col("sh"))
-    val a = sh.join(okSh, Seq("sh"), "left_semi").as("a"); val b = sh.as("b")
+    val shOk = sh.join(okSh, Seq("sh"), "left_semi")
+    val sizes = shOk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shOk.as("a"); val b = shOk.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
       col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -128,13 +132,34 @@ object DedupOps {
     * One row per shingle carrying all 16 seeded hashes as columns: a single
     * map-side-combining hash aggregate (no seed cross-join, no collect_list
     * — 16× fewer shuffled rows than the naive plan). */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents").select(col("doc_id"),
+  private def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("sh"))
     sh.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
       (1 until minhashSeeds).map(seed =>
         min(md5(concat(lit(seed.toString), lit(":"), col("sh")))).as(s"m$seed")): _*)
+  }
+
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(t(s, dir, "documents"))
+
+  /** Long-form MinHash LSH band relation (doc_id, band, band_sig): the 16
+    * minhashes in 4 bands of 4, one md5 signature per band. Shared by the
+    * band-stats cost model and connected-components edge discovery — the
+    * "join on bucket, never all-pairs" key for the whole MinHash family. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val minh = minhashSignaturesOf(docs)
+    val bandSigs = (0 until minhashSeeds / bandSize).map { b =>
+      md5(concat_ws("|", (b * bandSize until (b + 1) * bandSize).map(seed =>
+        concat(lit(f"$seed%02d:"), col(s"m$seed"))): _*)).as(s"sig$b")
+    }
+    minh.select(col("doc_id") +: bandSigs: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until minhashSeeds / bandSize).map(b =>
+          struct(lit(b).as("band"), col(s"sig$b").as("band_sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
   }
 
   private val minhashSignaturesSql =
@@ -176,16 +201,7 @@ object DedupOps {
     * (Σ k·(k−1)/2). This is the cost model of the LSH join — the number the
     * scale path actually needs — without materializing the pairs. */
   private def lshBandStats(s: SparkSession, dir: String): DataFrame = {
-    val minh = minhashSignatures(s, dir)
-    val bandSigs = (0 until minhashSeeds / bandSize).map { b =>
-      md5(concat_ws("|", (b * bandSize until (b + 1) * bandSize).map(seed =>
-        concat(lit(f"$seed%02d:"), col(s"m$seed"))): _*)).as(s"sig$b")
-    }
-    minh.select(col("doc_id") +: bandSigs: _*)
-      .select(col("doc_id"), explode(array(
-        (0 until minhashSeeds / bandSize).map(b =>
-          struct(lit(b).as("band"), col(s"sig$b").as("band_sig"))): _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    minhashBands(t(s, dir, "documents"))
       .groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("band"))
@@ -368,11 +384,38 @@ object DedupOps {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Per-bucket candidate cap for connected-components edge discovery: a
+    * (band, band_sig) bucket larger than this is dropped from the candidate
+    * join and logged. 100 TB rationale: the quadratic key here is a giant
+    * duplicate cluster (a boilerplate page with 10⁶ copies shares all 4
+    * band signatures → |bucket|² candidates on one key); everything else is
+    * md5-uniform by construction. Never binds at test scale, so oracle
+    * output is unchanged there.
+    * Session conf `graft.cap.ccBucket` overrides per deployment. */
+  val maxCcBucketDefault = 1024
+  def maxCcBucket(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.ccBucket").map(_.toInt)
+      .getOrElse(maxCcBucketDefault)
+
   /** Connected components over the near-duplicate graph: nodes are sampled
-    * docs, edges are word-set Jaccard ≥ 0.5 pairs (exact milli units), and
-    * components come from iterative min-label propagation — the Pregel-style
-    * loop that dedups transitively linked clusters at 100 TB where a single
-    * groupBy on signature can't (A~B, B~C, A≁C must still merge).
+    * docs; edges are MinHash-LSH candidate pairs (≥ 1 shared band of the
+    * 16-seed / 4-band signature — the same [[minhashBands]] relation as
+    * `lsh_band_stats`) verified at word-set Jaccard ≥ 0.5 in exact milli
+    * units; components come from iterative min-label propagation — the
+    * Pregel-style loop that dedups transitively linked clusters at 100 TB
+    * where a single groupBy on signature can't (A~B, B~C, A≁C must still
+    * merge).
+    *
+    * Edge discovery is the band equi-join, NEVER a raw shared-word join: a
+    * stop word with df = 10⁶ makes a word-keyed join quadratic no matter
+    * how it is capped, while band buckets are md5-uniform and additionally
+    * capped ([[maxCcBucket]], drop-logged). Verification then reads the two
+    * word sets as row-local arrays (`array_intersect`) — candidate-pair-
+    * sized work with no token shuffle at all. Recall contract: as with
+    * [[simhashNeardupPairs]], banding guarantees a candidate for every pair
+    * sharing a full band (identical docs always; a J = 0.5 pair with
+    * probability 1−(1−J⁴)⁴); the oracle applies the IDENTICAL banding, so
+    * the compare checks the scheme, not exhaustive edge recall.
     *
     * Each iteration is one join + one hash-agg (shuffle keyed by node), run
     * until the label sum reaches a fixpoint; labels decrease monotonically,
@@ -383,26 +426,38 @@ object DedupOps {
   private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val uw = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " "), x => x =!= ""))).as("w"))
-    val sz = uw.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // df-cap the edge-discovery join key: stop words (df in the millions at
-    // web scale) make a.w === b.w quadratic — drop them from ONE side of
-    // the join (a match needs the word on both sides) and log the drop;
-    // set sizes above still count every word. Never binds at test scale.
-    val wDf = uw.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val okW = withDropMetric(s, wDf, "graft_drop_cc_word",
-        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
-      .filter(col("df") <= maxTokenDf(s))
-      .select(col("w"))
-    val a = uw.join(okW, Seq("w"), "left_semi").as("a"); val b = uw.as("b")
-    val inter = a.join(b, col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("i"))
-    val edges0 = inter
-      .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .filter(expr("(1000 * i) div (na + nb - i) >= 500"))
+    // candidate edges from the MinHash band relation: equi-join on the
+    // bucket key (band, band_sig), buckets beyond maxCcBucket dropped from
+    // one side (bucket membership is a key property, so one side kills the
+    // pair) with the drop logged via the graft_drop_* observation
+    val bl = minhashBands(docs)
+    val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("k"))
+    val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_cc_bucket",
+        sum(when(col("k") > maxCcBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxCcBucket(s))
+      .select(col("band"), col("band_sig"))
+    val eligible = bl.join(okBuckets, Seq("band", "band_sig"), "left_semi")
+    val cand = eligible.as("x").join(bl.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // verification: exact word-set Jaccard per candidate on row-local
+    // arrays. The milli cut is cross-multiplied (floor((1000·i)/u) ≥ 500 ⟺
+    // 1000·i ≥ 500·u for positive u) so neither engine divides; i ≥ 1 pins
+    // both engines to the shared-word requirement (u > 0 follows).
+    val docsW = docs.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ws"))
+    val wa = docsW.select(col("doc_id").as("a_id"), col("ws").as("wa"),
+      size(col("ws")).as("na"))
+    val wb = docsW.select(col("doc_id").as("b_id"), col("ws").as("wb"),
+      size(col("ws")).as("nb"))
+    val edges0 = cand.join(wa, "a_id").join(wb, "b_id")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))))
+      .filter(col("i") >= 1 &&
+        lit(1000) * col("i") >= lit(500) * (col("na") + col("nb") - col("i")))
       .select("a_id", "b_id")
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -446,18 +501,36 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val connectedComponentsSql =
-    """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+  private val connectedComponentsSql = {
+    val minhDefs = (0 until minhashSeeds)
+      .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i").mkString(",\n    ")
+    val bandDefs = (0 until minhashSeeds / bandSize).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize)
+        .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (SELECT DISTINCT doc_id, s AS sh FROM d, UNNEST(string_split(text,' ')) t(s)),
+      |minh AS (SELECT doc_id, $minhDefs FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandDefs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
       |uw AS (SELECT DISTINCT doc_id, w
       |       FROM d, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM uw GROUP BY 1),
       |inter AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-      |  FROM uw a JOIN uw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |  SELECT c.a_id, c.b_id, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN uw a ON a.doc_id = c.a_id
+      |  JOIN uw b ON b.doc_id = c.b_id AND b.w = a.w
+      |  GROUP BY 1, 2),
       |edges0 AS (
       |  SELECT a_id, b_id FROM inter
       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-      |  WHERE (1000 * i) // (sa.n + sb.n - i) >= 500),
+      |  WHERE 1000 * i >= 500 * (sa.n + sb.n - i)),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
       |          UNION ALL SELECT b_id, a_id FROM edges0),
       |reach AS (
@@ -468,6 +541,7 @@ object DedupOps {
       |  COUNT(*) OVER (PARTITION BY component) AS comp_size
       |FROM (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
       |ORDER BY doc_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
