@@ -43,7 +43,20 @@ object Bench {
               p.toRealPath() != sfPath &&
               java.nio.file.Files.exists(p.resolve("orders.parquet"))).toSeq
           finally st.close()
-        siblings.sortBy(p => java.nio.file.Files.size(p.resolve("orders.parquet")))
+        // recursive regular-file sum: orders.parquet may be a Spark-written
+        // DIRECTORY of part files, where Files.size returns the inode size
+        // (~4 KB) for every candidate and the "smallest sibling" pick
+        // silently degenerates to directory order
+        def dataSize(p: java.nio.file.Path): Long =
+          if (!java.nio.file.Files.isDirectory(p)) java.nio.file.Files.size(p)
+          else {
+            val w = java.nio.file.Files.walk(p)
+            try w.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+            finally w.close()
+          }
+        siblings.sortBy(p => dataSize(p.resolve("orders.parquet")))
           .headOption.getOrElse(
             throw new java.io.FileNotFoundException(
               s"no sibling sf dir of $sfDir with orders.parquet"))

@@ -22,8 +22,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // PIN the LSH signature width to the oracle twin's generation width:
+      // the DuckDB SQL for ann_lsh_cosine is emitted at 16 bits, while the
+      // Spark side otherwise derives width from corpus size — a larger
+      // verify corpus would silently flip Spark to 18 bits and fail the
+      // hash compare confusingly. Correctness runs must never depend on
+      // the size heuristic.
+      .config("graft.lsh.bits", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    require(graft.queries.SimilarityOps.lshBitsFor(spark, sfDir) == 16,
+      "verify contract: graft.lsh.bits must resolve to the oracle width (16)")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }

@@ -88,11 +88,24 @@ object StageLoad {
   def headerValido(columns: Seq[String]): Boolean =
     columns.count(c => Schemas.dePara.contains(normHeader(c))) >= Schemas.minValidHeaders
 
+  /** Spark 4 restricts CSV charsets to this native set unless
+    * `spark.sql.legacy.javaCharsets` is on (SPARK-46841). The sniffer's
+    * candidate list includes windows-1252 — the reference's PRIMARY
+    * encoding for these reports — so the readers below enable the conf on
+    * demand; without it every cp1252 file throws at analysis and the
+    * quarantine router silently eats the load. */
+  private val nativeCsvCharsets = Set(
+    "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8")
+  private def ensureCharsetReadable(spark: SparkSession, encoding: String): Unit =
+    if (!nativeCsvCharsets(encoding.toLowerCase(java.util.Locale.ROOT)))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
   /** Read one CSV with sniffed dialect into an all-string DataFrame.
     * PERMISSIVE mode: ragged short rows → null-padded; Spark's univocity
     * parser handles quotes/escapes like the reference's csv.reader
     * (quotechar '"', doublequote, escapechar '\\'; ref :133-136). */
-  def readCsv(spark: SparkSession, path: String, dialect: Dialect): DataFrame =
+  def readCsv(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
+    ensureCharsetReadable(spark, dialect.encoding)
     spark.read
       .option("header", true)
       .option("sep", dialect.sep)
@@ -102,6 +115,7 @@ object StageLoad {
       .option("mode", "PERMISSIVE")
       .option("inferSchema", false)
       .csv(path)
+  }
 
   /** Exact ragged-row parity path (ref :150-156): a row longer than the
     * header has its overflow cells re-joined with the separator into the
@@ -113,17 +127,30 @@ object StageLoad {
   def readCsvRaggedParity(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
     import spark.implicits._
     val sep = dialect.sep.head
+    ensureCharsetReadable(spark, dialect.encoding)
+    // whole physical lines through the CSV source, NOT the text source: the
+    // text source has no encoding option (it silently reads UTF-8, which
+    // would mojibake every cp1252 file on this path). A never-occurring
+    // separator keeps each line one cell; quoting is disabled so the
+    // splitter below (which implements the reference's quote semantics)
+    // sees the raw line.
     val lines = spark.read
+      .option("header", false)
+      .option("sep", "\u0001") // a control char no textual CSV export contains
+      .option("quote", "")
       .option("encoding", dialect.encoding)
-      .textFile(path)
-      .filter(l => l.trim.nonEmpty)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .select(col("_c0").cast("string"))
+      .as[String]
+      .filter((l: String) => l != null && l.trim.nonEmpty)
     val headerLine = lines.head() // one tiny action on the head partition
     val header = splitCsvLine(headerLine, sep).map(normHeader)
     val n = header.length
     // Skip only the FIRST physical line (the header), not every line equal
     // to it: a data row byte-identical to the header must survive, as in the
     // reference (which skips exactly row 0). zipWithIndex is deterministic
-    // over the text source's partition order.
+    // over the file source's partition order.
     val rows = lines.rdd.zipWithIndex()
       .filter(_._2 > 0L).map(_._1)
       .map { l =>

@@ -59,13 +59,16 @@ object SftpStager {
     * retry loop exactly like a thrown paramiko error.
     *
     * `target` is `[user@]host` (port/identity/options via `extraArgs`,
-    * e.g. `Seq("-P", "2222", "-i", keyPath)`). Auth must be
-    * NON-INTERACTIVE (key/agent — BatchMode is forced): unlike paramiko,
-    * sftp(1) cannot take a password from the environment. `command` is
-    * injectable so tests can exercise the full batch/parse/verify plumbing
-    * against a scripted transport without a live sshd. */
+    * e.g. `Seq("-P", "2222", "-i", keyPath)`). Default auth is
+    * NON-INTERACTIVE (key/agent — BatchMode is forced); for the reference's
+    * password setup use [[SftpBatchStore.withPassword]], which wraps the
+    * client in sshpass(1). `command` is injectable so tests can exercise
+    * the full batch/parse/verify plumbing against a scripted transport
+    * without a live sshd; `env` adds process environment entries (the
+    * password channel — never argv, which is world-readable in /proc). */
   class SftpBatchStore(target: String, extraArgs: Seq[String] = Seq.empty,
-      command: Seq[String] = Seq("sftp", "-oBatchMode=yes")) extends RemoteStore {
+      command: Seq[String] = Seq("sftp", "-oBatchMode=yes"),
+      env: Map[String, String] = Map.empty) extends RemoteStore {
 
     private def runBatch(cmds: Seq[String]): Seq[String] = {
       val batch = Files.createTempFile("graft_sftp_", ".batch")
@@ -73,8 +76,17 @@ object SftpStager {
         Files.write(batch, cmds.mkString("", "\n", "\n").getBytes("UTF-8"))
         val argv = command ++ extraArgs ++ Seq("-b", batch.toString, target)
         val pb = new ProcessBuilder(argv.asJava)
+        env.foreach { case (k, v) => pb.environment().put(k, v); () }
         pb.redirectErrorStream(true) // one stream: no pipe-buffer deadlock
-        val proc = pb.start()
+        val proc =
+          try pb.start()
+          catch {
+            case e: java.io.IOException if command.headOption.contains("sshpass") =>
+              throw new java.io.IOException(
+                "sshpass(1) not found on PATH — password-authenticated SFTP " +
+                  "needs it (e.g. `apt install sshpass`); alternatively use " +
+                  "key/agent auth via the default SftpBatchStore", e)
+          }
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         val rc = proc.waitFor()
         if (rc != 0)
@@ -121,17 +133,52 @@ object SftpStager {
         RemoteFile(base, s"$dir/$base", sz, isDir)
       }
 
-    def size(path: String): Long =
-      parseLs(runBatch(Seq(s"ls -l ${q(path)}"))) match {
-        case Seq((_, sz, false)) => sz
+    def size(path: String): Long = {
+      val lines = runBatch(Seq(s"ls -l ${q(path)}")).filter(_.trim.nonEmpty)
+      val parsed = parseLs(lines)
+      // unparseable output must be LOUD, not "0 entries": silently dropped
+      // lines would report a stat failure for a file that exists
+      if (parsed.isEmpty && lines.nonEmpty)
+        throw new java.io.IOException(
+          s"unparseable ls output for $path: '${lines.head.take(200)}'")
+      def base(n: String) = n.substring(n.lastIndexOf('/') + 1)
+      parsed match {
+        // the single entry must BE the requested path: `ls -l <dir>` of a
+        // directory with exactly one file also yields one non-dir entry,
+        // and verifying a download against that child's size would pass
+        // or fail arbitrarily
+        case Seq((name, sz, false)) if base(name) == base(path) => sz
+        case Seq((name, _, _)) => throw new java.io.IOException(
+          s"stat of $path resolved to a different object '$name' " +
+            "(directory, not a file?)")
         case other => throw new java.io.IOException(
           s"stat of $path returned ${other.size} entries")
       }
+    }
 
     def get(path: String, localTmp: Path): Unit = {
       runBatch(Seq(s"get ${q(path)} ${q(localTmp.toString)}"))
       ()
     }
+  }
+
+  object SftpBatchStore {
+    /** Password-authenticated transport — reference parity with paramiko's
+      * `connect(..., password=...)` (01_ingest_sftp_pedidos.py:40-44). The
+      * OpenSSH client itself cannot read a password from anywhere but a
+      * TTY, so the store wraps it in sshpass(1), feeding the password via
+      * the SSHPASS environment variable of the child process only (never
+      * argv and never the JVM's own env). BatchMode must be OFF here —
+      * it is precisely the "never prompt" switch — and prompts are capped
+      * at one so a wrong password fails fast instead of retrying.
+      * `command` stays injectable for tests (scripted transport, no sshd,
+      * no sshpass). */
+    def withPassword(target: String, password: String,
+        extraArgs: Seq[String] = Seq.empty,
+        command: Seq[String] = Seq("sshpass", "-e", "sftp",
+          "-oBatchMode=no", "-oNumberOfPasswordPrompts=1")): SftpBatchStore =
+      new SftpBatchStore(target, extraArgs, command,
+        env = Map("SSHPASS" -> password))
   }
 
   val retries = 3 // ref :25

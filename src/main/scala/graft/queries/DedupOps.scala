@@ -95,7 +95,11 @@ object DedupOps {
         sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
       .filter(col("df") <= maxTokenDf(s))
       .select(col("sh"))
-    val shOk = sh.join(okSh, Seq("sh"), "left_semi")
+    // capped shingle relation feeds three consumers (set sizes + both
+    // self-join sides): LAZY persist so the explode + df-cap subtree
+    // evaluates once across them — same construction-safe pattern as the
+    // simhash `bands` persist below (LazyPlanSpec rationale)
+    val shOk = sh.join(okSh, Seq("sh"), "left_semi").persist()
     val sizes = shOk.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shOk.as("a"); val b = shOk.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -430,7 +434,11 @@ object DedupOps {
     // bucket key (band, band_sig), buckets beyond maxCcBucket dropped from
     // one side (bucket membership is a key property, so one side kills the
     // pair) with the drop logged via the graft_drop_* observation
-    val bl = minhashBands(docs)
+    // the band relation (token explode + 16-column min-md5 aggregate) feeds
+    // three consumers (bucket sizes, the eligible semi-join, the y join
+    // side): LAZY persist so the heavy subtree evaluates once — same
+    // construction-safe pattern as the simhash `bands` persist above
+    val bl = minhashBands(docs).persist()
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_cc_bucket",

@@ -161,27 +161,42 @@ object SimilarityOps {
       .getOrElse(maxLshBucketDefault)
 
   /** Estimate corpus rows WITHOUT running a Spark job (query construction
-    * must stay job-free for schema/explain callers): parquet bytes on local
-    * disk / observed ~400 bytes per embedding row. Returns None off local
-    * disk — callers fall back to the verify-scale default; a real deployment
-    * sizes the knob explicitly. */
-  private def estimatedRows(dir: String, table: String): Option[Long] = {
+    * must stay job-free for schema/explain callers): exact row counts from
+    * parquet footers, read through the session's Hadoop FileSystem — so the
+    * derivation works on ANY configured store (HDFS, S3A, local), not just
+    * a stat-able local path. Footer reads are driver-side metadata fetches,
+    * not jobs; for many-file tables only the first [[footerSample]] footers
+    * are read and the rest extrapolated by byte share, bounding driver time
+    * at O(sample) regardless of file count. Returns None when the store is
+    * unreachable — callers fall back to the verify-scale default; a real
+    * deployment sizes the knob explicitly via `graft.lsh.bits`. */
+  private val footerSample = 32
+  private def estimatedRows(s: SparkSession, dir: String, table: String): Option[Long] = {
     try {
-      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
-      val bytes =
-        if (java.nio.file.Files.isDirectory(p)) {
-          // recursive walk over REGULAR files: a partitioned table is
-          // key=val subdirectories — Files.list would sum directory inode
-          // sizes (~4 KB each) and estimate a billion-row corpus at ~10
-          // rows, silently pinning the width at the floor
-          import scala.jdk.CollectionConverters._
-          val st = java.nio.file.Files.walk(p)
-          try st.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(java.nio.file.Files.size).sum
-          finally st.close()
-        } else java.nio.file.Files.size(p)
-      Some(math.max(1L, bytes / 400L))
+      import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+      val p = new HPath(dir, s"$table.parquet")
+      val conf = s.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      val files = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      val it = fs.listFiles(p, true) // a plain file yields itself
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) files += f
+      }
+      if (files.isEmpty) None
+      else {
+        val sample = files.sortBy(_.getPath.toString).take(footerSample).toSeq
+        val sampleRows = sample.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        val sampleBytes = math.max(1L, sample.map(_.getLen).sum)
+        val totalBytes = files.map(_.getLen).sum
+        Some(math.max(1L,
+          math.round(sampleRows.toDouble * totalBytes / sampleBytes)))
+      }
     } catch { case _: Exception => None }
   }
 
@@ -198,7 +213,7 @@ object SimilarityOps {
   def lshBitsFor(s: SparkSession, dir: String): Int =
     s.conf.getOption("graft.lsh.bits").map(_.toInt) match {
       case Some(b) => math.min(64, math.max(2, b + (b & 1)))
-      case None => estimatedRows(dir, "embeddings") match {
+      case None => estimatedRows(s, dir, "embeddings") match {
         case Some(n) =>
           val raw = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4
           math.min(64, math.max(lshBits, raw + (raw & 1)))
@@ -275,26 +290,30 @@ object SimilarityOps {
     // (vec, bit)-aggregate + pivot-aggregate chain, same exact-int math
     val sumCols = (0 until nBits).map(i =>
       sum(when(col("bit") === i, col("qv") * col("sgn"))).as(s"b$i"))
-    val sigs = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+    val sums = e.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
       .join(broadcast(sgn), "dim")
       .groupBy(col("vec_id"))
       .agg(sumCols.head, sumCols.tail: _*)
-      .select(col("vec_id") +: (0 until nBits).map(i =>
-        when(col(s"b$i") >= 0, lit("1")).otherwise(lit("0")).as(s"bit$i")): _*)
+    // Bit-pack each band's sign bits into ONE long (bit k set iff
+    // hyperplane k's dot ≥ 0) — the same packing SimHash uses for its
+    // b0..b3 band ints. The bucket key becomes an 8-byte integer instead
+    // of a bandBits-char string: smaller persisted rows, cheaper join
+    // hashing. bandBits ≤ 32 (nBits caps at 64), so the value always fits.
+    def packed(bits: Range): Column = bits.zipWithIndex.map { case (i, k) =>
+      when(col(s"b$i") >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a + b)
     // long-form (vec_id, band, sig). The candidate self-join below
-    // references this three times; a LAZY persist (2 small ints + a short
-    // string per vector-band; the cache manager dedups identical plans)
-    // makes the expensive signature subtree above evaluate once across
-    // those references WITHOUT running anything at construction — a
-    // checkpoint would not: even localCheckpoint(eager = false) calls
+    // references this three times; a LAZY persist (3 small ints per
+    // vector-band; the cache manager dedups identical plans) makes the
+    // expensive signature subtree above evaluate once across those
+    // references WITHOUT running anything at construction — a checkpoint
+    // would not: even localCheckpoint(eager = false) calls
     // physicalPlan.execute() at construction, which under AQE materializes
     // every shuffle stage and breaks schema/explain-only callers
     // (LazyPlanSpec guards this).
-    val bands = sigs.select(col("vec_id"), explode(array(
-        struct(lit(0).as("band"),
-          concat((0 until bandBits).map(i => col(s"bit$i")): _*).as("sig")),
-        struct(lit(1).as("band"),
-          concat((bandBits until nBits).map(i => col(s"bit$i")): _*).as("sig")))).as("bs"))
+    val bands = sums.select(col("vec_id"), explode(array(
+        struct(lit(0).as("band"), packed(0 until bandBits).as("sig")),
+        struct(lit(1).as("band"), packed(bandBits until nBits).as("sig")))).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .persist()
     // candidates: equi-join on the bucket key (band, sig) — pairs STREAM
@@ -327,14 +346,20 @@ object SimilarityOps {
   }
 
   private val annLshCosineSql = {
-    def bitExpr(i: Int) =
-      s"""CASE WHEN list_sum(list_transform(range(len(q)), j ->
+    // bit k of the packed band signature: hyperplane i's sign bit, weighted
+    // 2^k — the oracle applies the identical bit-packing as the Spark plan
+    // (both are injective maps of the sign vector, so bucket membership is
+    // the same relation either way)
+    def bitExpr(i: Int, k: Int) =
+      s"""(CASE WHEN list_sum(list_transform(range(len(q)), j ->
          |  q[j+1] * (CASE WHEN strpos('01234567', substr(md5($i || '_' || j), 1, 1)) > 0
-         |            THEN 1 ELSE -1 END))) >= 0 THEN '1' ELSE '0' END""".stripMargin
+         |            THEN 1 ELSE -1 END))) >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)""".stripMargin
     // the oracle twin is generated at the verify-corpus width (lshBits = 16,
     // 2 bands of 8): lshBitsFor resolves to exactly that for every test SF
-    val sig0 = (0 until lshBits / 2).map(bitExpr).mkString(" || ")
-    val sig1 = (lshBits / 2 until lshBits).map(bitExpr).mkString(" || ")
+    val sig0 = (0 until lshBits / 2).zipWithIndex
+      .map { case (i, k) => bitExpr(i, k) }.mkString(" + ")
+    val sig1 = (lshBits / 2 until lshBits).zipWithIndex
+      .map { case (i, k) => bitExpr(i, k) }.mkString(" + ")
     s"""WITH e AS (
        |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),

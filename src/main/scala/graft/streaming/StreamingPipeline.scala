@@ -162,6 +162,16 @@ object StreamingPipeline {
       }
   }
 
+  /** Broadcast bound for the static benchmark gram set in
+    * [[decontaminateStream]]: the whole set collapses to ONE array row
+    * broadcast under every arriving doc, so its size is a hard contract
+    * (~50 B/gram → the default is ~50 MB in one row), not a soft perf knob.
+    * Session conf `graft.cap.benchGrams` overrides per deployment. */
+  val maxBenchGramsDefault = 1000000L
+  def maxBenchGrams(s: SparkSession): Long =
+    s.conf.getOption("graft.cap.benchGrams").map(_.toLong)
+      .getOrElse(maxBenchGramsDefault)
+
   /** Streaming benchmark decontamination — a STREAM-STATIC join: arriving
     * documents (an unbounded ingest feed) are flagged against the fixed
     * benchmark gram set, the streaming twin of the batch
@@ -176,7 +186,21 @@ object StreamingPipeline {
     * static side is re-read per micro-batch, so a refreshed benchmark file
     * takes effect on the next batch. */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
-    val bench = benchGrams.agg(collect_set(col("g")).as("bench_gs"))
+    val maxGrams = maxBenchGrams(docs.sparkSession)
+    // CONTRACT GUARD, evaluated inside the plan (so it re-checks on every
+    // micro-batch re-read of the static side, and column pruning can't
+    // drop it — the check IS the bench_gs column): a benchmark set beyond
+    // the broadcast bound must fail with a contract message, not an opaque
+    // executor OOM while collecting one giant array row.
+    val bench = benchGrams
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+      .select(when(col("n") <= maxGrams, col("gs"))
+        .otherwise(raise_error(concat(
+          lit("decontaminateStream contract: benchmark gram set has "),
+          col("n").cast("string"),
+          lit(s" grams, beyond the broadcast bound $maxGrams " +
+            "(graft.cap.benchGrams); shrink the benchmark set or use the " +
+            "batch gram-join decontamination")))).as("bench_gs"))
     docs
       .withColumn("gs",
         array_distinct(graft.queries.CorpusOps.wordGrams(col("text"), 3)))

@@ -36,6 +36,26 @@ class StageLoadSpec extends SparkSpec {
     assert(d2.encoding == "UTF-8")
   }
 
+  test("cp1252 file loads end-to-end on BOTH read paths (SPARK-46841 charset gate)") {
+    // Spark 4 rejects windows-1252 at CSV analysis unless
+    // spark.sql.legacy.javaCharsets is on — without ensureCharsetReadable
+    // every cp1252 report (the reference's primary encoding) would throw
+    // and be silently quarantined by the router.
+    val csv = header10 + "\nJosé;P1;" + ("1" * 44) +
+      ";10,5;1,250;SP;31/12/2024;31/12/2024 10:00:00;2;São Paulo\n"
+    for (ragged <- Seq(false, true)) {
+      val p = tmpFile(s"cp1252_$ragged.csv", csv, "windows-1252")
+      val d = StageLoad.sniffDialect(p)
+      assert(d.encoding == "windows-1252")
+      val df = StageLoad.loadFile(spark, p, raggedParity = ragged)
+        .getOrElse(fail(s"cp1252 file failed the header gate (ragged=$ragged)"))
+      val r = df.collect().head
+      // accented DATA cells decode correctly too (not just the header)
+      assert(r.getAs[String]("id") == "José", s"ragged=$ragged")
+      assert(r.getAs[String]("cd") == "São Paulo", s"ragged=$ragged")
+    }
+  }
+
   test("headerValido: ≥10 known headers accepts; fewer rejects (ref :163-167)") {
     assert(StageLoad.headerValido(header10.split(";").toSeq))
     assert(!StageLoad.headerValido(Seq("ID", "Pedido", "bogus1", "bogus2")))

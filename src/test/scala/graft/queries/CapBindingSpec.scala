@@ -58,4 +58,54 @@ class CapBindingSpec extends SparkSpec {
         s"expected 4 dropped buckets, saw $metrics")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("cc bucket cap binds: Spark-only divergence from the oracle is detected via the drop metric") {
+    // The maxCcBucket cap exists ONLY in the Spark plan — the oracle SQL has
+    // no twin (deliberate: it never binds on oracle corpora). This pins the
+    // cap BELOW a real cluster to prove the divergence is loud: dropped
+    // buckets fire graft_drop_cc_bucket, and the capped cluster's docs fall
+    // back to singleton components instead of silently wrong merges.
+    val dir = java.nio.file.Files.createTempDirectory("ccbind").toString
+    import spark.implicits._
+    // 12 sampled clones (identical text → all 4 band buckets size 12 > 8 →
+    // dropped) + one identical pair whose size-2 buckets survive the cap
+    val clones = (0 until 12).map(i =>
+      (i * 10L, "alpha beta gamma delta epsilon zeta", "en", "src", 0L))
+    val pair = Seq(
+      (20000L, "totally different words entirely here", "en", "src", 0L),
+      (20010L, "totally different words entirely here", "en", "src", 0L))
+    (clones ++ pair)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_drop_")) metrics(name) = row.getLong(0)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("graft.cap.ccBucket", "8")
+    try {
+      val out = SparkEntry.queries("connected_components")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // surviving bucket → the pair merges; capped clones stay singletons
+      assert(out(20000L) == (20000L, 2L))
+      assert(out(20010L) == (20000L, 2L))
+      clones.foreach { case (id, _, _, _, _) => assert(out(id) == (id, 1L)) }
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.contains("graft_drop_cc_bucket") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      // 4 bands × 1 oversized clone bucket each
+      assert(metrics.get("graft_drop_cc_bucket").contains(4L),
+        s"expected 4 dropped buckets, saw $metrics")
+    } finally {
+      spark.conf.unset("graft.cap.ccBucket")
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }

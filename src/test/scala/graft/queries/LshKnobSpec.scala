@@ -17,4 +17,17 @@ class LshKnobSpec extends graft.SparkSpec {
     } finally spark.conf.unset("graft.lsh.bits")
     assert(SimilarityOps.lshBitsFor(spark, "/root/testdata/sf0.01") == 16)
   }
+
+  test("lshBitsFor: parquet-footer row counts drive width for directory tables") {
+    // a Spark-written DIRECTORY table with more part files than the footer
+    // sample (40 > 32) — exercises listing through the Hadoop FS (skipping
+    // _SUCCESS), footer reads, and byte-share extrapolation. 100k rows →
+    // ceil(log2(1e5)) + 4 = 21 → evened to 22. The on-disk BYTE heuristic
+    // this replaced would estimate ~2k rows from the sub-MB of parquet and
+    // silently pin the 16-bit floor.
+    val dir = java.nio.file.Files.createTempDirectory("lshfooter").toString
+    spark.range(100000L).selectExpr("id AS vec_id").repartition(40)
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(SimilarityOps.lshBitsFor(spark, dir) == 22)
+  }
 }

@@ -110,6 +110,37 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, false))
   }
 
+  test("decontaminateStream: oversized benchmark set fails the contract, not OOM") {
+    val root = Files.createTempDirectory("decontguard")
+    val src = root.resolve("docs")
+    Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .write.parquet(src.toString)
+    val benchGrams = Seq("alpha beta gamma", "beta gamma delta").toDF("g")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    // a bound below the benchmark size must fail the micro-batch with the
+    // CONTRACT message (the collapse-to-one-row broadcast would otherwise
+    // OOM opaquely at scale), and the message must name the knob
+    spark.conf.set("graft.cap.benchGrams", "1")
+    try {
+      val e = intercept[Exception] {
+        StreamingPipeline.runToMemory(spark,
+          StreamingPipeline.decontaminateStream(stream, benchGrams), "decont_guard")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      val msgs = chain(e).map(t => Option(t.getMessage).getOrElse(""))
+      assert(msgs.exists(_.contains("decontaminateStream contract")),
+        s"cause chain was: ${msgs.mkString(" | ")}")
+      assert(msgs.exists(_.contains("graft.cap.benchGrams")))
+    } finally spark.conf.unset("graft.cap.benchGrams")
+    // and under the default bound the same stream is clean
+    val ok = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.decontaminateStream(stream, benchGrams), "decont_guard_ok")
+    assert(ok.count() == 1)
+  }
+
   test("dedupStream: duplicate arrivals within the watermark are dropped") {
     val root = Files.createTempDirectory("dedupstream")
     val src = root.resolve("events")
