@@ -78,12 +78,22 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
 
   /** Stage 3 (03_upsert_dw_pedidos.py run_upsert): staging → typed
     * projection → latest-per-key dedup → conditional merge into DW →
-    * atomic write-back. One Catalyst plan up to the write. */
+    * atomic write-back. One Catalyst plan up to the write.
+    *
+    * The DW is written PARTITIONED by `nfe_month` (yyyy-MM of `data_nfe`) —
+    * the engine's analog of the reference's date index on fat_pedidos
+    * (sql/ddl_fat_pedidos): at 100 TB the dominant read pattern is "this
+    * month's orders", and a month-partitioned layout turns that into a
+    * pruned directory scan (PartitionFilters in the physical plan) instead
+    * of a full-table read. Month, not day, keeps partition count bounded
+    * (~120 for a decade) and each partition large enough for healthy file
+    * sizes. Rows with NULL data_nfe land in the Hive default partition and
+    * survive the round-trip. */
   def upsertDw(): Unit = {
     val updates = Dedup.latestPedido(Typed.project(readStaging()))
     val dw = readDw()
     val merged = Merge.mergePedidos(dw, updates)
-    atomicOverwrite(merged, dwPath)
+    Pipeline.writeDw(merged, dwPath)
   }
 
   /** Staging snapshot; empty DataFrame before the first successful load
@@ -105,25 +115,65 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
       Archive.run(spark, stagingPath, histPath)
     }.getOrElse(Archive.Audit(0, "", lockBusy = true))
 
-  def readDw(): DataFrame =
-    if (Files.exists(java.nio.file.Paths.get(dwPath)))
-      spark.read.schema(Schemas.fatSchema).parquet(dwPath)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
+  /** Logical fat-table view: fatSchema columns only (the derived partition
+    * column is storage layout, not data — dropped on read so merge inputs
+    * keep the canonical 40-column shape). */
+  def readDw(): DataFrame = Pipeline.readDw(spark, dwPath)
+
+  /** Month-pruned DW read — the partition-aware fast path: the filter on
+    * the partition column prunes at planning/AQE time, so only that
+    * month's directories are listed and scanned. */
+  def readDwMonth(month: String): DataFrame =
+    Pipeline.readDwRaw(spark, dwPath)
+      .filter(col(Pipeline.dwPartitionCol) === month)
+      .drop(Pipeline.dwPartitionCol)
 
   private def atomicOverwrite(df: DataFrame, path: String): Unit =
     Pipeline.atomicOverwrite(df, path)
 }
 
 object Pipeline {
+  /** Derived partition column of the DW fat table (yyyy-MM of data_nfe). */
+  val dwPartitionCol = "nfe_month"
+
+  private val dwReadSchema = org.apache.spark.sql.types.StructType(
+    Schemas.fatSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        dwPartitionCol, org.apache.spark.sql.types.StringType))
+
+  /** Partitioned DW write: derive the month partition and swap it in
+    * atomically. Shared by the batch upsert and the streaming twin so a DW
+    * directory is interchangeable between them. */
+  def writeDw(df: DataFrame, path: String): Unit =
+    atomicOverwrite(
+      df.withColumn(dwPartitionCol, date_format(col("data_nfe"), "yyyy-MM")),
+      path, partitionCols = Seq(dwPartitionCol))
+
+  /** DW read WITH the partition column (for month-pruned scans). Reads an
+    * unpartitioned legacy directory too: a missing column is null-filled
+    * by the parquet reader, never an error. */
+  def readDwRaw(spark: SparkSession, path: String): DataFrame =
+    if (Files.exists(java.nio.file.Paths.get(path)))
+      spark.read.schema(dwReadSchema).parquet(path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dwReadSchema)
+
+  /** Canonical fat-table read: fatSchema shape, partition column dropped. */
+  def readDw(spark: SparkSession, path: String): DataFrame =
+    readDwRaw(spark, path).drop(dwPartitionCol)
+
   /** Write to a fresh directory then swap it into place — the parquet
     * analog of the reference's single-transaction statement. Generation
     * names are nanoTime-suffixed so a crash mid-swap never collides with a
     * leftover .tmp/.old from an earlier run. */
-  def atomicOverwrite(df: DataFrame, path: String): Unit = {
+  def atomicOverwrite(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
     val tmp = path + ".tmp_" + System.nanoTime()
-    df.write.mode("overwrite").parquet(tmp)
+    val writer = df.write.mode("overwrite")
+    val partitioned =
+      if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
+    partitioned.parquet(tmp)
     val target = java.nio.file.Paths.get(path)
     val trash = java.nio.file.Paths.get(path + ".old_" + System.nanoTime())
     if (Files.exists(target)) Files.move(target, trash)

@@ -109,12 +109,26 @@ object SftpStager {
     private val lsLine =
       """^([-dl])[rwxsStT-]{9}[.+]?\s+\S+\s+\S+\s+\S+\s+(\d+)\s+\S+\s+\S+\s+\S+\s+(.+?)\s*$""".r
 
-    private def parseLs(lines: Seq[String]): Seq[(String, Long, Boolean)] =
-      lines.collect { case lsLine(kind, size, name) =>
-        val cleanName =
-          if (kind == "l") name.split(" -> ", 2).head else name
-        (cleanName, size.toLong, kind == "d")
-      }
+    // GNU ls (the test transport) prefixes directory listings with a
+    // "total N" block-count line; openssh-sftp's ls does not. Known-benign,
+    // never an entry — excluded from both the parse and the drift warning.
+    private val lsTotal = """^total\s+\d+$""".r
+
+    /** Split ls output into parsed entries and REJECTED lines. Rejects are
+      * returned, not swallowed: a server-side ls format drift that matched
+      * nothing would otherwise read as an empty directory and the stager
+      * would silently stop ingesting. */
+    private def parseLs(
+        lines: Seq[String]): (Seq[(String, Long, Boolean)], Seq[String]) =
+      lines.filter(_.trim.nonEmpty)
+        .foldLeft((Vector.empty[(String, Long, Boolean)], Vector.empty[String])) {
+          case ((ok, bad), lsLine(kind, size, name)) =>
+            val cleanName =
+              if (kind == "l") name.split(" -> ", 2).head else name
+            (ok :+ ((cleanName, size.toLong, kind == "d")), bad)
+          case ((ok, bad), lsTotal()) => (ok, bad)
+          case ((ok, bad), other) => (ok, bad :+ other)
+        }
 
     /** Batch-file command injection guard: sftp batch syntax cannot escape
       * a double-quote inside a quoted operand, and backslash is itself the
@@ -126,16 +140,25 @@ object SftpStager {
       "\"" + path + "\""
     }
 
-    def list(dir: String): Seq[RemoteFile] =
-      parseLs(runBatch(Seq(s"ls -l ${q(dir)}"))).map { case (name, sz, isDir) =>
+    def list(dir: String): Seq[RemoteFile] = {
+      val (parsed, rejected) = parseLs(runBatch(Seq(s"ls -l ${q(dir)}")))
+      // LOUD, not silent: rejected lines mean the server's ls format has
+      // drifted from the expected long-listing shape — left unreported, a
+      // full drift reads as "directory is empty" and ingestion just stops
+      if (rejected.nonEmpty)
+        System.err.println(s"[graft] sftp ls: ${rejected.size} unparseable " +
+          s"line(s) ignored in listing of $dir (format drift? first: " +
+          s"'${rejected.head.take(200)}')")
+      parsed.map { case (name, sz, isDir) =>
         // ls prints basenames for a directory listing; rejoin with dir
         val base = name.substring(name.lastIndexOf('/') + 1)
         RemoteFile(base, s"$dir/$base", sz, isDir)
       }
+    }
 
     def size(path: String): Long = {
       val lines = runBatch(Seq(s"ls -l ${q(path)}")).filter(_.trim.nonEmpty)
-      val parsed = parseLs(lines)
+      val (parsed, _) = parseLs(lines)
       // unparseable output must be LOUD, not "0 entries": silently dropped
       // lines would report a stat failure for a file that exists
       if (parsed.isEmpty && lines.nonEmpty)

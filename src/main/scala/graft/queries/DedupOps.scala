@@ -470,12 +470,29 @@ object DedupOps {
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint() // edge discovery runs once; iterations re-join this
+    // cache lifecycle: a long-lived session running CC repeatedly must not
+    // accumulate block-manager state. localCheckpoint is eager, so at this
+    // point `edges` is materialized and the band relation has served all
+    // three consumers — release it now, not at session end.
+    bl.unpersist()
+    // localCheckpoint blocks are persistent RDDs, not CacheManager entries;
+    // each checkpointed frame's analyzed plan is the LogicalRDD holding
+    // exactly that RDD, so intermediates are released directly (no
+    // getPersistentRDDs diffing, which could race a concurrent query).
+    // Only the final labels generation stays pinned — the returned frame
+    // reads it, and the ContextCleaner frees it once unreferenced.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
       .localCheckpoint()
     // coalesce: sum over zero rows is null (empty node set must return an
     // empty result, not NPE)
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = -1L
     var curSum = labelSum(labels)
     var iter = 0
@@ -491,14 +508,19 @@ object DedupOps {
       // iterations instead of O(diameter), so a 10^6-node chain needs ~20
       // rounds, not 10^6
       val byLabel = stepped.select(col("node").as("l_node"), col("label").as("l_label"))
-      labels = stepped.join(byLabel, stepped("label") === byLabel("l_node"), "left")
+      val next = stepped.join(byLabel, stepped("label") === byLabel("l_node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
+      // the new checkpoint is materialized and lineage-free: the previous
+      // generation's blocks are dead weight — free them immediately
+      release(labels)
+      labels = next
       prevSum = curSum
       curSum = labelSum(labels)
       iter += 1
     }
+    release(edges) // iterations done; only the final labels stay pinned
     // fail loudly rather than emit wrong components: the oracle computes
     // the exact closure, and a silent cap would diverge invisibly
     if (curSum != prevSum)

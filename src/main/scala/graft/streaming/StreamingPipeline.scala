@@ -46,14 +46,12 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val updates = Dedup.latestPedido(batch)
-        val dw =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(dwPath)))
-            spark.read.schema(Schemas.fatSchema).parquet(dwPath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fatSchema)
+        // same partitioned read/write as the batch upsert: a DW directory
+        // is interchangeable between the batch and streaming twins
+        val dw = graft.etl.Pipeline.readDw(spark, dwPath)
         val merged = Merge.mergePedidos(dw, updates).cache()
         merged.count() // materialize before overwriting the input path
-        graft.etl.Pipeline.atomicOverwrite(merged, dwPath)
+        graft.etl.Pipeline.writeDw(merged, dwPath)
         merged.unpersist()
         ()
       }

@@ -3,6 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, date_format}
 
 import graft.etl._
 import graft.ingest.SftpStager
@@ -47,6 +48,13 @@ object PipelineDemo {
     pipeline.upsertDw()
     val dw = pipeline.readDw()
     println(s"[dw] rows=${dw.count()}")
+    // the partitioned layout's payoff: a month read prunes to its directory
+    val months = dw.select(date_format(col("data_nfe"), "yyyy-MM").as("m"))
+      .filter(col("m").isNotNull).distinct().orderBy("m")
+      .collect().map(_.getString(0))
+    months.headOption.foreach { m =>
+      println(s"[dw] month $m rows=${pipeline.readDwMonth(m).count()} (pruned scan)")
+    }
     dw.select("chave_nfe", "id", "pedido", "valor_nfe", "peso", "uf",
       "data_nfe", "data_ultima_ocr", "qtd_volumes", "arquivo_origem")
       .orderBy("chave_nfe").show(20, truncate = false)
@@ -76,7 +84,7 @@ object PipelineDemo {
       spark, work.resolve("landing").toString, dw,
       work.resolve("ckpt").toString)
     q.awaitTermination()
-    val dwDf = spark.read.schema(Schemas.fatSchema).parquet(dw)
+    val dwDf = Pipeline.readDw(spark, dw)
     println(s"[stream-dw] rows=${dwDf.count()}")
     dwDf.select("chave_nfe", "id", "valor_nfe", "data_ultima_ocr")
       .orderBy("chave_nfe").show(10, truncate = false)

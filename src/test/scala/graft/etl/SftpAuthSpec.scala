@@ -92,6 +92,32 @@ class SftpAuthSpec extends AnyFunSuite {
     assert(e.getMessage.contains("resolved to a different object"), e.getMessage)
   }
 
+  test("list: unparseable ls lines are counted loudly, valid entries survive") {
+    val root = Files.createTempDirectory("sftpdrift")
+    val script = root.resolve("drift.sh")
+    // one GNU "total" header (benign, never warned), one valid entry, one
+    // drifted line matching no long-listing shape — the drift must be
+    // REPORTED with a count, not silently shrink the listing
+    Files.write(script,
+      ("#!/bin/sh\n" +
+        "echo 'total 4'\n" +
+        "echo '-rw-r--r-- 1 u g 5 Jan  1 12:00 A.CSV'\n" +
+        "echo '??? vendor-custom listing format ???'\n").getBytes("UTF-8"))
+    val store = new SftpStager.SftpBatchStore(root.toString,
+      command = Seq("/bin/sh", script.toString))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    val files = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      store.list("remote")
+    } finally System.setErr(prev)
+    assert(files.map(f => (f.name, f.size, f.isDir)) ==
+      Seq(("A.CSV", 5L, false)))
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("1 unparseable line(s)"), err)
+    assert(err.contains("vendor-custom"), err)
+  }
+
   test("size: unparseable ls output is loud, not '0 entries'") {
     val root = Files.createTempDirectory("sftpgarbage")
     val script = root.resolve("garbage.sh")

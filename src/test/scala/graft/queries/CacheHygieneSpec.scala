@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Iterative queries must release what they pin: `connected_components`
+  * persists the band relation and localCheckpoints edges plus one label
+  * generation per iteration. A long-lived session (notebook, Thrift
+  * server) running it repeatedly must not accumulate block-manager state,
+  * so after the query returns (a) the CacheManager holds no
+  * InMemoryRelation from it and (b) at most ONE checkpoint RDD — the
+  * final label generation the returned frame reads, freed by the
+  * ContextCleaner once the result is unreferenced — is still registered. */
+class CacheHygieneSpec extends SparkSpec {
+
+  test("connected_components releases every relation it pins") {
+    // suites share one session and the similarity lshCache family persists
+    // lazily across queries by design — start from a clean slate so the
+    // assertion sees only what THIS query registers
+    spark.sharedState.cacheManager.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    val out = SparkEntry.queries("connected_components")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connected_components left an InMemoryRelation registered — the " +
+        "band-relation persist must be released once edges materialize")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"connected_components left ${leaked.size} checkpoint RDDs pinned " +
+        "(only the final label generation may remain): " + leaked.toSeq.sorted)
+  }
+}
