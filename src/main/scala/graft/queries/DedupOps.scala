@@ -427,8 +427,15 @@ object DedupOps {
     * label per node) is unique — deterministic regardless of execution
     * order. localCheckpoint truncates the growing lineage each round.
     * The oracle is a recursive-CTE transitive closure over the same edges. */
-  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Edge-discovery subplan of [[connectedComponents]], exposed for plan
+    * audits (graft.tools.Explain → PLANS.md): the iterative query
+    * materializes edges EAGERLY at construction, so this — the expensive,
+    * scale-critical part — is invisible in the final frame's explain.
+    * Returns (band relation persist handle, undirected-candidate edges).
+    * Explain-only callers never run an action, so the lazy persist is
+    * registered but never materialized; [[connectedComponents]] releases
+    * it once edges checkpoint. */
+  def ccEdgeDiscovery(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     // candidate edges from the MinHash band relation: equi-join on the
     // bucket key (band, band_sig), buckets beyond maxCcBucket dropped from
@@ -467,6 +474,13 @@ object DedupOps {
       .filter(col("i") >= 1 &&
         lit(1000) * col("i") >= lit(500) * (col("na") + col("nb") - col("i")))
       .select("a_id", "b_id")
+    (bl, edges0)
+  }
+
+  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val (bl, edges0) = ccEdgeDiscovery(s, dir)
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint() // edge discovery runs once; iterations re-join this

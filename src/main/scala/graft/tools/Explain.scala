@@ -23,6 +23,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
+      // connected_components materializes its edge discovery EAGERLY (the
+      // iterative loop runs at construction), so the final frame's plan is
+      // just window-over-checkpoint — print the edge-discovery subplan
+      // first: it is the scale-critical part of the query
+      if (name == "connected_components") {
+        println("---- edge discovery (runs eagerly inside the iterative query) ----")
+        val (bl, edges0) = graft.queries.DedupOps.ccEdgeDiscovery(spark, sfDir)
+        edges0.explain("formatted")
+        bl.unpersist()
+        println("---- final frame (labels after min-label propagation) ----")
+      }
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
