@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scale spot-check: time a named subset of SparkEntry queries against an
+  * arbitrary data dir (a ScaleGen corpus — only documents/embeddings
+  * tables need to exist for the default set). Same harness discipline as
+  * graft.Bench: uncounted JIT warm-up, sorted order, one JSON line,
+  * negative seconds + nonzero exit on failure.
+  *
+  * Usage: runMain graft.tools.ScaleCheck <dataDir> [query ...]
+  * (default queries: the 5 most expensive of the sf0.1 bench) */
+object ScaleCheck {
+  private val defaultQueries = Seq("connected_components", "ann_lsh_cosine",
+    "ann_ivf_cosine", "ngram_jaccard_pairs", "simhash_neardup_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      throw new IllegalArgumentException("usage: ScaleCheck <dataDir> [query ...]"))
+    val names =
+      (if (args.length > 1) args.drop(1).toSeq else defaultQueries).sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // uncounted warm-up on the SMALLEST driver corpus so JIT/codegen cost
+    // doesn't land on the first measured query; never touches `dir`
+    try {
+      SparkEntry.queries("dedup_exact")(spark, "/root/testdata/sf0.001").count()
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale-check] warm-up skipped: ${e.getMessage}")
+    }
+
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      val n =
+        try Right(SparkEntry.queries(name)(spark, dir).count())
+        catch { case e: Throwable =>
+          System.err.println(s"[scale-check] $name FAILED: ${e.getMessage}")
+          Left(e)
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (n.isRight) secs else -secs, n.getOrElse(-1L))
+    }
+    val qs = results.map { case (k, v, n) =>
+      "\"" + k + "\":{\"sec\":" + v + ",\"rows\":" + n + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scale_check","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir"}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

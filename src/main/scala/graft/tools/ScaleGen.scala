@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic N× synthetic corpus generator for scale spot-checks.
+  *
+  * /root/testdata tops out at sf0.1 (5 000 documents / 2 000 embeddings) and
+  * is read-only, so scale checks beyond it need their own corpus. This
+  * generates one with the SAME statistical shape as the driver's synthetic
+  * tables — measured off sf0.1: 10–100 words per doc (mean ~54) drawn from a
+  * 31-word vocabulary, 5 languages, 20 sources, a seeded near-duplicate
+  * structure (~8% of docs mutate a doc 13 ids earlier), and dim-64
+  * embeddings in 8 label clusters — at `mult`× the row counts. Every value
+  * is a pure function of (id, fixed seed): re-running reproduces the corpus
+  * bit-for-bit, so timings are comparable across rounds.
+  *
+  * Usage: runMain graft.tools.ScaleGen <outDir> [mult]
+  * (writes <outDir>/documents.parquet and <outDir>/embeddings.parquet) */
+object ScaleGen {
+  // the sf0.1 vocabulary (31 distinct words across the whole corpus): word
+  // SETS collide heavily by design — that is what stresses the minhash-band
+  // bucketing exactly the way the driver corpus does
+  private val vocab = Vector(
+    "window", "merge", "agg", "hash", "order", "data", "slow", "key",
+    "scan", "table", "dup", "group", "join", "sort", "shuffle", "spill",
+    "broadcast", "filter", "plan", "stage", "task", "row", "column",
+    "batch", "stream", "state", "cache", "skew", "salt", "codegen", "limit")
+  private val langs = Vector("en", "de", "es", "fr", "zh")
+  private val dim = 64
+  private val nLabels = 8
+
+  private def baseWords(id: Long): Array[String] = {
+    val r = new java.util.Random(id * 1000003L + 7)
+    val n = 10 + r.nextInt(91)
+    Array.fill(n)(vocab(r.nextInt(vocab.size)))
+  }
+
+  /** ~8% of docs are near-duplicates: copy the doc 13 ids earlier and
+    * mutate ~10% of its words — the MinHash/SimHash/CC workload. */
+  private def docWords(id: Long): Array[String] =
+    if (id % 13 == 5 && id >= 13) {
+      val w = baseWords(id - 13).clone()
+      val r = new java.util.Random(id * 7919L + 3)
+      for (k <- w.indices) if (r.nextInt(10) == 0) w(k) = vocab(r.nextInt(vocab.size))
+      w
+    } else baseWords(id)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/scale10")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-scale-gen")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    spark.range(nDocs).map { id =>
+      val words = docWords(id)
+      val text = words.mkString(" ")
+      (id, text, langs((id % langs.size).toInt), s"src${id % 20}",
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    spark.range(nVecs).map { id =>
+      val lbl = (id % nLabels).toInt
+      val rc = new java.util.Random(lbl * 99991L + 17)
+      val center = Array.fill(dim)((rc.nextFloat() - 0.5f) * 2f)
+      val r = new java.util.Random(id * 31337L + 23)
+      val v = center.map(c => c + (r.nextFloat() - 0.5f) * 0.6f)
+      (id, v, lbl)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings to $out (mult=$mult)")
+    spark.stop()
+  }
+}
