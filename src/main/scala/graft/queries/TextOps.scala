@@ -406,7 +406,80 @@ object TextOps {
       |FROM tri JOIN dfc USING (gram) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    * documents dominated by a repeated phrase are low-quality training
+    * data. Per doc: the token share of the single most frequent word
+    * 2-gram, and the token share covered by 3-grams occurring more than
+    * once (overlaps counted — the signal is deliberately monotone in
+    * repetition, so it may exceed 1000 milli on degenerate docs).
+    *
+    * Scale shape: both gram sizes assemble from ONE posexplode + one
+    * per-doc sort (lead() windows, same trick as winnowing — no
+    * interpreted HOF, no per-gram-size rescans), then a (doc, k, gram)
+    * hash-agg and a (doc) hash-agg, both map-side combining. The widest
+    * key is (doc_id, gram) — high-cardinality, skew-free. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ord = byDoc.orderBy(col("pos"))
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
+      .withColumn("n_words", count(lit(1)).over(byDoc))
+      .withColumn("w1", lead(col("w0"), 1).over(ord))
+      .withColumn("w2", lead(col("w0"), 2).over(ord))
+      .select(col("doc_id"), col("pos"), col("n_words"), explode(array(
+        struct(lit(2).as("k"), concat_ws(" ", col("w0"), col("w1")).as("gram")),
+        struct(lit(3).as("k"),
+          concat_ws(" ", col("w0"), col("w1"), col("w2")).as("gram")))).as("g"))
+      .filter(col("pos") <= col("n_words") - col("g.k"))
+      .select(col("doc_id"), col("n_words"), col("g.k").as("k"), col("g.gram").as("gram"))
+    val cnts = grams.groupBy("doc_id", "k", "gram")
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("cnt"))
+    cnts.groupBy("doc_id").agg(
+      max(col("n_words")).cast("int").as("n_tokens"),
+      coalesce(max(when(col("k") === 2, col("cnt"))), lit(0L)).as("top2_cnt"),
+      coalesce(sum(when(col("k") === 3 && col("cnt") > 1, col("cnt") * 3)), lit(0L))
+        .as("dup3_tokens"))
+      .withColumn("top2gram_milli", milli(lit(2) * col("top2_cnt"), col("n_tokens")))
+      .withColumn("dup3gram_milli", milli(col("dup3_tokens"), col("n_tokens")))
+      // the Gopher cut points: most-common-2-gram share ≤ 0.20, duplicated
+      // 3-gram coverage ≤ 0.18 (paper thresholds, in milli)
+      .withColumn("keep",
+        col("top2gram_milli") <= 200 && col("dup3gram_milli") <= 180)
+      .select("doc_id", "n_tokens", "top2_cnt", "top2gram_milli",
+        "dup3_tokens", "dup3gram_milli", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS gram
+      |       FROM d, UNNEST(range(greatest(len(w)-1, 0))) t(i)),
+      |g3 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      |       FROM d, UNNEST(range(greatest(len(w)-2, 0))) t(i)),
+      |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, MAX(cnt) AS top2_cnt FROM c2 GROUP BY 1),
+      |a3 AS (SELECT doc_id,
+      |         COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * 3 END), 0) AS dup3_tokens
+      |       FROM c3 GROUP BY 1),
+      |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
+      |  COALESCE(a2.top2_cnt, 0) AS top2_cnt,
+      |  CAST(floor(1000.0 * 2 * COALESCE(a2.top2_cnt, 0) / n.n_tokens) AS BIGINT)
+      |    AS top2gram_milli,
+      |  COALESCE(a3.dup3_tokens, 0) AS dup3_tokens,
+      |  CAST(floor(1000.0 * COALESCE(a3.dup3_tokens, 0) / n.n_tokens) AS BIGINT)
+      |    AS dup3gram_milli,
+      |  CAST(floor(1000.0 * 2 * COALESCE(a2.top2_cnt, 0) / n.n_tokens) AS BIGINT) <= 200
+      |    AND CAST(floor(1000.0 * COALESCE(a3.dup3_tokens, 0) / n.n_tokens) AS BIGINT) <= 180
+      |    AS keep
+      |FROM n LEFT JOIN a2 ON n.doc_id = a2.doc_id
+      |       LEFT JOIN a3 ON n.doc_id = a3.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("text_quality_perlang", textQualityPerlang, Some(textQualityPerlangSql)),
     Q("text_boilerplate", textBoilerplate, Some(textBoilerplateSql)),

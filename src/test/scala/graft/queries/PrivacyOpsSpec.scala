@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Hand-computed semantics for the privacy + repetition operators (the
+  * oracle proves engine-equivalence; these pin the intended MEANING on
+  * values small enough to check by hand). */
+class PrivacyOpsSpec extends SparkSpec {
+
+  // driver layout: events.ts is stored as int64 NANOSECONDS (Util.t reads
+  // it with nanosAsLong and rescales to micros) — mirror that here
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("privops").toString
+    import spark.implicits._
+    rows.map { case (id, ts, uid, et, v, p) =>
+      (id, ts.getTime * 1000000L, uid, et, v, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("pii_anonymize: tokens salted, hour generalized, cents-exact bucket, props scrubbed") {
+    val ts = Timestamp.valueOf("2024-03-05 10:47:13")
+    val dir = writeEvents(Seq((7L, ts, 13L, "click", 185.22, """{"k": 87}""")))
+    val r = SparkEntry.queries("pii_anonymize")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def md5p(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(16)
+    }
+    assert(row.getAs[String]("event_token") == md5p("esalt:7"))
+    assert(row.getAs[String]("user_token") == md5p("usalt:13"))
+    // direct identifiers must NOT survive in any column
+    assert(!row.toSeq.map(String.valueOf).exists(v => v == "7" || v == "13"))
+    assert(row.getAs[Timestamp]("ts_hour") == Timestamp.valueOf("2024-03-05 10:00:00"))
+    // 185.22 -> 18522 cents -> bucket 1 -> 100
+    assert(row.getAs[Long]("value_bucket") == 100L)
+    assert(row.getAs[String]("props_scrubbed") == """{"k": 0}""")
+  }
+
+  test("k_anonymity_audit: group size per generalized quasi-identifier, k=5 gate") {
+    val h = Timestamp.valueOf("2024-03-05 10:00:00")
+    def at(min: Int) = Timestamp.valueOf(f"2024-03-05 10:$min%02d:00")
+    // six clicks in the same (hour, type, bucket) + one lonely error
+    val dir = writeEvents(
+      (1 to 6).map(i => (i.toLong, at(i), 100L + i, "click", 150.0, "{}")) :+
+        (9L, at(30), 999L, "error", 950.0, "{}"))
+    val r = SparkEntry.queries("k_anonymity_audit")(spark, dir).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("n"),
+        x.getAs[Boolean]("k_ok"))).toSet
+    assert(r == Set(("click", 6L, true), ("error", 1L, false)))
+  }
+
+  test("text_repetition: Gopher 2-gram/3-gram shares on hand-checked docs") {
+    val dir = java.nio.file.Files.createTempDirectory("textrep").toString
+    import spark.implicits._
+    Seq(
+      // "a a a a": top 2-gram "a a" x3 -> 2*3/4 = 1500 milli;
+      // 3-gram "a a a" x2 -> 2*3 tokens/4 = 1500 milli -> drop
+      (0L, "a a a a", "en", "src0", 7L),
+      // 12 distinct words: every gram unique -> top2 2/12 = 166 milli,
+      // dup3 = 0 -> keep
+      (1L, "b c d e f g h i j k l m", "en", "src0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_repetition")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_tokens"), x.getAs[Long]("top2gram_milli"),
+          x.getAs[Long]("dup3gram_milli"), x.getAs[Boolean]("keep")))).toMap
+    assert(r(0L) == ((4, 1500L, 1500L, false)))
+    assert(r(1L) == ((12, 166L, 0L, true)))
+  }
+}
