@@ -166,8 +166,85 @@ object CorpusOps {
       |FROM toks, UNNEST(range(0, len(w), 48)) u(st)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** 24-bit uniform hash of a doc id — the deterministic coin for sampling
+    * decisions, built nibble-wise from the md5 hex prefix (the engine-
+    * portable digit trick simhash uses; no engine-specific hex parse). */
+  private def u24(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (0 until 6).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+        .cast("long") * (1L << (4 * (5 - i)))
+    }.reduce((a: Column, b: Column) => a + b)
+  }
+
+  private def u24Sql(expr: String): String =
+    (0 until 6).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($expr AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** Language-balanced downsampling — the data-mixing step that keeps a
+    * dominant language from drowning the rest: each language is sampled
+    * down toward HALF the smallest language's count. The keep decision is
+    * a pure integer inequality on a per-doc hash coin
+    * (2·u24·cnt_lang < min_cnt·2²⁴ ⟺ u24/2²⁴ < min_cnt/(2·cnt_lang)),
+    * so it is exact in both engines, reproducible run-to-run, and
+    * embarrassingly parallel: per-language counts broadcast (languages are
+    * few), the corpus itself is never shuffled — scan → filter → write at
+    * 100 TB. Expected (not exact) per-language quota is the deliberate
+    * trade: an exact-k quota needs a per-stratum global rank, and a window
+    * over a handful of language partitions is the skew anti-pattern. */
+  private def corpusBalanceLangs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    d.select(col("doc_id"), col("lang"), u24(col("doc_id")).as("coin"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minCnt))
+      .filter(lit(2) * col("coin") * col("cnt") < col("min_cnt") * lit(1L << 24))
+      .select(col("doc_id"), col("lang"), col("coin"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusBalanceLangsSql =
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+       |coins AS (SELECT doc_id, lang, ${u24Sql("doc_id")} AS coin FROM documents)
+       |SELECT doc_id, coins.lang, coin
+       |FROM coins JOIN counts ON coins.lang = counts.lang CROSS JOIN m
+       |WHERE 2 * coin * cnt < min_cnt * ${1L << 24}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Epoch-weighted source mixing — upsampling curated sources by an
+    * integer epoch factor (the Pile/LLaMA-style "epochs per subset" mix):
+    * each doc is emitted `epochs` times with an epoch index, so the
+    * downstream shard packer sees the mixed stream without the corpus
+    * being copied at rest. Factor here derives from the source id (mod 3,
+    * 1–3 epochs) as a stand-in for a curated weight table — the plan
+    * shape (narrow posexplode of a repeat array, zero shuffles) is the
+    * contract. */
+  private def mixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val epochs = (substring(col("source"), 4, 10).cast("int") % 3 + 1).as("epochs")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), epochs)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("epochs"),
+        posexplode(array_repeat(lit(1), col("epochs"))).as(Seq("epoch", "one")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("epochs"),
+        col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  private val mixUpsampleSql =
+    """WITH e AS (SELECT doc_id, source, n_chars,
+      |             CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs
+      |           FROM documents)
+      |SELECT doc_id, source, n_chars, epochs, CAST(i AS INT) AS epoch
+      |FROM e, UNNEST(range(epochs)) t(i)
+      |ORDER BY doc_id, epoch""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
-    Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)))
+    Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
+    Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),
+    Q("mix_upsample", mixUpsample, Some(mixUpsampleSql)))
 }

@@ -110,4 +110,49 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 2 has < 3 words → zero grams, still emitted as clean
     assert(out(2L) == (0L, false))
   }
+
+  test("corpus_balance_langs: integer-coin keep rule, dominant lang sampled down") {
+    val d = java.nio.file.Files.createTempDirectory("balance").toString
+    import spark.implicits._
+    // en dominates 40:10 — target is min/2 = 5 expected per lang, so the
+    // en keep odds are 1/16 and de's are 1/2
+    ((0 until 40).map(i => (i.toLong, "w", "en", "src0", 1L)) ++
+      (0 until 10).map(i => (100L + i, "w", "de", "src0", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("corpus_balance_langs")(spark, d).collect()
+    // replicate the coin rule row-by-row: kept ⟺ 2·u24·cnt < min·2^24
+    val cnt = Map("en" -> 40L, "de" -> 10L)
+    out.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getAs[Long]("doc_id").toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val coin = java.lang.Long.parseLong(h.take(6), 16)
+      assert(r.getAs[Long]("coin") == coin)
+      assert(2L * coin * cnt(r.getAs[String]("lang")) < 10L * (1L << 24))
+    }
+    // the dominant language must not dominate the sample: its keep rate is
+    // 1/16 vs de's 1/2, deterministic given the md5 coins
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("en", 0) <= 10, byLang.toString)
+    assert(byLang.getOrElse("de", 0) >= 2, byLang.toString)
+    // determinism: a second run yields the identical kept set
+    val again = SparkEntry.queries("corpus_balance_langs")(spark, d).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("mix_upsample: per-source epoch factor repeats docs with epoch index") {
+    val d = java.nio.file.Files.createTempDirectory("upsample").toString
+    import spark.implicits._
+    Seq((1L, "a", "en", "src2", 1L),   // 2 % 3 + 1 = 3 epochs
+      (2L, "b", "en", "src3", 1L),     // 3 % 3 + 1 = 1 epoch
+      (3L, "c", "en", "src10", 1L))    // 10 % 3 + 1 = 2 epochs
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("mix_upsample")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epochs"), r.getAs[Int]("epoch")))
+    assert(out.toSeq == Seq((1L, 3, 0), (1L, 3, 1), (1L, 3, 2),
+      (2L, 1, 0), (3L, 2, 0), (3L, 2, 1)))
+  }
 }
