@@ -587,7 +587,106 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental-ingest dedup — the operational shape at 100 TB: classify
+    * each INCREMENT doc (the doc_id % 10 == 0 slice, standing in for
+    * "today's crawl") against the ESTABLISHED corpus (the other 90%) as
+    * exact_dup / near_dup / new, with the matched corpus doc. Per-increment
+    * cost ∝ increment: the corpus contributes one hash/signature pass (in
+    * a real deployment those live precomputed next to the corpus — this
+    * query IS the recipe for maintaining them), every join is keyed
+    * (md5 or band bucket, never all-pairs), and the increment's band
+    * relation is the small broadcastable side. Near-dup matching uses the
+    * [[connectedComponents]] banding contract: candidate ⟺ ≥ 1 shared
+    * MinHash band, then exact word-set Jaccard ≥ 0.5 verified on
+    * candidate pairs only (cross-multiplied milli, no division). */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    val inc = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    // exact tier: corpus collapsed to (text hash → canonical id) — one row
+    // per distinct text regardless of corpus duplication
+    val corpusHash = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_of"))
+    val exact = inc.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHash, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_of"))
+    // near tier: increment bands ⋈ corpus bands on the bucket key
+    val cand = minhashBands(inc).as("x")
+      .join(minhashBands(corpus).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("cand_id"))
+      .distinct()
+    def wordSets(d: DataFrame) = d.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ws"))
+    val wi = wordSets(inc)
+      .select(col("doc_id"), col("ws").as("wa"), size(col("ws")).as("na"))
+    val wc = wordSets(corpus)
+      .select(col("doc_id").as("cand_id"), col("ws").as("wb"),
+        size(col("ws")).as("nb"))
+    val near = cand.join(wi, "doc_id").join(wc, "cand_id")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))))
+      .filter(col("i") >= 1 &&
+        lit(1000) * col("i") >= lit(500) * (col("na") + col("nb") - col("i")))
+      .groupBy("doc_id").agg(min(col("cand_id")).as("near_of"))
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalSql = {
+    val bandDefs = (0 until minhashSeeds / bandSize).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize)
+        .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $minhashSignaturesSql,
+       |bands AS (
+       |  $bandDefs),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |ch AS (SELECT md5(text) AS h, MIN(doc_id) AS exact_of FROM corp GROUP BY 1),
+       |ex AS (SELECT inc.doc_id, ch.exact_of
+       |       FROM inc LEFT JOIN ch ON md5(inc.text) = ch.h),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id, y.doc_id AS cand_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+       |uw AS (SELECT DISTINCT doc_id, w
+       |       FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM uw GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_id, c.cand_id, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN uw a ON a.doc_id = c.doc_id
+       |  JOIN uw b ON b.doc_id = c.cand_id AND b.w = a.w
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT inter.doc_id, MIN(inter.cand_id) AS near_of
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = inter.doc_id
+       |  JOIN sz sb ON sb.doc_id = inter.cand_id
+       |  WHERE 1000 * i >= 500 * (sa.n + sb.n - i)
+       |  GROUP BY 1)
+       |SELECT inc.doc_id,
+       |  CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN near.near_of IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(ex.exact_of, near.near_of) AS dup_of
+       |FROM inc LEFT JOIN ex ON inc.doc_id = ex.doc_id
+       |         LEFT JOIN near ON inc.doc_id = near.doc_id
+       |ORDER BY inc.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
