@@ -685,6 +685,23 @@ object DedupOps {
        |ORDER BY inc.doc_id""".stripMargin
   }
 
+  /** The precomputed corpus-side dedup index the incremental/streaming
+    * classifiers join against: (text-md5 → canonical id) for the exact
+    * tier and (full 16-hash MinHash signature → canonical id) for the
+    * near tier. In a deployment these live materialized next to the
+    * corpus and are incrementally maintained; both are one aggregation
+    * pass here. The signature definition is shared with
+    * [[dedupMinhashClusters]] (md5 of the '|'-joined m0..m15). */
+  def corpusDedupIndex(docs: DataFrame): (DataFrame, DataFrame) = {
+    val exactIdx = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_of"))
+    val sig = md5(concat_ws("|", (0 until minhashSeeds).map(i => col(s"m$i")): _*))
+    val nearIdx = minhashSignaturesOf(docs)
+      .select(col("doc_id"), sig.as("sig"))
+      .groupBy("sig").agg(min(col("doc_id")).as("near_of"))
+    (exactIdx, nearIdx)
+  }
+
   val all: Seq[Q] = Seq(
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

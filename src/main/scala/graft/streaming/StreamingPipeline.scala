@@ -210,6 +210,45 @@ object StreamingPipeline {
       .withColumn("is_contaminated", col("n_contaminated") >= 1)
   }
 
+  /** Streaming increment classification — the continuous twin of the batch
+    * `dedup_incremental` query: each ARRIVING doc is classified exact_dup /
+    * near_dup / new against two precomputed STATIC corpus indexes
+    * ([[graft.queries.DedupOps.corpusDedupIndex]]: text-md5 → id and full
+    * MinHash signature → id, the relations a deployment keeps materialized
+    * next to the corpus).
+    *
+    * Deliberately STATELESS (append-safe, no watermark, no state store):
+    * both tiers are stream-static LEFT joins on UNIQUE static keys — one
+    * row in, one row out. The price is the near tier's recall: it matches
+    * on the FULL 16-hash signature (the `dedup_minhash_clusters` contract
+    * — word-set-identical docs), not banded-Jaccard; banding needs a
+    * per-doc aggregation over band hits, which is unbounded state on a
+    * stream. Route bulk backfills through the batch query.
+    *
+    * The arriving doc's signature is computed ROW-LOCALLY (transform +
+    * array_min over the word array — same min-md5 math as the batch
+    * aggregate; StreamingPipelineSpec pins the equivalence). Interpreted
+    * HOF cost is ~16·|words| md5 calls per doc: fine at ingest rates, not
+    * for bulk reprocessing — which is the batch path anyway. */
+  def classifyIncrementStream(docs: DataFrame, exactIdx: DataFrame,
+      nearIdx: DataFrame): DataFrame = {
+    import graft.queries.DedupOps.minhashSeeds
+    val ws = array_distinct(split(col("text"), " "))
+    val sig = md5(concat_ws("|", (0 until minhashSeeds).map { i =>
+      array_min(transform(ws, w => md5(concat(lit(s"$i:"), w))))
+    }: _*))
+    docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("sig", sig)
+      .join(exactIdx, Seq("h"), "left")
+      .join(nearIdx, Seq("sig"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** Streaming dedup with bounded state: drop duplicate (user_id, event_id)
     * arrivals within the watermark horizon — the streaming analog of the
     * batch latest-per-key dedup for at-least-once upstream feeds. State for

@@ -141,6 +141,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("classifyIncrementStream: stateless exact/near/new against static corpus indexes") {
+    val root = Files.createTempDirectory("classtream")
+    val src = root.resolve("docs")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "en", "src0", 0L),
+      (2L, "completely different words here", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (exactIdx, nearIdx) = graft.queries.DedupOps.corpusDedupIndex(corpus)
+    Seq(
+      (10L, "alpha beta gamma delta"), // byte-identical → exact
+      // same word SET as corpus doc 1 → identical full MinHash signature →
+      // near (this also pins the row-local stream signature to the batch
+      // aggregate's: a drift would misclassify this doc as 'new')
+      (20L, "delta gamma beta alpha"),
+      (30L, "zeta eta theta iota"))    // no match → new
+      .toDF("doc_id", "text")
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.classifyIncrementStream(stream, exactIdx, nearIdx),
+      "classify_out")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("dup_of"))))).toMap
+    assert(out(10L) == (("exact_dup", Some(1L))))
+    assert(out(20L) == (("near_dup", Some(1L))))
+    assert(out(30L) == (("new", None)))
+  }
+
   test("dedupStream: duplicate arrivals within the watermark are dropped") {
     val root = Files.createTempDirectory("dedupstream")
     val src = root.resolve("events")
