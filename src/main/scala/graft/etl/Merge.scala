@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * One shuffle each side, no driver materialization. For repeated merges at
   * 100 TB, persist the DW table bucketed by the key (`bucketBy(n, key)`) so
   * the DW side's exchange disappears and only the (small) update batch
-  * shuffles. AQE handles skew; the key is high-cardinality so none expected.
+  * shuffles — BucketedMergeSpec demonstrates that plan (bucketed scan feeds
+  * the join, zero DW-side exchanges). AQE handles skew; the key is
+  * high-cardinality so none expected.
   */
 object Merge {
 
