@@ -241,10 +241,54 @@ object CorpusOps {
       |FROM e, UNNEST(range(epochs)) t(i)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Corpus composition report — the dataset-card table: per (lang,
+    * source) slice, document/token/char volumes and each slice's milli
+    * share of the corpus by documents and by tokens. One map-side-
+    * combining hash aggregate over a codegen'd projection plus two
+    * broadcast scalars; the report is slice-count-sized however big the
+    * corpus — the shape you run over 100 TB to decide the mixing weights
+    * [[corpusBalanceLangs]]/[[mixUpsample]] then apply. */
+  private def corpusMixReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("source"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("toks"),
+      length(col("text")).cast("long").as("chars"))
+    val slices = d.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("chars")).as("n_chars_sum"))
+    val totals = slices.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    slices.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars_sum"),
+        floor(lit(1000.0) * col("n_docs") / col("t_docs")).cast("long")
+          .as("doc_share_milli"),
+        floor(lit(1000.0) * col("n_tokens") / col("t_tokens")).cast("long")
+          .as("token_share_milli"))
+      .orderBy("lang", "source")
+  }
+
+  private val corpusMixReportSql =
+    """WITH d AS (SELECT lang, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks,
+      |    CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents),
+      |slices AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
+      |    SUM(chars) AS n_chars_sum
+      |  FROM d GROUP BY 1, 2),
+      |t AS (SELECT SUM(n_docs) AS t_docs, SUM(n_tokens) AS t_tokens FROM slices)
+      |SELECT lang, source, n_docs, n_tokens, n_chars_sum,
+      |  CAST(floor(1000.0 * n_docs / t_docs) AS BIGINT) AS doc_share_milli,
+      |  CAST(floor(1000.0 * n_tokens / t_tokens) AS BIGINT) AS token_share_milli
+      |FROM slices CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
     Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),
-    Q("mix_upsample", mixUpsample, Some(mixUpsampleSql)))
+    Q("mix_upsample", mixUpsample, Some(mixUpsampleSql)),
+    Q("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)))
 }
