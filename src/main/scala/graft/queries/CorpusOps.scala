@@ -274,8 +274,9 @@ object CorpusOps {
       |    CAST(length(text) AS BIGINT) AS chars
       |  FROM documents),
       |slices AS (
-      |  SELECT lang, source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
-      |    SUM(chars) AS n_chars_sum
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(chars) AS BIGINT) AS n_chars_sum
       |  FROM d GROUP BY 1, 2),
       |t AS (SELECT SUM(n_docs) AS t_docs, SUM(n_tokens) AS t_tokens FROM slices)
       |SELECT lang, source, n_docs, n_tokens, n_chars_sum,

@@ -461,7 +461,8 @@ object TextOps {
       |c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
       |a2 AS (SELECT doc_id, MAX(cnt) AS top2_cnt FROM c2 GROUP BY 1),
       |a3 AS (SELECT doc_id,
-      |         COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * 3 END), 0) AS dup3_tokens
+      |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * 3 END), 0) AS BIGINT)
+      |           AS dup3_tokens
       |       FROM c3 GROUP BY 1),
       |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
       |SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
