@@ -223,7 +223,12 @@ object CorpusOps {
     * shape (narrow posexplode of a repeat array, zero shuffles) is the
     * contract. */
   private def mixUpsample(s: SparkSession, dir: String): DataFrame = {
-    val epochs = (substring(col("source"), 4, 10).cast("int") % 3 + 1).as("epochs")
+    // try_cast, not cast: ANSI mode (Spark 4 default) throws on a source
+    // name outside the srcN convention — a dirty catalog must degrade to
+    // the 1-epoch default, not kill the corpus build
+    val epochs = coalesce(
+      substring(col("source"), 4, 10).try_cast("int") % 3 + 1, lit(1))
+      .as("epochs")
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"), epochs)
       .select(col("doc_id"), col("source"), col("n_chars"), col("epochs"),
@@ -235,7 +240,7 @@ object CorpusOps {
 
   private val mixUpsampleSql =
     """WITH e AS (SELECT doc_id, source, n_chars,
-      |             CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs
+      |             COALESCE(TRY_CAST(substr(source, 4) AS INT) % 3 + 1, 1) AS epochs
       |           FROM documents)
       |SELECT doc_id, source, n_chars, epochs, CAST(i AS INT) AS epoch
       |FROM e, UNNEST(range(epochs)) t(i)

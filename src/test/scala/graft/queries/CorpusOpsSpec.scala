@@ -147,12 +147,15 @@ class CorpusOpsSpec extends SparkSpec {
     import spark.implicits._
     Seq((1L, "a", "en", "src2", 1L),   // 2 % 3 + 1 = 3 epochs
       (2L, "b", "en", "src3", 1L),     // 3 % 3 + 1 = 1 epoch
-      (3L, "c", "en", "src10", 1L))    // 10 % 3 + 1 = 2 epochs
+      (3L, "c", "en", "src10", 1L),    // 10 % 3 + 1 = 2 epochs
+      // outside the srcN convention: ANSI cast would throw — must degrade
+      // to the 1-epoch default instead
+      (4L, "d", "en", "weird-catalog", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val out = SparkEntry.queries("mix_upsample")(spark, d).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epochs"), r.getAs[Int]("epoch")))
     assert(out.toSeq == Seq((1L, 3, 0), (1L, 3, 1), (1L, 3, 2),
-      (2L, 1, 0), (3L, 2, 0), (3L, 2, 1)))
+      (2L, 1, 0), (3L, 2, 0), (3L, 2, 1), (4L, 1, 0)))
   }
 }
