@@ -422,7 +422,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
     val ord = byDoc.orderBy(col("pos"))
-    val grams = t(s, dir, "documents")
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val grams = d
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
       .withColumn("n_words", count(lit(1)).over(byDoc))
       .withColumn("w1", lead(col("w0"), 1).over(ord))
@@ -432,14 +433,17 @@ object TextOps {
         struct(lit(3).as("k"),
           concat_ws(" ", col("w0"), col("w1"), col("w2")).as("gram")))).as("g"))
       .filter(col("pos") <= col("n_words") - col("g.k"))
-      .select(col("doc_id"), col("n_words"), col("g.k").as("k"), col("g.gram").as("gram"))
-    val cnts = grams.groupBy("doc_id", "k", "gram")
-      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("cnt"))
-    cnts.groupBy("doc_id").agg(
-      max(col("n_words")).cast("int").as("n_tokens"),
-      coalesce(max(when(col("k") === 2, col("cnt"))), lit(0L)).as("top2_cnt"),
-      coalesce(sum(when(col("k") === 3 && col("cnt") > 1, col("cnt") * 3)), lit(0L))
-        .as("dup3_tokens"))
+      .select(col("doc_id"), col("g.k").as("k"), col("g.gram").as("gram"))
+    val cnts = grams.groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("cnt"))
+    val aggs = cnts.groupBy("doc_id").agg(
+      max(when(col("k") === 2, col("cnt"))).as("top2_raw"),
+      sum(when(col("k") === 3 && col("cnt") > 1, col("cnt") * 3)).as("dup3_raw"))
+    // join back to the doc base so gram-less docs (< 2 words) are still
+    // reported — the oracle's LEFT JOIN shape, kept identical here
+    d.select(col("doc_id"), size(words(col("text"))).cast("int").as("n_tokens"))
+      .join(aggs, Seq("doc_id"), "left")
+      .withColumn("top2_cnt", coalesce(col("top2_raw"), lit(0L)))
+      .withColumn("dup3_tokens", coalesce(col("dup3_raw"), lit(0L)))
       .withColumn("top2gram_milli", milli(lit(2) * col("top2_cnt"), col("n_tokens")))
       .withColumn("dup3gram_milli", milli(col("dup3_tokens"), col("n_tokens")))
       // the Gopher cut points: most-common-2-gram share ≤ 0.20, duplicated
@@ -452,7 +456,8 @@ object TextOps {
   }
 
   private val textRepetitionSql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE text IS NOT NULL),
       |g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS gram
       |       FROM d, UNNEST(range(greatest(len(w)-1, 0))) t(i)),
       |g3 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
@@ -464,7 +469,7 @@ object TextOps {
       |         CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * 3 END), 0) AS BIGINT)
       |           AS dup3_tokens
       |       FROM c3 GROUP BY 1),
-      |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |n AS (SELECT doc_id, len(w) AS n_tokens FROM d)
       |SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
       |  COALESCE(a2.top2_cnt, 0) AS top2_cnt,
       |  CAST(floor(1000.0 * 2 * COALESCE(a2.top2_cnt, 0) / n.n_tokens) AS BIGINT)

@@ -64,7 +64,9 @@ class PrivacyOpsSpec extends SparkSpec {
       (0L, "a a a a", "en", "src0", 7L),
       // 12 distinct words: every gram unique -> top2 2/12 = 166 milli,
       // dup3 = 0 -> keep
-      (1L, "b c d e f g h i j k l m", "en", "src0", 23L))
+      (1L, "b c d e f g h i j k l m", "en", "src0", 23L),
+      // gram-less doc (1 word): must still be reported, not dropped
+      (2L, "solo", "en", "src0", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val r = SparkEntry.queries("text_repetition")(spark, dir).collect()
@@ -73,5 +75,6 @@ class PrivacyOpsSpec extends SparkSpec {
           x.getAs[Long]("dup3gram_milli"), x.getAs[Boolean]("keep")))).toMap
     assert(r(0L) == ((4, 1500L, 1500L, false)))
     assert(r(1L) == ((12, 166L, 0L, true)))
+    assert(r(2L) == ((1, 0L, 0L, true)))
   }
 }
