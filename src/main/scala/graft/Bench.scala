@@ -90,8 +90,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    // sfDir is env-supplied: escape it so a quote/backslash in the path
+    // can't produce malformed JSON (same encoder as ScaleCheck)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${graft.tools.ScaleCheck.jsonString(sfDir)}}"""
     println(json)
     // also persist to a file: a truncated stdout capture (seen when the
     // harness logs clip the tail) must not lose the per-query record

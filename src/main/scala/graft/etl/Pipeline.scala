@@ -122,11 +122,27 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
 
   /** Month-pruned DW read — the partition-aware fast path: the filter on
     * the partition column prunes at planning/AQE time, so only that
-    * month's directories are listed and scanned. */
-  def readDwMonth(month: String): DataFrame =
-    Pipeline.readDwRaw(spark, dwPath)
-      .filter(col(Pipeline.dwPartitionCol) === month)
-      .drop(Pipeline.dwPartitionCol)
+    * month's directories are listed and scanned.
+    *
+    * A legacy UNPARTITIONED directory (parquet files at the top level, no
+    * `nfe_month=` subdirectories) has no partition column to filter on —
+    * the parquet reader null-fills it, so the naive equality filter would
+    * silently return an empty frame with the layout (not the data) as the
+    * cause. Detect that layout and fall back to the equivalent data_nfe
+    * filter (correct answer, full scan) with a loud warning. */
+  def readDwMonth(month: String): DataFrame = {
+    val raw = Pipeline.readDwRaw(spark, dwPath)
+    if (Pipeline.isLegacyUnpartitionedDw(dwPath)) {
+      System.err.println(s"[graft] DW at $dwPath has a legacy unpartitioned " +
+        s"layout (no ${Pipeline.dwPartitionCol}= directories): month filter " +
+        "falls back to data_nfe — correct rows, but a full scan with no " +
+        "partition pruning. Rewrite the DW via upsertDw to repartition.")
+      raw.drop(Pipeline.dwPartitionCol)
+        .filter(date_format(col("data_nfe"), "yyyy-MM") === month)
+    } else
+      raw.filter(col(Pipeline.dwPartitionCol) === month)
+        .drop(Pipeline.dwPartitionCol)
+  }
 
   private def atomicOverwrite(df: DataFrame, path: String): Unit =
     Pipeline.atomicOverwrite(df, path)
@@ -148,6 +164,31 @@ object Pipeline {
     atomicOverwrite(
       df.withColumn(dwPartitionCol, date_format(col("data_nfe"), "yyyy-MM")),
       path, partitionCols = Seq(dwPartitionCol))
+
+  /** True when `path` holds data files at the top level with no
+    * `nfe_month=` partition directories — the pre-partitioning layout.
+    * An absent or empty directory is NOT legacy (either read path returns
+    * the same empty frame there). */
+  def isLegacyUnpartitionedDw(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!Files.exists(p)) false
+    else {
+      val stream = Files.list(p)
+      try {
+        val children = stream.iterator()
+        var hasPartDirs = false
+        var hasDataFiles = false
+        while (children.hasNext) {
+          val c = children.next()
+          val name = c.getFileName.toString
+          if (Files.isDirectory(c) && name.startsWith(dwPartitionCol + "="))
+            hasPartDirs = true
+          else if (name.endsWith(".parquet")) hasDataFiles = true
+        }
+        hasDataFiles && !hasPartDirs
+      } finally stream.close()
+    }
+  }
 
   /** DW read WITH the partition column (for month-pruned scans). Reads an
     * unpartitioned legacy directory too: a missing column is null-filled

@@ -240,7 +240,7 @@ object CorpusOps {
 
   private val mixUpsampleSql =
     """WITH e AS (SELECT doc_id, source, n_chars,
-      |             COALESCE(TRY_CAST(substr(source, 4) AS INT) % 3 + 1, 1) AS epochs
+      |             COALESCE(TRY_CAST(substr(source, 4, 10) AS INT) % 3 + 1, 1) AS epochs
       |           FROM documents)
       |SELECT doc_id, source, n_chars, epochs, CAST(i AS INT) AS epoch
       |FROM e, UNNEST(range(epochs)) t(i)

@@ -25,7 +25,12 @@ object PrivacyOps {
     *    (the fixed literal salt here stands in for a secret; the plan
     *    shape is what matters);
     *  - quasi-identifiers generalize: ts → hour, value → 100-unit bucket
-    *    via exact cents math (round(v·100) → BIGINT, never float compare);
+    *    via exact cents math (round(v·100) → BIGINT) followed by an
+    *    EXPLICIT floor division (floor(cents/10000.0)) — toward-−∞ on both
+    *    engines, because Spark's `div` truncates toward zero while other
+    *    engines' integer division may floor, so a negative value would
+    *    silently bucket differently (-18522¢ → -200 under floor, -100
+    *    under truncation);
     *  - freeform props JSON gets numeric literals scrubbed (a measurement
     *    can re-identify; `{"k": 87}` → `{"k": 0}`). */
   private def piiAnonymize(s: SparkSession, dir: String): DataFrame =
@@ -36,7 +41,7 @@ object PrivacyOps {
         .as("user_token"),
       date_trunc("hour", col("ts")).as("ts_hour"),
       col("event_type"),
-      (expr("CAST(round(value * 100) AS BIGINT) div 10000") * 100)
+      (floor(expr("CAST(round(value * 100) AS BIGINT)") / lit(10000.0)) * 100)
         .as("value_bucket"),
       regexp_replace(col("props"), "[0-9]+", "0").as("props_scrubbed"))
       .orderBy("event_token")
@@ -47,7 +52,7 @@ object PrivacyOps {
       |  substr(md5('usalt:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
       |  date_trunc('hour', ts) AS ts_hour,
       |  event_type,
-      |  (CAST(round(value * 100) AS BIGINT) // 10000) * 100 AS value_bucket,
+      |  CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS BIGINT) * 100 AS value_bucket,
       |  regexp_replace(props, '[0-9]+', '0', 'g') AS props_scrubbed
       |FROM events ORDER BY event_token""".stripMargin
 
@@ -61,7 +66,7 @@ object PrivacyOps {
     t(s, dir, "events").select(
       date_trunc("hour", col("ts")).as("ts_hour"),
       col("event_type"),
-      (expr("CAST(round(value * 100) AS BIGINT) div 10000") * 100)
+      (floor(expr("CAST(round(value * 100) AS BIGINT)") / lit(10000.0)) * 100)
         .as("value_bucket"))
       .groupBy("ts_hour", "event_type", "value_bucket")
       .agg(count(lit(1)).as("n"))
@@ -72,7 +77,7 @@ object PrivacyOps {
     """SELECT ts_hour, event_type, value_bucket, COUNT(*) AS n,
       |  COUNT(*) >= 5 AS k_ok
       |FROM (SELECT date_trunc('hour', ts) AS ts_hour, event_type,
-      |        (CAST(round(value * 100) AS BIGINT) // 10000) * 100 AS value_bucket
+      |        CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS BIGINT) * 100 AS value_bucket
       |      FROM events)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 

@@ -16,6 +16,18 @@ object ScaleCheck {
   private val defaultQueries = Seq("connected_components", "ann_lsh_cosine",
     "ann_ivf_cosine", "ngram_jaccard_pairs", "simhash_neardup_pairs")
 
+  /** Minimal JSON string encoder (quote, backslash, control chars). */
+  def jsonString(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       throw new IllegalArgumentException("usage: ScaleCheck <dataDir> [query ...]"))
@@ -56,7 +68,10 @@ object ScaleCheck {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"scale_check","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir"}""")
+    // dir is user-supplied: escape it so a quote/backslash (or a control
+    // char) in the path can't produce malformed JSON
+    val dirJson = jsonString(dir)
+    println(s"""{"metric":"scale_check","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":$dirJson}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

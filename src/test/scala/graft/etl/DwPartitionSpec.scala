@@ -69,4 +69,38 @@ class DwPartitionSpec extends SparkSpec {
     assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
       .map(_.files.size).sum == 1)
   }
+
+  test("readDwMonth on a legacy unpartitioned DW falls back to data_nfe (not empty)") {
+    val root = Files.createTempDirectory("dwlegacy")
+    val novos = Files.createDirectories(root.resolve("novos"))
+    val dwDir = root.resolve("dw").toString
+    val pipeline = new Pipeline(spark,
+      root.resolve("staging").toString, dwDir, root.resolve("hist").toString)
+    writeCsv(novos, "f1.csv",
+      s"1;P1;$k1;1,00;1,0;SP;31/12/2024;01/01/2024 10:00:00;1;CD1;01/01/2024 09:00:00",
+      s"2;P2;$k2;2,00;1,0;RJ;15/11/2024;01/01/2024 10:00:00;1;CD1;01/01/2024 09:00:00")
+    pipeline.loadStage(novos, root.resolve("lidos"), root.resolve("erros"))
+    pipeline.upsertDw()
+
+    // rewrite the DW as a flat (pre-partitioning) layout: same rows, no
+    // nfe_month= directories
+    val rows = pipeline.readDw()
+    val flat = Files.createTempDirectory("dwflat").toString
+    rows.write.mode("overwrite").parquet(flat)
+    val legacy = new Pipeline(spark,
+      root.resolve("staging2").toString, flat, root.resolve("hist2").toString)
+
+    assert(Pipeline.isLegacyUnpartitionedDw(flat))
+    assert(!Pipeline.isLegacyUnpartitionedDw(dwDir))
+    assert(!Pipeline.isLegacyUnpartitionedDw(root.resolve("absent").toString))
+
+    // the month read must return the December row, not a silent empty frame
+    val dec = legacy.readDwMonth("2024-12").collect()
+    assert(dec.length == 1 && dec.head.getAs[String]("chave_nfe") == k1)
+    assert(legacy.readDwMonth("2024-11").count() == 1)
+    assert(legacy.readDwMonth("2024-10").count() == 0)
+    // schema parity with the partitioned fast path
+    assert(legacy.readDwMonth("2024-12").schema.fieldNames.toSeq ==
+      pipeline.readDwMonth("2024-12").schema.fieldNames.toSeq)
+  }
 }

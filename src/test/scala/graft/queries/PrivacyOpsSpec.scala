@@ -42,6 +42,17 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(row.getAs[String]("props_scrubbed") == """{"k": 0}""")
   }
 
+  test("value_bucket floors toward -inf on negative values (not truncate)") {
+    val ts = Timestamp.valueOf("2024-03-05 10:47:13")
+    val dir = writeEvents(Seq(
+      (1L, ts, 10L, "refund", -185.22, "{}"),   // -18522c -> floor -2 -> -200
+      (2L, ts, 11L, "refund", -100.00, "{}"),   // -10000c -> exactly -1 -> -100
+      (3L, ts, 12L, "click", 185.22, "{}")))    //  18522c -> floor  1 ->  100
+    val r = SparkEntry.queries("pii_anonymize")(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") -> x.getAs[Long]("value_bucket"))
+    assert(r.toSet == Set("refund" -> -200L, "refund" -> -100L, "click" -> 100L))
+  }
+
   test("k_anonymity_audit: group size per generalized quasi-identifier, k=5 gate") {
     val h = Timestamp.valueOf("2024-03-05 10:00:00")
     def at(min: Int) = Timestamp.valueOf(f"2024-03-05 10:$min%02d:00")
