@@ -290,7 +290,121 @@ object CorpusOps {
       |FROM slices CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  /** C4-style line-level corpus dedup, expressed over 8-token chunks (the
+    * synthetic corpus has no newlines, so the dedup unit is a deterministic
+    * token window — the plan shape is the contract): every chunk keeps only
+    * its corpus-wide FIRST occurrence in (doc_id, chunk_idx) order; later
+    * occurrences — including repeats inside the same document — are
+    * removed, and each document is reassembled from its surviving chunks.
+    * This is the cross-document counterpart of [[TextOps]]'s per-document
+    * repetition filter: the C4 report removed any three-sentence span seen
+    * before, corpus-wide, which is exactly this shape.
+    *
+    * Scale: first-occurrence selection is a map-side-combining hash
+    * aggregate (min of a packed (doc_id, idx) key per chunk value), NOT a
+    * row_number window partitioned by chunk — a boilerplate chunk occurring
+    * a billion times would make that window partition a straggler, while
+    * the aggregate folds it map-side. The join back is a shuffle equi-join
+    * on chunk text (AQE skew-split absorbs hot chunks); reassembly is one
+    * shuffle on doc_id with a row-local sort (chunk count is bounded by
+    * document length). Documents whose every chunk was seen before still
+    * appear, with n_kept = 0 and empty text. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val chunks = t(s, dir, "documents")
+      // null text ≡ empty text: the doc must still be reported, and
+      // sequence()/range() over a NULL length would drop (or throw on) it
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("toks")) - 1) / lit(w.toDouble))),
+          i => concat_ws(" ", slice(col("toks"), (i * w + 1).cast("int"), lit(w)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"))
+    def pos = col("doc_id") * 1000000L + col("chunk_idx")
+    val firsts = chunks.groupBy("chunk").agg(min(pos).as("first_pos"))
+    val kept = chunks.join(firsts, "chunk").filter(pos === col("first_pos"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      // row-local ordered reassembly; tie on chunk_idx (possible only under
+      // duplicate doc_ids) breaks on chunk text, mirroring the oracle's
+      // ORDER BY chunk_idx, chunk
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk"))).as("text_clean"))
+    totals.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql =
+    """WITH tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      |            FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |    array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS chunk
+      |  FROM tk, UNNEST(range(CAST(floor((len(toks) - 1) / 8.0) AS BIGINT) + 1)) t(i)),
+      |firsts AS (SELECT chunk, MIN(doc_id*1000000 + chunk_idx) AS first_pos
+      |           FROM chunks GROUP BY 1),
+      |kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+      |         FROM chunks c JOIN firsts f USING (chunk)
+      |         WHERE c.doc_id*1000000 + c.chunk_idx = f.first_pos),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1),
+      |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(chunk, ' ' ORDER BY chunk_idx, chunk) AS text_clean
+      |       FROM kept GROUP BY 1)
+      |SELECT tot.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |       COALESCE(text_clean, '') AS text_clean
+      |FROM tot LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer-vocabulary candidates: corpus-wide token frequencies, top 50
+    * by count with rank and cumulative corpus share (milli) — the first
+    * artifact of a BPE/vocab build and the sanity check on any new corpus
+    * (a Zipf curve that is too flat or too steep flags extraction bugs).
+    *
+    * Scale: explode → one map-side-combining hash aggregate (the explode is
+    * corpus-token-sized, but partial aggregation collapses it to distinct
+    * vocab per partition before the shuffle); the global top-50 is a
+    * TakeOrderedAndProject over the aggregated vocab (never a full sort),
+    * and the rank/cumulative window runs on 50 rows. The corpus total rides
+    * along as a broadcast scalar. */
+  private def vocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "documents")
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val order = Seq(col("cnt").desc, col("token"))
+    val top = counts.orderBy(order: _*).limit(50)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_cnt", sum(col("cnt")).over(Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("token"), col("cnt"), col("rank"),
+        floor(lit(1000.0) * col("cum_cnt") / col("total")).as("cum_milli"))
+      .orderBy("rank")
+  }
+
+  private val vocabTopkSql =
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+      |                            x -> x <> '')) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+      |top AS (SELECT token, cnt,
+      |          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+      |        FROM counts ORDER BY cnt DESC, token LIMIT 50)
+      |SELECT token, cnt, rank,
+      |  CAST(floor(1000.0 * CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) / total)
+      |       AS BIGINT) AS cum_milli
+      |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("line_dedup", lineDedup, Some(lineDedupSql)),
+    Q("vocab_topk", vocabTopk, Some(vocabTopkSql)),
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
     Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),

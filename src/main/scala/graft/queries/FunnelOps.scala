@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Event-analytics operators over the `events` log: the ordered conversion
+  * funnel and weekly cohort retention — the two product-analytics shapes
+  * every warehouse gets asked for daily, here in the engine's exact-
+  * arithmetic form (integer milli shares, explicit floor division, unique
+  * sort keys) so the DuckDB twin hash-matches.
+  *
+  * Both are per-user aggregations: the natural 100 TB layout shuffles once
+  * on user_id and keeps everything downstream user-partitioned. Neither
+  * collects to the driver; funnel output is 4 rows, retention output is
+  * (weeks × offsets)-sized however big the log.
+  */
+object FunnelOps {
+
+  /** Ordered conversion funnel signup → view → click → purchase: a user
+    * reaches step k only via an event STRICTLY AFTER their first step-(k-1)
+    * event (the product-analytics contract — wandering into a later page
+    * before signing up does not count).
+    *
+    * Shape: one filtered min-aggregate per step, each joined to the
+    * previous step's first-event time on user_id — partial aggregation
+    * collapses each step to one row per user before its shuffle, and every
+    * join is user-keyed so a user-bucketed layout would run it with zero
+    * extra exchanges. The final counts are four scalar aggregates unioned,
+    * with conversion as exact integer milli of the entry step. */
+  private def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(step: String, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = firstAfter("view", s1, "t1", "t2")
+    val s3 = firstAfter("click", s2, "t2", "t3")
+    val s4 = firstAfter("purchase", s3, "t3", "t4")
+    val n = Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
+      "4_purchase" -> s4)
+      .map { case (nm, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("step"),
+          col("n_users"))
+      }.reduce(_ union _)
+    val base = s1.agg(count(lit(1)).as("n0"))
+    n.crossJoin(broadcast(base))
+      .select(col("step"), col("n_users"),
+        floor(lit(1000.0) * col("n_users") / col("n0")).as("conv_milli"))
+      .orderBy("step")
+  }
+
+  private val eventFunnelSql =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+      |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1),
+      |n AS (
+      |  SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_view', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_click', COUNT(*) FROM s3
+      |  UNION ALL SELECT '4_purchase', COUNT(*) FROM s4),
+      |b AS (SELECT COUNT(*) AS n0 FROM s1)
+      |SELECT step, n_users, CAST(floor(1000.0 * n_users / n0) AS BIGINT) AS conv_milli
+      |FROM n CROSS JOIN b ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users grouped by the Monday week of their
+    * first event; n_users = distinct users of that cohort active in each
+    * later week. Week offset is an EXPLICIT floor of the day difference
+    * over 7 (non-negative by construction — activity never precedes the
+    * first event — but the floor keeps both engines' division semantics
+    * pinned, per the value_bucket lesson).
+    *
+    * Shape: first-event aggregate (one row per user), join back on
+    * user_id, then a distinct-count aggregate on (cohort, offset) — two
+    * user-keyed shuffles and one small output. The join side is
+    * user-dimension-sized, not log-sized; no hint forced so the optimizer
+    * broadcasts it only while it fits. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val firsts = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    e.join(firsts, "user_id")
+      .select(col("cohort_week"), col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / lit(7.0))
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH f AS (SELECT user_id,
+      |             -- DuckDB date_trunc('week') yields DATE; Spark yields
+      |             -- TIMESTAMP — cast so the dtypes agree
+      |             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      |           FROM events GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(floor(date_diff('day', CAST(cohort_week AS DATE), CAST(e.ts AS DATE))
+      |             / 7.0) AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("event_funnel", eventFunnel, Some(eventFunnelSql)),
+    Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)))
+}

@@ -158,4 +158,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3, 0), (1L, 3, 1), (1L, 3, 2),
       (2L, 1, 0), (3L, 2, 0), (3L, 2, 1), (4L, 1, 0)))
   }
+
+  test("line_dedup: corpus-wide first occurrence, in-doc repeats, full-dup doc") {
+    val d = java.nio.file.Files.createTempDirectory("linededup").toString
+    import spark.implicits._
+    val oct = "a b c d e f g h" // exactly one 8-token chunk
+    Seq(
+      (0L, s"$oct $oct", "en", "s", 0L),   // 2 chunks, 2nd is an in-doc repeat
+      (1L, s"$oct x", "en", "s", 0L),      // chunk 1 dup of doc 0; "x" fresh
+      (2L, "fresh words only", "en", "s", 0L),
+      (3L, oct, "en", "s", 0L))            // every chunk seen before → emptied
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("line_dedup")(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_chunks"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("text_clean")))).toMap
+    assert(r(0L) == ((2L, 1L, oct)))
+    assert(r(1L) == ((2L, 1L, "x")))
+    assert(r(2L) == ((1L, 1L, "fresh words only")))
+    assert(r(3L) == ((1L, 0L, "")))
+  }
+
+  test("vocab_topk: count-desc/token tiebreak rank, cumulative milli share") {
+    val d = java.nio.file.Files.createTempDirectory("vocab").toString
+    import spark.implicits._
+    Seq((0L, "a a b", "en", "s", 0L), (1L, "b c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("vocab_topk")(spark, d).collect()
+      .map(x => (x.getAs[String]("token"), x.getAs[Long]("cnt"),
+        x.getAs[Long]("rank"), x.getAs[Long]("cum_milli")))
+    // total 5 tokens: a×2 (cum 2/5=400), b×2 (4/5=800), c×1 (5/5=1000)
+    assert(r.toSeq == Seq(("a", 2L, 1L, 400L), ("b", 2L, 2L, 800L),
+      ("c", 1L, 3L, 1000L)))
+  }
 }
