@@ -259,6 +259,58 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  // -1 = stage time not yet reached; times in event-time microseconds
+  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+  case class FunnelTransition(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming twin of the batch conversion funnel
+    * ([[graft.queries.FunnelOps]] `event_funnel`): keyed per-user state
+    * holds the first qualifying time of each stage (signup → view → click
+    * → purchase, each STRICTLY AFTER the previous stage's time), and every
+    * stage advance emits a transition record — so a downstream
+    * `groupBy(stage).count` is the live funnel.
+    *
+    * Parity contract (StreamingPipelineSpec asserts it against the batch
+    * query on an identical corpus): under event-time-ordered arrival the
+    * stage-k user sets match the batch query exactly, because an in-order
+    * scan's first qualifying event IS the batch MIN. Late out-of-order
+    * data is the inherent streaming delta: batch recompute would take a
+    * corpus-wide MIN, keyed state only extends forward — the trade every
+    * streaming funnel makes; re-run the batch query to reconcile.
+    *
+    * Scale: one shuffle on user_id; state is four longs per user
+    * (user-dimension-bounded, not log-bounded). NoTimeout by design —
+    * funnel state must survive idle gaps; a deployment wanting state GC
+    * for one-shot visitors adds EventTimeTimeout the way
+    * [[sessionizeWithTimeout]] does. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelTransition]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            e.event_type match {
+              case "signup" if st.t1 < 0 =>
+                st = st.copy(t1 = us); out += FunnelTransition(userId, 1, us)
+              case "view" if st.t1 >= 0 && st.t2 < 0 && us > st.t1 =>
+                st = st.copy(t2 = us); out += FunnelTransition(userId, 2, us)
+              case "click" if st.t2 >= 0 && st.t3 < 0 && us > st.t2 =>
+                st = st.copy(t3 = us); out += FunnelTransition(userId, 3, us)
+              case "purchase" if st.t3 >= 0 && st.t4 < 0 && us > st.t3 =>
+                st = st.copy(t4 = us); out += FunnelTransition(userId, 4, us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

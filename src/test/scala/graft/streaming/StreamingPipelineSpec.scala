@@ -338,6 +338,80 @@ class StreamingPipelineSpec extends SparkSpec {
       == 10L * 60 * 1000000) // the 00:00–00:10 span
   }
 
+  test("funnelStream: stage transitions across micro-batches, strictly-after rule") {
+    val root = Files.createTempDirectory("funnelstream")
+    val src = root.resolve("events")
+    Files.createDirectories(src)
+    // batch 1: user 1 signs up and views; user 2 views BEFORE signing up;
+    // user 3 completes signup+view
+    Seq(
+      StreamingPipeline.Event(1, ts("2024-01-01 09:00:00"), 1, "signup", 1.0),
+      StreamingPipeline.Event(2, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      StreamingPipeline.Event(3, ts("2024-01-01 08:00:00"), 2, "view", 1.0),
+      StreamingPipeline.Event(4, ts("2024-01-01 09:00:00"), 2, "signup", 1.0),
+      StreamingPipeline.Event(5, ts("2024-01-01 09:00:00"), 3, "signup", 1.0),
+      StreamingPipeline.Event(6, ts("2024-01-01 10:00:00"), 3, "view", 1.0))
+      .toDS().coalesce(1).write.parquet(src.resolve("b1").toString)
+    // batch 2 (separate micro-batch): user 1 converts through purchase —
+    // state must remember t2 from batch 1; user 3 purchases WITHOUT a
+    // click → stays at stage 2
+    Seq(
+      StreamingPipeline.Event(7, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+      StreamingPipeline.Event(8, ts("2024-01-01 12:00:00"), 1, "purchase", 1.0),
+      StreamingPipeline.Event(9, ts("2024-01-01 11:00:00"), 3, "purchase", 1.0))
+      .toDS().coalesce(1).write.parquet(src.resolve("b2").toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .option("maxFilesPerTrigger", 1) // force state continuity across batches
+      .parquet(src.toString + "/*")
+      .as[StreamingPipeline.Event]
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.funnelStream(stream).toDF(), "funnel_transitions")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+    val stages = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(stages(1L) == Set(1, 2, 3, 4))
+    assert(stages(2L) == Set(1))      // pre-signup view never counts
+    assert(stages(3L) == Set(1, 2))   // purchase without click stays at view
+  }
+
+  test("funnelStream parity with the batch event_funnel on an identical corpus") {
+    val root = Files.createTempDirectory("funnelparity")
+    // seeded corpus, event-time-ordered arrival (the parity contract)
+    val rnd = new scala.util.Random(42)
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val rows = (1 to 400).map { i =>
+      StreamingPipeline.Event(i.toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 60000L),
+        1L + rnd.nextInt(25), types(rnd.nextInt(types.length)), 1.0)
+    }
+    // stream side: Event-typed parquet
+    val src = root.resolve("stream")
+    rows.toDS().write.parquet(src.toString)
+    // batch side: the driver events layout (int64 nanosecond ts)
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(root.resolve("batch").resolve("events.parquet").toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .parquet(src.toString)
+      .as[StreamingPipeline.Event]
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.funnelStream(stream).toDF(), "funnel_parity")
+      .collect()
+    val streamCounts = streamed.groupBy(_.getAs[Int]("stage"))
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).distinct.length.toLong)
+      .toMap
+    val batch = graft.SparkEntry.queries("event_funnel")(
+      spark, root.resolve("batch").toString).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(streamCounts.getOrElse(1, 0L) == batch("1_signup"))
+    assert(streamCounts.getOrElse(2, 0L) == batch("2_view"))
+    assert(streamCounts.getOrElse(3, 0L) == batch("3_click"))
+    assert(streamCounts.getOrElse(4, 0L) == batch("4_purchase"))
+  }
+
   test("sessionize: explicit keyed state with gap rule") {
     val root = Files.createTempDirectory("sessstream")
     val src = root.resolve("events")
