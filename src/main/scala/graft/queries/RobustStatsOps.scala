@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Robust/order-statistics operators: interpolated continuous quantiles
+  * and a median/MAD outlier audit — the exactness counterparts of the
+  * mergeable sketches in `approx_sketches` (SURVEY §2 E-11..14 family).
+  *
+  * Neither uses the engines' built-in percentile functions: their
+  * interpolation formulas and evaluation order are implementation details
+  * that differ across engines and versions, which is exactly the
+  * cross-engine float divergence the determinism contract bans. Both sides
+  * compute the SAME explicit formula over the SAME rank-selected exact
+  * integers, so the doubles are bit-identical.
+  */
+object RobustStatsOps {
+
+  /** Continuous (interpolated) quartiles per order priority — the
+    * percentile_cont(0.25/0.5/0.75) semantics, via explicit rank selection:
+    * pos = 1 + q·(n−1); the result interpolates the values at
+    * floor(pos)/ceil(pos) by the fractional part. The discrete twin is
+    * `quartiles_disc`; this one returns values BETWEEN data points, which
+    * is what monitoring dashboards plot.
+    *
+    * Shape: one ranking window per group (order by value, unique key), a
+    * tiny quantile spec relation (groups × 3) joined on the two boundary
+    * ranks, one aggregate to pair v_lo/v_hi. The join input is
+    * boundary-rows-only at every scale; the window is the cost, and it
+    * shuffles once on the group key. */
+  private def quartilesCont(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val ranked = t(s, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))))
+    val spec = ranked.groupBy(col("o_orderpriority")).agg(max(col("n")).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      .withColumn("pos", lit(1.0) + col("q") * (col("n") - 1))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+    spec.join(ranked.select(col("o_orderpriority"), col("rn"), col("cents")),
+        Seq("o_orderpriority"))
+      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("o_orderpriority"), col("q"))
+      .agg(
+        min(when(col("rn") === col("lo"), col("cents"))).as("v_lo"),
+        min(when(col("rn") === col("hi"), col("cents"))).as("v_hi"),
+        min(col("pos") - col("lo")).as("frac"))
+      .select(col("o_orderpriority"), col("q"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+          .as("quantile_cents"))
+      .orderBy("o_orderpriority", "q")
+  }
+
+  private val quartilesContSql = {
+    val c = centsSql("o_totalprice")
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, $c AS cents,
+       |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY $c, o_orderkey) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders),
+       |spec AS (
+       |  SELECT o_orderpriority, n, q,
+       |    1.0 + q * (n - 1) AS pos,
+       |    floor(1.0 + q * (n - 1)) AS lo,
+       |    ceil(1.0 + q * (n - 1)) AS hi
+       |  FROM (SELECT o_orderpriority, MAX(n) AS n FROM ranked GROUP BY 1),
+       |       UNNEST([0.25, 0.5, 0.75]::DOUBLE[]) t(q)),
+       |paired AS (
+       |  SELECT s.o_orderpriority, s.q,
+       |    MIN(CASE WHEN r.rn = s.lo THEN r.cents END) AS v_lo,
+       |    MIN(CASE WHEN r.rn = s.hi THEN r.cents END) AS v_hi,
+       |    MIN(s.pos - s.lo) AS frac
+       |  FROM spec s JOIN ranked r USING (o_orderpriority)
+       |  WHERE r.rn = s.lo OR r.rn = s.hi
+       |  GROUP BY 1, 2)
+       |SELECT o_orderpriority, q,
+       |  v_lo + (v_hi - v_lo) * frac AS quantile_cents
+       |FROM paired ORDER BY o_orderpriority, q""".stripMargin
+  }
+
+  /** Median/MAD robust outlier audit of event values per event type: an
+    * event is an outlier when |v − median| > 5·MAD, with median and MAD
+    * both the LOWER exact median (rank-selected integers — the robust
+    * dispersion rule of thumb, immune to the outliers it hunts, unlike a
+    * stddev gate). Every event is emitted with its verdict so the drop
+    * decision stays a downstream filter.
+    *
+    * Shape: two ranking windows partitioned by event_type with a join back
+    * between them, all in exact cents. The honest scale caveat: an exact
+    * per-group order statistic concentrates each group on one partition —
+    * with few, huge groups (this table's shape at 100 TB) the window
+    * straggles, and the deployment answer is the mergeable quantile sketch
+    * (`approx_sketches`) with this query as the exactness oracle on
+    * samples; with many small groups (the usual per-key audit) this plan
+    * is already right. */
+  private def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+    val med = e
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("cents"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = e.join(med, "event_type")
+      .withColumn("absdev", abs(col("cents") - col("med_cents")))
+    val mad = dev
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("absdev"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("event_type"), col("absdev").as("mad_cents"))
+    dev.join(mad, "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        (col("absdev") > lit(5) * col("mad_cents")).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  private val outlierMadSql = {
+    val c = centsSql("value")
+    s"""WITH e AS (SELECT event_id, event_type, $c AS cents FROM events),
+       |med AS (
+       |  SELECT event_type, cents AS med_cents FROM (
+       |    SELECT event_type, cents,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY cents, event_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM e)
+       |  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)),
+       |dev AS (
+       |  SELECT e.event_id, e.event_type, e.cents, med.med_cents,
+       |    abs(e.cents - med.med_cents) AS absdev
+       |  FROM e JOIN med USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, absdev AS mad_cents FROM (
+       |    SELECT event_type, absdev,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY absdev, event_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM dev)
+       |  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT))
+       |SELECT dev.event_id, dev.event_type, dev.cents, dev.med_cents,
+       |  mad.mad_cents, dev.absdev > 5 * mad.mad_cents AS is_outlier
+       |FROM dev JOIN mad USING (event_type) ORDER BY dev.event_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("quartiles_cont", quartilesCont, Some(quartilesContSql)),
+    Q("outlier_mad", outlierMad, Some(outlierMadSql)))
+}
