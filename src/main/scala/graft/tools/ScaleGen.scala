@@ -79,7 +79,27 @@ object ScaleGen {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings to $out (mult=$mult)")
+    // events in the driver's exact layout (ts = int64 NANOSECONDS — the
+    // Util.t nanos path must engage at scale too): 100k rows / 1 500 users
+    // per sf0.1-equivalent, 30 days of 2024-01, 5 uniform types,
+    // exponential-ish values (mean ~50, like the driver corpus), {"k": n}
+    // props. Pure function of (id, seed) like the other tables.
+    val nEvents = 100000L * mult
+    val nUsers = 1500L * mult
+    val epochS = 1704067200L // 2024-01-01 00:00:00 UTC
+    val types = Vector("click", "view", "signup", "purchase", "error")
+    spark.range(nEvents).map { id =>
+      val r = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      val tsNs = (epochS + (r.nextDouble() * 30 * 86400).toLong) * 1000000000L +
+        r.nextInt(1000000) * 1000L
+      val value = math.rint(-50.0 * math.log(1.0 - r.nextDouble()) * 100) / 100
+      (id, tsNs, (math.floorMod(id * 2654435761L, nUsers)),
+        types(r.nextInt(types.size)), value, s"""{"k": ${r.nextInt(100)}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events to $out (mult=$mult)")
     spark.stop()
   }
 }
