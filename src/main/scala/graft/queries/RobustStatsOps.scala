@@ -87,6 +87,29 @@ object RobustStatsOps {
        |FROM paired ORDER BY o_orderpriority, q""".stripMargin
   }
 
+  /** Lower exact median of `valueCol` per `grpCol` via VALUE-HISTOGRAM rank
+    * selection: aggregate (group, value) → count (map-side combining, so a
+    * billion-row group collapses to its distinct values before the
+    * shuffle), then pick the value whose cumulative count first reaches
+    * rank ⌊(n+1)/2⌋. The per-group window runs over DISTINCT VALUES, not
+    * rows — for bounded-domain integers (cents here) that is
+    * domain-bounded however big the corpus, which is what makes an exact
+    * per-group median viable with few huge groups (the round-9 SCALECHECK
+    * measured the row-sort variant at 14× on 5 groups × 10M rows; this
+    * shape replaced it). Identical result to row-rank selection: the value
+    * CONTAINING rank k is the value AT rank k. */
+  private def histMedian(df: DataFrame, grpCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy(col(grpCol))
+    val vc = df.groupBy(col(grpCol), col(valueCol)).agg(count(lit(1)).as("c"))
+    vc.withColumn("cum", sum(col("c")).over(byGrp.orderBy(col(valueCol))))
+      .withColumn("n", sum(col("c")).over(byGrp))
+      .withColumn("target", floor((col("n") + 1) / 2))
+      .filter(col("cum") >= col("target") && col("cum") - col("c") < col("target"))
+      .select(col(grpCol), col(valueCol).as(outCol))
+  }
+
   /** Median/MAD robust outlier audit of event values per event type: an
     * event is an outlier when |v − median| > 5·MAD, with median and MAD
     * both the LOWER exact median (rank-selected integers — the robust
@@ -94,33 +117,18 @@ object RobustStatsOps {
     * stddev gate). Every event is emitted with its verdict so the drop
     * decision stays a downstream filter.
     *
-    * Shape: two ranking windows partitioned by event_type with a join back
-    * between them, all in exact cents. The honest scale caveat: an exact
-    * per-group order statistic concentrates each group on one partition —
-    * with few, huge groups (this table's shape at 100 TB) the window
-    * straggles, and the deployment answer is the mergeable quantile sketch
-    * (`approx_sketches`) with this query as the exactness oracle on
-    * samples; with many small groups (the usual per-key audit) this plan
-    * is already right. */
+    * Shape: both medians via [[histMedian]] value-histogram selection —
+    * two map-side-combining aggregates and two distinct-value-sized
+    * windows, never a corpus-sized per-group sort — plus two broadcastable
+    * joins back (the median relation is one row per group). Exact integer
+    * cents throughout. */
   private def outlierMad(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byType = Window.partitionBy(col("event_type"))
     val e = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
-    val med = e
-      .withColumn("rn", row_number().over(
-        byType.orderBy(col("cents"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
-      .filter(col("rn") === floor((col("n") + 1) / 2))
-      .select(col("event_type"), col("cents").as("med_cents"))
+    val med = histMedian(e, "event_type", "cents", "med_cents")
     val dev = e.join(med, "event_type")
       .withColumn("absdev", abs(col("cents") - col("med_cents")))
-    val mad = dev
-      .withColumn("rn", row_number().over(
-        byType.orderBy(col("absdev"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(byType))
-      .filter(col("rn") === floor((col("n") + 1) / 2))
-      .select(col("event_type"), col("absdev").as("mad_cents"))
+    val mad = histMedian(dev, "event_type", "absdev", "mad_cents")
     dev.join(mad, "event_type")
       .select(col("event_id"), col("event_type"), col("cents"),
         col("med_cents"), col("mad_cents"),
