@@ -25,36 +25,41 @@ object RobustStatsOps {
     * `quartiles_disc`; this one returns values BETWEEN data points, which
     * is what monitoring dashboards plot.
     *
-    * Shape: one ranking window per group (order by value, unique key), a
-    * tiny quantile spec relation (groups × 3) joined on the two boundary
-    * ranks, one aggregate to pair v_lo/v_hi. The join input is
-    * boundary-rows-only at every scale; the window is the cost, and it
-    * shuffles once on the group key. */
+    * Shape: the same value-histogram selection as [[histMedian]] — the
+    * (group, value) → count aggregate collapses each group to its distinct
+    * values map-side, the cumulative window runs over distinct values only
+    * (domain-bounded however big the table), and the tiny spec relation
+    * (groups × 3 quantiles) broadcast-joins against it to pick the two
+    * boundary values per quantile. Never a corpus-sized per-group sort. */
   private def quartilesCont(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("cents"), col("o_orderkey"))
-    val ranked = t(s, dir, "orders")
+    val byGrp = Window.partitionBy(col("o_orderpriority"))
+    val vc = t(s, dir, "orders")
       .withColumn("cents", cents(col("o_totalprice")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(col("o_orderpriority"))))
-    val spec = ranked.groupBy(col("o_orderpriority")).agg(max(col("n")).as("n"))
+      .groupBy(col("o_orderpriority"), col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byGrp.orderBy(col("cents"))))
+      .withColumn("n", sum(col("c")).over(byGrp))
+    val spec = vc.groupBy(col("o_orderpriority")).agg(max(col("n")).as("n"))
       .select(col("o_orderpriority"), col("n"),
         explode(array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
       .withColumn("pos", lit(1.0) + col("q") * (col("n") - 1))
       .withColumn("lo", floor(col("pos")))
       .withColumn("hi", ceil(col("pos")))
-    spec.join(ranked.select(col("o_orderpriority"), col("rn"), col("cents")),
-        Seq("o_orderpriority"))
-      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy(col("o_orderpriority"), col("q"))
-      .agg(
-        min(when(col("rn") === col("lo"), col("cents"))).as("v_lo"),
-        min(when(col("rn") === col("hi"), col("cents"))).as("v_hi"),
-        min(col("pos") - col("lo")).as("frac"))
+    // the value CONTAINING rank k (cum first reaching k) IS the value at
+    // rank k; lo and hi are selected independently then paired. No side
+    // is hint-forced: the spec is (groups × 3) rows and auto-broadcasts
+    def at(rank: String, out: String) =
+      spec.select(col("o_orderpriority"), col("q"), col("pos"), col("lo"),
+          col(rank).as("target"))
+        .join(vc.select(col("o_orderpriority"), col("cents"), col("c"),
+          col("cum")), Seq("o_orderpriority"))
+        .filter(col("cum") >= col("target") &&
+          col("cum") - col("c") < col("target"))
+        .select(col("o_orderpriority"), col("q"), col("pos"), col("lo"),
+          col("cents").as(out))
+    at("lo", "v_lo").join(at("hi", "v_hi"), Seq("o_orderpriority", "q", "pos", "lo"))
       .select(col("o_orderpriority"), col("q"),
-        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("lo")))
           .as("quantile_cents"))
       .orderBy("o_orderpriority", "q")
   }

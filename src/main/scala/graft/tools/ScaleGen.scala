@@ -99,7 +99,22 @@ object ScaleGen {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events to $out (mult=$mult)")
+    // minimal orders slice (the columns the order-statistics queries read):
+    // 150k rows per sf0.1-equivalent, 5 priorities, uniform 2-dp totalprice
+    // in [1000, 500000] — near-unique cents like the driver table, so the
+    // value-histogram quantile path is exercised on a near-continuous
+    // domain (its hard case), not just the repeat-heavy events domain
+    val nOrders = 150000L * mult
+    val prios = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    spark.range(nOrders).map { id =>
+      val r = new java.util.Random(id * 2862933555777941757L + 3037000493L)
+      val price = math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100
+      (id, price, prios(r.nextInt(prios.size)))
+    }.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders to $out (mult=$mult)")
     spark.stop()
   }
 }
