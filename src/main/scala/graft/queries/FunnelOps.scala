@@ -111,7 +111,67 @@ object FunnelOps {
       |FROM events e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SCD Type-2 interval derivation via gaps-and-islands: collapse each
+    * user's CONSECUTIVE same-type events into one validity interval
+    * (valid_from = first event of the run, valid_to = start of the next
+    * run, NULL while current) — the standard warehouse history pattern
+    * (the reference's hist table keeps raw snapshots; this is the
+    * dimension-history view a consumer derives from it).
+    *
+    * The island key is the two-row_number difference (rn_overall −
+    * rn_within_type): constant exactly along a run of equal types,
+    * distinct across runs — the classic gaps-and-islands identity, all
+    * inside ONE user-keyed shuffle (three window functions and the final
+    * aggregate all share the user_id partitioning; many small groups, so
+    * no straggler risk at scale). */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val islands = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min(col("ts")).as("valid_from"), min(col("event_id")).as("first_id"),
+        count(lit(1)).as("n_events"))
+    // first_id is the unique tiebreak: duplicate timestamps can give two
+    // runs the same valid_from, and lead() over a tied ordering is
+    // nondeterministic
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("first_id"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(seq))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val scd2IntervalsSql =
+    """WITH isl AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    - row_number() OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY ts, event_id) AS island
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, island,
+      |    MIN(ts) AS valid_from, MIN(event_id) AS first_id,
+      |    COUNT(*) AS n_events
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_id) AS valid_to,
+      |  n_events,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_id) IS NULL AS is_current
+      |FROM runs ORDER BY user_id, valid_from""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("event_funnel", eventFunnel, Some(eventFunnelSql)),
-    Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)))
+    Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    Q("scd2_intervals", scd2Intervals, Some(scd2IntervalsSql)))
 }

@@ -16,8 +16,8 @@ class EventsPoisonSpec extends SparkSpec {
   private val eventQueries = Seq(
     "dedup_latest", "conditional_merge", "json_extract", "window_tumbling",
     "sessionize", "asof_join", "range_join_count", "salted_agg",
-    "gap_fill_hours", "pii_anonymize",
-    "k_anonymity_audit", "outlier_mad", "event_funnel", "cohort_retention")
+    "gap_fill_hours", "pii_anonymize", "k_anonymity_audit", "outlier_mad",
+    "event_funnel", "cohort_retention", "scd2_intervals")
 
   test("every events-table query survives a poison log under ANSI") {
     val dir = java.nio.file.Files.createTempDirectory("eventspoison").toString

@@ -40,6 +40,33 @@ class FunnelOpsSpec extends SparkSpec {
       ("3_click", 1L, 333L), ("4_purchase", 1L, 333L)))
   }
 
+  test("scd2_intervals: gaps-and-islands runs, duplicate-ts tiebreak, current flag") {
+    val dir = writeEvents(Seq(
+      // user 1: A A B A → runs [A×2][B][A]; the return to A is a NEW run
+      (1L, "A", "2024-01-01 09:00:00"),
+      (1L, "A", "2024-01-01 10:00:00"),
+      (1L, "B", "2024-01-01 11:00:00"),
+      (1L, "A", "2024-01-01 12:00:00"),
+      // user 2: two runs starting at the SAME ts (duplicate timestamps) —
+      // event_id order decides run order deterministically
+      (2L, "X", "2024-01-02 09:00:00"),
+      (2L, "Y", "2024-01-02 09:00:00")))
+    val r = SparkEntry.queries("scd2_intervals")(spark, dir).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Timestamp]("valid_from").toString.take(19),
+        Option(x.getAs[Timestamp]("valid_to")).map(_.toString.take(19)),
+        x.getAs[Long]("n_events"), x.getAs[Boolean]("is_current")))
+    val u1 = r.filter(_._1 == 1L).toSeq
+    assert(u1 == Seq(
+      (1L, "A", "2024-01-01 09:00:00", Some("2024-01-01 11:00:00"), 2L, false),
+      (1L, "B", "2024-01-01 11:00:00", Some("2024-01-01 12:00:00"), 1L, false),
+      (1L, "A", "2024-01-01 12:00:00", None, 1L, true)))
+    val u2 = r.filter(_._1 == 2L).map(x => (x._2, x._4, x._6)).toSet
+    // X (earlier event_id) closes at Y's start; Y is current
+    assert(u2 == Set(("X", Some("2024-01-02 09:00:00"), false),
+      ("Y", None, true)))
+  }
+
   test("cohort_retention: Monday-week cohorts, floored 7-day offsets") {
     val dir = writeEvents(Seq(
       // user 1 first event Wed Jan 3 → cohort week Mon Jan 1;
