@@ -12,9 +12,12 @@ import graft.ingest.SftpStager
   * stage remote CSVs → load to staging → typed dedup upsert into DW →
   * archive. Usage: runMain graft.tools.PipelineDemo <workdir> [--stream]
   * where <workdir>/remote contains input CSVs. Prints the DW state.
-  * With --stream, the landing dir is consumed by the Structured Streaming
-  * pipeline (checkpoint as the processed-file ledger) instead of the batch
-  * loader; CSVs must then be staging-shaped (41 canonical columns). */
+  * With --stream, remote/ is staged into landing/ (same input layout as
+  * batch mode) and consumed by the Structured Streaming pipeline
+  * (checkpoint as the processed-file ledger) instead of the batch loader;
+  * CSVs must then be staging-shaped (41 canonical columns — the static
+  * stream schema can't do per-file header sniffing, so display-header
+  * files flow through as all-NULL rows and are dropped by the key gate). */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     if (args.contains("--stream")) { streamMain(args.filterNot(_ == "--stream")); return }
@@ -80,8 +83,19 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dw = work.resolve("dw").toString
+    // stage remote/ → landing/ like batch mode does, so the two CLIs take
+    // the same input layout; an absent remote/ just means an empty landing
+    // (the file stream needs the DIRECTORY to exist either way — Spark's
+    // file source throws PATH_NOT_FOUND on a missing watch dir)
+    val landing = work.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    if (java.nio.file.Files.isDirectory(work.resolve("remote"))) {
+      val report = SftpStager.stage(new SftpStager.LocalStore(work), "remote", landing)
+      println(s"[stager] downloaded=${report.downloaded} skipped=${report.skipped} " +
+        s"failed=${report.failed}")
+    }
     val q = graft.streaming.StreamingPipeline.pedidosStream(
-      spark, work.resolve("landing").toString, dw,
+      spark, landing.toString, dw,
       work.resolve("ckpt").toString)
     q.awaitTermination()
     val dwDf = Pipeline.readDw(spark, dw)
