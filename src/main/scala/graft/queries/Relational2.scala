@@ -116,8 +116,11 @@ object Relational2 {
       .select(col("vec_id"), q.as("q"))
       .select(col("vec_id"),
         size(col("q")).as("dims"),
-        element_at(col("q"), 1).as("first_q"),
-        element_at(col("q"), -1).as("last_q"),
+        // size-guarded: ANSI element_at throws INVALID_ARRAY_INDEX on an
+        // empty array, while DuckDB q[1] is NULL — guard to the DuckDB
+        // (and pre-ANSI) semantics so a degenerate vector degrades, not dies
+        when(size(col("q")) > 0, element_at(col("q"), 1)).as("first_q"),
+        when(size(col("q")) > 0, element_at(col("q"), -1)).as("last_q"),
         concat_ws(",", slice(col("q"), 1, 4)).as("head4"),
         array_max(col("q")).as("max_q"),
         array_min(col("q")).as("min_q"),
@@ -199,7 +202,14 @@ object Relational2 {
 
   /** Exact moment sums per segment (n, Σ, Σ²) — the sufficient statistics
     * for mean/variance, kept in exact integers so downstream float math is
-    * the consumer's single division, not the engine's aggregation. */
+    * the consumer's single division, not the engine's aggregation.
+    *
+    * Domain bound (StarPoisonSpec documents it): the int64 Σc² overflows
+    * once any |cents| exceeds ~3.0e9 (a ~30M-unit balance in one row) or
+    * the squared mass accumulates past 2⁶³ — and it overflows IDENTICALLY
+    * in both engines (Spark ANSI ARITHMETIC_OVERFLOW, DuckDB BIGINT
+    * overflow), which is the engine-faithful contract. A deployment whose
+    * balances approach that bound widens both sides to DECIMAL(38,0). */
   private def statsAgg(s: SparkSession, dir: String): DataFrame = {
     val c = cents(col("c_acctbal"))
     t(s, dir, "customer")
