@@ -311,6 +311,58 @@ object StreamingPipeline {
       }
   }
 
+  // cohort week start in epoch-µs + bitmask of already-emitted offsets
+  // (bit k = offset k; offsets ≥ 64 are re-emitted rather than tracked —
+  // 64 weeks of per-user retention horizon is the fixed-size-state trade)
+  case class CohortState(cohortUs: Long, seenMask: Long)
+  case class CohortActivity(user_id: Long, cohort_us: Long, week_offset: Int)
+
+  /** Streaming twin of the batch weekly cohort retention
+    * ([[graft.queries.FunnelOps]] `cohort_retention`): keyed per-user state
+    * pins the cohort week at the user's FIRST seen event (Monday
+    * `date_trunc`, same rule as batch) and emits one activity record per
+    * NEW (user, week-offset) pair — so a downstream
+    * `groupBy(cohort, offset).count` over the emitted stream IS the
+    * retention table, built incrementally.
+    *
+    * Parity (StreamingPipelineSpec pins it against the batch query on an
+    * identical corpus): exact under event-time-ordered arrival; a late
+    * out-of-order FIRST event is the inherent delta (batch recompute would
+    * shift the user's cohort earlier, stream state pins it at first
+    * arrival). State per user is two longs — fixed-size however long the
+    * stream runs; offsets past 64 weeks fall back to at-least-once
+    * emission, so the aggregate stays correct (count distinct) while state
+    * stays bounded. */
+  def cohortStream(events: Dataset[Event]): Dataset[CohortActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[CohortState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val first = sorted.head.ts.toLocalDateTime.toLocalDate
+            val monday = first.minusDays(first.getDayOfWeek.getValue - 1L)
+            val mondayUs = java.sql.Timestamp.valueOf(monday.atStartOfDay)
+              .getTime * 1000
+            var st = state.getOption.getOrElse(CohortState(mondayUs, 0L))
+            val out = Seq.newBuilder[CohortActivity]
+            sorted.foreach { e =>
+              val offset = ((e.ts.getTime * 1000 - st.cohortUs) /
+                (7L * 86400 * 1000000)).toInt
+              val seen = offset < 64 && ((st.seenMask >> offset) & 1L) == 1L
+              if (!seen) {
+                out += CohortActivity(userId, st.cohortUs, offset)
+                if (offset < 64) st = st.copy(seenMask = st.seenMask | (1L << offset))
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

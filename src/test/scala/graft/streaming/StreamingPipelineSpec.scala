@@ -412,6 +412,42 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamCounts.getOrElse(4, 0L) == batch("4_purchase"))
   }
 
+  test("cohortStream parity with batch cohort_retention on an identical corpus") {
+    val root = Files.createTempDirectory("cohortparity")
+    val rnd = new scala.util.Random(7)
+    // 20 users, events spread over ~6 weeks, event-time-ordered arrival
+    val rows = (1 to 300).map { i =>
+      StreamingPipeline.Event(i.toLong,
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 12000000L),
+        1L + rnd.nextInt(20), "view", 1.0)
+    }
+    val src = root.resolve("stream")
+    rows.toDS().write.parquet(src.toString)
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(root.resolve("batch").resolve("events.parquet").toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .parquet(src.toString)
+      .as[StreamingPipeline.Event]
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.cohortStream(stream).toDF(), "cohort_stream")
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_us"), r.getAs[Int]("week_offset"),
+        r.getAs[Long]("user_id")))
+    // exactly-once per (user, offset) within the 64-week mask horizon
+    assert(streamed.distinct.length == streamed.length)
+    val streamCounts = streamed.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).distinct.length.toLong).toMap
+    val batch = graft.SparkEntry.queries("cohort_retention")(
+      spark, root.resolve("batch").toString).collect()
+      .map(r => (r.getAs[Timestamp]("cohort_week").getTime * 1000,
+        r.getAs[Long]("week_offset").toInt) -> r.getAs[Long]("n_users")).toMap
+    assert(streamCounts == batch,
+      s"stream $streamCounts\nbatch  $batch")
+  }
+
   test("sessionize: explicit keyed state with gap rule") {
     val root = Files.createTempDirectory("sessstream")
     val src = root.resolve("events")
