@@ -49,7 +49,8 @@ object SparkEntry {
   private val groups: Seq[Q] =
     EtlQueries.all ++ Relational.all ++ Relational2.all ++ Relational3.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
-      CorpusOps.all ++ PrivacyOps.all ++ FunnelOps.all ++ RobustStatsOps.all
+      CorpusOps.all ++ PrivacyOps.all ++ FunnelOps.all ++ RobustStatsOps.all ++
+      DiagOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Data-engineering diagnostics and sampling operators: the pre-flight
+  * queries a pipeline owner runs BEFORE committing a 100 TB job — key-skew
+  * profiling (is this join salt-worthy?), equi-depth histograms (where do
+  * the values actually live?), deterministic stratified/per-group sampling
+  * (cut a debug corpus that is reproducible on any engine), and event
+  * debouncing (kill the duplicate-fire noise before sessionizing).
+  *
+  * Shared determinism rules (Util scaladoc): exact integer arithmetic
+  * (cents / milli shares, `div` floor-equivalent only on non-negative
+  * operands), md5-based portable hashing instead of engine-private
+  * TABLESAMPLE seeding, unique ORDER BY keys everywhere.
+  */
+object DiagOps {
+
+  // ------------------------------------------------- equi-depth histogram
+
+  /** Equi-depth (equal-frequency) histogram of order totals, 8 buckets —
+    * the complement of the equi-width `histogram_totalprice`: bucket
+    * boundaries adapt to the distribution, which is what an optimizer (or
+    * a human sizing shuffle partitions) actually wants to see.
+    *
+    * Scale shape: the same VALUE-HISTOGRAM trick as `quartiles_cont` —
+    * aggregate to (value → count) with map-side combine, then one
+    * cumulative window over DISTINCT VALUES (price-domain-bounded however
+    * big the table; never a row-sized sort). A value's bucket is
+    * floor(8 · rank_before / n): all rows of a tied value land in one
+    * bucket, so heavy ties make buckets uneven — the standard equi-depth-
+    * with-ties contract. Operands are non-negative counts, so Spark `div`
+    * and DuckDB `//` agree (truncation = floor here; the value_bucket
+    * lesson). */
+  private def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val vc = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(all.orderBy(col("cents"))))
+      .withColumn("n", sum(col("c")).over(all))
+    vc.select((((col("cum") - col("c")) * 8) / col("n")).cast("long")
+        .as("bucket"), col("cents"), col("c"))
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        sum(col("c")).as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  private val equiDepthHistogramSql = {
+    val c = centsSql("o_totalprice")
+    s"""WITH vc AS (
+       |  SELECT $c AS cents, COUNT(*) AS c FROM orders GROUP BY 1),
+       |w AS (
+       |  SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum,
+       |    SUM(c) OVER () AS n
+       |  FROM vc)
+       |SELECT CAST((cum - c) * 8 // n AS BIGINT) AS bucket,
+       |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+       |  CAST(SUM(c) AS BIGINT) AS n_rows
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------- skew profiler
+
+  /** Shuffle-key skew profile of the event log's user_id — the pre-flight
+    * check behind every salting decision (`salted_agg` is the mitigation;
+    * this is the detector). Emits the 10 heaviest keys with exact milli
+    * share of total rows, plus the global distinct-key / total-row counts
+    * on every row so one result answers "how bad, and how concentrated?".
+    *
+    * Scale shape: one map-side-combining count aggregate (key-domain-sized
+    * output), a global top-10 — Spark's sort-limit pushes the limit into
+    * each partition, so no full sort materializes — and a broadcast of the
+    * 2-column totals row. Nothing row-sized crosses the wire twice. */
+  private def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"))
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy()
+          .orderBy(col("n").desc, col("user_id"))))
+    top.crossJoin(broadcast(totals))
+      .select(col("rnk"), col("user_id"), col("n"),
+        ((col("n") * 1000) / col("n_rows")).cast("long").as("share_milli"),
+        col("n_keys"), col("n_rows"))
+      .orderBy("rnk")
+  }
+
+  private val skewProfileSql =
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |totals AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows
+      |  FROM counts),
+      |top AS (
+      |  SELECT user_id, n,
+      |    row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      |  FROM counts ORDER BY n DESC, user_id LIMIT 10)
+      |SELECT rnk, user_id, n, n * 1000 // n_rows AS share_milli,
+      |  n_keys, n_rows
+      |FROM top CROSS JOIN totals ORDER BY rnk""".stripMargin
+
+  // ------------------------------------------------------- event debounce
+
+  /** Debounce the event log: drop an event that fires within 5 minutes of
+    * the PREVIOUS event of the same (user, type) — the duplicate-fire /
+    * retry-storm cleaner that runs before sessionization or funnels.
+    * Lag-based (each event compares to its immediate predecessor, kept or
+    * not), which makes the operator IDEMPOTENT: surviving events are
+    * ≥ 5 min apart pairwise-adjacent, so a second pass keeps everything
+    * (InvariantSpec pins this).
+    *
+    * Scale shape: one user-keyed shuffle feeding a lag window ordered by
+    * (ts, event_id) — the unique tiebreak keeps equal-timestamp bursts
+    * deterministic (the duplicate collapses, whichever sorts first
+    * survives). Comparison in epoch MICROseconds: exact integers, no
+    * truncation ambiguity between engines. */
+  private def eventDebounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= 300000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy("event_id")
+  }
+
+  private val eventDebounceSql =
+    """SELECT event_id, user_id, event_type, ts FROM (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- stratified sample
+
+  /** Deterministic stratified sample of the corpus: English docs at 4/16
+    * (the over-represented stratum, downsampled), every other language at
+    * 8/16 — the dataset-mix rebalancing cut, reported per stratum so the
+    * realized rates are auditable. Membership is the first hex digit of
+    * md5(doc_id): portable, reproducible, and evaluated at the scan (no
+    * shuffle, no state — the same contract as `hash_sample`, extended to
+    * per-stratum rates). NULL/unknown lang takes the non-English rate via
+    * an explicit COALESCE, so poisoned catalogs don't silently drop rows.
+    *
+    * Scale shape: scan-level predicate, then ONE map-side-combining
+    * aggregate to the per-lang report. The sampled rows themselves never
+    * re-shuffle. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val isEn = coalesce(col("lang"), lit("")) === "en"
+    t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"),
+        (when(isEn, h < "4").otherwise(h < "8")).as("kept"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        ((col("n_kept") * 1000) / col("n_total")).cast("long").as("kept_milli"))
+      .orderBy("lang")
+  }
+
+  private val stratifiedSampleSql =
+    """WITH s AS (
+      |  SELECT doc_id, COALESCE(lang, '??') AS lang,
+      |    CASE WHEN COALESCE(lang, '') = 'en'
+      |      THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+      |      ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |    END AS kept
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+      |    AS BIGINT) AS kept_milli
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------- per-group k-sample
+
+  /** Exactly-k-per-group deterministic sample: 3 documents per language,
+    * chosen by md5(doc_id) order — the "show me a few examples of each
+    * stratum" debug cut, reproducible across engines and runs (the
+    * portable stand-in for per-group reservoir sampling; a true streaming
+    * reservoir is the same top-k-by-random-rank shape with the hash as the
+    * rank). Groups with fewer than k docs return what they have.
+    *
+    * Scale shape: one lang-keyed shuffle into a row_number window; the
+    * rank key (md5, doc_id) is unique so ties cannot flip between runs.
+    * At 100 TB this is the standard two-phase candidate cut: partial
+    * top-k per partition would bound it further, and Spark's
+    * WindowGroupLimit pushes exactly that below the shuffle. */
+  private def groupSampleK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("lang", "rk")
+  }
+
+  private val groupSampleKSql =
+    """SELECT lang, doc_id, n_chars, rk FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
+    Q("skew_profile", skewProfile, Some(skewProfileSql)),
+    Q("event_debounce", eventDebounce, Some(eventDebounceSql)),
+    Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("group_sample_k", groupSampleK, Some(groupSampleKSql)))
+}
