@@ -702,7 +702,63 @@ object DedupOps {
     (exactIdx, nearIdx)
   }
 
+  /** Containment near-dup pairs via the OVERLAP COEFFICIENT
+    * |A∩B| / min(|A|,|B|): the asymmetric companion to
+    * `ngram_jaccard_pairs` — a short doc quoted inside a long one scores
+    * ~1000 milli here while its Jaccard stays tiny, which is exactly the
+    * quote/subset duplication a Jaccard threshold misses (the C4/RefinedWeb
+    * motivation for containment-based dedup).
+    *
+    * Shape: identical to the Jaccard plan — trigram shingle equi-join
+    * (never all-pairs), the df-cap applied consistently to intersections
+    * AND set sizes, the capped shingle relation persisted across its three
+    * consumers. Runs the FULL corpus (no %10 sample — containment pairs
+    * are rare and the sample misses them); the ≥ 500 milli emit threshold
+    * keeps the output candidate-sized. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = trigramShingles(docs)
+    val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val okSh = withDropMetric(s, shDf, "graft_drop_containment_shingle",
+        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf(s))
+      .select(col("sh"))
+    val shOk = sh.join(okSh, Seq("sh"), "left_semi").persist()
+    val sizes = shOk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shOk.as("a"); val b = shOk.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+      col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        floor(lit(1000.0) * col("inter") / least(col("na"), col("nb")))
+          .cast("long").as("overlap_milli"))
+      .filter(col("overlap_milli") >= 500)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val containmentPairsSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |sh AS ($trigramShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter,
+       |  least(sa.n, sb.n) AS n_small, greatest(sa.n, sb.n) AS n_big,
+       |  CAST(floor(1000.0 * inter / least(sa.n, sb.n)) AS BIGINT) AS overlap_milli
+       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE floor(1000.0 * inter / least(sa.n, sb.n)) >= 500
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
