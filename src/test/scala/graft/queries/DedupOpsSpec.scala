@@ -30,4 +30,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(30L) == (("new", None)))
     assert(out.size == 3) // corpus docs are not classified
   }
+
+  test("containment_pairs: a planted quote scores 1000 milli; sub-threshold overlap is absent") {
+    val dir = java.nio.file.Files.createTempDirectory("containment").toString
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")  // 18 distinct trigrams
+    val b = (5 to 12).map(i => s"a$i").mkString(" ")  // 6 trigrams, all ⊆ A
+    // shares exactly 2 trigrams with A ("a1 a2 a3", "a2 a3 a4") out of its
+    // own 12 → overlap 166 milli, below the 500 emit threshold
+    val d = ((1 to 4).map(i => s"a$i") ++ (1 to 10).map(i => s"d$i")).mkString(" ")
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")  // disjoint vocabulary
+    Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("containment_pairs")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(r.getAs[Long]("inter") == 6L)
+    assert(r.getAs[Long]("n_small") == 6L && r.getAs[Long]("n_big") == 18L)
+    assert(r.getAs[Long]("overlap_milli") == 1000L)
+  }
 }
