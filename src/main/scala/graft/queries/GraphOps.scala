@@ -93,6 +93,176 @@ object GraphOps {
        |FROM m4 ORDER BY node""".stripMargin
   }
 
+  /** Max distinct parts per order admitted to pair expansion: an order with
+    * B items yields B·(B−1)/2 pairs, so one pathological mega-basket is the
+    * quadratic hot key of every market-basket plan. Orders above the cap are
+    * dropped WHOLE (never a partial basket — a truncated basket would
+    * silently bias pair counts) and logged via the drop metric. TPC-H
+    * baskets max out at 7 distinct parts, so the cap never binds at test
+    * scale and the oracle is unchanged.
+    * Session conf `graft.cap.basket` overrides per deployment. */
+  val maxBasketDefault = 1000
+  def maxBasket(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.basket").map(_.toInt)
+      .getOrElse(maxBasketDefault)
+
+  /** Minimum co-order support for an edge of the part co-occurrence graph
+    * (shared by [[triangleCount]]): support-1 pairs are coincidence noise
+    * and the bulk of the pair mass (heavy-tailed), so thresholding is both
+    * the statistical and the computational prune — the classic min-support
+    * of frequent-itemset mining. Session conf `graft.minSupport`. */
+  def minSupport(s: SparkSession): Int =
+    s.conf.getOption("graft.minSupport").map(_.toInt).getOrElse(2)
+
+  /** (order, part) distinct items from baskets within the size cap, with
+    * the oversized-basket drop logged. Feeds both market-basket queries. */
+  private def cappedItems(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val sizes = items.groupBy("o").agg(count(lit(1)).as("b"))
+    val okOrders = withDropMetric(s, sizes, "graft_drop_basket",
+        sum(when(col("b") > maxBasket(s), 1L).otherwise(0L)))
+      .filter(col("b") <= maxBasket(s))
+      .select("o")
+    items.join(okOrders, Seq("o"), "left_semi")
+  }
+
+  private val cappedItemsSql =
+    """items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"""
+
+  /** Market-basket co-occurrence: part pairs by co-order support with
+    * integer-milli LIFT (how much more often the pair co-occurs than
+    * independence predicts: 1000·n_co·N / (n_a·n_b), floor division on
+    * both engines).
+    *
+    * Scale shape: the pair expansion is an `o`-keyed self-equi-join of the
+    * capped item relation — per-order work is basket², bounded by the cap,
+    * never all-pairs across orders. Pair counts and per-part order counts
+    * are both map-side-combining aggregates; the final lift attach joins
+    * the (already support-thresholded, so small) pair relation to the
+    * part-count relation twice — broadcastable while parts fit, plain
+    * equi-joins otherwise. The BIGINT lift product n_co·N needs widening
+    * past ~10⁹ co-orders; at that corpus size switch both engines to their
+    * 128-bit integer types (the formula itself is engine-portable). */
+  private def partCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val items = cappedItems(s, dir).persist()
+    val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
+    val partCnt = items.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val a = items.as("a"); val b = items.as("b")
+    val pairs = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport(s))
+    pairs
+      .join(partCnt.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(partCnt.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_co"), col("n_a"), col("n_b"),
+        expr("1000 * n_co * n_orders div (n_a * n_b)").as("lift_milli"))
+      .orderBy("pa", "pb")
+  }
+
+  private val partCooccurrenceSql =
+    s"""WITH $cappedItemsSql,
+       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+       |pc AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_co
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT pa, pb, n_co, ca.n_p AS n_a, cb.n_p AS n_b,
+       |  CAST(1000 * n_co * n_orders // (ca.n_p * cb.n_p) AS BIGINT) AS lift_milli
+       |FROM pairs JOIN pc ca ON pa = ca.p JOIN pc cb ON pb = cb.p CROSS JOIN n
+       |ORDER BY pa, pb""".stripMargin
+
+  /** Per-node triangle count + integer-milli local clustering coefficient
+    * over the support-thresholded part co-occurrence graph.
+    *
+    * The scale design is DEGREE ORIENTATION (the node-iterator bound):
+    * orient every undirected edge from its (degree, id)-smaller endpoint
+    * to the larger, making the directed graph acyclic with per-node
+    * out-degree O(√m) on any graph (arboricity bound) — so the wedge
+    * self-join on the source node is Σ outdeg², not Σ deg², and a
+    * celebrity node with degree 10⁶ contributes wedges only as a
+    * DESTINATION. Each triangle {a≺b≺c} is found exactly once, as wedge
+    * (a→b, a→c) closed by the oriented edge b→c — the closing check is a
+    * plain equi-join on (src, dst), never a containment probe. Per-node
+    * counts then explode each triangle to its 3 corners (3 rows per
+    * triangle, map-side combining sum). Clustering coefficient
+    * 2·tri/(deg·(deg−1)) stays in integer milli — exact on both engines. */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val items = cappedItems(s, dir)
+    val a = items.as("a"); val b = items.as("b")
+    val edges = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport(s))
+      .select("u", "v")
+      .persist()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg_u, u) < (deg_v, v): total order → acyclic
+    val ed = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = ed.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    val w1 = oriented.as("w1"); val w2 = oriented.as("w2"); val cl = oriented.as("cl")
+    val tris = w1.join(w2, col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .join(cl, col("cl.src") === col("w1.dst") && col("cl.dst") === col("w2.dst") ||
+                col("cl.src") === col("w2.dst") && col("cl.dst") === col("w1.dst"))
+      .select(col("w1.src").as("x"), col("w1.dst").as("y"), col("w2.dst").as("z"))
+    val perNode = tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("2000 * coalesce(n_tri, 0) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_milli"))
+      .orderBy("node")
+  }
+
+  private val triangleCountSql =
+    s"""WITH $cappedItemsSql,
+       |edges AS (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+       |  GROUP BY 1),
+       |oriented AS (
+       |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+       |  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+       |tris AS (
+       |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+       |  FROM oriented w1
+       |  JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+       |  JOIN oriented cl ON (cl.src = w1.dst AND cl.dst = w2.dst)
+       |                   OR (cl.src = w2.dst AND cl.dst = w1.dst)),
+       |pernode AS (
+       |  SELECT node, COUNT(*) AS n_tri FROM (
+       |    SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+       |    UNION ALL SELECT z FROM tris)
+       |  GROUP BY 1)
+       |SELECT d.node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+       |  CASE WHEN d.deg >= 2
+       |       THEN 2000 * COALESCE(p.n_tri, 0) // (d.deg * (d.deg - 1))
+       |       ELSE 0 END AS clustering_milli
+       |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+       |ORDER BY d.node""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)))
+    Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
+    Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),
+    Q("triangle_count", triangleCount, Some(triangleCountSql)))
 }
