@@ -114,7 +114,27 @@ object ScaleGen {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders to $out (mult=$mult)")
+    // minimal lineitem slice (the columns the graph/market-basket queries
+    // read): ~4 items per order drawn from a 20k-parts-per-sf0.1 catalog
+    // with QUADRATIC popularity skew (part ~ u² → hot parts get order-count
+    // ~ √-density tail) so co-occurrence hot keys and high-degree triangle
+    // nodes exist at scale — the degree-orientation stress case TPC-H's
+    // uniform draw never produces. Supplier is a pure function of part
+    // (part mod nSupp) for the pagerank bipartite graph.
+    val nParts = 20000L * mult
+    val nSupp = 1000L * mult
+    spark.range(nOrders).flatMap { oid =>
+      val r = new java.util.Random(oid * 0x9E3779B97F4A7C15L + 41)
+      val k = 1 + r.nextInt(7)
+      (0 until k).map { _ =>
+        val p = (nParts * r.nextDouble() * r.nextDouble()).toLong.min(nParts - 1)
+        (oid, p, p % nSupp)
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders (+lineitem) to $out (mult=$mult)")
     spark.stop()
   }
 }
