@@ -363,6 +363,52 @@ object StreamingPipeline {
       }
   }
 
+  // last seen event-time in µs for one (user, event_type) key
+  case class DebounceState(lastUs: Long)
+  case class DebouncedEvent(event_id: Long, user_id: Long,
+      event_type: String, at_us: Long)
+
+  /** Streaming twin of the batch `event_debounce`
+    * ([[graft.queries.DiagOps]]): per (user, event_type) keyed state holds
+    * the previous event's time, and an event is emitted only when it is
+    * the key's first or ≥ 5 min after the PREVIOUS event (kept or not —
+    * the batch query's lag() gate, NOT a throttle against the last KEPT
+    * event; a steady sub-gap drumbeat therefore suppresses everything
+    * after its first beat, which is the alert-fatigue semantics the batch
+    * twin defines).
+    *
+    * Parity (StreamingPipelineSpec pins it against `event_debounce` on an
+    * identical corpus): exact under event-time-ordered arrival, because
+    * an in-order scan's previous event IS the batch lag(). A late
+    * out-of-order event is the inherent delta (it compares against the
+    * wrong neighbor on both sides of it) — re-run the batch query to
+    * reconcile, same contract as the funnel/cohort twins.
+    *
+    * Scale: one shuffle on the (user, type) key; state is ONE long per
+    * key however long the stream runs. NoTimeout keeps gaps from
+    * resetting the debounce; add EventTimeTimeout for state GC the way
+    * [[sessionizeWithTimeout]] does when key cardinality is unbounded. */
+  def debounceStream(events: Dataset[Event],
+      gapUs: Long = 300000000L): Dataset[DebouncedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebouncedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[Event], state: GroupState[DebounceState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DebouncedEvent]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (last == Long.MinValue || us - last >= gapUs)
+              out += DebouncedEvent(e.event_id, key._1, key._2, us)
+            last = us
+          }
+          state.update(DebounceState(last))
+          out.result().iterator
+      }
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -471,4 +471,64 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("user_id") == 1L)
     assert(s.getAs[Int]("n_events") == 2)
   }
+
+  test("debounceStream: previous-event gate holds across micro-batches; types are independent") {
+    val root = Files.createTempDirectory("debstream")
+    val src = root.resolve("events")
+    Files.createDirectories(src)
+    // batch 1: user 1 clicks at 00:00 (kept), 00:02 (suppressed — < 5 min),
+    // and views at 00:03 (kept — other type is an independent key)
+    Seq(
+      StreamingPipeline.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      StreamingPipeline.Event(2, ts("2024-01-01 00:02:00"), 1, "click", 1.0),
+      StreamingPipeline.Event(3, ts("2024-01-01 00:03:00"), 1, "view", 1.0))
+      .toDS().coalesce(1).write.parquet(src.resolve("b1").toString)
+    // batch 2: 00:06 click is < 5 min after the SUPPRESSED 00:02 (state
+    // must remember the previous event, not the previous KEPT event);
+    // 00:12 is ≥ 5 min after 00:06 → kept
+    Seq(
+      StreamingPipeline.Event(4, ts("2024-01-01 00:06:00"), 1, "click", 1.0),
+      StreamingPipeline.Event(5, ts("2024-01-01 00:12:00"), 1, "click", 1.0))
+      .toDS().coalesce(1).write.parquet(src.resolve("b2").toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*")
+      .as[StreamingPipeline.Event]
+    val kept = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.debounceStream(stream).toDF(), "debounced")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("debounceStream parity with the batch event_debounce on an identical corpus") {
+    val root = Files.createTempDirectory("debparity")
+    val rnd = new scala.util.Random(11)
+    val types = Seq("click", "view", "error")
+    // bursty arrivals: inter-event gaps cluster under AND over the 5-min
+    // threshold so both branches of the gate fire, event-time-ordered
+    var t = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 400).map { i =>
+      t += (if (rnd.nextBoolean()) rnd.nextInt(120) else 300 + rnd.nextInt(600)) * 1000L
+      StreamingPipeline.Event(i.toLong, new Timestamp(t),
+        1L + rnd.nextInt(8), types(rnd.nextInt(types.length)), 1.0)
+    }
+    val src = root.resolve("stream")
+    rows.toDS().write.parquet(src.toString)
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+      e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(root.resolve("batch").resolve("events.parquet").toString)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.Event]].schema)
+      .parquet(src.toString)
+      .as[StreamingPipeline.Event]
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.debounceStream(stream).toDF(), "debounce_parity")
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val batch = graft.SparkEntry.queries("event_debounce")(
+      spark, root.resolve("batch").toString).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(streamed == batch)
+  }
 }
