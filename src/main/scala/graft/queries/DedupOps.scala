@@ -62,6 +62,36 @@ object DedupOps {
       |  MIN(doc_id) AS canonical_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** Canonical-form exact dedup — the C4-style "normalize then hash" stage
+    * that `dedup_exact` (byte-exact) misses: lowercase, strip everything
+    * but [a-z0-9 ], collapse runs of spaces, trim, THEN hash. Catches
+    * case/punctuation/whitespace variants of the same document, the most
+    * common near-identical class in scraped corpora, at exact-dedup cost
+    * (one hash groupBy, map-side combining — no candidate generation).
+    * `n_raw_variants` counts distinct raw byte-strings per canonical group,
+    * so `n_raw_variants > 1` rows are exactly what this stage catches over
+    * the byte-exact one. Same 100 TB shape as dedup_exact: one shuffle on
+    * the 128-bit hash, uniform by construction. */
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    t(s, dir, "documents")
+      .groupBy(md5(canon).as("canon_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_raw_variants"),
+        min(col("doc_id")).as("canonical_id"))
+      .orderBy("canon_hash")
+  }
+
+  private val dedupCanonicalSql =
+    """SELECT
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g'))) AS canon_hash,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS n_raw_variants,
+      |  MIN(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin
+
   /** Word trigram shingles (distinct) of a text column, exploded. */
   private def trigramShingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
@@ -759,6 +789,7 @@ object DedupOps {
 
   val all: Seq[Q] = Seq(
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),

@@ -484,7 +484,61 @@ object TextOps {
       |       LEFT JOIN a3 ON n.doc_id = a3.doc_id
       |ORDER BY n.doc_id""".stripMargin
 
+  /** Out-of-vocabulary rate per document against the corpus TOP-20
+    * vocabulary (rank by count desc, word asc — fully deterministic): the
+    * Gopher-style "fraction of words outside the common vocabulary"
+    * quality signal, plus a type-token ratio (distinct/total words,
+    * milli) — both integer-exact, so the twins hash-match.
+    *
+    * Scale shape: the vocabulary is ONE map-side-combining token
+    * aggregate + a bounded TakeOrdered (top-20), collapsed to a single
+    * array row and attached to every doc as a BROADCAST single-row cross
+    * join; the per-doc OOV count is then a ROW-LOCAL array filter on the
+    * codegen'd path — the corpus never explodes into a token shuffle for
+    * scoring. At a real deployment's 10⁵-word vocabulary the same plan
+    * holds (a 1 MB broadcast array); only `vocabK` changes. */
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocabK = 20
+    val vocab = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(vocabK)
+      .agg(collect_set(col("w")).as("vocab"))
+    val w = words(col("text"))
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        size(filter(w, x => !array_contains(col("vocab"), x))).as("n_oov"),
+        size(array_distinct(w)).as("n_types"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        milli(col("n_oov"), col("n_words")).as("oov_milli"),
+        milli(col("n_types"), col("n_words")).as("ttr_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val oovRateSql =
+    """WITH v AS (
+      |  SELECT list(w) AS vocab FROM (
+      |    SELECT w FROM (
+      |      SELECT w, COUNT(*) AS cnt
+      |      FROM documents, UNNEST(string_split(text, ' ')) t(w)
+      |      WHERE text IS NOT NULL GROUP BY 1)
+      |    ORDER BY cnt DESC, w LIMIT 20)),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |      WHERE text IS NOT NULL)
+      |SELECT doc_id,
+      |  CAST(len(w) AS INT) AS n_words,
+      |  CAST(len(list_filter(w, x -> NOT list_contains(vocab, x))) AS INT) AS n_oov,
+      |  CAST(floor(1000.0 * len(list_filter(w, x -> NOT list_contains(vocab, x)))
+      |    / len(w)) AS BIGINT) AS oov_milli,
+      |  CAST(floor(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_milli
+      |FROM d CROSS JOIN v ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("text_quality_perlang", textQualityPerlang, Some(textQualityPerlangSql)),

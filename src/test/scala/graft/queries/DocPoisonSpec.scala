@@ -19,7 +19,9 @@ class DocPoisonSpec extends SparkSpec {
     "doc_winnow_fingerprints", "text_tokens", "text_quality", "text_langid",
     "tfidf_topk", "doc_fingerprint", "decontaminate_ngrams",
     "pack_token_shards", "chunk_documents", "corpus_balance_langs",
-    "mix_upsample", "corpus_mix_report", "line_dedup", "vocab_topk")
+    "mix_upsample", "corpus_mix_report", "line_dedup", "vocab_topk",
+    "containment_pairs", "dedup_canonical", "oov_rate",
+    "stratified_sample", "group_sample_k")
 
   test("every documents-table query survives a poison corpus under ANSI") {
     val dir = java.nio.file.Files.createTempDirectory("docpoison").toString
