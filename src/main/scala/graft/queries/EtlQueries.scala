@@ -305,7 +305,66 @@ object EtlQueries {
       |     (SELECT 1 FROM nation WHERE n_nationkey = c.c_nationkey))
       |ORDER BY relationship""".stripMargin
 
+  /** Snapshot reconciliation (the DW audit after any backfill/migration):
+    * classify every key as added / removed / changed / unchanged between
+    * two snapshots of the orders table, using a ROW HASH so the shuffle
+    * carries (key, 32-byte digest) instead of whole rows — the plan that
+    * still works when the row is 400 columns wide. The two snapshots are
+    * deterministic slices of the same base (old drops key%10=0, new drops
+    * key%7=3 and bumps totalprice on key%11=0), so the result is stable
+    * and oracle-checkable without a second table on disk.
+    *
+    * Scale shape: hash computed AT THE SCAN (row-local, codegen), one
+    * full-outer sort-merge join on the key, then a 4-group aggregate.
+    * Min/max key per class bound the blast radius for the on-call reading
+    * the audit. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      cents(col("o_totalprice")).as("cents"),
+      col("o_orderpriority").as("prio"))
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(col("key"), md5(concat_ws("|", col("cents"), col("prio"))).as(h))
+    val old = hashed(base.filter(col("key") % 10 =!= 0), "h_old")
+    val neu = hashed(
+      base.filter(col("key") % 7 =!= 3)
+        .withColumn("cents",
+          when(col("key") % 11 === 0, col("cents") + 100).otherwise(col("cents"))),
+      "h_new")
+    old.join(neu, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("status")
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, ${centsSql("o_totalprice")} AS cents,
+       |    o_orderpriority AS prio
+       |  FROM orders),
+       |old AS (
+       |  SELECT key, md5(concat_ws('|', cents, prio)) AS h_old
+       |  FROM base WHERE key % 10 <> 0),
+       |neu AS (
+       |  SELECT key, md5(concat_ws('|',
+       |      CASE WHEN key % 11 = 0 THEN cents + 100 ELSE cents END, prio)) AS h_new
+       |  FROM base WHERE key % 7 <> 3)
+       |SELECT CASE WHEN h_old IS NULL THEN 'added'
+       |            WHEN h_new IS NULL THEN 'removed'
+       |            WHEN h_old <> h_new THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |  COUNT(*) AS n_rows, MIN(key) AS min_key, MAX(key) AS max_key
+       |FROM old FULL OUTER JOIN neu USING (key)
+       |GROUP BY 1 ORDER BY status""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("profile_columns", profileColumns, Some(profileColumnsSql)),
     Q("ref_integrity_audit", refIntegrityAudit, Some(refIntegrityAuditSql)),
     Q("dedup_latest", dedupLatest, Some(dedupLatestSql)),
