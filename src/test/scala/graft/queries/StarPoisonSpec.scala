@@ -38,7 +38,10 @@ class StarPoisonSpec extends SparkSpec {
     "regexp_battery", "hash_sample", "window_values", "salted_agg",
     // RobustStatsOps + FunnelOps
     "quartiles_cont", "outlier_mad", "event_funnel", "cohort_retention",
-    "scd2_intervals")
+    "scd2_intervals",
+    // round-9 graph / diagnostics / reconciliation
+    "pagerank_links", "part_cooccurrence", "triangle_count",
+    "snapshot_diff", "equi_depth_histogram")
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
