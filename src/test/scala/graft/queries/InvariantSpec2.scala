@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Algebraic invariants of the round-9 graph / dedup / quality /
+  * reconciliation operators over GENERATED inputs (InvariantSpec's
+  * seeded-Gen style): laws that must hold for any corpus, checked against
+  * independent in-memory recomputation where one is cheap.
+  *
+  *  - triangle_count: Σ per-node triangles ≡ 0 (mod 3) — every triangle
+  *    has exactly 3 corners; per-node count ≤ C(deg, 2); clustering ≤ 1;
+  *    and the corner-sum equals 3 × an independent brute-force triangle
+  *    count of the same thresholded edge set.
+  *  - part_cooccurrence: support threshold respected, n_co ≤ min(n_a,
+  *    n_b), canonical pair order, and lift recomputed exactly.
+  *  - dedup_canonical: group sizes conserve the corpus; planted
+  *    case/punct/whitespace variants collapse into ONE canonical group.
+  *  - oov_rate: n_oov ≤ n_words, both milli ratios ≤ 1000, and the OOV
+  *    count matches an independent recomputation against the
+  *    (count desc, word asc) top-20 vocabulary.
+  *  - snapshot_diff: the four classes tile both snapshots — removed +
+  *    changed + unchanged = |old| and added + changed + unchanged = |new|,
+  *    with the expected counts derived from the slice definitions.
+  */
+class InvariantSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def sample[T](g: Gen[T], n: Int, seed0: Long = 7L): Seq[T] =
+    (0 until n).flatMap(i => g.apply(params, Seed(seed0 + i)))
+
+  // baskets of 2-6 distinct parts from a 30-part pool: small enough that
+  // support-2 edges and triangles are dense, big enough to be non-trivial
+  private val genBasket: Gen[Seq[Long]] = for {
+    k <- Gen.choose(2, 6)
+    ps <- Gen.listOfN(k, Gen.choose(1L, 30L))
+  } yield ps.distinct
+
+  private def writeBaskets(baskets: Seq[Seq[Long]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("invbaskets").toString
+    baskets.zipWithIndex.flatMap { case (ps, oid) =>
+      ps.map(p => (oid.toLong, p))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("triangle_count: corner conservation vs a brute-force recount (generated baskets)") {
+    val baskets = sample(genBasket, 150)
+    val dir = writeBaskets(baskets)
+    val rows = SparkEntry.queries("triangle_count")(spark, dir).collect()
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("deg"); val tri = r.getAs[Long]("n_tri")
+      assert(tri <= deg * (deg - 1) / 2,
+        s"node ${r.getAs[Long]("node")}: $tri triangles exceeds C($deg,2)")
+      assert(r.getAs[Long]("clustering_milli") <= 1000L)
+    }
+    val cornerSum = rows.map(_.getAs[Long]("n_tri")).sum
+    assert(cornerSum % 3 == 0, s"corner sum $cornerSum not divisible by 3")
+    // independent brute-force triangle count over the same support-2 edges
+    val co = baskets.zipWithIndex
+      .flatMap { case (ps, oid) =>
+        ps.sorted.combinations(2).map(c => ((c(0), c(1)), oid)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val nodes = co.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if co((a, b)) && co((a, c)) && co((b, c))
+    } brute += 1
+    assert(cornerSum == 3 * brute,
+      s"corner sum $cornerSum != 3 × brute-force $brute")
+  }
+
+  test("part_cooccurrence: threshold, bounds, exact lift recomputation (generated baskets)") {
+    val baskets = sample(genBasket, 150, seed0 = 99L)
+    val dir = writeBaskets(baskets)
+    val nOrders = baskets.size.toLong
+    val partOrders = baskets.zipWithIndex
+      .flatMap { case (ps, oid) => ps.map(_ -> oid) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    SparkEntry.queries("part_cooccurrence")(spark, dir).collect().foreach { r =>
+      val pa = r.getAs[Long]("pa"); val pb = r.getAs[Long]("pb")
+      val nCo = r.getAs[Long]("n_co")
+      val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      assert(pa < pb)
+      assert(nCo >= 2, "support threshold violated")
+      assert(nCo <= math.min(nA, nB), "co-order count exceeds a part's order count")
+      assert(nA == partOrders(pa) && nB == partOrders(pb))
+      assert(r.getAs[Long]("lift_milli") == 1000L * nCo * nOrders / (nA * nB))
+    }
+  }
+
+  test("dedup_canonical: planted variants collapse; group sizes conserve the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("canondocs").toString
+    Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO   world"),
+      (4L, "different text"), (5L, "Different;text"), // canonicalizes APART (no space)
+      (6L, "unrelated"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_canonical")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 6L, "groups must tile the corpus")
+    val hello = rows.filter(_.getAs[Long]("canonical_id") == 1L)
+    assert(hello.length == 1 && hello.head.getAs[Long]("n_docs") == 3L &&
+      hello.head.getAs[Long]("n_raw_variants") == 3L,
+      "case/punct/whitespace variants of doc 1 must form one canonical group")
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_raw_variants") <= r.getAs[Long]("n_docs")))
+  }
+
+  private val vocab30 = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i",
+    "j", "k", "l", "m", "n", "o", "p", "q", "r", "s", "t", "u", "v", "w",
+    "x", "y", "z", "aa", "bb", "cc", "dd")
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(1, 50)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab30))
+  } yield ws.mkString(" ")
+
+  test("oov_rate: bounds + exact recomputation against the top-20 vocabulary") {
+    val texts = sample(genDoc, 200, seed0 = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("oovdocs").toString
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // independent vocabulary: count desc, word asc, top 20
+    val counts = texts.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    val top20 = counts.sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    SparkEntry.queries("oov_rate")(spark, dir).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = byId(id).split(" ").toSeq
+      assert(r.getAs[Int]("n_words") == ws.size)
+      assert(r.getAs[Int]("n_oov") == ws.count(!top20(_)),
+        s"doc $id: OOV count diverges from the independent top-20 recompute")
+      assert(r.getAs[Long]("oov_milli") <= 1000L)
+      assert(r.getAs[Long]("ttr_milli") <= 1000L)
+    }
+  }
+
+  test("snapshot_diff: the four classes tile both snapshots (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val keys = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long")).as[Long].collect()
+    val oldN = keys.count(_ % 10 != 0).toLong
+    val newN = keys.count(_ % 7 != 3).toLong
+    // changed = in both slices AND bumped (key%11=0)
+    val changedN = keys.count(k => k % 10 != 0 && k % 7 != 3 && k % 11 == 0).toLong
+    val m = SparkEntry.queries("snapshot_diff")(spark, dir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_rows")).toMap
+    def g(s: String) = m.getOrElse(s, 0L)
+    assert(g("removed") + g("changed") + g("unchanged") == oldN)
+    assert(g("added") + g("changed") + g("unchanged") == newN)
+    assert(g("changed") == changedN)
+  }
+}
