@@ -170,7 +170,48 @@ object FunnelOps {
       |    ORDER BY valid_from, first_id) IS NULL AS is_current
       |FROM runs ORDER BY user_id, valid_from""".stripMargin
 
+  /** Daily active users + 7-day rolling actives (the DAU/WAU board): WAU
+    * is exact distinct-over-a-sliding-window, computed WITHOUT a range
+    * join or a window-distinct (neither distributes): each (day, user)
+    * pair is exploded to the ≤ 7 window days it contributes to, then one
+    * (day, user) distinct + count. The corpus collapses to day×user
+    * FIRST (map-side distinct), so the ×7 explode runs on the collapsed
+    * relation — at 100 TB that is days × users, not events. Window days
+    * with no activity of their own still report (left semi against the
+    * observed-day set keeps the output calendar-honest). */
+  private def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val du = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d"),
+        col("user_id"))
+      .distinct()
+      .join(du.select("d").distinct(), Seq("d"), "left_semi")
+      .groupBy("d").agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, "d")
+      .select(col("d").as("day"), col("dau"), col("wau7"))
+      .orderBy("day")
+  }
+
+  private val dauWauSql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+      |w AS (
+      |  SELECT DISTINCT CAST(wd AS DATE) AS d, user_id
+      |  FROM du, UNNEST(generate_series(CAST(d AS TIMESTAMP),
+      |    CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) t(wd)),
+      |wau AS (
+      |  SELECT w.d, COUNT(DISTINCT w.user_id) AS wau7
+      |  FROM w SEMI JOIN du ON w.d = du.d GROUP BY 1)
+      |SELECT dau.d AS day, dau.dau, wau.wau7
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dau_wau", dauWau, Some(dauWauSql)),
     Q("event_funnel", eventFunnel, Some(eventFunnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("scd2_intervals", scd2Intervals, Some(scd2IntervalsSql)))

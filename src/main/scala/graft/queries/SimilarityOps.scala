@@ -503,7 +503,36 @@ object SimilarityOps {
        |FROM ($annLshCosineSql)
        |WHERE cos >= 0.4 ORDER BY canonical_id, dup_id""".stripMargin
 
+  /** Per-label centroid of the quantized embeddings, one row per
+    * (label, dim) — the k-means update step / class-prototype aggregate.
+    * The vector explodes to (label, dim, component) and collapses in ONE
+    * map-side-combining sum/count keyed (label, dim): output is
+    * labels × dims however large the corpus, and there are no joins. The
+    * mean stays exact: components are integer thousandths, the mean is
+    * one IEEE double division + floor, identical in both engines (the
+    * TextOps.milli contract). */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(qvec(col("embedding"))).as(Seq("dim", "qx")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qx")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+        floor(col("sum_q") / col("n_vecs")).cast("long").as("mean_milli"))
+      .orderBy("label", "dim")
+  }
+
+  private val labelCentroidsSql =
+    s"""WITH e AS (SELECT label, $qvecSql AS q FROM embeddings),
+       |x AS (
+       |  SELECT label, CAST(i AS INT) AS dim, q[i+1] AS qx
+       |  FROM e, UNNEST(range(len(q))) t(i))
+       |SELECT label, dim, COUNT(*) AS n_vecs,
+       |  CAST(SUM(qx) AS BIGINT) AS sum_q,
+       |  CAST(floor(CAST(SUM(qx) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_milli
+       |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
     Q("knn_topk_agg", knnTopkAgg, Some(knnBruteCosineSql
       .replace("ORDER BY query_id, rk",
