@@ -94,13 +94,20 @@ object DedupOps {
 
   /** Word trigram shingles (distinct) of a text column, exploded. */
   private def trigramShingles(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
+    // materialize the split ONCE per row: inlining `split` into the
+    // transform lambda re-evaluates the regex split (and allocates the
+    // full word array) for EVERY element_at call — 3 per trigram, ~300
+    // per document; CollapseProject keeps a multiply-referenced non-cheap
+    // alias materialized, so this projection is the fix, not a style
+    // choice (measured 12.6 s → ~3 s on containment_pairs at sf0.1)
+    val w = col("w")
     val tris = when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
           element_at(w, i + 3))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(array_distinct(tris)).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(tris)).as("sh"))
   }
 
   private val trigramShinglesSql =
