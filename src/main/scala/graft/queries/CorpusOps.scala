@@ -18,13 +18,16 @@ object CorpusOps {
     * streaming twin ([[graft.streaming.StreamingPipeline.decontaminateStream]]):
     * a change here changes both sides together, preserving the
     * twin-equivalence contract. */
-  def wordGrams(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+  def wordGrams(w: Column, n: Int): Column =
+    // w must be a MATERIALIZED word-array column (an attribute), never an
+    // inline split(...): the lambda below reads it n times per gram, and
+    // an inline expression would re-run the regex split per element_at —
+    // the measured 2× shingle-stage regression the trigramShingles
+    // scaladoc documents. Callers split once in a projection first.
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Benchmark decontamination: flag training documents that share any
     * word n-gram with a held-out benchmark set — the standard pre-training
@@ -47,8 +50,9 @@ object CorpusOps {
   private def decontaminateNgrams(s: SparkSession, dir: String): DataFrame = {
     val n = 3
     val docs = t(s, dir, "documents")
-    val g = docs.select(col("doc_id"),
-      explode(array_distinct(wordGrams(col("text"), n))).as("g"))
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(wordGrams(col("w"), n))).as("g"))
     val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val train = g.filter(col("doc_id") % 97 =!= 0)
     val hits = train.join(bench, Seq("g"), "left_semi")
@@ -138,7 +142,9 @@ object CorpusOps {
   private def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
     val win = 64
     val stride = 48
-    val w = filter(split(col("text"), " "), x => x =!= "")
+    // materialize the tokenization once per row (the wordGrams contract:
+    // an inline split inside the transform lambda would re-run per chunk)
+    val w = col("w")
     val n = size(w)
     // sequence() throws on an empty range in ANSI mode — guard n >= 1
     val starts = when(n >= 1, sequence(lit(0), n - 1, lit(stride)))
@@ -148,6 +154,8 @@ object CorpusOps {
       least(lit(win), n - st).as("n_chunk_tokens"),
       concat_ws(" ", slice(w, st + 1, lit(win))).as("chunk_text")))
     t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("w"))
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),

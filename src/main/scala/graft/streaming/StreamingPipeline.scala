@@ -200,8 +200,10 @@ object StreamingPipeline {
             "(graft.cap.benchGrams); shrink the benchmark set or use the " +
             "batch gram-join decontamination")))).as("bench_gs"))
     docs
+      .withColumn("w", split(col("text"), " "))
       .withColumn("gs",
-        array_distinct(graft.queries.CorpusOps.wordGrams(col("text"), 3)))
+        array_distinct(graft.queries.CorpusOps.wordGrams(col("w"), 3)))
+      .drop("w")
       .crossJoin(broadcast(bench))
       .select(col("doc_id"),
         size(col("gs")).cast("long").as("n_grams"),
