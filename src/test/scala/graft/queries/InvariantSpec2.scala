@@ -145,6 +145,58 @@ class InvariantSpec2 extends SparkSpec {
     }
   }
 
+  test("dau_wau: WAU dominates DAU and matches an exact sliding recount (generated logs)") {
+    val genEvt: Gen[(Long, Int)] = for {
+      uid <- Gen.choose(1L, 15L)
+      day <- Gen.choose(0, 40)
+    } yield (uid, day)
+    val rows = sample(genEvt, 400, seed0 = 1234L)
+    val dir = java.nio.file.Files.createTempDirectory("dauwau").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    rows.zipWithIndex.map { case ((uid, day), i) =>
+      (i.toLong, (t0 + day * 86400000L + (i % 86400) * 1000L) * 1000000L,
+        uid, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("dau_wau")(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau7")))).toMap
+    // independent recount
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val byDay = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val days = byDay.keySet
+    days.foreach { day =>
+      val dau = byDay(day).size.toLong
+      val wau = (day - 6 to day).flatMap(byDay.get).flatten.toSet.size.toLong
+      val (gd, gw) = got(d0.plusDays(day.toLong))
+      assert(gd == dau, s"day $day: dau $gd != $dau")
+      assert(gw == wau, s"day $day: wau $gw != $wau")
+      assert(gw >= gd)
+    }
+    assert(got.size == days.size, "output must cover exactly the observed days")
+  }
+
+  test("label_centroids: sums and counts match an exact recount (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getSeq[Float](1).map(x => math.rint(x.toDouble * 1000).toLong))
+    val rows = SparkEntry.queries("label_centroids")(spark, dir).collect()
+    rows.foreach { r =>
+      val lbl = r.getAs[Int]("label"); val dim = r.getAs[Int]("dim")
+      val comps = vecs.filter(_._1 == lbl).map(_._2(dim))
+      assert(r.getAs[Long]("n_vecs") == comps.length.toLong)
+      val sum = comps.sum
+      assert(r.getAs[Long]("sum_q") == sum)
+      assert(r.getAs[Long]("mean_milli") ==
+        math.floor(sum.toDouble / comps.length).toLong)
+    }
+    // one row per (label, dim): 8 labels × 64 dims at this sf
+    assert(rows.length == vecs.map(_._1).distinct.length * vecs.head._2.length)
+  }
+
   test("snapshot_diff: the four classes tile both snapshots (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val keys = spark.read.parquet(s"$dir/orders.parquet")
