@@ -220,7 +220,70 @@ object DiagOps {
       |  FROM documents)
       |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
 
+  // ------------------------------------------------ hourly error z-score
+
+  /** Hourly error-rate anomaly flags with an EXACT integer z-score test —
+    * the observability query every ingest pipeline runs, made
+    * hash-comparable across engines: flag hour x when
+    * (x − μ)² > 9·σ² over the trailing 24 observed hours, evaluated as
+    * (n·x − S1)² > 9·(n·S2 − S1²) in BIGINT — no float mean, no float
+    * stddev, no sqrt, so the |z| > 3 cut is bit-identical in Spark and
+    * DuckDB (rate ≤ 1000 milli and n ≤ 24 bound every product under
+    * 2⁶³). A constant history (σ = 0) flags any deviation and never
+    * flags equality — the strict inequality's natural limit.
+    *
+    * Scale shape: the corpus collapses to one row per HOUR in the first
+    * map-side-combining aggregate; the trailing window then runs over the
+    * hour relation, whose size is calendar-bounded (8 760 rows/year) —
+    * a single-partition window over hours is fine at ANY corpus size
+    * because no per-event row survives the first aggregate. */
+  private def errorZscoreHours(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .select(col("hour"), col("n_tot"), col("n_err"),
+        floor(lit(1000.0) * col("n_err") / col("n_tot")).cast("long").as("rate_milli"))
+      .withColumn("n_hist", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum(col("rate_milli")).over(w), lit(0L)))
+      .withColumn("s2",
+        coalesce(sum(col("rate_milli") * col("rate_milli")).over(w), lit(0L)))
+      .select(col("hour"), col("n_tot"), col("n_err"), col("rate_milli"),
+        col("n_hist"),
+        (col("n_hist") >= 12 &&
+          (col("n_hist") * col("rate_milli") - col("s1")) *
+          (col("n_hist") * col("rate_milli") - col("s1")) >
+          lit(9L) * (col("n_hist") * col("s2") - col("s1") * col("s1")))
+          .as("is_anomaly"))
+      .orderBy("hour")
+  }
+
+  private val errorZscoreHoursSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_tot,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT hour, n_tot, CAST(n_err AS BIGINT) AS n_err,
+      |    CAST(floor(1000.0 * n_err / n_tot) AS BIGINT) AS rate_milli
+      |  FROM h),
+      |win AS (
+      |  SELECT hour, n_tot, n_err, rate_milli,
+      |    COUNT(*) OVER tw AS n_hist,
+      |    COALESCE(CAST(SUM(rate_milli) OVER tw AS BIGINT), 0) AS s1,
+      |    COALESCE(CAST(SUM(rate_milli * rate_milli) OVER tw AS BIGINT), 0) AS s2
+      |  FROM r
+      |  WINDOW tw AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT hour, n_tot, n_err, rate_milli, n_hist,
+      |  (n_hist >= 12 AND
+      |   (n_hist * rate_milli - s1) * (n_hist * rate_milli - s1)
+      |     > 9 * (n_hist * s2 - s1 * s1)) AS is_anomaly
+      |FROM win ORDER BY hour""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("error_zscore_hours", errorZscoreHours, Some(errorZscoreHoursSql)),
     Q("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
     Q("skew_profile", skewProfile, Some(skewProfileSql)),
     Q("event_debounce", eventDebounce, Some(eventDebounceSql)),

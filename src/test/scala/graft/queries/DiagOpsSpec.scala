@@ -130,4 +130,28 @@ class DiagOpsSpec extends SparkSpec {
     assert(r.filter(_._1 == "en").forall(_._2 < 5L))
     assert(r.filter(_._1 == "fr").forall(_._2 >= 10L))
   }
+
+  test("error_zscore_hours: a planted spike flags; steady noise and warm-up hours don't") {
+    // 30 hours: hours 0-28 at a steady 1-in-10 error rate (100 milli,
+    // zero variance), hour 29 spikes to 6-in-10 — any deviation from a
+    // constant history must flag under the strict > with sigma = 0
+    val rows = (0 until 30).flatMap { h =>
+      val errs = if (h == 29) 6 else 1
+      (0 until 10).map { k =>
+        (k.toLong, if (k < errs) "error" else "click",
+          f"2024-01-01 ${h % 24}%02d:0${k % 6}:00") // wraps days via h/24
+      }.map { case (u, et, _) =>
+        (u, et, s"2024-01-0${1 + h / 24} ${"%02d".format(h % 24)}:00:0${u % 6}")
+      }
+    }
+    val dir = writeEvents(rows)
+    val out = SparkEntry.queries("error_zscore_hours")(spark, dir).collect()
+    assert(out.length == 30)
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[Timestamp]("hour").toString).toSeq
+    assert(flagged == Seq("2024-01-02 05:00:00.0"), s"flagged: $flagged")
+    // warm-up: the first 12 hours can never flag (n_hist < 12)
+    out.sortBy(_.getAs[Timestamp]("hour").getTime).take(12).foreach(r =>
+      assert(!r.getAs[Boolean]("is_anomaly")))
+  }
 }

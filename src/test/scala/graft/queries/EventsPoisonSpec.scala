@@ -18,7 +18,7 @@ class EventsPoisonSpec extends SparkSpec {
     "sessionize", "asof_join", "range_join_count", "salted_agg",
     "gap_fill_hours", "pii_anonymize", "k_anonymity_audit", "outlier_mad",
     "event_funnel", "cohort_retention", "scd2_intervals",
-    "event_debounce", "skew_profile", "dau_wau")
+    "event_debounce", "skew_profile", "dau_wau", "error_zscore_hours")
 
   test("every events-table query survives a poison log under ANSI") {
     val dir = java.nio.file.Files.createTempDirectory("eventspoison").toString
