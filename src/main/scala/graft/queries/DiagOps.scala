@@ -282,7 +282,66 @@ object DiagOps {
       |     > 9 * (n_hist * s2 - s1 * s1)) AS is_anomaly
       |FROM win ORDER BY hour""".stripMargin
 
+  // ------------------------------------------------- join-size pre-flight
+
+  /** Exact join-cardinality prediction WITHOUT running the join — the
+    * pre-flight a pipeline owner runs before committing a 100 TB
+    * fact-fact join: |A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k), computed from
+    * the two per-key count aggregates (each corpus-collapsed map-side)
+    * joined on the KEY-COUNT relation, never the fact rows. Also reports
+    * the single hottest key's contribution (the skew headline: one key
+    * owning >10% of output is the salt-or-broadcast signal) and both
+    * input cardinalities for selectivity math.
+    *
+    * Probes the three star relationships; a run costs two aggregates +
+    * one dimension-sized join per relationship — seconds where the real
+    * join would be hours. */
+  private def joinSizeProbe(s: SparkSession, dir: String): DataFrame = {
+    def probe(rel: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val ca = a.groupBy("k").agg(count(lit(1)).as("na"))
+      val cb = b.groupBy("k").agg(count(lit(1)).as("nb"))
+      ca.join(cb, "k")
+        .select((col("na") * col("nb")).as("prod"))
+        .agg(coalesce(sum(col("prod")), lit(0L)).as("join_rows"),
+          coalesce(max(col("prod")), lit(0L)).as("max_key_rows"))
+        .crossJoin(a.agg(count(lit(1)).as("n_left")))
+        .crossJoin(b.agg(count(lit(1)).as("n_right")))
+        .select(lit(rel).as("relationship"), col("n_left"), col("n_right"),
+          col("join_rows"), col("max_key_rows"))
+    }
+    val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer")
+    probe("lineitem*orders",
+        l.select(col("l_orderkey").as("k")), o.select(col("o_orderkey").as("k")))
+      .unionByName(probe("orders*customer",
+        o.select(col("o_custkey").as("k")), c.select(col("c_custkey").as("k"))))
+      .unionByName(probe("lineitem*lineitem_by_part",
+        l.select(col("l_partkey").as("k")), l.select(col("l_partkey").as("k"))))
+      .orderBy("relationship")
+  }
+
+  private val joinSizeProbeSql = {
+    def probe(rel: String, aSel: String, bSel: String) =
+      s"""SELECT '$rel' AS relationship,
+         |  (SELECT COUNT(*) FROM ($aSel)) AS n_left,
+         |  (SELECT COUNT(*) FROM ($bSel)) AS n_right,
+         |  CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS join_rows,
+         |  CAST(COALESCE(MAX(na * nb), 0) AS BIGINT) AS max_key_rows
+         |FROM (SELECT k, COUNT(*) AS na FROM ($aSel) GROUP BY 1) ca
+         |JOIN (SELECT k, COUNT(*) AS nb FROM ($bSel) GROUP BY 1) cb USING (k)"""
+    Seq(
+      probe("lineitem*orders",
+        "SELECT l_orderkey AS k FROM lineitem", "SELECT o_orderkey AS k FROM orders"),
+      probe("orders*customer",
+        "SELECT o_custkey AS k FROM orders", "SELECT c_custkey AS k FROM customer"),
+      probe("lineitem*lineitem_by_part",
+        "SELECT l_partkey AS k FROM lineitem", "SELECT l_partkey AS k FROM lineitem"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+      .stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("join_size_probe", joinSizeProbe, Some(joinSizeProbeSql)),
     Q("error_zscore_hours", errorZscoreHours, Some(errorZscoreHoursSql)),
     Q("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
     Q("skew_profile", skewProfile, Some(skewProfileSql)),

@@ -261,8 +261,54 @@ object GraphOps {
        |FROM deg d LEFT JOIN pernode p ON d.node = p.node
        |ORDER BY d.node""".stripMargin
 
+  /** Log₂-bucketed degree distribution of the support-thresholded co-order
+    * graph — the one-page answer to "is this graph skewed enough that
+    * degree orientation / salting matters?" before running the heavier
+    * graph queries. The bucket index is floor(log₂ deg) computed WITHOUT
+    * libm (length of the binary rendering minus one, exact in both
+    * engines — log(8)/log(2) in IEEE doubles is not reliably 3.0, so a
+    * float log2 could mis-bucket exact powers of two).
+    *
+    * Scale shape: edges → one degree aggregate → one bucket aggregate;
+    * output is ≤ 64 rows whatever the graph. */
+  private def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val items = cappedItems(s, dir)
+    val a = items.as("a"); val b = items.as("b")
+    val edges = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport(s))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg
+      .select(col("deg"), (length(bin(col("deg"))) - 1).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .select(col("bucket"), expr("shiftleft(1L, bucket)").as("bucket_lo"),
+        col("n_nodes"), col("min_deg"), col("max_deg"))
+      .orderBy("bucket")
+  }
+
+  private val degreeHistogramSql =
+    s"""WITH $cappedItemsSql,
+       |edges AS (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+       |  GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+       |  CAST((1::BIGINT << (length(bin(deg)) - 1)) AS BIGINT) AS bucket_lo,
+       |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+       |FROM deg GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
     Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),
-    Q("triangle_count", triangleCount, Some(triangleCountSql)))
+    Q("triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("degree_histogram", degreeHistogram, Some(degreeHistogramSql)))
 }

@@ -154,4 +154,26 @@ class DiagOpsSpec extends SparkSpec {
     out.sortBy(_.getAs[Timestamp]("hour").getTime).take(12).foreach(r =>
       assert(!r.getAs[Boolean]("is_anomaly")))
   }
+
+  test("join_size_probe: every prediction equals the join it predicts (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val spark0 = spark
+    import spark0.implicits._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val actual = Map(
+      "lineitem*orders" ->
+        l.join(o, l("l_orderkey") === o("o_orderkey")).count(),
+      "orders*customer" ->
+        o.join(c, o("o_custkey") === c("c_custkey")).count(),
+      "lineitem*lineitem_by_part" ->
+        l.as("x").join(l.as("y"), $"x.l_partkey" === $"y.l_partkey").count())
+    SparkEntry.queries("join_size_probe")(spark, dir).collect().foreach { r =>
+      val rel = r.getAs[String]("relationship")
+      assert(r.getAs[Long]("join_rows") == actual(rel),
+        s"$rel: predicted ${r.getAs[Long]("join_rows")} != actual ${actual(rel)}")
+      assert(r.getAs[Long]("max_key_rows") <= r.getAs[Long]("join_rows"))
+    }
+  }
 }

@@ -41,7 +41,8 @@ class StarPoisonSpec extends SparkSpec {
     "scd2_intervals",
     // round-9 graph / diagnostics / reconciliation
     "pagerank_links", "part_cooccurrence", "triangle_count",
-    "snapshot_diff", "equi_depth_histogram", "label_centroids")
+    "snapshot_diff", "equi_depth_histogram", "label_centroids",
+    "join_size_probe", "degree_histogram")
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
