@@ -39,6 +39,9 @@ object DiagOps {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
     val vc = t(s, dir, "orders")
+      // NULL prices carry no depth information and would cumulate in
+      // engine-dependent order (fuzz gate finding)
+      .filter(col("o_totalprice").isNotNull)
       .select(cents(col("o_totalprice")).as("cents"))
       .groupBy(col("cents")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(all.orderBy(col("cents"))))
@@ -54,7 +57,8 @@ object DiagOps {
   private val equiDepthHistogramSql = {
     val c = centsSql("o_totalprice")
     s"""WITH vc AS (
-       |  SELECT $c AS cents, COUNT(*) AS c FROM orders GROUP BY 1),
+       |  SELECT $c AS cents, COUNT(*) AS c FROM orders
+       |  WHERE o_totalprice IS NOT NULL GROUP BY 1),
        |w AS (
        |  SELECT cents, c, SUM(c) OVER (ORDER BY cents) AS cum,
        |    SUM(c) OVER () AS n
@@ -128,6 +132,10 @@ object DiagOps {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     t(s, dir, "events")
+      // no timestamp → no debounce timeline; drop on BOTH sides (fuzz
+      // gate: engine NULL-ordering would otherwise pick different
+      // previous-event neighbors)
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .filter(col("prev_us").isNull ||
@@ -141,7 +149,7 @@ object DiagOps {
       |  SELECT event_id, user_id, event_type, ts,
       |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
       |      ORDER BY ts, event_id) AS prev_us
-      |  FROM events)
+      |  FROM events WHERE ts IS NOT NULL)
       |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000
       |ORDER BY event_id""".stripMargin
 
@@ -241,6 +249,9 @@ object DiagOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
     t(s, dir, "events")
+      // no timestamp → no hour; and a NULL hour group would enter the
+      // trailing window at engine-dependent ends (fuzz gate finding)
+      .filter(col("ts").isNotNull)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_tot"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
@@ -264,7 +275,7 @@ object DiagOps {
     """WITH h AS (
       |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_tot,
       |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
-      |  FROM events GROUP BY 1),
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
       |r AS (
       |  SELECT hour, n_tot, CAST(n_err AS BIGINT) AS n_err,
       |    CAST(floor(1000.0 * n_err / n_tot) AS BIGINT) AS rate_milli

@@ -131,6 +131,9 @@ object FunnelOps {
     val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val islands = t(s, dir, "events")
+      // validity intervals need a timeline: drop NULL ts on BOTH sides
+      // (fuzz gate: engine NULL-ordering would seat them in different runs)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("island",
         row_number().over(byUser) - row_number().over(byUserType))
@@ -156,7 +159,7 @@ object FunnelOps {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |    - row_number() OVER (PARTITION BY user_id, event_type
       |                         ORDER BY ts, event_id) AS island
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |runs AS (
       |  SELECT user_id, event_type, island,
       |    MIN(ts) AS valid_from, MIN(event_id) AS first_id,

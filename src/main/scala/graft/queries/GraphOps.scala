@@ -118,6 +118,11 @@ object GraphOps {
     * the oversized-basket drop logged. Feeds both market-basket queries. */
   private def cappedItems(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "lineitem")
+      // an item with no order or no part can't co-occur; dropped EXPLICITLY
+      // on both sides (fuzz gate: the Spark semi-join below silently
+      // drops NULL orderkeys anyway — NULL never equi-matches — while the
+      // oracle's plain DISTINCT kept them in the per-part counts)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val sizes = items.groupBy("o").agg(count(lit(1)).as("b"))
@@ -129,7 +134,8 @@ object GraphOps {
   }
 
   private val cappedItemsSql =
-    """items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"""
+    """items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)""".stripMargin
 
   /** Market-basket co-occurrence: part pairs by co-order support with
     * integer-milli LIFT (how much more often the pair co-occurs than

@@ -35,7 +35,10 @@ object MultimodalOps {
       // deterministic fake "decoded" dimensions from the content hash
       (hexAt(h, 1) * 16 + hexAt(h, 2) + 64).cast("int").as("width"),
       (hexAt(h, 3) * 16 + hexAt(h, 4) + 64).cast("int").as("height"),
-      substring(col("source"), 4, 10).cast("int").as("source_idx"))
+      // try_cast: a catalog with a non-numeric source suffix must yield a
+      // NULL index, not kill the scan (ANSI CAST_INVALID_INPUT — found by
+      // the differential fuzz gate; TRY_CAST mirrors it in the oracle)
+      substring(col("source"), 4, 10).try_cast("int").as("source_idx"))
       .orderBy("doc_id")
   }
 
@@ -47,7 +50,7 @@ object MultimodalOps {
       |     + (strpos('0123456789abcdef', substr(sha256(text),2,1))-1) + 64 AS INT) AS width,
       |  CAST((strpos('0123456789abcdef', substr(sha256(text),3,1))-1)*16
       |     + (strpos('0123456789abcdef', substr(sha256(text),4,1))-1) + 64 AS INT) AS height,
-      |  CAST(substr(source, 4, 10) AS INT) AS source_idx
+      |  TRY_CAST(substr(source, 4, 10) AS INT) AS source_idx
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** One decoded media item (what a real image decoder would emit). */

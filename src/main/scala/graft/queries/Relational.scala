@@ -150,12 +150,17 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // NULLS FIRST on every window ORDER BY key: Spark's ASC default — DuckDB
+  // defaults NULLS LAST, so a NULL o_orderdate would walk the running sum
+  // in a different order (differential fuzz gate finding; applies to every
+  // nullable window key in this file's oracles)
   private val windowRunningSql =
     s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS order_cents,
        |  CAST(SUM(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
-       |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+       |    ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
        |  lag(${centsSql("o_totalprice")}, 1) OVER (PARTITION BY o_custkey
-       |    ORDER BY o_orderdate, o_orderkey) AS prev_cents
+       |    ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS prev_cents
        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** ROLLUP with subtotal rows. */
@@ -195,11 +200,17 @@ object Relational {
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // try_cast + oracle json_valid guard: Spark's get_json_object
+        // returns NULL on malformed JSON while DuckDB's json_extract
+        // ERRORS, and an ANSI cast of a non-numeric extract would throw
+        // here — both found by the differential fuzz gate
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .orderBy("event_id")
 
   private val jsonExtractSql =
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    """SELECT event_id,
+      |  CASE WHEN json_valid(props)
+      |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Tumbling 1-hour windows per event type (batch twin of the streaming
@@ -223,6 +234,10 @@ object Relational {
       .orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
     t(s, dir, "events")
+      // an event with no timestamp cannot be placed on a session timeline —
+      // drop it on BOTH sides (fuzz gate: Spark orders NULL ts first,
+      // DuckDB last, so keeping them makes gap flags engine-dependent)
+      .filter(col("ts").isNotNull)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -240,7 +255,8 @@ object Relational {
       |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
       |         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
       |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
       |  COUNT(*) AS n_events
       |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin

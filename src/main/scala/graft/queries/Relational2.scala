@@ -35,7 +35,10 @@ object Relational2 {
       |  percent_rank() OVER w AS prk,
       |  cume_dist() OVER w AS cd
       |FROM orders WHERE o_orderkey % 20 = 0
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_custkey, o_orderkey)
+      |-- NULLS FIRST = Spark's ASC default; DuckDB defaults NULLS LAST, so
+      |-- a NULL o_custkey would rank at opposite ends (fuzz gate finding)
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
   /** Calendar-function battery. Spark dayofweek is 1=Sunday; DuckDB's is
@@ -140,14 +143,20 @@ object Relational2 {
        |  CAST(len(q) AS INT) AS dims,
        |  q[1] AS first_q,
        |  q[-1] AS last_q,
-       |  array_to_string(q[1:4], ',') AS head4,
+       |  -- COALESCE: Spark's concat_ws never returns NULL (a NULL array
+       |  -- gives ''), DuckDB's array_to_string propagates it (fuzz gate)
+       |  COALESCE(array_to_string(q[1:4], ','), '') AS head4,
        |  list_max(q) AS max_q,
        |  list_min(q) AS min_q,
-       |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+       |  -- empty array: Spark's aggregate() returns its 0 seed, DuckDB's
+       |  -- list_sum returns NULL; a NULL array is NULL in both (fuzz gate)
+       |  CASE WHEN q IS NULL THEN NULL
+       |       ELSE COALESCE(CAST(list_sum(q) AS BIGINT), 0) END AS sum_q,
        |  CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax1,
        |  CAST(len(list_distinct(q)) AS INT) AS n_distinct,
        |  list_contains(q, 0) AS has_zero,
-       |  array_to_string(list_reverse(list_slice(list_reverse_sort(q), 1, 3)), ',') AS top3_asc
+       |  COALESCE(array_to_string(
+       |    list_reverse(list_slice(list_reverse_sort(q), 1, 3)), ','), '') AS top3_asc
        |FROM e ORDER BY vec_id""".stripMargin
 
   /** Conditional/null-handling battery. */
@@ -183,6 +192,10 @@ object Relational2 {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("cents"), col("o_orderkey"))
     t(s, dir, "orders")
+      // a median ignores NULL inputs (standard aggregate semantics); the
+      // filter also kills the engine NULL-ordering divergence the fuzz
+      // gate found (Spark ranks NULL cents first, DuckDB last)
+      .filter(col("o_totalprice").isNotNull)
       .withColumn("cents", cents(col("o_totalprice")))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
@@ -197,7 +210,7 @@ object Relational2 {
        |    row_number() OVER (PARTITION BY o_orderpriority
        |      ORDER BY ${centsSql("o_totalprice")}, o_orderkey) AS rn,
        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-       |  FROM orders)
+       |  FROM orders WHERE o_totalprice IS NOT NULL)
        |WHERE rn = (n + 1) // 2 ORDER BY o_orderpriority""".stripMargin
 
   /** Exact moment sums per segment (n, Σ, Σ²) — the sufficient statistics

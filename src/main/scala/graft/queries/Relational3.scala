@@ -31,7 +31,12 @@ object Relational3 {
     * inclusively, matching DuckDB's ASOF `>=` semantics. */
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // as-of semantics need a timeline AND an entity: NULL-ts and NULL-user
+    // rows are dropped on BOTH sides (fuzz gate: Spark's window seats NULL
+    // ts first and groups NULL users into ONE partition, while DuckDB's
+    // ASOF equality rejects NULL = NULL — either kept class diverges)
     val ev = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("click_id"))
@@ -60,8 +65,12 @@ object Relational3 {
   private val asofJoinSql =
     """WITH clicks AS (
       |  SELECT user_id, ts, MAX(event_id) AS click_id
-      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-      |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |  FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id, ts),
+      |p AS (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |        AND user_id IS NOT NULL)
       |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
       |  c.click_id, c.ts AS click_ts
       |FROM p ASOF LEFT JOIN clicks c
@@ -197,7 +206,11 @@ object Relational3 {
   private val regexpBatterySql =
     """SELECT p_partkey,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-      |  array_to_string(regexp_extract_all(p_name, '(\w+)', 1), ',') AS words,
+      |  -- COALESCE: Spark's concat_ws skips NULL args and never returns
+      |  -- NULL (a NULL p_name gives ''), DuckDB's array_to_string
+      |  -- propagates it (fuzz gate finding)
+      |  COALESCE(array_to_string(regexp_extract_all(p_name, '(\w+)', 1), ','), '')
+      |    AS words,
       |  regexp_matches(p_type, '^PROMO') AS is_promo,
       |  regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
       |FROM part ORDER BY p_partkey""".stripMargin
@@ -248,9 +261,13 @@ object Relational3 {
       |  lead(o_orderkey, 1) OVER w AS next_key,
       |  lag(o_orderkey, 1) OVER w AS prev_key
       |FROM orders WHERE o_orderkey % 100 = 0
+      |-- NULLS FIRST = Spark's ASC default; DuckDB defaults NULLS LAST
+      |-- (fuzz gate finding, same class as window_running)
       |WINDOW
-      |  w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
-      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |  w AS (PARTITION BY o_orderpriority
+      |        ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST),
+      |  wf AS (PARTITION BY o_orderpriority
+      |         ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
@@ -301,11 +318,15 @@ object Relational3 {
         approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
-        count(lit(1)).as("n"))
+        // count the QUANTITY values, not rows: the quantile ranks below
+        // run over non-null quantities, and a NULL-quantity row would
+        // shift them in engine-dependent NULL order (fuzz gate finding)
+        count(col("l_quantity")).as("n"))
     // exact discrete quantiles at ranks ceil(0.49·n)/ceil(0.51·n) —
     // formulated as row_number over value order in BOTH engines (value at a
     // rank is deterministic under ties regardless of tie order)
     val rk = li.select(col("l_returnflag"), col("l_quantity"))
+      .filter(col("l_quantity").isNotNull)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
     val qb = rk.join(agg.select(col("l_returnflag"), col("n")), "l_returnflag")
@@ -327,12 +348,12 @@ object Relational3 {
   private val approxSketchesSql =
     """WITH agg AS (
       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
-      |    COUNT(*) AS n
+      |    COUNT(l_quantity) AS n
       |  FROM lineitem GROUP BY 1),
       |rk AS (
       |  SELECT l_returnflag, l_quantity,
       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk
-      |  FROM lineitem),
+      |  FROM lineitem WHERE l_quantity IS NOT NULL),
       |qb AS (
       |  SELECT r.l_returnflag,
       |    MAX(CASE WHEN r.rk = CAST(ceil(a.n*0.49) AS BIGINT) THEN r.l_quantity END) AS qlo,
@@ -470,6 +491,9 @@ object Relational3 {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("cents"), col("o_orderkey"))
     val ranked = t(s, dir, "orders")
+      // percentile_disc ignores NULL inputs (and the filter kills the
+      // engine NULL-ordering divergence the fuzz gate found)
+      .filter(col("o_totalprice").isNotNull)
       .withColumn("cents", cents(col("o_totalprice")))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
@@ -494,7 +518,7 @@ object Relational3 {
        |    row_number() OVER (PARTITION BY o_orderpriority
        |      ORDER BY ${centsSql("o_totalprice")}, o_orderkey) AS rn,
        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-       |  FROM orders)
+       |  FROM orders WHERE o_totalprice IS NOT NULL)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------- RANGE frames
@@ -509,7 +533,9 @@ object Relational3 {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
       .rangeBetween(-6, 0)
     t(s, dir, "orders")
-      .filter(col("o_custkey") % 50 === 0)
+      // an undated order has no place in a date-RANGE frame; dropped on
+      // BOTH sides (fuzz-gate NULL-ordering class)
+      .filter(col("o_custkey") % 50 === 0 && col("o_orderdate").isNotNull)
       .withColumn("day", datediff(col("o_orderdate").cast("date"),
         lit("1992-01-01").cast("date")).cast("long"))
       .withColumn("cents", cents(col("o_totalprice")))
@@ -527,7 +553,7 @@ object Relational3 {
        |  SELECT o_custkey, o_orderkey,
        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
        |    ${centsSql("o_totalprice")} AS cents
-       |  FROM orders WHERE o_custkey % 50 = 0)
+       |  FROM orders WHERE o_custkey % 50 = 0 AND o_orderdate IS NOT NULL)
        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, o_orderkey""".stripMargin

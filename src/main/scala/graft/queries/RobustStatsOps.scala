@@ -35,6 +35,9 @@ object RobustStatsOps {
     import org.apache.spark.sql.expressions.Window
     val byGrp = Window.partitionBy(col("o_orderpriority"))
     val vc = t(s, dir, "orders")
+      // percentile_cont ignores NULL inputs (fuzz gate: NULL cents would
+      // also histogram in engine-dependent order)
+      .filter(col("o_totalprice").isNotNull)
       .withColumn("cents", cents(col("o_totalprice")))
       .groupBy(col("o_orderpriority"), col("cents")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(byGrp.orderBy(col("cents"))))
@@ -71,7 +74,7 @@ object RobustStatsOps {
        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
        |      ORDER BY $c, o_orderkey) AS BIGINT) AS rn,
        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-       |  FROM orders),
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
        |spec AS (
        |  SELECT o_orderpriority, n, q,
        |    1.0 + q * (n - 1) AS pos,
@@ -129,6 +132,9 @@ object RobustStatsOps {
     * cents throughout. */
   private def outlierMad(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
+      // a NULL value has no deviation from any median: excluded on BOTH
+      // sides, standard aggregate semantics (fuzz gate finding)
+      .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
     val med = histMedian(e, "event_type", "cents", "med_cents")
     val dev = e.join(med, "event_type")
@@ -143,7 +149,8 @@ object RobustStatsOps {
 
   private val outlierMadSql = {
     val c = centsSql("value")
-    s"""WITH e AS (SELECT event_id, event_type, $c AS cents FROM events),
+    s"""WITH e AS (SELECT event_id, event_type, $c AS cents FROM events
+       |           WHERE value IS NOT NULL),
        |med AS (
        |  SELECT event_type, cents AS med_cents FROM (
        |    SELECT event_type, cents,

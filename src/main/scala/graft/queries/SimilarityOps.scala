@@ -58,6 +58,14 @@ object SimilarityOps {
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
         .withColumn("nrm",
           graft.functions.GraftFunctions.quantized_dot(col("q"), col("q")))
+        // zero-norm (NULL / empty / all-zero) vectors have no cosine: keep
+        // them out of the SHARED base so every similarity consumer agrees
+        // with its oracle twin. Found by the differential fuzz gate: DuckDB
+        // gave an empty vector the all-zero LSH signature (NULL sums → sign
+        // bit 0) while the Spark signature aggregate dropped it (posexplode
+        // of an empty array emits no rows), so bucket 0 candidate sets
+        // diverged; IVF additionally hit DIVIDE_BY_ZERO on the zero norm.
+        .filter(col("nrm") > 0)
         .persist()
     })
   }
@@ -90,8 +98,10 @@ object SimilarityOps {
 
   private val knnBruteCosineSql =
     s"""WITH e AS (
-       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
        |pairs AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1]*b.q[i+1])) AS BIGINT) AS dot,
@@ -361,8 +371,10 @@ object SimilarityOps {
     val sig1 = (lshBits / 2 until lshBits).zipWithIndex
       .map { case (i, k) => bitExpr(i, k) }.mkString(" + ")
     s"""WITH e AS (
-       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
        |sigs AS (SELECT vec_id, q, nrm, $sig0 AS sig0, $sig1 AS sig1 FROM e),
        |bands AS (
        |  SELECT vec_id, q, nrm, 0 AS band, sig0 AS sig FROM sigs
@@ -430,8 +442,10 @@ object SimilarityOps {
 
   private val annIvfCosineSql =
     s"""WITH e AS (
-       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |  FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
        |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE vec_id < $ivfCentroids),
        |assigned AS (
        |  SELECT vec_id, cent_id, q, nrm FROM (
