@@ -464,6 +464,9 @@ object Relational3 {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("cnt").desc, col("qv"))
     t(s, dir, "orders")
+      // MODE ignores NULL inputs (standard aggregate semantics; fuzz gate:
+      // a NULL qv group tied on count resolves in engine NULL order)
+      .filter(col("o_custkey").isNotNull)
       .select(col("o_orderpriority"), (col("o_custkey") % 100).as("qv"))
       .groupBy(col("o_orderpriority"), col("qv"))
       .agg(count(lit(1)).as("cnt"))
@@ -479,7 +482,7 @@ object Relational3 {
       |    row_number() OVER (PARTITION BY o_orderpriority
       |      ORDER BY cnt DESC, qv) AS rn
       |  FROM (SELECT o_orderpriority, o_custkey % 100 AS qv, COUNT(*) AS cnt
-      |        FROM orders GROUP BY 1, 2))
+      |        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2))
       |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
 
   /** Exact discrete quartiles (percentile_disc semantics: the element at
