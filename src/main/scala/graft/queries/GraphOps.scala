@@ -115,27 +115,77 @@ object GraphOps {
     s.conf.getOption("graft.minSupport").map(_.toInt).getOrElse(2)
 
   /** (order, part) distinct items from baskets within the size cap, with
-    * the oversized-basket drop logged. Feeds both market-basket queries. */
+    * the oversized-basket drop logged. Feeds all three market-basket
+    * queries — CACHED so every consumer (including the pair relation
+    * below, and a query that uses both) shares ONE DataFrame instance:
+    * the `graft_drop_basket` CollectMetrics node must be the SAME plan
+    * everywhere it appears in a query, or Spark rejects the duplicate
+    * metric name (self-joins of one instance are allowed; two structurally
+    * equal but separately-built instances are not). Lazy persist, same
+    * lifecycle discipline as the lshCache family. */
+  private val itemsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
   private def cappedItems(s: SparkSession, dir: String): DataFrame = {
-    val items = t(s, dir, "lineitem")
-      // an item with no order or no part can't co-occur; dropped EXPLICITLY
-      // on both sides (fuzz gate: the Spark semi-join below silently
-      // drops NULL orderkeys anyway — NULL never equi-matches — while the
-      // oracle's plain DISTINCT kept them in the per-part counts)
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val sizes = items.groupBy("o").agg(count(lit(1)).as("b"))
-    val okOrders = withDropMetric(s, sizes, "graft_drop_basket",
-        sum(when(col("b") > maxBasket(s), 1L).otherwise(0L)))
-      .filter(col("b") <= maxBasket(s))
-      .select("o")
-    items.join(okOrders, Seq("o"), "left_semi")
+    itemsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, maxBasket(s))
+    itemsCache.getOrElseUpdate(key, {
+      itemsCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k != key)
+        .foreach(k => itemsCache.remove(k).foreach(_.unpersist()))
+      val items = t(s, dir, "lineitem")
+        // an item with no order or no part can't co-occur; dropped
+        // EXPLICITLY on both sides (fuzz gate: the Spark semi-join below
+        // silently drops NULL orderkeys anyway — NULL never equi-matches —
+        // while the oracle's plain DISTINCT kept them in per-part counts)
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val sizes = items.groupBy("o").agg(count(lit(1)).as("b"))
+      val okOrders = withDropMetric(s, sizes, "graft_drop_basket",
+          sum(when(col("b") > maxBasket(s), 1L).otherwise(0L)))
+        .filter(col("b") <= maxBasket(s))
+        .select("o")
+      items.join(okOrders, Seq("o"), "left_semi").persist()
+    })
   }
 
   private val cappedItemsSql =
     """items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
       |          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)""".stripMargin
+
+  /** Support-thresholded co-order pair relation (pa, pb, n_co), the
+    * expensive shared stage of all three market-basket queries (pair
+    * expansion is the o-keyed self-join — the dominant cost; everything
+    * after it is key-count-sized). Cached per (session, dir, knobs) with
+    * a LAZY persist, the [[SimilarityOps]] lshCache pattern: no job runs
+    * at construction, the first action materializes for every later
+    * consumer, stopped sessions are evicted. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), DataFrame]
+  private def supportPairs(s: SparkSession, dir: String): DataFrame = {
+    pairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, maxBasket(s), minSupport(s))
+    pairCache.getOrElseUpdate(key, {
+      pairCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k != key)
+        .foreach(k => pairCache.remove(k).foreach(_.unpersist()))
+      val items = cappedItems(s, dir)
+      val a = items.as("a"); val b = items.as("b")
+      a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= minSupport(s))
+        .persist()
+    })
+  }
+
+  private val supportPairsSql =
+    s"""pairs AS (
+       |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_co
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   /** Market-basket co-occurrence: part pairs by co-order support with
     * integer-milli LIFT (how much more often the pair co-occurs than
@@ -152,15 +202,10 @@ object GraphOps {
     * past ~10⁹ co-orders; at that corpus size switch both engines to their
     * 128-bit integer types (the formula itself is engine-portable). */
   private def partCooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val items = cappedItems(s, dir).persist()
+    val items = cappedItems(s, dir)
     val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
     val partCnt = items.groupBy("p").agg(count(lit(1)).as("n_p"))
-    val a = items.as("a"); val b = items.as("b")
-    val pairs = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= minSupport(s))
-    pairs
+    supportPairs(s, dir)
       .join(partCnt.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
       .join(partCnt.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
       .crossJoin(broadcast(nOrders))
@@ -198,14 +243,8 @@ object GraphOps {
     * triangle, map-side combining sum). Clustering coefficient
     * 2·tri/(deg·(deg−1)) stays in integer milli — exact on both engines. */
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val items = cappedItems(s, dir)
-    val a = items.as("a"); val b = items.as("b")
-    val edges = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= minSupport(s))
-      .select("u", "v")
-      .persist()
+    val edges = supportPairs(s, dir)
+      .select(col("pa").as("u"), col("pb").as("v"))
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -278,12 +317,8 @@ object GraphOps {
     * Scale shape: edges → one degree aggregate → one bucket aggregate;
     * output is ≤ 64 rows whatever the graph. */
   private def degreeHistogram(s: SparkSession, dir: String): DataFrame = {
-    val items = cappedItems(s, dir)
-    val a = items.as("a"); val b = items.as("b")
-    val edges = a.join(b, col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= minSupport(s))
+    val edges = supportPairs(s, dir)
+      .select(col("pa").as("u"), col("pb").as("v"))
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
