@@ -161,7 +161,9 @@ object Relational3 {
 
   private val stringAggGroupSql =
     """SELECT c_nationkey, COUNT(*) AS n,
-      |  string_agg(c_name, ',' ORDER BY c_custkey) AS names
+      |  -- COALESCE: both engines skip NULL names, but an all-NULL group is
+      |  -- '' in Spark (array_join) and NULL in string_agg (fuzz seed 10)
+      |  COALESCE(string_agg(c_name, ',' ORDER BY c_custkey), '') AS names
       |FROM customer WHERE c_custkey % 25 = 0
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
