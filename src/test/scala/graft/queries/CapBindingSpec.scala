@@ -108,4 +108,47 @@ class CapBindingSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("basket cap binds: mega-order dropped whole, metric fired, small baskets survive") {
+    val dir = java.nio.file.Files.createTempDirectory("capbasket").toString
+    import spark.implicits._
+    // one 5-part mega-order (over the lowered cap of 3 → dropped WHOLE)
+    // plus two {1, 2} baskets whose support-2 pair must survive
+    val mega = (1L to 5L).map(p => (100L, p))
+    val small = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L))
+    (mega ++ small).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_drop_")) metrics(name) = row.getLong(0)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("graft.cap.basket", "3")
+    try {
+      val out = SparkEntry.queries("part_cooccurrence")(spark, dir).collect()
+      // only the surviving pair; the mega-order's 10 pairs are gone, and
+      // n_orders/n_a/n_b count the CAPPED relation (2 orders, 2 each)
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Long]("pa") == 1L && r.getAs[Long]("pb") == 2L)
+      assert(r.getAs[Long]("n_co") == 2L)
+      assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+      assert(r.getAs[Long]("lift_milli") == 1000L)
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.contains("graft_drop_basket") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(metrics.get("graft_drop_basket").contains(1L),
+        s"expected 1 dropped basket, saw $metrics")
+    } finally {
+      spark.conf.unset("graft.cap.basket")
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }
