@@ -1,0 +1,245 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Differential FUZZ parity for the streaming twins: seeded random DIRTY
+  * event corpora (timestamp ties, exact gap-boundary spacings, duplicate
+  * event ids, NULL / empty / unicode event types, heavy-user skew) are run
+  * through BOTH the streaming operator and its batch query, and each is
+  * compared against the same independent in-memory Scala recount — so a
+  * divergence pins which engine drifted, not just that they disagree.
+  *
+  * This is the streaming half of tools/fuzz_gate.sh: the batch↔DuckDB gate
+  * fuzzes the relational surface, this suite fuzzes the keyed-state
+  * operators where the dirty classes are different (tie ORDER inside one
+  * micro-batch, >= vs > at the exact debounce/session gap boundary, state
+  * carried across a NULL-typed group).
+  *
+  * Parity contract (same as StreamingPipelineSpec's handcrafted cases):
+  * event-time-ordered arrival — here a single AvailableNow micro-batch,
+  * inside which every twin sorts its per-key iterator by (ts, event_id),
+  * the batch queries' exact window order. The corpus is written UNSORTED;
+  * the sort is the operator's own, which is the point.
+  */
+class StreamingFuzzParitySpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingPipeline._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val baseMs = ts("2024-01-01 00:00:00").getTime
+  private val debounceGapUs = 300000000L          // 5 min, kept when >=
+  private val sessionGapUs = 30L * 60 * 1000000   // 30 min, same session when <=
+  private val weekUs = 7L * 86400 * 1000000
+
+  /** Seeded dirty corpus. 150-second time grid over 8 weeks so EXACT
+    * debounce (2 steps = 300 s, kept-boundary) and session (12 steps =
+    * 1800 s, same-session-boundary) gaps occur constantly; 1/8 of events
+    * get a same-timestamp companion (tiebreak path); 1/20 are duplicated
+    * verbatim (dup event_id); types mix the funnel stages with junk, "",
+    * unicode, and null; users are skewed (user 1 is hot). */
+  private def dirtyEvents(seed: Int, n: Int): Vector[Event] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("signup", "view", "click", "purchase", "error",
+      "", "héllo🚀", "view ", null)
+    def nextType() = types(rnd.nextInt(types.length))
+    def nextUser() = if (rnd.nextInt(4) == 0) 1L else 2L + rnd.nextInt(30)
+    val out = Vector.newBuilder[Event]
+    var id = 0L
+    (1 to n).foreach { _ =>
+      val t = baseMs + rnd.nextInt(8 * 7 * 576) * 150000L
+      id += 1
+      val e = Event(id, new Timestamp(t), nextUser(), nextType(),
+        rnd.nextInt(2000) / 100.0)
+      out += e
+      if (rnd.nextInt(8) == 0) { // same-ts companion: tie order matters
+        id += 1
+        out += e.copy(event_id = id, event_type = nextType())
+      }
+      if (rnd.nextInt(20) == 0) out += e // verbatim duplicate (same id)
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------ oracles
+  // Each recount is written against the BATCH query's documented
+  // semantics; the streaming twins claim exact parity under in-order
+  // arrival, so both engines must match these.
+
+  private def sortedByTime(es: Seq[Event]) =
+    es.sortBy(e => (e.ts.getTime, e.event_id))
+
+  private val funnelStages = Vector("signup", "view", "click", "purchase")
+
+  /** user → emitted (stage, at_us); single in-order pass with the
+    * strictly-after rule — provably equal to the batch min-chain. */
+  private def funnelOracle(evs: Seq[Event]): Map[Long, Set[(Int, Long)]] =
+    evs.groupBy(_.user_id).map { case (u, es) =>
+      val t = Array.fill(5)(-1L) // 1-indexed stage times
+      val out = Set.newBuilder[(Int, Long)]
+      sortedByTime(es).foreach { e =>
+        val us = e.ts.getTime * 1000
+        val k = funnelStages.indexOf(e.event_type) + 1 // 0 for junk/null
+        if (k == 1 && t(1) < 0) { t(1) = us; out += ((1, us)) }
+        else if (k > 1 && t(k) < 0 && t(k - 1) >= 0 && us > t(k - 1)) {
+          t(k) = us; out += ((k, us))
+        }
+      }
+      u -> out.result()
+    }
+
+  /** (user, cohort_monday_us, week_offset) distinct activity set. */
+  private def cohortOracle(evs: Seq[Event]): Set[(Long, Long, Int)] =
+    evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = sortedByTime(es)
+      val first = sorted.head.ts.toLocalDateTime.toLocalDate
+      val monday = first.minusDays(first.getDayOfWeek.getValue - 1L)
+      val mondayUs = Timestamp.valueOf(monday.atStartOfDay).getTime * 1000
+      sorted.map(e => ((e.ts.getTime * 1000 - mondayUs) / weekUs).toInt)
+        .distinct.map(off => (u, mondayUs, off))
+    }.toSet
+
+  /** Surviving (event_id, user, type, at_us) multiset under the
+    * previous-event (kept or not) >= 5 min rule, (ts, event_id) order. */
+  private def debounceOracle(evs: Seq[Event]): Seq[(Long, Long, String, Long)] =
+    evs.groupBy(e => (e.user_id, Option(e.event_type))).toSeq.flatMap {
+      case ((u, _), es) =>
+        var last = Long.MinValue
+        sortedByTime(es).flatMap { e =>
+          val us = e.ts.getTime * 1000
+          val keep = last == Long.MinValue || us - last >= debounceGapUs
+          last = us
+          if (keep) Some((e.event_id, u, e.event_type, us)) else None
+        }
+    }.sortBy(t => (t._1, t._2, Option(t._3).getOrElse(""), t._4))
+
+  /** user → in-order session list (start_us, end_us, n_events); a gap
+    * STRICTLY greater than 30 min opens a new session. */
+  private def sessionOracle(evs: Seq[Event]): Map[Long, Vector[(Long, Long, Int)]] =
+    evs.groupBy(_.user_id).map { case (u, es) =>
+      val out = Vector.newBuilder[(Long, Long, Int)]
+      var cur: Option[(Long, Long, Int)] = None
+      sortedByTime(es).foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur = cur match {
+          case Some((s0, last, k)) if us - last <= sessionGapUs =>
+            Some((s0, us, k + 1))
+          case Some(closed) =>
+            out += closed; Some((us, us, 1))
+          case None => Some((us, us, 1))
+        }
+      }
+      cur.foreach(out += _)
+      u -> out.result()
+    }
+
+  // --------------------------------------------------------------- runs
+
+  for (seed <- Seq(101, 202, 303)) {
+    test(s"fuzz seed $seed: stream twins and batch queries match the in-memory recount") {
+      val evs = dirtyEvents(seed, 1000)
+      val root = Files.createTempDirectory(s"streamfuzz$seed")
+
+      // stream side: Event-typed parquet, unsorted arrival
+      val src = root.resolve("stream")
+      evs.toDS().write.parquet(src.toString)
+      def stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(src.toString)
+        .as[Event]
+
+      // batch side: the driver events layout (int64 nanosecond ts)
+      evs.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+          e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(root.resolve("batch").resolve("events.parquet").toString)
+      val batchDir = root.resolve("batch").toString
+      def batchQ(name: String) = graft.SparkEntry.queries(name)(spark, batchDir)
+
+      // ---- funnel
+      val fOracle = funnelOracle(evs)
+      val fStream = runToMemory(spark, funnelStream(stream).toDF(), s"fz_funnel_$seed")
+        .collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .view.mapValues(_.map(r =>
+          (r.getAs[Int]("stage"), r.getAs[Long]("at_us"))).toSet).toMap
+      assert(fStream == fOracle.filter(_._2.nonEmpty),
+        s"funnelStream drifted from the recount (seed $seed)")
+      val fBatch = batchQ("event_funnel").collect()
+        .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+      val oracleStageCounts = (1 to 4).map(k =>
+        k -> fOracle.count(_._2.exists(_._1 == k)).toLong).toMap
+      assert(fBatch("1_signup") == oracleStageCounts(1) &&
+        fBatch("2_view") == oracleStageCounts(2) &&
+        fBatch("3_click") == oracleStageCounts(3) &&
+        fBatch("4_purchase") == oracleStageCounts(4),
+        s"batch event_funnel drifted from the recount (seed $seed)")
+
+      // ---- cohort
+      val cOracle = cohortOracle(evs)
+      val cStream = runToMemory(spark, cohortStream(stream).toDF(), s"fz_cohort_$seed")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cohort_us"),
+          r.getAs[Int]("week_offset")))
+      assert(cStream.distinct.length == cStream.length,
+        s"cohortStream emitted a (user, offset) twice inside the mask horizon (seed $seed)")
+      assert(cStream.toSet == cOracle,
+        s"cohortStream drifted from the recount (seed $seed)")
+      val cBatch = batchQ("cohort_retention").collect()
+        .map(r => (r.getAs[Timestamp]("cohort_week").getTime * 1000,
+          r.getAs[Long]("week_offset").toInt) -> r.getAs[Long]("n_users")).toMap
+      val cOracleCounts = cOracle.groupBy(t => (t._2, t._3))
+        .view.mapValues(_.size.toLong).toMap
+      assert(cBatch == cOracleCounts,
+        s"batch cohort_retention drifted from the recount (seed $seed)")
+
+      // ---- debounce
+      val dOracle = debounceOracle(evs)
+      val dStream = runToMemory(spark, debounceStream(stream).toDF(), s"fz_deb_$seed")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Long]("at_us")))
+        .sortBy(t => (t._1, t._2, Option(t._3).getOrElse(""), t._4))
+      assert(dStream.toSeq == dOracle,
+        s"debounceStream drifted from the recount (seed $seed)")
+      val dBatch = batchQ("event_debounce").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Timestamp]("ts").getTime * 1000))
+        .sortBy(t => (t._1, t._2, Option(t._3).getOrElse(""), t._4))
+      assert(dBatch.toSeq == dOracle,
+        s"batch event_debounce drifted from the recount (seed $seed)")
+
+      // ---- sessionize: stream emits CLOSED sessions (each user's final
+      // session stays open in state under NoTimeout — drop it from the
+      // oracle for the stream compare; the batch query sees all of them)
+      val sOracle = sessionOracle(evs)
+      val sStream = runToMemory(spark, sessionize(stream).toDF(), s"fz_sess_$seed")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Int]("n_events")))
+        .sortBy(t => (t._1, t._2))
+      val sOracleClosed = sOracle.toSeq.flatMap { case (u, sess) =>
+        sess.dropRight(1).map(s => (u, s._1, s._2, s._3))
+      }.sortBy(t => (t._1, t._2))
+      assert(sStream.toSeq == sOracleClosed,
+        s"sessionize stream drifted from the recount (seed $seed)")
+      val sBatch = batchQ("sessionize").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      val sOracleCounts = sOracle.view.mapValues(sess =>
+        (sess.length.toLong, sess.map(_._3.toLong).sum)).toMap
+      assert(sBatch == sOracleCounts,
+        s"batch sessionize drifted from the recount (seed $seed)")
+
+      // ---- exactly-once id dedup on the replayed stream
+      val idSet = runToMemory(spark,
+        dedupStream(stream.toDF()), s"fz_dedup_$seed")
+        .collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(idSet.distinct.length == idSet.length &&
+        idSet.toSet == evs.map(_.event_id).toSet,
+        s"dedupStream id set drifted (seed $seed)")
+    }
+  }
+}
