@@ -794,8 +794,81 @@ object DedupOps {
        |WHERE floor(1000.0 * inter / least(sa.n, sb.n)) >= 500
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The SAME containment pairs as [[containmentPairs]], computed through an
+    * exact PREFIX FILTER (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07
+    * All-Pairs): rank each doc's shingles by global df ascending (rarest
+    * first) and join only each doc's first floor(n/2)+1 shingles against
+    * the full relation. Sound for the ≥ 500-milli emit threshold: a pair
+    * with |A∩B| ≥ ceil(n_small/2) must share a shingle inside the smaller
+    * doc's rarest floor(n_small/2)+1 — if every common shingle sat in the
+    * ceil(n/2)−1 suffix, the intersection would be < the threshold. So the
+    * candidate set is a strict superset of the answer and the exact verify
+    * restores equality: the DuckDB oracle is the UNOPTIMIZED containment
+    * SQL, which is the whole point — same rows, different plan.
+    *
+    * This is the dense-corpus scale path SCALECHECK.md's containment
+    * analysis calls for: the exact plan's equi-join cost is Σ_sh df², and
+    * its quadratic keys are precisely the HIGH-df shingles — which the
+    * rarest-first prefix systematically excludes from candidate
+    * generation (a shingle joins only when it ranks in the rarest half of
+    * at least one of its docs). Verify cost is candidate-bounded, not
+    * corpus-bounded. The df cap (`graft.cap.tokenDf`) still guards the
+    * true stop-shingle tail, same contract as [[containmentPairs]]. */
+  private def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val sh = trigramShingles(docs)
+    val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val okDf = withDropMetric(s, dfRel, "graft_drop_containment_prefix_shingle",
+        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
+      .filter(col("df") <= maxTokenDf(s))
+    val shOk = sh.join(okDf, Seq("sh"))
+    // rarest-first rank and set size in ONE doc-keyed shuffle (both
+    // windows share the partitioning; sh is distinct per doc, so the
+    // (df, sh) order is total and the prefix is deterministic). Persisted:
+    // ALL five consumers — prefix, full join side, sizes, and both exact
+    // verify sides — scan this one cached relation instead of re-running
+    // the df join + window per consumer.
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = shOk
+      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .persist()
+    val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val full = ranked.select(col("doc_id"), col("sh"), col("n"))
+    // candidates: the prefix side must be the smaller set (equal sizes
+    // qualify from either side — the id inequality just drops self-pairs)
+    val cand = prefix.as("p").join(full.as("f"),
+        col("p.sh") === col("f.sh") &&
+          (col("p.n") < col("f.n") ||
+            (col("p.n") === col("f.n") && col("p.doc_id") =!= col("f.doc_id"))))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("b_id"))
+      .distinct()
+    // exact verify on candidates only
+    val inter = cand
+      .join(ranked.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(ranked.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    // rnk = 1 rows carry each doc's size — no second aggregation needed
+    val sizes = ranked.filter(col("rnk") === 1).select(col("doc_id"), col("n"))
+    inter
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        floor(lit(1000.0) * col("inter") / least(col("na"), col("nb")))
+          .cast("long").as("overlap_milli"))
+      .filter(col("overlap_milli") >= 500)
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    Q("containment_prefix_pairs", containmentPrefixPairs,
+      Some(containmentPairsSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

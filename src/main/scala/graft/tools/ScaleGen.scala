@@ -29,25 +29,53 @@ object ScaleGen {
   private val dim = 64
   private val nLabels = 8
 
-  private def baseWords(id: Long): Array[String] = {
+  // --zipf mode: a 2000-word vocabulary with p(rank) ∝ 1/rank — the
+  // HEAVY-HEAD / LONG-TAIL density of real text, vs the default 31-word
+  // uniform corpus. Uniform density is the exact-containment worst case
+  // (every shingle is mid-df, no algorithm avoids the pair mass); zipf is
+  // the regime where rarest-first prefix filtering pays (hot shingles are
+  // excluded from candidate generation, the tail carries the signal).
+  private val zipfVocabSize = 2000
+  private lazy val zipfCum: Array[Double] = {
+    val w = Array.tabulate(zipfVocabSize)(i => 1.0 / (i + 1))
+    val tot = w.sum
+    var acc = 0.0
+    w.map { x => acc += x; acc / tot }
+  }
+  private def zipfWord(r: java.util.Random): String = {
+    val u = r.nextDouble()
+    var lo = 0
+    var hi = zipfVocabSize - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (zipfCum(mid) < u) lo = mid + 1 else hi = mid
+    }
+    s"z$lo"
+  }
+
+  private def baseWords(id: Long, zipf: Boolean): Array[String] = {
     val r = new java.util.Random(id * 1000003L + 7)
     val n = 10 + r.nextInt(91)
-    Array.fill(n)(vocab(r.nextInt(vocab.size)))
+    if (zipf) Array.fill(n)(zipfWord(r))
+    else Array.fill(n)(vocab(r.nextInt(vocab.size)))
   }
 
   /** ~8% of docs are near-duplicates: copy the doc 13 ids earlier and
     * mutate ~10% of its words — the MinHash/SimHash/CC workload. */
-  private def docWords(id: Long): Array[String] =
+  private def docWords(id: Long, zipf: Boolean): Array[String] =
     if (id % 13 == 5 && id >= 13) {
-      val w = baseWords(id - 13).clone()
+      val w = baseWords(id - 13, zipf).clone()
       val r = new java.util.Random(id * 7919L + 3)
-      for (k <- w.indices) if (r.nextInt(10) == 0) w(k) = vocab(r.nextInt(vocab.size))
+      for (k <- w.indices) if (r.nextInt(10) == 0)
+        w(k) = if (zipf) zipfWord(r) else vocab(r.nextInt(vocab.size))
       w
-    } else baseWords(id)
+    } else baseWords(id, zipf)
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/root/repo/scale10")
-    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val zipf = args.contains("--zipf")
+    val posArgs = args.filterNot(_ == "--zipf")
+    val out = posArgs.headOption.getOrElse("/root/repo/scale10")
+    val mult = posArgs.lift(1).map(_.toInt).getOrElse(10)
     val nDocs = 5000L * mult
     val nVecs = 2000L * mult
     val spark = SparkSession.builder()
@@ -60,7 +88,7 @@ object ScaleGen {
     import spark.implicits._
 
     spark.range(nDocs).map { id =>
-      val words = docWords(id)
+      val words = docWords(id, zipf)
       val text = words.mkString(" ")
       (id, text, langs((id % langs.size).toInt), s"src${id % 20}",
         text.length.toLong)
@@ -134,7 +162,7 @@ object ScaleGen {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders (+lineitem) to $out (mult=$mult)")
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders (+lineitem) to $out (mult=$mult, zipf=$zipf)")
     spark.stop()
   }
 }

@@ -52,4 +52,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_small") == 6L && r.getAs[Long]("n_big") == 18L)
     assert(r.getAs[Long]("overlap_milli") == 1000L)
   }
+
+  test("containment_prefix_pairs: identical rows to the exact plan, planted and random") {
+    import spark.implicits._
+    // planted corpus: same fixture as the exact test — one qualifying pair
+    val dir = java.nio.file.Files.createTempDirectory("containpfx").toString
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (5 to 12).map(i => s"a$i").mkString(" ")
+    val d = ((1 to 4).map(i => s"a$i") ++ (1 to 10).map(i => s"d$i")).mkString(" ")
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("containment_prefix_pairs")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("a_id") == 1L &&
+      rows.head.getAs[Long]("b_id") == 2L &&
+      rows.head.getAs[Long]("overlap_milli") == 1000L)
+
+    // random corpus with a shared vocabulary dense enough to make both
+    // qualifying and near-miss pairs: the prefix-filtered plan must
+    // reproduce the exact plan's rows EXACTLY (its candidate set is a
+    // superset and the verify is exact — this pins the soundness proof)
+    val rnd = new scala.util.Random(12021)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (1L to 60L).map { id =>
+      val n = 5 + rnd.nextInt(25)
+      val start = rnd.nextInt(vocab.length)
+      // overlapping word RANGES so shingle sets genuinely intersect
+      val text = (0 until n).map(k => vocab((start + k) % vocab.length)).mkString(" ")
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val rdir = java.nio.file.Files.createTempDirectory("containpfxr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$rdir/documents.parquet")
+    val exact = SparkEntry.queries("containment_pairs")(spark, rdir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("inter"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("n_big"), r.getAs[Long]("overlap_milli")))
+    val pfx = SparkEntry.queries("containment_prefix_pairs")(spark, rdir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("inter"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("n_big"), r.getAs[Long]("overlap_milli")))
+    assert(exact.nonEmpty, "fixture produced no qualifying pairs — weaken it")
+    assert(pfx.toSeq == exact.toSeq)
+  }
 }
