@@ -846,21 +846,24 @@ object DedupOps {
       .select(least(col("p.doc_id"), col("f.doc_id")).as("a_id"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("b_id"))
       .distinct()
-    // exact verify on candidates only
-    val inter = cand
-      .join(ranked.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(ranked.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    // rnk = 1 rows carry each doc's size — no second aggregation needed
-    val sizes = ranked.filter(col("rnk") === 1).select(col("doc_id"), col("n"))
-    inter
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
-      .select(col("a_id"), col("b_id"), col("inter"),
+    // exact verify, ROW-LOCAL: join each candidate pair to the two docs'
+    // shingle-set arrays and count the intersection in-place (the same
+    // no-token-shuffle verify connectedComponents uses) — verify cost is
+    // |candidates| rows through two doc-keyed hash joins, never the
+    // candidate×shingles re-expansion. Doc shingle sets are doc-length
+    // bounded (≤ ~n_words trigrams), so the arrays are small by the same
+    // contract that bounds every per-doc relation here.
+    val docSets = ranked.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+    cand
+      .join(docSets.toDF("a_id", "sa", "na"), "a_id")
+      .join(docSets.toDF("b_id", "sb", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
         least(col("na"), col("nb")).as("n_small"),
-        greatest(col("na"), col("nb")).as("n_big"),
-        floor(lit(1000.0) * col("inter") / least(col("na"), col("nb")))
-          .cast("long").as("overlap_milli"))
+        greatest(col("na"), col("nb")).as("n_big"))
+      .withColumn("overlap_milli",
+        floor(lit(1000.0) * col("inter") / col("n_small")).cast("long"))
       .filter(col("overlap_milli") >= 500)
       .orderBy("a_id", "b_id")
   }

@@ -137,18 +137,40 @@ class StreamingFuzzParitySpec extends SparkSpec {
 
   // --------------------------------------------------------------- runs
 
-  for (seed <- Seq(101, 202, 303)) {
-    test(s"fuzz seed $seed: stream twins and batch queries match the in-memory recount") {
+  /** slices = 1: the whole corpus arrives in ONE AvailableNow micro-batch
+    * (per-key iterators sorted by the twins — arrival order fuzzed free).
+    * slices > 1: the corpus is cut into event-time-ordered slices written
+    * as separate files and replayed with maxFilesPerTrigger=1, so keyed
+    * STATE must carry every funnel stage / debounce horizon / cohort mask
+    * / open session across random micro-batch boundaries — including
+    * boundaries that land mid-tie (the slice cut respects (ts, event_id)
+    * order, which is the in-order contract). */
+  private def runParity(seed: Int, slices: Int): Unit = {
       val evs = dirtyEvents(seed, 1000)
       val root = Files.createTempDirectory(s"streamfuzz$seed")
 
-      // stream side: Event-typed parquet, unsorted arrival
+      // stream side: Event-typed parquet, written ONCE; `stream` is a def
+      // because each runToMemory consumes its own fresh source
       val src = root.resolve("stream")
-      evs.toDS().write.parquet(src.toString)
-      def stream = spark.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
-        .parquet(src.toString)
-        .as[Event]
+      if (slices == 1) {
+        // unsorted single-batch arrival
+        evs.toDS().write.parquet(src.toString)
+      } else {
+        val ordered = sortedByTime(evs)
+        val per = math.ceil(ordered.size / slices.toDouble).toInt
+        ordered.grouped(per).zipWithIndex.foreach { case (slice, i) =>
+          slice.toDS().coalesce(1).write
+            .parquet(src.resolve(s"b$i").toString)
+          Thread.sleep(1000) // FileStreamSource replays oldest-mtime first
+        }
+      }
+      def stream = {
+        val r = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        val withOpt = if (slices == 1) r else r.option("maxFilesPerTrigger", 1)
+        val path = if (slices == 1) src.toString else src.toString + "/*"
+        withOpt.parquet(path).as[Event]
+      }
 
       // batch side: the driver events layout (int64 nanosecond ts)
       evs.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
@@ -235,11 +257,22 @@ class StreamingFuzzParitySpec extends SparkSpec {
 
       // ---- exactly-once id dedup on the replayed stream
       val idSet = runToMemory(spark,
-        dedupStream(stream.toDF()), s"fz_dedup_$seed")
+        dedupStream(stream.toDF()), s"fz_dedup_${seed}_$slices")
         .collect().map(_.getAs[Long]("event_id")).toSeq
       assert(idSet.distinct.length == idSet.length &&
         idSet.toSet == evs.map(_.event_id).toSet,
         s"dedupStream id set drifted (seed $seed)")
+  }
+
+  for (seed <- Seq(101, 202, 303)) {
+    test(s"fuzz seed $seed: stream twins and batch queries match the in-memory recount") {
+      runParity(seed, slices = 1)
+    }
+  }
+
+  for (seed <- Seq(404, 505)) {
+    test(s"fuzz seed $seed, 4 micro-batches: keyed state carries across batch boundaries") {
+      runParity(seed, slices = 4)
     }
   }
 }
