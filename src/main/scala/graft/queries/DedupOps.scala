@@ -814,26 +814,38 @@ object DedupOps {
     * at least one of its docs). Verify cost is candidate-bounded, not
     * corpus-bounded. The df cap (`graft.cap.tokenDf`) still guards the
     * true stop-shingle tail, same contract as [[containmentPairs]]. */
-  private def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Rarest-first ranked shingle relation for the prefix-filter family:
+    * (doc_id, sh, df, rnk, n) with rnk = row_number by (df, sh) inside the
+    * doc and n = the doc's capped shingle-set size — rank and size in ONE
+    * doc-keyed shuffle (the two windows share the partitioning; sh is
+    * distinct per doc, so the (df, sh) order is total and the prefix is
+    * deterministic). Persisted: every consumer — prefix side(s), full join
+    * side, and the verify's per-doc set aggregation — scans this one
+    * cached relation instead of re-running the df join + window. */
+  private def rankedShingles(s: SparkSession, docs: DataFrame,
+      dropMetric: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
     val sh = trigramShingles(docs)
     val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val okDf = withDropMetric(s, dfRel, "graft_drop_containment_prefix_shingle",
+    val okDf = withDropMetric(s, dfRel, dropMetric,
         sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
       .filter(col("df") <= maxTokenDf(s))
-    val shOk = sh.join(okDf, Seq("sh"))
-    // rarest-first rank and set size in ONE doc-keyed shuffle (both
-    // windows share the partitioning; sh is distinct per doc, so the
-    // (df, sh) order is total and the prefix is deterministic). Persisted:
-    // ALL five consumers — prefix, full join side, sizes, and both exact
-    // verify sides — scan this one cached relation instead of re-running
-    // the df join + window per consumer.
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = shOk
+    sh.join(okDf, Seq("sh"))
       .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("n", count(lit(1)).over(byDoc))
       .persist()
+  }
+
+  /** Per-doc (shingle array, size) off the ranked relation — the row-local
+    * verify side shared by the prefix-filter family. */
+  private def docShingleSets(ranked: DataFrame): DataFrame =
+    ranked.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+
+  private def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedShingles(s, t(s, dir, "documents"),
+      "graft_drop_containment_prefix_shingle")
     val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
       .select(col("doc_id"), col("sh"), col("n"))
     val full = ranked.select(col("doc_id"), col("sh"), col("n"))
@@ -853,8 +865,7 @@ object DedupOps {
     // candidate×shingles re-expansion. Doc shingle sets are doc-length
     // bounded (≤ ~n_words trigrams), so the arrays are small by the same
     // contract that bounds every per-doc relation here.
-    val docSets = ranked.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+    val docSets = docShingleSets(ranked)
     cand
       .join(docSets.toDF("a_id", "sa", "na"), "a_id")
       .join(docSets.toDF("b_id", "sb", "nb"), "b_id")
@@ -868,10 +879,66 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** FULL-CORPUS Jaccard ≥ 500-milli near-dup pairs via BOTH-SIDES prefix
+    * filtering (Xiao et al.'s PPJoin candidate rule): J ≥ 0.5 forces
+    * |A∩B| ≥ ceil(n/2) for EACH doc (3i ≥ na+nb and nb ≥ i give 2i ≥ na),
+    * and under the global (df, sh) order the smallest common shingle must
+    * sit inside BOTH docs' rarest floor(n/2)+1 prefixes — if it missed
+    * A's prefix, every common shingle would sit in A's ceil(n/2)−1
+    * commonest suffix, capping the intersection below the threshold. So
+    * prefix⋈prefix candidate generation is complete, and it is QUADRATIC
+    * only in prefix-df, the stronger reduction (containment's asymmetric
+    * threshold only allows prefix⋈full).
+    *
+    * This is the full-corpus companion to `ngram_jaccard_pairs` (which
+    * samples doc_id %% 10 and emits ALL pair scores — no threshold, so no
+    * prefix bound applies there): same trigram universe, same df cap,
+    * exact thresholded output, row-local verify. The emit test
+    * floor(1000·i/u) ≥ 500 ⇔ 3i ≥ na+nb is exactly the bound the filter
+    * is sound for. */
+  private def jaccardPrefixPairs(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedShingles(s, t(s, dir, "documents"),
+      "graft_drop_jaccard_prefix_shingle")
+    val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("p").join(prefix.as("f"),
+        col("p.sh") === col("f.sh") && col("p.doc_id") < col("f.doc_id"))
+      .select(col("p.doc_id").as("a_id"), col("f.doc_id").as("b_id"))
+      .distinct()
+    val docSets = docShingleSets(ranked)
+    cand
+      .join(docSets.toDF("a_id", "sa", "na"), "a_id")
+      .join(docSets.toDF("b_id", "sb", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= 500)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val jaccardPrefixPairsSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       |sh AS ($trigramShinglesSql),
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, inter, sa.n + sb.n - inter AS uni,
+       |  CAST(floor(1000.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_milli
+       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE floor(1000.0 * inter / (sa.n + sb.n - inter)) >= 500
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("containment_prefix_pairs", containmentPrefixPairs,
       Some(containmentPairsSql)),
+    Q("jaccard_prefix_pairs", jaccardPrefixPairs, Some(jaccardPrefixPairsSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

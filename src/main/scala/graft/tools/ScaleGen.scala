@@ -60,11 +60,17 @@ object ScaleGen {
     else Array.fill(n)(vocab(r.nextInt(vocab.size)))
   }
 
-  /** ~8% of docs are near-duplicates: copy the doc 13 ids earlier and
-    * mutate ~10% of its words — the MinHash/SimHash/CC workload. */
+  /** ~8% of docs are near-duplicates: copy the doc ONE id earlier and
+    * mutate ~10% of its words — the MinHash/SimHash/CC/near-dup workload.
+    * The partner (id−1 ≡ 4 mod 13) is never itself a mutant, so every
+    * planted pair is (base doc, mutated copy) — the earlier `id−13` rule
+    * had partners that were themselves mutants of a DIFFERENT base
+    * (id−13 ≡ 5 mod 13 too), which silently reduced the whole corpus to
+    * ONE true pair; the uniform 31-word vocabulary masked it with random
+    * collisions, the zipf corpus exposed it. */
   private def docWords(id: Long, zipf: Boolean): Array[String] =
     if (id % 13 == 5 && id >= 13) {
-      val w = baseWords(id - 13, zipf).clone()
+      val w = baseWords(id - 1, zipf).clone()
       val r = new java.util.Random(id * 7919L + 3)
       for (k <- w.indices) if (r.nextInt(10) == 0)
         w(k) = if (zipf) zipfWord(r) else vocab(r.nextInt(vocab.size))

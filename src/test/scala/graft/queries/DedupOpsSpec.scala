@@ -96,4 +96,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture produced no qualifying pairs — weaken it")
     assert(pfx.toSeq == exact.toSeq)
   }
+
+  test("jaccard_prefix_pairs: matches an exact in-memory recount; subset of containment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31415)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (1L to 60L).map { id =>
+      val n = 5 + rnd.nextInt(25)
+      val start = rnd.nextInt(vocab.length)
+      val text = (0 until n).map(k => vocab((start + k) % vocab.length)).mkString(" ")
+      (id, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("jacpfx").toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // independent recount: trigram sets in plain Scala, all-pairs exact
+    def tris(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> tris(t) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      i = (sets(a) & sets(b)).size if i > 0
+      u = sets(a).size + sets(b).size - i
+      jm = math.floor(1000.0 * i / u).toLong if jm >= 500
+    } yield (a, b, i.toLong, u.toLong, jm)).sorted
+
+    val got = SparkEntry.queries("jaccard_prefix_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("inter"),
+        r.getAs[Long]("uni"), r.getAs[Long]("jaccard_milli"))).toSeq
+    assert(expected.nonEmpty, "fixture produced no qualifying pairs — weaken it")
+    assert(got == expected)
+
+    // overlap ≥ jaccard (min ≤ union): every J≥500 pair must also be a
+    // containment≥500 pair — the cross-query containment invariant
+    val contain = SparkEntry.queries("containment_prefix_pairs")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(contain))
+  }
 }
