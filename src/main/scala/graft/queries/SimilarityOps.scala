@@ -545,8 +545,147 @@ object SimilarityOps {
        |  CAST(floor(CAST(SUM(qx) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_milli
        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
+  /** Per-cluster doc cap for [[semanticDedup]]'s within-cluster pair join:
+    * a cluster larger than this is dropped WHOLE (and logged via the
+    * `graft_drop_*` observation) rather than fed to a quadratic verify.
+    * 100 TB rationale: the within-cluster join is |cluster|² on ONE key —
+    * the cap bounds it at ~5·10⁷ pairs per cluster. In production K scales
+    * with the corpus (SemDeDup uses N/‹target size› clusters) so clusters
+    * stay small; the cap is the guard-rail for a degenerate clustering.
+    * Sized to never bind at test scale (≤ ~500 docs/cluster at sf0.1).
+    * Session conf `graft.cap.semCluster` overrides per deployment. */
+  val maxSemClusterDefault = 10000
+  def maxSemCluster(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.semCluster").map(_.toInt)
+      .getOrElse(maxSemClusterDefault)
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public arXiv
+    * 2303.09540): assign every vector to its nearest centroid, find
+    * near-duplicate pairs ONLY within a cluster (the SemDeDup
+    * approximation that makes embedding dedup tractable), and keep the
+    * lowest-id member of each near-dup pair. Output is one row PER DOC
+    * (vec_id, label, cluster, ccos = cosine to its centroid, keep) — the
+    * decision table a corpus-prune job writes.
+    *
+    * Centroids are the per-label milli-means ([[labelCentroids]]'s exact
+    * aggregate) assembled into vectors; K = |labels| here, standing in for
+    * the k-means codebook — at a real deployment K ≈ N/‹target cluster
+    * size› keeps clusters bounded and the plan identical. Determinism:
+    * exact int64 dots/norms, cosine = one IEEE divide of one sqrt,
+    * centroid argmax ties break on label asc, so both engines pick the
+    * same cluster bit-for-bit. τ = 0.4 matches [[dedupEmbeddingNeardup]]
+    * (corpus-relative: random unit vectors top out near 0.5).
+    *
+    * Scale shape: centroid build is one map-side-combining (label, dim)
+    * aggregate; assignment is a BROADCAST of K centroid rows against a
+    * corpus scan (row-local argmax, no shuffle); the pair join shuffles
+    * once on cluster id with the [[maxSemCluster]] cap bounding the
+    * quadratic; the keep flag is one anti-join back. No stage touches
+    * more than O(corpus + pairs-within-caps) rows. */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+      .filter(col("nrm") > 0)
+    // a NULL label is not a cluster: building a centroid from it would
+    // give NULL-cluster assignments that a cluster-keyed equi-join (the
+    // cap path) silently drops on one engine only — found by the fuzz
+    // gate (seed 19). NULL-label VECTORS still flow through: they just
+    // assign to a real centroid.
+    val cen = e.filter(col("label").isNotNull)
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qx")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"))
+      .select(col("label"), col("dim"),
+        floor(col("sq") / col("n")).cast("long").as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("c"))
+      .withColumn("cnrm", dotQ(col("c"), col("c")))
+      .filter(col("cnrm") > 0)
+      .select(col("label").as("cl"), col("c"), col("cnrm"))
+    // tiebreak chain (ccos desc, cl, label): `label` disambiguates
+    // duplicate vec_id rows (a dirty-corpus reality) whose scores tie, so
+    // both engines keep the same row; asc_nulls_last matches DuckDB's
+    // default NULL placement (Spark's asc default is nulls FIRST)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cl"), col("label").asc_nulls_last)
+    val assigned = e.crossJoin(broadcast(cen))
+      .withColumn("ccos", dotQ(col("q"), col("c")).cast("double") /
+        sqrt((col("nrm") * col("cnrm")).cast("double")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("cl").as("cluster"),
+        col("q"), col("nrm"), col("ccos"))
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
+    val okSizes = withDropMetric(s, sizes, "graft_drop_semantic_cluster",
+        sum(when(col("csz") > maxSemCluster(s), col("csz")).otherwise(0L)))
+      .filter(col("csz") <= maxSemCluster(s))
+    // LAZY persist: both pair-join sides and the keep-flag base scan this
+    // one capped relation (same construction-safe pattern as quantizedBase)
+    val a2 = assigned.join(okSizes.select("cluster"), Seq("cluster")).persist()
+    val dropped = a2.select(col("cluster"), col("vec_id").as("a_id"),
+        col("q").as("qa"), col("nrm").as("na"))
+      .join(a2.select(col("cluster"), col("vec_id").as("b_id"),
+        col("q").as("qb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dotQ(col("qa"), col("qb")).cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cos") >= 0.4)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    a2.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cluster"), col("ccos"),
+        col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, q,
+       |      CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |cd AS (
+       |  -- NULL label is not a cluster (its vectors still assign below)
+       |  SELECT label, CAST(i AS INT) AS dim,
+       |    CAST(floor(CAST(SUM(q[i+1]) AS BIGINT) / COUNT(*)) AS BIGINT) AS m
+       |  FROM e, UNNEST(range(len(q))) t(i)
+       |  WHERE label IS NOT NULL GROUP BY 1, 2),
+       |cen AS (
+       |  SELECT * FROM (
+       |    SELECT label AS cl, c,
+       |      CAST(list_sum(list_transform(c, x -> x*x)) AS BIGINT) AS cnrm
+       |    FROM (SELECT label, list(m ORDER BY dim) AS c FROM cd GROUP BY 1))
+       |  WHERE cnrm > 0),
+       |scored AS (
+       |  -- COALESCE(...,0): quantized_dot returns 0 (not NULL) when no
+       |  -- element pair is non-NULL; mirror that exactly
+       |  SELECT e.vec_id, e.label, e.q, e.nrm, c.cl,
+       |    COALESCE(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.c[i+1])) AS BIGINT), 0)
+       |      / sqrt(CAST(e.nrm * c.cnrm AS DOUBLE)) AS ccos
+       |  FROM e CROSS JOIN cen c),
+       |asg AS (
+       |  SELECT vec_id, label, q, nrm, cl AS cluster, ccos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cl, label NULLS LAST) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE COALESCE(CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1]*b.q[i+1])) AS BIGINT), 0)
+       |      / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= 0.4)
+       |SELECT a.vec_id, a.label, a.cluster, a.ccos,
+       |  d.vec_id IS NULL AS keep
+       |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
     Q("knn_topk_agg", knnTopkAgg, Some(knnBruteCosineSql
       .replace("ORDER BY query_id, rk",
