@@ -151,4 +151,50 @@ class CapBindingSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("semantic cluster cap binds: oversized cluster dropped whole, small cluster keeps verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("capsem").toString
+    import spark.implicits._
+    // two well-separated clusters: label 0 holds 3 near-identical vectors
+    // (pairwise cos ≈ 1 → the dedup path must fire inside it), label 1
+    // holds 30 (over the lowered cap of 10 → dropped WHOLE). Axis-aligned
+    // vectors make nearest-centroid assignment = own label by construction.
+    val small = (1 to 3).map(i =>
+      (i.toLong, Array(1f, 0.01f * i) ++ Array.fill(6)(0f), 0))
+    val big = (10 to 39).map(i =>
+      (i.toLong, Array(0.01f * i, 1f) ++ Array.fill(6)(0f), 1))
+    (small ++ big).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_drop_")) metrics(name) = row.getLong(0)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("graft.cap.semCluster", "10")
+    try {
+      val out = SparkEntry.queries("semantic_dedup")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+          r.getAs[Boolean]("keep")))
+      // only the small cluster survives; within it the keep-lowest-id rule
+      // applies (all three are mutual near-dups at τ=0.4)
+      assert(out.toSeq == Seq((1L, 0, true), (2L, 0, false), (3L, 0, false)),
+        s"got ${out.mkString(", ")}")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.contains("graft_drop_semantic_cluster") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      // the metric counts DOCS in dropped clusters, not clusters
+      assert(metrics.get("graft_drop_semantic_cluster").contains(30L),
+        s"expected 30 dropped docs, saw $metrics")
+    } finally {
+      spark.conf.unset("graft.cap.semCluster")
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }
