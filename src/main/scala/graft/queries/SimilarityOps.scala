@@ -619,13 +619,21 @@ object SimilarityOps {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("cl").as("cluster"),
         col("q"), col("nrm"), col("ccos"))
-    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
-    val okSizes = withDropMetric(s, sizes, "graft_drop_semantic_cluster",
-        sum(when(col("csz") > maxSemCluster(s), col("csz")).otherwise(0L)))
-      .filter(col("csz") <= maxSemCluster(s))
+    // cluster-size cap as ONE window over the assignment (no second pass,
+    // no sizes join — the first cut recomputed the whole assignment
+    // subtree for a groupBy-sizes relation; the plan capture showed the
+    // cross join + rank windows twice). The drop metric counts DOCS in
+    // over-cap clusters, same value as summing the dropped cluster sizes.
+    val withSz = assigned.withColumn("csz",
+      count(lit(1)).over(Window.partitionBy(col("cluster"))))
     // LAZY persist: both pair-join sides and the keep-flag base scan this
-    // one capped relation (same construction-safe pattern as quantizedBase)
-    val a2 = assigned.join(okSizes.select("cluster"), Seq("cluster")).persist()
+    // one capped relation (same construction-safe pattern as
+    // quantizedBase), and the cache preserves the cluster partitioning the
+    // pair join needs — its sides shuffle zero times
+    val a2 = withDropMetric(s, withSz, "graft_drop_semantic_cluster",
+        sum(when(col("csz") > maxSemCluster(s), 1L).otherwise(0L)))
+      .filter(col("csz") <= maxSemCluster(s))
+      .drop("csz").persist()
     val dropped = a2.select(col("cluster"), col("vec_id").as("a_id"),
         col("q").as("qa"), col("nrm").as("na"))
       .join(a2.select(col("cluster"), col("vec_id").as("b_id"),
