@@ -819,23 +819,27 @@ object DedupOps {
     * doc and n = the doc's capped shingle-set size — rank and size in ONE
     * doc-keyed shuffle (the two windows share the partitioning; sh is
     * distinct per doc, so the (df, sh) order is total and the prefix is
-    * deterministic). Persisted: every consumer — prefix side(s), full join
-    * side, and the verify's per-doc set aggregation — scans this one
-    * cached relation instead of re-running the df join + window. */
-  private def rankedShingles(s: SparkSession, docs: DataFrame,
-      dropMetric: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = trigramShingles(docs)
-    val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val okDf = withDropMetric(s, dfRel, dropMetric,
-        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
-      .filter(col("df") <= maxTokenDf(s))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    sh.join(okDf, Seq("sh"))
-      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .persist()
-  }
+    * deterministic). Persisted through [[Util.cachedRelation]]: every
+    * consumer — prefix side(s), full join side, and the verify's per-doc
+    * set aggregation — scans one cached relation instead of re-running
+    * the df join + window, and a REPEATED call in a long-lived session
+    * reuses it instead of stacking a fresh InMemoryRelation (keyed on the
+    * df cap so a retune rebuilds + evicts). */
+  private def rankedShingles(s: SparkSession, dir: String,
+      dropMetric: String): DataFrame =
+    Util.cachedRelation(s, dir, s"rankedShingles:$dropMetric",
+        s"tokenDf=${maxTokenDf(s)}") {
+      import org.apache.spark.sql.expressions.Window
+      val sh = trigramShingles(t(s, dir, "documents"))
+      val dfRel = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val okDf = withDropMetric(s, dfRel, dropMetric,
+          sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
+        .filter(col("df") <= maxTokenDf(s))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      sh.join(okDf, Seq("sh"))
+        .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+        .withColumn("n", count(lit(1)).over(byDoc))
+    }
 
   /** Per-doc (shingle array, size) off the ranked relation — the row-local
     * verify side shared by the prefix-filter family. */
@@ -844,7 +848,7 @@ object DedupOps {
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
 
   private def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedShingles(s, t(s, dir, "documents"),
+    val ranked = rankedShingles(s, dir,
       "graft_drop_containment_prefix_shingle")
     val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
       .select(col("doc_id"), col("sh"), col("n"))
@@ -897,7 +901,7 @@ object DedupOps {
     * floor(1000·i/u) ≥ 500 ⇔ 3i ≥ na+nb is exactly the bound the filter
     * is sound for. */
   private def jaccardPrefixPairs(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedShingles(s, t(s, dir, "documents"),
+    val ranked = rankedShingles(s, dir,
       "graft_drop_jaccard_prefix_shingle")
     val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
       .select(col("doc_id"), col("sh"))

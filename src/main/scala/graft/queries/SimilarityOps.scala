@@ -626,14 +626,18 @@ object SimilarityOps {
     // over-cap clusters, same value as summing the dropped cluster sizes.
     val withSz = assigned.withColumn("csz",
       count(lit(1)).over(Window.partitionBy(col("cluster"))))
-    // LAZY persist: both pair-join sides and the keep-flag base scan this
-    // one capped relation (same construction-safe pattern as
-    // quantizedBase), and the cache preserves the cluster partitioning the
-    // pair join needs — its sides shuffle zero times
-    val a2 = withDropMetric(s, withSz, "graft_drop_semantic_cluster",
-        sum(when(col("csz") > maxSemCluster(s), 1L).otherwise(0L)))
-      .filter(col("csz") <= maxSemCluster(s))
-      .drop("csz").persist()
+    // LAZY persist through Util.cachedRelation: both pair-join sides and
+    // the keep-flag base scan one capped relation (whose cache preserves
+    // the cluster partitioning the pair join needs — its sides shuffle
+    // zero times), and repeated in-session calls reuse it instead of
+    // stacking InMemoryRelations (keyed on the cap so a retune rebuilds)
+    val a2 = Util.cachedRelation(s, dir, "semanticDedupAssigned",
+        s"semCluster=${maxSemCluster(s)}") {
+      withDropMetric(s, withSz, "graft_drop_semantic_cluster",
+          sum(when(col("csz") > maxSemCluster(s), 1L).otherwise(0L)))
+        .filter(col("csz") <= maxSemCluster(s))
+        .drop("csz")
+    }
     val dropped = a2.select(col("cluster"), col("vec_id").as("a_id"),
         col("q").as("qa"), col("nrm").as("na"))
       .join(a2.select(col("cluster"), col("vec_id").as("b_id"),

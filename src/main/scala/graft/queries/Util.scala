@@ -63,6 +63,31 @@ object Util {
     df.observe(name, coalesce(dropped, lit(0L)).as("n_dropped"))
   }
 
+  /** Session-lifetime cache of persisted intermediate relations, keyed by
+    * (session, dir, relation name, knob fingerprint) — the lshCache
+    * contract generalized: a repeated call reuses the SAME persisted
+    * relation instead of stacking a fresh InMemoryRelation per invocation
+    * (the leak a long-lived notebook/Thrift session would otherwise
+    * accumulate), and retuning a knob in-session evicts + unpersists the
+    * superseded entry instead of leaking it. Entries for stopped sessions
+    * are dropped on every access so the map can't pin dead sessions.
+    *
+    * The persist this hands out is LAZY: `build` must not run an action,
+    * so schema/explain-only callers stay job-free. */
+  private val relCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), DataFrame]
+  def cachedRelation(s: SparkSession, dir: String, name: String,
+      knobs: String)(build: => DataFrame): DataFrame = {
+    relCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, name, knobs)
+    relCache.getOrElseUpdate(key, {
+      relCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k._3 == name && k != key)
+        .foreach(k => relCache.remove(k).foreach(_.unpersist()))
+      build.persist()
+    })
+  }
+
   /** Read one testdata table.
     *
     * `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark 4 rejects

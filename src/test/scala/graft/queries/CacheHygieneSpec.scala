@@ -31,4 +31,19 @@ class CacheHygieneSpec extends SparkSpec {
       s"connected_components left ${leaked.size} checkpoint RDDs pinned " +
         "(only the final label generation may remain): " + leaked.toSeq.sorted)
   }
+
+  test("per-query persisted relations are cached per session, not stacked per call") {
+    // the Util.cachedRelation contract: invoking the same query twice in
+    // one session reuses the SAME persisted relation — a long-lived
+    // session must not accumulate one InMemoryRelation per invocation
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("containment_prefix_pairs", "jaccard_prefix_pairs",
+      "semantic_dedup")
+    names.foreach(n => SparkEntry.queries(n)(spark, dir).collect())
+    val after1 = spark.sparkContext.getPersistentRDDs.keySet
+    names.foreach(n => SparkEntry.queries(n)(spark, dir).collect())
+    val after2 = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after2 == after1,
+      s"repeat invocations stacked new persisted RDDs: ${after2 -- after1}")
+  }
 }
