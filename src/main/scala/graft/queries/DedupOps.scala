@@ -824,7 +824,10 @@ object DedupOps {
     * set aggregation — scans one cached relation instead of re-running
     * the df join + window, and a REPEATED call in a long-lived session
     * reuses it instead of stacking a fresh InMemoryRelation (keyed on the
-    * df cap so a retune rebuilds + evicts). */
+    * df cap so a retune rebuilds + evicts). BOTH prefix-family queries
+    * pass the same `graft_drop_prefix_shingle` metric name, so they share
+    * ONE relation per (session, dir) — the drop audit belongs to the
+    * shared relation, and a bench/session running both builds it once. */
   private def rankedShingles(s: SparkSession, dir: String,
       dropMetric: String): DataFrame =
     Util.cachedRelation(s, dir, s"rankedShingles:$dropMetric",
@@ -848,8 +851,7 @@ object DedupOps {
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
 
   private def containmentPrefixPairs(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedShingles(s, dir,
-      "graft_drop_containment_prefix_shingle")
+    val ranked = rankedShingles(s, dir, "graft_drop_prefix_shingle")
     val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
       .select(col("doc_id"), col("sh"), col("n"))
     val full = ranked.select(col("doc_id"), col("sh"), col("n"))
@@ -901,8 +903,7 @@ object DedupOps {
     * floor(1000·i/u) ≥ 500 ⇔ 3i ≥ na+nb is exactly the bound the filter
     * is sound for. */
   private def jaccardPrefixPairs(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedShingles(s, dir,
-      "graft_drop_jaccard_prefix_shingle")
+    val ranked = rankedShingles(s, dir, "graft_drop_prefix_shingle")
     val prefix = ranked.filter(col("rnk") <= floor(col("n") / 2) + 1)
       .select(col("doc_id"), col("sh"))
     val cand = prefix.as("p").join(prefix.as("f"),
