@@ -537,7 +537,81 @@ object TextOps {
       |  CAST(floor(1000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS ttr_milli
       |FROM d CROSS JOIN v ORDER BY doc_id""".stripMargin
 
+  /** End-to-end per-doc PRUNE DECISION table — what a corpus-prune job
+    * actually materializes before writing shards: one verdict row per doc
+    * composing the exact-dup canonical rule (`dedup_canonical`'s
+    * normalize-then-hash, keep the min id per group), the row-local
+    * quality gate (`text_quality`'s keep) and the Gopher repetition gate
+    * (`text_repetition`'s keep), with a precedence-ordered `reason`
+    * (exact_dup > quality > repetition > ok).
+    *
+    * Shape discipline: canon is a WINDOW over the scan (no self-join),
+    * the quality gate is an inline row-local expression, and only the
+    * repetition gate joins (its gram aggregate needs one). The oracle
+    * mirrors the exact join topology, so a dirty corpus with duplicate
+    * doc_ids multiplies identically on both engines. NULL-text docs: the
+    * canon window groups them into one md5(NULL) group (min id wins) and
+    * both gate flags coalesce to false — never NULL verdicts.
+    *
+    * Scale: one documents scan + one window on the canon hash (uniform
+    * md5 key) + the bounded repetition join — no stage beyond what the
+    * component queries already run, and the verdict table is exactly
+    * doc-count rows. */
+  private def corpusPruneVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col("text"))
+    val nWords = size(w)
+    val stopMilli = milli(size(filter(w, x => x.isin(stopEn: _*))), nWords)
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (nWords.between(5, 2000) && stopMilli >= 10).as("q_keep"),
+        md5(canon).as("ch"))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+    val rep = textRepetition(s, dir).select(col("doc_id"), col("keep").as("r_keep"))
+    base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_canonical"),
+        coalesce(col("q_keep"), lit(false)).as("quality_ok"),
+        coalesce(col("r_keep"), lit(false)).as("repetition_ok"))
+      .withColumn("keep",
+        col("is_canonical") && col("quality_ok") && col("repetition_ok"))
+      .withColumn("reason",
+        when(!col("is_canonical"), "exact_dup")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("repetition_ok"), "repetition")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusPruneVerdictsSql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    (len(string_split(text,' ')) BETWEEN 5 AND 2000
+       |     AND floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))
+       |         /len(string_split(text,' '))) >= 10) AS q_keep,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY
+       |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |        ' +', ' ', 'g')))) AS is_canonical
+       |  FROM documents),
+       |rep AS (SELECT doc_id, keep AS r_keep FROM ($textRepetitionSql))
+       |SELECT base.doc_id, base.is_canonical,
+       |  COALESCE(base.q_keep, FALSE) AS quality_ok,
+       |  COALESCE(rep.r_keep, FALSE) AS repetition_ok,
+       |  (base.is_canonical AND COALESCE(base.q_keep, FALSE)
+       |    AND COALESCE(rep.r_keep, FALSE)) AS keep,
+       |  CASE WHEN NOT base.is_canonical THEN 'exact_dup'
+       |       WHEN NOT COALESCE(base.q_keep, FALSE) THEN 'quality'
+       |       WHEN NOT COALESCE(rep.r_keep, FALSE) THEN 'repetition'
+       |       ELSE 'ok' END AS reason
+       |FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_prune_verdicts", corpusPruneVerdicts, Some(corpusPruneVerdictsSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("corpus_clean", corpusClean, Some(corpusCleanSql)),
