@@ -610,7 +610,54 @@ object TextOps {
        |ORDER BY base.doc_id""".stripMargin
   }
 
+  /** BPE tokenizer-training statistics: the first merge iteration's
+    * candidate table — corpus-wide counts of ADJACENT CHARACTER PAIRS,
+    * weighted by word frequency, top 50 by count (pair-asc tiebreak so
+    * the LIMIT boundary is deterministic).
+    *
+    * The scale shape is the point: pairs are aggregated over DISTINCT
+    * WORDS (one row per vocabulary entry carrying its corpus frequency),
+    * not over raw tokens. Under a zipfian corpus the vocabulary is orders
+    * of magnitude smaller than the token stream, so the expensive
+    * per-position pair explosion runs on |vocab| rows while the
+    * token-scale work is one map-side-combining word count — exactly how
+    * a real BPE trainer batches its pair statistics. Both hash aggregates
+    * partial-combine; the top-50 is a single bounded reduce.
+    *
+    * Gate: lowercase alphabetic words of length ≥ 2 (BPE pre-tokenizer
+    * symbols), so dirty/unicode/NULL rows drop identically on both
+    * engines. */
+  private def bpePairStats(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("freq"), col("word"))
+      .groupBy("pair")
+      .agg(sum("freq").as("pair_count"), countDistinct("word").as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(50)
+  }
+
+  private val bpePairStatsSql =
+    """WITH vocab AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      |  GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(g AS INT), 2) AS pair, freq, word
+      |  FROM vocab, UNNEST(generate_series(1, length(word) - 1)) AS t(g))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+      |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+      |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("corpus_prune_verdicts", corpusPruneVerdicts, Some(corpusPruneVerdictsSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),

@@ -21,7 +21,8 @@ class DocPoisonSpec extends SparkSpec {
     "pack_token_shards", "chunk_documents", "corpus_balance_langs",
     "mix_upsample", "corpus_mix_report", "line_dedup", "vocab_topk",
     "containment_pairs", "containment_prefix_pairs", "jaccard_prefix_pairs",
-    "lsh_recall_audit", "dedup_canonical", "corpus_prune_verdicts", "oov_rate",
+    "lsh_recall_audit", "dedup_canonical", "corpus_prune_verdicts",
+    "bpe_pair_stats", "oov_rate",
     "stratified_sample", "group_sample_k")
 
   test("every documents-table query survives a poison corpus under ANSI") {

@@ -212,4 +212,32 @@ class InvariantSpec2 extends SparkSpec {
     assert(g("added") + g("changed") + g("unchanged") == newN)
     assert(g("changed") == changedN)
   }
+
+  test("bpe_pair_stats: exact brute-force recount of the top-50 pair table (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).as[String].collect()
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.filter(_ != null).foreach(_.split(" ", -1).foreach { w =>
+      if (w.length >= 2 && w.forall(c => c >= 'a' && c <= 'z'))
+        freq(w) = freq.getOrElse(w, 0L) + 1
+    })
+    val pairCount = scala.collection.mutable.Map.empty[String, Long]
+    val pairWords = scala.collection.mutable.Map.empty[String, Set[String]]
+    freq.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCount(p) = pairCount.getOrElse(p, 0L) + f
+        pairWords(p) = pairWords.getOrElse(p, Set.empty) + w
+      }
+    }
+    val expect = pairCount.toSeq
+      .map { case (p, c) => (p, c, pairWords(p).size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(50)
+    val got = SparkEntry.queries("bpe_pair_stats")(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("n_words")))
+    assert(got.length == math.min(50, expect.length))
+    assert(got.toSeq == expect, "top-50 adjacent-pair table must match the recount")
+  }
 }
