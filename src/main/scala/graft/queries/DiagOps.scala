@@ -351,7 +351,86 @@ object DiagOps {
       .stripMargin
   }
 
+  /** Z-order layout packing with measured data-skipping benefit — the
+    * 100 TB storage-layout decision as an oracle-checked query. Rows get a
+    * 16-bit Morton code interleaving two pruning dimensions (customer
+    * bucket `d1` = pmod(o_custkey, 256) and a 0-255 day-of-year scale
+    * `d2`), are packed into 16 equal "files" two ways (z-ordered vs
+    * time-ordered linear ingest), and the output is each file's min/max
+    * envelope per dimension plus `probe_hit` — whether a selective 2-dim
+    * probe rectangle (d1, d2 ∈ [64, 79]) intersects the envelope, i.e.
+    * whether a min/max-pruning reader (parquet row-group stats, Delta
+    * file stats) must read that file. Two independent probes, one per
+    * dimension (d1 ∈ [64, 79]; d2 ∈ [64, 79]): the z-order layout bounds
+    * BOTH dimensions per file so both probes prune to a few files, while
+    * the time-ordered linear layout prunes only the time probe — the
+    * customer-keyed probe must read every linear file. ZorderSpec asserts
+    * the measured benefit, not just shape.
+    *
+    * The bit interleave is an unrolled integer expression (exact on both
+    * engines; pmod keeps dirty negative keys total). ntile needs a global
+    * sort here for the deterministic oracle; the production write path is
+    * `repartitionByRange(z)` + sortWithinPartitions — same layout, no
+    * single-partition window. NULL dims are filtered identically on both
+    * sides (a NULL key can't be range-pruned); sort ties share one z —
+    * interchangeable for every output column, so engine tie order can't
+    * diverge. */
+  private def zorderPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zExpr = (0 until 8).map(i =>
+      s"(shiftleft(shiftright(d1, $i) & 1, ${2 * i + 1}) + shiftleft(shiftright(d2, $i) & 1, ${2 * i}))")
+      .mkString(" + ")
+    val base = t(s, dir, "orders")
+      .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(
+        coalesce(col("o_orderkey"), lit(-1L)).as("k"),
+        expr("CAST(((o_custkey % 256) + 256) % 256 AS INT)").as("d1"),
+        expr("CAST(floor(((dayofyear(o_orderdate) - 1) * 256) / 366.0) AS INT)").as("d2"))
+      .withColumn("z", expr(zExpr))
+    val zFiles = base
+      .withColumn("file_id", ntile(16).over(Window.orderBy(col("z"), col("k"))))
+      .withColumn("layout", lit("zorder"))
+    val linFiles = base
+      .withColumn("file_id", ntile(16).over(Window.orderBy(col("d2"), col("k"), col("d1"))))
+      .withColumn("layout", lit("linear"))
+    zFiles.unionByName(linFiles)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("d1").as("min_d1"), max("d1").as("max_d1"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+      .withColumn("probe_d1_hit", col("max_d1") >= 64 && col("min_d1") <= 79)
+      .withColumn("probe_d2_hit", col("max_d2") >= 64 && col("min_d2") <= 79)
+      .orderBy("layout", "file_id")
+  }
+
+  private val zorderPackSql = {
+    val zExpr = (0 until 8).map(i =>
+      s"((((d1 >> $i) & 1) << ${2 * i + 1}) + (((d2 >> $i) & 1) << ${2 * i}))")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT COALESCE(o_orderkey, -1) AS k,
+       |    CAST(((o_custkey % 256) + 256) % 256 AS INT) AS d1,
+       |    CAST(floor(((dayofyear(o_orderdate) - 1) * 256) / 366.0) AS INT) AS d2
+       |  FROM orders
+       |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+       |z AS (SELECT k, d1, d2, $zExpr AS z FROM base),
+       |files AS (
+       |  SELECT 'zorder' AS layout,
+       |    CAST(NTILE(16) OVER (ORDER BY z, k) AS INT) AS file_id, d1, d2 FROM z
+       |  UNION ALL
+       |  SELECT 'linear' AS layout,
+       |    CAST(NTILE(16) OVER (ORDER BY d2, k, d1) AS INT) AS file_id, d1, d2 FROM z)
+       |SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+       |  MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+       |  (MAX(d1) >= 64 AND MIN(d1) <= 79) AS probe_d1_hit,
+       |  (MAX(d2) >= 64 AND MIN(d2) <= 79) AS probe_d2_hit
+       |FROM files GROUP BY layout, file_id
+       |ORDER BY layout, file_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("zorder_pack", zorderPack, Some(zorderPackSql)),
     Q("join_size_probe", joinSizeProbe, Some(joinSizeProbeSql)),
     Q("error_zscore_hours", errorZscoreHours, Some(errorZscoreHoursSql)),
     Q("equi_depth_histogram", equiDepthHistogram, Some(equiDepthHistogramSql)),
