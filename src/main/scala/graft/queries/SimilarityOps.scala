@@ -475,6 +475,46 @@ object SimilarityOps {
        |  FROM cand)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Measured recall@5 of the IVF ANN path against the brute-force
+    * oracle — the ANN counterpart of `lsh_recall_audit`: the standard
+    * accept/reject evidence for an approximate index (probe-2 over
+    * sqrt-ish centroid lists trades recall for touching ~2/K of the
+    * corpus; this query MEASURES the trade instead of asserting it).
+    * Per query vector: how many of the exact top-5 neighbors the IVF
+    * result contains, as exact milli recall (n_hits × 200).
+    *
+    * Scale: both inputs reuse the session-cached `quantizedBase`
+    * relation (no recompute — LazyPlanSpec's cache contract), the join
+    * is on (query_id, neighbor_id) — a 25-row × 25-row reconciliation
+    * regardless of corpus size; the expensive parts are the audited
+    * queries themselves. */
+  private def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBruteCosine(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = annIvfCosine(s, dir)
+      .select(col("query_id").as("i_qid"), col("neighbor_id").as("i_nid"))
+    brute.join(ivf,
+        col("query_id") === col("i_qid") && col("neighbor_id") === col("i_nid"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("i_nid")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * 200).as("recall_milli"))
+      .orderBy("query_id")
+  }
+
+  private val annRecallAuditSql =
+    s"""WITH brute AS (
+       |  SELECT query_id, neighbor_id FROM ($knnBruteCosineSql) WHERE rk <= 5),
+       |ivf AS (
+       |  SELECT query_id AS i_qid, neighbor_id AS i_nid FROM ($annIvfCosineSql))
+       |SELECT b.query_id,
+       |  CAST(COUNT(i.i_nid) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(i.i_nid) * 200 AS BIGINT) AS recall_milli
+       |FROM brute b LEFT JOIN ivf i
+       |  ON i.i_qid = b.query_id AND i.i_nid = b.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   /** Per-label corpus statistics in exact integers. */
   private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -698,6 +738,7 @@ object SimilarityOps {
   val all: Seq[Q] = Seq(
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
     Q("knn_topk_agg", knnTopkAgg, Some(knnBruteCosineSql
       .replace("ORDER BY query_id, rk",
