@@ -138,13 +138,21 @@ object ScaleGen {
     // in [1000, 500000] — near-unique cents like the driver table, so the
     // value-histogram quantile path is exercised on a near-continuous
     // domain (its hard case), not just the repeat-heavy events domain
+    // o_custkey/o_orderdate feed the layout queries (zorder_pack): uniform
+    // customer draw over a 15k-per-sf0.1 dimension, order dates uniform
+    // over 1997-2001 like the driver table — both pure functions of id
     val nOrders = 150000L * mult
+    val nCust = 15000L * mult
     val prios = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     spark.range(nOrders).map { id =>
       val r = new java.util.Random(id * 2862933555777941757L + 3037000493L)
       val price = math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100
-      (id, price, prios(r.nextInt(prios.size)))
-    }.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      val custkey = r.nextLong().abs % nCust
+      val epochDay = 9862L + (r.nextLong().abs % 1826L) // 1997-01-01 + 5y
+      val ts = new java.sql.Timestamp(epochDay * 86400000L)
+      (id, price, prios(r.nextInt(prios.size)), custkey, ts)
+    }.toDF("o_orderkey", "o_totalprice", "o_orderpriority", "o_custkey",
+      "o_orderdate")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
