@@ -557,17 +557,89 @@ object TextOps {
     * md5 key) + the bounded repetition join — no stage beyond what the
     * component queries already run, and the verdict table is exactly
     * doc-count rows. */
-  private def corpusPruneVerdicts(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = words(col("text"))
+  /** Adjacent k-grams of the word array as a row-local array expression
+    * (same gram set as `text_repetition`'s posexplode + lead pipeline:
+    * positions 0..n−k, space-joined). */
+  private def gramsLocal(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Run-length fold over a SORTED gram array: returns
+    * struct(best = longest run, dup = Σ run length over runs ≥ 2) — the
+    * row-local equivalents of "max per-gram count" and "Σ count where
+    * count > 1". A run's second element contributes 2 (itself + the first,
+    * retroactively), later elements 1 each. */
+  private def runFold(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, x) => {
+        val same = x <=> acc("prev")
+        val run2 = when(same, acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc("best"), run2).as("best"),
+          (acc("dup") + when(same,
+            when(acc("run") === 1, lit(2L)).otherwise(lit(1L)))
+            .otherwise(lit(0L))).as("dup"))
+      },
+      acc => struct(acc("best").as("best"), acc("dup").as("dup")))
+
+  /** ROW-LOCAL reformulation of the Gopher repetition gate — the exact
+    * same statistics `text_repetition` computes via posexplode + per-doc
+    * gram aggregation, here as one narrow expression over the word array
+    * (sorted grams + run-length fold, O(n log n) per doc): what a
+    * STATELESS streaming stage can evaluate per arriving document with no
+    * shuffle and no state. RepetitionLocalParitySpec pins field-for-field
+    * equality against the batch query. Returns
+    * struct(n_tokens, top2_cnt, top2gram_milli, dup3_tokens,
+    * dup3gram_milli, keep); NULL text → NULL fields (callers coalesce). */
+  def repetitionLocal(text: Column): Column = {
+    val w = words(text)
+    val n = size(w)
+    val f2 = runFold(array_sort(gramsLocal(w, 2)))
+    val f3 = runFold(array_sort(gramsLocal(w, 3)))
+    val top2 = f2("best")
+    val dup3 = f3("dup") * 3
+    val m2 = milli(lit(2) * top2, n)
+    val m3 = milli(dup3, n)
+    when(text.isNotNull,
+      struct(n.cast("int").as("n_tokens"), top2.as("top2_cnt"),
+        m2.as("top2gram_milli"), dup3.as("dup3_tokens"),
+        m3.as("dup3gram_milli"), (m2 <= 200 && m3 <= 180).as("keep")))
+  }
+
+  /** Normalize-then-hash canonical fingerprint (`dedup_canonical`'s rule;
+    * row-local, streaming-safe). */
+  def canonHash(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** The row-local quality gate `text_quality`/`corpus_prune_verdicts`
+    * apply (length band + stopword floor). NULL text → NULL (callers
+    * coalesce to false). */
+  def qualityKeepLocal(text: Column): Column = {
+    val w = words(text)
     val nWords = size(w)
     val stopMilli = milli(size(filter(w, x => x.isin(stopEn: _*))), nWords)
-    val canon = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    nWords.between(5, 2000) && stopMilli >= 10
+  }
+
+  /** Canonical-id index of a corpus batch for stream-static prune
+    * classification: one row per canon hash with the lowest doc_id —
+    * hash-domain-sized, broadcastable. */
+  def canonIndex(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), canonHash(col("text")).as("ch"))
+      .groupBy(col("ch")).agg(min(col("doc_id")).as("canonical_id"))
+
+  private def corpusPruneVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "documents")
       .select(col("doc_id"),
-        (nWords.between(5, 2000) && stopMilli >= 10).as("q_keep"),
-        md5(canon).as("ch"))
+        qualityKeepLocal(col("text")).as("q_keep"),
+        canonHash(col("text")).as("ch"))
       .withColumn("is_canonical",
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("ch"))))
     val rep = textRepetition(s, dir).select(col("doc_id"), col("keep").as("r_keep"))

@@ -261,6 +261,46 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  /** Streaming corpus-prune gate — the continuous twin of the batch
+    * `corpus_prune_verdicts` table: every ARRIVING doc gets the same
+    * verdict row (is_canonical / quality_ok / repetition_ok / keep /
+    * precedence-ordered reason) the batch job would emit.
+    *
+    * Deliberately STATELESS like [[classifyIncrementStream]]: the
+    * canonical rule is a stream-static LEFT join against a precomputed
+    * canon-hash index ([[graft.queries.TextOps.canonIndex]] — one row per
+    * canon hash, lowest doc_id; hash-domain-sized, re-read per
+    * micro-batch so a refreshed corpus index takes effect on the next
+    * batch). A doc is canonical iff its hash is absent from the index
+    * (genuinely new text) or the index names it. Both content gates are
+    * ROW-LOCAL expressions — the quality gate as in batch, the Gopher
+    * repetition gate via [[graft.queries.TextOps.repetitionLocal]]'s
+    * sorted-gram run-length fold (the batch query's per-doc gram
+    * AGGREGATION would be unbounded stateful on a stream; the row-local
+    * fold computes identical statistics per arriving row, parity pinned
+    * by RepetitionLocalParitySpec). One row in, one row out: no
+    * watermark, no state store, append-safe. */
+  def pruneStream(docs: DataFrame, canonIdx: DataFrame): DataFrame = {
+    import graft.queries.TextOps
+    docs
+      .withColumn("ch", TextOps.canonHash(col("text")))
+      .join(canonIdx, Seq("ch"), "left")
+      .select(col("doc_id"),
+        (col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+          .as("is_canonical"),
+        coalesce(TextOps.qualityKeepLocal(col("text")), lit(false))
+          .as("quality_ok"),
+        coalesce(TextOps.repetitionLocal(col("text"))("keep"), lit(false))
+          .as("repetition_ok"))
+      .withColumn("keep",
+        col("is_canonical") && col("quality_ok") && col("repetition_ok"))
+      .withColumn("reason",
+        when(!col("is_canonical"), "exact_dup")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("repetition_ok"), "repetition")
+          .otherwise("ok"))
+  }
+
   // -1 = stage time not yet reached; times in event-time microseconds
   case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
   case class FunnelTransition(user_id: Long, stage: Int, at_us: Long)

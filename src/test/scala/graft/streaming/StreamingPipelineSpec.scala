@@ -531,4 +531,45 @@ class StreamingPipelineSpec extends SparkSpec {
       .map(_.getAs[Long]("event_id")).toSet
     assert(streamed == batch)
   }
+
+  test("pruneStream: verdicts equal the batch corpus_prune_verdicts table (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val canonIdx = graft.queries.TextOps.canonIndex(corpus)
+    // file streams need a DIRECTORY source; the driver corpus is one file
+    val srcDir = Files.createTempDirectory("prunestream")
+    corpus.write.mode("overwrite").parquet(srcDir.resolve("docs").toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .parquet(srcDir.resolve("docs").toString)
+    val fields = Seq("is_canonical", "quality_ok", "repetition_ok", "keep", "reason")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") -> fields.map(r.getAs[Any])).toMap
+    val streamed = toMap(StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.pruneStream(stream, canonIdx), "prune_parity").collect())
+    val batch = toMap(
+      graft.SparkEntry.queries("corpus_prune_verdicts")(spark, dir).collect())
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    batch.foreach { case (id, exp) => assert(streamed(id) == exp, s"doc $id") }
+    // kept and both gate-rejection classes occur on the real corpus
+    assert(batch.values.map(_.last).toSet ==
+      Set("ok", "quality", "repetition"))
+
+    // the corpus has no exact dups at this sf — plant one: a LATE arrival
+    // re-sending an indexed doc's text under a new id must classify
+    // exact_dup against the same static index (the live-ingest scenario)
+    val keptId = batch.collectFirst { case (id, v) if v.last == "ok" => id }.get
+    val keptText = corpus.filter(col("doc_id") === keptId)
+      .collect().head.getAs[String]("text")
+    val late = Seq((999999L, keptText)).toDF("doc_id", "text")
+    late.write.mode("overwrite").parquet(srcDir.resolve("late").toString)
+    val lateStream = spark.readStream.schema(late.schema)
+      .parquet(srcDir.resolve("late").toString)
+    val lateOut = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.pruneStream(lateStream, canonIdx), "prune_parity_late")
+      .collect()
+    assert(lateOut.length == 1)
+    assert(lateOut.head.getAs[String]("reason") == "exact_dup")
+    assert(!lateOut.head.getAs[Boolean]("keep"))
+  }
 }
