@@ -549,9 +549,13 @@ object TextOps {
     * the quality gate is an inline row-local expression, and only the
     * repetition gate joins (its gram aggregate needs one). The oracle
     * mirrors the exact join topology, so a dirty corpus with duplicate
-    * doc_ids multiplies identically on both engines. NULL-text docs: the
-    * canon window groups them into one md5(NULL) group (min id wins) and
-    * both gate flags coalesce to false — never NULL verdicts.
+    * doc_ids multiplies identically on both engines. NULL-text docs are
+    * NEVER canonical (no content to canonicalize): explicit on both
+    * engines, because the alternative — window-grouping the NULL hashes
+    * and electing a min id — is not computable by a stateless stream
+    * (a NULL join key matches nothing), and `pruneStream` must emit the
+    * identical verdict. Both gate flags coalesce to false — never NULL
+    * verdicts.
     *
     * Scale: one documents scan + one window on the canon hash (uniform
     * md5 key) + the bounded repetition join — no stage beyond what the
@@ -639,9 +643,11 @@ object TextOps {
     val base = t(s, dir, "documents")
       .select(col("doc_id"),
         qualityKeepLocal(col("text")).as("q_keep"),
-        canonHash(col("text")).as("ch"))
+        canonHash(col("text")).as("ch"),
+        col("text").isNotNull.as("has_text"))
       .withColumn("is_canonical",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+        col("has_text") &&
+          col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("ch"))))
     val rep = textRepetition(s, dir).select(col("doc_id"), col("keep").as("r_keep"))
     base.join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_canonical"),
@@ -664,9 +670,9 @@ object TextOps {
        |    (len(string_split(text,' ')) BETWEEN 5 AND 2000
        |     AND floor(1000.0*len(list_filter(string_split(text,' '), x -> x IN ($stopList)))
        |         /len(string_split(text,' '))) >= 10) AS q_keep,
-       |    doc_id = MIN(doc_id) OVER (PARTITION BY
+       |    (text IS NOT NULL AND doc_id = MIN(doc_id) OVER (PARTITION BY
        |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-       |        ' +', ' ', 'g')))) AS is_canonical
+       |        ' +', ' ', 'g'))))) AS is_canonical
        |  FROM documents),
        |rep AS (SELECT doc_id, keep AS r_keep FROM ($textRepetitionSql))
        |SELECT base.doc_id, base.is_canonical,

@@ -286,7 +286,11 @@ object StreamingPipeline {
       .withColumn("ch", TextOps.canonHash(col("text")))
       .join(canonIdx, Seq("ch"), "left")
       .select(col("doc_id"),
-        (col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+        // NULL text is never canonical — the batch contract, chosen
+        // precisely because a stateless stream can't window-group NULL
+        // hashes (a NULL join key matches nothing in the index)
+        (col("text").isNotNull &&
+          (col("canonical_id").isNull || col("canonical_id") === col("doc_id")))
           .as("is_canonical"),
         coalesce(TextOps.qualityKeepLocal(col("text")), lit(false))
           .as("quality_ok"),

@@ -275,4 +275,67 @@ class StreamingFuzzParitySpec extends SparkSpec {
       runParity(seed, slices = 4)
     }
   }
+
+  /** Seeded dirty DOCUMENT corpus for the stateless prune gate: NULL and
+    * empty text, unicode, exact quality-band boundaries (4/5/2000-word
+    * docs), pathological repetition (one gram repeated), whitespace-only
+    * docs, case/punct variants that canonicalize identically (the
+    * exact-dup class), and verbatim duplicate texts under new ids. */
+  private def dirtyDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val stop = Vector("the", "a", "of", "and", "to", "in", "is", "it")
+    def sentence(k: Int) =
+      (1 to k).map(_ => if (rnd.nextInt(3) == 0) stop(rnd.nextInt(stop.length))
+        else s"w${rnd.nextInt(50)}").mkString(" ")
+    val out = Vector.newBuilder[(Long, String)]
+    var id = 0L
+    (1 to n).foreach { _ =>
+      id += 1
+      val t = rnd.nextInt(10) match {
+        case 0 => null
+        case 1 => ""
+        case 2 => "   "
+        case 3 => sentence(4)                  // below the 5-word floor
+        case 4 => ("spam ham " * 40).trim      // repetition-gate trip
+        case 5 => "Ünïcode 🚀 " + sentence(8)
+        case 6 => sentence(5)                  // exact lower boundary
+        case _ => sentence(5 + rnd.nextInt(30))
+      }
+      out += ((id, t))
+      if (t != null && rnd.nextInt(5) == 0) {  // exact-dup class
+        id += 1
+        // case/punct variant canonicalizing to the same hash half the time
+        out += ((id, if (rnd.nextBoolean()) t else t.toUpperCase + "!!"))
+      }
+    }
+    out.result()
+  }
+
+  for (seed <- Seq(606, 707)) {
+    test(s"fuzz seed $seed: pruneStream verdicts equal the batch prune table on a dirty corpus") {
+      import org.apache.spark.sql.functions.col
+      val root = Files.createTempDirectory(s"prunefuzz$seed")
+      val docs = dirtyDocs(seed, 300).toDF("doc_id", "text")
+      // batch side reads a dir via the query surface: write the corpus as
+      // the documents table of a scratch dir
+      docs.write.parquet(root.resolve("documents.parquet").toString)
+      val batch = graft.SparkEntry.queries("corpus_prune_verdicts")(
+        spark, root.toString).collect()
+      val canonIdx = graft.queries.TextOps.canonIndex(docs)
+      val stream = spark.readStream.schema(docs.schema)
+        .parquet(root.resolve("documents.parquet").toString)
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.pruneStream(stream, canonIdx), s"prunefuzz$seed")
+        .collect()
+      val fields = Seq("is_canonical", "quality_ok", "repetition_ok", "keep", "reason")
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Long]("doc_id"), fields.map(r.getAs[Any])))
+        .sortBy(_._1).toSeq
+      assert(streamed.length == batch.length)
+      assert(key(streamed) == key(batch), s"seed $seed verdict drift")
+      // the dirty corpus must exercise every verdict class
+      assert(batch.map(_.getAs[String]("reason")).toSet ==
+        Set("exact_dup", "quality", "repetition", "ok"))
+    }
+  }
 }
