@@ -410,8 +410,96 @@ object CorpusOps {
       |       AS BIGINT) AS cum_milli
       |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin
 
+  /** ExactSubstr-style duplicated-span table (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3.2 —
+    * they dedup 50-BPE-token repeats via a suffix array; the synthetic
+    * corpus' short docs use 8-word windows): for every document, the
+    * MAXIMAL token spans whose every 8-token window occurs at least twice
+    * corpus-wide — another document or another position in the same one
+    * (self-repeats are duplicated text too, per the paper). This is the
+    * span-level member of the dedup family: [[lineDedup]] removes repeated
+    * fixed 8-token CHUNKS (aligned), this finds repeated REGIONS at any
+    * alignment and reports their exact token extents, the input a
+    * cut-the-span-out dedup pass consumes.
+    *
+    * Mechanics: stride-1 8-gram positions per doc; occurrence counts by
+    * gram (map-side-combining hash aggregate — a boilerplate gram seen 10⁹
+    * times folds before the shuffle, the same argument as line_dedup's
+    * first-occurrence aggregate); grams with occ ≥ 2 join back (equi-join
+    * on gram — AQE skew-split absorbs hot grams); per-doc gaps-and-islands
+    * over start positions (two overlapping/adjacent duplicated windows —
+    * gap ≤ 8 — merge into one span; the window partition is doc-keyed, so
+    * its size is doc-length-bounded, never corpus-bounded). A suffix array
+    * is the single-node data structure for this; the gram-join is its
+    * shuffle-native equivalent at the fixed window width.
+    *
+    * Determinism on dirty corpora: islands order by (pos, gram) so
+    * duplicate doc_ids (two rows sharing an id interleave their positions)
+    * still give one deterministic island assignment; equal positions have
+    * gap 0 ≤ 8 and always merge, so span extents are order-free. NULL/short
+    * texts produce no grams and simply emit no spans. */
+  private def substringDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "), x => x =!= "")
+          .as("toks"))
+      .select(col("doc_id"),
+        posexplode(wordGrams(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+    val occ = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val dup = grams.join(occ, "gram")
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("gram"))
+    // first row of a doc: lag is NULL → condition NULL → otherwise(1) —
+    // identical to the oracle's CASE (NULL test falls to ELSE 1)
+    val isl = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
+        (max(col("pos")) + lit(k.toLong) - min(col("pos"))).as("span_tokens"),
+        count(lit(1)).as("n_windows"),
+        max(col("occ")).as("max_occ"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"), col("max_occ"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val substringDupSpansSql =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(toks[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS gram
+      |  FROM tk, UNNEST(range(len(toks) - 7)) t(i)
+      |  WHERE len(toks) >= 8),
+      |occ AS (SELECT gram, COUNT(*) AS occ FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+      |d AS (SELECT g.doc_id, g.pos, g.gram, occ.occ FROM g JOIN occ USING (gram)),
+      |b AS (SELECT doc_id, pos, gram, occ,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos, gram) <= 8
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM d),
+      |i AS (SELECT doc_id, pos, occ,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos, gram
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM b)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+      |  MAX(pos) + 8 - MIN(pos) AS span_tokens,
+      |  COUNT(*) AS n_windows, MAX(occ) AS max_occ
+      |FROM i GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("line_dedup", lineDedup, Some(lineDedupSql)),
+    Q("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql)),
     Q("vocab_topk", vocabTopk, Some(vocabTopkSql)),
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),

@@ -19,7 +19,8 @@ class DocPoisonSpec extends SparkSpec {
     "doc_winnow_fingerprints", "text_tokens", "text_quality", "text_langid",
     "tfidf_topk", "doc_fingerprint", "decontaminate_ngrams",
     "pack_token_shards", "chunk_documents", "corpus_balance_langs",
-    "mix_upsample", "corpus_mix_report", "line_dedup", "vocab_topk",
+    "mix_upsample", "corpus_mix_report", "line_dedup", "substring_dup_spans",
+    "vocab_topk",
     "containment_pairs", "containment_prefix_pairs", "jaccard_prefix_pairs",
     "lsh_recall_audit", "dedup_canonical", "corpus_prune_verdicts",
     "bpe_pair_stats", "oov_rate",
