@@ -515,6 +515,89 @@ object SimilarityOps {
        |  ON i.i_qid = b.query_id AND i.i_nid = b.neighbor_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
+  /** Rank-sensitive retrieval quality of the IVF path against brute-force
+    * ground truth: per query, MRR@5 and NDCG@5 in exact integer milli —
+    * the metrics an embedding-retrieval eval reports beyond plain recall
+    * ([[annRecallAudit]] counts set hits; a system that returns every true
+    * neighbor but bottom-ranked scores the same there, while NDCG sees the
+    * ordering). Graded relevance is the brute rank itself (rel = 6 − rk:
+    * the true best neighbor is worth most), discounts come from a PINNED
+    * integer-milli ⌊1000/log₂(rank+1)⌋ table written as the SAME constant
+    * CASE in both engines — no libm call at query time, so cross-engine
+    * float parity is structural, the quartiles_cont lesson applied to
+    * NDCG. IDCG is data-driven (Σ rel·disc over the query's actual truth
+    * rows), so short truth lists (tiny/dirty corpora) normalize correctly.
+    *
+    * Scale shape: two query-count-bounded aggregates over the component
+    * outputs joined on (query_id, neighbor_id) — audit cost tracks
+    * queries × k, never corpus size; both components reuse the
+    * session-cached quantizedBase relation. */
+  private def retrievalQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    def disc(rk: Column): Column =
+      when(rk === 1, 1000L).when(rk === 2, 630L).when(rk === 3, 500L)
+        .when(rk === 4, 430L).otherwise(386L)
+    val gt = knnBruteCosine(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(6L) - col("rk")).cast("long").as("rel"), col("rk").as("gt_rk"))
+    val idcg = gt.groupBy("query_id")
+      .agg(sum(col("rel") * disc(col("gt_rk"))).as("idcg_milli"))
+    val scored = annIvfCosine(s, dir)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+      .join(gt.select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rk"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val m = scored.groupBy("query_id").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+      min(when(col("rel") > 0, col("rk"))).as("first_hit"),
+      sum(col("rel") * disc(col("rk"))).as("dcg_milli"))
+    // idcg is the spine: a query whose IVF list came back empty (possible
+    // on degenerate corpora) still reports, with all-zero metrics
+    idcg.join(m, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_hit"), lit(0)).cast("long").as("first_hit_rank"),
+        coalesce(floor(lit(1000) / col("first_hit")), lit(0L)).cast("long")
+          .as("mrr_milli"),
+        coalesce(col("dcg_milli"), lit(0L)).as("dcg_milli"),
+        col("idcg_milli"),
+        coalesce(floor(lit(1000.0) * col("dcg_milli") / col("idcg_milli")),
+          lit(0L)).cast("long").as("ndcg_milli"))
+      .orderBy("query_id")
+  }
+
+  private val retrievalQualityAuditSql =
+    s"""WITH gt AS (
+       |  SELECT query_id, neighbor_id, CAST(6 - rk AS BIGINT) AS rel, rk AS gt_rk
+       |  FROM ($knnBruteCosineSql) WHERE rk <= 5),
+       |idcg AS (
+       |  SELECT query_id,
+       |    CAST(SUM(rel * CASE gt_rk WHEN 1 THEN 1000 WHEN 2 THEN 630
+       |             WHEN 3 THEN 500 WHEN 4 THEN 430 ELSE 386 END) AS BIGINT)
+       |      AS idcg_milli
+       |  FROM gt GROUP BY 1),
+       |scored AS (
+       |  SELECT r.query_id, r.rk, COALESCE(g.rel, 0) AS rel
+       |  FROM ($annIvfCosineSql) r LEFT JOIN gt g
+       |    ON g.query_id = r.query_id AND g.neighbor_id = r.neighbor_id),
+       |m AS (
+       |  SELECT query_id,
+       |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    MIN(CASE WHEN rel > 0 THEN rk END) AS first_hit,
+       |    CAST(SUM(rel * CASE rk WHEN 1 THEN 1000 WHEN 2 THEN 630
+       |             WHEN 3 THEN 500 WHEN 4 THEN 430 ELSE 386 END) AS BIGINT)
+       |      AS dcg_milli
+       |  FROM scored GROUP BY 1)
+       |SELECT i.query_id,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(first_hit, 0) AS BIGINT) AS first_hit_rank,
+       |  CAST(COALESCE(floor(1000.0 / first_hit), 0) AS BIGINT) AS mrr_milli,
+       |  COALESCE(dcg_milli, 0) AS dcg_milli,
+       |  idcg_milli,
+       |  CAST(COALESCE(floor(1000.0 * dcg_milli / idcg_milli), 0) AS BIGINT)
+       |    AS ndcg_milli
+       |FROM idcg i LEFT JOIN m USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** Per-label corpus statistics in exact integers. */
   private def embeddingStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -739,6 +822,8 @@ object SimilarityOps {
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    Q("retrieval_quality_audit", retrievalQualityAudit,
+      Some(retrievalQualityAuditSql)),
     Q("knn_brute_cosine", knnBruteCosine, Some(knnBruteCosineSql)),
     Q("knn_topk_agg", knnTopkAgg, Some(knnBruteCosineSql
       .replace("ORDER BY query_id, rk",

@@ -42,7 +42,8 @@ class StarPoisonSpec extends SparkSpec {
     // round-9 graph / diagnostics / reconciliation
     "pagerank_links", "part_cooccurrence", "triangle_count",
     "snapshot_diff", "equi_depth_histogram", "label_centroids",
-    "join_size_probe", "degree_histogram", "semantic_dedup", "zorder_pack")
+    "join_size_probe", "degree_histogram", "semantic_dedup", "zorder_pack",
+    "retrieval_quality_audit")
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
