@@ -86,14 +86,24 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("quantized_dot", a, b)
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "quantized_dot" -> (exprs => QuantizedDot(exprs.head, exprs(1))))
+    "quantized_dot" -> (exprs => QuantizedDot(exprs.head, exprs(1))),
+    "intersect_count" -> (exprs => IntersectCount(exprs.head, exprs(1))))
 
-  /** Make the functions callable from SQL in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Make the functions callable from SQL in an existing session, and
+    * inject [[RewriteSizeOfIntersect]] into the session's optimizer (the
+    * public `experimental.extraOptimizations` hook works on an ALREADY
+    * BUILT session — no SparkSessionExtensions rebuild needed — and the
+    * idempotence guard keeps repeated register() calls from stacking the
+    * rule). */
+  def register(spark: SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(RewriteSizeOfIntersect))
+      spark.experimental.extraOptimizations = cur :+ RewriteSizeOfIntersect
+  }
 }
 
 /** SparkSessionExtensions hook: sessions built with
@@ -106,5 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
       (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (exprs: Seq[Expression]) => IntersectCount(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => RewriteSizeOfIntersect)
   }
 }

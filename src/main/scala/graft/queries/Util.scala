@@ -96,6 +96,11 @@ object Util {
     * ns→µs truncation DuckDB applies when it reads the same file, so both
     * engines see identical timestamp values. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path passes here, so the engine's native functions AND
+    // the size∘array_intersect fusion rule are live in every session that
+    // runs a query — deterministically, not only after a similarity query
+    // happened to register them first (idempotent, a map put + Seq scan)
+    graft.functions.GraftFunctions.register(s)
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
