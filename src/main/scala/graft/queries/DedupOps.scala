@@ -92,6 +92,58 @@ object DedupOps {
       |  MIN(doc_id) AS canonical_id
       |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin
 
+  /** Log₂-bucketed duplicate-cluster size histogram over the canonical-hash
+    * clusters — the one-page "how duplicated is this corpus, and in what
+    * shapes?" report a pipeline reads BEFORE choosing its dedup strategy
+    * (a corpus whose mass sits in a few giant clusters wants the cheap
+    * exact pass first; a long tail of pairs wants the near-dup machinery).
+    * Reference analog: the pre-load distinct counts the staging audit takes
+    * before dedup (`python/03_upsert_dw_pedidos.py` audit counts), lifted
+    * to cluster-size distribution.
+    *
+    * Same normalize-then-hash canonical rule as [[dedupCanonical]]; NULL
+    * text is excluded on both sides (a NULL canon hash would group all
+    * NULL-text docs into one fake "cluster" — NULL is never canonical,
+    * the contract the streaming prune gate pins). Bucket index is
+    * floor(log₂ size) via binary-rendering length — libm-free, exact on
+    * both engines (the degree_histogram contract). dup_ratio_milli =
+    * ⌊1000·(docs−clusters)/docs⌋ per bucket, integer floor division both
+    * sides.
+    *
+    * Scale shape: scan → one hash aggregate on the canon hash (map-side
+    * combining, key space = distinct clusters) → one ≤64-key aggregate.
+    * No joins, no windows; the output is ≤64 rows whatever the corpus —
+    * this runs as a side report at any scale. */
+  private def dupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val sizes = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy(TextOps.canonHash(col("text")).as("canon_hash"))
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .select(col("sz"), (length(bin(col("sz"))) - 1).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .select(col("bucket"), expr("shiftleft(1L, bucket)").as("size_lo"),
+        col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_dupes"),
+        expr("1000 * (n_docs - n_clusters) div n_docs").as("dup_ratio_milli"))
+      .orderBy("bucket")
+  }
+
+  private val dupClusterStatsSql =
+    """WITH sizes AS (
+      |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |           ' +', ' ', 'g'))) AS canon_hash,
+      |         COUNT(*) AS sz
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+      |SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket,
+      |  CAST((1::BIGINT << (length(bin(sz)) - 1)) AS BIGINT) AS size_lo,
+      |  COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dupes,
+      |  CAST(1000 * (SUM(sz) - COUNT(*)) // SUM(sz) AS BIGINT) AS dup_ratio_milli
+      |FROM sizes GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   /** Word trigram shingles (distinct) of a text column, exploded. */
   private def trigramShingles(docs: DataFrame): DataFrame = {
     // materialize the split ONCE per row: inlining `split` into the
@@ -1058,6 +1110,7 @@ object DedupOps {
       Some(containmentPairsSql)),
     Q("jaccard_prefix_pairs", jaccardPrefixPairs, Some(jaccardPrefixPairsSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
+    Q("dup_cluster_stats", dupClusterStats, Some(dupClusterStatsSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),

@@ -734,8 +734,74 @@ object TextOps {
       |FROM p GROUP BY pair
       |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin
 
+  /** Language-model fluency proxy WITHOUT a language model: per-document
+    * average word-bigram surprisal against the corpus's own bigram
+    * statistics — the KenLM-perplexity-filter role (CCNet/Gopher pipelines
+    * score docs by LM perplexity and drop the tail; here the "LM" is the
+    * corpus bigram table itself, so gibberish / shuffled / machine-mangled
+    * text whose adjacent-word pairs never recur scores high while natural
+    * prose built from common transitions scores low).
+    *
+    * Exactness contract: surprisal of a bigram with corpus count c out of
+    * N total occurrences is 1000·(⌊log₂N⌋−⌊log₂c⌋) milli — the log₂ comes
+    * from binary-rendering length (libm-free, exact on both engines; an
+    * IEEE log could mis-bucket exact powers of two), and the per-doc
+    * average is floor-divided, so the twins agree bit-for-bit.
+    *
+    * Scale shape: one narrow row-local pair assembly (zip_with over the
+    * ONCE-materialized split array — no window shuffle, the wordGrams
+    * lesson) → (doc, gram) hash aggregate (map-side combining, the token-
+    * scale stage) → vocabulary-sized gram-count aggregate (Zipf: ≪
+    * occurrences) → one gram-keyed equi-join at (doc, gram) grain → one
+    * doc-keyed final aggregate. Same plan family as tfidf_topk; nothing
+    * is all-pairs and the only broadcast is the single-row total. */
+  private def wordBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // materialize the split ONCE (lambdas get no CSE — the 2× plan-shape
+    // fix), then assemble adjacent pairs row-locally
+    val grams = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("g"))
+    val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("g").agg(sum("tf").as("cnt"))
+    val n = cnt.agg(sum("cnt").as("n_total"))
+    tf.join(cnt, "g")
+      .crossJoin(broadcast(n))
+      .withColumn("rarity_milli",
+        expr("1000 * (length(bin(n_total)) - length(bin(cnt)))").cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("rarity_milli")).as("sum_rarity"),
+        max(col("rarity_milli")).as("max_rarity_milli"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_rarity div n_bigrams").as("surprisal_milli"),
+        col("max_rarity_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val wordBigramSurprisalSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |    UNNEST(list_transform(range(len(w) - 1),
+      |      i -> w[i+1] || ' ' || w[i+2])) t(g)),
+      |tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+      |cnt AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+      |r AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |    CAST(1000 * (length(bin(n_total)) - length(bin(cnt))) AS BIGINT)
+      |      AS rarity_milli
+      |  FROM tf JOIN cnt USING (g) CROSS JOIN n)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(tf * rarity_milli) // SUM(tf) AS BIGINT) AS surprisal_milli,
+      |  MAX(rarity_milli) AS max_rarity_milli
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
+    Q("word_bigram_surprisal", wordBigramSurprisal, Some(wordBigramSurprisalSql)),
     Q("corpus_prune_verdicts", corpusPruneVerdicts, Some(corpusPruneVerdictsSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),

@@ -135,4 +135,30 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(contain))
   }
+
+  test("dup_cluster_stats: planted cluster sizes land in the right log2 buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("dupstats").toString
+    import spark.implicits._
+    // one cluster of 4 (case/punct variants of one canon form, bucket 2),
+    // one cluster of 2 (bucket 1), three singletons (bucket 0), one NULL
+    // text (excluded entirely)
+    val rows = Seq(
+      (1L, "Hello world!"), (2L, "hello WORLD"), (3L, "hello, world."),
+      (4L, "  hello   world  "),
+      (5L, "pair text one"), (6L, "PAIR text One"),
+      (7L, "single a"), (8L, "single b"), (9L, "single c"),
+      (10L, null.asInstanceOf[String]))
+    rows.map { case (id, t) => (id, t, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dup_cluster_stats")(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("size_lo"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_dupes"),
+          r.getAs[Long]("dup_ratio_milli")))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out(0) == ((1L, 3L, 3L, 0L, 0L)))
+    assert(out(1) == ((2L, 1L, 2L, 1L, 500L)))
+    assert(out(2) == ((4L, 1L, 4L, 3L, 750L)))
+  }
 }

@@ -240,4 +240,38 @@ class InvariantSpec2 extends SparkSpec {
     assert(got.length == math.min(50, expect.length))
     assert(got.toSeq == expect, "top-50 adjacent-pair table must match the recount")
   }
+
+  test("word_bigram_surprisal: exact recount; gibberish outscores common prose") {
+    val dir = java.nio.file.Files.createTempDirectory("surprisal").toString
+    // ten docs of the SAME common sentence (their bigrams recur 10×) plus
+    // one gibberish doc of unique transitions, plus a NULL and an empty
+    // text (must vanish from the output, not crash)
+    val prose = "the quick brown fox jumps over the lazy dog"
+    val texts: Seq[(Long, String)] =
+      (1L to 10L).map(i => i -> prose) ++
+        Seq(11L -> "zq xv qk vj jx kq wz", 12L -> "", 13L -> null)
+    texts.map { case (id, t) => (id, t, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // brute recount in plain Scala
+    val bigrams = texts.flatMap { case (id, t) =>
+      Option(t).toSeq.flatMap(_.split(" ", -1).toSeq.sliding(2).toSeq
+        .filter(_.length == 2).map(p => id -> p.mkString(" ")))
+    }
+    val cnt = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = bigrams.size.toLong
+    def bucket(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = bigrams.groupBy(_._1).map { case (id, gs) =>
+      val rs = gs.map(g => 1000L * (bucket(nTotal) - bucket(cnt(g._2))))
+      id -> ((gs.size.toLong, rs.sum / gs.size, rs.max))
+    }
+    val got = SparkEntry.queries("word_bigram_surprisal")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal_milli"),
+          r.getAs[Long]("max_rarity_milli")))).toMap
+    assert(got == expect)
+    assert(!got.contains(12L) && !got.contains(13L))
+    // the fluency signal: recurring prose scores strictly below gibberish
+    assert(got(1L)._2 < got(11L)._2)
+  }
 }
