@@ -818,8 +818,94 @@ object SimilarityOps {
        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Label-noise audit (the Confident-Learning / cleanlab shape): for a
+    * deterministic probe sample of labeled vectors, take the exact 5
+    * nearest neighbors by cosine and compare the neighborhood's majority
+    * label against the vector's own label — rows with `consistent = false`
+    * are the candidate annotation errors a training pipeline re-reviews
+    * or down-weights before fitting a classifier on the corpus.
+    *
+    * Determinism: scores are the exact int64 quantized dot over the shared
+    * [[quantizedBase]] divided by the exact sqrt of the int64 norm product
+    * (the knn_brute_cosine contract — both engines evaluate the identical
+    * IEEE expression), rank ties break on vec_id, vote ties break on
+    * (count desc, label asc). NULL-label vectors are excluded on BOTH
+    * sides up front (a NULL vote key would hit the engines' opposite
+    * NULL-ordering in the majority window — the fuzz-gate class), as are
+    * zero-norm vectors (quantizedBase contract).
+    *
+    * Scale shape: probe set is a fixed 1-in-20 id sample (count-bounded
+    * relative to the corpus; a deployment pins an absolute probe count the
+    * same way), broadcast against the corpus exactly like knn_brute — the
+    * candidate stream is |probes|·|corpus| rows with a bounded top-k per
+    * probe, never corpus×corpus. At 100 TB the probe audit runs over the
+    * ANN path instead (ann_recall_audit measures exactly what that
+    * substitution costs in recall); the brute variant IS the ground-truth
+    * defining the audit. Votes/majority are probe-count-sized. */
+  private def knnLabelConsistency(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val lab = t(s, dir, "embeddings").filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"))
+    val e = quantizedBase(s, dir).join(lab, "vec_id")
+    val qs = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("own_label"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val joined = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") /
+        sqrt((col("qn") * col("nrm")).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val votes = joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .groupBy(col("query_id"), col("own_label"), col("label").as("nlabel"))
+      .agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy("query_id").orderBy(col("n").desc, col("nlabel"))
+    val agree = votes.groupBy("query_id")
+      .agg(coalesce(max(when(col("nlabel") === col("own_label"), col("n"))),
+        lit(0L)).as("n_agree"))
+    votes.withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+      .join(agree, "query_id")
+      .select(col("query_id").as("vec_id"), col("own_label"),
+        col("nlabel").as("top_label"), col("n").as("n_top"), col("n_agree"),
+        (col("nlabel") === col("own_label")).as("consistent"))
+      .orderBy("vec_id")
+  }
+
+  private val knnLabelConsistencySql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, q,
+       |      CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings
+       |          WHERE label IS NOT NULL))
+       |  WHERE nrm > 0),
+       |top5 AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS query_id, a.label AS own_label,
+       |      b.vec_id AS nid, b.label AS nlabel,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(len(a.q)), i -> a.q[i+1]*b.q[i+1])) AS DOUBLE)
+       |          / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) DESC, b.vec_id) AS rk
+       |    FROM e a JOIN e b ON a.vec_id % 20 = 0 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5),
+       |votes AS (
+       |  SELECT query_id, own_label, nlabel, COUNT(*) AS n
+       |  FROM top5 GROUP BY 1, 2, 3),
+       |agree AS (
+       |  SELECT query_id,
+       |    CAST(COALESCE(MAX(CASE WHEN nlabel = own_label THEN n END), 0) AS BIGINT)
+       |      AS n_agree
+       |  FROM votes GROUP BY 1),
+       |maj AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n DESC, nlabel) AS rk FROM votes)
+       |SELECT m.query_id AS vec_id, m.own_label, m.nlabel AS top_label,
+       |  m.n AS n_top, a.n_agree, m.nlabel = m.own_label AS consistent
+       |FROM maj m JOIN agree a USING (query_id) WHERE m.rk = 1
+       |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    Q("knn_label_consistency", knnLabelConsistency, Some(knnLabelConsistencySql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
     Q("retrieval_quality_audit", retrievalQualityAudit,
