@@ -497,7 +497,83 @@ object CorpusOps {
       |FROM i GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** DSIR-flavored data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling"): score every document by how much
+    * its vocabulary looks like a TARGET distribution (here: the corpus's
+    * own `lang = 'en'` slice, the stand-in for "high-quality reference
+    * corpus"), then keep the top half per source. The published method
+    * weights docs by an n-gram importance ratio and resamples; this exact-
+    * arithmetic variant scores affinity_milli = ⌊1000·Σ tf·cnt_target(w) /
+    * Σ tf·cnt_raw(w)⌋ — occurrence-weighted mass of the doc's words inside
+    * the target slice — and takes a deterministic rank-based keep decision
+    * (affinity desc, doc_id tiebreak) within each source.
+    *
+    * NULL/empty handling pinned by the fuzz-gate classes: empty-string
+    * words are filtered before counting (the tfidf contract), docs with no
+    * surviving words or NULL doc_id are excluded on BOTH sides, a NULL
+    * lang simply contributes 0 to the target mass, and a NULL source forms
+    * its own keep-partition on both engines.
+    *
+    * Scale shape: token-scale work is one (doc, word) map-side-combining
+    * hash aggregate; the word-stats relation is vocabulary-sized (Zipf);
+    * the affinity join is word-keyed at (doc, word) grain — the tfidf_topk
+    * plan family. The keep decision is one source-partitioned window over
+    * doc-count-sized rows (per-source sort; a skew-heavy source set would
+    * salt exactly like salted_agg). Nothing is all-pairs. */
+  private def targetAffinityResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+    val tf = d
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("word")
+      .agg(sum("tf").as("cnt_r"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("cnt_t"))
+    val aff = tf.join(stats, "word")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        expr("1000 * sum(tf * cnt_t) div sum(tf * cnt_r)").as("affinity_milli"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("affinity_milli").desc, col("doc_id"))
+    val n = Window.partitionBy("source")
+    d.select(col("doc_id"), col("source")).join(aff, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(n))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("affinity_milli"),
+        (col("rk") * 2 <= col("n_src") + 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val targetAffinityResampleSql =
+    """WITH tf AS (
+      |  SELECT doc_id, lang, word, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, lang, w AS word
+      |    FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)
+      |    WHERE doc_id IS NOT NULL)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT word, CAST(SUM(tf) AS BIGINT) AS cnt_r,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+      |  FROM tf GROUP BY 1),
+      |aff AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+      |    CAST(1000 * SUM(tf * cnt_t) // SUM(tf * cnt_r) AS BIGINT) AS affinity_milli
+      |  FROM tf JOIN stats USING (word) GROUP BY 1),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source, a.n_words, a.affinity_milli,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY a.affinity_milli DESC, d.doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY d.source) AS n_src
+      |  FROM documents d JOIN aff a ON d.doc_id = a.doc_id)
+      |SELECT doc_id, source, n_words, affinity_milli,
+      |  rk * 2 <= n_src + 1 AS keep
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("target_affinity_resample", targetAffinityResample,
+      Some(targetAffinityResampleSql)),
     Q("line_dedup", lineDedup, Some(lineDedupSql)),
     Q("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql)),
     Q("vocab_topk", vocabTopk, Some(vocabTopkSql)),

@@ -193,4 +193,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", 2L, 1L, 400L), ("b", 2L, 2L, 800L),
       ("c", 1L, 3L, 1000L)))
   }
+
+  test("target_affinity_resample: hand-computed affinities and per-source keep ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("affinity").toString
+    import spark.implicits._
+    // word stats with doc 4 present: aa cnt_r=3 cnt_t=1, bb cnt_r=2 cnt_t=1,
+    // zz/yy cnt_r=1 cnt_t=0
+    val rows: Seq[(Long, String, String, String)] = Seq(
+      (1L, "aa bb", "en", "s1"),   // aff = 1000*(1+1)//(3+2) = 400
+      (2L, "aa bb", "fr", "s1"),   // same words → 400, ranks after doc 1
+      (3L, "zz yy", "fr", "s1"),   // aff 0
+      (4L, "aa", null, "s2"),      // NULL lang: contributes 0 target mass; 333
+      (5L, "", "en", "s1"),        // empty → no words → excluded
+      (6L, null, "en", "s1"))      // NULL text → excluded
+    rows.map { case (id, t, l, src) => (id, t, l, src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("target_affinity_resample")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("affinity_milli"), r.getAs[Boolean]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == (("s1", 2L, 400L, true)))   // rk 1 of 3 → keep
+    assert(out(2L) == (("s1", 2L, 400L, true)))   // rk 2 of 3 → keep (ceil half)
+    assert(out(3L) == (("s1", 2L, 0L, false)))    // rk 3 of 3 → dropped
+    assert(out(4L) == (("s2", 1L, 333L, true)))   // sole doc of its source
+  }
 }
