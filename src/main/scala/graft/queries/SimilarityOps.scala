@@ -842,13 +842,23 @@ object SimilarityOps {
     * ANN path instead (ann_recall_audit measures exactly what that
     * substitution costs in recall); the brute variant IS the ground-truth
     * defining the audit. Votes/majority are probe-count-sized. */
+  /** Probe-sample modulus for [[knnLabelConsistency]]: audit every
+    * vec_id ≡ 0 (mod this). The default 20 is what the oracle SQL pins;
+    * a deployment at larger scale RAISES it to hold the absolute probe
+    * count (and with it the |probes|·|corpus| candidate stream) constant —
+    * that changes which rows are audited, so it diverges from the recorded
+    * oracle by design (a sampling choice, not a semantics change — the
+    * ccBucket-cap contract). Session conf `graft.knn.probeMod`. */
+  def knnProbeMod(s: SparkSession): Int =
+    s.conf.getOption("graft.knn.probeMod").map(_.toInt).getOrElse(20)
+
   private def knnLabelConsistency(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val lab = t(s, dir, "embeddings").filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"))
     val e = quantizedBase(s, dir).join(lab, "vec_id")
-    val qs = e.filter(col("vec_id") % 20 === 0)
+    val qs = e.filter(col("vec_id") % knnProbeMod(s) === 0)
       .select(col("vec_id").as("query_id"), col("label").as("own_label"),
         col("q").as("qq"), col("nrm").as("qn"))
     val joined = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))

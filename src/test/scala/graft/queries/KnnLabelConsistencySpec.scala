@@ -43,5 +43,14 @@ class KnnLabelConsistencySpec extends SparkSpec {
     assert(out.keySet == Set(0L, 20L)) // only % 20 probes are audited
     assert(out(0L) == ((1, 2, 5L, 0L, false)))
     assert(out(20L) == ((3, 3, 5L, 5L, true)))
+
+    // probe-modulus knob reshapes the audited sample (deployment scale
+    // control; diverges from the pinned oracle by design)
+    spark.conf.set("graft.knn.probeMod", "21")
+    try {
+      val probed = SparkEntry.queries("knn_label_consistency")(spark, dir)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(probed == Set(0L, 21L))
+    } finally spark.conf.unset("graft.knn.probeMod")
   }
 }
