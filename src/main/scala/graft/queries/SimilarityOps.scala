@@ -868,12 +868,19 @@ object SimilarityOps {
     val votes = joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .groupBy(col("query_id"), col("own_label"), col("label").as("nlabel"))
       .agg(count(lit(1)).as("n"))
+    // majority pick AND the own-label vote count as two windows over the
+    // SAME query_id partitioning — one exchange, and the expensive
+    // probe×corpus candidate stream is evaluated once (a groupBy+join-back
+    // formulation re-derives the whole vote tower per branch: Catalyst
+    // shares no common subplans across self-references)
     val wv = Window.partitionBy("query_id").orderBy(col("n").desc, col("nlabel"))
-    val agree = votes.groupBy("query_id")
-      .agg(coalesce(max(when(col("nlabel") === col("own_label"), col("n"))),
-        lit(0L)).as("n_agree"))
-    votes.withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
-      .join(agree, "query_id")
+    val wq = Window.partitionBy("query_id")
+    votes
+      .withColumn("rk", row_number().over(wv))
+      .withColumn("n_agree", coalesce(
+        max(when(col("nlabel") === col("own_label"), col("n"))).over(wq),
+        lit(0L)))
+      .filter(col("rk") === 1)
       .select(col("query_id").as("vec_id"), col("own_label"),
         col("nlabel").as("top_label"), col("n").as("n_top"), col("n_agree"),
         (col("nlabel") === col("own_label")).as("consistent"))
@@ -900,17 +907,16 @@ object SimilarityOps {
        |votes AS (
        |  SELECT query_id, own_label, nlabel, COUNT(*) AS n
        |  FROM top5 GROUP BY 1, 2, 3),
-       |agree AS (
-       |  SELECT query_id,
-       |    CAST(COALESCE(MAX(CASE WHEN nlabel = own_label THEN n END), 0) AS BIGINT)
-       |      AS n_agree
-       |  FROM votes GROUP BY 1),
        |maj AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY n DESC, nlabel) AS rk FROM votes)
-       |SELECT m.query_id AS vec_id, m.own_label, m.nlabel AS top_label,
-       |  m.n AS n_top, a.n_agree, m.nlabel = m.own_label AS consistent
-       |FROM maj m JOIN agree a USING (query_id) WHERE m.rk = 1
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY n DESC, nlabel) AS rk,
+       |    CAST(COALESCE(MAX(CASE WHEN nlabel = own_label THEN n END)
+       |      OVER (PARTITION BY query_id), 0) AS BIGINT) AS n_agree
+       |  FROM votes)
+       |SELECT query_id AS vec_id, own_label, nlabel AS top_label,
+       |  n AS n_top, n_agree, nlabel = own_label AS consistent
+       |FROM maj WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 
   val all: Seq[Q] = Seq(
