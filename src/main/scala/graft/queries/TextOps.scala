@@ -755,7 +755,10 @@ object TextOps {
     * occurrences) → one gram-keyed equi-join at (doc, gram) grain → one
     * doc-keyed final aggregate. Same plan family as tfidf_topk; nothing
     * is all-pairs and the only broadcast is the single-row total. */
-  private def wordBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc surprisal frame (doc_id, n_bigrams, surprisal_milli,
+    * max_rarity_milli) — shared by [[wordBigramSurprisal]] and the
+    * signal-agreement audit. */
+  private def bigramSurprisalFrame(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     // materialize the split ONCE (lambdas get no CSE — the 2× plan-shape
     // fix), then assemble adjacent pairs row-locally
@@ -777,8 +780,10 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_rarity div n_bigrams").as("surprisal_milli"),
         col("max_rarity_milli"))
-      .orderBy("doc_id")
   }
+
+  private def wordBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrame(s, dir).orderBy("doc_id")
 
   private val wordBigramSurprisalSql =
     """WITH grams AS (
@@ -799,8 +804,95 @@ object TextOps {
       |  MAX(rarity_milli) AS max_rarity_milli
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Do two quality signals measure the same thing? Exact Spearman rank
+    * correlation (integer milli, ties broken by doc_id — distinct-rank
+    * variant) between the row-local lexical diversity signal (type-token
+    * ratio) and the corpus-statistical LM proxy ([[bigramSurprisalFrame]]),
+    * per source. The audit a pipeline runs before composing gates: a rho
+    * near ±1000 means the second signal adds nothing over the first; near
+    * 0 means the gates prune different documents. Also the suite's exact
+    * rank-correlation primitive (quartiles/MAD/z-score exist; correlation
+    * did not).
+    *
+    * Exactness: ranks are row_number with doc_id tiebreak (deterministic,
+    * distinct ranks), rho_milli = 1000 − ⌊6000·Σd²/(n³−n)⌋ in BIGINT floor
+    * division on both engines. n³ and 6000·Σd² stay inside int64 up to
+    * ~10⁶ docs per source; past that both engines fail LOUDLY (ANSI
+    * overflow / DuckDB OOR) — switch both sides to DECIMAL(38)/HUGEINT at
+    * that corpus size. Sources with n < 2 are dropped (rho undefined).
+    *
+    * Scale shape: signals are row-local or the surprisal plan (see
+    * [[wordBigramSurprisal]]); the correlation stage is two windows over
+    * ONE source partitioning plus a source-keyed aggregate — per-source
+    * sort, never a global one. */
+  private def signalAgreementAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wcol = filter(split(col("text"), " "), x => x =!= "")
+    val sig = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), wcol.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        expr("1000 * size(array_distinct(w)) div size(w)").cast("long")
+          .as("ttr_milli"))
+      .join(bigramSurprisalFrame(s, dir).select("doc_id", "surprisal_milli"),
+        "doc_id")
+    val ra = Window.partitionBy("source").orderBy(col("ttr_milli"), col("doc_id"))
+    val rb = Window.partitionBy("source")
+      .orderBy(col("surprisal_milli"), col("doc_id"))
+    sig.withColumn("ra", row_number().over(ra))
+      .withColumn("rb", row_number().over(rb))
+      .withColumn("d2",
+        (col("ra").cast("long") - col("rb")) * (col("ra").cast("long") - col("rb")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("d2").as("sum_d2"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        expr("1000 - (6000 * sum_d2) div (n_docs * n_docs * n_docs - n_docs)")
+          .as("rho_milli"))
+      .orderBy("source")
+  }
+
+  private val signalAgreementAuditSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |    UNNEST(list_transform(range(len(w) - 1),
+      |      i -> w[i+1] || ' ' || w[i+2])) t(g)),
+      |tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+      |cnt AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+      |surp AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(tf * 1000 * (length(bin(n_total)) - length(bin(cnt))))
+      |      // SUM(tf) AS BIGINT) AS surprisal_milli
+      |  FROM tf JOIN cnt USING (g) CROSS JOIN n GROUP BY 1),
+      |sig AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(1000 * len(list_distinct(w)) // len(w) AS BIGINT) AS ttr_milli,
+      |    s.surprisal_milli
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents WHERE doc_id IS NOT NULL) d
+      |  JOIN surp s ON d.doc_id = s.doc_id
+      |  WHERE len(w) > 0),
+      |ranked AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ttr_milli, doc_id) AS ra,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY surprisal_milli, doc_id) AS rb
+      |  FROM sig)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+      |  CAST(1000 - (6000 * SUM((ra - rb) * (ra - rb)))
+      |    // (COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*)) AS BIGINT) AS rho_milli
+      |FROM ranked GROUP BY source HAVING COUNT(*) >= 2
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
+    Q("signal_agreement_audit", signalAgreementAudit,
+      Some(signalAgreementAuditSql)),
     Q("word_bigram_surprisal", wordBigramSurprisal, Some(wordBigramSurprisalSql)),
     Q("corpus_prune_verdicts", corpusPruneVerdicts, Some(corpusPruneVerdictsSql)),
     Q("oov_rate", oovRate, Some(oovRateSql)),

@@ -10,8 +10,10 @@ import graft.SparkEntry
   * graft.Bench: uncounted JIT warm-up, sorted order, one JSON line,
   * negative seconds + nonzero exit on failure.
   *
-  * Usage: runMain graft.tools.ScaleCheck <dataDir> [query ...]
-  * (default queries: the 5 most expensive of the sf0.1 bench) */
+  * Usage: runMain graft.tools.ScaleCheck <dataDir> [key=value ...] [query ...]
+  * (default queries: the 5 most expensive of the sf0.1 bench; args
+  * containing '=' are set as session confs before running — how a scale
+  * run pins deployment knobs like graft.knn.probeMod) */
 object ScaleCheck {
   private val defaultQueries = Seq("connected_components", "ann_lsh_cosine",
     "ann_ivf_cosine", "ngram_jaccard_pairs", "simhash_neardup_pairs")
@@ -31,8 +33,8 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       throw new IllegalArgumentException("usage: ScaleCheck <dataDir> [query ...]"))
-    val names =
-      (if (args.length > 1) args.drop(1).toSeq else defaultQueries).sorted
+    val (confs, queryArgs) = args.drop(1).toSeq.partition(_.contains("="))
+    val names = (if (queryArgs.nonEmpty) queryArgs else defaultQueries).sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,6 +44,10 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
 
     // uncounted warm-up on the SMALLEST driver corpus so JIT/codegen cost
     // doesn't land on the first measured query; never touches `dir`

@@ -274,4 +274,47 @@ class InvariantSpec2 extends SparkSpec {
     // the fluency signal: recurring prose scores strictly below gibberish
     assert(got(1L)._2 < got(11L)._2)
   }
+
+  test("signal_agreement_audit: exact Spearman recount on a mixed-source corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("sigagree").toString
+    // source sA: 4 docs with varying repetition (TTR) and rarity; sB: one
+    // doc only (dropped, rho undefined); NULL/empty text excluded
+    val texts: Seq[(Long, String, String)] = Seq(
+      (1L, "aa aa aa aa bb", "sA"),
+      (2L, "aa bb cc dd ee", "sA"),
+      (3L, "aa bb aa bb cc", "sA"),
+      (4L, "xx yy zz qq rr", "sA"),
+      (5L, "aa bb", "sB"),
+      (6L, "", "sA"), (7L, null, "sA"))
+    texts.map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // brute recount: signals, distinct ranks with doc_id tiebreak, rho
+    val docs = texts.collect { case (id, t, src) if t != null && t.nonEmpty =>
+      (id, t.split(" ", -1).toSeq, src)
+    }
+    val bigrams = docs.flatMap { case (id, ws, _) =>
+      ws.sliding(2).filter(_.length == 2).map(p => id -> p.mkString(" ")) }
+    val cnt = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTot = bigrams.size.toLong
+    def bucket(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val surp = bigrams.groupBy(_._1).view.mapValues { gs =>
+      gs.map(g => 1000L * (bucket(nTot) - bucket(cnt(g._2)))).sum / gs.size
+    }.toMap
+    val sig = docs.filter(d => surp.contains(d._1)).map { case (id, ws, src) =>
+      (id, src, 1000L * ws.distinct.size / ws.size, surp(id)) }
+    val expect = sig.groupBy(_._2).collect { case (src, ds) if ds.size >= 2 =>
+      val ra = ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val rb = ds.sortBy(d => (d._4, d._1)).zipWithIndex.map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val d2 = ds.map(d => { val x = ra(d._1) - rb(d._1); x * x }).sum
+      val n = ds.size.toLong
+      src -> ((n, d2, 1000L - Math.floorDiv(6000L * d2, n * n * n - n)))
+    }
+    val got = SparkEntry.queries("signal_agreement_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_d2"),
+          r.getAs[Long]("rho_milli")))).toMap
+    assert(got == expect)
+    assert(!got.contains("sB")) // n = 1 → rho undefined → dropped
+  }
 }
