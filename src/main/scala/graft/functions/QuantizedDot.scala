@@ -87,7 +87,8 @@ object GraftFunctions {
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "quantized_dot" -> (exprs => QuantizedDot(exprs.head, exprs(1))),
-    "intersect_count" -> (exprs => IntersectCount(exprs.head, exprs(1))))
+    "intersect_count" -> (exprs => IntersectCount(exprs.head, exprs(1))),
+    "canon_norm" -> (exprs => CanonNorm(exprs.head)))
 
   /** Make the functions callable from SQL in an existing session, and
     * inject [[RewriteSizeOfIntersect]] into the session's optimizer (the
@@ -100,9 +101,14 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(RewriteSizeOfIntersect))
-      spark.experimental.extraOptimizations = cur :+ RewriteSizeOfIntersect
+    val withIntersect = {
+      val cur = spark.experimental.extraOptimizations
+      if (cur.contains(RewriteSizeOfIntersect)) cur
+      else cur :+ RewriteSizeOfIntersect
+    }
+    spark.experimental.extraOptimizations =
+      if (withIntersect.contains(RewriteCanonNorm)) withIntersect
+      else withIntersect :+ RewriteCanonNorm
   }
 }
 
@@ -120,6 +126,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_count"),
       new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
       (exprs: Seq[Expression]) => IntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("canon_norm"),
+      new ExpressionInfo(classOf[CanonNorm].getName, "canon_norm"),
+      (exprs: Seq[Expression]) => CanonNorm(exprs.head)))
     e.injectOptimizerRule(_ => RewriteSizeOfIntersect)
+    e.injectOptimizerRule(_ => RewriteCanonNorm)
   }
 }
