@@ -282,6 +282,10 @@ object StreamingPipeline {
     * watermark, no state store, append-safe. */
   def pruneStream(docs: DataFrame, canonIdx: DataFrame): DataFrame = {
     import graft.queries.TextOps
+    // a stream-only session never passes Util.t, so make the canon_norm
+    // fusion (and the rest of the engine registry) live here too —
+    // idempotent, and the canon hash below is this stream's hot expression
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("ch", TextOps.canonHash(col("text")))
       .join(canonIdx, Seq("ch"), "left")
