@@ -634,7 +634,11 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val connectedComponentsSql = {
+  /** The d → … → edges0 WITH-chain of the CC oracle (sampled universe,
+    * banding, capless candidate join, exact Jaccard verify at J ≥ 0.5) —
+    * shared verbatim by [[connectedComponentsSql]] and
+    * [[crossSourceLeakageSql]] so the two oracles can never drift. */
+  private val ccEdgesSqlCtes: String = {
     val minhDefs = (0 until minhashSeeds)
       .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i").mkString(",\n    ")
     val bandDefs = (0 until minhashSeeds / bandSize).map { b =>
@@ -642,7 +646,7 @@ object DedupOps {
         .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    s"""d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
       |sh AS (SELECT DISTINCT doc_id, s AS sh FROM d, UNNEST(string_split(text,' ')) t(s)),
       |minh AS (SELECT doc_id, $minhDefs FROM sh GROUP BY doc_id),
       |bands AS (
@@ -663,7 +667,64 @@ object DedupOps {
       |edges0 AS (
       |  SELECT a_id, b_id FROM inter
       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-      |  WHERE 1000 * i >= 500 * (sa.n + sb.n - i)),
+      |  WHERE 1000 * i >= 500 * (sa.n + sb.n - i))""".stripMargin
+  }
+
+  /** Can dedup shard per source? Of the verified near-dup edges (the CC
+    * edge relation: banded candidates, exact Jaccard ≥ 0.5, same sampled
+    * universe and caps), how many CROSS a source boundary — aggregated per
+    * unordered source pair. At 100 TB this report decides the most
+    * consequential layout choice of the dedup stage: near-zero cross-source
+    * mass means each source dedups independently (embarrassingly parallel,
+    * no global shuffle); heavy cross rows name exactly which source pairs
+    * must be co-partitioned. NULL sources bucket as '' on BOTH sides (a
+    * NULL key would vanish from one engine's equi-join and not the
+    * other's ordering — the fuzz-gate class).
+    *
+    * Scale shape: everything up to the edge list is the CC machinery
+    * (shared relation, shared caps, shared drop metrics); this adds two
+    * doc-keyed joins to a dimension-thin (doc_id, source) projection and
+    * one ≤|sources|² aggregate. Edges materialize via localCheckpoint and
+    * the band relation is released before return — the CC persist
+    * lifecycle. */
+  private def crossSourceLeakage(s: SparkSession, dir: String): DataFrame = {
+    val (bl, edges0) = ccEdgeDiscovery(s, dir)
+    val edges = edges0.localCheckpoint()
+    bl.unpersist()
+    val src = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+    edges
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(
+        when(col("sa") <= col("sb"), col("sa")).otherwise(col("sb")).as("source_lo"),
+        when(col("sa") <= col("sb"), col("sb")).otherwise(col("sa")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("source_lo") =!= col("source_hi"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  private val crossSourceLeakageSql =
+    s"""WITH $ccEdgesSqlCtes,
+      |src AS (SELECT doc_id, COALESCE(source, '') AS source
+      |        FROM documents WHERE doc_id % 10 = 0),
+      |pairs AS (
+      |  SELECT
+      |    CASE WHEN sa.source <= sb.source THEN sa.source ELSE sb.source END
+      |      AS source_lo,
+      |    CASE WHEN sa.source <= sb.source THEN sb.source ELSE sa.source END
+      |      AS source_hi
+      |  FROM edges0 e
+      |  JOIN src sa ON e.a_id = sa.doc_id
+      |  JOIN src sb ON e.b_id = sb.doc_id)
+      |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+      |  source_lo <> source_hi AS is_cross
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY source_lo, source_hi""".stripMargin
+
+  private val connectedComponentsSql = {
+    s"""WITH RECURSIVE $ccEdgesSqlCtes,
       |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
       |          UNION ALL SELECT b_id, a_id FROM edges0),
       |reach AS (
@@ -1117,6 +1178,7 @@ object DedupOps {
     Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
+    Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
     Q("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("simhash_neardup_pairs", simhashNeardupPairs, Some(simhashNeardupPairsSql)))

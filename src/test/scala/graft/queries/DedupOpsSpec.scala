@@ -136,6 +136,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(contain))
   }
 
+  test("cross_source_leakage: planted cross- and within-source near-dups classified") {
+    val dir = java.nio.file.Files.createTempDirectory("leakage").toString
+    import spark.implicits._
+    // universe is doc_id % 10 == 0; 10↔20 near-dup across sources (word-set
+    // equal → all bands shared, J = 1), 30↔40 within one source, 50 alone,
+    // 15 a would-be partner of 10 but outside the sampled universe
+    Seq(
+      (10L, "alpha beta gamma delta", "srcA"),
+      (20L, "delta gamma beta alpha", "srcB"),
+      (30L, "epsilon zeta eta theta", "srcC"),
+      (40L, "theta eta zeta epsilon", "srcC"),
+      (50L, "totally different words here", "srcA"),
+      (15L, "alpha beta gamma delta", "srcB"))
+      .map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("cross_source_leakage")(spark, dir).collect()
+      .map(r => ((r.getAs[String]("source_lo"), r.getAs[String]("source_hi")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("is_cross")))).toMap
+    assert(got == Map(
+      ("srcA", "srcB") -> ((1L, true)),
+      ("srcC", "srcC") -> ((1L, false))))
+  }
+
   test("dup_cluster_stats: planted cluster sizes land in the right log2 buckets") {
     val dir = java.nio.file.Files.createTempDirectory("dupstats").toString
     import spark.implicits._
