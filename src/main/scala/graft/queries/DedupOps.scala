@@ -569,15 +569,10 @@ object DedupOps {
   private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val (bl, edges0) = ccEdgeDiscovery(s, dir)
+    val edges0 = ccEdges(s, dir) // session-cached checkpoint; bl released inside
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint() // edge discovery runs once; iterations re-join this
-    // cache lifecycle: a long-lived session running CC repeatedly must not
-    // accumulate block-manager state. localCheckpoint is eager, so at this
-    // point `edges` is materialized and the band relation has served all
-    // three consumers — release it now, not at session end.
-    bl.unpersist()
+      .localCheckpoint() // iterations re-join this directed form
     // localCheckpoint blocks are persistent RDDs, not CacheManager entries;
     // each checkpointed frame's analyzed plan is the LogicalRDD holding
     // exactly that RDD, so intermediates are released directly (no
@@ -687,10 +682,32 @@ object DedupOps {
     * one ≤|sources|² aggregate. Edges materialize via localCheckpoint and
     * the band relation is released before return — the CC persist
     * lifecycle. */
+  /** Checkpointed CC edge relation (a_id, b_id), cached per (session, dir,
+    * bucket-cap knob) — [[connectedComponents]] and [[crossSourceLeakage]]
+    * both consume it, so one bench/driver session pays edge discovery ONCE.
+    * localCheckpoint blocks are persistent RDDs (not CacheManager entries);
+    * evicted keys are dropped and the ContextCleaner reclaims their blocks
+    * once unreferenced — same lifecycle as every checkpoint in the CC
+    * iteration loop. */
+  private val ccEdgeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+  private def ccEdges(s: SparkSession, dir: String): DataFrame = {
+    ccEdgeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, maxCcBucket(s))
+    ccEdgeCache.getOrElseUpdate(key, {
+      ccEdgeCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k != key)
+        .foreach(ccEdgeCache.remove)
+      val (bl, edges0) = ccEdgeDiscovery(s, dir)
+      val edges = edges0.localCheckpoint()
+      bl.unpersist()
+      edges
+    })
+  }
+
   private def crossSourceLeakage(s: SparkSession, dir: String): DataFrame = {
-    val (bl, edges0) = ccEdgeDiscovery(s, dir)
-    val edges = edges0.localCheckpoint()
-    bl.unpersist()
+    val edges = ccEdges(s, dir)
     val src = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
     edges
