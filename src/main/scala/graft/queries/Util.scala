@@ -90,11 +90,18 @@ object Util {
 
   /** Read one testdata table.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos long (legacy
-    * conf) and truncate to microseconds with integer division — exactly the
-    * ns→µs truncation DuckDB applies when it reads the same file, so both
-    * engines see identical timestamp values. */
+    * `events.ts` has shipped in two layouts across driver testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a nanos long via the legacy
+    * conf — and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which
+    * Spark decodes as TIMESTAMP_NTZ. Sniff the decoded type: a LongType
+    * `ts` is the nanos layout and gets the same ns→µs truncation DuckDB
+    * applies when it reads that file; an NTZ `ts` is cast to the session
+    * (LTZ) timestamp type. Both paths land on TIMESTAMP_LTZ under the
+    * pinned UTC session zone — the type every consumer (unix_micros,
+    * streaming watermarks, the oracle's naive-timestamp compare) was
+    * built against, with identical wall-clock values to DuckDB's read
+    * of the same file. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // every query path passes here, so the engine's native functions AND
     // the size∘array_intersect fusion rule are live in every session that
@@ -103,8 +110,14 @@ object Util {
     graft.functions.GraftFunctions.register(s)
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -198,12 +198,19 @@ class StreamingPipelineSpec extends SparkSpec {
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       srcDir.resolve("events.parquet"))
     val dir = srcDir.toString
-    // events.ts is TIMESTAMP(NANOS); batch reads go through Util.t — for the
-    // stream read the same nanosAsLong conf + truncation applies
+    // events.ts layout varies by testdata generation (TIMESTAMP(NANOS) vs
+    // NTZ TIMESTAMP(MICROS)); batch reads go through Util.t — the stream
+    // read applies the same normalization to LTZ (watermarks require it)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def evStream() = spark.readStream.schema(
-      spark.read.parquet(dir).schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evSchema = spark.read.parquet(dir).schema
+    def evStream() = {
+      val raw = spark.readStream.schema(evSchema).parquet(dir)
+      evSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    }
     val clicks = evStream().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
