@@ -89,6 +89,84 @@ object CorpusOps {
       |LEFT JOIN hits h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** log2 of the bloom bitmap width for [[decontaminateBloom]] (bits; the
+    * bitmap is 2^this bits = 2^(this-3) bytes broadcast to every task).
+    * Default 2^20 bits = 128 KiB — ~100× headroom over the sf0.1 bench-gram
+    * count, FPR ≈ (k·n/m)^k ≈ 1e-8 there. A deployment sizes this to its
+    * eval set: ~1e8 eval grams want 2^30 bits = 128 MiB (still one
+    * broadcast; beyond that, shard the eval set and run the gate per
+    * shard). Session conf `graft.bloom.log2bits` overrides. */
+  val bloomLog2BitsDefault = 20
+  def bloomLog2Bits(s: SparkSession): Int =
+    s.conf.getOption("graft.bloom.log2bits").map(_.toInt)
+      .getOrElse(bloomLog2BitsDefault)
+
+  /** Bloom-prefiltered decontamination: same verdict table as
+    * [[decontaminateNgrams]] (one row per train doc: gram totals, bench-gram
+    * hits, contamination flag), but the train side is screened against a
+    * bloom bitmap of the bench grams BEFORE any join, and only bloom
+    * survivors reach the exact semi-join verify. Bloom filters admit no
+    * false negatives, and the exact verify removes the false positives, so
+    * the output is bit-identical to the exact query — the oracle twin IS
+    * the exact SQL.
+    *
+    * 100 TB rationale: exact decontamination semi-joins EVERY train gram
+    * (the full corpus, shuffled on gram) against the eval set. The bloom
+    * pass inverts that: the eval set compresses to a 2^[[bloomLog2Bits]]-bit
+    * bitmap (built in one hash-agg over k·|bench| positions, collected to a
+    * single-row map and broadcast), the corpus probes it map-side in a
+    * codegen'd projection (k xxhash64 + bit tests per gram, zero shuffle),
+    * and only the ~FPR + true-hit fraction of grams — for a clean corpus,
+    * almost nothing — pays the shuffle into the verify join. Same shape
+    * Spark's AQE runtime bloom filter injects for selective joins, made
+    * explicit and contract-checked here: the gate composes with any join
+    * strategy and its width is an auditable session knob rather than a
+    * planner heuristic.
+    *
+    * Build plumbing: positions are `xxhash64(h, gram) mod m` for seed index
+    * h < k — k independent 64-bit hashes via seed-column mixing, all
+    * codegen'd; the bitmap is a `map<long, long>` of 64-bit words keyed by
+    * position >> 6 (bit_or-aggregated), so an UNSET word is simply absent
+    * (element_at → NULL → coalesce 0 → probe miss) and bitmap size tracks
+    * OCCUPIED words, not width. */
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val kHash = 4
+    val m = 1L << bloomLog2Bits(s)
+    val docs = t(s, dir, "documents")
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(wordGrams(col("w"), n))).as("g"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val train = g.filter(col("doc_id") % 97 =!= 0)
+    def positions(gram: Column): Seq[Column] =
+      (0 until kHash).map(h => pmod(xxhash64(lit(h), gram), lit(m)))
+    val bitmap = bench
+      .select(explode(array(positions(col("g")): _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("wi"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        col("pos").bitwiseAND(lit(63L)).cast("int"))).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("bm"))
+    val probed = train.crossJoin(broadcast(bitmap))
+      .withColumn("bloom_hit", positions(col("g")).map { p =>
+        coalesce(element_at(col("bm"), shiftright(p, 6)), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
+      }.reduce(_ && _))
+    val candidates = probed.filter(col("bloom_hit")).select(col("doc_id"), col("g"))
+    val hits = candidates.join(bench, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val trainTotals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(trainTotals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("is_contaminated", col("n_contaminated") >= 1)
+      .orderBy("doc_id")
+  }
+
   /** Token-budget shard packing: assign documents to fixed-budget training
     * shards (512 whitespace tokens here) by running token offset, packing
     * greedily in doc_id order WITHIN each source — documents are never
@@ -578,6 +656,9 @@ object CorpusOps {
     Q("substring_dup_spans", substringDupSpans, Some(substringDupSpansSql)),
     Q("vocab_topk", vocabTopk, Some(vocabTopkSql)),
     Q("decontaminate_ngrams", decontaminateNgrams, Some(decontaminateNgramsSql)),
+    // exact SQL as the oracle on purpose: the bloom is a prefilter whose
+    // false positives the verify join removes, so outputs must be identical
+    Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateNgramsSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
     Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),

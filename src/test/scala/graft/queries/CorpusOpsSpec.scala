@@ -111,6 +111,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == (0L, false))
   }
 
+  test("decontaminate_bloom: bit-identical to the exact query on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("decontaminate_ngrams")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val bloom = SparkEntry.queries("decontaminate_bloom")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(bloom.length == exact.length && bloom.nonEmpty)
+    assert(bloom.sameElements(exact))
+  }
+
+  test("decontaminate_bloom: a saturated 64-bit bitmap still yields the exact result") {
+    // 2^6 = 64 bits for hundreds of grams → near-every probe is a false
+    // positive; the exact verify must remove all of them. This pins the
+    // operator's contract: the bloom NEVER changes output, only join input
+    // volume. (No false negatives is structural — build and probe share
+    // the position expressions.)
+    spark.conf.set("graft.bloom.log2bits", "6")
+    try {
+      val out = SparkEntry.queries("decontaminate_bloom")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_contaminated"), r.getAs[Boolean]("is_contaminated"))).toMap
+      assert(!out.contains(0L))
+      assert(out(1L) == (0L, false))
+      assert(out(5L)._1 == 1L && out(5L)._2)
+      assert(out(6L) == (0L, false))
+      assert(out(2L) == (0L, false))
+    } finally spark.conf.unset("graft.bloom.log2bits")
+  }
+
   test("corpus_balance_langs: integer-coin keep rule, dominant lang sampled down") {
     val d = java.nio.file.Files.createTempDirectory("balance").toString
     import spark.implicits._
