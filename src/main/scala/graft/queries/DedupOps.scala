@@ -566,8 +566,25 @@ object DedupOps {
     (bl, edges0)
   }
 
-  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Converged CC labels (node, label), cached per (session, dir,
+    * bucket-cap knob) exactly like [[ccEdges]]: [[connectedComponents]] and
+    * [[softDedupWeights]] both need the full iterative fixpoint, so one
+    * session pays the label-propagation loop ONCE and each consumer layers
+    * its own windows on the checkpointed result. */
+  private val ccLabelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    ccLabelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, maxCcBucket(s))
+    ccLabelCache.getOrElseUpdate(key, {
+      ccLabelCache.keys
+        .filter(k => k._1 == s && k._2 == dir && k != key)
+        .foreach(ccLabelCache.remove)
+      ccLabelsUncached(s, dir)
+    })
+  }
+  private def ccLabelsUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val edges0 = ccEdges(s, dir) // session-cached checkpoint; bl released inside
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -624,7 +641,13 @@ object DedupOps {
     if (curSum != prevSum)
       throw new IllegalStateException(
         s"connected_components did not converge in $maxIter iterations")
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    labels
+  }
+
+  private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ccLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("component"))
       .withColumn("comp_size", count(lit(1)).over(Window.partitionBy(col("component"))))
       .orderBy("doc_id")
   }
@@ -752,6 +775,70 @@ object DedupOps {
       |  COUNT(*) OVER (PARTITION BY component) AS comp_size
       |FROM (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Soft dedup: instead of DROPPING near-duplicates, emit a per-doc
+    * sampling weight 1/|cluster| over the verified near-dup components
+    * (the [[connectedComponents]] fixpoint — shared via [[ccLabels]], so a
+    * session running both queries pays the propagation loop once), plus
+    * the hard-dedup alternative as a flag: `is_kept` marks each cluster's
+    * canonical copy, chosen as the LONGEST text (most tokens, ties to the
+    * lowest doc_id) — the copy that preserves the most content, where the
+    * min-id pick of `dedup_minhash_clusters` preserves an arbitrary one.
+    *
+    * This is the table a training sampler consumes when the corpus policy
+    * is "each distinct content contributes equally": sampling every doc
+    * with weight 1/comp_size is expectation-equivalent to keeping one
+    * uniform copy, but keeps provenance diversity (every source's copy
+    * stays addressable) and lets the same table drive hard dedup (filter
+    * is_kept) without a second pass.
+    *
+    * Scale shape: everything heavy is the shared CC machinery; this adds
+    * one token-count projection over the sampled docs, a doc-keyed join,
+    * and two windows over ONE component-hash partitioning. Weight is
+    * 1.0/comp_size in IEEE double — small-integer division, bit-identical
+    * across engines. */
+  private def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = ccLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    val toks = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+          .as("n_tokens"))
+    val wComp = Window.partitionBy(col("component"))
+    val wPick = Window.partitionBy(col("component"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    comp.join(toks, "doc_id")
+      .withColumn("comp_size", count(lit(1)).over(wComp))
+      .withColumn("rk", row_number().over(wPick))
+      .select(col("doc_id"), col("component"), col("comp_size"), col("n_tokens"),
+        (lit(1.0) / col("comp_size")).as("weight"),
+        (col("rk") === 1).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  private val softDedupWeightsSql = {
+    s"""WITH RECURSIVE $ccEdgesSqlCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
+      |          UNION ALL SELECT b_id, a_id FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM d
+      |  UNION
+      |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+      |toks AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |    AS n_tokens FROM d),
+      |j AS (
+      |  SELECT c.doc_id, c.component, t.n_tokens,
+      |    COUNT(*) OVER (PARTITION BY c.component) AS comp_size,
+      |    ROW_NUMBER() OVER (PARTITION BY c.component
+      |                       ORDER BY t.n_tokens DESC, c.doc_id) AS rk
+      |  FROM comp c JOIN toks t USING (doc_id))
+      |SELECT doc_id, component, comp_size, n_tokens,
+      |  CAST(1 AS DOUBLE) / comp_size AS weight, rk = 1 AS is_kept
+      |FROM j ORDER BY doc_id""".stripMargin
   }
 
   /** Incremental-ingest dedup — the operational shape at 100 TB: classify
@@ -1196,6 +1283,7 @@ object DedupOps {
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
+    Q("soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     Q("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("simhash_neardup_pairs", simhashNeardupPairs, Some(simhashNeardupPairsSql)))

@@ -160,6 +160,36 @@ class DedupOpsSpec extends SparkSpec {
       ("srcC", "srcC") -> ((1L, false))))
   }
 
+  test("soft_dedup_weights: 1/cluster weights, longest-copy canonical, singletons keep themselves") {
+    val dir = java.nio.file.Files.createTempDirectory("softdedup").toString
+    import spark.implicits._
+    // 10↔20↔30 one cluster (word-set equal → all bands shared); 30 carries
+    // a repeated word so its token COUNT is highest while its word SET is
+    // unchanged — the canonical pick must prefer it over the lower ids.
+    // 50 is a singleton; 15 is outside the sampled universe.
+    Seq(
+      (10L, "alpha beta gamma delta", "srcA"),
+      (20L, "delta gamma beta alpha", "srcB"),
+      (30L, "alpha alpha beta gamma delta", "srcC"),
+      (50L, "totally different words here", "srcA"),
+      (15L, "alpha beta gamma delta", "srcB"))
+      .map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("soft_dedup_weights")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("comp_size"),
+          r.getAs[Double]("weight"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(got.keySet == Set(10L, 20L, 30L, 50L))
+    assert(got(10L) == ((10L, 3L, 1.0 / 3, false)))
+    assert(got(20L) == ((10L, 3L, 1.0 / 3, false)))
+    assert(got(30L) == ((10L, 3L, 1.0 / 3, true))) // longest copy wins
+    assert(got(50L) == ((50L, 1L, 1.0, true)))
+    // expectation-equivalence: weights in each cluster sum to 1
+    val sums = got.values.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
   test("dup_cluster_stats: planted cluster sizes land in the right log2 buckets") {
     val dir = java.nio.file.Files.createTempDirectory("dupstats").toString
     import spark.implicits._
