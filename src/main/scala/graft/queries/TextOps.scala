@@ -88,6 +88,97 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Adaptive quality cutoff: the fixed thresholds of [[textQuality]]
+    * (5–2000 words, stop ratio ≥ 10‰) are corpus-blind — the right cut for
+    * web crawl is wrong for code or chat transcripts. This derives each
+    * SOURCE's thresholds from its own score distribution: trim the bottom
+    * decile by stopword ratio and the top decile by length, i.e. keep docs
+    * with stop_ratio_milli ≥ the source's P10 value and n_words ≤ its P90
+    * value — the per-domain percentile filter tuning step a real corpus
+    * pipeline runs before committing a quality gate.
+    *
+    * Determinism: discrete percentiles only — the cutoff is the VALUE AT
+    * RANK ceil(n/10) (resp. ceil(9n/10)) in each source's sort, computed
+    * with integer rank arithmetic ((n+9) div 10, never 0.1·n in floating
+    * point, where ceil(50·0.1) is already engine-UB), so ties in the score
+    * dimension cannot change the selected value and both engines pick the
+    * identical cutoff. Interpolating percentile_cont/approx_percentile
+    * would be float-order-sensitive (or non-deterministic outright).
+    *
+    * Scale shape: one shuffle on source, two sorts inside the same hash
+    * partitioning (both windows share it), cutoffs broadcast back per
+    * partition via a window max — no second pass over the corpus and no
+    * driver collect. Skewed sources sort in parallel by range within the
+    * partition; at 100 TB the unit becomes (source, shard) exactly like
+    * pack_token_shards. */
+  private def adaptiveQualityCutoff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nStop = size(filter(w, x => x.isin(stopEn: _*)))
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"),
+      nWords.cast("long").as("n_words"),
+      milli(nStop, nWords).as("stop_ratio_milli"))
+    val wSrc = Window.partitionBy(col("source"))
+    val byStop = Window.partitionBy(col("source"))
+      .orderBy(col("stop_ratio_milli"), col("doc_id"))
+    val byLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_words"), col("doc_id"))
+    scored
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      // integer ceil(n/10) / ceil(9n/10); `div`, never `/` (double) — and
+      // `div` vs DuckDB `//` agree here because operands are positive
+      .withColumn("pos_lo", expr("(n_src + 9) div 10"))
+      .withColumn("pos_hi", expr("(n_src * 9 + 9) div 10"))
+      .withColumn("rn_stop", row_number().over(byStop))
+      .withColumn("rn_len", row_number().over(byLen))
+      .withColumn("stop_cutoff",
+        max(when(col("rn_stop") === col("pos_lo"), col("stop_ratio_milli")))
+          .over(wSrc))
+      .withColumn("words_cap",
+        max(when(col("rn_len") === col("pos_hi"), col("n_words"))).over(wSrc))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("stop_ratio_milli"), col("stop_cutoff"), col("words_cap"),
+        (col("stop_ratio_milli") >= col("stop_cutoff") &&
+          col("n_words") <= col("words_cap")).as("keep_adaptive"))
+      .orderBy("doc_id")
+  }
+
+  private val adaptiveQualityCutoffSql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, COALESCE(source, '') AS source,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+       |    CAST(floor(1000.0*len(list_filter(string_split(text,' '),
+       |      x -> x IN ($stopList)))/len(string_split(text,' '))) AS BIGINT)
+       |      AS stop_ratio_milli
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY stop_ratio_milli, doc_id) AS rn_stop,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n_words, doc_id) AS rn_len
+       |  FROM scored),
+       |cut AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN rn_stop = (n_src + 9) // 10
+       |             THEN stop_ratio_milli END)
+       |      OVER (PARTITION BY source) AS stop_cutoff,
+       |    MAX(CASE WHEN rn_len = (n_src * 9 + 9) // 10
+       |             THEN n_words END)
+       |      OVER (PARTITION BY source) AS words_cap
+       |  FROM ranked)
+       |SELECT doc_id, source, n_words, stop_ratio_milli, stop_cutoff,
+       |  words_cap,
+       |  (stop_ratio_milli >= stop_cutoff AND n_words <= words_cap)
+       |    AS keep_adaptive
+       |FROM cut ORDER BY doc_id""".stripMargin
+  }
+
   /** Marker-stopword lists per language (tiny, deterministic heuristic). */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
@@ -903,6 +994,8 @@ object TextOps {
     Q("doc_winnow_fingerprints", docWinnowFingerprints, Some(docWinnowFingerprintsSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("adaptive_quality_cutoff", adaptiveQualityCutoff,
+      Some(adaptiveQualityCutoffSql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
     Q("tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     Q("doc_fingerprint", docFingerprint, Some(docFingerprintSql)))
