@@ -147,13 +147,22 @@ object CorpusOps {
       .agg(bit_or(call_function("shiftleft", lit(1L),
         col("pos").bitwiseAND(lit(63L)).cast("int"))).as("bits"))
       .agg(map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("bm"))
-    val probed = train.crossJoin(broadcast(bitmap))
-      .withColumn("bloom_hit", positions(col("g")).map { p =>
-        coalesce(element_at(col("bm"), shiftright(p, 6)), lit(0L))
-          .bitwiseAND(call_function("shiftleft", lit(1L),
-            p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
-      }.reduce(_ && _))
-    val candidates = probed.filter(col("bloom_hit")).select(col("doc_id"), col("g"))
+    val bloomHit = positions(col("g")).map { p =>
+      coalesce(element_at(col("bm"), shiftright(p, 6)), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    // the probe verdict is folded INTO the join key (gram on hit, NULL on
+    // miss) rather than kept as a boolean filter: Catalyst's unconditional
+    // PushDownLeftSemiAntiJoin would happily push the exact verify join
+    // BELOW a plain bloom-hit Filter (output-identical, prefilter-defeating
+    // — the join would again see every gram); a key computed from the
+    // broadcast bitmap cannot be pushed below the probe, so the plan is
+    // pinned to probe → filter → verify. NULLs are filtered before the
+    // join so misses never shuffle.
+    val candidates = train.crossJoin(broadcast(bitmap))
+      .select(col("doc_id"), when(bloomHit, col("g")).as("g"))
+      .filter(col("g").isNotNull)
     val hits = candidates.join(bench, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     val trainTotals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
