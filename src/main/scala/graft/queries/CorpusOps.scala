@@ -101,6 +101,36 @@ object CorpusOps {
     s.conf.getOption("graft.bloom.log2bits").map(_.toInt)
       .getOrElse(bloomLog2BitsDefault)
 
+  /** The k position expressions of a gram in a 2^log2m-bit bloom bitmap —
+    * THE single definition of the bloom hash scheme, shared by the batch
+    * build, the batch probe, and the streaming gate
+    * ([[graft.streaming.StreamingPipeline.bloomGateStream]]): build and
+    * probe MUST agree bit-for-bit or the no-false-negative contract
+    * silently breaks, so there is exactly one copy of this math. */
+  private val bloomHashes = 4
+  private def bloomPositions(gram: Column, m: Long): Seq[Column] =
+    (0 until bloomHashes).map(h => pmod(xxhash64(lit(h), gram), lit(m)))
+
+  /** One-row bloom bitmap (`bm: map<long,long>` of 64-bit words keyed by
+    * position >> 6) over a gram relation (column `g`). The build is one
+    * explode + two hash-aggs; an unset word is ABSENT from the map, so
+    * bitmap size tracks occupied words, not width. */
+  def bloomBitmapOf(grams: DataFrame, m: Long): DataFrame =
+    grams
+      .select(explode(array(bloomPositions(col("g"), m): _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("wi"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        col("pos").bitwiseAND(lit(63L)).cast("int"))).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("bm"))
+
+  /** Probe verdict for one gram against the broadcast bitmap column. */
+  def bloomHitExpr(gram: Column, bm: Column, m: Long): Column =
+    bloomPositions(gram, m).map { p =>
+      coalesce(element_at(bm, shiftright(p, 6)), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+
   /** Bloom-prefiltered decontamination: same verdict table as
     * [[decontaminateNgrams]] (one row per train doc: gram totals, bench-gram
     * hits, contamination flag), but the train side is screened against a
@@ -131,7 +161,6 @@ object CorpusOps {
     * OCCUPIED words, not width. */
   private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val n = 3
-    val kHash = 4
     val m = 1L << bloomLog2Bits(s)
     val docs = t(s, dir, "documents")
     val g = docs
@@ -139,19 +168,8 @@ object CorpusOps {
       .select(col("doc_id"), explode(array_distinct(wordGrams(col("w"), n))).as("g"))
     val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
     val train = g.filter(col("doc_id") % 97 =!= 0)
-    def positions(gram: Column): Seq[Column] =
-      (0 until kHash).map(h => pmod(xxhash64(lit(h), gram), lit(m)))
-    val bitmap = bench
-      .select(explode(array(positions(col("g")): _*)).as("pos"))
-      .groupBy(shiftright(col("pos"), 6).as("wi"))
-      .agg(bit_or(call_function("shiftleft", lit(1L),
-        col("pos").bitwiseAND(lit(63L)).cast("int"))).as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("bm"))
-    val bloomHit = positions(col("g")).map { p =>
-      coalesce(element_at(col("bm"), shiftright(p, 6)), lit(0L))
-        .bitwiseAND(call_function("shiftleft", lit(1L),
-          p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
-    }.reduce(_ && _)
+    val bitmap = bloomBitmapOf(bench, m)
+    val bloomHit = bloomHitExpr(col("g"), col("bm"), m)
     // the probe verdict is folded INTO the join key (gram on hit, NULL on
     // miss) rather than kept as a boolean filter: Catalyst's unconditional
     // PushDownLeftSemiAntiJoin would happily push the exact verify join

@@ -212,6 +212,50 @@ object StreamingPipeline {
       .withColumn("is_contaminated", col("n_contaminated") >= 1)
   }
 
+  /** Streaming bloom decontamination gate — the scale path of
+    * [[decontaminateStream]]: where that twin broadcasts the bench grams
+    * THEMSELVES (one array row, hard-bounded at ~50 B/gram by
+    * `graft.cap.benchGrams`), this broadcasts only their bloom bitmap
+    * (2^`graft.bloom.log2bits` bits regardless of gram count — a 10⁸-gram
+    * eval suite fits in a 128 MiB map where the array row would be 5 GB),
+    * built and probed with the ONE hash scheme shared with the batch
+    * `decontaminate_bloom` query ([[graft.queries.CorpusOps.bloomBitmapOf]]
+    * / `bloomHitExpr` — build/probe drift would silently break the
+    * guarantee below).
+    *
+    * The verdict weakens from exact to ONE-SIDED: `n_bloom_hits` counts
+    * grams the bitmap admits, an upper bound on true contamination. Bloom
+    * filters admit no false negatives, so `is_provably_clean`
+    * (n_bloom_hits = 0) is EXACT — those docs pass the gate unconditionally
+    * (at production FPR that is almost every clean doc), and only
+    * bloom-positive docs route to the batch exact verify. Stream-prefilter
+    * → small-exact-verify-queue is the deployment shape; the spec pins the
+    * one-sided contract against the batch exact query per doc.
+    *
+    * Deliberately STATELESS like the parent: row-local gram array + one
+    * cross-join to the broadcast single-row bitmap, no watermark, no state
+    * store, append-safe; the static side re-aggregates per micro-batch, so
+    * a refreshed benchmark takes effect on the next batch. The probe runs
+    * inside an interpreted HOF filter (k·|grams| hashes per doc) — fine at
+    * ingest rates; bulk reprocessing belongs to the batch query anyway. */
+  def bloomGateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import graft.queries.CorpusOps
+    val m = 1L << CorpusOps.bloomLog2Bits(docs.sparkSession)
+    val bitmap = CorpusOps.bloomBitmapOf(benchGrams, m)
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("gs",
+        array_distinct(CorpusOps.wordGrams(col("w"), 3)))
+      .drop("w")
+      .crossJoin(broadcast(bitmap))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(filter(col("gs"),
+          g => CorpusOps.bloomHitExpr(g, col("bm"), m)))
+          .cast("long").as("n_bloom_hits"))
+      .withColumn("is_provably_clean", col("n_bloom_hits") === 0L)
+  }
+
   /** Streaming increment classification — the continuous twin of the batch
     * `dedup_incremental` query: each ARRIVING doc is classified exact_dup /
     * near_dup / new against two precomputed STATIC corpus indexes

@@ -110,6 +110,52 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, false))
   }
 
+  test("bloomGateStream: one-sided verdicts — zero bloom hits is provably clean") {
+    val root = Files.createTempDirectory("bloomgate")
+    val src = root.resolve("docs")
+    val sf = "/root/testdata/sf0.001"
+    // stream the real train split; static side = the real bench grams
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter("doc_id % 97 <> 0").select("doc_id", "text")
+      .write.parquet(src.toString)
+    import org.apache.spark.sql.functions._
+    val benchGrams = docs.filter("doc_id % 97 = 0")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(array_distinct(
+        graft.queries.CorpusOps.wordGrams(col("w"), 3))).as("g"))
+      .distinct()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val gate = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.bloomGateStream(stream, benchGrams), "bloom_gate")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_hits"),
+          r.getAs[Boolean]("is_provably_clean")))).toMap
+    // batch exact twin on the same corpus
+    val exact = graft.SparkEntry.queries("decontaminate_ngrams")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated")))).toMap
+    assert(gate.keySet == exact.keySet && gate.nonEmpty)
+    exact.foreach { case (id, (nGrams, nCont)) =>
+      val (gGrams, gHits, clean) = gate(id)
+      assert(gGrams == nGrams, s"doc $id gram count")
+      // upper bound: the bitmap admits every true hit (no false negatives)
+      assert(gHits >= nCont, s"doc $id: bloom hits $gHits < exact $nCont")
+      // one-sided exactness: provably-clean implies exactly clean
+      assert(!clean || nCont == 0L, s"doc $id: flagged clean but contaminated")
+      assert(clean == (gHits == 0L))
+    }
+    // the gate must actually gate: contaminated docs are all bloom-positive,
+    // and at the default width the FP load is tiny, so the verify queue
+    // (bloom-positive set) stays within 2x the truly contaminated set + 1
+    val contaminated = exact.count(_._2._2 >= 1)
+    val queued = gate.count(_._2._2 >= 1)
+    assert(contaminated >= 1)
+    assert(queued >= contaminated && queued <= 2 * contaminated + 1,
+      s"verify queue $queued vs contaminated $contaminated")
+  }
+
   test("decontaminateStream: oversized benchmark set fails the contract, not OOM") {
     val root = Files.createTempDirectory("decontguard")
     val src = root.resolve("docs")
