@@ -807,8 +807,11 @@ object DedupOps {
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
           .as("n_tokens"))
     val wComp = Window.partitionBy(col("component"))
+    // NULLS LAST explicit on both engines: a NULL-text doc has a NULL
+    // token count, and implicit engine defaults for DESC null placement
+    // must not decide the canonical pick
     val wPick = Window.partitionBy(col("component"))
-      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .orderBy(col("n_tokens").desc_nulls_last, col("doc_id"))
     comp.join(toks, "doc_id")
       .withColumn("comp_size", count(lit(1)).over(wComp))
       .withColumn("rk", row_number().over(wPick))
@@ -834,7 +837,7 @@ object DedupOps {
       |  SELECT c.doc_id, c.component, t.n_tokens,
       |    COUNT(*) OVER (PARTITION BY c.component) AS comp_size,
       |    ROW_NUMBER() OVER (PARTITION BY c.component
-      |                       ORDER BY t.n_tokens DESC, c.doc_id) AS rk
+      |                       ORDER BY t.n_tokens DESC NULLS LAST, c.doc_id) AS rk
       |  FROM comp c JOIN toks t USING (doc_id))
       |SELECT doc_id, component, comp_size, n_tokens,
       |  CAST(1 AS DOUBLE) / comp_size AS weight, rk = 1 AS is_kept

@@ -122,10 +122,14 @@ object TextOps {
       nWords.cast("long").as("n_words"),
       milli(nStop, nWords).as("stop_ratio_milli"))
     val wSrc = Window.partitionBy(col("source"))
+    // NULLS LAST explicitly: a NULL-text doc has NULL scores, and Spark's
+    // ASC default is nulls FIRST while DuckDB's is nulls LAST — left
+    // implicit, one NULL doc shifts every rank and the engines pick
+    // different cutoff values (the fuzz-gate divergence class)
     val byStop = Window.partitionBy(col("source"))
-      .orderBy(col("stop_ratio_milli"), col("doc_id"))
+      .orderBy(col("stop_ratio_milli").asc_nulls_last, col("doc_id"))
     val byLen = Window.partitionBy(col("source"))
-      .orderBy(col("n_words"), col("doc_id"))
+      .orderBy(col("n_words").asc_nulls_last, col("doc_id"))
     scored
       .withColumn("n_src", count(lit(1)).over(wSrc))
       // integer ceil(n/10) / ceil(9n/10); `div`, never `/` (double) — and
@@ -159,9 +163,9 @@ object TextOps {
        |  SELECT *,
        |    COUNT(*) OVER (PARTITION BY source) AS n_src,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |                       ORDER BY stop_ratio_milli, doc_id) AS rn_stop,
+       |                       ORDER BY stop_ratio_milli NULLS LAST, doc_id) AS rn_stop,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |                       ORDER BY n_words, doc_id) AS rn_len
+       |                       ORDER BY n_words NULLS LAST, doc_id) AS rn_len
        |  FROM scored),
        |cut AS (
        |  SELECT *,
