@@ -359,6 +359,78 @@ object CorpusOps {
       |FROM e, UNNEST(range(epochs)) t(i)
       |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Vocabulary growth curve per source — the Heaps-law saturation audit
+    * behind "is this source exhausted?": order each source's docs by
+    * doc_id (the ingest proxy), cut them into 10 equal deciles, and count
+    * how many DISTINCT words each decile sees for the FIRST time plus the
+    * running vocabulary size. A source whose n_new_words collapses to
+    * near-zero by decile 3 is saturated boilerplate (upsampling it buys
+    * duplicate n-grams, not coverage); a still-climbing curve justifies
+    * more epochs — the measured input to [[mixUpsample]] /
+    * [[corpusBalanceLangs]] weight decisions.
+    *
+    * Scale shape: the heavy stage is the (source, word) → min(decile)
+    * aggregate — vocabulary-sized with map-side combine, the tfidf/df
+    * family shape. Doc→decile assignment is one doc-granular window per
+    * source (rank by doc_id, integer ((rn−1)·10) div n — never a float
+    * ntile), and the final cumsum runs over ≤ 10·|sources| rows. NULL
+    * sources bucket as ''; NULL texts contribute zero words on both
+    * engines. */
+  private def vocabGrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"), col("text"))
+    val wSrc = Window.partitionBy(col("source"))
+    val byId = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val bucketed = docs
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .withColumn("rn", row_number().over(byId))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_src").cast("int"))
+    val firstSeen = bucketed
+      // break the window's source-partitioning before the word stage: left
+      // in place, Catalyst elides the (source, w) exchange (source alone
+      // already co-locates every (source, w) group) and the WHOLE word
+      // aggregate of a source runs in its one window partition — a
+      // per-source serialization bottleneck at corpus scale. A doc-granular
+      // reshuffle is cheap (docs, not words, move) and restores the tfidf
+      // family shape: map-side-combined partials everywhere, then one
+      // vocabulary-sized (source, w) exchange.
+      .repartition(col("doc_id"))
+      .select(col("source"), col("decile"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(min(col("decile")).as("first_decile"))
+    firstSeen
+      .groupBy(col("source"), col("first_decile").as("decile"))
+      .agg(count(lit(1)).as("n_new_words"))
+      .withColumn("cum_vocab", sum(col("n_new_words")).over(
+        Window.partitionBy(col("source")).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("source", "decile")
+  }
+
+  private val vocabGrowthCurveSql =
+    """WITH d AS (
+      |  SELECT doc_id, COALESCE(source, '') AS source, text,
+      |    COUNT(*) OVER (PARTITION BY COALESCE(source, '')) AS n_src,
+      |    ROW_NUMBER() OVER (PARTITION BY COALESCE(source, '')
+      |                       ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |words AS (
+      |  SELECT source, CAST(((rn - 1) * 10) // n_src AS INT) AS decile, w
+      |  FROM d, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+      |first_seen AS (
+      |  SELECT source, w, MIN(decile) AS first_decile
+      |  FROM words GROUP BY 1, 2),
+      |curve AS (
+      |  SELECT source, first_decile AS decile, COUNT(*) AS n_new_words
+      |  FROM first_seen GROUP BY 1, 2)
+      |SELECT source, decile, n_new_words,
+      |  CAST(SUM(n_new_words) OVER (PARTITION BY source ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM curve ORDER BY source, decile""".stripMargin
+
   /** Corpus composition report — the dataset-card table: per (lang,
     * source) slice, document/token/char volumes and each slice's milli
     * share of the corpus by documents and by tokens. One map-side-
@@ -690,5 +762,6 @@ object CorpusOps {
     Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),
     Q("mix_upsample", mixUpsample, Some(mixUpsampleSql)),
-    Q("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)))
+    Q("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)),
+    Q("vocab_growth_curve", vocabGrowthCurve, Some(vocabGrowthCurveSql)))
 }

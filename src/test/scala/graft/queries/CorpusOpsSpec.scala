@@ -140,6 +140,33 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bloom.log2bits")
   }
 
+  test("vocab_growth_curve: saturating vs growing sources, decile cuts, running vocab") {
+    val d = java.nio.file.Files.createTempDirectory("vocabgrowth").toString
+    import spark.implicits._
+    // source SAT: 20 docs all drawn from the same 3-word vocabulary —
+    // every word is first seen in decile 0, the curve flatlines.
+    // source GROW: 20 docs, doc i introduces the fresh word w<i> (plus
+    // the shared word "base") — every decile contributes exactly 2 new
+    // words (2 docs per decile) except decile 0 which also debuts "base".
+    val rows =
+      (0 until 20).map(i => (i.toLong, "tok alpha beta", "en", "SAT", 0L)) ++
+      (0 until 20).map(i => (100L + i, s"base w$i", "en", "GROW", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("vocab_growth_curve")(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("decile")) ->
+        ((r.getAs[Long]("n_new_words"), r.getAs[Long]("cum_vocab")))).toMap
+    // SAT: one row — all 3 words debut in decile 0, nothing after
+    assert(out(("SAT", 0)) == ((3L, 3L)))
+    assert(!out.contains(("SAT", 1)) && !out.contains(("SAT", 9)))
+    // GROW: decile 0 debuts base + w0 + w1 = 3; every later decile adds 2
+    assert(out(("GROW", 0)) == ((3L, 3L)))
+    (1 until 10).foreach { dec =>
+      assert(out(("GROW", dec))._1 == 2L, s"decile $dec")
+    }
+    assert(out(("GROW", 9)) == ((2L, 21L))) // 1 + 20 distinct words total
+  }
+
   test("corpus_balance_langs: integer-coin keep rule, dominant lang sampled down") {
     val d = java.nio.file.Files.createTempDirectory("balance").toString
     import spark.implicits._
