@@ -444,7 +444,13 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  private val simhashNeardupPairsSql = {
+  /** The sx_* WITH-chain of the SimHash oracle (sampled universe, 64-bit
+    * signature as 4 bands, band-bucket candidate join) plus the hamming
+    * expression over `ba`/`bb` band aliases — shared verbatim by
+    * [[simhashNeardupPairsSql]] and [[dedupTierAgreementSql]] so the two
+    * oracles can never drift. CTE names are sx_-prefixed so the chain
+    * composes with [[ccEdgesSqlCtes]] (which owns `bands`/`cand`/`sh`). */
+  private val simhashSqlCtes: String = {
     val digitDefs = (0 until 16).map(i =>
       s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(",\n    ")
     val sumDefs = (0 until 64).map(j =>
@@ -454,28 +460,31 @@ object DedupOps {
         s"(CASE WHEN s${16 * m + k} >= 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ") +
         s") AS b$m"
     }.mkString(",\n  ")
-    val hamming = (0 until 4).map(m =>
-      s"bit_count(xor(CAST(ba.b$m AS BIGINT), CAST(bb.b$m AS BIGINT)))").mkString("\n  + ")
-    s"""WITH w AS (SELECT DISTINCT doc_id, s AS w
-       |           FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) d,
-       |                UNNEST(string_split(text,' ')) t(s)),
-       |digits AS (SELECT doc_id, $digitDefs FROM (SELECT doc_id, md5(w) h FROM w)),
-       |sums AS (SELECT doc_id, $sumDefs FROM digits GROUP BY doc_id),
-       |bands AS (SELECT doc_id, $bandDefs FROM sums),
-       |long AS (
-       |  SELECT doc_id, 0 AS band, b0 AS v FROM bands
-       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
-       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
-       |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
-       |cand AS (
+    s"""sx_w AS (SELECT DISTINCT doc_id, s AS w
+       |         FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) sx_d,
+       |              UNNEST(string_split(text,' ')) t(s)),
+       |sx_digits AS (SELECT doc_id, $digitDefs FROM (SELECT doc_id, md5(w) h FROM sx_w)),
+       |sx_sums AS (SELECT doc_id, $sumDefs FROM sx_digits GROUP BY doc_id),
+       |sx_bands AS (SELECT doc_id, $bandDefs FROM sx_sums),
+       |sx_long AS (
+       |  SELECT doc_id, 0 AS band, b0 AS v FROM sx_bands
+       |  UNION ALL SELECT doc_id, 1, b1 FROM sx_bands
+       |  UNION ALL SELECT doc_id, 2, b2 FROM sx_bands
+       |  UNION ALL SELECT doc_id, 3, b3 FROM sx_bands),
+       |sx_cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM long a JOIN long b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-       |SELECT c.a_id, c.b_id,
-       |  CAST($hamming AS BIGINT) AS hamming,
-       |  ($hamming) <= 12 AS is_neardup
-       |FROM cand c JOIN bands ba ON ba.doc_id = c.a_id JOIN bands bb ON bb.doc_id = c.b_id
-       |ORDER BY a_id, b_id""".stripMargin
+       |  FROM sx_long a JOIN sx_long b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
   }
+  private val simhashHammingSql: String = (0 until 4).map(m =>
+    s"bit_count(xor(CAST(ba.b$m AS BIGINT), CAST(bb.b$m AS BIGINT)))").mkString("\n  + ")
+
+  private val simhashNeardupPairsSql =
+    s"""WITH $simhashSqlCtes
+       |SELECT c.a_id, c.b_id,
+       |  CAST($simhashHammingSql AS BIGINT) AS hamming,
+       |  ($simhashHammingSql) <= 12 AS is_neardup
+       |FROM sx_cand c JOIN sx_bands ba ON ba.doc_id = c.a_id JOIN sx_bands bb ON bb.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Per-bucket candidate cap for connected-components edge discovery: a
     * (band, band_sig) bucket larger than this is dropped from the candidate
@@ -762,6 +771,55 @@ object DedupOps {
       |  source_lo <> source_hi AS is_cross
       |FROM pairs GROUP BY 1, 2
       |ORDER BY source_lo, source_hi""".stripMargin
+
+  /** Dedup-tier agreement matrix: of the near-dup PAIRS the two text tiers
+    * find on the SAME sampled universe — MinHash-banded candidates verified
+    * at word-set Jaccard ≥ 0.5 (the CC edge relation) vs SimHash band
+    * candidates at hamming ≤ 12 — how many does each tier see that the
+    * other misses? The 2×2 count table (both / minhash-only /
+    * simhash-only) is the threshold-calibration report a 100 TB dedup run
+    * computes on a sample BEFORE committing to a tier: heavy
+    * minhash-only mass means simhash's hamming cut is too strict for this
+    * corpus (or its 16-bit bands under-candidate), heavy simhash-only
+    * mass means bag-of-words Jaccard is blind to the reorderings simhash
+    * tolerates. Complements the recall audits ([[lsh_recall_audit]]
+    * measures banding vs exact Jaccard; this measures tier vs tier).
+    *
+    * Scale shape: the MinHash side is the session-cached checkpointed CC
+    * edge relation (paid once across connected_components /
+    * cross_source_leakage / soft_dedup_weights / this); the SimHash side
+    * is the standard banded pass; the full-outer join is pair-count-sized
+    * and the output is ≤ 3 rows. */
+  private def dedupTierAgreement(s: SparkSession, dir: String): DataFrame = {
+    val mh = ccEdges(s, dir)
+      .select(col("a_id"), col("b_id"), lit(true).as("mh"))
+    val sx = simhashNeardupPairs(s, dir).filter(col("is_neardup"))
+      .select(col("a_id"), col("b_id"), lit(true).as("sx"))
+    mh.join(sx, Seq("a_id", "b_id"), "full_outer")
+      .select(coalesce(col("mh"), lit(false)).as("in_minhash"),
+        coalesce(col("sx"), lit(false)).as("in_simhash"))
+      .groupBy("in_minhash", "in_simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_minhash", "in_simhash")
+  }
+
+  private val dedupTierAgreementSql =
+    s"""WITH $ccEdgesSqlCtes,
+      |$simhashSqlCtes,
+      |sx_pairs AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM sx_cand c JOIN sx_bands ba ON ba.doc_id = c.a_id
+      |                 JOIN sx_bands bb ON bb.doc_id = c.b_id
+      |  WHERE ($simhashHammingSql) <= 12),
+      |flags AS (
+      |  SELECT COALESCE(m.ok, FALSE) AS in_minhash,
+      |         COALESCE(s.ok, FALSE) AS in_simhash
+      |  FROM (SELECT a_id, b_id, TRUE AS ok FROM edges0) m
+      |  FULL JOIN (SELECT a_id, b_id, TRUE AS ok FROM sx_pairs) s
+      |    USING (a_id, b_id))
+      |SELECT in_minhash, in_simhash, COUNT(*) AS n_pairs
+      |FROM flags GROUP BY 1, 2
+      |ORDER BY in_minhash, in_simhash""".stripMargin
 
   private val connectedComponentsSql = {
     s"""WITH RECURSIVE $ccEdgesSqlCtes,
@@ -1287,6 +1345,7 @@ object DedupOps {
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
     Q("soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
+    Q("dedup_tier_agreement", dedupTierAgreement, Some(dedupTierAgreementSql)),
     Q("lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("simhash_neardup_pairs", simhashNeardupPairs, Some(simhashNeardupPairsSql)))

@@ -190,6 +190,42 @@ class DedupOpsSpec extends SparkSpec {
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("dedup_tier_agreement: planted both-tier pair, conservation vs the public tier queries") {
+    val dir = java.nio.file.Files.createTempDirectory("tieragree").toString
+    import spark.implicits._
+    // 10↔20 word-PERMUTED: identical word sets → every MinHash band shared
+    // and J = 1 (edge), and identical distinct-word SimHash signatures →
+    // hamming 0 (pair). 30 and 50 share nothing with anyone; 15 is outside
+    // the sampled universe.
+    Seq(
+      (10L, "alpha beta gamma delta", "srcA"),
+      (20L, "delta gamma beta alpha", "srcB"),
+      (30L, "completely different things entirely", "srcA"),
+      (50L, "words nothing shared whatsoever", "srcA"),
+      (15L, "alpha beta gamma delta", "srcB"))
+      .map { case (id, t, src) => (id, t, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_tier_agreement")(spark, dir).collect()
+      .map(r => (r.getAs[Boolean]("in_minhash"), r.getAs[Boolean]("in_simhash")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(got == Map((true, true) -> 1L))
+
+    // conservation on real data: the matrix's marginals must equal the two
+    // public tier queries' own pair counts (same universe, same caps)
+    val sf = "/root/testdata/sf0.001"
+    val matrix = SparkEntry.queries("dedup_tier_agreement")(spark, sf).collect()
+      .map(r => (r.getAs[Boolean]("in_minhash"), r.getAs[Boolean]("in_simhash")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(!matrix.contains((false, false)))
+    val simhashTotal = SparkEntry.queries("simhash_neardup_pairs")(spark, sf)
+      .filter("is_neardup").count()
+    assert(matrix.filter(_._1._2).values.sum == simhashTotal)
+    val minhashTotal = SparkEntry.queries("cross_source_leakage")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(matrix.filter(_._1._1).values.sum == minhashTotal)
+  }
+
   test("dup_cluster_stats: planted cluster sizes land in the right log2 buckets") {
     val dir = java.nio.file.Files.createTempDirectory("dupstats").toString
     import spark.implicits._
