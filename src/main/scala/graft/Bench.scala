@@ -103,6 +103,24 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_last_run.json: $e")
     }
     spark.stop()
+    // The harness records only the LAST 2000 chars of this process's output
+    // (BENCH_r09.json: "tail" len 2000, "parsed": null — the full per-query
+    // line is ~3.6 KB at 131 queries, so its head fell outside the window
+    // and nothing parsed). Emit a SHORT self-contained JSON line as the
+    // final stdout — same shape ("metric"/"value"/"unit"/"queries"/"sf"),
+    // queries trimmed to the slowest 25 plus every failure, seconds at 3 dp
+    // — sized to fit the window with room for sbt's closing lines. The full
+    // record stays in the long line above and BENCH_last_run.json.
+    val headline = results
+      .sortBy { case (_, v) => (v >= 0, -math.abs(v)) } // failures first, then slowest
+      .take(25).sortBy(_._1)
+      // Double.toString, not %f: %f is default-locale (a comma decimal
+      // separator would corrupt the JSON); Double.toString is always '.'
+      .map { case (k, v) =>
+        s""""$k":${math.round(v * 1000.0) / 1000.0}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"failed":$failed,"n_queries":${results.size},"queries_shown":${math.min(25, results.size)},"full":"BENCH_last_run.json","sf":${graft.tools.ScaleCheck.jsonString(sfDir)}}""")
+    System.out.flush()
     if (failed > 0) sys.exit(1)
   }
 }

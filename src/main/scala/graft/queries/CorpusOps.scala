@@ -95,11 +95,20 @@ object CorpusOps {
     * count, FPR ≈ (k·n/m)^k ≈ 1e-8 there. A deployment sizes this to its
     * eval set: ~1e8 eval grams want 2^30 bits = 128 MiB (still one
     * broadcast; beyond that, shard the eval set and run the gate per
-    * shard). Session conf `graft.bloom.log2bits` overrides. */
+    * shard). Session conf `graft.bloom.log2bits` overrides; values outside
+    * [6, 62] are rejected loudly — `1L << b` wraps mod 64 in Scala, so an
+    * unchecked 63+ would silently yield a negative/degenerate modulus (and
+    * pmod against it negative bit positions) instead of a wider bitmap. */
   val bloomLog2BitsDefault = 20
-  def bloomLog2Bits(s: SparkSession): Int =
-    s.conf.getOption("graft.bloom.log2bits").map(_.toInt)
+  def bloomLog2Bits(s: SparkSession): Int = {
+    val b = s.conf.getOption("graft.bloom.log2bits").map(_.toInt)
       .getOrElse(bloomLog2BitsDefault)
+    require(b >= 6 && b <= 62,
+      s"graft.bloom.log2bits=$b out of range [6, 62]: the bitmap width is " +
+        "1L << b, which wraps (shifts are mod 64) at 63+ and degenerates " +
+        "below one 64-bit word at <6")
+    b
+  }
 
   /** The k position expressions of a gram in a 2^log2m-bit bloom bitmap —
     * THE single definition of the bloom hash scheme, shared by the batch

@@ -583,16 +583,30 @@ object DedupOps {
   private val ccLabelCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
-  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    ccLabelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val key = (s, dir, maxCcBucket(s))
-    ccLabelCache.getOrElseUpdate(key, {
-      ccLabelCache.keys
-        .filter(k => k._1 == s && k._2 == dir && k != key)
-        .foreach(ccLabelCache.remove)
-      ccLabelsUncached(s, dir)
-    })
-  }
+  /** Guards the two caches below whose miss path RUNS SPARK JOBS (the CC
+    * fixpoint / edge checkpoint): without it, two concurrent first callers
+    * would both pay the full compute and leak one checkpoint's blocks until
+    * the ContextCleaner collects them. synchronized is reentrant, so
+    * ccLabels → ccEdges nesting under the one lock is fine; the lazy-persist
+    * caches ([[Util.cachedRelation]], lshCache) stay lock-free because their
+    * miss path only CONSTRUCTS a plan — a double build there is a no-op race.
+    * Staleness contract (both caches): entries are keyed on (session, dir,
+    * cap); if the DATA under dir is regenerated mid-session the cached
+    * relation is stale by design — same contract as Spark's own table cache
+    * over external files. The driver starts a fresh session per round, so
+    * regeneration between rounds never hits a warm cache. */
+  private val ccComputeLock = new Object
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ccComputeLock.synchronized {
+      ccLabelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      val key = (s, dir, maxCcBucket(s))
+      ccLabelCache.getOrElseUpdate(key, {
+        ccLabelCache.keys
+          .filter(k => k._1 == s && k._2 == dir && k != key)
+          .foreach(ccLabelCache.remove)
+        ccLabelsUncached(s, dir)
+      })
+    }
   private def ccLabelsUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     val edges0 = ccEdges(s, dir) // session-cached checkpoint; bl released inside
@@ -724,19 +738,20 @@ object DedupOps {
   private val ccEdgeCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
-  private def ccEdges(s: SparkSession, dir: String): DataFrame = {
-    ccEdgeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val key = (s, dir, maxCcBucket(s))
-    ccEdgeCache.getOrElseUpdate(key, {
-      ccEdgeCache.keys
-        .filter(k => k._1 == s && k._2 == dir && k != key)
-        .foreach(ccEdgeCache.remove)
-      val (bl, edges0) = ccEdgeDiscovery(s, dir)
-      val edges = edges0.localCheckpoint()
-      bl.unpersist()
-      edges
-    })
-  }
+  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+    ccComputeLock.synchronized {
+      ccEdgeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      val key = (s, dir, maxCcBucket(s))
+      ccEdgeCache.getOrElseUpdate(key, {
+        ccEdgeCache.keys
+          .filter(k => k._1 == s && k._2 == dir && k != key)
+          .foreach(ccEdgeCache.remove)
+        val (bl, edges0) = ccEdgeDiscovery(s, dir)
+        val edges = edges0.localCheckpoint()
+        bl.unpersist()
+        edges
+      })
+    }
 
   private def crossSourceLeakage(s: SparkSession, dir: String): DataFrame = {
     val edges = ccEdges(s, dir)

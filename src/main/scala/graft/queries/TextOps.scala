@@ -131,11 +131,19 @@ object TextOps {
     val byLen = Window.partitionBy(col("source"))
       .orderBy(col("n_words").asc_nulls_last, col("doc_id"))
     scored
-      .withColumn("n_src", count(lit(1)).over(wSrc))
+      // rank positions over the NON-NULL-scored docs per dimension
+      // (count(col) skips NULLs): with NULLS LAST, ranks 1..n_nonnull are
+      // exactly the scored docs, so the selected cutoff value can never be
+      // NULL while any scored doc exists — a NULL-text-heavy source used to
+      // lose its whole verdict column when ceil(9n/10) landed in the NULL
+      // tail. An all-NULL source still yields NULL cutoffs (pos = 0 matches
+      // no rank): there is genuinely nothing to calibrate on.
+      .withColumn("n_stop_src", count(col("stop_ratio_milli")).over(wSrc))
+      .withColumn("n_len_src", count(col("n_words")).over(wSrc))
       // integer ceil(n/10) / ceil(9n/10); `div`, never `/` (double) — and
       // `div` vs DuckDB `//` agree here because operands are positive
-      .withColumn("pos_lo", expr("(n_src + 9) div 10"))
-      .withColumn("pos_hi", expr("(n_src * 9 + 9) div 10"))
+      .withColumn("pos_lo", expr("(n_stop_src + 9) div 10"))
+      .withColumn("pos_hi", expr("(n_len_src * 9 + 9) div 10"))
       .withColumn("rn_stop", row_number().over(byStop))
       .withColumn("rn_len", row_number().over(byLen))
       .withColumn("stop_cutoff",
@@ -161,7 +169,8 @@ object TextOps {
        |  FROM documents),
        |ranked AS (
        |  SELECT *,
-       |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+       |    COUNT(stop_ratio_milli) OVER (PARTITION BY source) AS n_stop_src,
+       |    COUNT(n_words) OVER (PARTITION BY source) AS n_len_src,
        |    ROW_NUMBER() OVER (PARTITION BY source
        |                       ORDER BY stop_ratio_milli NULLS LAST, doc_id) AS rn_stop,
        |    ROW_NUMBER() OVER (PARTITION BY source
@@ -169,10 +178,10 @@ object TextOps {
        |  FROM scored),
        |cut AS (
        |  SELECT *,
-       |    MAX(CASE WHEN rn_stop = (n_src + 9) // 10
+       |    MAX(CASE WHEN rn_stop = (n_stop_src + 9) // 10
        |             THEN stop_ratio_milli END)
        |      OVER (PARTITION BY source) AS stop_cutoff,
-       |    MAX(CASE WHEN rn_len = (n_src * 9 + 9) // 10
+       |    MAX(CASE WHEN rn_len = (n_len_src * 9 + 9) // 10
        |             THEN n_words END)
        |      OVER (PARTITION BY source) AS words_cap
        |  FROM ranked)

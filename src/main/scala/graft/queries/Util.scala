@@ -116,7 +116,15 @@ object Util {
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
+        case org.apache.spark.sql.types.TimestampType => df // already LTZ
+        case other =>
+          // a THIRD layout (INT96, isAdjustedToUTC=true micros decoding
+          // differently, a future writer change) must fail loudly here —
+          // silently skipping normalization is exactly the
+          // shifted-wall-clock failure this sniff exists to prevent
+          throw new IllegalStateException(
+            s"events.ts decoded as unexpected type $other; " +
+              "extend Util.t's layout sniff for this testdata generation")
       }
     } else s.read.parquet(s"$dir/$name.parquet")
   }

@@ -147,13 +147,23 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(clean == (gHits == 0L))
     }
     // the gate must actually gate: contaminated docs are all bloom-positive,
-    // and at the default width the FP load is tiny, so the verify queue
-    // (bloom-positive set) stays within 2x the truly contaminated set + 1
+    // and the false-positive surplus is bounded from the BITMAP PARAMETERS,
+    // not from this generation's data shape: per-gram FPR ≈ (k·n/m)^k, each
+    // clean doc queues iff ANY of its grams false-positives, so expected FP
+    // docs ≤ (total train gram probes)·p. 100× that expectation plus a
+    // +3 floor makes the bound generation-proof (a regenerated corpus only
+    // moves n and the probe count, which the bound tracks) while still
+    // catching a broken gate, which queues O(corpus) docs.
     val contaminated = exact.count(_._2._2 >= 1)
     val queued = gate.count(_._2._2 >= 1)
+    val nBench = benchGrams.count().toDouble
+    val m = (1L << graft.queries.CorpusOps.bloomLog2Bits(spark)).toDouble
+    val perGramFpr = math.pow(4.0 * nBench / m, 4.0) // k = 4 hash probes
+    val totalProbes = exact.values.map(_._1).sum.toDouble
+    val fpBudget = 3L + math.ceil(100.0 * totalProbes * perGramFpr).toLong
     assert(contaminated >= 1)
-    assert(queued >= contaminated && queued <= 2 * contaminated + 1,
-      s"verify queue $queued vs contaminated $contaminated")
+    assert(queued >= contaminated && queued <= contaminated + fpBudget,
+      s"verify queue $queued vs contaminated $contaminated (fp budget $fpBudget)")
   }
 
   test("decontaminateStream: oversized benchmark set fails the contract, not OOM") {
