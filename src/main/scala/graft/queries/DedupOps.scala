@@ -390,7 +390,20 @@ object DedupOps {
     * Scale shape: band bucketing is the same "join on bucket" discipline
     * as MinHash-LSH; verification touches candidates only; popcount is a
     * codegen'd integer op. */
-  private def simhashNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def simhashNeardupPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsRel(s, dir).orderBy("a_id", "b_id")
+
+  /** The verified SimHash pair relation behind [[simhashNeardupPairs]] AND
+    * [[dedupTierAgreement]], session-cached via [[Util.cachedRelation]]
+    * (keyed on the bucket cap): the agreement matrix used to RECOMPUTE the
+    * whole banded pass while the MinHash side rode the cached ccEdges —
+    * asymmetric at scale. Now both tiers pay their pair discovery once per
+    * session. Unordered — each consumer adds its own ordering. */
+  private def simhashPairsRel(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "simhashNeardupPairs",
+      s"bucket=${maxSimhashBucket(s)}")(simhashPairsUncached(s, dir))
+
+  private def simhashPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sums = simhashSums(
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
     val bandCols = (0 until 4).map { m =>
@@ -441,7 +454,6 @@ object DedupOps {
         .reduce((a: Column, b: Column) => a + b).cast("long"))
       .select(col("a_id"), col("b_id"), col("hamming"),
         (col("hamming") <= 12).as("is_neardup"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The sx_* WITH-chain of the SimHash oracle (sampled universe, 64-bit
@@ -609,7 +621,19 @@ object DedupOps {
     }
   private def ccLabelsUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val edges0 = ccEdges(s, dir) // session-cached checkpoint; bl released inside
+    // session-cached checkpoint; bl released inside ccEdges
+    ccFixpointLoop(docs.select(col("doc_id").as("node")), ccEdges(s, dir))
+  }
+
+  /** The min-label-propagation fixpoint itself, factored from the graph it
+    * runs on: `nodes` is one LongType column `node`, `edges0` an undirected
+    * (a_id, b_id) pair relation. Returns converged (node, label) where label
+    * = MIN node id reachable from `node` — the unique fixpoint, independent
+    * of execution order. Runs on the FULL graph for [[ccLabels]] and on the
+    * increment-sized contracted graph for [[ccIncremental]]; cost is
+    * O(|edges| log diameter) either way, which is exactly why the
+    * incremental path contracts first. */
+  private def ccFixpointLoop(nodes: DataFrame, edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint() // iterations re-join this directed form
@@ -625,7 +649,7 @@ object DedupOps {
           r.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     // coalesce: sum over zero rows is null (empty node set must return an
     // empty result, not NPE)
@@ -803,12 +827,14 @@ object DedupOps {
     * Scale shape: the MinHash side is the session-cached checkpointed CC
     * edge relation (paid once across connected_components /
     * cross_source_leakage / soft_dedup_weights / this); the SimHash side
-    * is the standard banded pass; the full-outer join is pair-count-sized
-    * and the output is ≤ 3 rows. */
+    * is the session-cached [[simhashPairsRel]] shared with
+    * `simhash_neardup_pairs` — both tiers' pair discovery is paid once per
+    * session; the full-outer join is pair-count-sized and the output is
+    * ≤ 3 rows. */
   private def dedupTierAgreement(s: SparkSession, dir: String): DataFrame = {
     val mh = ccEdges(s, dir)
       .select(col("a_id"), col("b_id"), lit(true).as("mh"))
-    val sx = simhashNeardupPairs(s, dir).filter(col("is_neardup"))
+    val sx = simhashPairsRel(s, dir).filter(col("is_neardup"))
       .select(col("a_id"), col("b_id"), lit(true).as("sx"))
     mh.join(sx, Seq("a_id", "b_id"), "full_outer")
       .select(coalesce(col("mh"), lit(false)).as("in_minhash"),
@@ -916,6 +942,128 @@ object DedupOps {
       |  CAST(1 AS DOUBLE) / comp_size AS weight, rk = 1 AS is_kept
       |FROM j ORDER BY doc_id""".stripMargin
   }
+
+  /** Labels of the ESTABLISHED corpus for [[ccIncremental]] — the CC
+    * fixpoint over the base slice only (sampled universe minus the
+    * doc_id % 50 == 0 increment), session-cached like [[ccLabels]]: this is
+    * the state a continuously-ingesting deployment would already HOLD from
+    * the previous run, so the incremental query pays it at most once per
+    * session and each subsequent increment pays only the merge. */
+  private val ccBaseLabelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+  private def ccBaseLabels(s: SparkSession, dir: String): DataFrame =
+    ccComputeLock.synchronized {
+      ccBaseLabelCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      val key = (s, dir, maxCcBucket(s))
+      ccBaseLabelCache.getOrElseUpdate(key, {
+        ccBaseLabelCache.keys
+          .filter(k => k._1 == s && k._2 == dir && k != key)
+          .foreach(ccBaseLabelCache.remove)
+        val baseDocs = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") % 50 =!= 0)
+        val baseEdges = ccEdges(s, dir)
+          .filter(col("a_id") % 50 =!= 0 && col("b_id") % 50 =!= 0)
+        ccFixpointLoop(baseDocs.select(col("doc_id").as("node")), baseEdges)
+      })
+    }
+
+  /** Incremental connected-components maintenance — the last batch-only
+    * dedup stage made incremental. The exact/near tiers already have a
+    * per-increment-cost path ([[dedupIncremental]]); this closes CC: merge
+    * an increment (doc_id % 50 == 0, a fifth of the sampled universe,
+    * standing in for "this batch's crawl") into EXISTING component labels
+    * ([[ccBaseLabels]], the state held from the previous run) without
+    * re-running the full fixpoint. The reference's own operating mode is
+    * exactly this cadence — 2-hourly incremental batches
+    * (reference README.md:107-110) — so a 100 TB deployment of the dedup
+    * stage re-pays the fixpoint per SNAPSHOT today; this query re-pays only
+    * per INCREMENT.
+    *
+    * Algorithm (label contraction): (1) new edges = band-index candidates
+    * with ≥ 1 increment endpoint (the maintained band index serves these as
+    * an increment-keyed bucket join — corpus-side bands are precomputed
+    * state, as in [[dedupIncremental]]); (2) CONTRACT each new edge's
+    * endpoints to their current labels (base label for corpus nodes, own id
+    * for increment nodes) — every base component collapses to one
+    * supernode, so the graph the fixpoint sees is increment-sized:
+    * O(inc edges) vertices, never O(corpus); (3) run the SAME
+    * [[ccFixpointLoop]] on that contracted graph (frontier-only
+    * propagation: only components the increment touches participate);
+    * (4) compose final(node) = merged(cur(node)), labels of untouched
+    * components pass through unchanged.
+    *
+    * Correctness: base labels are the MIN id of each base component;
+    * contracted-fixpoint labels are the min over every label/id reachable
+    * through new edges; composition therefore yields the min id of each
+    * MERGED component — definitionally identical to the full recompute,
+    * which is exactly what the oracle runs (full recursive closure over
+    * corpus + increment; the hash compare proves the merge path equals the
+    * recompute). Bucket caps ([[maxCcBucket]]) are evaluated on the full
+    * band relation in both paths, so the edge universes agree by
+    * construction.
+    *
+    * Scale shape: one filtered pass over the cached edge checkpoint, two
+    * label-keyed joins (corpus side is the thin (node, label) relation),
+    * a fixpoint over the contracted graph (increment-sized; its O(log d)
+    * rounds touch only merged supernodes), one label-keyed backfill join,
+    * one window for comp_size. SCALECHECK measures the warm-state marginal
+    * cost at 10×/100×. */
+  private def ccIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isInc = (c: Column) => c % 50 === 0
+    val base = ccBaseLabels(s, dir) // held state: labels of the old corpus
+    val edges = ccEdges(s, dir) // maintained band index: full candidate set
+    val incEdges = edges.filter(isInc(col("a_id")) || isInc(col("b_id")))
+    val la = base.select(col("node").as("a_id"), col("label").as("la"))
+    val lb = base.select(col("node").as("b_id"), col("label").as("lb"))
+    val contracted = incEdges
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    // isolated increment docs still need a label (their own id): they are
+    // supernodes with no incident contracted edge
+    val incNodes = t(s, dir, "documents").filter(isInc(col("doc_id")))
+      .select(col("doc_id").as("node"))
+    val superNodes = contracted.select(col("a_id").as("node"))
+      .unionByName(contracted.select(col("b_id").as("node")))
+      .unionByName(incNodes).distinct()
+    val merged = ccFixpointLoop(superNodes, contracted)
+      .select(col("node").as("cur"), col("label").as("merged"))
+    val allDocs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+    // current label: base label for corpus nodes, own id for increment docs
+    val cur = allDocs
+      .join(base.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cur"))
+    cur.join(merged, Seq("cur"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("cur")).as("component"),
+        isInc(col("doc_id")).as("is_increment"))
+      .withColumn("comp_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select("doc_id", "component", "comp_size", "is_increment")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle = the FULL recompute over corpus + increment: if the merge path
+    * is correct it is indistinguishable from re-running CC from scratch,
+    * and the hash compare enforces exactly that. */
+  private val ccIncrementalSql =
+    s"""WITH RECURSIVE $ccEdgesSqlCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
+      |          UNION ALL SELECT b_id, a_id FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM d
+      |  UNION
+      |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT doc_id, component,
+      |  COUNT(*) OVER (PARTITION BY component) AS comp_size,
+      |  doc_id % 50 = 0 AS is_increment
+      |FROM (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+      |ORDER BY doc_id""".stripMargin
 
   /** Incremental-ingest dedup — the operational shape at 100 TB: classify
     * each INCREMENT doc (the doc_id % 10 == 0 slice, standing in for
@@ -1041,20 +1189,23 @@ object DedupOps {
     *
     * Shape: identical to the Jaccard plan — trigram shingle equi-join
     * (never all-pairs), the df-cap applied consistently to intersections
-    * AND set sizes, the capped shingle relation persisted across its three
-    * consumers. Runs the FULL corpus (no %10 sample — containment pairs
+    * AND set sizes. Runs the FULL corpus (no %10 sample — containment pairs
     * are rare and the sample misses them); the ≥ 500 milli emit threshold
-    * keeps the output candidate-sized. */
+    * keeps the output candidate-sized.
+    *
+    * The shingle+df relation is the SHARED [[rankedShingles]] cache (same
+    * metric name as the prefix family): a session running this query as
+    * the comparison baseline next to `containment_prefix_pairs` /
+    * `jaccard_prefix_pairs` builds shingle+df ONCE — the rnk/n window
+    * columns this plan doesn't need ride along for free, and the df cap
+    * (keyed into the cache) is identical by construction. Its role as the
+    * UNOPTIMIZED twin is unchanged: the quadratic equi-join below is
+    * deliberate — the prefix query is the scale path. */
   private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val sh = trigramShingles(docs)
-    val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val okSh = withDropMetric(s, shDf, "graft_drop_containment_shingle",
-        sum(when(col("df") > maxTokenDf(s), 1L).otherwise(0L)))
-      .filter(col("df") <= maxTokenDf(s))
-      .select(col("sh"))
-    val shOk = sh.join(okSh, Seq("sh"), "left_semi").persist()
-    val sizes = shOk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ranked = rankedShingles(s, dir, "graft_drop_prefix_shingle")
+    val shOk = ranked.select(col("doc_id"), col("sh"))
+    // n is the capped per-doc set size, constant within doc_id
+    val sizes = ranked.select(col("doc_id"), col("n")).distinct()
     val a = shOk.as("a"); val b = shOk.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
       col("a.doc_id") < col("b.doc_id"))
@@ -1358,6 +1509,7 @@ object DedupOps {
     Q("dedup_minhash_clusters", dedupMinhashClusters, Some(dedupMinhashClustersSql)),
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
+    Q("cc_incremental", ccIncremental, Some(ccIncrementalSql)),
     Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
     Q("soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     Q("dedup_tier_agreement", dedupTierAgreement, Some(dedupTierAgreementSql)),
