@@ -838,6 +838,123 @@ object TextOps {
       |FROM p GROUP BY pair
       |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin
 
+  /** BPE tokenizer training, k = 8 ACTUAL merge rounds — the iterative
+    * loop [[bpePairStats]] is the first candidate table of: per round,
+    * count adjacent symbol pairs over the DISTINCT VOCABULARY (each row
+    * one word carrying its corpus frequency), pick the global argmax
+    * (count desc, pair asc — the LIMIT-1 boundary is deterministic), apply
+    * the merge greedily left-to-right inside every word, recount. Output =
+    * the merge table a tokenizer trainer ships: (round, left, right,
+    * merged, pair_count-at-selection).
+    *
+    * The greedy merge is ONE string fold shared semantically with the
+    * oracle: symbols ride as a '·'-joined string (base symbols are [a-z]
+    * chars, so the separator can never occur inside a symbol), and
+    * "replace trailing symbol l + incoming r by lr" is literal
+    * concatenation — append r without a separator. Both engines run the
+    * identical fold (Spark `aggregate`, DuckDB `list_reduce`), so merge
+    * application can't drift even on overlap chains (a·a·a·a + (a,a) →
+    * aa·aa, never aa·a·a).
+    *
+    * Scale shape: the token-scale work is ONE map-side-combining word
+    * count (same as [[bpePairStats]]); every round after that touches
+    * |vocab| rows — pair explode + hash agg + map-only fold — and the
+    * state checkpoint is released generation-by-generation like the CC
+    * loop. The per-round argmax is a driver-side 1-ROW action (the same
+    * bounded-scalar class as the CC convergence check): a real BPE
+    * trainer's global argmax, k times. At 100 TB vocab ≪ tokens under
+    * any zipfian corpus, so rounds cost vocabulary-, not corpus-, scale.
+    * Reference: the reference tokenizes with a fixed external vocab; this
+    * is the training loop that PRODUCES such a vocab from the corpus. */
+  private val bpeMergeRoundsK = 8
+  private def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    var vocab = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        array_join(expr("regexp_extract_all(word, '.', 0)"), "·").as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= bpeMergeRoundsK && !exhausted) {
+      val syms = split(col("s"), "·")
+      val top = vocab
+        .select(col("freq"), syms.as("a"))
+        .select(col("freq"), col("a"), explode(expr(
+          "if(size(a) > 1, sequence(1, size(a) - 1), array_repeat(1, 0))"))
+          .as("i"))
+        .select(element_at(col("a"), col("i")).as("l"),
+          element_at(col("a"), col("i") + 1).as("r"), col("freq"))
+        .groupBy("l", "r").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .take(1)
+      if (top.isEmpty) exhausted = true // every word fused to one symbol
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, cnt))
+        val folded = aggregate(syms, lit(""), (acc, x) =>
+          when(acc === "", x)
+            .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
+              x === lit(r), concat(acc, x))
+            .otherwise(concat(acc, lit("·"), x)))
+        val next = vocab.select(col("freq"), folded.as("s")).localCheckpoint()
+        release(vocab)
+        vocab = next
+        round += 1
+      }
+    }
+    release(vocab)
+    merges.toSeq
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** Unrolled-CTE twin (the [[pagerankLinksSql]] pattern): k rounds of
+    * (pair count → argmax → list_reduce merge fold), chained v0 → v8. */
+  private val bpeMergeRoundsSql = {
+    val v0 =
+      """v0 AS (
+        |  SELECT freq, array_to_string(regexp_extract_all(word, '.'), '·') AS s
+        |  FROM (SELECT word, COUNT(*) AS freq FROM (
+        |          SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |        WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+        |        GROUP BY word))""".stripMargin
+    val rounds = (1 to 8).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+         |  FROM (SELECT freq, string_split(s, '·') AS syms FROM v${k - 1}),
+         |       UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS (
+         |  SELECT freq,
+         |    list_reduce(string_split(s, '·'), (acc, x) ->
+         |      CASE WHEN (acc = t$k.l OR ends_with(acc, '·' || t$k.l))
+         |                AND x = t$k.r
+         |           THEN acc || x ELSE acc || '·' || x END) AS s
+         |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+    }
+    val unions = (1 to 8).map(k =>
+      s"""SELECT $k AS round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM t$k"""
+        .stripMargin)
+    s"""WITH $v0,
+       |${rounds.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   /** Language-model fluency proxy WITHOUT a language model: per-document
     * average word-bigram surprisal against the corpus's own bigram
     * statistics — the KenLM-perplexity-filter role (CCNet/Gopher pipelines
@@ -995,6 +1112,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
+    Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),
     Q("signal_agreement_audit", signalAgreementAudit,
       Some(signalAgreementAuditSql)),
     Q("word_bigram_surprisal", wordBigramSurprisal, Some(wordBigramSurprisalSql)),
