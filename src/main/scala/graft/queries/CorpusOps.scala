@@ -503,9 +503,13 @@ object CorpusOps {
     * shuffle on doc_id with a row-local sort (chunk count is bounded by
     * document length). Documents whose every chunk was seen before still
     * appear, with n_kept = 0 and empty text. */
-  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = 8
-    val chunks = t(s, dir, "documents")
+  /** The 8-token chunk relation (doc_id, chunk_idx, chunk) — THE single
+    * chunking definition, shared by batch [[lineDedup]] and its streaming
+    * twin ([[graft.streaming.StreamingPipeline.lineDedupStream]]): the two
+    * must cut identical windows or first-occurrence parity is meaningless.
+    * Expects (doc_id, text) columns; row-local, stream-safe. */
+  def tokenChunks(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
       // null text ≡ empty text: the doc must still be reported, and
       // sequence()/range() over a NULL length would drop (or throw on) it
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("toks"))
@@ -516,6 +520,9 @@ object CorpusOps {
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk"))
+
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = tokenChunks(t(s, dir, "documents"))
     def pos = col("doc_id") * 1000000L + col("chunk_idx")
     val firsts = chunks.groupBy("chunk").agg(min(pos).as("first_pos"))
     val kept = chunks.join(firsts, "chunk").filter(pos === col("first_pos"))

@@ -353,6 +353,54 @@ object StreamingPipeline {
           .otherwise("ok"))
   }
 
+  case class ChunkOcc(doc_id: Long, chunk_idx: Long, chunk: String)
+  case class ChunkVerdict(doc_id: Long, chunk_idx: Long, chunk: String,
+      kept: Boolean)
+
+  /** Streaming twin of the batch C4-style line dedup
+    * ([[graft.queries.CorpusOps]] `line_dedup`): every ARRIVING doc is cut
+    * into the IDENTICAL 8-token chunks (the shared
+    * [[graft.queries.CorpusOps.tokenChunks]] definition) and each chunk
+    * occurrence gets a keep verdict — kept iff this chunk has never been
+    * seen in the stream's history, with within-batch ties broken by the
+    * batch query's own (doc_id, chunk_idx) packed position. A downstream
+    * filter(kept) + per-doc reassembly IS the live deduped corpus.
+    *
+    * State is keyed per CHUNK — one boolean per distinct chunk ever seen
+    * (the first-occurrence relation the batch job recomputes corpus-wide,
+    * held incrementally). The group function is order-insensitive inside a
+    * batch (min over packed positions), so verdicts are deterministic
+    * under shuffle. Parity contract (StreamingPipelineSpec pins it):
+    * arrival in doc_id order makes the stream's first occurrence THE batch
+    * MIN, so kept flags match `line_dedup` exactly; out-of-order arrival
+    * keeps the earlier-arrived copy instead — the inherent streaming
+    * delta, same trade as [[funnelStream]].
+    *
+    * Scale: one shuffle keyed by chunk text; state is corpus-distinct-
+    * chunk-bounded (a bit per chunk, not per occurrence) — an unbounded
+    * feed wants the RocksDB state store and, if the dedup horizon is
+    * finite, a ProcessingTimeTimeout eviction the way
+    * [[sessionizeWithTimeout]] does; NoTimeout here because line dedup's
+    * contract is corpus-lifetime memory. The 10^6 chunk-index packing is
+    * the batch query's own bound (docs are ≤ 10^6 chunks). */
+  def lineDedupStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = graft.queries.CorpusOps
+      .tokenChunks(docs.select(col("doc_id"), col("text"))).as[ChunkOcc]
+    chunks.groupByKey(_.chunk)
+      .flatMapGroupsWithState[Boolean, ChunkVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[ChunkOcc], state: GroupState[Boolean]) =>
+          val occs = it.toSeq
+          val seenBefore = state.getOption.getOrElse(false)
+          state.update(true)
+          val firstPos = occs.map(o => o.doc_id * 1000000L + o.chunk_idx).min
+          occs.map(o => ChunkVerdict(o.doc_id, o.chunk_idx, o.chunk,
+            !seenBefore && o.doc_id * 1000000L + o.chunk_idx == firstPos))
+            .iterator
+      }.toDF()
+  }
+
   // -1 = stage time not yet reached; times in event-time microseconds
   case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
   case class FunnelTransition(user_id: Long, stage: Int, at_us: Long)

@@ -166,6 +166,84 @@ class StreamingPipelineSpec extends SparkSpec {
       s"verify queue $queued vs contaminated $contaminated (fp budget $fpBudget)")
   }
 
+  test("lineDedupStream: exact batch parity with line_dedup on real sf0.001 data") {
+    val sf = "/root/testdata/sf0.001"
+    // the file stream source wants a DIRECTORY; testdata ships one file
+    val src = Files.createTempDirectory("linededupparity").resolve("docs")
+    Files.createDirectories(src)
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val verdicts = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.lineDedupStream(stream), "line_dedup_stream")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk"), r.getAs[Boolean]("kept")))
+    // reassemble per doc from kept chunks, the consumer's move
+    val streamKept = verdicts.filter(_._4).groupBy(_._1).map { case (id, cs) =>
+      id -> ((cs.length.toLong,
+        cs.sortBy(c => (c._2, c._3)).map(_._3).mkString(" ")))
+    }
+    val streamChunks = verdicts.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.length.toLong
+    }
+    val batch = graft.SparkEntry.queries("line_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(batch.nonEmpty)
+    assert(streamChunks.keySet == batch.keySet)
+    batch.foreach { case (id, (nChunks, nKept, textClean)) =>
+      assert(streamChunks(id) == nChunks, s"doc $id chunk count")
+      val (gotKept, gotText) = streamKept.getOrElse(id, (0L, ""))
+      assert(gotKept == nKept, s"doc $id kept count")
+      assert(gotText == textClean, s"doc $id reassembled text")
+    }
+    // the dedup must have bitten somewhere or the parity test is vacuous
+    assert(batch.exists { case (_, (n, k, _)) => k < n })
+  }
+
+  test("lineDedupStream: chunk state survives across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("linededupstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val ckpt = root.resolve("ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src.toString).schema)
+        .parquet(src.toString)
+      val q = StreamingPipeline.lineDedupStream(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= b.collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val w = (1 to 8).map(i => s"w$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    Seq((1L, w)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src.toString)
+    run()
+    // batch 2: doc 10 repeats doc 1's chunk (state must remember it) and
+    // adds a fresh one
+    Seq((10L, s"$w $y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src.toString)
+    run()
+    val out = buf.synchronized(buf.toList).map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("chunk"),
+        r.getAs[Boolean]("kept")))
+    assert(out.contains((1L, w, true)), "first occurrence kept")
+    assert(out.contains((10L, w, false)), "cross-batch repeat dropped")
+    assert(out.contains((10L, y, true)), "fresh chunk kept")
+    assert(out.length == 3)
+  }
+
   test("decontaminateStream: oversized benchmark set fails the contract, not OOM") {
     val root = Files.createTempDirectory("decontguard")
     val src = root.resolve("docs")
