@@ -867,65 +867,122 @@ object TextOps {
     * Reference: the reference tokenizes with a fixed external vocab; this
     * is the training loop that PRODUCES such a vocab from the corpus. */
   private val bpeMergeRoundsK = 8
+
+  /** Trained-tokenizer state shared by `bpe_merge_rounds` and
+    * `bpe_compression`: the ordered merge table plus the FINAL per-word
+    * symbol state (word, freq, s), session-cached so one session pays the
+    * k-round training loop once (the final generation's checkpoint stays
+    * pinned by the cache; intermediates are released per round). Guarded
+    * by a lock for the same reason as the CC caches — the miss path runs
+    * Spark jobs. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Int, String, String, String, Long)], DataFrame)]
+  private val bpeComputeLock = new Object
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeComputeLock.synchronized {
+      bpeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      bpeCache.getOrElseUpdate((s, dir), {
+        def release(df: DataFrame): Unit =
+          df.queryExecution.analyzed.foreach {
+            case r: org.apache.spark.sql.execution.LogicalRDD =>
+              r.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        var vocab = t(s, dir, "documents")
+          .select(explode(words(col("text"))).as("word"))
+          .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(col("word"), col("freq"),
+            array_join(expr("regexp_extract_all(word, '.', 0)"), "·").as("s"))
+          .localCheckpoint()
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        var round = 1
+        var exhausted = false
+        while (round <= bpeMergeRoundsK && !exhausted) {
+          val syms = split(col("s"), "·")
+          val top = vocab
+            .select(col("freq"), syms.as("a"))
+            .select(col("freq"), col("a"), explode(expr(
+              "if(size(a) > 1, sequence(1, size(a) - 1), array_repeat(1, 0))"))
+              .as("i"))
+            .select(element_at(col("a"), col("i")).as("l"),
+              element_at(col("a"), col("i") + 1).as("r"), col("freq"))
+            .groupBy("l", "r").agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .take(1)
+          if (top.isEmpty) exhausted = true // every word fused to one symbol
+          else {
+            val (l, r, cnt) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((round, l, r, l + r, cnt))
+            val folded = aggregate(syms, lit(""), (acc, x) =>
+              when(acc === "", x)
+                .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
+                  x === lit(r), concat(acc, x))
+                .otherwise(concat(acc, lit("·"), x)))
+            val next = vocab.select(col("word"), col("freq"), folded.as("s"))
+              .localCheckpoint()
+            release(vocab)
+            vocab = next
+            round += 1
+          }
+        }
+        (merges.toSeq, vocab)
+      })
+    }
+
   private def bpeMergeRounds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case r: org.apache.spark.sql.execution.LogicalRDD =>
-          r.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    var vocab = t(s, dir, "documents")
-      .select(explode(words(col("text"))).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        array_join(expr("regexp_extract_all(word, '.', 0)"), "·").as("s"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, String, Long)]
-    var round = 1
-    var exhausted = false
-    while (round <= bpeMergeRoundsK && !exhausted) {
-      val syms = split(col("s"), "·")
-      val top = vocab
-        .select(col("freq"), syms.as("a"))
-        .select(col("freq"), col("a"), explode(expr(
-          "if(size(a) > 1, sequence(1, size(a) - 1), array_repeat(1, 0))"))
-          .as("i"))
-        .select(element_at(col("a"), col("i")).as("l"),
-          element_at(col("a"), col("i") + 1).as("r"), col("freq"))
-        .groupBy("l", "r").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .take(1)
-      if (top.isEmpty) exhausted = true // every word fused to one symbol
-      else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round, l, r, l + r, cnt))
-        val folded = aggregate(syms, lit(""), (acc, x) =>
-          when(acc === "", x)
-            .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
-              x === lit(r), concat(acc, x))
-            .otherwise(concat(acc, lit("·"), x)))
-        val next = vocab.select(col("freq"), folded.as("s")).localCheckpoint()
-        release(vocab)
-        vocab = next
-        round += 1
-      }
-    }
-    release(vocab)
-    merges.toSeq
+    bpeTrained(s, dir)._1
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy("round")
   }
 
-  /** Unrolled-CTE twin (the [[pagerankLinksSql]] pattern): k rounds of
-    * (pair count → argmax → list_reduce merge fold), chained v0 → v8. */
-  private val bpeMergeRoundsSql = {
+  /** Tokenizer-training ROI: apply the k learned merges ([[bpeTrained]] —
+    * shared state, paid once per session) back to the corpus and report
+    * per-source compression — character-level token count vs post-merge
+    * BPE token count. This is the acceptance report of a tokenizer build:
+    * which sources does the learned vocab compress well (their digram
+    * statistics dominated training) and which stay near char-level
+    * (underrepresented, want more rounds or their own merges)?
+    *
+    * Scale shape: token-scale work is ONE (source, word) map-side-
+    * combining count; the per-word symbol counts come from the trained
+    * vocab state (vocabulary-sized), joined on word; the output aggregate
+    * is |sources| rows. saved_milli = floor(1000·(chars−bpe)/chars), the
+    * suite's standard exact-milli pattern. */
+  private def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val nsym = bpeTrained(s, dir)._2
+      .select(col("word"), size(split(col("s"), "·")).as("n_sym"))
+    val occ = t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(words(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("source", "word").agg(count(lit(1)).as("occ"))
+    occ.join(nsym, "word")
+      .groupBy("source").agg(
+        sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_char_tokens"),
+        sum(col("occ") * col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("saved_milli",
+        floor(lit(1000.0) * (col("n_char_tokens") - col("n_bpe_tokens")) /
+          col("n_char_tokens")).cast("long"))
+      .orderBy("source")
+  }
+
+  /** Unrolled v0 → v8 training chain (the [[pagerankLinksSql]] pattern):
+    * k rounds of (pair count → argmax → list_reduce merge fold), `word`
+    * carried through so [[bpeCompressionSql]] can join the final state
+    * back to the corpus — THE single copy of the oracle's training math,
+    * shared by both BPE oracles. */
+  private val bpeCtes = {
     val v0 =
       """v0 AS (
-        |  SELECT freq, array_to_string(regexp_extract_all(word, '.'), '·') AS s
+        |  SELECT word, freq,
+        |    array_to_string(regexp_extract_all(word, '.'), '·') AS s
         |  FROM (SELECT word, COUNT(*) AS freq FROM (
         |          SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |        WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
@@ -938,22 +995,44 @@ object TextOps {
          |  GROUP BY 1, 2),
          |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |v$k AS (
-         |  SELECT freq,
+         |  SELECT word, freq,
          |    list_reduce(string_split(s, '·'), (acc, x) ->
          |      CASE WHEN (acc = t$k.l OR ends_with(acc, '·' || t$k.l))
          |                AND x = t$k.r
          |           THEN acc || x ELSE acc || '·' || x END) AS s
          |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
     }
+    s"""$v0,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMergeRoundsSql = {
     val unions = (1 to 8).map(k =>
       s"""SELECT $k AS round, l AS left_sym, r AS right_sym,
          |  l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM t$k"""
         .stripMargin)
-    s"""WITH $v0,
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeCtes
        |${unions.mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
   }
+
+  private val bpeCompressionSql =
+    s"""WITH $bpeCtes,
+       |nsym AS (SELECT word, len(string_split(s, '·')) AS n_sym FROM v8),
+       |occ AS (
+       |  SELECT COALESCE(source, '') AS source, word, COUNT(*) AS occ
+       |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(SUM(occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(occ * length(word)) AS BIGINT) AS n_char_tokens,
+       |  CAST(SUM(occ * n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(floor(1000.0 * (SUM(occ * length(word)) - SUM(occ * n_sym))
+       |       / SUM(occ * length(word))) AS BIGINT) AS saved_milli
+       |FROM occ JOIN nsym USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Language-model fluency proxy WITHOUT a language model: per-document
     * average word-bigram surprisal against the corpus's own bigram
@@ -1113,6 +1192,7 @@ object TextOps {
   val all: Seq[Q] = Seq(
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),
+    Q("bpe_compression", bpeCompression, Some(bpeCompressionSql)),
     Q("signal_agreement_audit", signalAgreementAudit,
       Some(signalAgreementAuditSql)),
     Q("word_bigram_surprisal", wordBigramSurprisal, Some(wordBigramSurprisalSql)),

@@ -33,6 +33,29 @@ class BpeMergeSpec extends SparkSpec {
       (3, "ab", "ab", "abab", 3L)))
   }
 
+  test("bpe_compression: per-source ROI of the learned merges, hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("bpec").toString
+    import spark.implicits._
+    // same corpus as the argmax test, split across two sources; after the
+    // three merges every word is a single symbol:
+    // srcA: abab x3 + ab x2 -> 5 words, 16 char tokens, 5 bpe -> 687 milli
+    // srcB: cd x5          -> 5 words, 10 char tokens, 5 bpe -> 500 milli
+    val docs =
+      (1L to 3L).map(i => (i, "abab", "srcA")) ++
+        (4L to 5L).map(i => (i, "ab", "srcA")) ++
+        (6L to 10L).map(i => (i, "cd", "srcB"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("bpe_compression")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_char_tokens"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("saved_milli")))
+    assert(out.toSeq == Seq(
+      ("srcA", 5L, 16L, 5L, 687L),
+      ("srcB", 5L, 10L, 5L, 500L)))
+  }
+
   test("bpe_merge_rounds: greedy left-to-right overlap (aaaa -> aa,aa -> aaaa)") {
     val dir = java.nio.file.Files.createTempDirectory("bpe2").toString
     import spark.implicits._
