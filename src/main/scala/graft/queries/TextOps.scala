@@ -1034,6 +1034,87 @@ object TextOps {
        |FROM occ JOIN nsym USING (word)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Data-mixing allocator: fill a training-run token budget (half the
+    * corpus's total tokens — a fixed, knob-free policy so the oracle twin
+    * is exact) from the highest-quality sources first. Per source:
+    * token volume, quality share (fraction of docs passing the row-local
+    * quality gate, exact milli), then a greedy quality-ordered fill —
+    * each source contributes min(its tokens, remaining budget). This is
+    * the planning artifact a 100 TB mixing step emits before sampling:
+    * which sources are fully taken, which one is the marginal partial
+    * source, which are excluded — the deterministic skeleton under
+    * mix_upsample / corpus_balance_langs (those reweight WITHIN sources;
+    * this decides BETWEEN them).
+    *
+    * Determinism: the fill order is (quality_milli DESC, source) — unique
+    * per source; the cumulative-before sum is a frame-bounded window over
+    * the |sources|-row slice relation, so the whole allocation is integer
+    * arithmetic both engines replay exactly. Scale shape: the corpus-
+    * scale work is one map-side-combining per-source aggregate; the
+    * single-partition fill window runs on |sources| rows (dimension-
+    * sized — the same deliberate choice as corpus_mix_report's scalar
+    * cross join). */
+  private def tokenBudgetFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(
+      coalesce(col("source"), lit("")).as("source"),
+      size(words(col("text"))).cast("long").as("toks"),
+      coalesce(qualityKeepLocal(col("text")), lit(false)).as("q"))
+    val slices = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).as("n_tokens"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_q"))
+      .withColumn("quality_milli",
+        floor(lit(1000.0) * col("n_q") / col("n_docs")).cast("long"))
+    val b = slices.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val wFill = Window.orderBy(col("quality_milli").desc, col("source"))
+    slices.crossJoin(b) // broadcast scalar, the suite's standard pattern
+      .withColumn("fill_rank", row_number().over(wFill))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens"))
+          .over(wFill.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("allocated_tokens",
+        greatest(lit(0L),
+          least(col("n_tokens"), col("budget") - col("cum_before"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("quality_milli"), col("fill_rank"), col("allocated_tokens"),
+        (col("allocated_tokens") === col("n_tokens")).as("fully_taken"))
+      .orderBy("fill_rank")
+  }
+
+  private val tokenBudgetFillSql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT COALESCE(source, '') AS source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    COALESCE(len(string_split(text, ' ')) BETWEEN 5 AND 2000
+       |      AND floor(1000.0 * len(list_filter(string_split(text, ' '),
+       |            x -> x IN ($stopList))) / len(string_split(text, ' ')))
+       |          >= 10, FALSE) AS q
+       |  FROM documents),
+       |slices AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens,
+       |    SUM(CASE WHEN q THEN 1 ELSE 0 END) AS n_q
+       |  FROM d GROUP BY 1),
+       |s2 AS (SELECT *, CAST(floor(1000.0 * n_q / n_docs) AS BIGINT)
+       |         AS quality_milli FROM slices),
+       |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM s2),
+       |f AS (
+       |  SELECT s2.*, budget,
+       |    ROW_NUMBER() OVER (ORDER BY quality_milli DESC, source) AS fill_rank,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality_milli DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM s2 CROSS JOIN b)
+       |SELECT source, n_docs, n_tokens, quality_milli, fill_rank,
+       |  CAST(GREATEST(0, LEAST(n_tokens, budget - cum_before)) AS BIGINT)
+       |    AS allocated_tokens,
+       |  GREATEST(0, LEAST(n_tokens, budget - cum_before)) = n_tokens
+       |    AS fully_taken
+       |FROM f ORDER BY fill_rank""".stripMargin
+  }
+
   /** Language-model fluency proxy WITHOUT a language model: per-document
     * average word-bigram surprisal against the corpus's own bigram
     * statistics — the KenLM-perplexity-filter role (CCNet/Gopher pipelines
@@ -1193,6 +1274,7 @@ object TextOps {
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),
     Q("bpe_compression", bpeCompression, Some(bpeCompressionSql)),
+    Q("token_budget_fill", tokenBudgetFill, Some(tokenBudgetFillSql)),
     Q("signal_agreement_audit", signalAgreementAudit,
       Some(signalAgreementAuditSql)),
     Q("word_bigram_surprisal", wordBigramSurprisal, Some(wordBigramSurprisalSql)),
