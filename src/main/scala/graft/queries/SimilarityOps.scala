@@ -475,6 +475,87 @@ object SimilarityOps {
        |  FROM cand)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** IVF index-maintenance drift audit — the ANN analog of
+    * `dedup_incremental` / `cc_incremental`: a deployed IVF index holds
+    * its coarse quantizer fixed between retrains, so arriving vectors are
+    * ASSIGNED to the existing lists, and the operational question is
+    * whether those lists stay balanced or the quantizer needs retraining.
+    * Base corpus = vec_id % 5 != 0 (the index build), increment =
+    * vec_id % 5 == 0 (arrivals); the quantizer is the base's 8 lowest ids
+    * (vec_id < 10 ∧ % 5 != 0 — held CONSTANT, the deployment invariant).
+    * Output per list: base/increment member counts, growth_milli
+    * (increment load relative to list size; NULL for an empty base list),
+    * and corpus-share before/after in exact milli — the retrain trigger
+    * reads share_after drift directly.
+    *
+    * Scale shape: one broadcast of 8 centroid vectors against the shared
+    * session-cached [[quantizedBase]], a per-vector argmax window keyed by
+    * vec_id (hash-partitioned, no skew — every vector emits exactly 8
+    * scored rows), one 8-key aggregate, one scalar cross join. Exact
+    * int64 dots, id tiebreaks, integer milli everywhere. */
+  private def ivfListDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val cents = e.filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      .select(col("cent_id"), (col("vec_id") % 5 === 0).as("is_inc"))
+    val agg = assigned.groupBy("cent_id").agg(
+      sum(when(!col("is_inc"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_inc"), 1L).otherwise(0L)).as("n_inc"))
+    val tot = agg.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_base") + col("n_inc")).as("t_all"))
+    agg.crossJoin(tot) // scalar broadcast, the suite's standard pattern
+      .select(col("cent_id"), col("n_base"), col("n_inc"),
+        when(col("n_base") > 0,
+          floor(lit(1000.0) * col("n_inc") / col("n_base")).cast("long"))
+          .as("growth_milli"),
+        floor(lit(1000.0) * col("n_base") / col("t_base")).cast("long")
+          .as("share_before_milli"),
+        floor(lit(1000.0) * (col("n_base") + col("n_inc")) / col("t_all"))
+          .cast("long").as("share_after_milli"))
+      .orderBy("cent_id")
+  }
+
+  private val ivfListDriftSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e
+       |          WHERE vec_id < 10 AND vec_id % 5 <> 0),
+       |assigned AS (
+       |  SELECT cent_id, vec_id % 5 = 0 AS is_inc FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |agg AS (
+       |  SELECT cent_id,
+       |    CAST(SUM(CASE WHEN is_inc THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_inc
+       |  FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+       |               CAST(SUM(n_base + n_inc) AS BIGINT) AS t_all FROM agg)
+       |SELECT cent_id, n_base, n_inc,
+       |  CASE WHEN n_base > 0
+       |       THEN CAST(floor(1000.0 * n_inc / n_base) AS BIGINT) END
+       |    AS growth_milli,
+       |  CAST(floor(1000.0 * n_base / t_base) AS BIGINT) AS share_before_milli,
+       |  CAST(floor(1000.0 * (n_base + n_inc) / t_all) AS BIGINT)
+       |    AS share_after_milli
+       |FROM agg CROSS JOIN tot ORDER BY cent_id""".stripMargin
+
   /** Measured recall@5 of the IVF ANN path against the brute-force
     * oracle — the ANN counterpart of `lsh_recall_audit`: the standard
     * accept/reject evidence for an approximate index (probe-2 over
@@ -933,5 +1014,6 @@ object SimilarityOps {
     Q("ann_lsh_cosine", annLshCosine, Some(annLshCosineSql)),
     Q("dedup_embedding_neardup", dedupEmbeddingNeardup, Some(dedupEmbeddingNeardupSql)),
     Q("ann_ivf_cosine", annIvfCosine, Some(annIvfCosineSql)),
+    Q("ivf_list_drift", ivfListDrift, Some(ivfListDriftSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }
