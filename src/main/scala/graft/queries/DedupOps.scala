@@ -1048,6 +1048,54 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/heldout split: assign every sampled doc to a split
+    * BY ITS NEAR-DUP COMPONENT, so no verified near-duplicate pair can
+    * cross the boundary — the data-split hygiene rule an eval set needs
+    * (a doc-level random split leaks ~J-similar copies of heldout docs
+    * into training; the classic benchmark-contamination-by-construction
+    * bug). Component → split is a deterministic hash rule (md5 of the
+    * component label, first 8 hex digits as an integer, % 10 < 8 →
+    * train ≈ 80 %), so the split is stable under re-runs and adding docs
+    * to an existing component never moves the component.
+    *
+    * Scale shape: everything heavy is the session-cached CC fixpoint
+    * ([[ccLabels]] — shared with connected_components /
+    * soft_dedup_weights / cc_incremental's base path); this adds one
+    * row-local hash projection and a component-keyed window for the
+    * leak-proof invariant surface (comp_size rides along so an auditor
+    * can see which heldout docs carry big duplicate families). */
+  private def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = ccLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    comp
+      .withColumn("comp_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("bucket",
+        conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .select(col("doc_id"), col("component"), col("comp_size"),
+        when(col("bucket") < 8, lit("train")).otherwise(lit("heldout"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val leakageSafeSplitSql =
+    s"""WITH RECURSIVE $ccEdgesSqlCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
+      |          UNION ALL SELECT b_id, a_id FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM d
+      |  UNION
+      |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+      |SELECT doc_id, component,
+      |  COUNT(*) OVER (PARTITION BY component) AS comp_size,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)
+      |            AS BIGINT) % 10 < 8
+      |       THEN 'train' ELSE 'heldout' END AS split
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   /** Oracle = the FULL recompute over corpus + increment: if the merge path
     * is correct it is indistinguishable from re-running CC from scratch,
     * and the hash compare enforces exactly that. */
@@ -1510,6 +1558,7 @@ object DedupOps {
     Q("lsh_band_stats", lshBandStats, Some(lshBandStatsSql)),
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("cc_incremental", ccIncremental, Some(ccIncrementalSql)),
+    Q("leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql)),
     Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
     Q("soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     Q("dedup_tier_agreement", dedupTierAgreement, Some(dedupTierAgreementSql)),
