@@ -1066,9 +1066,13 @@ object TextOps {
         sum(when(col("q"), 1L).otherwise(0L)).as("n_q"))
       .withColumn("quality_milli",
         floor(lit(1000.0) * col("n_q") / col("n_docs")).cast("long"))
-    val b = slices.agg(expr("sum(n_tokens) div 2").as("budget"))
     val wFill = Window.orderBy(col("quality_milli").desc, col("source"))
-    slices.crossJoin(b) // broadcast scalar, the suite's standard pattern
+    // budget as a whole-relation window over the |sources|-row slice
+    // relation, NOT a scalar cross join — the scalar-subquery form would
+    // re-scan the corpus for the total; this reuses the aggregate already
+    // computed (one corpus scan in the whole plan)
+    slices
+      .withColumn("budget", expr("sum(n_tokens) over () div 2"))
       .withColumn("fill_rank", row_number().over(wFill))
       .withColumn("cum_before", coalesce(
         sum(col("n_tokens"))
@@ -1100,13 +1104,13 @@ object TextOps {
        |  FROM d GROUP BY 1),
        |s2 AS (SELECT *, CAST(floor(1000.0 * n_q / n_docs) AS BIGINT)
        |         AS quality_milli FROM slices),
-       |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM s2),
        |f AS (
-       |  SELECT s2.*, budget,
+       |  SELECT s2.*,
+       |    CAST(SUM(n_tokens) OVER () // 2 AS BIGINT) AS budget,
        |    ROW_NUMBER() OVER (ORDER BY quality_milli DESC, source) AS fill_rank,
        |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality_milli DESC, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-       |  FROM s2 CROSS JOIN b)
+       |  FROM s2)
        |SELECT source, n_docs, n_tokens, quality_milli, fill_rank,
        |  CAST(GREATEST(0, LEAST(n_tokens, budget - cum_before)) AS BIGINT)
        |    AS allocated_tokens,
