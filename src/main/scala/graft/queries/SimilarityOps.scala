@@ -38,6 +38,31 @@ object SimilarityOps {
   private def dotQ(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.quantized_dot(a, b)
 
+  /** Row-local quantization of an embeddings frame (vec_id, q, nrm) —
+    * STREAM-SAFE (no shuffle, no state): the projection half of
+    * [[quantizedBase]] without the persist, shared by the streaming
+    * assignment twin. Zero-norm (NULL / empty / all-zero) vectors are
+    * dropped, the quantizedBase contract. */
+  def quantize(vecs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs.select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("nrm",
+        graft.functions.GraftFunctions.quantized_dot(col("q"), col("q")))
+      .filter(col("nrm") > 0)
+  }
+
+  /** The fixed coarse quantizer of `ivf_list_drift` collapsed to ONE
+    * broadcastable row (cents: array of (cent_id, cq, cn), sorted by
+    * cent_id so any fold over it is order-deterministic) — the
+    * collapse-to-one-row broadcast pattern of the bloom gate, for the
+    * streaming assignment twin. */
+  def ivfQuantizerRow(corpus: DataFrame): DataFrame =
+    quantize(corpus)
+      .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+      .select(struct(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nrm").as("cn")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+
   /** Quantized corpus (vec_id, q, nrm), persisted once per (session, dir):
     * five similarity queries share this base, and within one query the
     * LSH/IVF plans reference it up to three times — caching turns those

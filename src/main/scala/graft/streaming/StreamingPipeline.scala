@@ -353,6 +353,44 @@ object StreamingPipeline {
           .otherwise("ok"))
   }
 
+  /** Streaming IVF list assignment — the VECTOR-side stream-static gate
+    * (the text family has decontaminate/prune/classify; this is the
+    * embedding ingest path): every ARRIVING vector is quantized row-locally
+    * ([[graft.queries.SimilarityOps.quantize]] — zero-norm arrivals drop,
+    * the shared base contract) and assigned to its max-cosine list of a
+    * FIXED coarse quantizer, passed in as the one-row broadcast relation
+    * [[graft.queries.SimilarityOps.ivfQuantizerRow]] builds (the
+    * deployment holds the quantizer constant between retrains — the
+    * `ivf_list_drift` contract; a refreshed quantizer takes effect on the
+    * next micro-batch, like the prune gate's canon index).
+    *
+    * The argmax is a row-local fold over the sorted centroid array —
+    * exact int64 dots, IEEE cosine, strict-> so ties keep the earlier
+    * (lowest) cent_id, matching the batch window's (ccos DESC, cent_id)
+    * order exactly. One row in, one row out: no state store, no
+    * watermark, append-safe; downstream `groupBy(cent_id)` over the
+    * emitted stream is the live list-size monitor that feeds the
+    * ivf_list_drift retrain decision. */
+  def ivfAssignStream(vecs: DataFrame, quantizer: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = graft.queries.SimilarityOps.quantize(vecs)
+    val accT = "struct<cent_id:bigint,ccos:double>"
+    q.crossJoin(broadcast(quantizer)) // static side is ONE row
+      .withColumn("best", aggregate(col("cents"),
+        lit(null).cast(accT),
+        (acc, c) => {
+          val ccos = graft.functions.GraftFunctions
+            .quantized_dot(col("q"), c.getField("cq")).cast("double") /
+            sqrt((col("nrm") * c.getField("cn")).cast("double"))
+          val cand = struct(c.getField("cent_id").as("cent_id"),
+            ccos.as("ccos"))
+          when(acc.isNull || ccos > acc.getField("ccos"), cand).otherwise(acc)
+        }))
+      .filter(col("best").isNotNull) // empty quantizer: nothing to assign to
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.ccos").as("ccos"))
+  }
+
   case class ChunkOcc(doc_id: Long, chunk_idx: Long, chunk: String)
   case class ChunkVerdict(doc_id: Long, chunk_idx: Long, chunk: String,
       kept: Boolean)

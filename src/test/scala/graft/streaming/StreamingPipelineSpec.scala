@@ -166,6 +166,54 @@ class StreamingPipelineSpec extends SparkSpec {
       s"verify queue $queued vs contaminated $contaminated (fp budget $fpBudget)")
   }
 
+  test("ivfAssignStream: one-hot arrivals assign exactly; per-list counts match ivf_list_drift") {
+    import org.apache.spark.sql.functions.col
+    // planted: quantizer dims from the one-hot corpus, arrivals match lists
+    val root = Files.createTempDirectory("ivfstream")
+    val src = root.resolve("vecs") // the parquet write creates it
+    def oneHot(d: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == d) 1.0f else 0.0f)
+    val corpus = Seq(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 6L -> 4, 7L -> 5,
+      8L -> 6, 9L -> 7).map { case (id, d) => (id, oneHot(d), 0) }
+      .toDF("vec_id", "embedding", "label")
+    val quantizer = graft.queries.SimilarityOps.ivfQuantizerRow(corpus)
+    Seq((100L, oneHot(0), 0), (101L, oneHot(1), 0),
+        (102L, Array.fill(8)(0.0f), 0)) // zero-norm: must drop
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.ivfAssignStream(stream, quantizer), "ivf_assign")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cent_id"), r.getAs[Double]("ccos")))).toMap
+    assert(out.keySet == Set(100L, 101L))
+    assert(out(100L) == ((1L, 1.0)))
+    assert(out(101L) == ((2L, 1.0)))
+
+    // real data: streaming per-list counts == batch drift's n_base + n_inc
+    val sf = "/root/testdata/sf0.001"
+    val src2 = Files.createDirectories(root.resolve("real"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      src2.resolve("embeddings.parquet"))
+    val corpusReal = spark.read.parquet(src2.toString)
+    val stream2 = spark.readStream
+      .schema(corpusReal.schema).parquet(src2.toString)
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.ivfAssignStream(stream2,
+        graft.queries.SimilarityOps.ivfQuantizerRow(corpusReal)), "ivf_assign_real")
+      .groupBy("cent_id").count().collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("count")).toMap
+    val batch = graft.SparkEntry.queries("ivf_list_drift")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cent_id") ->
+        (r.getAs[Long]("n_base") + r.getAs[Long]("n_inc")))
+      .filter(_._2 > 0).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.values.sum > 0)
+  }
+
   test("lineDedupStream: exact batch parity with line_dedup on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
     // the file stream source wants a DIRECTORY; testdata ships one file
