@@ -581,6 +581,97 @@ object SimilarityOps {
        |    AS share_after_milli
        |FROM agg CROSS JOIN tot ORDER BY cent_id""".stripMargin
 
+  /** One Lloyd (k-means) iteration from the fixed coarse quantizer — the
+    * RETRAIN step the `ivf_list_drift` audit triggers: assign every vector
+    * to its max-cosine centroid (the drift query's assignment, identical
+    * tie rule), then per list report n_members, the exact int64 INERTIA to
+    * the old centroid (Σ |q−c|² expanded as nrm − 2·q·c + cn — no
+    * per-dimension explosion for the distance), and the squared SHIFT of
+    * the recomputed centroid (per-dim integer mean via IEEE floor(Σ/n),
+    * then exact integer Σ(new−old)²). A deployment loops this to
+    * convergence; one audited step is the oracle-checkable unit, and
+    * shift_sq ≈ 0 IS the "quantizer still fits" verdict.
+    *
+    * Scale shape: assignment is the 8-centroid broadcast argmax over the
+    * session-cached base (WindowGroupLimit rank-1); inertia needs no dim
+    * explosion; the centroid recompute explodes |members| × dim rows into
+    * a map-side-combining (cent, dim) aggregate — dim-bounded output.
+    * Lists with zero members drop from the report (nothing to recompute),
+    * same as the oracle's inner joins. Double-exactness note: per-dim
+    * sums are exact in IEEE double up to 2^53 (quantized units × corpus
+    * size); beyond that a deployment swaps the mean to DECIMAL — the
+    * oracle contract pins today's widths. */
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val cents = e.filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("q"), col("cq")))
+      .withColumn("ccos", col("dot").cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      .select(col("cent_id"), col("q"), col("nrm"), col("dot"), col("cn"))
+    val stats = assigned.groupBy("cent_id").agg(
+      count(lit(1)).as("n_members"),
+      sum(col("nrm") - lit(2L) * col("dot") + col("cn")).as("inertia"))
+    val dims = assigned
+      .select(col("cent_id"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("cent_id", "d").agg(sum(col("x")).as("sx"))
+    val nd = dims.join(stats.select(col("cent_id"), col("n_members")), "cent_id")
+      .select(col("cent_id"), col("d"),
+        floor(lit(1.0) * col("sx") / col("n_members")).cast("long").as("ndv"))
+    val old = cents.select(col("cent_id"),
+      posexplode(col("cq")).as(Seq("d", "ox")))
+    val shift = nd.join(old, Seq("cent_id", "d"))
+      .groupBy("cent_id")
+      .agg(sum((col("ndv") - col("ox")) * (col("ndv") - col("ox")))
+        .as("shift_sq"))
+    stats.join(shift, "cent_id")
+      .select(col("cent_id"), col("n_members"), col("inertia"), col("shift_sq"))
+      .orderBy("cent_id")
+  }
+
+  private val kmeansStepSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e
+       |          WHERE vec_id < 10 AND vec_id % 5 <> 0),
+       |assigned AS (
+       |  SELECT cent_id, q, nrm, dot, cn FROM (
+       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm, c.cn,
+       |      CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS dot,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |stats AS (
+       |  SELECT cent_id, COUNT(*) AS n_members,
+       |    CAST(SUM(nrm - 2*dot + cn) AS BIGINT) AS inertia
+       |  FROM assigned GROUP BY 1),
+       |dims AS (
+       |  SELECT cent_id, i AS d, CAST(SUM(q[i+1]) AS BIGINT) AS sx
+       |  FROM assigned, UNNEST(range(len(q))) t(i) GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT cent_id, d, CAST(floor(1.0 * sx / n_members) AS BIGINT) AS ndv
+       |  FROM dims JOIN stats USING (cent_id)),
+       |old AS (
+       |  SELECT cent_id, i AS d, cq[i+1] AS ox
+       |  FROM cents, UNNEST(range(len(cq))) t(i)),
+       |shift AS (
+       |  SELECT cent_id, CAST(SUM((ndv-ox)*(ndv-ox)) AS BIGINT) AS shift_sq
+       |  FROM nd JOIN old USING (cent_id, d) GROUP BY 1)
+       |SELECT s.cent_id, CAST(n_members AS BIGINT) AS n_members, inertia, shift_sq
+       |FROM stats s JOIN shift USING (cent_id) ORDER BY cent_id""".stripMargin
+
   /** Measured recall@5 of the IVF ANN path against the brute-force
     * oracle — the ANN counterpart of `lsh_recall_audit`: the standard
     * accept/reject evidence for an approximate index (probe-2 over
@@ -1040,5 +1131,6 @@ object SimilarityOps {
     Q("dedup_embedding_neardup", dedupEmbeddingNeardup, Some(dedupEmbeddingNeardupSql)),
     Q("ann_ivf_cosine", annIvfCosine, Some(annIvfCosineSql)),
     Q("ivf_list_drift", ivfListDrift, Some(ivfListDriftSql)),
+    Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }
