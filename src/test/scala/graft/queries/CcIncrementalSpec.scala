@@ -38,6 +38,28 @@ class CcIncrementalSpec extends SparkSpec {
     assert(out(100L) == ((100L, 1L, true))) // isolated increment: own label
   }
 
+  test("cc_incremental: empty increment degenerates to the base labels") {
+    val dir = java.nio.file.Files.createTempDirectory("ccincempty").toString
+    import spark.implicits._
+    // no doc_id % 50 == 0 docs at all: the contracted graph is empty and
+    // every base label must pass through unchanged
+    Seq(
+      (10L, "alpha beta gamma delta"),
+      (20L, "delta gamma beta alpha"), // near-dup of 10 within the base
+      (30L, "completely different words here"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("cc_incremental")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("comp_size"),
+          r.getAs[Boolean]("is_increment")))).toMap
+    assert(out == Map(
+      10L -> ((10L, 2L, false)),
+      20L -> ((10L, 2L, false)),
+      30L -> ((30L, 1L, false))))
+  }
+
   test("cc_incremental: hash-parity with the full recompute on real sf0.01 data") {
     val dir = "/root/testdata/sf0.01"
     val inc = SparkEntry.queries("cc_incremental")(spark, dir).collect()
