@@ -581,6 +581,130 @@ object SimilarityOps {
        |    AS share_after_milli
        |FROM agg CROSS JOIN tot ORDER BY cent_id""".stripMargin
 
+  /** IVF nprobe tuning curve — recall vs candidate cost for nprobe 1..4
+    * against the SAME index `ann_ivf_cosine` serves (vec_id < 8
+    * quantizer): per nprobe, total probed candidates, brute-truth hits in
+    * the re-ranked top-5, and overall recall in exact milli. This is the
+    * knob-setting artifact an ANN deployment produces before fixing
+    * nprobe ([[annRecallAudit]] grades the shipped probe-2 point; this
+    * sweeps the curve so the 2 is a DECISION, not a default).
+    *
+    * One assignment pass and one probe-ranking pass serve all four curve
+    * points: each candidate carries the probe rank of its (unique) list,
+    * an explode over nprobe ∈ 1..4 keeps it for every setting ≥ that
+    * rank, and the per-(nprobe, query) re-rank is window work on
+    * candidate-sized data. Scale: candidates ∝ queries × corpus/nlist ×
+    * nprobe — the sweep costs ~(1+2+3+4)/nprobe of the shipped path,
+    * bounded, never all-pairs; everything reuses the session-cached
+    * quantizedBase. */
+  private def ivfProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val cents = e.filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val pr = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("qq"), col("cq")).cast("double") /
+        sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= 4)
+      .select(col("query_id"), col("qq"), col("qn"), col("cent_id"), col("prn"))
+    val cand = pr.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") /
+        sqrt((col("qn") * col("nrm")).cast("double")))
+      .select(col("query_id"), col("vec_id"), col("prn"), col("cos"))
+    // a vector lives in exactly one list, so prn IS the min nprobe that
+    // reaches it — the explode keeps it for every setting >= that rank
+    val sweep = cand
+      .withColumn("nprobe", explode(array((1 to 4).map(lit(_)): _*)))
+      .filter(col("prn") <= col("nprobe"))
+    val counts = sweep.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val top5 = sweep
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("nprobe"), col("query_id"), col("vec_id"))
+    val brute = knnBruteCosine(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id").as("b_qid"), col("neighbor_id").as("b_nid"))
+    val nTruth = brute.agg(count(lit(1)).as("n_truth"))
+    val hits = top5.join(brute,
+        col("query_id") === col("b_qid") && col("vec_id") === col("b_nid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    counts.join(hits, Seq("nprobe"), "left")
+      .crossJoin(nTruth) // scalar broadcast
+      .select(col("nprobe"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        floor(lit(1000.0) * coalesce(col("n_hits"), lit(0L)) / col("n_truth"))
+          .cast("long").as("recall_milli"))
+      .orderBy("nprobe")
+  }
+
+  private val ivfProbeSweepSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE vec_id < $ivfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cent_id, q, nrm FROM (
+       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, qq, qn, cent_id, prn FROM (
+       |    SELECT qu.query_id, qu.qq, qu.qn, c.cent_id,
+       |      row_number() OVER (PARTITION BY qu.query_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(qu.qq)), i -> qu.qq[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(qu.qn*c.cn AS DOUBLE)) DESC, c.cent_id) AS prn
+       |    FROM qs qu CROSS JOIN cents c)
+       |  WHERE prn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id, p.prn,
+       |    CAST(CAST(list_sum(list_transform(range(len(p.qq)), i -> p.qq[i+1]*a.q[i+1])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(p.qn*a.nrm AS DOUBLE)) AS cos
+       |  FROM pr p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |sweep AS (
+       |  SELECT query_id, vec_id, cos, np AS nprobe
+       |  FROM cand, UNNEST([1, 2, 3, 4]) t(np) WHERE prn <= np),
+       |counts AS (SELECT nprobe, COUNT(*) AS n_candidates FROM sweep GROUP BY 1),
+       |top5 AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+       |      ORDER BY cos DESC, vec_id) AS rk FROM sweep)
+       |  WHERE rk <= 5),
+       |brute AS (
+       |  SELECT query_id AS b_qid, neighbor_id AS b_nid
+       |  FROM ($knnBruteCosineSql) WHERE rk <= 5),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM brute),
+       |hits AS (
+       |  SELECT nprobe, COUNT(*) AS n_hits FROM top5
+       |  JOIN brute ON query_id = b_qid AND vec_id = b_nid GROUP BY 1)
+       |SELECT c.nprobe, CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(floor(1000.0 * COALESCE(h.n_hits, 0) / n_truth) AS BIGINT)
+       |    AS recall_milli
+       |FROM counts c LEFT JOIN hits h USING (nprobe) CROSS JOIN nt
+       |ORDER BY c.nprobe""".stripMargin
+
   /** One Lloyd (k-means) iteration from the fixed coarse quantizer — the
     * RETRAIN step the `ivf_list_drift` audit triggers: assign every vector
     * to its max-cosine centroid (the drift query's assignment, identical
@@ -1132,5 +1256,6 @@ object SimilarityOps {
     Q("ann_ivf_cosine", annIvfCosine, Some(annIvfCosineSql)),
     Q("ivf_list_drift", ivfListDrift, Some(ivfListDriftSql)),
     Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    Q("ivf_probe_sweep", ivfProbeSweep, Some(ivfProbeSweepSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }
