@@ -311,6 +311,146 @@ class StreamingFuzzParitySpec extends SparkSpec {
     out.result()
   }
 
+  for (seed <- Seq(808, 909)) {
+    test(s"fuzz seed $seed: lineDedupStream, batch line_dedup, and the recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"linefuzz$seed")
+      val docsSeq = dirtyDocs(seed, 250)
+      val docs = docsSeq.toDF("doc_id", "text")
+      docs.write.parquet(root.resolve("documents.parquet").toString)
+
+      // in-memory recount of the shared chunking + first-occurrence rule
+      def chunksOf(text: String): Vector[String] = {
+        val toks = Option(text).getOrElse("").split(" ", -1).toVector
+        (0 to ((toks.length - 1) / 8))
+          .map(i => toks.slice(i * 8, i * 8 + 8).mkString(" ")).toVector
+      }
+      val allChunks = docsSeq.flatMap { case (id, t) =>
+        chunksOf(t).zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
+      }
+      val firstPos = allChunks.groupBy(_._3)
+        .view.mapValues(_.map(o => o._1 * 1000000L + o._2).min).toMap
+      val keptOracle = allChunks
+        .filter(o => firstPos(o._3) == o._1 * 1000000L + o._2)
+        .map(o => (o._1, o._2, o._3)).toSet
+
+      // stream side: per-occurrence verdicts
+      val stream = spark.readStream.schema(docs.schema)
+        .parquet(root.resolve("documents.parquet").toString)
+      val verdicts = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.lineDedupStream(stream), s"linefuzz$seed")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk"), r.getAs[Boolean]("kept")))
+      assert(verdicts.length == allChunks.length, s"seed $seed occurrence count")
+      assert(verdicts.filter(_._4).map(v => (v._1, v._2, v._3)).toSet
+        == keptOracle, s"seed $seed stream kept-set drift")
+
+      // batch side: per-doc reassembly equals the recount's
+      val keptByDoc = keptOracle.groupBy(_._1)
+      val batch = graft.SparkEntry.queries("line_dedup")(spark, root.toString)
+        .collect()
+      assert(batch.length == docsSeq.length)
+      batch.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val kept = keptByDoc.getOrElse(id, Set.empty)
+        assert(r.getAs[Long]("n_chunks") ==
+          allChunks.count(_._1 == id), s"seed $seed doc $id n_chunks")
+        assert(r.getAs[Long]("n_kept") == kept.size, s"seed $seed doc $id n_kept")
+        val expectText = kept.toSeq.sortBy(k => (k._2, k._3))
+          .map(_._3).mkString(" ")
+        assert(r.getAs[String]("text_clean") == expectText,
+          s"seed $seed doc $id reassembly")
+      }
+      // the dirty corpus must actually contain cross-doc duplicates
+      assert(keptOracle.size < allChunks.length, s"seed $seed dedup vacuous")
+    }
+  }
+
+  /** Dirty embedding corpus: NULL vectors, empty arrays, all-zero and
+    * sub-quantization-threshold vectors (all drop as zero-norm), plus
+    * exact-binary-fraction entries (k/64) so the quantization and every
+    * cosine is bit-reproducible in the JVM recount. Ids 1-9 are forced
+    * valid so the fixed quantizer rule (vec_id < 10, % 5 != 0) has its 8
+    * centroids. */
+  private def dirtyVecs(seed: Int, n: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    def clean(): Array[Float] = {
+      val a = Array.fill(8)((rnd.nextInt(129) - 64) / 64.0f)
+      if (a.forall(_ == 0.0f)) { a(0) = 1.0f }; a
+    }
+    (1L to 9L).map(id => (id, clean())) ++
+      (10L to n.toLong).map { id =>
+        val v = rnd.nextInt(8) match {
+          case 0 => null
+          case 1 => Array.empty[Float]
+          case 2 => Array.fill(8)(0.0f)
+          case 3 => Array.fill(8)(0.0001f) // quantizes to all-zero
+          case _ => clean()
+        }
+        (id, v)
+      }
+  }
+
+  for (seed <- Seq(111, 222)) {
+    test(s"fuzz seed $seed: ivfAssignStream equals the JVM recount and the batch drift counts") {
+      val root = Files.createTempDirectory(s"ivffuzz$seed")
+      val vecsSeq = dirtyVecs(seed, 200)
+      val vecs = vecsSeq.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+      vecs.write.parquet(root.resolve("embeddings.parquet").toString)
+
+      // JVM recount with the exact engine arithmetic: quantize (entries
+      // are exact k/64 fractions so round() is unambiguous), drop zero
+      // norms, strict-> argmax over cent_id-ascending centroids
+      def quant(v: Array[Float]): Option[Array[Long]] = Option(v).map(
+        _.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
+      val quantized = vecsSeq.flatMap { case (id, v) =>
+        quant(v).map(q => (id, q, q.map(x => x * x).sum))
+      }.filter(_._3 > 0L)
+      val cents = quantized.filter(t => t._1 < 10 && t._1 % 5 != 0)
+        .sortBy(_._1)
+      assert(cents.length == 8, s"seed $seed quantizer incomplete")
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val oracle = quantized.map { case (id, q, nrm) =>
+        var best: Option[(Long, Double)] = None
+        cents.foreach { case (cid, cq, cn) =>
+          val ccos = dot(q, cq).toDouble / math.sqrt((nrm * cn).toDouble)
+          if (best.forall(b => ccos > b._2)) best = Some((cid, ccos))
+        }
+        id -> best.get
+      }.toMap
+
+      val stream = spark.readStream.schema(vecs.schema)
+        .parquet(root.resolve("embeddings.parquet").toString)
+      val corpus = spark.read.parquet(root.resolve("embeddings.parquet").toString)
+      val out = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.ivfAssignStream(stream,
+          graft.queries.SimilarityOps.ivfQuantizerRow(corpus)), s"ivffuzz$seed")
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cent_id"), r.getAs[Double]("ccos")))).toMap
+      assert(out.keySet == oracle.keySet,
+        s"seed $seed zero-norm drop set drifted")
+      oracle.foreach { case (id, (cid, ccos)) =>
+        assert(out(id) == ((cid, ccos)), s"seed $seed vec $id assignment")
+      }
+      // dirty classes must be present: some vectors dropped
+      assert(oracle.size < vecsSeq.count(_._2 != null))
+
+      // batch cross-check: per-list totals equal ivf_list_drift's
+      val drift = graft.SparkEntry.queries("ivf_list_drift")(
+        spark, root.toString).collect()
+        .map(r => r.getAs[Long]("cent_id") ->
+          (r.getAs[Long]("n_base") + r.getAs[Long]("n_inc"))).toMap
+      val streamCounts = out.values.groupBy(_._1)
+        .view.mapValues(_.size.toLong).toMap
+      assert(streamCounts == drift.filter(_._2 > 0),
+        s"seed $seed stream counts vs batch drift")
+    }
+  }
+
   for (seed <- Seq(606, 707)) {
     test(s"fuzz seed $seed: pruneStream verdicts equal the batch prune table on a dirty corpus") {
       import org.apache.spark.sql.functions.col
