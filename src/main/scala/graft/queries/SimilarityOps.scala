@@ -465,21 +465,36 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
-  private val annIvfCosineSql =
-    s"""WITH e AS (
+  /** The e → cents → assigned WITH-chain of the IVF oracle family — ONE
+    * copy of the quantize / quantizer-filter / argmax-assignment math,
+    * parameterized only by the quantizer predicate: the serve family
+    * (`ann_ivf_cosine`, `ivf_probe_sweep`, and the audits that embed
+    * them) uses the first-[[ivfCentroids]] rule; the maintenance family
+    * (`ivf_list_drift`, `kmeans_step`) uses the base-build rule
+    * (vec_id < 10 ∧ % 5 ≠ 0). `assigned` carries every column any
+    * consumer needs (vec_id, cent_id, q, nrm, cn, dot) — the
+    * simhashSqlCtes discipline, so the four oracles can never drift. */
+  private def ivfSqlCtes(centsWhere: String): String =
+    s"""e AS (
        |  SELECT * FROM (
        |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
        |  WHERE nrm > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE vec_id < $ivfCentroids),
+       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE $centsWhere),
        |assigned AS (
-       |  SELECT vec_id, cent_id, q, nrm FROM (
-       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm,
+       |  SELECT vec_id, cent_id, q, nrm, cn, dot FROM (
+       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm, c.cn,
+       |      CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS dot,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
        |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
        |    FROM e CROSS JOIN cents c)
-       |  WHERE arn = 1),
+       |  WHERE arn = 1)""".stripMargin
+  private val ivfServeCtes = ivfSqlCtes(s"vec_id < $ivfCentroids")
+  private val ivfMaintCtes = ivfSqlCtes("vec_id < 10 AND vec_id % 5 <> 0")
+
+  private val annIvfCosineSql =
+    s"""WITH $ivfServeCtes,
        |queries AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
        |probes AS (
        |  SELECT query_id, qq, qn, cent_id FROM (
@@ -550,26 +565,13 @@ object SimilarityOps {
   }
 
   private val ivfListDriftSql =
-    s"""WITH e AS (
-       |  SELECT * FROM (
-       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
-       |  WHERE nrm > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e
-       |          WHERE vec_id < 10 AND vec_id % 5 <> 0),
-       |assigned AS (
-       |  SELECT cent_id, vec_id % 5 = 0 AS is_inc FROM (
-       |    SELECT e.vec_id, c.cent_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
-       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
-       |    FROM e CROSS JOIN cents c)
-       |  WHERE arn = 1),
+    s"""WITH $ivfMaintCtes,
+       |flagged AS (SELECT cent_id, vec_id % 5 = 0 AS is_inc FROM assigned),
        |agg AS (
        |  SELECT cent_id,
        |    CAST(SUM(CASE WHEN is_inc THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
        |    CAST(SUM(CASE WHEN is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_inc
-       |  FROM assigned GROUP BY 1),
+       |  FROM flagged GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
        |               CAST(SUM(n_base + n_inc) AS BIGINT) AS t_all FROM agg)
        |SELECT cent_id, n_base, n_inc,
@@ -653,20 +655,7 @@ object SimilarityOps {
   }
 
   private val ivfProbeSweepSql =
-    s"""WITH e AS (
-       |  SELECT * FROM (
-       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
-       |  WHERE nrm > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e WHERE vec_id < $ivfCentroids),
-       |assigned AS (
-       |  SELECT vec_id, cent_id, q, nrm FROM (
-       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
-       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
-       |    FROM e CROSS JOIN cents c)
-       |  WHERE arn = 1),
+    s"""WITH $ivfServeCtes,
        |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
        |pr AS (
        |  SELECT query_id, qq, qn, cent_id, prn FROM (
@@ -761,22 +750,7 @@ object SimilarityOps {
   }
 
   private val kmeansStepSql =
-    s"""WITH e AS (
-       |  SELECT * FROM (
-       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
-       |  WHERE nrm > 0),
-       |cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e
-       |          WHERE vec_id < 10 AND vec_id % 5 <> 0),
-       |assigned AS (
-       |  SELECT cent_id, q, nrm, dot, cn FROM (
-       |    SELECT e.vec_id, c.cent_id, e.q, e.nrm, c.cn,
-       |      CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS dot,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
-       |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
-       |    FROM e CROSS JOIN cents c)
-       |  WHERE arn = 1),
+    s"""WITH $ivfMaintCtes,
        |stats AS (
        |  SELECT cent_id, COUNT(*) AS n_members,
        |    CAST(SUM(nrm - 2*dot + cn) AS BIGINT) AS inertia
