@@ -1009,39 +1009,56 @@ object DedupOps {
     * rounds touch only merged supernodes), one label-keyed backfill join,
     * one window for comp_size. SCALECHECK measures the warm-state marginal
     * cost at 10×/100×. */
+  /** Fold ONE increment into held CC labels — the reusable library form of
+    * the [[ccIncremental]] merge (a continuously-ingesting deployment
+    * calls this per batch, feeding each result back in as the next
+    * `labels`): contract the new edges' endpoints to their current labels
+    * (held label for known nodes, own id for new ones), run the same
+    * min-label fixpoint on the increment-sized contracted graph, compose.
+    * `labels` (node, label) is the held state; `incNodes` (node) the
+    * increment's node set (isolated arrivals label themselves);
+    * `newEdges` (a_id, b_id) the edges the increment introduces (≥ 1 new
+    * endpoint — base-base edges were already folded in a previous batch).
+    * Returns the NEW held state (node, label) over old ∪ new nodes, equal
+    * by construction to the full fixpoint over the accumulated graph —
+    * CcIncrementalSpec proves multi-wave folding against an independent
+    * union-find recount. */
+  def ccMergeIncrement(labels: DataFrame, incNodes: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("a_id"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b_id"), col("label").as("lb"))
+    val contracted = newEdges
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    val superNodes = contracted.select(col("a_id").as("node"))
+      .unionByName(contracted.select(col("b_id").as("node")))
+      .unionByName(incNodes).distinct()
+    val merged = ccFixpointLoop(superNodes, contracted)
+      .select(col("node").as("cur"), col("label").as("merged"))
+    // held state extended with the new nodes (self-labeled), then every
+    // label routed through the merged supergraph labels where present
+    val all0 = labels.unionByName(
+      incNodes.join(labels, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
+    all0.join(merged, all0("label") === merged("cur"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("label")).as("label"))
+  }
+
   private def ccIncremental(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isInc = (c: Column) => c % 50 === 0
     val base = ccBaseLabels(s, dir) // held state: labels of the old corpus
     val edges = ccEdges(s, dir) // maintained band index: full candidate set
     val incEdges = edges.filter(isInc(col("a_id")) || isInc(col("b_id")))
-    val la = base.select(col("node").as("a_id"), col("label").as("la"))
-    val lb = base.select(col("node").as("b_id"), col("label").as("lb"))
-    val contracted = incEdges
-      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
-      .select(coalesce(col("la"), col("a_id")).as("a_id"),
-        coalesce(col("lb"), col("b_id")).as("b_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .distinct()
-    // isolated increment docs still need a label (their own id): they are
-    // supernodes with no incident contracted edge
     val incNodes = t(s, dir, "documents").filter(isInc(col("doc_id")))
       .select(col("doc_id").as("node"))
-    val superNodes = contracted.select(col("a_id").as("node"))
-      .unionByName(contracted.select(col("b_id").as("node")))
-      .unionByName(incNodes).distinct()
-    val merged = ccFixpointLoop(superNodes, contracted)
-      .select(col("node").as("cur"), col("label").as("merged"))
-    val allDocs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"))
-    // current label: base label for corpus nodes, own id for increment docs
-    val cur = allDocs
-      .join(base.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cur"))
-    cur.join(merged, Seq("cur"), "left")
-      .select(col("doc_id"),
-        coalesce(col("merged"), col("cur")).as("component"),
-        isInc(col("doc_id")).as("is_increment"))
+    ccMergeIncrement(base, incNodes, incEdges)
+      .select(col("node").as("doc_id"), col("label").as("component"),
+        isInc(col("node")).as("is_increment"))
       .withColumn("comp_size",
         count(lit(1)).over(Window.partitionBy(col("component"))))
       .select("doc_id", "component", "comp_size", "is_increment")

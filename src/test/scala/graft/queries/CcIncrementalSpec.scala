@@ -60,6 +60,50 @@ class CcIncrementalSpec extends SparkSpec {
       30L -> ((30L, 1L, false))))
   }
 
+  test("ccMergeIncrement: three-wave continuous folding equals a union-find recount") {
+    import spark.implicits._
+    // seeded random graph; node wave = node % 3, an edge arrives with its
+    // max-wave endpoint — the continuous-ingest shape
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val nodes = (0L until n).toVector
+    val edges = Vector.fill(300) {
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    def wave(x: Long) = (x % 3).toInt
+
+    // independent recount: union-find with min-id labels
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+    }
+    val expected = nodes.map(x => x -> find(x)).toMap
+
+    // wave 0 is the initial fixpoint; waves 1-2 fold through the API,
+    // each result feeding back in as the next held state
+    var labels = Seq.empty[(Long, Long)].toDF("node", "label")
+    (0 to 2).foreach { w =>
+      val incNodes = nodes.filter(wave(_) == w).toDF("node")
+      val newEdges = edges
+        .filter(e => math.max(wave(e._1), wave(e._2)) == w)
+        .toDF("a_id", "b_id")
+      labels = DedupOps.ccMergeIncrement(labels, incNodes, newEdges)
+    }
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got == expected, "folded labels diverged from the union-find recount")
+    // sanity: the graph actually merged things across waves
+    assert(expected.values.toSet.size < n)
+  }
+
   test("cc_incremental: hash-parity with the full recompute on real sf0.01 data") {
     val dir = "/root/testdata/sf0.01"
     val inc = SparkEntry.queries("cc_incremental")(spark, dir).collect()
