@@ -943,6 +943,76 @@ object DedupOps {
       |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source end-to-end YIELD funnel over the sampled universe — the
+    * one-page report a corpus owner reads after a pipeline run: how many
+    * docs each source contributes raw, how many survive each independent
+    * gate (row-local quality; exact-canonical under the `dedup_canonical`
+    * hash rule, scoped to this universe; near-dup component
+    * representative — the CC min-id pick), how many survive ALL gates,
+    * and the exact-milli final yield. Sources whose yield collapses are
+    * the re-crawl/re-clean candidates; the BETWEEN-sources budget
+    * allocator (`token_budget_fill`) consumes exactly this kind of
+    * signal.
+    *
+    * Scale shape: one pass over the sampled docs with two row-local
+    * expressions, one canon-hash window (hash-partitioned), one join to
+    * the session-cached CC labels ([[ccLabels]] — shared with the whole
+    * CC family), one |sources|-row aggregate. Gates are reported
+    * INDEPENDENTLY (each against the raw universe) plus the all-gates
+    * intersection — the additive-decomposition shape an ops dashboard
+    * wants. */
+  private def corpusYieldReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = ccLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+    val canonW = Window.partitionBy(col("ch"))
+    val flagged = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        col("text"), TextOps.canonHash(col("text")).as("ch"),
+        coalesce(TextOps.qualityKeepLocal(col("text")), lit(false)).as("q"))
+      .withColumn("is_canonical", col("text").isNotNull &&
+        col("doc_id") === min(col("doc_id")).over(canonW))
+      .join(comp, "doc_id")
+      .withColumn("is_cc_kept", col("doc_id") === col("component"))
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("is_cc_kept"), 1L).otherwise(0L)).as("n_cc_kept"),
+        sum(when(col("q") && col("is_canonical") && col("is_cc_kept"), 1L)
+          .otherwise(0L)).as("n_all"))
+      .withColumn("yield_milli",
+        floor(lit(1000.0) * col("n_all") / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+
+  private val corpusYieldReportSql =
+    s"""WITH RECURSIVE $ccEdgesSqlCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM edges0
+      |          UNION ALL SELECT b_id, a_id FROM edges0),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM d
+      |  UNION
+      |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+      |f AS (
+      |  SELECT dd.doc_id, COALESCE(dd.source, '') AS source,
+      |    (dd.text IS NOT NULL AND dd.doc_id =
+      |       MIN(dd.doc_id) OVER (PARTITION BY ${TextOps.canonHashSql}))
+      |      AS is_canonical,
+      |    COALESCE(${TextOps.qualityKeepSql}, FALSE) AS q,
+      |    dd.doc_id = c.component AS is_cc_kept
+      |  FROM (SELECT * FROM documents WHERE doc_id % 10 = 0) dd
+      |  JOIN comp c ON dd.doc_id = c.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+      |  CAST(SUM(CASE WHEN is_cc_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_cc_kept,
+      |  CAST(SUM(CASE WHEN q AND is_canonical AND is_cc_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+      |  CAST(floor(1000.0 * SUM(CASE WHEN q AND is_canonical AND is_cc_kept THEN 1 ELSE 0 END)
+      |       / COUNT(*)) AS BIGINT) AS yield_milli
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Labels of the ESTABLISHED corpus for [[ccIncremental]] — the CC
     * fixpoint over the base slice only (sampled universe minus the
     * doc_id % 50 == 0 increment), session-cached like [[ccLabels]]: this is
@@ -1576,6 +1646,7 @@ object DedupOps {
     Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("cc_incremental", ccIncremental, Some(ccIncrementalSql)),
     Q("leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql)),
+    Q("corpus_yield_report", corpusYieldReport, Some(corpusYieldReportSql)),
     Q("cross_source_leakage", crossSourceLeakage, Some(crossSourceLeakageSql)),
     Q("soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     Q("dedup_tier_agreement", dedupTierAgreement, Some(dedupTierAgreementSql)),

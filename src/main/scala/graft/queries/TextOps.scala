@@ -724,6 +724,20 @@ object TextOps {
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** SQL twin of [[canonHash]] over a bare `text` column — shared with
+    * the cross-object yield report so the canon rule exists once per
+    * engine side. */
+  private[queries] val canonHashSql =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
+  /** SQL twin of [[qualityKeepLocal]] over a bare `text` column. */
+  private[queries] def qualityKeepSql: String = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"(len(string_split(text, ' ')) BETWEEN 5 AND 2000 AND " +
+      s"floor(1000.0 * len(list_filter(string_split(text, ' '), " +
+      s"x -> x IN ($stopList))) / len(string_split(text, ' '))) >= 10)"
+  }
+
   /** The row-local quality gate `text_quality`/`corpus_prune_verdicts`
     * apply (length band + stopword floor). NULL text → NULL (callers
     * coalesce to false). */
