@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Product quantization (PQ) over the `embeddings` table — the
+  * memory-bound ANN scale path (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", public TPAMI 2011) next to the IVF and LSH
+  * families: the 64-dim vector splits into [[pqM]] contiguous subvectors,
+  * each subvector quantizes to its nearest code in a per-subspace
+  * codebook, and a vector is thereafter represented by [[pqM]] small code
+  * ids. At 100 TB that is the difference between holding 256-byte float
+  * vectors and 4-byte code tuples in executor memory — the corpus-side
+  * working set shrinks 64×, and query scoring becomes [[pqM]] table
+  * lookups per candidate (ADC — asymmetric distance computation) instead
+  * of a 64-dim dot product.
+  *
+  * Codebook rule: the subvectors of the first [[pqK]] vectors by id — the
+  * deterministic stand-in the IVF family established for its coarse
+  * quantizer (`SimilarityOps.scala` ivfCentroids); a real deployment
+  * k-means each subspace (`kmeans_step` is the audited iteration of
+  * exactly that loop, running per subspace instead of per full vector).
+  *
+  * Determinism: everything is exact int64 on the shared quantized base —
+  * sub-distances expand as ss − 2·‹sub,c› + cc with [[graft.functions
+  * .QuantizedDot]] sums, so assignment argmins, ADC sums and rank cuts
+  * are integer comparisons with id tiebreaks; no float enters any
+  * ordering. Ragged/short vectors (fuzz corpora) slice to short or empty
+  * subvectors; the dot of an empty/mismatched pair is the common-prefix
+  * sum (0 when empty) on BOTH engines — the oracle mirrors QuantizedDot
+  * with COALESCE(list_sum(...), 0).
+  *
+  * Scale shape: encoding is one corpus scan exploded ×[[pqM]] against a
+  * BROADCAST [[pqM]]·[[pqK]]-row codebook with a per-(vector, subspace)
+  * argmin window — the IVF assignment plan, pqM-wide; the encoded
+  * relation (vec_id, m, code, dist) is session-cached and shared by all
+  * three queries. ADC joins the (queries × pqM·pqK)-row distance table —
+  * broadcast — to the encoded corpus on (m, code) and sums pqM lookups
+  * per (query, vector) in one map-side-combining aggregate: candidate
+  * cost is O(corpus · pqM) integer adds, never a dim-wide dot.
+  */
+object PqOps {
+
+  /** Subspace count (64 dims / 16 per subspace). */
+  val pqM = 4
+
+  /** Dims per subvector. */
+  val pqSubDim = 16
+
+  /** Codes per subspace codebook (subvectors of vec_id < pqK). */
+  val pqK = 8
+
+  private def dotQ(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.quantized_dot(a, b)
+
+  /** (vec_id, m, sub, ss): every vector of `e` cut into [[pqM]] quantized
+    * subvectors with their exact int64 self-dots. Row-local (explode ×
+    * slice × dot) — no shuffle. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array((0 until pqM).map(lit(_)): _*)).as("m"), col("q"))
+      .withColumn("sub",
+        slice(col("q"), col("m") * pqSubDim + 1, lit(pqSubDim)))
+      .withColumn("ss", dotQ(col("sub"), col("sub")))
+      .drop("q")
+
+  /** Per-subspace codebook: (m, code, csub, cc) — pqM·pqK rows, the
+    * broadcast side of both the encode and the ADC table build. */
+  private def codebook(e: DataFrame): DataFrame =
+    subvectors(e.filter(col("vec_id") < pqK))
+      .select(col("m"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("ss").as("cc"))
+
+  /** Encoded corpus (vec_id, m, code, dist): each subvector's argmin code
+    * (dist asc, code asc — integer comparisons) and its exact int64
+    * quantization distance. Session-cached: the stats report, the ADC
+    * search and the recall audit all ride ONE encode pass, the
+    * quantizedBase discipline. */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    Util.cachedRelation(s, dir, "pqEncoded", s"m=$pqM,k=$pqK") {
+      val e = SimilarityOps.quantizedBase(s, dir)
+      val scored = subvectors(e).join(broadcast(codebook(e)), Seq("m"))
+        .withColumn("dist",
+          col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist").asc, col("code"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("dist"))
+    }
+  }
+
+  /** The shared e → svn → cb → enc WITH-chain of the PQ oracle family —
+    * ONE copy of the slicing / codebook / argmin-encode math (the
+    * ivfSqlCtes discipline). `COALESCE(list_sum(...), 0)` mirrors
+    * QuantizedDot exactly: empty/mismatched slices dot to 0, never NULL,
+    * and a shorter side contributes only the common prefix (a NULL
+    * element product is skipped by list_sum on the DuckDB side and by the
+    * null-element guard in the expression). */
+  private val pqSqlCtes =
+    s"""e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, ${SimilarityOps.qvecSql} AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |svn AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |    q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sub,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim], x -> x*x)) AS BIGINT), 0) AS ss
+       |  FROM e, UNNEST(range($pqM)) t(m)),
+       |cb AS (
+       |  SELECT m, vec_id AS code, sub AS csub, ss AS cc
+       |  FROM svn WHERE vec_id < $pqK),
+       |pq_scored AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    s.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(s.sub)),
+       |      i -> s.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS dist
+       |  FROM svn s JOIN cb c USING (m)),
+       |enc AS (
+       |  SELECT vec_id, m, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist ASC, code) AS rn
+       |    FROM pq_scored)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Codebook-quality report: per (subspace, code) the assignment count,
+    * its share of the subspace in exact milli, and the total int64
+    * quantization distortion — the artifact that decides whether the
+    * codebook needs retraining (a code with near-zero share is dead; a
+    * code carrying most of a subspace's distortion is where the next
+    * k-means split goes). Output is ≤ pqM·pqK rows at any corpus size:
+    * one map-side-combining aggregate over the cached encode + one
+    * window on the 32-row result. */
+  private def pqEncodeStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pqEncoded(s, dir)
+      .groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("distortion"))
+      .withColumn("share_milli",
+        floor(lit(1000.0) * col("n_assigned") /
+          sum(col("n_assigned")).over(Window.partitionBy(col("m"))))
+          .cast("long"))
+      .select(col("m"), col("code"), col("n_assigned"), col("distortion"),
+        col("share_milli"))
+      .orderBy("m", "code")
+  }
+
+  private val pqEncodeStatsSql =
+    s"""WITH $pqSqlCtes
+       |SELECT m, code, COUNT(*) AS n_assigned,
+       |  CAST(SUM(dist) AS BIGINT) AS distortion,
+       |  CAST(floor(1000.0 * COUNT(*) /
+       |    SUM(COUNT(*)) OVER (PARTITION BY m)) AS BIGINT) AS share_milli
+       |FROM enc GROUP BY m, code ORDER BY m, code""".stripMargin
+
+  /** ADC top-5 per query (vec_id < 5, the suite's query-set rule):
+    * each query builds a pqM·pqK-entry distance table (exact int64
+    * sub-distances query-subvector → code), and every encoded corpus
+    * vector scores as the SUM of pqM table lookups on its codes — the
+    * classic IVFADC search half without the coarse filter (compose with
+    * `ann_ivf_cosine`'s probe to get full IVFADC; this query isolates
+    * the PQ approximation so `pq_recall_audit` can grade it alone).
+    * Ranking is pure int64 (adc_dist asc, vec_id asc). */
+  private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = SimilarityOps.quantizedBase(s, dir)
+    val tab = subvectors(e.filter(col("vec_id") < 5))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook(e)), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
+          .as("pd"))
+    val cand = pqEncoded(s, dir)
+      .join(broadcast(tab),
+        Seq("m", "code")) // (m, code) lookup — the ADC table probe
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val pqAdcTopkBody =
+    s"""tab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |    q.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(q.sub)),
+       |      i -> q.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS pd
+       |  FROM svn q JOIN cb c USING (m) WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT t.query_id, en.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc_dist
+       |  FROM enc en JOIN tab t ON en.m = t.m AND en.code = t.code
+       |    AND en.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |adc_ranked AS (
+       |  SELECT query_id, rk, vec_id AS neighbor_id, adc_dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, vec_id) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 5)""".stripMargin
+
+  private val pqAdcTopkSql =
+    s"""WITH $pqSqlCtes,
+       |$pqAdcTopkBody
+       |SELECT query_id, rk, neighbor_id, adc_dist
+       |FROM adc_ranked ORDER BY query_id, rk""".stripMargin
+
+  /** Measured recall@5 of the ADC path against exact L2 ground truth —
+    * the accept/reject evidence for the 64× compression (the
+    * `ann_recall_audit` / `lsh_recall_audit` contract applied to PQ):
+    * per query, |exact L2 top-5 ∩ ADC top-5| as n_hits and exact milli
+    * recall. Exact side is the full-vector int64 L2 (nrm − 2·dot + qn)
+    * over the shared quantized base; reconciliation is a 25-row join
+    * regardless of corpus size. */
+  private def pqRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = SimilarityOps.quantizedBase(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id"))
+    val exact = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        col("qn") - lit(2L) * dotQ(col("qq"), col("q")) + col("nrm"))
+      .withColumn("rk", row_number().over(wE)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val adc = pqAdcTopk(s, dir)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    exact.join(adc,
+        col("query_id") === col("a_qid") && col("vec_id") === col("a_nid"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("a_nid")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * 200).as("recall_milli"))
+      .orderBy("query_id")
+  }
+
+  private val pqRecallAuditSql =
+    s"""WITH $pqSqlCtes,
+       |$pqAdcTopkBody,
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nrm - 2*COALESCE(CAST(list_sum(list_transform(range(len(a.q)),
+       |          i -> a.q[i+1]*b.q[i+1])) AS BIGINT), 0) + b.nrm ASC,
+       |        b.vec_id) AS rk
+       |    FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5)
+       |SELECT x.query_id,
+       |  CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(r.neighbor_id) * 200 AS BIGINT) AS recall_milli
+       |FROM exact x LEFT JOIN adc_ranked r
+       |  ON r.query_id = x.query_id AND r.neighbor_id = x.vec_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("pq_encode_stats", pqEncodeStats, Some(pqEncodeStatsSql)),
+    Q("pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql)),
+    Q("pq_recall_audit", pqRecallAudit, Some(pqRecallAuditSql)))
+}

@@ -81,7 +81,57 @@ object PrivacyOps {
       |      FROM events)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** l-diversity audit — the k-anonymity follow-up (Machanavajjhala et
+    * al., public ICDE 2006): a group can be k-large yet still leak if
+    * every member shares one SENSITIVE value (the homogeneity attack k
+    * alone misses). Quasi-identifier = (ts_hour, value_bucket) — one
+    * step COARSER than the k-audit's triple, because here `event_type`
+    * plays the sensitive attribute: per QI group, the distinct sensitive
+    * count (l), the l ≥ 3 verdict, and the top sensitive value's share
+    * in exact milli (the input to a recursive (c,l)-diversity or
+    * entropy check — a group passing l but with top_share ≈ 1000 is
+    * still near-homogeneous). NULL sensitive values bucket as '' on
+    * both engines (the cross_source_leakage rule) so they count as one
+    * real value instead of vanishing from COUNT(DISTINCT).
+    *
+    * Scale shape: two stacked map-side-combining hash aggregates on the
+    * generalized keys (low-cardinality by construction); no joins, no
+    * windows. */
+  private def lDiversityAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        (floor(expr("CAST(round(value * 100) AS BIGINT)") / lit(10000.0)) * 100)
+          .as("value_bucket"),
+        coalesce(col("event_type"), lit("")).as("sens"))
+      .groupBy("ts_hour", "value_bucket", "sens")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("ts_hour", "value_bucket")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("l_distinct"),
+        max("cnt").as("max_cnt"))
+      .select(col("ts_hour"), col("value_bucket"), col("n"),
+        col("l_distinct"), (col("l_distinct") >= 3).as("l_ok"),
+        floor(lit(1000.0) * col("max_cnt") / col("n")).cast("long")
+          .as("top_share_milli"))
+      .orderBy(col("ts_hour").asc_nulls_last,
+        col("value_bucket").asc_nulls_last)
+
+  private val lDiversityAuditSql =
+    """WITH g AS (
+      |  SELECT date_trunc('hour', ts) AS ts_hour,
+      |    CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS BIGINT) * 100 AS value_bucket,
+      |    COALESCE(event_type, '') AS sens
+      |  FROM events),
+      |i AS (SELECT ts_hour, value_bucket, sens, COUNT(*) AS cnt
+      |      FROM g GROUP BY 1, 2, 3)
+      |SELECT ts_hour, value_bucket, CAST(SUM(cnt) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  COUNT(*) >= 3 AS l_ok,
+      |  CAST(floor(1000.0 * MAX(cnt) / SUM(cnt)) AS BIGINT) AS top_share_milli
+      |FROM i GROUP BY 1, 2
+      |ORDER BY ts_hour NULLS LAST, value_bucket NULLS LAST""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pii_anonymize", piiAnonymize, Some(piiAnonymizeSql)),
-    Q("k_anonymity_audit", kAnonymityAudit, Some(kAnonymityAuditSql)))
+    Q("k_anonymity_audit", kAnonymityAudit, Some(kAnonymityAuditSql)),
+    Q("l_diversity_audit", lDiversityAudit, Some(lDiversityAuditSql)))
 }

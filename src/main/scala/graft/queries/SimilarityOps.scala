@@ -29,7 +29,7 @@ object SimilarityOps {
   private def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  private val qvecSql =
+  private[queries] val qvecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
 
   /** Exact int64 dot product of two quantized vectors — the engine's native
@@ -73,7 +73,7 @@ object SimilarityOps {
     * the cache for every later consumer. */
   private val baseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def quantizedBase(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def quantizedBase(s: SparkSession, dir: String): DataFrame = {
     // evict entries whose session is gone so the map can't pin stopped
     // sessions (and their cached blocks) for the JVM lifetime
     baseCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
@@ -1214,7 +1214,70 @@ object SimilarityOps {
        |FROM maj WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space decontamination — the third member of the
+    * decontamination family (exact n-gram `decontaminate_ngrams`, bloom
+    * `decontaminate_bloom`, and this SEMANTIC tier): a paraphrased or
+    * lightly-reworded benchmark item shares no 8-gram with its source,
+    * but its embedding still lands next to it — this gate catches the
+    * overlap class the lexical tiers structurally cannot. Bench set =
+    * the five held-out vectors vec_id ∈ {0,5,10,15,20} (the `% 5 = 0`
+    * increment-id rule ∩ vec_id < 25 — eval items live OUTSIDE the
+    * train corpus, so those ids are excluded from the scored side);
+    * every train vector reports its nearest bench item (exact int64
+    * dot cosine, ties to the lower bench id) and a contaminated verdict
+    * at τ = 0.4 (corpus-relative, the dedup_embedding_neardup constant).
+    *
+    * Scale shape: the bench side is eval-suite-sized (thousands of rows
+    * at worst) — ONE broadcast against a single scan of the session-
+    * cached quantizedBase, argmax as a per-vec_id window (the IVF
+    * assignment plan): no shuffle touches corpus×bench, and the verdict
+    * lands in the same pass. The lexical tiers pre-filter at 100 TB
+    * (bloom → exact); this tier runs on the survivors or on the
+    * embedding ingest path beside `ivfAssignStream`. */
+  private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val isBench = col("vec_id") % 5 === 0 && col("vec_id") < 25
+    val bench = e.filter(isBench)
+      .select(col("vec_id").as("bench_id"), col("q").as("bq"),
+        col("nrm").as("bn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("bench_id"))
+    e.filter(!isBench).crossJoin(broadcast(bench))
+      .withColumn("cos", dotQ(col("q"), col("bq")).cast("double") /
+        sqrt((col("nrm") * col("bn")).cast("double")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cos"),
+        (col("cos") >= 0.4).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  private val decontaminateSemanticSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |bench AS (
+       |  SELECT vec_id AS bench_id, q AS bq, nrm AS bn FROM e
+       |  WHERE vec_id % 5 = 0 AND vec_id < 25),
+       |scored AS (
+       |  SELECT t.vec_id, b.bench_id,
+       |    COALESCE(CAST(list_sum(list_transform(range(len(t.q)),
+       |      i -> t.q[i+1]*b.bq[i+1])) AS BIGINT), 0)
+       |      / sqrt(CAST(t.nrm * b.bn AS DOUBLE)) AS cos
+       |  FROM (SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id < 25)) t
+       |  CROSS JOIN bench b)
+       |SELECT vec_id, bench_id, cos, cos >= 0.4 AS contaminated FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, bench_id) AS rk
+       |  FROM scored)
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
     Q("knn_label_consistency", knnLabelConsistency, Some(knnLabelConsistencySql)),
     Q("semantic_dedup", semanticDedup, Some(semanticDedupSql)),

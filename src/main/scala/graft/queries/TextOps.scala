@@ -1288,7 +1288,82 @@ object TextOps {
       |FROM ranked GROUP BY source HAVING COUNT(*) >= 2
       |ORDER BY source""".stripMargin
 
+  /** Naive-Bayes quality/affinity classifier — the fasttext-linear-model
+    * role in a CCNet-style pipeline (score every crawl doc by a cheap
+    * linear text classifier trained on a trusted seed vs a noisy seed,
+    * then gate or bucket on the score), with the corpus's own labeled
+    * slices as seeds: positive = `lang = 'en'` occurrences, negative =
+    * `lang = 'zh'` (stand-ins for "wiki-like" vs "out-of-target" seed
+    * sets; the seed predicate is one line a deployment swaps). Every
+    * word's log-likelihood-ratio weight is Laplace-smoothed
+    * 1000·(log₂(c₊+1) − log₂(N₊+1) − log₂(c₋+1) + log₂(N₋+1)) with the
+    * libm-free binary-length log₂ (the surprisal contract — exact on
+    * both engines); a doc's score is the occurrence-weighted sum, and
+    * the per-word average (IEEE floor of one double division — `div`
+    * would truncate toward zero on NEGATIVE sums, the value_bucket
+    * floor-semantics class) gives the keep verdict at 0.
+    *
+    * Scale shape: the tfidf/surprisal plan family — token-scale work is
+    * ONE (doc, lang, word) map-side-combining count, the weight relation
+    * is vocabulary-sized (Zipf: ≪ occurrences), the scoring join is
+    * word-keyed at (doc, word) grain, and the verdict is a doc-keyed
+    * aggregate. The seed "training" and the corpus scoring share the
+    * same tf relation — one corpus scan total. */
+  private def nbQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val tf = occ.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("w").agg(
+      sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("cpos"),
+      sum(when(col("lang") === "zh", col("tf")).otherwise(0L)).as("cneg"))
+    val tot = stats.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"))
+    val llr = stats.crossJoin(broadcast(tot)) // scalar broadcast
+      .select(col("w"), (lit(1000L) *
+        ((length(bin(col("cpos") + 1)) - length(bin(col("npos") + 1))) -
+          (length(bin(col("cneg") + 1)) - length(bin(col("nneg") + 1))))
+          .cast("long")).as("llr_milli"))
+    tf.join(llr, "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * col("llr_milli")).as("sum_llr_milli"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("sum_llr_milli"),
+        floor(col("sum_llr_milli").cast("double") / col("n_words"))
+          .cast("long").as("avg_llr_milli"),
+        (floor(col("sum_llr_milli").cast("double") / col("n_words")) >= 0)
+          .as("pred_target"))
+      .orderBy(col("doc_id"), col("lang").asc_nulls_last)
+  }
+
+  private val nbQualityScoreSql =
+    """WITH occ AS (
+      |  SELECT doc_id, lang, w
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |    UNNEST(ws) t(w)),
+      |tf AS (SELECT doc_id, lang, w, COUNT(*) AS tf FROM occ GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS cpos,
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN tf ELSE 0 END) AS BIGINT) AS cneg
+      |  FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS npos,
+      |               CAST(SUM(cneg) AS BIGINT) AS nneg FROM stats),
+      |llr AS (
+      |  SELECT w, CAST(1000 * ((length(bin(cpos+1)) - length(bin(npos+1)))
+      |    - (length(bin(cneg+1)) - length(bin(nneg+1)))) AS BIGINT) AS llr_milli
+      |  FROM stats CROSS JOIN tot)
+      |SELECT doc_id, lang, n_words, sum_llr_milli,
+      |  CAST(floor(CAST(sum_llr_milli AS DOUBLE) / n_words) AS BIGINT)
+      |    AS avg_llr_milli,
+      |  floor(CAST(sum_llr_milli AS DOUBLE) / n_words) >= 0 AS pred_target
+      |FROM (
+      |  SELECT t.doc_id, t.lang, CAST(SUM(t.tf) AS BIGINT) AS n_words,
+      |    CAST(SUM(t.tf * l.llr_milli) AS BIGINT) AS sum_llr_milli
+      |  FROM tf t JOIN llr l USING (w) GROUP BY 1, 2)
+      |ORDER BY doc_id, lang NULLS LAST""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),
     Q("bpe_compression", bpeCompression, Some(bpeCompressionSql)),
