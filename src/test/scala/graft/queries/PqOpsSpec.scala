@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Hand-computed product-quantization semantics on a constant-per-subspace
+  * fixture: codebook code j is the constant vector (j+1)·0.01 (quantized:
+  * 10·(j+1) per dim), so every sub-distance is 16·(c − 10(j+1))² and every
+  * argmin / ADC sum / rank is checkable by hand. The oracle proves
+  * engine-equivalence; this pins the intended MEANING. */
+class PqOpsSpec extends SparkSpec {
+
+  private def writeFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pqops").toString
+    import spark.implicits._
+    def const(c: Float): Array[Float] = Array.fill(64)(c)
+    def perSub(cs: Seq[Float]): Array[Float] =
+      cs.flatMap(c => Array.fill(16)(c)).toArray
+    val rows =
+      // codebook donors AND ADC queries (vec_id < 8 / < 5): code j ≡ 10(j+1)
+      (0 until 8).map(j => (j.toLong, const((j + 1) * 0.01f), 0)) ++ Seq(
+        // per-subspace constants [10, 80, 35, 20] → codes [0, 7, 2|3-tie, 1];
+        // 35 ties codes 2 (30) and 3 (40) at dist 16·25 = 400 → lower code 2
+        (10L, perSub(Seq(0.01f, 0.08f, 0.035f, 0.02f)), 0),
+        // constant 80 → code 7 in every subspace, dist 0
+        (11L, const(0.08f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("pq_encode_stats: hand-computed assignment counts, tie rule, distortion") {
+    val dir = writeFixture()
+    val out = SparkEntry.queries("pq_encode_stats")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Long]("code")) ->
+        ((r.getAs[Long]("n_assigned"), r.getAs[Long]("distortion"),
+          r.getAs[Long]("share_milli")))).toMap
+    // per subspace: codes 0..7 self-assign (8 vecs), vec 11 joins code 7;
+    // vec 10 joins m-dependent codes; 10 vectors per subspace total
+    for (m <- 0 until 4) {
+      val extra10 = Map(0 -> 0L, 1 -> 7L, 2 -> 2L, 3 -> 1L)(m)
+      for (c <- 0L until 8L) {
+        val n = 1L + (if (c == 7L) 1L else 0L) + (if (c == extra10) 1L else 0L)
+        val dist = if (m == 2 && c == 2L) 400L else 0L // the tie case pays 16·25
+        val share = n * 100L // floor(1000·n/10)
+        assert(out((m, c)) == ((n, dist, share)), s"m=$m code=$c")
+      }
+    }
+    assert(out.size == 32)
+  }
+
+  test("pq_adc_topk: ADC distances are exact subspace table-lookup sums") {
+    val dir = writeFixture()
+    val q0 = SparkEntry.queries("pq_adc_topk")(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_dist")))
+    // query 0 ≡ constant 10; candidate at codes (j..) costs Σ 1600·(0−j)²
+    // vec 1→6400, vec 2→25600, vec 3→57600, vec 10 codes [0,7,2,1] →
+    // 1600·(0+49+4+1)=86400, vec 4→102400
+    assert(q0.toSeq == Seq(
+      (1, 1L, 6400L), (2, 2L, 25600L), (3, 3L, 57600L),
+      (4, 10L, 86400L), (5, 4L, 102400L)))
+  }
+
+  test("pq_recall_audit: lossless-geometry fixture reaches full recall") {
+    val dir = writeFixture()
+    val out = SparkEntry.queries("pq_recall_audit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_milli")))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // constant vectors quantize near-exactly (only vec 10's m=2 pays any
+    // distortion), so ADC ordering == exact L2 ordering for every query
+    out.foreach { case (q, (h, r)) =>
+      assert(h == 5L && r == 1000L, s"query $q")
+    }
+  }
+
+  test("pq_recall_audit on the real corpus: recall measured, not asserted") {
+    val out = SparkEntry.queries("pq_recall_audit")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L)
+      assert(r.getAs[Long]("recall_milli") == h * 200L)
+    }
+  }
+}

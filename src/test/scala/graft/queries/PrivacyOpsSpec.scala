@@ -88,4 +88,31 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(r(1L) == ((12, 166L, 0L, true)))
     assert(r(2L) == ((1, 0L, 0L, true)))
   }
+
+  test("l_diversity_audit: distinct sensitive values, NULL-as-'' bucket, top share") {
+    val ts = Timestamp.valueOf("2024-03-05 10:05:00")
+    val ts2 = Timestamp.valueOf("2024-03-05 11:05:00")
+    val ts3 = Timestamp.valueOf("2024-03-05 12:05:00")
+    // all value 10.0 → bucket 0: groups split only by hour
+    val dir = writeEvents(Seq(
+      // hour 10: three distinct types → l=3, top 1/3
+      (1L, ts, 1L, "click", 10.0, "{}"),
+      (2L, ts, 2L, "view", 10.0, "{}"),
+      (3L, ts, 3L, "buy", 10.0, "{}"),
+      // hour 11: homogeneous → l=1, top 1000
+      (4L, ts2, 4L, "click", 10.0, "{}"),
+      (5L, ts2, 5L, "click", 10.0, "{}"),
+      (6L, ts2, 6L, "click", 10.0, "{}"),
+      (7L, ts2, 7L, "click", 10.0, "{}"),
+      // hour 12: NULL type buckets as '' and counts as a real value
+      (8L, ts3, 8L, null, 10.0, "{}"),
+      (9L, ts3, 9L, "click", 10.0, "{}")))
+    val r = SparkEntry.queries("l_diversity_audit")(spark, dir).collect()
+      .map(x => x.getAs[Timestamp]("ts_hour") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("l_distinct"),
+          x.getAs[Boolean]("l_ok"), x.getAs[Long]("top_share_milli")))).toMap
+    assert(r(Timestamp.valueOf("2024-03-05 10:00:00")) == ((3L, 3L, true, 333L)))
+    assert(r(Timestamp.valueOf("2024-03-05 11:00:00")) == ((4L, 1L, false, 1000L)))
+    assert(r(Timestamp.valueOf("2024-03-05 12:00:00")) == ((2L, 2L, false, 500L)))
+  }
 }
