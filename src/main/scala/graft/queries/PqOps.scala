@@ -73,12 +73,24 @@ object PqOps {
       .select(col("m"), col("vec_id").as("code"),
         col("sub").as("csub"), col("ss").as("cc"))
 
+  /** The codebook collapsed to ONE broadcastable row (cb: array of
+    * (m, code, csub, cc) structs, sorted by (m, code) so any fold over it
+    * is order-deterministic) — the bloom-gate / ivfQuantizerRow collapse
+    * pattern, for the streaming encode twin
+    * ([[graft.streaming.StreamingPipeline]] `pqEncodeStream`). */
+  def pqCodebookRow(corpus: DataFrame): DataFrame =
+    subvectors(SimilarityOps.quantize(corpus).filter(col("vec_id") < pqK))
+      .select(struct(col("m"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("ss").as("cc")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cb"))
+
   /** Encoded corpus (vec_id, m, code, dist): each subvector's argmin code
     * (dist asc, code asc — integer comparisons) and its exact int64
     * quantization distance. Session-cached: the stats report, the ADC
     * search and the recall audit all ride ONE encode pass, the
-    * quantizedBase discipline. */
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame = {
+    * quantizedBase discipline. `private[graft]`: the streaming twin's
+    * parity spec reads this relation directly. */
+  private[graft] def pqEncoded(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     Util.cachedRelation(s, dir, "pqEncoded", s"m=$pqM,k=$pqK") {

@@ -391,6 +391,50 @@ object StreamingPipeline {
         col("best.ccos").as("ccos"))
   }
 
+  /** Streaming PQ encode — the code-write half of the vector ingest path
+    * next to [[ivfAssignStream]]: every ARRIVING vector quantizes
+    * row-locally and each of its [[graft.queries.PqOps.pqM]] subvectors
+    * folds over the FIXED per-subspace codebook (one broadcast row, the
+    * bloom-gate collapse — built by
+    * [[graft.queries.PqOps.pqCodebookRow]]) to its argmin code. Output is
+    * the batch encode's long format (vec_id, m, code, dist): at 100 TB
+    * the sink writes 4 small codes per vector instead of 256 bytes of
+    * floats, and the batch ADC search serves arrivals without re-encoding.
+    *
+    * Determinism: exact int64 sub-distances (ss − 2·dot + cc); the fold
+    * runs code-ascending (the row is sorted) with a STRICT `<`, so ties
+    * keep the lowest code — the batch window's (dist asc, code asc) rule.
+    * Zero-norm arrivals drop (the shared quantize contract); an empty
+    * codebook emits nothing rather than NULL codes. One row in, pqM rows
+    * out, no state, no shuffle. */
+  def pqEncodeStream(vecs: DataFrame, codebookRow: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import graft.queries.PqOps.{pqM, pqSubDim}
+    val q = graft.queries.SimilarityOps.quantize(vecs)
+    val accT = "struct<code:bigint,dist:bigint>"
+    q.crossJoin(broadcast(codebookRow)) // static side is ONE row
+      .select(col("vec_id"),
+        explode(array((0 until pqM).map(lit(_)): _*)).as("m"),
+        col("q"), col("cb"))
+      .withColumn("sub", slice(col("q"), col("m") * pqSubDim + 1, lit(pqSubDim)))
+      .withColumn("ss", graft.functions.GraftFunctions
+        .quantized_dot(col("sub"), col("sub")))
+      .withColumn("best", aggregate(
+        filter(col("cb"), c => c.getField("m") === col("m")),
+        lit(null).cast(accT),
+        (acc, c) => {
+          val dist = col("ss") -
+            lit(2L) * graft.functions.GraftFunctions
+              .quantized_dot(col("sub"), c.getField("csub")) +
+            c.getField("cc")
+          val cand = struct(c.getField("code").as("code"), dist.as("dist"))
+          when(acc.isNull || dist < acc.getField("dist"), cand).otherwise(acc)
+        }))
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("m"), col("best.code").as("code"),
+        col("best.dist").as("dist"))
+  }
+
   case class ChunkOcc(doc_id: Long, chunk_idx: Long, chunk: String)
   case class ChunkVerdict(doc_id: Long, chunk_idx: Long, chunk: String,
       kept: Boolean)

@@ -214,6 +214,54 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed.values.sum > 0)
   }
 
+  test("pqEncodeStream: exact batch parity with the PQ encode on real sf0.001 data") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("pqstream")
+    val src = Files.createDirectories(root.resolve("vecs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      src.resolve("embeddings.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.pqEncodeStream(stream,
+        graft.queries.PqOps.pqCodebookRow(corpus)), "pq_encode_stream")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("dist")))).toMap
+    // the stream encode of the whole corpus IS the batch encoded relation:
+    // same codes, same exact distances, row for row
+    val batch = graft.queries.PqOps.pqEncoded(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("dist")))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+
+    // zero-norm arrivals drop; ties keep the lowest code (strict < fold)
+    val src2 = Files.createDirectories(root.resolve("tie"))
+    def const(c: Float): Array[Float] = Array.fill(64)(c)
+    (0 until 8).map(j => (j.toLong, const((j + 1) * 0.01f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(src2.resolve("cb.parquet").toString)
+    val cbCorpus = spark.read.parquet(src2.resolve("cb.parquet").toString)
+    val arrivalsDir = root.resolve("arrivals") // the parquet write creates it
+    Seq((100L, const(0.035f), 0),            // ties codes 2 and 3 → 2
+        (101L, Array.fill(64)(0.0f), 0))     // zero-norm: must drop
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(arrivalsDir.toString)
+    val stream2 = spark.readStream
+      .schema(cbCorpus.schema).parquet(arrivalsDir.toString)
+    val out2 = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.pqEncodeStream(stream2,
+        graft.queries.PqOps.pqCodebookRow(cbCorpus)), "pq_encode_tie")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m")) ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("dist")))).toMap
+    assert(out2.keySet == (0 until 4).map(m => (100L, m)).toSet)
+    (0 until 4).foreach(m => assert(out2((100L, m)) == ((2L, 400L)), s"m=$m"))
+  }
+
   test("lineDedupStream: exact batch parity with line_dedup on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
     // the file stream source wants a DIRECTORY; testdata ships one file
