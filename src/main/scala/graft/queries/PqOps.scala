@@ -112,13 +112,11 @@ object PqOps {
     * and a shorter side contributes only the common prefix (a NULL
     * element product is skipped by list_sum on the DuckDB side and by the
     * null-element guard in the expression). */
-  private val pqSqlCtes =
-    s"""e AS (
-       |  SELECT * FROM (
-       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
-       |    FROM (SELECT vec_id, ${SimilarityOps.qvecSql} AS q FROM embeddings))
-       |  WHERE nrm > 0),
-       |svn AS (
+  /** The chain AFTER the shared `e` CTE — separated so the IVFADC
+    * composition can splice it behind the IVF serve chain (which defines
+    * the identical `e` itself). */
+  private val pqSqlCtesAfterE =
+    s"""svn AS (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |    q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sub,
        |    COALESCE(CAST(list_sum(list_transform(
@@ -138,6 +136,14 @@ object PqOps {
        |      ORDER BY dist ASC, code) AS rn
        |    FROM pq_scored)
        |  WHERE rn = 1)""".stripMargin
+
+  private val pqSqlCtes =
+    s"""e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, ${SimilarityOps.qvecSql} AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |$pqSqlCtesAfterE""".stripMargin
 
   /** Codebook-quality report: per (subspace, code) the assignment count,
     * its share of the subspace in exact milli, and the total int64
@@ -177,16 +183,24 @@ object PqOps {
     * `ann_ivf_cosine`'s probe to get full IVFADC; this query isolates
     * the PQ approximation so `pq_recall_audit` can grade it alone).
     * Ranking is pure int64 (adc_dist asc, vec_id asc). */
-  private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
+  /** ADC distance table (query_id, m, code, pd): exact int64 sub-distance
+    * from every query subvector to every code — queries × pqM·pqK rows,
+    * the broadcast side of both the flat ADC search and the IVFADC
+    * composition. */
+  private def adcTable(s: SparkSession, dir: String): DataFrame = {
     val e = SimilarityOps.quantizedBase(s, dir)
-    val tab = subvectors(e.filter(col("vec_id") < 5))
+    subvectors(e.filter(col("vec_id") < 5))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(codebook(e)), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         (col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
           .as("pd"))
+  }
+
+  private def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val tab = adcTable(s, dir)
     val cand = pqEncoded(s, dir)
       .join(broadcast(tab),
         Seq("m", "code")) // (m, code) lookup — the ADC table probe
@@ -277,8 +291,79 @@ object PqOps {
        |  ON r.query_id = x.query_id AND r.neighbor_id = x.vec_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
+  /** IVFADC — the full FAISS-style serve pipeline (coarse IVF filter +
+    * PQ-compressed ranking, Jégou et al. 2011 §V): queries probe their
+    * [[SimilarityOps.ivfProbes]] nearest inverted lists exactly as
+    * `ann_ivf_cosine` does, but the candidates are then ranked by ADC
+    * table lookups over their 4 stored codes instead of a full-vector
+    * dot — the shape that serves 100 TB from memory: the coarse filter
+    * bounds candidates at corpus·nprobe/K, and ranking touches only the
+    * 4-code representation (the raw vectors never load at query time).
+    * Top-5 per query by (adc_dist asc, vec_id asc).
+    *
+    * Both halves are the SHARED relations: the IVF assignment/probe math
+    * is [[SimilarityOps.ivfServeAssigned]]/[[SimilarityOps.ivfServeProbes]]
+    * (one copy with `ann_ivf_cosine` and `ivf_probe_sweep`), the codes are
+    * the session-cached [[pqEncoded]], the table is [[adcTable]] — so in a
+    * serving session this query costs one candidate join + one 4-row-deep
+    * lookup aggregate on top of already-materialized state. */
+  private def annIvfadcTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cand = SimilarityOps.ivfServeProbes(s, dir, SimilarityOps.ivfProbes)
+      .select(col("query_id"), col("cent_id"))
+      .join(SimilarityOps.ivfServeAssigned(s, dir)
+        .select(col("vec_id"), col("cent_id")), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(pqEncoded(s, dir), "vec_id")
+      .join(broadcast(adcTable(s, dir)), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val annIvfadcTopkSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$pqSqlCtesAfterE,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT qu.query_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY qu.query_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(qu.qq)), i -> qu.qq[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(qu.qn*c.cn AS DOUBLE)) DESC, c.cent_id) AS prn
+       |    FROM qs qu CROSS JOIN cents c)
+       |  WHERE prn <= ${SimilarityOps.ivfProbes}),
+       |ivf_cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM pr p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |tab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |    q.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(q.sub)),
+       |      i -> q.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS pd
+       |  FROM svn q JOIN cb c USING (m) WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT ic.query_id, ic.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc_dist
+       |  FROM ivf_cand ic JOIN enc en ON en.vec_id = ic.vec_id
+       |  JOIN tab t ON t.query_id = ic.query_id
+       |    AND t.m = en.m AND t.code = en.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rk, vec_id AS neighbor_id, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, vec_id) AS rk
+       |  FROM adc)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pq_encode_stats", pqEncodeStats, Some(pqEncodeStatsSql)),
     Q("pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql)),
-    Q("pq_recall_audit", pqRecallAudit, Some(pqRecallAuditSql)))
+    Q("pq_recall_audit", pqRecallAudit, Some(pqRecallAuditSql)),
+    Q("ann_ivfadc_topk", annIvfadcTopk, Some(annIvfadcTopkSql)))
 }

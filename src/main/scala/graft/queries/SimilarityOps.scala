@@ -419,6 +419,48 @@ object SimilarityOps {
   val ivfCentroids = 8
   val ivfProbes = 2
 
+  /** The serve quantizer's centroid relation (cent_id, cq, cn) — the
+    * broadcast side of every serve-family assignment/probe. */
+  private[queries] def ivfServeCents(s: SparkSession, dir: String): DataFrame =
+    quantizedBase(s, dir).filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+
+  /** Serve-quantizer inverted-list assignment (vec_id, cent_id, q, nrm):
+    * best centroid per vector, ccos desc with cent_id ties — ONE copy of
+    * the assignment math shared by `ann_ivf_cosine`, `ivf_probe_sweep`
+    * and the IVFADC composition in [[PqOps]] (the ivfSqlCtes discipline,
+    * engine side). */
+  private[queries] def ivfServeAssigned(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    e.crossJoin(broadcast(ivfServeCents(s, dir)))
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+  }
+
+  /** Probe lists for the query set (query_id, qq, qn, cent_id, prn ≤
+    * nprobe): the nprobe best centroids per query vector. */
+  private[queries] def ivfServeProbes(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val queries = quantizedBase(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    queries.crossJoin(broadcast(ivfServeCents(s, dir)))
+      .withColumn("ccos", dotQ(col("qq"), col("cq")).cast("double") /
+        sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("qn"), col("cent_id"), col("prn"))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (the first
     * [[ivfCentroids]] vectors by id serve as "centroids" — a real system
     * would k-means; the partition/probe shape is identical), every vector
@@ -430,28 +472,8 @@ object SimilarityOps {
   private def annIvfCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedBase(s, dir)
-    val cents = e.filter(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
-    // assignment: best centroid per vector (cos desc, cent_id asc)
-    val scoredC = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
-        sqrt((col("nrm") * col("cn")).cast("double")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = scoredC
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
-    // probe lists: 2 best centroids per query vector
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ(col("qq"), col("cq")).cast("double") /
-        sqrt((col("qn") * col("cn")).cast("double")))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("prn") <= ivfProbes)
+    val assigned = ivfServeAssigned(s, dir)
+    val probes = ivfServeProbes(s, dir, ivfProbes)
       .select(col("query_id"), col("qq"), col("qn"), col("cent_id"))
     // candidates = members of probed lists; rank top-5 per query
     val cand = probes.join(assigned, "cent_id")
@@ -490,7 +512,7 @@ object SimilarityOps {
        |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
        |    FROM e CROSS JOIN cents c)
        |  WHERE arn = 1)""".stripMargin
-  private val ivfServeCtes = ivfSqlCtes(s"vec_id < $ivfCentroids")
+  private[queries] val ivfServeCtes = ivfSqlCtes(s"vec_id < $ivfCentroids")
   private val ivfMaintCtes = ivfSqlCtes("vec_id < 10 AND vec_id % 5 <> 0")
 
   private val annIvfCosineSql =
@@ -602,26 +624,8 @@ object SimilarityOps {
   private def ivfProbeSweep(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedBase(s, dir)
-    val cents = e.filter(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
-        sqrt((col("nrm") * col("cn")).cast("double")))
-      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-    val pr = queries.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ(col("qq"), col("cq")).cast("double") /
-        sqrt((col("qn") * col("cn")).cast("double")))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("prn") <= 4)
-      .select(col("query_id"), col("qq"), col("qn"), col("cent_id"), col("prn"))
+    val assigned = ivfServeAssigned(s, dir)
+    val pr = ivfServeProbes(s, dir, 4)
     val cand = pr.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") /

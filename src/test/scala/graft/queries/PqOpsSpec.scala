@@ -75,6 +75,66 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivfadc_topk: independent JVM recount of the full IVF+ADC pipeline") {
+    // re-derive the entire composition (quantize → IVF assign/probe →
+    // PQ encode → ADC rank) in plain Scala on real sf0.001 data and
+    // require row-for-row agreement — an implementation-independent twin
+    // beside the DuckDB oracle (the InvariantSpec2 discipline)
+    val sf = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val e = raw.map { case (id, v) =>
+      // HALF_UP like Spark's round() — math.round is half-toward-+inf,
+      // which disagrees on negative components
+      id -> v.map(x => new java.math.BigDecimal(x.toDouble * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    }.filter { case (_, q) => q.map(x => x * x).sum > 0 }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / math.sqrt((dot(a, a) * dot(b, b)).toDouble)
+    val cents = e.filter(_._1 < 8).sortBy(_._1)
+    def argmaxCent(q: Array[Long]): Long =
+      cents.map { case (cid, cq) => (cid, cos(q, cq)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    val assigned = e.map { case (id, q) => id -> argmaxCent(q) }.toMap
+    // PQ encode: per subspace argmin code over the first-8 codebook
+    def sub(q: Array[Long], m: Int): Array[Long] =
+      q.slice(m * 16, math.min(m * 16 + 16, q.length))
+    def sdist(a: Array[Long], b: Array[Long]): Long = {
+      val n = math.min(a.length, b.length)
+      dot(a, a) - 2 * (0 until n).map(i => a(i) * b(i)).sum + dot(b, b)
+    }
+    val codes = e.map { case (id, q) =>
+      id -> (0 until 4).map { m =>
+        cents.map { case (cid, cq) => (cid, sdist(sub(q, m), sub(cq, m))) }
+          .minBy { case (cid, d) => (d, cid) }._1
+      }
+    }.toMap
+    val expected = e.filter(_._1 < 5).flatMap { case (qid, qq) =>
+      val probes = cents.map { case (cid, cq) => (cid, cos(qq, cq)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      val cand = e.filter { case (id, _) =>
+        id != qid && probes.contains(assigned(id)) }
+      val adc = cand.map { case (id, _) =>
+        (id, (0 until 4).map { m =>
+          val cq = cents.find(_._1 == codes(id)(m)).get._2
+          sdist(sub(qq, m), sub(cq, m))
+        }.sum)
+      }
+      adc.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex.map {
+        case ((id, d), i) => (qid, i + 1, id, d)
+      }
+    }.toSet
+    val got = SparkEntry.queries("ann_ivfadc_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSet
+    assert(got == expected)
+    assert(got.size == 25)
+  }
+
   test("pq_recall_audit on the real corpus: recall measured, not asserted") {
     val out = SparkEntry.queries("pq_recall_audit")(spark,
       "/root/testdata/sf0.001").collect()
