@@ -361,9 +361,101 @@ object PqOps {
        |  FROM adc)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Residual-encoding gain — the design decision real IVFADC makes
+    * (Jégou et al. 2011 §V.B: encode r = q − centroid instead of q;
+    * residuals are smaller and more isotropic, so the same code budget
+    * buys less distortion): per subspace, the total int64 distortion of
+    * plain PQ vs residual PQ and the exact-milli gain. A deployment
+    * reads gain_milli per subspace and decides whether the extra
+    * centroid subtraction at encode/decode time pays.
+    *
+    * Residual codebook rule: residuals of the first [[pqK]] NON-centroid
+    * ids (pqK ≤ vec_id < 2·pqK) — the centroid donors' own residuals are
+    * ~zero and would make a degenerate codebook. Residual components
+    * subtract via index-transform with try_element_at / q[i+1] NULL
+    * semantics, so ragged fuzz vectors behave identically in both
+    * engines (NULL elements drop from every dot — the QuantizedDot
+    * contract).
+    *
+    * Scale shape: one extra encode pass over the residual projection
+    * (same broadcast-codebook argmin plan as [[pqEncoded]], on the
+    * already-assigned relation), two 4-row aggregates, one 4-row join.
+    * A plain distortion of 0 (every vector IS a code) reports NULL gain
+    * rather than dividing by zero. */
+  private def pqResidualGain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val plain = pqEncoded(s, dir).groupBy(col("m"))
+      .agg(sum(col("dist")).as("distortion_plain"))
+    val res = SimilarityOps.ivfServeAssigned(s, dir)
+      .join(broadcast(SimilarityOps.ivfServeCents(s, dir)), "cent_id")
+      .select(col("vec_id"),
+        expr("transform(q, (x, i) -> x - try_element_at(cq, i + 1))").as("q"))
+    val rsub = subvectors(res)
+    val rcb = rsub.filter(col("vec_id") >= pqK && col("vec_id") < 2 * pqK)
+      .select(col("m"), col("vec_id").as("code"),
+        col("sub").as("csub"), col("ss").as("cc"))
+    val rScored = rsub.join(broadcast(rcb), Seq("m"))
+      .withColumn("dist",
+        col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
+    val wR = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("code"))
+    val resid = rScored.withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .groupBy(col("m")).agg(sum(col("dist")).as("distortion_residual"))
+    plain.join(resid, Seq("m"))
+      .select(col("m"), col("distortion_plain"), col("distortion_residual"),
+        when(col("distortion_plain") > 0,
+          floor(lit(1000.0) *
+            (col("distortion_plain") - col("distortion_residual")) /
+            col("distortion_plain")).cast("long")).as("gain_milli"))
+      .orderBy("m")
+  }
+
+  private val pqResidualGainSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$pqSqlCtesAfterE,
+       |plain AS (
+       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_plain
+       |  FROM enc GROUP BY 1),
+       |res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(len(a.q)), i -> a.q[i+1] - c.cq[i+1]) AS q
+       |  FROM assigned a JOIN cents c USING (cent_id)),
+       |rsvn AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |    q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sub,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim],
+       |      x -> x*x)) AS BIGINT), 0) AS ss
+       |  FROM res, UNNEST(range($pqM)) t(m)),
+       |rcb AS (
+       |  SELECT m, vec_id AS code, sub AS csub, ss AS cc
+       |  FROM rsvn WHERE vec_id >= $pqK AND vec_id < ${2 * pqK}),
+       |r_scored AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    s.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(s.sub)),
+       |      i -> s.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS dist
+       |  FROM rsvn s JOIN rcb c USING (m)),
+       |resid AS (
+       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_residual FROM (
+       |    SELECT * FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist ASC, code) AS rn
+       |      FROM r_scored)
+       |    WHERE rn = 1)
+       |  GROUP BY 1)
+       |SELECT m, distortion_plain, distortion_residual,
+       |  CASE WHEN distortion_plain > 0
+       |       THEN CAST(floor(1000.0 *
+       |         (distortion_plain - distortion_residual) / distortion_plain)
+       |         AS BIGINT) END AS gain_milli
+       |FROM plain JOIN resid USING (m) ORDER BY m""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pq_encode_stats", pqEncodeStats, Some(pqEncodeStatsSql)),
     Q("pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql)),
     Q("pq_recall_audit", pqRecallAudit, Some(pqRecallAuditSql)),
-    Q("ann_ivfadc_topk", annIvfadcTopk, Some(annIvfadcTopkSql)))
+    Q("ann_ivfadc_topk", annIvfadcTopk, Some(annIvfadcTopkSql)),
+    Q("pq_residual_gain", pqResidualGain, Some(pqResidualGainSql)))
 }

@@ -63,6 +63,19 @@ object SimilarityOps {
         col("nrm").as("cn")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cents"))
 
+  /** The semantic-decontamination bench set collapsed to ONE
+    * broadcastable row (bench: array of (bench_id, bq, bn), sorted by
+    * bench_id so any fold over it is order-deterministic) — the
+    * ivfQuantizerRow collapse pattern, for the streaming gate twin
+    * ([[graft.streaming.StreamingPipeline]] `semanticGateStream`). Bench
+    * rule matches `decontaminate_semantic`: vec_id % 5 = 0 ∧ < 25. */
+  def semanticBenchRow(corpus: DataFrame): DataFrame =
+    quantize(corpus)
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < 25)
+      .select(struct(col("vec_id").as("bench_id"), col("q").as("bq"),
+        col("nrm").as("bn")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("bench"))
+
   /** Quantized corpus (vec_id, q, nrm), persisted once per (session, dir):
     * five similarity queries share this base, and within one query the
     * LSH/IVF plans reference it up to three times — caching turns those

@@ -1362,7 +1362,85 @@ object TextOps {
       |  FROM tf t JOIN llr l USING (w) GROUP BY 1, 2)
       |ORDER BY doc_id, lang NULLS LAST""".stripMargin
 
+  /** Curriculum schedule buckets — the easy-to-hard data-ordering
+    * artifact (curriculum-learning pipelines feed low-perplexity docs
+    * first): every scored doc lands in a surprisal decile, reported as
+    * (decile, n_docs, surprisal_lo/hi, total bigram mass) — the schedule
+    * a training run consumes directly. Doc difficulty is the corpus-LM
+    * surprisal ([[bigramSurprisalFrame]], shared subtree with
+    * `word_bigram_surprisal` and the Spearman audit).
+    *
+    * Scale shape — deliberately NOT a global row_number: an exact global
+    * rank is a single-partition sort at 100 TB. Instead the rank-select
+    * runs on the VALUE HISTOGRAM (the outlier_mad lesson): surprisal
+    * values are bin-length-derived milli integers with a tiny distinct
+    * set, so the cumulative histogram is value-bounded however large the
+    * corpus; the nine decile cuts (value at rank ⌈d·n/10⌉, integer ceil
+    * arithmetic) collapse to ONE broadcast row and each doc buckets
+    * row-locally as 1 + |cuts < surprisal|. Docs sharing a surprisal
+    * value share a decile (deterministic; boundary deciles absorb ties —
+    * documented, the discrete-rank-statistic contract). */
+  private def curriculumBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = bigramSurprisalFrame(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_milli"))
+    val hist = f.groupBy(col("surprisal_milli").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))))
+    val n = f.agg(count(lit(1)).as("nn"))
+    val cuts = cum.crossJoin(broadcast(n))
+      .select(col("v"), col("cum"), col("nn"),
+        explode(array((1 to 9).map(lit(_)): _*)).as("d"))
+      .filter(col("cum") >= expr("(d * nn + 9) div 10")) // int ceil division
+      .groupBy(col("d")).agg(min(col("v")).as("cut"))
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    f.crossJoin(broadcast(cuts)) // one-row broadcast
+      .withColumn("decile",
+        (lit(1) + size(filter(col("cuts"), c => c < col("surprisal_milli"))))
+          .cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("surprisal_milli")).as("surprisal_lo"),
+        max(col("surprisal_milli")).as("surprisal_hi"),
+        sum(col("n_bigrams")).as("total_bigrams"))
+      .orderBy("decile")
+  }
+
+  private val curriculumBucketsSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |    UNNEST(list_transform(range(len(w) - 1),
+      |      i -> w[i+1] || ' ' || w[i+2])) t(g)),
+      |tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+      |cnt AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |ntot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt),
+      |f AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(tf * 1000 * (length(bin(n_total)) - length(bin(cnt))))
+      |      // SUM(tf) AS BIGINT) AS surprisal_milli
+      |  FROM tf JOIN cnt USING (g) CROSS JOIN ntot GROUP BY 1),
+      |hist AS (SELECT surprisal_milli AS v, COUNT(*) AS c FROM f GROUP BY 1),
+      |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist),
+      |n AS (SELECT COUNT(*) AS nn FROM f),
+      |cuts AS (
+      |  SELECT list(cut ORDER BY d) AS cuts FROM (
+      |    SELECT d, MIN(v) AS cut
+      |    FROM cum CROSS JOIN n, UNNEST([1,2,3,4,5,6,7,8,9]) t(d)
+      |    WHERE cum >= (d * nn + 9) // 10
+      |    GROUP BY d))
+      |SELECT decile, COUNT(*) AS n_docs,
+      |  MIN(surprisal_milli) AS surprisal_lo,
+      |  MAX(surprisal_milli) AS surprisal_hi,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+      |FROM (
+      |  SELECT f.*, CAST(1 + len(list_filter(cuts, c -> c < surprisal_milli)) AS INT) AS decile
+      |  FROM f CROSS JOIN cuts)
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
     Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),

@@ -391,6 +391,41 @@ object StreamingPipeline {
         col("best.ccos").as("ccos"))
   }
 
+  /** Streaming semantic decontamination — the embedding-tier gate on the
+    * vector ingest path, completing streaming twins for all three
+    * decontamination tiers (exact n-gram [[decontaminateStream]], bloom
+    * [[bloomGateStream]], and this SEMANTIC gate): every ARRIVING vector
+    * quantizes row-locally and folds over the FIXED bench set held as a
+    * one-row broadcast ([[graft.queries.SimilarityOps.semanticBenchRow]])
+    * to its nearest bench item — verdict `contaminated` at the batch
+    * query's τ = 0.4. Unlike the bloom tier this verdict is TWO-sided
+    * (exact cosine, no false positives to route to a batch verify).
+    *
+    * Determinism: the fold runs bench_id-ascending (the row is sorted)
+    * with a STRICT >, so ties keep the lowest bench id — the batch
+    * window's (cos desc, bench_id asc) rule. Zero-norm arrivals drop
+    * (the shared quantize contract); an empty bench set gates nothing.
+    * One row in, one row out, no state, no shuffle. */
+  def semanticGateStream(vecs: DataFrame, benchRow: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = graft.queries.SimilarityOps.quantize(vecs)
+    val accT = "struct<bench_id:bigint,cos:double>"
+    q.crossJoin(broadcast(benchRow)) // static side is ONE row
+      .withColumn("best", aggregate(col("bench"),
+        lit(null).cast(accT),
+        (acc, b) => {
+          val cos = graft.functions.GraftFunctions
+            .quantized_dot(col("q"), b.getField("bq")).cast("double") /
+            sqrt((col("nrm") * b.getField("bn")).cast("double"))
+          val cand = struct(b.getField("bench_id").as("bench_id"),
+            cos.as("cos"))
+          when(acc.isNull || cos > acc.getField("cos"), cand).otherwise(acc)
+        }))
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("best.bench_id").as("bench_id"),
+        col("best.cos").as("cos"), (col("best.cos") >= 0.4).as("contaminated"))
+  }
+
   /** Streaming PQ encode — the code-write half of the vector ingest path
     * next to [[ivfAssignStream]]: every ARRIVING vector quantizes
     * row-locally and each of its [[graft.queries.PqOps.pqM]] subvectors

@@ -135,6 +135,38 @@ class PqOpsSpec extends SparkSpec {
     assert(got.size == 25)
   }
 
+  test("pq_residual_gain: hand-computed plain-vs-residual distortion split") {
+    val dir = java.nio.file.Files.createTempDirectory("pqres").toString
+    import spark.implicits._
+    // centroids (vec 0..7): one-hot 1.0 at dim j — all in subspace 0, so
+    // every plain code is zero in subspaces 1..3. Corpus (vec 8..23):
+    // centroid copy + a constant δ = 0.01 at dim 63 (subspace 3). Every
+    // corpus residual is exactly δ, and the residual codebook (vec 8..15)
+    // is δ itself → residual distortion 0 for corpus vectors; centroids'
+    // own zero residuals pay dist(0, δ) = 100 each at m=3.
+    def vec(hot: Int, delta: Boolean): Array[Float] =
+      Array.tabulate(64)(i =>
+        (if (i == hot) 1.0f else 0.0f) +
+          (if (delta && i == 63) 0.01f else 0.0f))
+    val rows =
+      (0 until 8).map(j => (j.toLong, vec(j, delta = false), 0)) ++
+        (8 until 24).map(j => (j.toLong, vec(j % 8, delta = true), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("pq_residual_gain")(spark, dir).collect()
+      .map(r => r.getAs[Int]("m") ->
+        ((r.getAs[Long]("distortion_plain"),
+          r.getAs[Long]("distortion_residual"),
+          Option(r.getAs[java.lang.Long]("gain_milli")).map(Long.unbox))))
+      .toMap
+    assert(out.keySet == Set(0, 1, 2, 3))
+    // subspaces 0..2 encode everything exactly on both paths → NULL gain
+    (0 to 2).foreach(m => assert(out(m) == ((0L, 0L, None)), s"m=$m"))
+    // m=3: plain pays 16 corpus vectors × δ² = 1600; residual pays the
+    // 8 centroid zero-residuals × dist(0, δ) = 800 → gain 500‰
+    assert(out(3) == ((1600L, 800L, Some(500L))))
+  }
+
   test("pq_recall_audit on the real corpus: recall measured, not asserted") {
     val out = SparkEntry.queries("pq_recall_audit")(spark,
       "/root/testdata/sf0.001").collect()

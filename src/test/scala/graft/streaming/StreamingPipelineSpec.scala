@@ -214,6 +214,33 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed.values.sum > 0)
   }
 
+  test("semanticGateStream: exact batch parity with decontaminate_semantic") {
+    import org.apache.spark.sql.functions.{col, not}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("semgate")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    // arrivals = the train side (bench items live outside the train feed)
+    val src = root.resolve("arrivals")
+    corpus.filter(not(col("vec_id") % 5 === 0 && col("vec_id") < 25))
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.semanticGateStream(stream,
+        graft.queries.SimilarityOps.semanticBenchRow(corpus)), "sem_gate")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Double]("cos"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    val batch = graft.SparkEntry.queries("decontaminate_semantic")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Double]("cos"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("pqEncodeStream: exact batch parity with the PQ encode on real sf0.001 data") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
