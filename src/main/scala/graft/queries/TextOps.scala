@@ -1157,7 +1157,18 @@ object TextOps {
   /** Per-doc surprisal frame (doc_id, n_bigrams, surprisal_milli,
     * max_rarity_milli) — shared by [[wordBigramSurprisal]] and the
     * signal-agreement audit. */
-  private def bigramSurprisalFrame(s: SparkSession, dir: String): DataFrame = {
+  private def bigramSurprisalFrame(s: SparkSession, dir: String): DataFrame =
+    // session-cached (lazy persist): word_bigram_surprisal, the Spearman
+    // audit and curriculum_buckets share this token-scale subtree — and
+    // curriculum_buckets alone references it THREE times (histogram,
+    // count, bucketing); without the cache Catalyst re-derives the whole
+    // (doc, gram) tower per reference (measured 30.5 s at 100×, ~3× the
+    // single-pass cost)
+    Util.cachedRelation(s, dir, "bigramSurprisal", "") {
+      bigramSurprisalFrameUncached(s, dir)
+    }
+
+  private def bigramSurprisalFrameUncached(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     // materialize the split ONCE (lambdas get no CSE — the 2× plan-shape
     // fix), then assemble adjacent pairs row-locally
