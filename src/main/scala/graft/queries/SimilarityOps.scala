@@ -307,7 +307,7 @@ object SimilarityOps {
     * callers trigger no Spark job, and bench timing attributes the first
     * materialization to the query that actually runs first — noted next to
     * the bench results. */
-  private def annLshCosine(s: SparkSession, dir: String): DataFrame = {
+  private def lshState(s: SparkSession, dir: String): Seq[DataFrame] = {
     lshCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val key = (s, dir, lshBitsFor(s, dir), maxLshBucket(s))
     lshCache.getOrElseUpdate(key, {
@@ -318,8 +318,16 @@ object SimilarityOps {
         .foreach(k => lshCache.remove(k).foreach(_.foreach(_.unpersist())))
       val (result, bands) = annLshCosineUncached(s, dir)
       Seq(result.persist(), bands)
-    }).head
+    })
   }
+
+  private def annLshCosine(s: SparkSession, dir: String): DataFrame =
+    lshState(s, dir).head
+
+  /** The persisted (vec_id, band, sig) relation — the multiprobe audit
+    * rides the same signature subtree the candidate join uses. */
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    lshState(s, dir).last
 
   /** Returns (result, persisted bands intermediate) — the caller owns the
     * cache registration and eventual unpersist of both. */
@@ -393,22 +401,25 @@ object SimilarityOps {
     (result, bands)
   }
 
-  private val annLshCosineSql = {
-    // bit k of the packed band signature: hyperplane i's sign bit, weighted
-    // 2^k — the oracle applies the identical bit-packing as the Spark plan
-    // (both are injective maps of the sign vector, so bucket membership is
-    // the same relation either way)
+  /** The e → sigs → bands WITH-chain of the LSH oracle family — ONE copy
+    * of the signature/banding math (the ivfSqlCtes discipline), shared by
+    * `ann_lsh_cosine`, its dedup filter and the multiprobe audit. The
+    * oracle twin is generated at the verify-corpus width (lshBits = 16,
+    * 2 bands of 8): lshBitsFor resolves to exactly that for every test
+    * SF. Bit k of a packed band signature is hyperplane i's sign bit
+    * weighted 2^k — identical bit-packing to the Spark plan (both are
+    * injective maps of the sign vector, so bucket membership is the same
+    * relation either way). */
+  private val lshBandsCtes = {
     def bitExpr(i: Int, k: Int) =
       s"""(CASE WHEN list_sum(list_transform(range(len(q)), j ->
          |  q[j+1] * (CASE WHEN strpos('01234567', substr(md5($i || '_' || j), 1, 1)) > 0
          |            THEN 1 ELSE -1 END))) >= 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)""".stripMargin
-    // the oracle twin is generated at the verify-corpus width (lshBits = 16,
-    // 2 bands of 8): lshBitsFor resolves to exactly that for every test SF
     val sig0 = (0 until lshBits / 2).zipWithIndex
       .map { case (i, k) => bitExpr(i, k) }.mkString(" + ")
     val sig1 = (lshBits / 2 until lshBits).zipWithIndex
       .map { case (i, k) => bitExpr(i, k) }.mkString(" + ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT * FROM (
        |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
@@ -416,7 +427,11 @@ object SimilarityOps {
        |sigs AS (SELECT vec_id, q, nrm, $sig0 AS sig0, $sig1 AS sig1 FROM e),
        |bands AS (
        |  SELECT vec_id, q, nrm, 0 AS band, sig0 AS sig FROM sigs
-       |  UNION ALL SELECT vec_id, q, nrm, 1, sig1 FROM sigs),
+       |  UNION ALL SELECT vec_id, q, nrm, 1, sig1 FROM sigs)""".stripMargin
+  }
+
+  private val annLshCosineSql =
+    s"""WITH $lshBandsCtes,
        |cand AS (
        |  SELECT a.vec_id a_id, b.vec_id b_id, COUNT(*) AS n_shared_bands,
        |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na, ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
@@ -427,7 +442,6 @@ object SimilarityOps {
        |  CAST(CAST(list_sum(list_transform(range(len(qa)), i -> qa[i+1]*qb[i+1])) AS BIGINT) AS DOUBLE)
        |    / sqrt(CAST(na*nb AS DOUBLE)) AS cos
        |FROM cand ORDER BY a_id, b_id""".stripMargin
-  }
 
   val ivfCentroids = 8
   val ivfProbes = 2
@@ -1292,7 +1306,82 @@ object SimilarityOps {
        |  FROM scored)
        |WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  /** Multi-probe LSH audit (Lv et al., public VLDB 2007): instead of
+    * widening recall by adding hash tables (more memory), probe the
+    * buckets whose band signature differs from yours by ONE bit — the
+    * classic memory/recall trade, here measured as a decision artifact:
+    * per probe distance (0 = plain exact-bucket LSH, 1 = pairs ONLY
+    * reachable via a 1-bit flip), the candidate-pair count and how many
+    * verify at the τ = 0.4 near-dup threshold. A deployment reads the
+    * probe-1 row as "recall bought" (extra τ-pairs) vs "cost paid"
+    * (extra candidates) and decides whether multiprobe replaces a third
+    * band.
+    *
+    * Scale shape: probing is an explode of the persisted bands relation
+    * ×(bandBits+1) — the SAME bucket-keyed equi-join as the plain
+    * candidate path, just with more probe rows on one side; flips are
+    * symmetric (hamming(a,b)=1 ⟺ a XOR bit = b), so probing one join
+    * side finds every pair. Verification is candidate-pair-sized. The
+    * per-bucket cap story carries over unchanged (a production run
+    * filters the probed side by the same okBuckets relation). Exact
+    * int64 signatures and cosines throughout. */
+  private def lshMultiprobeAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bands = lshBands(s, dir)
+    val bandBits = lshBitsFor(s, dir) / 2
+    val exact = bands.select(col("vec_id"), col("band"),
+      col("sig").as("psig"), lit(-1).as("k"))
+    val flipped = bands.select(col("vec_id"), col("band"), col("sig"),
+        explode(array((0 until bandBits).map(lit(_)): _*)).as("k"))
+      .select(col("vec_id"), col("band"),
+        expr("sig ^ shiftleft(CAST(1 AS BIGINT), k)").as("psig"), col("k"))
+    val cand = exact.unionByName(flipped).as("p")
+      .join(bands.as("b"),
+        col("p.band") === col("b.band") && col("p.psig") === col("b.sig") &&
+          col("p.vec_id") < col("b.vec_id"))
+      .groupBy(col("p.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(min(when(col("p.k") === -1, 0).otherwise(1)).as("probe_dist"))
+    val e = quantizedBase(s, dir)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("q").as("qa"),
+        col("nrm").as("na")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("q").as("qb"),
+        col("nrm").as("nb")), "b_id")
+      .withColumn("cos", dotQ(col("qa"), col("qb")).cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")))
+      .groupBy(col("probe_dist"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_tau_pairs"))
+      .orderBy("probe_dist")
+  }
+
+  private val lshMultiprobeAuditSql =
+    s"""WITH $lshBandsCtes,
+       |probes AS (
+       |  SELECT vec_id, band, sig AS psig, -1 AS k FROM bands
+       |  UNION ALL
+       |  SELECT vec_id, band, xor(sig, CAST(1 AS BIGINT) << k) AS psig, CAST(k AS INT) AS k
+       |  FROM bands, UNNEST(range(${lshBits / 2})) t(k)),
+       |cand AS (
+       |  SELECT p.vec_id AS a_id, b.vec_id AS b_id,
+       |    MIN(CASE WHEN p.k = -1 THEN 0 ELSE 1 END) AS probe_dist
+       |  FROM probes p JOIN bands b
+       |    ON p.band = b.band AND p.psig = b.sig AND p.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT c.probe_dist,
+       |    CASE WHEN COALESCE(CAST(list_sum(list_transform(range(len(a.q)),
+       |        i -> a.q[i+1]*b2.q[i+1])) AS BIGINT), 0)
+       |        / sqrt(CAST(a.nrm * b2.nrm AS DOUBLE)) >= 0.4
+       |      THEN 1 ELSE 0 END AS is_tau
+       |  FROM cand c JOIN e a ON a.vec_id = c.a_id
+       |  JOIN e b2 ON b2.vec_id = c.b_id)
+       |SELECT probe_dist, COUNT(*) AS n_candidate_pairs,
+       |  CAST(SUM(is_tau) AS BIGINT) AS n_tau_pairs
+       |FROM ver GROUP BY 1 ORDER BY probe_dist""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("lsh_multiprobe_audit", lshMultiprobeAudit, Some(lshMultiprobeAuditSql)),
     Q("decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticSql)),
     Q("label_centroids", labelCentroids, Some(labelCentroidsSql)),
