@@ -1346,6 +1346,33 @@ object TextOps {
       .orderBy(col("doc_id"), col("lang").asc_nulls_last)
   }
 
+  /** The trained NB model collapsed to ONE broadcastable row
+    * (wmap: word → llr_milli over the whole seed vocabulary, w0: the
+    * constant weight of an UNSEEN word — Laplace gives cpos = cneg = 0
+    * the same smoothed value everywhere) — the bloom-bitmap collapse
+    * pattern for the streaming scorer
+    * ([[graft.streaming.StreamingPipeline]] `nbScoreStream`): a crawl
+    * gate scores arrivals with zero joins, one map lookup per token. At
+    * a production vocabulary (~10⁶ words) the map row is tens of MB —
+    * squarely broadcastable. */
+  def nbWeightsRow(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val stats = occ.groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("cneg"))
+    val tot = stats.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"))
+    stats.crossJoin(broadcast(tot))
+      .select(struct(col("w"), (lit(1000L) *
+        ((length(bin(col("cpos") + 1)) - length(bin(col("npos") + 1))) -
+          (length(bin(col("cneg") + 1)) - length(bin(col("nneg") + 1))))
+          .cast("long")).as("llr")).as("e"),
+        (lit(1000L) * (length(bin(col("nneg") + 1)) -
+          length(bin(col("npos") + 1))).cast("long")).as("w0"))
+      .agg(map_from_entries(collect_list(col("e"))).as("wmap"),
+        min(col("w0")).as("w0"))
+  }
+
   private val nbQualityScoreSql =
     """WITH occ AS (
       |  SELECT doc_id, lang, w

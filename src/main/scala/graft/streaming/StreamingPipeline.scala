@@ -391,6 +391,34 @@ object StreamingPipeline {
         col("best.ccos").as("ccos"))
   }
 
+  /** Streaming naive-Bayes quality scoring — the crawl-side quality gate
+    * as a stream-static projection: every ARRIVING doc scores row-locally
+    * against the trained weight map held as ONE broadcast row
+    * ([[graft.queries.TextOps.nbWeightsRow]]) — one map lookup per token,
+    * ZERO joins, no state, the fasttext-gate deployment shape. Unseen
+    * words take the model's constant Laplace default (w0), so arrivals
+    * with novel vocabulary score exactly as the batch scorer would score
+    * them had they been in the corpus with zero seed counts.
+    *
+    * Identical integer arithmetic to the batch `nb_quality_score`
+    * (llr_milli sums, IEEE-floor average, verdict at 0); the one
+    * semantic delta: the stream scores PER ARRIVAL — duplicate doc_ids
+    * are scored independently where the batch query folds them into one
+    * (doc_id, lang) row. NULL-text arrivals drop, mirroring the batch
+    * explode. */
+  def nbScoreStream(docs: DataFrame, weightsRow: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .crossJoin(broadcast(weightsRow)) // static side is ONE row
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sum_llr_milli", aggregate(col("ws"), lit(0L),
+        (acc, w) => acc + coalesce(try_element_at(col("wmap"), w), col("w0"))))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("sum_llr_milli"),
+        floor(col("sum_llr_milli").cast("double") / col("n_words"))
+          .cast("long").as("avg_llr_milli"),
+        (floor(col("sum_llr_milli").cast("double") / col("n_words")) >= 0)
+          .as("pred_target"))
+
   /** Streaming semantic decontamination — the embedding-tier gate on the
     * vector ingest path, completing streaming twins for all three
     * decontamination tiers (exact n-gram [[decontaminateStream]], bloom

@@ -214,6 +214,46 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed.values.sum > 0)
   }
 
+  test("nbScoreStream: exact batch parity; unseen words take the Laplace default") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("nbstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val weights = graft.queries.TextOps.nbWeightsRow(corpus)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("sum_llr_milli"),
+          r.getAs[Long]("avg_llr_milli"), r.getAs[Boolean]("pred_target")))
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.nbScoreStream(stream, weights), "nb_score")
+      .collect().map(key).toMap
+    val batch = graft.SparkEntry.queries("nb_quality_score")(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+
+    // an arrival made ENTIRELY of unseen words scores n·w0: the batch
+    // scorer would give a zero-count word exactly the Laplace default
+    val src2 = root.resolve("novel")
+    Seq((9001L, "zzz yyy xxx", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(src2.toString)
+    val stream2 = spark.readStream
+      .schema(corpus.schema).parquet(src2.toString)
+    val novel = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.nbScoreStream(stream2, weights), "nb_score_novel")
+      .collect()
+    assert(novel.length == 1)
+    val w0 = weights.collect().head.getAs[Long]("w0")
+    assert(novel.head.getAs[Long]("sum_llr_milli") == 3 * w0)
+    assert(novel.head.getAs[Long]("avg_llr_milli") == w0)
+  }
+
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
     import org.apache.spark.sql.functions.{col, not}
     val sf = "/root/testdata/sf0.001"
