@@ -1325,18 +1325,41 @@ object SimilarityOps {
     * per-bucket cap story carries over unchanged (a production run
     * filters the probed side by the same okBuckets relation). Exact
     * int64 signatures and cosines throughout. */
+  /** A-side probe sampling for [[lshMultiprobeAudit]]: probe only from
+    * vec_id ≡ 0 (mod this). Default 1 = every vector (what the oracle
+    * pins). At web-corpus scale the probe join carries (bandBits+1)× the
+    * plain candidate mass — measured OOM at the 100× clustered ScaleGen
+    * corpus with the full probe side — and the audit's RATIOS (extra τ
+    * pairs per extra candidate) are what the decision needs, so a
+    * deployment raises the modulus to audit a sample (the knnProbeMod
+    * contract: a sampling choice that diverges from the recorded oracle
+    * by design). Session conf `graft.lsh.probeMod`. */
+  def lshProbeMod(s: SparkSession): Int =
+    s.conf.getOption("graft.lsh.probeMod").map(_.toInt).getOrElse(1)
+
   private def lshMultiprobeAudit(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bands = lshBands(s, dir)
     val bandBits = lshBitsFor(s, dir) / 2
-    val exact = bands.select(col("vec_id"), col("band"),
+    val probeSrc = bands.filter(col("vec_id") % lshProbeMod(s) === 0)
+    val exact = probeSrc.select(col("vec_id"), col("band"),
       col("sig").as("psig"), lit(-1).as("k"))
-    val flipped = bands.select(col("vec_id"), col("band"), col("sig"),
+    val flipped = probeSrc.select(col("vec_id"), col("band"), col("sig"),
         explode(array((0 until bandBits).map(lit(_)): _*)).as("k"))
       .select(col("vec_id"), col("band"),
         expr("sig ^ shiftleft(CAST(1 AS BIGINT), k)").as("psig"), col("k"))
+    // probe-TARGET buckets over the cap are dropped (and drop-logged) the
+    // way the plain candidate path drops its oversized buckets: a probe
+    // into a degenerate bucket would pay |bucket| rows per probe row.
+    // Sized to never bind at verify scale, so the oracle is unchanged.
+    val sizes = bands.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bk"))
+    val ok = withDropMetric(s, sizes, "graft_drop_lsh_probe_bucket",
+        sum(when(col("bk") > maxLshBucket(s), 1L).otherwise(0L)))
+      .filter(col("bk") <= maxLshBucket(s))
+      .select(col("band"), col("sig"))
+    val targets = bands.join(ok, Seq("band", "sig"), "left_semi")
     val cand = exact.unionByName(flipped).as("p")
-      .join(bands.as("b"),
+      .join(targets.as("b"),
         col("p.band") === col("b.band") && col("p.psig") === col("b.sig") &&
           col("p.vec_id") < col("b.vec_id"))
       .groupBy(col("p.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
