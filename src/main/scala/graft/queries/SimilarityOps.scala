@@ -1403,7 +1403,249 @@ object SimilarityOps {
        |  CAST(SUM(is_tau) AS BIGINT) AS n_tau_pairs
        |FROM ver GROUP BY 1 ORDER BY probe_dist""".stripMargin
 
+  /** The brute-force ground-truth top-5 (query_id, neighbor_id) set shared
+    * by every serve-path recall audit in this file. */
+  private def bruteTruth5(s: SparkSession, dir: String): DataFrame =
+    knnBruteCosine(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+
+  private val bruteTruth5Sql =
+    s"SELECT query_id, neighbor_id FROM ($knnBruteCosineSql) WHERE rk <= 5"
+
+  /** Recall audit for SYMMETRIC int8 scalar quantization (SQ8) — the
+    * cheapest embedding compression a serving index applies before PQ:
+    * one global scale gmax = max |component| over the corpus, every
+    * component mapped to ⌊x·127/gmax⌋ ∈ [−127, 127]. Dot products on the
+    * int8 grid stay EXACT int64 sums, so the audit is engine-deterministic
+    * end to end: the only doubles are the one correctly-rounded division
+    * inside the quantizer (exact-int numerator/denominator → IEEE-identical
+    * in both engines) and the final cosine.
+    *
+    * Measures top-5 recall of the SQ8 ranking against the full milli-grid
+    * ground truth ([[bruteTruth5]]) per query — the float-vs-int8 quality
+    * check an embedding-serving deployment runs before switching storage to
+    * 1 byte/dim (16× smaller than float16 PQ input, 4× smaller than the
+    * milli grid).
+    *
+    * Scale shape: gmax is one scalar aggregate broadcast back (the scalar-
+    * subquery pattern); quantization is a narrow projection; ranking is the
+    * brute broadcast-join family. At 100 TB the same audit runs on a SAMPLE
+    * of queries — cost is queries × corpus, independent of this plan. */
+  private def sq8RecallAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val g = e.agg(max(array_max(transform(col("q"), x => abs(x)))).as("gmax"))
+    val e8 = e.crossJoin(broadcast(g))
+      .select(col("vec_id"),
+        transform(col("q"), x => floor(x * 127 / col("gmax")).cast("long")).as("q8"))
+      .withColumn("n8", dotQ(col("q8"), col("q8")))
+      .filter(col("n8") > 0)
+    val queries = e8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_qid"), col("q8").as("qq"), col("n8").as("qn"))
+    val ranked = e8.join(broadcast(queries), col("vec_id") =!= col("q_qid"))
+      .withColumn("cos8", dotQ(col("qq"), col("q8")).cast("double") /
+        sqrt((col("qn") * col("n8")).cast("double")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_qid"))
+        .orderBy(col("cos8").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("q_qid"), col("vec_id").as("s_nid"))
+    bruteTruth5(s, dir)
+      .join(ranked, col("query_id") === col("q_qid") &&
+        col("neighbor_id") === col("s_nid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("s_nid")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * 200).as("recall_milli"))
+      .orderBy("query_id")
+  }
+
+  private val sq8RecallAuditSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |g AS (SELECT MAX(list_max(list_transform(q, x -> abs(x)))) AS gmax FROM e),
+       |e8 AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q8,
+       |      CAST(list_sum(list_transform(q8, x -> x*x)) AS BIGINT) AS n8
+       |    FROM (
+       |      SELECT vec_id,
+       |        list_transform(q, x -> CAST(floor(CAST(x*127 AS DOUBLE)/gmax) AS BIGINT)) AS q8
+       |      FROM e CROSS JOIN g))
+       |  WHERE n8 > 0),
+       |ranked AS (
+       |  SELECT q_qid, s_nid FROM (
+       |    SELECT a.vec_id AS q_qid, b.vec_id AS s_nid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(a.q8)), i -> a.q8[i+1]*b.q8[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(a.n8*b.n8 AS DOUBLE)) DESC, b.vec_id) AS rk
+       |    FROM e8 a JOIN e8 b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5)
+       |SELECT t.query_id,
+       |  CAST(COUNT(r.s_nid) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(r.s_nid) * 200 AS BIGINT) AS recall_milli
+       |FROM ($bruteTruth5Sql) t LEFT JOIN ranked r
+       |  ON r.q_qid = t.query_id AND r.s_nid = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** Matryoshka (MRL-style) dimension-truncation recall audit: rank by
+    * cosine over only the FIRST L components (L ∈ {16, 32, 64} of the
+    * 64-dim corpus) and measure top-5 recall against the full-dim ground
+    * truth — the curve a retrieval deployment reads before serving
+    * truncated embeddings at L·4 bytes/vector. L = 64 is the structural
+    * sanity row (recall ≡ 1000: identical ranking by construction).
+    *
+    * All-integer slices of the shared milli-quantized base; per-level
+    * ranking is the brute broadcast-join family, so audit cost is
+    * levels × queries × corpus with no shuffle beyond the final tiny
+    * per-level aggregate. Zero-norm SLICES (a vector whose first L
+    * components are all zero) are filtered like the base's zero-norm rule —
+    * cosine is undefined there, on both sides of the oracle. */
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val sliced = Seq(16, 32, 64).map { l =>
+      e.select(lit(l).as("level"), col("vec_id"), slice(col("q"), 1, l).as("qs"))
+    }.reduce(_ unionAll _)
+      .withColumn("ns", dotQ(col("qs"), col("qs")))
+      .filter(col("ns") > 0)
+    val queries = sliced.filter(col("vec_id") < 5)
+      .select(col("level").as("q_level"), col("vec_id").as("q_qid"),
+        col("qs").as("qq"), col("ns").as("qn"))
+    val ranked = sliced.join(broadcast(queries),
+        col("level") === col("q_level") && col("vec_id") =!= col("q_qid"))
+      .withColumn("cosl", dotQ(col("qq"), col("qs")).cast("double") /
+        sqrt((col("qn") * col("ns")).cast("double")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("level"), col("q_qid"))
+          .orderBy(col("cosl").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("level").as("r_level"), col("q_qid"), col("vec_id").as("s_nid"))
+    import s.implicits._
+    val levels = Seq(16, 32, 64).toDF("level")
+    // drive from levels × truth so a level with zero hits still emits its
+    // row (recall 0), and n_truth normalizes short truth lists exactly
+    bruteTruth5(s, dir).crossJoin(broadcast(levels))
+      .join(ranked, col("level") === col("r_level") &&
+        col("query_id") === col("q_qid") &&
+        col("neighbor_id") === col("s_nid"), "left")
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_truth"), count(col("s_nid")).as("n_hits"))
+      .select(col("level"), col("n_truth"), col("n_hits"),
+        expr("(n_hits * 1000) div n_truth").as("recall_milli"))
+      .orderBy("level")
+  }
+
+  private val matryoshkaRecallSql = {
+    val slices = Seq(16, 32, 64).map(l =>
+      s"SELECT $l AS level, vec_id, q[1:$l] AS qs FROM e").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |sliced AS (
+       |  SELECT * FROM (
+       |    SELECT level, vec_id, qs,
+       |      CAST(list_sum(list_transform(qs, x -> x*x)) AS BIGINT) AS ns
+       |    FROM ($slices))
+       |  WHERE ns > 0),
+       |ranked AS (
+       |  SELECT level AS r_level, q_qid, s_nid FROM (
+       |    SELECT a.level, a.vec_id AS q_qid, b.vec_id AS s_nid,
+       |      row_number() OVER (PARTITION BY a.level, a.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(a.qs)), i -> a.qs[i+1]*b.qs[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(a.ns*b.ns AS DOUBLE)) DESC, b.vec_id) AS rk
+       |    FROM sliced a JOIN sliced b
+       |      ON a.level = b.level AND a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5),
+       |levels AS (SELECT UNNEST([16, 32, 64]) AS level)
+       |SELECT l.level,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(COUNT(r.s_nid) AS BIGINT) AS n_hits,
+       |  (COUNT(r.s_nid) * 1000) // COUNT(*) AS recall_milli
+       |FROM ($bruteTruth5Sql) t CROSS JOIN levels l
+       |LEFT JOIN ranked r
+       |  ON r.r_level = l.level AND r.q_qid = t.query_id AND r.s_nid = t.neighbor_id
+       |GROUP BY l.level ORDER BY l.level""".stripMargin
+  }
+
+  /** Reciprocal-rank fusion (RRF, k = 60) of the two retrieval modalities
+    * the engine serves — the BM25 lexical ranking over `documents`
+    * ([[TextOps.bm25Ranked]]) and the embedding-cosine ranking over
+    * `embeddings` ([[knnBruteCosine]]), joined on the shared id space —
+    * the standard hybrid-search merge (Cormack et al.: score =
+    * Σ_lists 1/(k + rank)), in exact integer micro: 1000000 div (60+rk).
+    *
+    * Queries are ids 0..2 (present in both modalities' query sets); each
+    * list contributes its top 10. A candidate found by only one modality
+    * scores that one contribution — the full-outer shape, with absent ranks
+    * surfaced as rk 0 (not NULL: nullable-int columns round-trip as float64
+    * in the driver compare).
+    *
+    * Scale shape: fusion itself touches only queries × k rows — the
+    * component rankings dominate and both already have bounded-candidate
+    * scale paths (inverted postings for BM25, IVF/LSH for vectors). */
+  private def rrfHybridTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = TextOps.bm25Ranked(s, dir)
+      .filter(col("query_id") < 3 && col("rk") <= 10)
+      .select(col("query_id").as("t_qid"), col("doc_id").as("t_cid"),
+        col("rk").as("rk_text"))
+    val vec = knnBruteCosine(s, dir)
+      .filter(col("query_id") < 3 && col("rk") <= 10)
+      .select(col("query_id").as("v_qid"), col("neighbor_id").as("v_cid"),
+        col("rk").as("rk_vec"))
+    val fused = txt.join(vec,
+        col("t_qid") === col("v_qid") && col("t_cid") === col("v_cid"),
+        "full_outer")
+      .select(
+        coalesce(col("t_qid"), col("v_qid")).as("query_id"),
+        coalesce(col("t_cid"), col("v_cid")).as("cand_id"),
+        coalesce(col("rk_text"), lit(0)).as("rk_text"),
+        coalesce(col("rk_vec"), lit(0)).as("rk_vec"))
+      .withColumn("rrf_micro",
+        expr("""CASE WHEN rk_text > 0 THEN 1000000 div (60 + rk_text) ELSE 0 END
+              + CASE WHEN rk_vec > 0 THEN 1000000 div (60 + rk_vec) ELSE 0 END"""))
+    fused.withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("cand_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("rk_text"),
+        col("rk_vec"), col("rrf_micro"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val rrfHybridTopkSql =
+    s"""WITH ${TextOps.bm25RankedCtes},
+       |txt AS (
+       |  SELECT query_id AS t_qid, doc_id AS t_cid, rk AS rk_text
+       |  FROM bm25ranked WHERE query_id < 3 AND rk <= 10),
+       |vec AS (
+       |  SELECT query_id AS v_qid, neighbor_id AS v_cid, rk AS rk_vec
+       |  FROM ($knnBruteCosineSql) WHERE query_id < 3 AND rk <= 10),
+       |fused AS (
+       |  SELECT COALESCE(t_qid, v_qid) AS query_id,
+       |    COALESCE(t_cid, v_cid) AS cand_id,
+       |    CAST(COALESCE(rk_text, 0) AS INT) AS rk_text,
+       |    CAST(COALESCE(rk_vec, 0) AS INT) AS rk_vec,
+    -- CAST: DuckDB int literals are INT32 and // preserves width; Spark div is BIGINT
+       |    CAST(CASE WHEN COALESCE(rk_text, 0) > 0 THEN 1000000 // (60 + rk_text) ELSE 0 END
+       |     + CASE WHEN COALESCE(rk_vec, 0) > 0 THEN 1000000 // (60 + rk_vec) ELSE 0 END
+       |      AS BIGINT) AS rrf_micro
+       |  FROM txt FULL OUTER JOIN vec ON t_qid = v_qid AND t_cid = v_cid)
+       |SELECT query_id, rk, cand_id, rk_text, rk_vec, rrf_micro FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, cand_id) AS INT) AS rk FROM fused)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sq8_recall_audit", sq8RecallAudit, Some(sq8RecallAuditSql)),
+    Q("matryoshka_recall", matryoshkaRecall, Some(matryoshkaRecallSql)),
+    Q("rrf_hybrid_topk", rrfHybridTopk, Some(rrfHybridTopkSql)),
     Q("lsh_multiprobe_audit", lshMultiprobeAudit, Some(lshMultiprobeAuditSql)),
     Q("decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticSql)),

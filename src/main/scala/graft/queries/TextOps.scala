@@ -1477,7 +1477,102 @@ object TextOps {
       |  FROM f CROSS JOIN cuts)
       |GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75) re-derived as EXACT integer
+    * arithmetic so both engines rank identically with no libm call:
+    *
+    *  - idf: the Robertson idf's ARGUMENT (N − df + ½)/(df + ½) kept
+    *    rational instead of logged — milli-scaled as
+    *    ((2(N−df)+1)·1000) div (2df+1). Monotone in classic log-idf, so
+    *    per-term orderings agree; across terms the rational form weights
+    *    rare terms more aggressively than the log (a documented engine
+    *    semantic, exact and engine-portable).
+    *  - tf saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)): with
+    *    avgdl = total_len/N, multiplying numerator and denominator by
+    *    10·total_len clears every fraction —
+    *    (22·tf·total_len·1000) div (10·tf·total_len + 3·total_len + 9·dl·N),
+    *    milli-scaled, ≤ 2200. int64-safe: ≈2.2e4·tf·total_len stays under
+    *    2^63 past a 10^12-token corpus.
+    *  - score := Σ_terms idf_milli · tfsat_milli.
+    *
+    * Queries are the first 3 documents; their distinct length-≥4 tokens form
+    * the bag-of-words query (short tokens ≈ stopwords carry ~no idf anyway).
+    *
+    * Scale shape: corpus-side tf/df/dl are the tfidf_topk relations
+    * (token-scale explode → (doc,word) hash-agg). The query side is 3 docs
+    * → a BROADCAST join on word, so scoring touches only the postings of
+    * query terms — the inverted-index access path, expressed relationally;
+    * the per-query top-k window runs over candidates, never the corpus. */
+  private[queries] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val w = d.select(col("doc_id"),
+      explode(filter(words(col("text")), x => x =!= "")).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qterms = tf.filter(col("doc_id") < 3 && length(col("word")) >= 4)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val scored = tf.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_milli",
+        expr("((2*(n_docs - df) + 1) * 1000) div (2*df + 1)"))
+      .withColumn("tfsat_milli",
+        expr("(22*tf*total_len*1000) div (10*tf*total_len + 3*total_len + 9*dl*n_docs)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("idf_milli * tfsat_milli")).as("score_micro"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(win))
+  }
+
+  private def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_terms"),
+        col("score_micro"))
+      .orderBy("query_id", "rk")
+
+  /** Ranked-but-unfiltered BM25 CTE chain (ends in a `ranked` relation with
+    * rk) — shared verbatim by the bm25_topk oracle and the hybrid-fusion
+    * oracle in [[SimilarityOps]], one copy of the scoring math. */
+  private[queries] val bm25RankedCtes =
+    """w AS (
+      |  SELECT doc_id, w AS word
+      |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+      |qterms AS (
+      |  SELECT doc_id AS query_id, word FROM tf
+      |  WHERE doc_id < 3 AND length(word) >= 4),
+      |bm25scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    COUNT(*) AS n_terms,
+    -- CAST: DuckDB SUM(BIGINT) is HUGEINT (→ float64 in the driver compare)
+      |    CAST(SUM((((2*(n_docs - df) + 1) * 1000) // (2*df + 1))
+      |      * ((22*tf*total_len*1000) // (10*tf*total_len + 3*total_len + 9*dl*n_docs)))
+      |      AS BIGINT) AS score_micro
+      |  FROM tf JOIN qterms q ON tf.word = q.word AND tf.doc_id <> q.query_id
+      |  JOIN df ON df.word = tf.word
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2),
+      |bm25ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id) AS INT) AS rk FROM bm25scored)""".stripMargin
+
+  private val bm25TopkSql =
+    s"""WITH $bm25RankedCtes
+       |SELECT query_id, rk, doc_id, n_terms, score_micro
+       |FROM bm25ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
     Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
