@@ -696,6 +696,52 @@ object StreamingPipeline {
       }
   }
 
+  /** Stream-stream LEFT OUTER join with watermark state expiry: the
+    * click→purchase attribution join (every click, annotated with the first
+    * window it could own — purchases by the same user in
+    * [click_ts, click_ts + windowMinutes]; clicks with no such purchase
+    * emit with NULL purchase columns once the watermark passes their
+    * window).
+    *
+    * This is the one streaming shape the rest of the file doesn't cover:
+    * BOTH sides are unbounded, so correctness requires Spark's stream-stream
+    * join state machine — each side buffers rows in keyed state, and the
+    * combination of per-side `withWatermark` and the event-time RANGE bound
+    * in the join condition is what lets that state EXPIRE (without the
+    * range bound the buffers grow forever; without the watermark the outer
+    * side can never conclude "no match will come"). State per side is
+    * bounded by (lateMinutes + windowMinutes) of traffic, independent of
+    * stream lifetime — the knob that matters on an unbounded feed.
+    *
+    * Append-mode semantics (inherent, not a bug): INNER matches emit as
+    * soon as both rows have arrived; an UNMATCHED click emits only when
+    * the watermark (max seen event time − lateMinutes) passes
+    * click_ts + windowMinutes, so tail-of-stream clicks that never see
+    * that much watermark progress are withheld, exactly the late-data
+    * hedge. The batch twin is THIS SAME FUNCTION on static frames
+    * (withWatermark is a no-op there and the outer join needs no hedge) —
+    * one definition, two execution models; StreamingPipelineSpec pins the
+    * parity. */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30, lateMinutes: Int = 30): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$lateMinutes minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", s"$lateMinutes minutes")
+    c.join(p,
+        col("user_id") === col("p_uid") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"interval $windowMinutes minutes"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

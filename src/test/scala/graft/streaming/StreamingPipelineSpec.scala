@@ -876,4 +876,74 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(lateOut.head.getAs[String]("reason") == "exact_dup")
     assert(!lateOut.head.getAs[Boolean]("keep"))
   }
+
+  test("attributionJoinStream: stream-stream left outer, watermark expires state") {
+    val root = Files.createTempDirectory("attrjoin")
+    val src = root.resolve("events")
+    Files.createDirectories(src)
+    // real traffic: matched pair (u10), out-of-window purchase (u11),
+    // click with no purchase (u12), purchase with no click (u13 — must
+    // not appear: join is left outer FROM clicks), second matching click
+    // (u10 again, same purchase lands in both click windows)
+    val real = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click", 0.0),
+      (2L, ts("2024-01-01 00:10:00"), 10L, "purchase", 42.0),
+      (3L, ts("2024-01-01 00:00:00"), 11L, "click", 0.0),
+      (4L, ts("2024-01-01 00:50:00"), 11L, "purchase", 7.0),
+      (5L, ts("2024-01-01 00:05:00"), 12L, "click", 0.0),
+      (6L, ts("2024-01-01 00:07:00"), 13L, "purchase", 9.0),
+      (7L, ts("2024-01-01 00:08:00"), 10L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    real.coalesce(1).write.parquet(src.resolve("b1").toString)
+    // sentinels in LATER files: push the watermark (max ts − 30 min late
+    // tolerance) past every real click's window close, so unmatched real
+    // clicks flush; the sentinel clicks stay withheld (watermark never
+    // passes THEIR window) — the tail-of-stream contract. Each sentinel
+    // file carries a late CLICK **and** a late PURCHASE: the join's global
+    // watermark is the MIN over both input watermarks, so advancing only
+    // the click side would stall it at the purchase stream's high-water
+    // mark forever (observed: outer rows never emit). And two sentinel
+    // batches, not one: the watermark computed from a batch's max event
+    // time is only APPLIED to state eviction in the NEXT batch.
+    Thread.sleep(20) // distinct mtime: file source orders batches by it
+    Seq((99L, ts("2024-01-01 03:00:00"), 999L, "click", 0.0),
+        // different user than the sentinel click: a same-key pair would
+        // inner-match and emit immediately, polluting the withheld set
+        (97L, ts("2024-01-01 03:00:00"), 888L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(src.resolve("b2").toString)
+    Thread.sleep(20)
+    Seq((98L, ts("2024-01-01 03:10:00"), 998L, "click", 0.0),
+        (96L, ts("2024-01-01 03:10:00"), 887L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(src.resolve("b3").toString)
+    val schema = spark.read.parquet(src.resolve("b1").toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch: the
+      // watermark only advances BETWEEN batches, and outer-join state only
+      // expires after it advances — a single-batch replay emits no outer rows
+      .parquet(src.toString + "/*")
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.attributionJoinStream(stream(), stream()),
+      "attr_join").collect()
+
+    // batch twin: SAME function on static frames (withWatermark no-ops)
+    val static = spark.read.schema(schema).parquet(src.toString + "/*")
+    val batch = StreamingPipeline.attributionJoinStream(static, static).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id")))
+    // the stream withholds exactly the clicks whose window the final
+    // watermark (max ts − 30 min) never passed: here, both sentinels
+    val maxTs = ts("2024-01-01 03:10:00").getTime
+    val expected = batch.filter(r =>
+      r.getAs[Timestamp]("click_ts").getTime + (30 + 30) * 60000L <= maxTs)
+    assert(out.map(key).toSet == expected.map(key).toSet)
+    assert(expected.map(key).toSet == Set(
+      (1L, Some(2L)), (7L, Some(2L)), (3L, None), (5L, None)))
+    // matched rows carry the purchase payload through
+    val m = out.filter(_.getAs[Long]("click_id") == 1L).head
+    assert(m.getAs[Double]("purchase_value") == 42.0)
+    // u13's clickless purchase appears on no row
+    assert(!out.exists(r => Option(r.getAs[Any]("purchase_id")).contains(6L)))
+  }
 }
