@@ -764,7 +764,115 @@ object CorpusOps {
       |  rk * 2 <= n_src + 1 AS keep
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled source sampling weights — the multilingual/multi-
+    * source mixing rule (p_i^α renormalized, here α = ½) that flattens a
+    * heavy-head source distribution without inverting it: dominant sources
+    * sample BELOW their token share, tail sources above, ordering
+    * preserved. α = ½ is chosen deliberately: p^½ = √p is ONE correctly-
+    * rounded IEEE op, so the whole query stays engine-deterministic with
+    * no libm pow — and the normalizer is a sum of INTEGER ⌊√n_tokens⌋
+    * terms (exact, order-independent), never a float sum whose
+    * accumulation order could diverge between engines.
+    *
+    * Output per source: token share p_milli, temperature weight t_milli,
+    * and boost_milli = 1000·t/p — the upsample factor a sampler applies
+    * (> 1000 ⇒ sampled above natural share).
+    *
+    * Scale shape: one token-count projection + a source-keyed hash-agg
+    * (map-side combined), then arithmetic over |sources| rows with two
+    * scalar aggregates broadcast back. Corpus is scanned once; nothing
+    * wider than the source dimension ever shuffles. */
+  private def temperatureMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("rt", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("rt")).as("tot_rt"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000) div tot_tokens").as("p_milli"),
+        expr("(rt * 1000) div tot_rt").as("t_milli"))
+      .withColumn("boost_milli",
+        when(col("p_milli") > 0, expr("(t_milli * 1000) div p_milli")))
+      .orderBy("source")
+  }
+
+  private val temperatureMixWeightsSql =
+    """WITH bysrc AS (
+      |  SELECT COALESCE(source, '') AS source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |rooted AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS rt
+      |  FROM bysrc),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |               CAST(SUM(rt) AS BIGINT) AS tot_rt FROM rooted)
+      |SELECT source, n_docs, n_tokens,
+      |  (n_tokens * 1000) // tot_tokens AS p_milli,
+      |  (rt * 1000) // tot_rt AS t_milli,
+      |  CASE WHEN (n_tokens * 1000) // tot_tokens > 0
+      |    THEN (((rt * 1000) // tot_rt) * 1000) // ((n_tokens * 1000) // tot_tokens)
+      |  END AS boost_milli
+      |FROM rooted CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** Per-document n-gram novelty — what fraction of a doc's distinct word
+    * trigrams appear here FIRST (no earlier doc_id contains them)?  The
+    * redundancy signal behind "is the tail of this source new content or
+    * re-paste?": a novelty collapse along ingest order marks a source
+    * whose marginal docs add token count but no new n-gram coverage
+    * (the doc-granular companion to [[vocabGrowthCurve]]'s per-source
+    * decile view).
+    *
+    * Scale shape: the heavy stage is gram → min(doc_id), vocabulary-sized
+    * with map-side combine (the df family); the join back to grams is
+    * keyed on the gram and fans out 1:1. Docs with < 3 words have no
+    * grams and are emitted with zeros (never divided — the milli ratio is
+    * guarded, ANSI-safe). */
+  private def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(wordGrams(col("w"), 3))).as("g"))
+    val firstDoc = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = g.join(firstDoc, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_grams") > 0, expr("(n_novel * 1000) div n_grams"))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltySql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, s AS g
+      |      FROM d, UNNEST(list_transform(range(greatest(len(w)-2, 0)),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+      |fd AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+      |per AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM g JOIN fd USING (g) GROUP BY 1)
+      |SELECT d2.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+      |  COALESCE(p.n_novel, 0) AS n_novel,
+      |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+      |    THEN (p.n_novel * 1000) // p.n_grams ELSE 0 END AS novelty_milli
+      |FROM (SELECT doc_id FROM documents) d2
+      |LEFT JOIN per p ON d2.doc_id = p.doc_id
+      |ORDER BY d2.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("temperature_mix_weights", temperatureMixWeights,
+      Some(temperatureMixWeightsSql)),
+    Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Q("target_affinity_resample", targetAffinityResample,
       Some(targetAffinityResampleSql)),
     Q("line_dedup", lineDedup, Some(lineDedupSql)),
