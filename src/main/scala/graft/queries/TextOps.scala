@@ -346,13 +346,27 @@ object TextOps {
     * The df join is the only wide shuffle and its key (word) is
     * high-cardinality; skew from stopwords is bounded because df rows are
     * one per word after aggregation. */
+  /** The (doc_id, word, tf) term-frequency relation, persisted once per
+    * (session, dir) — the shared base of the lexical-retrieval family:
+    * tfidf_topk, bm25_topk and rrf_hybrid_topk (via [[bm25Ranked]]) each
+    * reference it up to four times (tf / df / dl / query-term subtrees),
+    * and Catalyst does not dedupe identical DataFrame subplans — uncached,
+    * every reference re-scans and re-aggregates the token explosion (the
+    * quantizedBase lesson, lexical side). Derived doc length dl = Σ tf is
+    * computed FROM this relation, never from a second corpus scan. */
+  private[queries] def tfRelation(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "tfRelation", "") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(words(col("text")), x => x =!= "")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    }
+
   private def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
     val n = d.agg(count(lit(1)).as("n_docs"))
-    val w = d.select(col("doc_id"),
-      explode(filter(words(col("text")), x => x =!= "")).as("word"))
-    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = tfRelation(s, dir)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(df, "word")
@@ -1504,12 +1518,9 @@ object TextOps {
     * the per-query top-k window runs over candidates, never the corpus. */
   private[queries] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents")
-    val w = d.select(col("doc_id"),
-      explode(filter(words(col("text")), x => x =!= "")).as("word"))
-    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = tfRelation(s, dir)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val qterms = tf.filter(col("doc_id") < 3 && length(col("word")) >= 4)
       .select(col("doc_id").as("query_id"), col("word"))
