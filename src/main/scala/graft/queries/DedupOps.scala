@@ -241,8 +241,13 @@ object DedupOps {
     * minhashes in 4 bands of 4, one md5 signature per band. Shared by the
     * band-stats cost model and connected-components edge discovery — the
     * "join on bucket, never all-pairs" key for the whole MinHash family. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
-    val minh = minhashSignaturesOf(docs)
+  private def minhashBands(docs: DataFrame): DataFrame =
+    bandsOfSigs(minhashSignaturesOf(docs))
+
+  /** Band relation from an ALREADY-BUILT signature frame — split out so a
+    * caller holding a cached m0..m15 relation (the estimator audit) can
+    * band it without re-running the token explode + 16-column aggregate. */
+  private def bandsOfSigs(minh: DataFrame): DataFrame = {
     val bandSigs = (0 until minhashSeeds / bandSize).map { b =>
       md5(concat_ws("|", (b * bandSize until (b + 1) * bandSize).map(seed =>
         concat(lit(f"$seed%02d:"), col(s"m$seed"))): _*)).as(s"sig$b")
@@ -1631,7 +1636,111 @@ object DedupOps {
        |GROUP BY 1 ORDER BY j_bucket""".stripMargin
   }
 
+  /** MinHash estimator-error audit — the calibration evidence behind the
+    * whole MinHash tier: for every band-collision candidate pair on the CC
+    * sampled universe, compare the 16-seed signature ESTIMATE of Jaccard
+    * (matching-minhash fraction — the quantity LSH banding actually
+    * thresholds on) against the EXACT word-set Jaccard, aggregated per
+    * exact-J decile: pair count, mean estimate, mean exact, mean absolute
+    * error (all exact integer milli). With 16 hashes the estimator's σ is
+    * √(J(1−J)/16) ≤ 125‰ — a measured mean-|err| far above that says the
+    * seeded hash family is broken, not just noisy; identical docs must
+    * land in bucket 10 with error 0 (estimator is exact at J = 1). The
+    * low-J buckets OVERESTIMATE by construction (selection bias: a low-J
+    * pair only becomes a candidate when its signatures got lucky, and the
+    * same signatures feed the estimate) — that bias is a property of
+    * auditing the candidate set, which is the population the banding
+    * decision actually sees.
+    *
+    * Plan shape: the signature relation (token explode + 16-column min
+    * aggregate) is built ONCE (session-cached) and feeds both the band
+    * self-join and the two estimate-side joins; candidates are
+    * bucket-capped with the CC drop discipline (cap sized to never bind
+    * at verify scale, drops logged); exact J is a row-local
+    * array_intersect on the capped candidates only — never all-pairs.
+    * Audit output is ≤ 11 rows at any corpus size. */
+  private def minhashEstimateAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val minh = Util.cachedRelation(s, dir, "mhAuditSigs", "")(
+      minhashSignaturesOf(docs))
+    val bl = bandsOfSigs(minh)
+    val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("k"))
+    val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_mh_audit_bucket",
+        sum(when(col("k") > maxCcBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxCcBucket(s))
+      .select(col("band"), col("band_sig"))
+    val eligible = bl.join(okBuckets, Seq("band", "band_sig"), "left_semi")
+    val cand = eligible.as("x").join(bl.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sigA = minh.select(col("doc_id").as("a_id") +:
+      (0 until minhashSeeds).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sigB = minh.select(col("doc_id").as("b_id") +:
+      (0 until minhashSeeds).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val matchesSql = (0 until minhashSeeds)
+      .map(i => s"(CASE WHEN a_m$i = b_m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val docsW = docs.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), x => x =!= "")).as("ws"))
+    val wa = docsW.select(col("doc_id").as("a_id"), col("ws").as("wa"),
+      size(col("ws")).as("na"))
+    val wb = docsW.select(col("doc_id").as("b_id"), col("ws").as("wb"),
+      size(col("ws")).as("nb"))
+    cand.join(sigA, "a_id").join(sigB, "b_id")
+      .withColumn("est_milli", expr(s"(($matchesSql) * 1000) div $minhashSeeds"))
+      .join(wa, "a_id").join(wb, "b_id")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      // u = 0 ⟺ both word sets empty (whitespace-only docs): no exact J
+      // exists — excluded on both engines
+      .filter(col("u") > 0)
+      .withColumn("exact_milli", expr("(i * 1000) div u"))
+      .groupBy(expr("exact_milli div 100").as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_milli) div count(1)").as("mean_est_milli"),
+        expr("sum(exact_milli) div count(1)").as("mean_exact_milli"),
+        expr("sum(abs(est_milli - exact_milli)) div count(1)")
+          .as("mean_abs_err_milli"))
+      .orderBy("j_bucket")
+  }
+
+  /** Oracle twin: rides the CC WITH-chain verbatim (same sampled universe,
+    * same capless cand — the Spark cap is sized to never bind at verify
+    * scale — same uw/sz/inter exact-Jaccard relations). The est↔exact
+    * reconciliation is an INNER join: a pair absent from `inter` has no
+    * common word, which for band-collision candidates means both word sets
+    * are empty (u = 0, excluded on the Spark side by the same rule) — a
+    * nonempty-disjoint collision would need four simultaneous min-md5
+    * matches over disjoint sets. */
+  private val minhashEstimateAuditSql = {
+    val matches = (0 until minhashSeeds)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $ccEdgesSqlCtes,
+       |est AS (
+       |  SELECT c.a_id, c.b_id, (($matches) * 1000) // $minhashSeeds AS est_milli
+       |  FROM cand c JOIN minh a ON a.doc_id = c.a_id
+       |  JOIN minh b ON b.doc_id = c.b_id),
+       |ex AS (
+       |  SELECT i.a_id, i.b_id,
+       |    (1000 * i.i) // (sa.n + sb.n - i.i) AS exact_milli
+       |  FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+       |  JOIN sz sb ON sb.doc_id = i.b_id
+       |  WHERE sa.n + sb.n - i.i > 0)
+       |SELECT exact_milli // 100 AS j_bucket,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(est_milli) AS BIGINT) // COUNT(*) AS mean_est_milli,
+       |  CAST(SUM(exact_milli) AS BIGINT) // COUNT(*) AS mean_exact_milli,
+       |  CAST(SUM(ABS(est_milli - exact_milli)) AS BIGINT) // COUNT(*) AS mean_abs_err_milli
+       |FROM est JOIN ex USING (a_id, b_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("minhash_estimate_audit", minhashEstimateAudit,
+      Some(minhashEstimateAuditSql)),
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),
     Q("containment_prefix_pairs", containmentPrefixPairs,
       Some(containmentPairsSql)),

@@ -1642,7 +1642,69 @@ object SimilarityOps {
        |    ORDER BY rrf_micro DESC, cand_id) AS INT) AS rk FROM fused)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Per-dimension moment profile + anisotropy ratio of the embedding
+    * corpus — the geometry diagnostic behind every cosine-based stage: a
+    * few dominant dimensions (high max/min variance ratio) mean cosine is
+    * effectively measured in a low-rank subspace — LSH hyperplanes waste
+    * bits, PQ subspaces carry unequal loads, and Matryoshka truncation
+    * quality depends on WHERE the variance sits. Per dim: count, floored
+    * mean and variance of the milli-quantized components (exact integer
+    * sums; the only doubles are the identical division sequence in both
+    * engines), plus the corpus-wide anisotropy ratio max_var·1000 div
+    * min_var (NULL when some dimension is constant — no ratio exists).
+    *
+    * Scale shape: one posexplode over the session-cached base into a
+    * dim-keyed (≤ 64 groups) map-side-combined aggregate; the window runs
+    * over 64 rows. Corpus contributes one narrow pass, nothing else. */
+  private def embeddingAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = quantizedBase(s, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("sq"))
+    val meanD = col("s").cast("double") / col("n_vecs")
+    val m = per
+      .withColumn("mean_q", floor(meanD).cast("long"))
+      .withColumn("var_q",
+        floor(col("sq").cast("double") / col("n_vecs") - meanD * meanD)
+          .cast("long"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    m.withColumn("max_var", max(col("var_q")).over(w))
+      .withColumn("min_var", min(col("var_q")).over(w))
+      .select(col("dim"), col("n_vecs"), col("mean_q"), col("var_q"),
+        when(col("min_var") > 0,
+          expr("(max_var * 1000) div min_var")).as("anisotropy_milli"))
+      .orderBy("dim")
+  }
+
+  private val embeddingAnisotropySql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |d AS (SELECT CAST(t.i AS INT) AS dim, q[t.i+1] AS v
+       |      FROM e, UNNEST(range(len(q))) t(i)),
+       |per AS (
+       |  SELECT dim, COUNT(*) AS n_vecs,
+       |    CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v*v) AS BIGINT) AS sq
+       |  FROM d GROUP BY 1),
+       |m AS (
+       |  SELECT dim, n_vecs,
+       |    CAST(floor(CAST(s AS DOUBLE)/n_vecs) AS BIGINT) AS mean_q,
+       |    CAST(floor(CAST(sq AS DOUBLE)/n_vecs
+       |      - (CAST(s AS DOUBLE)/n_vecs)*(CAST(s AS DOUBLE)/n_vecs)) AS BIGINT) AS var_q
+       |  FROM per)
+       |SELECT dim, n_vecs, mean_q, var_q,
+       |  CASE WHEN MIN(var_q) OVER () > 0
+       |    THEN (MAX(var_q) OVER () * 1000) // (MIN(var_q) OVER ()) END AS anisotropy_milli
+       |FROM m ORDER BY dim""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("embedding_anisotropy", embeddingAnisotropy,
+      Some(embeddingAnisotropySql)),
     Q("sq8_recall_audit", sq8RecallAudit, Some(sq8RecallAuditSql)),
     Q("matryoshka_recall", matryoshkaRecall, Some(matryoshkaRecallSql)),
     Q("rrf_hybrid_topk", rrfHybridTopk, Some(rrfHybridTopkSql)),
