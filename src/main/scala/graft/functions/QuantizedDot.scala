@@ -132,5 +132,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CanonNorm(exprs.head)))
     e.injectOptimizerRule(_ => RewriteSizeOfIntersect)
     e.injectOptimizerRule(_ => RewriteCanonNorm)
+    // whole-operator extension (class (c)): the native as-of merge join
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -593,7 +593,34 @@ object Relational3 {
       |WHERE levenshtein(a.p_name, b.p_name) <= 12
       |ORDER BY a_key, b_key""".stripMargin
 
+  /** The SAME as-of semantics as [[asofJoin]], executed by the engine's
+    * native [[graft.plans.AsOfJoinExec]] merge operator instead of the
+    * tagged-union window — two physical strategies sharing one DuckDB ASOF
+    * oracle (the knn_topk_agg discipline applied to a whole operator; the
+    * hash compare proves the custom plan's semantics, the plan proves the
+    * shape: per-side Exchange+Sort and a streaming O(1)-state merge, no
+    * Window, no union). Quote side renamed c_* so the merged output keeps
+    * both sides' columns addressable. */
+  private def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.GraftAsOf.asof(purchases, clicks,
+        Seq("user_id"), Seq("c_user_id"), "ts", "c_ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("click_id"), col("c_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Q("approx_sketches", approxSketches, Some(approxSketchesSql)),
     Q("mode_per_group", modePerGroup, Some(modePerGroupSql)),
     Q("quartiles_disc", quartilesDisc, Some(quartilesDiscSql)),
