@@ -26,10 +26,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *              zipPartitions merge pass, O(1) state: the single most
   *              recent quote row — never a window buffer
   *
-  * At 100 TB the difference is material: the window plan carries quote
-  * columns through the union for every probe row and pays the window
-  * machinery; the merge join streams both sorted sides once — the classic
-  * MERGE_ASOF/SortMergeJoin shape.
+  * Measured (scale100 events, 2M × 2M, local[32], warm): composed ≈ 0.7 s,
+  * native ≈ 1.4 s — when both sides are similar-sized the single-exchange
+  * union plan WINS locally, because the native shape pays one extra
+  * exchange and a codegen boundary around the merge. The native operator's
+  * case is structural, not a local speedup: each side shuffles and sorts
+  * INDEPENDENTLY (AQE sizes a small quote side separately instead of
+  * sorting it interleaved with the probe stream — the regime where
+  * MERGE_ASOF-style joins pay off), probe rows never widen through a
+  * union, and state is exactly one buffered quote row. It also completes
+  * the extension ladder: the engine demonstrably can own whole-operator
+  * semantics when composition can't express them.
   *
   * Semantics (matches DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >=
   * r.t`): per probe row, the quote with the greatest time ≤ probe time for
@@ -94,12 +101,16 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      // ONE combined (key..., time) projection per side and ONE codegen'd
+      // lexicographic comparator: (rk, rt) ≤ (lk, lt) in that order IS
+      // "rk < lk OR (rk = lk AND rt ≤ lt)" — the advance condition — so
+      // each merge step costs a single compare, and the match check reuses
+      // a key-prefix comparator over the same projected rows (BaseOrdering
+      // over the first |keys| fields reads only those fields).
+      val lKT = UnsafeProjection.create(lKeyExprs :+ lTimeExpr, lOut)
+      val rKT = UnsafeProjection.create(rKeyExprs :+ rTimeExpr, rOut)
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes :+ timeType)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       // input schema marks the right side NULLABLE: bindReference takes
       // nullability from the INPUT attribute, and a non-nullable bound ref
       // would skip the null check and read garbage off the all-null row
@@ -107,25 +118,23 @@ case class AsOfJoinExec(
         lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
-      val rBuf = rIter.buffered
+      // head of the right side, its (key, time) projected ONCE per row
+      // (copied: the projection buffer is reused; the row itself is valid
+      // until the iterator's next next())
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var rHeadKT: UnsafeRow = if (rHead != null) rKT(rHead).copy() else null
       // O(1) merge state: the single most recent quote ≤ the probe frontier
       var lastQuote: InternalRow = null
-      var lastQuoteKey: UnsafeRow = null
+      var lastQuoteKT: UnsafeRow = null
       lIter.map { l =>
-        val lk = lKeyProj(l)
-        val lt = lTimeProj(l).copy() // rTimeProj below reuses its buffer class
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rKeyProj(r)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(r), lt) <= 0)) {
-            lastQuote = r.copy()
-            lastQuoteKey = rk.copy()
-            rBuf.next()
-          } else advancing = false
+        val lkt = lKT(l)
+        while (rHead != null && ktOrd.compare(rHeadKT, lkt) <= 0) {
+          lastQuote = rHead.copy()
+          lastQuoteKT = rHeadKT
+          rHead = if (rIter.hasNext) rIter.next() else null
+          rHeadKT = if (rHead != null) rKT(rHead).copy() else null
         }
-        val matched = lastQuote != null && keyOrd.compare(lastQuoteKey, lk) == 0
+        val matched = lastQuote != null && keyOrd.compare(lastQuoteKT, lkt) == 0
         resultProj(joined(l, if (matched) lastQuote else nullRight))
       }
     }
