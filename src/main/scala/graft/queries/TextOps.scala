@@ -1582,7 +1582,73 @@ object TextOps {
        |SELECT query_id, rk, doc_id, n_terms, score_micro
        |FROM bm25ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  private val mgK = 32
+
+  /** Heavy hitters via the engine's mergeable Misra–Gries Aggregator
+    * ([[graft.functions.MisraGries]]) with the bound-verdict output
+    * discipline of approx_sketches: the sketch runs ONE pass over the raw
+    * token stream with ≤ k counters per map task and a partial-aggregation
+    * combine — no vocabulary-sized shuffle — and the query emits, for the
+    * exact top-20 words (computed from the shared tf relation, the
+    * verification side), only DETERMINISTIC facts: the exact count, the
+    * guarantee predicate exact > N div (k+1), and two verdict booleans that
+    * the MG theorems force to TRUE under any merge order (tracked_ok: every
+    * guaranteed word is in the sketch; bounds_ok: any estimate present
+    * under-counts by at most N div (k+1)). Raw estimates are merge-order-
+    * dependent and never emitted.
+    *
+    * Scale shape: sketch pass = scan → narrow explode → object hash
+    * aggregate to ONE row; exact side rides the cached tf relation; the
+    * top-20 window is vocabulary-bounded (the vocab_topk shape). */
+  private def heavyHittersSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val stream = t(s, dir, "documents")
+      .select(explode(filter(words(col("text")), x => x =!= "")).as("w"))
+      .as[String]
+    val sketch = stream
+      .select(new graft.functions.MisraGries(mgK).toColumn.name("sketch"))
+    val tf = tfRelation(s, dir)
+    val totals = tf.groupBy("word").agg(sum(col("tf")).as("exact_cnt"))
+    val n = tf.agg(sum(col("tf")).as("n_total"))
+    val w = Window.orderBy(col("exact_cnt").desc, col("word"))
+    totals
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", element_at(col("sketch"), col("word")))
+      .select(col("rk"), col("word"), col("exact_cnt"),
+        expr(s"exact_cnt > n_total div ${mgK + 1}").as("guaranteed_tracked"),
+        expr(s"(NOT (exact_cnt > n_total div ${mgK + 1})) OR est IS NOT NULL")
+          .as("tracked_ok"),
+        expr(s"est IS NULL OR (est <= exact_cnt AND exact_cnt - est <= n_total div ${mgK + 1})")
+          .as("bounds_ok"))
+      .orderBy("rk")
+  }
+
+  /** Oracle: the exact side is fully SQL-expressible; the two verdict
+    * columns are the theorems themselves — constants TRUE — exactly the
+    * approx_sketches "exact values + in-bound booleans" contract. */
+  private val heavyHittersSketchSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, w AS word
+       |  FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |totals AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS exact_cnt FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf)
+       |SELECT rk, word, exact_cnt,
+       |  exact_cnt > n_total // ${mgK + 1} AS guaranteed_tracked,
+       |  TRUE AS tracked_ok,
+       |  TRUE AS bounds_ok
+       |FROM (
+       |  SELECT word, exact_cnt,
+       |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, word) AS INT) AS rk
+       |  FROM totals) CROSS JOIN n
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("heavy_hitters_sketch", heavyHittersSketch, Some(heavyHittersSketchSql)),
     Q("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
     Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
