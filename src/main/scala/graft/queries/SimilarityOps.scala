@@ -1702,7 +1702,66 @@ object SimilarityOps {
        |    THEN (MAX(var_q) OVER () * 1000) // (MIN(var_q) OVER ()) END AS anisotropy_milli
        |FROM m ORDER BY dim""".stripMargin
 
+  /** One audited POWER-ITERATION step toward the corpus's dominant
+    * principal direction — the PCA companion of [[kmeansStep]] (audited
+    * Lloyd step) and the follow-up [[embeddingAnisotropy]] motivates: when
+    * the variance ratio says the corpus is anisotropic, THIS is the
+    * direction carrying it. v₁ ∝ Σᵢ (xᵢ·v₀)·xᵢ from the PINNED start
+    * v₀ = e₀ (uncentered second moment — the dominant direction of XᵀX):
+    *
+    *  - weights w = q·e₀ = q[0] and the per-dim accumulations s_d = Σ w·q_d
+    *    are EXACT int64 (milli grid ⇒ products ≤ 2.5e7 per term);
+    *  - normalization shifts s_d ≫ 15 bits first (documented fixed shift:
+    *    keeps Σ m² inside int64 past a 10⁶-vector corpus) and divides by
+    *    ⌊√Σ m²⌋ — the Σ m² is an INTEGER window sum (order-independent),
+    *    and the one sqrt is a single correctly-rounded IEEE op;
+    *  - a degenerate start (every vector orthogonal to e₀ ⇒ s ≡ 0) yields
+    *    NULL components rather than a 0/0, on both engines.
+    *
+    * Output per dim: the exact accumulation s_d and the unit-direction
+    * component v1_milli. Scale shape: ONE corpus pass (narrow projection +
+    * posexplode → ≤ 64-group map-side agg), then arithmetic + a 64-row
+    * window. Each further iteration is the same single pass re-weighted by
+    * the previous direction — the matrix-free power method. */
+  private def pcaPowerStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    val per = e.select(element_at(col("q"), 1).as("w"), col("q"))
+      .select(col("w"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(sum(col("w") * col("v")).as("s"))
+      .withColumn("m", expr("s div 32768"))
+    val win = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per.withColumn("norm2", sum(col("m") * col("m")).over(win))
+      .select(col("dim"), col("s"),
+        when(col("norm2") > 0,
+          expr("(m * 1000) div cast(floor(sqrt(cast(norm2 as double))) as bigint)"))
+          .as("v1_milli"))
+      .orderBy("dim")
+  }
+
+  private val pcaPowerStepSql =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |d AS (SELECT CAST(t.i AS INT) AS dim, q[1] * q[t.i+1] AS wv
+       |      FROM e, UNNEST(range(len(q))) t(i)),
+       |per AS (
+       |  SELECT dim, CAST(SUM(wv) AS BIGINT) AS s FROM d GROUP BY 1),
+       |m AS (SELECT dim, s, s // 32768 AS m FROM per),
+       |n2 AS (SELECT dim, s, m,
+       |         CAST(SUM(m*m) OVER () AS BIGINT) AS norm2 FROM m)
+       |SELECT dim, s,
+       |  CASE WHEN norm2 > 0
+       |    THEN (m * 1000) // CAST(floor(sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)
+       |  END AS v1_milli
+       |FROM n2 ORDER BY dim""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     Q("embedding_anisotropy", embeddingAnisotropy,
       Some(embeddingAnisotropySql)),
     Q("sq8_recall_audit", sq8RecallAudit, Some(sq8RecallAuditSql)),
