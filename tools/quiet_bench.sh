@@ -36,8 +36,13 @@ done
 pre=$(load)
 echo "quiet_bench: load $pre <= $max_load — running bench on $sf" >&2
 
+# Bench prints the FULL per-query record first and a trimmed top-25
+# headline last (sized for the harness's 2000-char tail window); the
+# quiet capture wants the full record — prefer BENCH_last_run.json
+# (always the full line), falling back to the first stdout JSON line.
 SPARK_GRAFT_SF_DIR="$sf" sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep -E '^\{"metric"' | tail -1 > "$out"
+  | grep -E '^\{"metric"' | head -1 > "$out"
+if [ -s BENCH_last_run.json ]; then cp BENCH_last_run.json "$out"; fi
 [ -s "$out" ] || { echo "quiet_bench: Bench produced no JSON line" >&2; exit 1; }
 
 post=$(load)
