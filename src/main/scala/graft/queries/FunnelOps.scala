@@ -213,7 +213,76 @@ object FunnelOps {
       |FROM dau JOIN wau ON dau.d = wau.d
       |ORDER BY day""".stripMargin
 
+  /** Top navigation paths — the path-analysis report beside the funnel
+    * (the funnel checks ONE prescribed sequence; this surfaces which
+    * sequences actually happen): events sessionize by the 30-minute gap
+    * rule (the `sessionize` contract), each session's first 5 event types
+    * join into a path string, and the output is the top-10 paths by
+    * session count.
+    *
+    * Determinism: within-session order is (ts, event_id) — unique — and
+    * Spark's order-free collect_list is made deterministic by sorting the
+    * collected (ts, event_id, type) structs (lexicographic struct sort ≡
+    * the window order) before the types are joined; ties in the top-10 cut
+    * break on the path string.
+    *
+    * Scale shape: one user-keyed shuffle for the session windows (shared
+    * shape with sessionize/funnel), one (user, session)-keyed aggregate,
+    * then a path-keyed count whose cardinality is bounded by distinct
+    * paths (≤ |event types|⁵) — the top-10 is a TakeOrdered, never a
+    * global sort of the log. */
+  private def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sess_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(expr("transform(evs, x -> x.event_type)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  private val eventPathsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessed AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+      |    ORDER BY ts, event_id) AS rn FROM sessed),
+      |paths AS (
+      |  SELECT user_id, sess_id,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("event_paths", eventPaths, Some(eventPathsSql)),
     Q("dau_wau", dauWau, Some(dauWauSql)),
     Q("event_funnel", eventFunnel, Some(eventFunnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),

@@ -1647,7 +1647,45 @@ object TextOps {
        |  FROM totals) CROSS JOIN n
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  /** Language-ID confusion matrix — the EVALUATION of the heuristic
+    * classifier the corpus gates depend on (text_langid predicts, this
+    * measures): per (label, prediction) cell, count and exact-milli share
+    * of the label's row — the matrix that says WHICH languages the marker
+    * heuristic confuses before anyone trusts corpus_balance_langs /
+    * text_quality_perlang built on its predictions. NULL labels bucket as
+    * '' (the cross_source_leakage rule: a NULL key must not vanish from
+    * one engine's grouping).
+    *
+    * Scale shape: one corpus scan through the codegen'd marker projection
+    * into a ≤ |langs|²-group hash-agg; the share window runs over the
+    * matrix rows, never the corpus. */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = langPred(langScores(words(col("text"))))
+    val w = Window.partitionBy(col("lang_label"))
+    t(s, dir, "documents")
+      .select(coalesce(col("lang"), lit("")).as("lang_label"),
+        pred.as("lang_pred"))
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum(col("n")).over(w))
+      .withColumn("label_share_milli", expr("(n * 1000) div label_total"))
+      .orderBy("lang_label", "lang_pred")
+  }
+
+  private val langidConfusionSql =
+    s"""WITH cells AS (
+       |  SELECT COALESCE(lang, '') AS lang_label, $langPredSql AS lang_pred,
+       |    COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang_label, lang_pred, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang_label) AS BIGINT) AS label_total,
+       |  (n * 1000) // CAST(SUM(n) OVER (PARTITION BY lang_label) AS BIGINT)
+       |    AS label_share_milli
+       |FROM cells ORDER BY lang_label, lang_pred""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("langid_confusion", langidConfusion, Some(langidConfusionSql)),
     Q("heavy_hitters_sketch", heavyHittersSketch, Some(heavyHittersSketchSql)),
     Q("bm25_topk", bm25Topk, Some(bm25TopkSql)),
     Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
