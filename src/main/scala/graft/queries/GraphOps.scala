@@ -347,7 +347,107 @@ object GraphOps {
        |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
        |FROM deg GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
+  /** Bounded k-core peel (k = 2, 8 synchronous rounds) over the shared
+    * market-basket graph — the density decomposition next to
+    * [[triangleCount]]'s local clustering: each round simultaneously
+    * removes every node whose CURRENT degree is below k, and a node's
+    * `peel_round` (1-based; 0 = survived all rounds) is the classic
+    * shell-order proxy — periphery falls early, the dense core never
+    * falls. Fixed-round semantics (the pagerank_links discipline): both
+    * engines run EXACTLY 8 rounds, so the twins agree whether or not the
+    * peel has converged; on this graph 8 rounds converge (spec-checked —
+    * round 8 removes nobody), and a deployment picks rounds the way it
+    * picks pagerank iterations.
+    *
+    * Scale shape: the expensive stage is the shared cached pair relation;
+    * each round is two semi-joins against the shrinking alive set (a
+    * node-keyed, dimension-thin relation — broadcastable) plus one
+    * map-side-combining degree count. Lineage is bounded by the fixed
+    * round count, no checkpointing needed. */
+  private def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val k = 2
+    val rounds = 8
+    val und = supportPairs(s, dir).select(col("pa").as("u"), col("pb").as("v"))
+    val e0 = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val deg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+      .select(col("src").as("node"), col("deg0"))
+    var alive = deg0.select(col("node"))
+    var removed = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("peel_round",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    def aliveEdges(a: DataFrame) = e0
+      .join(a.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(a.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    for (r <- 1 to rounds) {
+      // localCheckpoint per generation (the connected_components loop's
+      // discipline): `alive` feeds THREE consumers per round (two
+      // semi-joins + the anti-join), so an unbroken lineage grows the
+      // plan ~3^rounds and OOMs the ANALYZER long before any data moves.
+      // The alive set is node-keyed and dimension-thin — checkpointing it
+      // is one tiny job per round.
+      val keep = aliveEdges(alive).groupBy(col("src"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      removed = removed.unionByName(
+        alive.join(keep, Seq("node"), "left_anti")
+          .select(col("node"), lit(r).as("peel_round")))
+      alive = keep
+    }
+    val degCore = aliveEdges(alive).groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_core"))
+      .select(col("src").as("node"), col("deg_core"))
+    deg0.join(removed, Seq("node"), "left")
+      .join(degCore, Seq("node"), "left")
+      .select(col("node"), col("deg0"),
+        coalesce(col("peel_round"), lit(0)).as("peel_round"),
+        coalesce(col("deg_core"), lit(0L)).as("deg_core"))
+      .orderBy("node")
+  }
+
+  private val kcorePeelSql = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    // a_r is consumed three times (both sides of e_{r+1} plus rm_{r+1}) —
+    // uninlined the 8-round chain is a 3^8 plan, the same analyzer blowup
+    // the Spark side breaks with localCheckpoint
+    def step(r: Int, prev: String) =
+      s"""e$r AS (SELECT e.src, e.dst FROM e0 e
+         |  JOIN $prev x ON e.src = x.node JOIN $prev y ON e.dst = y.node),
+         |d$r AS (SELECT src AS node, COUNT(*) AS deg FROM e$r GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= 2),
+         |rm$r AS (SELECT x.node, $r AS peel_round FROM $prev x
+         |  LEFT JOIN a$r a ON a.node = x.node WHERE a.node IS NULL)"""
+    val chain = (1 to 8)
+      .map(r => step(r, if (r == 1) "a0" else s"a${r - 1}")).mkString(",\n")
+    s"""WITH $cappedItemsSql,
+       |$supportPairsSql,
+    -- e0 feeds every round + the final-degree pass: materialize or the
+    -- pairs self-join re-runs once per reference
+       |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+       |       UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+       |deg0 AS (SELECT src AS node, COUNT(*) AS deg0 FROM e0 GROUP BY 1),
+       |a0 AS (SELECT node FROM deg0),
+       |$chain,
+       |removed AS (${(1 to 8).map(r => s"SELECT * FROM rm$r").mkString(" UNION ALL ")}),
+       |efinal AS (SELECT e.src FROM e0 e
+       |  JOIN a8 x ON e.src = x.node JOIN a8 y ON e.dst = y.node),
+       |degcore AS (SELECT src AS node, COUNT(*) AS deg_core FROM efinal GROUP BY 1)
+       |SELECT d.node, d.deg0,
+       |  CAST(COALESCE(rm.peel_round, 0) AS INT) AS peel_round,
+       |  CAST(COALESCE(dc.deg_core, 0) AS BIGINT) AS deg_core
+       |FROM deg0 d LEFT JOIN removed rm ON rm.node = d.node
+       |LEFT JOIN degcore dc ON dc.node = d.node
+       |ORDER BY d.node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
     Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
     Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
