@@ -1684,7 +1684,106 @@ object TextOps {
        |    AS label_share_milli
        |FROM cells ORDER BY lang_label, lang_pred""".stripMargin
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    * extraction beside tfidf's word-level ranking: candidate phrases are
+    * maximal stopword-free token runs (capped at 4 tokens — longer runs
+    * keep their first 4, the standard guard against run-on garbage), word
+    * scores are the classic degree/frequency ratio over candidate-phrase
+    * tokens in exact milli, and a phrase scores the SUM of its token
+    * scores. Output: top-20 phrases by (score, phrase).
+    *
+    * All-integer determinism: degree and freq are counts; the only
+    * division is one milli floor per word, phrase scores are integer sums
+    * of those millis, and the row_number tie-break is the phrase string.
+    *
+    * Scale shape: the islands stage is the sessionize/gaps family (one
+    * doc-keyed window over token positions); word stats are a
+    * vocabulary-sized map-side aggregate; phrase scoring joins phrase
+    * tokens (token-scale, 1:1 fan) to the thin word-score relation; the
+    * final top-20 is a TakeOrdered over the distinct-phrase aggregate. */
+  private def rakeKeyphrases(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop",
+        col("w") === "" || col("w").isin(stopEn: _*))
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1).otherwise(0)).over(byDoc))
+    // one row per PHRASE INSTANCE (a doc's stopword-free run, first 4 toks)
+    val phrases = toks.filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(slice(expr("transform(pw, x -> x.w)"), 1, 4).as("ws"))
+    // word stats count INSTANCE occurrences (classic RAKE freq/degree)
+    val wordScore = phrases
+      .select(size(col("ws")).as("len"), explode(col("ws")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
+      .withColumn("wscore_milli", expr("(degree * 1000) div freq"))
+    // content-level: one row per DISTINCT phrase (+ its occurrence count);
+    // the score depends only on content, so re-split the joined string
+    // (lossless: tokens contain no spaces) and sum token scores once
+    val pAgg = phrases
+      .select(array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).as("n_words"))
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    pAgg.select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, "w")
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(sum(col("wscore_milli")).as("score_milli"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_milli").desc, col("phrase"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_milli"))
+      .orderBy("rk")
+  }
+
+  private val rakeKeyphrasesSql = {
+    val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.i AS pos, ws[t.i+1] AS w,
+       |    (ws[t.i+1] = '' OR ws[t.i+1] IN ($stopList)) AS is_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    UNNEST(range(len(ws))) t(i)),
+       |grps AS (
+       |  SELECT doc_id, pos, w, is_stop,
+       |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM toks),
+       |pinst AS (
+       |  SELECT list_transform(
+       |    list_slice(list_sort(list({'pos': pos, 'w': w})), 1, 4),
+       |    x -> x.w) AS ws
+       |  FROM grps WHERE NOT is_stop GROUP BY doc_id, grp),
+       |wordscore AS (
+       |  SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS degree,
+       |    (CAST(SUM(plen) AS BIGINT) * 1000) // COUNT(*) AS wscore_milli
+       |  FROM (SELECT len(ws) AS plen, t.w AS w FROM pinst, UNNEST(ws) t(w))
+       |  GROUP BY 1),
+       |pagg AS (
+       |  SELECT array_to_string(ws, ' ') AS phrase, CAST(len(ws) AS INT) AS n_words,
+       |    COUNT(*) AS n_occurrences
+       |  FROM pinst GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT phrase, n_words, n_occurrences,
+       |    CAST(SUM(s.wscore_milli) AS BIGINT) AS score_milli
+       |  FROM (SELECT phrase, n_words, n_occurrences, t.w AS w
+       |        FROM pagg, UNNEST(string_split(phrase, ' ')) t(w)) c
+       |  JOIN wordscore s ON s.w = c.w
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(row_number() OVER (ORDER BY score_milli DESC, phrase) AS INT) AS rk,
+       |  phrase, n_words, n_occurrences, score_milli
+       |FROM agg
+       |QUALIFY rk <= 20 ORDER BY rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("rake_keyphrases", rakeKeyphrases, Some(rakeKeyphrasesSql)),
     Q("langid_confusion", langidConfusion, Some(langidConfusionSql)),
     Q("heavy_hitters_sketch", heavyHittersSketch, Some(heavyHittersSketchSql)),
     Q("bm25_topk", bm25Topk, Some(bm25TopkSql)),
