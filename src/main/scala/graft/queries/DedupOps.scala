@@ -1541,7 +1541,11 @@ object DedupOps {
     * the contract, not a shortcut) — the exact side is a shingle
     * equi-join bounded by sample size, the candidate side is the same
     * bucketed band join CC runs, and the output is ≤ 6 rows. */
-  private def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+  /** Exact word-Jaccard ≥ 500‰ pairs over the CC sample (a_id, b_id, jm)
+    * — the ground-truth relation shared by [[lshRecallAudit]] and
+    * [[minhashBandSweep]]; the heavy word relation underneath is
+    * session-cached. */
+  private def recallExactPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     // exact side — CC-verify universe: distinct non-empty words. The
     // trailing distinct() matches the oracle's corpus-level DISTINCT when
@@ -1561,17 +1565,28 @@ object DedupOps {
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("i"))
-    val exact = inter
+    inter
       .join(sizes.toDF("a_id", "na"), "a_id")
       .join(sizes.toDF("b_id", "nb"), "b_id")
       .withColumn("jm", floor(lit(1000.0) * col("i") /
         (col("na") + col("nb") - col("i"))).cast("long"))
       .filter(col("jm") >= 500)
       .select(col("a_id"), col("b_id"), col("jm"))
+  }
+
+  /** The session-cached audit band relation (same construction as CC edge
+    * discovery, own metric names). */
+  private def recallBandRel(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "recallAuditBands",
+      s"ccBucket=${maxCcBucket(s)}") {
+      minhashBands(t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+    }
+
+  private def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = recallExactPairs(s, dir)
     // candidate side — the identical band-bucket join CC's edge discovery
     // runs, same bucket-cap discipline (own metric name for audit logs)
-    val bl = Util.cachedRelation(s, dir, "recallAuditBands",
-      s"ccBucket=${maxCcBucket(s)}") { minhashBands(docs) }
+    val bl = recallBandRel(s, dir)
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_recall_bucket",
@@ -1595,7 +1610,11 @@ object DedupOps {
       .orderBy("j_bucket")
   }
 
-  private val lshRecallAuditSql = {
+  /** The d → … → exact / bands WITH-chain shared verbatim by
+    * [[lshRecallAuditSql]] and [[minhashBandSweepSql]] — one copy of the
+    * truth + banding math, the ccEdgesSqlCtes discipline. `exact` is
+    * MATERIALIZED: the sweep consumes it from two aggregates. */
+  private val recallAuditSqlCtes = {
     val mins = (0 until minhashSeeds)
       .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i").mkString(",\n    ")
     val bandSigDefs = (0 until minhashSeeds / bandSize).map { b =>
@@ -1603,7 +1622,7 @@ object DedupOps {
         .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    s"""d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
        |sw AS (SELECT DISTINCT doc_id, s AS w
        |       FROM d, UNNEST(string_split(text,' ')) t(s) WHERE s <> ''),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sw GROUP BY 1),
@@ -1611,7 +1630,7 @@ object DedupOps {
        |  SELECT a.doc_id a_id, b.doc_id b_id, COUNT(*) i
        |  FROM sw a JOIN sw b ON a.w = b.w AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |exact AS (
+       |exact AS MATERIALIZED (
        |  SELECT a_id, b_id,
        |    CAST(floor(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jm
        |  FROM inter JOIN sizes sa ON a_id = sa.doc_id
@@ -1621,7 +1640,11 @@ object DedupOps {
        |        FROM d, UNNEST(string_split(text,' ')) t(s)),
        |minh AS (SELECT doc_id, $mins FROM msh GROUP BY doc_id),
        |bands AS (
-       |  $bandSigDefs),
+       |  $bandSigDefs)""".stripMargin
+  }
+
+  private val lshRecallAuditSql =
+    s"""WITH $recallAuditSqlCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
@@ -1634,7 +1657,83 @@ object DedupOps {
        |    / COUNT(*)) AS BIGINT) AS recall_milli
        |FROM exact e LEFT JOIN cand c ON e.a_id = c.a_id AND e.b_id = c.b_id
        |GROUP BY 1 ORDER BY j_bucket""".stripMargin
+
+  /** Band-budget tuning sweep for the MinHash tier — the text-side
+    * [[ivf_probe_sweep]]: at band budgets b = 1..4 (bands of 4 seeds, the
+    * production setting is 4), measure candidate cost and truth recall so
+    * the banding knob is a DECISION, not a default. One pass computes each
+    * candidate pair's MINIMUM shared band; budget b's candidate set is
+    * then "min band < b" — cumulative by construction, so all four sweep
+    * points come from the same band join (the probe-rank trick of
+    * ivf_probe_sweep, band edition).
+    *
+    * Output per b: candidate pair count, truth size, truth pairs found,
+    * recall_milli (floor(1000·found/truth), the lsh_recall_audit rule).
+    * Rides the session-cached truth words + band relations shared with
+    * lsh_recall_audit. */
+  private def minhashBandSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = recallExactPairs(s, dir)
+    val bl = recallBandRel(s, dir)
+    val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("k"))
+    val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_sweep_bucket",
+        sum(when(col("k") > maxCcBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") > 1 && col("k") <= maxCcBucket(s))
+      .select(col("band"), col("band_sig"))
+    val eligible = bl.join(okBuckets, Seq("band", "band_sig"), "left_semi")
+    val candMb = eligible.as("x").join(bl.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(min(col("x.band")).as("mb"))
+    val budgets = Seq(1, 2, 3, 4).toDF("b")
+    // tiny aggregates: candidate counts by min-band (≤ 4 rows), truth
+    // rows by their candidate's min-band (missing → 99, never selected)
+    val candByMb = candMb.groupBy(col("mb")).agg(count(lit(1)).as("nc"))
+    val truthByMb = exact.join(candMb, Seq("a_id", "b_id"), "left")
+      .groupBy(coalesce(col("mb"), lit(99)).as("tmb"))
+      .agg(count(lit(1)).as("nt"))
+    val nCand = budgets.join(candByMb, col("mb") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("n_cand_pairs"))
+    val nTruthTotal = truthByMb.agg(sum(col("nt")).as("n_truth"))
+    val nFound = budgets.join(truthByMb, col("tmb") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_found"))
+    nCand.join(nFound, "b").crossJoin(broadcast(nTruthTotal))
+      .select(col("b"), col("n_cand_pairs"), col("n_truth"), col("n_found"),
+        floor(lit(1000.0) * col("n_found") / col("n_truth")).cast("long")
+          .as("recall_milli"))
+      .orderBy("b")
   }
+
+  private val minhashBandSweepSql =
+    s"""WITH $recallAuditSqlCtes,
+       |candmb AS MATERIALIZED (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, MIN(x.band) AS mb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig
+       |      AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |budgets AS (SELECT UNNEST([1, 2, 3, 4]) AS b),
+       |candbymb AS (SELECT mb, COUNT(*) AS nc FROM candmb GROUP BY 1),
+       |truthbymb AS (
+       |  SELECT COALESCE(c.mb, 99) AS tmb, COUNT(*) AS nt
+       |  FROM exact e LEFT JOIN candmb c ON e.a_id = c.a_id AND e.b_id = c.b_id
+       |  GROUP BY 1),
+       |ncand AS (
+       |  SELECT b, CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_cand_pairs
+       |  FROM budgets LEFT JOIN candbymb ON mb < b GROUP BY b),
+       |nfound AS (
+       |  SELECT b, CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_found
+       |  FROM budgets LEFT JOIN truthbymb ON tmb < b GROUP BY b),
+       |ntruth AS (SELECT CAST(SUM(nt) AS BIGINT) AS n_truth FROM truthbymb)
+       |SELECT b, n_cand_pairs, n_truth, n_found,
+       |  CAST(floor(1000.0 * n_found / n_truth) AS BIGINT) AS recall_milli
+       |FROM ncand JOIN nfound USING (b) CROSS JOIN ntruth
+       |ORDER BY b""".stripMargin
 
   /** MinHash estimator-error audit — the calibration evidence behind the
     * whole MinHash tier: for every band-collision candidate pair on the CC
@@ -1739,6 +1838,7 @@ object DedupOps {
   }
 
   val all: Seq[Q] = Seq(
+    Q("minhash_band_sweep", minhashBandSweep, Some(minhashBandSweepSql)),
     Q("minhash_estimate_audit", minhashEstimateAudit,
       Some(minhashEstimateAuditSql)),
     Q("containment_pairs", containmentPairs, Some(containmentPairsSql)),

@@ -234,10 +234,19 @@ object FunnelOps {
   private def eventPaths(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"), col("et"))
     val gapUs = 30L * 60 * 1000000
     t(s, dir, "events")
       .filter(col("ts").isNotNull)
+      // NULL types bucket as '' BEFORE any aggregation (the
+      // cross_source_leakage rule) — found by the fuzz gate: Spark's
+      // array_join FILTERS null elements (an all-NULL session joined to
+      // "") while DuckDB's string_agg over an all-NULL group returns
+      // NULL, so the two engines split the same sessions across two
+      // different path keys. '' is also the full tie-break's third key:
+      // a dirty corpus can repeat (ts, event_id) with different types,
+      // and a two-key order would seat them engine-dependently.
+      .withColumn("et", coalesce(col("event_type"), lit("")))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
@@ -246,12 +255,12 @@ object FunnelOps {
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("sess_id"))
-          .orderBy(col("ts"), col("event_id"))))
+          .orderBy(col("ts"), col("event_id"), col("et"))))
       .filter(col("rn") <= 5)
       .groupBy(col("user_id"), col("sess_id"))
       .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(array_join(expr("transform(evs, x -> x.event_type)"), ">").as("path"))
+        struct(col("ts"), col("event_id"), col("et")))).as("evs"))
+      .select(array_join(expr("transform(evs, x -> x.et)"), ">").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
@@ -260,22 +269,22 @@ object FunnelOps {
 
   private val eventPathsSql =
     """WITH flagged AS (
-      |  SELECT user_id, ts, event_id, event_type,
+      |  SELECT user_id, ts, event_id, COALESCE(event_type, '') AS et,
       |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
       |         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 30*60*1000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events WHERE ts IS NOT NULL
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, COALESCE(event_type, ''))),
       |sessed AS (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |    ORDER BY ts, event_id, et ROWS UNBOUNDED PRECEDING) AS sess_id
       |  FROM flagged),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
-      |    ORDER BY ts, event_id) AS rn FROM sessed),
+      |    ORDER BY ts, event_id, et) AS rn FROM sessed),
       |paths AS (
       |  SELECT user_id, sess_id,
-      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |    string_agg(et, '>' ORDER BY ts, event_id, et) AS path
       |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
       |SELECT path, COUNT(*) AS n_sessions
       |FROM paths GROUP BY 1
