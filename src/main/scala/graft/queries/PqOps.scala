@@ -58,7 +58,7 @@ object PqOps {
   /** (vec_id, m, sub, ss): every vector of `e` cut into [[pqM]] quantized
     * subvectors with their exact int64 self-dots. Row-local (explode ×
     * slice × dot) — no shuffle. */
-  private def subvectors(e: DataFrame): DataFrame =
+  private[queries] def subvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
         explode(array((0 until pqM).map(lit(_)): _*)).as("m"), col("q"))
       .withColumn("sub",
