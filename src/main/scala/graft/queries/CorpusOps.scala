@@ -869,7 +869,59 @@ object CorpusOps {
       |LEFT JOIN per p ON d2.doc_id = p.doc_id
       |ORDER BY d2.doc_id""".stripMargin
 
+  /** Per-source lexical diversity — the "is this source repetitive
+    * boilerplate?" companion to [[temperatureMixWeights]] (that query
+    * reweights by VOLUME; this one says whether the volume carries
+    * variety): per source, token count, distinct-word count, type-token
+    * ratio in milli, and the word-distribution entropy in bin-length
+    * surprisal units — H = Σ cnt·1000·(⌊log₂N⌋−⌊log₂cnt⌋) div N, the
+    * libm-free log₂ of the word_bigram_surprisal family, exact integers
+    * end to end. A near-zero entropy source repeats a handful of words
+    * regardless of its token share; temperature weights alone would
+    * upsample it.
+    *
+    * Scale shape: one token-scale (source, word) map-side-combined agg;
+    * the entropy aggregate runs over the vocabulary-sized count relation
+    * with its per-source total attached by ONE window that reuses the
+    * same source partitioning. */
+  private def sourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    cnts.groupBy(col("source"))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("cnt * 1000 * (length(bin(n)) - length(bin(cnt)))"))
+          .as("h_raw"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        expr("(n_distinct * 1000) div n_tokens").as("ttr_milli"),
+        expr("h_raw div n_tokens").as("entropy_milli"))
+      .orderBy("source")
+  }
+
+  private val sourceEntropySql =
+    """WITH w AS (
+      |  SELECT COALESCE(source, '') AS source, t.w AS word
+      |  FROM documents,
+      |    UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(w)),
+      |cnts AS (
+      |  SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      |withn AS (
+      |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM cnts)
+      |SELECT source,
+      |  CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  (COUNT(*) * 1000) // MAX(n) AS ttr_milli,
+      |  CAST(SUM(cnt * 1000 * (length(bin(n)) - length(bin(cnt)))) AS BIGINT)
+      |    // MAX(n) AS entropy_milli
+      |FROM withn GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("source_entropy", sourceEntropy, Some(sourceEntropySql)),
     Q("temperature_mix_weights", temperatureMixWeights,
       Some(temperatureMixWeightsSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

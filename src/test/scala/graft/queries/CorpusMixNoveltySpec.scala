@@ -30,6 +30,37 @@ class CorpusMixNoveltySpec extends SparkSpec {
     }
   }
 
+  test("source_entropy: one source recounts by hand; bounds hold") {
+    val rows = SparkEntry.queries("source_entropy")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("ttr_milli") <= 1000)
+      // bin-length entropy is bounded by 1000·⌊log₂N⌋
+      val cap = 1000L * (63 - java.lang.Long.numberOfLeadingZeros(
+        r.getAs[Long]("n_tokens")))
+      assert(r.getAs[Long]("entropy_milli") >= 0 &&
+        r.getAs[Long]("entropy_milli") <= cap)
+    }
+    // independent recount of the first source
+    val src = rows.head.getAs[String]("source")
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.lit("")) === src)
+      .select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")).getOrElse("")
+        .split(" ", -1).filter(_.nonEmpty))
+    def l2(x: Long) = java.lang.Long.toBinaryString(x).length
+    val cnts = words.groupBy(identity).map(_._2.length.toLong)
+    val n = cnts.sum
+    val h = cnts.map(c => c * 1000L * (l2(n) - l2(c))).sum / n
+    val got = rows.head
+    assert(got.getAs[Long]("n_tokens") == n)
+    assert(got.getAs[Long]("n_distinct") == cnts.size)
+    assert(got.getAs[Long]("entropy_milli") == h)
+  }
+
   test("ngram_novelty: first doc is all-novel, novel counts tile the gram space") {
     val rows = SparkEntry.queries("ngram_novelty")(spark, dir).collect()
     val withGrams = rows.filter(_.getAs[Long]("n_grams") > 0)
