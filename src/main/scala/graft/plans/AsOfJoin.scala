@@ -42,7 +42,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * r.t`): per probe row, the quote with the greatest time ≤ probe time for
   * the same key; unmatched probes emit NULL quote columns. Callers supply
   * NULL-free keys/times and at most one quote per (key, time) — the same
-  * preconditions the composed query establishes (dedup + NULL filters). */
+  * preconditions the composed query establishes (dedup + NULL filters);
+  * [[GraftAsOf.asof]] checks the schema-level ones always and the
+  * data-level ones under `validate = true` (misuse fails loudly instead of
+  * silently merging NULLs as real values). */
 case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
@@ -157,20 +160,74 @@ object GraftAsOf {
   /** AS-OF join `probe` to `quotes`: for each probe row, the quote row with
     * the greatest `quoteTime` ≤ `probeTime` on equal keys; NULL quote
     * columns when none exists. Column-name based, resolved against each
-    * side's analyzed output. */
+    * side's analyzed output.
+    *
+    * Self-join safety: when the two sides share lineage (e.g.
+    * `asof(df, df.filter(...))`) their analyzed plans share expression IDs,
+    * and a result projection built over overlapping IDs would silently bind
+    * right-side columns to left-side values — the classic un-deduplicated
+    * self-join hazard `Dataset.join` guards against. Overlapping exprIds are
+    * detected here and the quote side is re-aliased (fresh IDs via a
+    * same-name projection) before the node is built, so `asof(df, df)` is
+    * correct, not latent corruption.
+    *
+    * Preconditions (documented at the operator, ENFORCED here): NULL keys
+    * or times on either side would merge nondeterministically (NULL sorts
+    * first and the merge comparator treats it as a real value — the
+    * operator itself never looks at null bits), and >1 quote per
+    * (key, time) makes "the most recent quote" ill-defined. `validate=true`
+    * runs one counting job per side and fails loudly on violation; the
+    * default skips the extra jobs for pre-cleaned inputs (the composed
+    * `asof_join` query's dedup+filter establishes them by construction). */
   def asof(probe: DataFrame, quotes: DataFrame,
       probeKeys: Seq[String], quoteKeys: Seq[String],
-      probeTime: String, quoteTime: String): DataFrame = {
+      probeTime: String, quoteTime: String,
+      validate: Boolean = false): DataFrame = {
     val s = probe.sparkSession
     register(s)
+    require(probeKeys.length == quoteKeys.length && probeKeys.nonEmpty,
+      s"asof: probe/quote key lists must be non-empty and same-length " +
+        s"(got ${probeKeys.length} vs ${quoteKeys.length})")
     val lPlan = probe.queryExecution.analyzed
-    val rPlan = quotes.queryExecution.analyzed
+    // DeduplicateRelations-style rewrite: a shared-lineage quote side gets a
+    // fresh-exprId projection (Alias always mints new IDs), so the two
+    // outputs are disjoint and the merge's bound references can't cross
+    val rPlanRaw = quotes.queryExecution.analyzed
+    val rPlan =
+      if (rPlanRaw.outputSet.intersect(lPlan.outputSet).isEmpty) rPlanRaw
+      else quotes.toDF(quotes.columns.toIndexedSeq: _*).queryExecution.analyzed
+    assert(rPlan.outputSet.intersect(lPlan.outputSet).isEmpty,
+      "asof: probe and quote outputs still share expression IDs after re-aliasing")
     def attr(plan: LogicalPlan, n: String): Attribute =
       plan.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asof: no column '$n' in [${plan.output.map(_.name).mkString(", ")}]"))
-    GraftPlanShim.ofRows(s, AsOfJoinNode(
-      probeKeys.map(attr(lPlan, _)), quoteKeys.map(attr(rPlan, _)),
-      attr(lPlan, probeTime), attr(rPlan, quoteTime), lPlan, rPlan))
+    val lk = probeKeys.map(attr(lPlan, _))
+    val rk = quoteKeys.map(attr(rPlan, _))
+    val lt = attr(lPlan, probeTime)
+    val rt = attr(rPlan, quoteTime)
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"asof: key type mismatch ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}") }
+    require(lt.dataType == rt.dataType,
+      s"asof: time type mismatch $probeTime: ${lt.dataType} vs $quoteTime: ${rt.dataType}")
+    if (validate) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val badProbe = probe.filter(
+        (probeKeys :+ probeTime).map(col(_).isNull).reduce(_ || _)).count()
+      require(badProbe == 0,
+        s"asof: $badProbe probe row(s) with NULL key/time — filter them first")
+      val badQuote = quotes.filter(
+        (quoteKeys :+ quoteTime).map(col(_).isNull).reduce(_ || _)).count()
+      require(badQuote == 0,
+        s"asof: $badQuote quote row(s) with NULL key/time — filter them first")
+      val dupQuote = quotes
+        .groupBy((quoteKeys :+ quoteTime).map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      require(dupQuote == 0,
+        s"asof: $dupQuote (key, time) group(s) with >1 quote row — " +
+          "dedup quotes first (latest-per-key window, the composed query's rule)")
+    }
+    GraftPlanShim.ofRows(s, AsOfJoinNode(lk, rk, lt, rt, lPlan, rPlan))
   }
 }

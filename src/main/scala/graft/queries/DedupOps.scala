@@ -1793,9 +1793,12 @@ object DedupOps {
       .join(wa, "a_id").join(wb, "b_id")
       .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .withColumn("u", col("na") + col("nb") - col("i"))
-      // u = 0 ⟺ both word sets empty (whitespace-only docs): no exact J
-      // exists — excluded on both engines
-      .filter(col("u") > 0)
+      // i > 0 mirrors the oracle's INNER join through `inter` (a pair with
+      // no common word never appears there) — identical by CONSTRUCTION,
+      // not by the probabilistic argument that a nonempty-disjoint band
+      // collision needs simultaneous md5 collisions; u = 0 ⟺ both word
+      // sets empty (whitespace-only docs), excluded on both engines
+      .filter(col("i") > 0 && col("u") > 0)
       .withColumn("exact_milli", expr("(i * 1000) div u"))
       .groupBy(expr("exact_milli div 100").as("j_bucket"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -368,9 +368,13 @@ object GraphOps {
     val k = 2
     val rounds = 8
     val und = supportPairs(s, dir).select(col("pa").as("u"), col("pb").as("v"))
-    val e0 = und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
+    // session-keyed cache (the supportPairs-consumer discipline): repeated
+    // kcore_peel runs reuse ONE persisted edge relation per (session, dir)
+    // instead of stacking a fresh InMemoryRelation per invocation
+    val e0 = Util.cachedRelation(s, dir, "kcoreEdges", s"k=$k") {
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+    }
     val deg0 = e0.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
       .select(col("src").as("node"), col("deg0"))
     var alive = deg0.select(col("node"))

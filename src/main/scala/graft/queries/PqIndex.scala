@@ -42,9 +42,11 @@ object PqIndex {
   /** Top-k ADC search over a SAVED index for `queries`
     * (vec_id, embedding) rows: per query, the k nearest encoded vectors
     * by summed per-subspace table distances (adc asc, id ties — the
-    * pq_adc_topk rule). Self-matches are the caller's concern: an id
-    * present in both the query set and the index matches itself at
-    * distance ≈ 0 like any deployed ANN index would. */
+    * pq_adc_topk rule). Self-matches are EXCLUDED: an id present in both
+    * the query set and the index never matches itself — the same
+    * `vec_id <> query_id` rule every serve query in the suite applies, so
+    * a saved-then-served index answers bit-for-bit like the in-session
+    * pipeline (PqIndexSpec pins this, including the self-match case). */
   def serveAdcTopk(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)

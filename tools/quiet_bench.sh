@@ -40,6 +40,10 @@ echo "quiet_bench: load $pre <= $max_load — running bench on $sf" >&2
 # headline last (sized for the harness's 2000-char tail window); the
 # quiet capture wants the full record — prefer BENCH_last_run.json
 # (always the full line), falling back to the first stdout JSON line.
+# Delete any stale BENCH_last_run.json FIRST so a failed run can never be
+# silently masked by a previous bench's file (the no-JSON guard below
+# stays reachable).
+rm -f BENCH_last_run.json
 SPARK_GRAFT_SF_DIR="$sf" sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep -E '^\{"metric"' | head -1 > "$out"
 if [ -s BENCH_last_run.json ]; then cp BENCH_last_run.json "$out"; fi
