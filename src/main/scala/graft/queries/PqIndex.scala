@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *    construction), and rank encoded vectors by summed table lookups.
   *    The corpus embeddings are never read at serve time — the index IS
   *    the data, which is the entire point of storing codes.
+  *  - [[saveIvfAdc]]/[[serveIvfAdcTopk]] extend the flat artifacts with
+  *    the coarse quantizer (centroids.parquet) and the inverted-list
+  *    assignment (assigned.parquet), so the FULL IVF→ADC composition
+  *    serves cold — the deployed-index file `ivf_list_drift`'s
+  *    fixed-quantizer story presumes.
   *
   * PqIndexSpec pins that a saved-then-served index answers bit-for-bit
-  * identically to the in-session `pq_adc_topk` pipeline on the same
-  * corpus and queries. */
+  * identically to the in-session `pq_adc_topk` / `ann_ivfadc_topk`
+  * pipelines on the same corpus and queries. */
 object PqIndex {
 
   /** Write the codebook + encoded codes for `dir`'s embeddings corpus
@@ -69,6 +74,73 @@ object PqIndex {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
     cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Write the FULL IVFADC index for `dir`'s corpus under `out`: the flat
+    * PQ artifacts ([[save]]: codebook + codes) PLUS the coarse quantizer
+    * (centroids.parquet — cent_id, cq, cn) and the inverted-list
+    * assignment (assigned.parquet — vec_id, cent_id). With these four,
+    * the complete IVF→ADC composition serves COLD from disk: nothing
+    * about the corpus is needed at query time, which is the deployment
+    * story `ivf_list_drift` audits (the quantizer held fixed between
+    * retrains IS this persisted file). At 100 TB the four artifacts are
+    * K centroid rows + one (id, cent) pair + 4 codes per vector — the
+    * codes dominate at ~64× under the raw vectors. */
+  def saveIvfAdc(s: SparkSession, dir: String, out: String): Unit = {
+    save(s, dir, out)
+    SimilarityOps.ivfServeCents(s, dir)
+      .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+    SimilarityOps.ivfServeAssigned(s, dir).select(col("vec_id"), col("cent_id"))
+      .write.mode("overwrite").parquet(s"$out/assigned.parquet")
+  }
+
+  /** Top-k IVFADC search over a SAVED index ([[saveIvfAdc]]) for `queries`
+    * (vec_id, embedding) rows — the cold twin of `ann_ivfadc_topk`, and
+    * PqIndexSpec pins them bit-for-bit identical: queries quantize
+    * row-locally, probe their `nprobe` max-cosine centroids (broadcast
+    * K-row quantizer), candidates come from the probed inverted lists
+    * (assignment equi-join), and ranking is the summed ADC table lookup
+    * over each candidate's 4 stored codes. Self-matches excluded — the
+    * suite-wide serve rule. The corpus vectors are never read: index
+    * artifacts only. */
+  def serveIvfAdcTopk(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = SimilarityOps.ivfProbes): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+    val assigned = s.read.parquet(s"$indexDir/assigned.parquet")
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    val q = SimilarityOps.quantize(queries)
+      .select(col("vec_id").as("query_id"), col("q"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.GraftFunctions.quantized_dot(col("q"), col("cq"))
+          .cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("prn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val cand = probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val tab = PqOps.subvectors(q.withColumnRenamed("query_id", "vec_id"))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        (col("ss") - lit(2L) *
+          graft.functions.GraftFunctions.quantized_dot(col("sub"), col("csub"))
+          + col("cc")).as("pd"))
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(tab), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
       .orderBy("query_id", "rk")

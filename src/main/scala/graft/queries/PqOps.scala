@@ -55,16 +55,20 @@ object PqOps {
   private def dotQ(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.quantized_dot(a, b)
 
-  /** (vec_id, m, sub, ss): every vector of `e` cut into [[pqM]] quantized
-    * subvectors with their exact int64 self-dots. Row-local (explode ×
-    * slice × dot) — no shuffle. */
-  private[queries] def subvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-        explode(array((0 until pqM).map(lit(_)): _*)).as("m"), col("q"))
+  /** (keys..., m, sub, ss): every vector of `df` cut into [[pqM]] quantized
+    * subvectors with their exact int64 self-dots, carrying `keys` through.
+    * Row-local (explode × slice × dot) — no shuffle. */
+  private def subvectorsBy(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+
+        explode(array((0 until pqM).map(lit(_)): _*)).as("m") :+ col("q"): _*)
       .withColumn("sub",
         slice(col("q"), col("m") * pqSubDim + 1, lit(pqSubDim)))
       .withColumn("ss", dotQ(col("sub"), col("sub")))
       .drop("q")
+
+  /** [[subvectorsBy]] keyed by the corpus id. */
+  private[queries] def subvectors(e: DataFrame): DataFrame =
+    subvectorsBy(e, Seq("vec_id"))
 
   /** Per-subspace codebook: (m, code, csub, cc) — pqM·pqK rows, the
     * broadcast side of both the encode and the ADC table build. */
@@ -382,26 +386,56 @@ object PqOps {
     * already-assigned relation), two 4-row aggregates, one 4-row join.
     * A plain distortion of 0 (every vector IS a code) reports NULL gain
     * rather than dividing by zero. */
-  private def pqResidualGain(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
-    val plain = pqEncoded(s, dir).groupBy(col("m"))
-      .agg(sum(col("dist")).as("distortion_plain"))
-    val res = SimilarityOps.ivfServeAssigned(s, dir)
+  /** Residual projection (vec_id, cent_id, q): q − assigned coarse
+    * centroid, element-wise with try_element_at NULL semantics (a ragged
+    * centroid side NULLs the element, which every downstream dot then
+    * skips — the QuantizedDot contract, mirrored by the oracle's
+    * cq[i+1]). Shared by the gain audit, the residual codebook, and the
+    * residual serve path. */
+  private def residualVecs(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ivfServeAssigned(s, dir)
       .join(broadcast(SimilarityOps.ivfServeCents(s, dir)), "cent_id")
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("cent_id"),
         expr("transform(q, (x, i) -> x - try_element_at(cq, i + 1))").as("q"))
-    val rsub = subvectors(res)
-    val rcb = rsub.filter(col("vec_id") >= pqK && col("vec_id") < 2 * pqK)
+
+  /** Residual codebook (m, code, csub, cc): subvectors of the first
+    * [[pqK]] NON-centroid ids' residuals (pqK ≤ vec_id < 2·pqK — the
+    * centroid donors' own residuals are ~zero and would degenerate it),
+    * the `pq_residual_gain` rule promoted to THE serve codebook. */
+  private[queries] def residualCodebook(s: SparkSession, dir: String): DataFrame =
+    subvectors(residualVecs(s, dir))
+      .filter(col("vec_id") >= pqK && col("vec_id") < 2 * pqK)
       .select(col("m"), col("vec_id").as("code"),
         col("sub").as("csub"), col("ss").as("cc"))
-    val rScored = rsub.join(broadcast(rcb), Seq("m"))
-      .withColumn("dist",
-        col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
-    val wR = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist").asc, col("code"))
-    val resid = rScored.withColumn("rn", row_number().over(wR))
-      .filter(col("rn") === 1)
+
+  /** Residual-encoded corpus (vec_id, cent_id, m, code, dist): each
+    * vector's residual subvectors argmin-coded against the residual
+    * codebook, carrying the coarse assignment — the corpus artifact real
+    * IVFADC stores (Jégou §V.B). Session-cached: the gain audit and the
+    * residual serve ride ONE encode pass (the pqEncoded discipline). */
+  private[graft] def residualEncoded(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    Util.cachedRelation(s, dir, "pqResidualEncoded", s"m=$pqM,k=$pqK") {
+      val rScored = subvectors(residualVecs(s, dir))
+        .join(broadcast(residualCodebook(s, dir)), Seq("m"))
+        .withColumn("dist",
+          col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
+      val wR = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist").asc, col("code"))
+      rScored.withColumn("rn", row_number().over(wR)).filter(col("rn") === 1)
+        .join(SimilarityOps.ivfServeAssigned(s, dir)
+          .select(col("vec_id"), col("cent_id")), "vec_id")
+        .select(col("vec_id"), col("cent_id"), col("m"), col("code"),
+          col("dist"))
+    }
+  }
+
+  private def pqResidualGain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val plain = pqEncoded(s, dir).groupBy(col("m"))
+      .agg(sum(col("dist")).as("distortion_plain"))
+    val resid = residualEncoded(s, dir)
       .groupBy(col("m")).agg(sum(col("dist")).as("distortion_residual"))
     plain.join(resid, Seq("m"))
       .select(col("m"), col("distortion_plain"), col("distortion_residual"),
@@ -412,18 +446,18 @@ object PqOps {
       .orderBy("m")
   }
 
-  private val pqResidualGainSql =
-    s"""WITH ${SimilarityOps.ivfServeCtes},
-       |$pqSqlCtesAfterE,
-       |plain AS (
-       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_plain
-       |  FROM enc GROUP BY 1),
-       |res AS (
-       |  SELECT a.vec_id,
+  /** The res → rsvn → rcb → renc WITH-chain of the residual oracle family
+    * — ONE copy of the residual projection / codebook / argmin-encode math
+    * (the pqSqlCtesAfterE discipline), shared by `pq_residual_gain` and
+    * `ann_ivfadc_residual_topk`. Rides `assigned`/`cents` from
+    * [[SimilarityOps.ivfServeCtes]]. */
+  private val pqResidualCtes =
+    s"""res AS (
+       |  SELECT a.vec_id, a.cent_id,
        |    list_transform(range(len(a.q)), i -> a.q[i+1] - c.cq[i+1]) AS q
        |  FROM assigned a JOIN cents c USING (cent_id)),
        |rsvn AS (
-       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |  SELECT vec_id, cent_id, CAST(m AS INT) AS m,
        |    q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sub,
        |    COALESCE(CAST(list_sum(list_transform(
        |      q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim],
@@ -433,18 +467,27 @@ object PqOps {
        |  SELECT m, vec_id AS code, sub AS csub, ss AS cc
        |  FROM rsvn WHERE vec_id >= $pqK AND vec_id < ${2 * pqK}),
        |r_scored AS (
-       |  SELECT s.vec_id, s.m, c.code,
+       |  SELECT s.vec_id, s.cent_id, s.m, c.code,
        |    s.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(s.sub)),
        |      i -> s.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS dist
        |  FROM rsvn s JOIN rcb c USING (m)),
+       |renc AS (
+       |  SELECT vec_id, cent_id, m, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist ASC, code) AS rn
+       |    FROM r_scored)
+       |  WHERE rn = 1)""".stripMargin
+
+  private val pqResidualGainSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$pqSqlCtesAfterE,
+       |$pqResidualCtes,
+       |plain AS (
+       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_plain
+       |  FROM enc GROUP BY 1),
        |resid AS (
-       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_residual FROM (
-       |    SELECT * FROM (
-       |      SELECT *, row_number() OVER (PARTITION BY vec_id, m
-       |        ORDER BY dist ASC, code) AS rn
-       |      FROM r_scored)
-       |    WHERE rn = 1)
-       |  GROUP BY 1)
+       |  SELECT m, CAST(SUM(dist) AS BIGINT) AS distortion_residual
+       |  FROM renc GROUP BY 1)
        |SELECT m, distortion_plain, distortion_residual,
        |  CASE WHEN distortion_plain > 0
        |       THEN CAST(floor(1000.0 *
@@ -452,10 +495,236 @@ object PqOps {
        |         AS BIGINT) END AS gain_milli
        |FROM plain JOIN resid USING (m) ORDER BY m""".stripMargin
 
+  /** Residual-encoded IVFADC — the §V.B serve pipeline (Jégou et al.
+    * 2011: encode r = q − coarse centroid instead of q), the path a
+    * deployment turns ON when `pq_residual_gain` reports positive
+    * gain_milli. The audit's conclusion is CORPUS-DEPENDENT and this
+    * family is honest about it: on tight coarse cells (clustered
+    * corpora — the geometry §V.B presumes) residuals carry less energy
+    * than raw vectors and the same code budget buys strictly better
+    * ranking (PqOpsSpec pins residual recall ≥ raw, with full recall on
+    * a clustered fixture where raw coding collapses in-cell order); on
+    * the near-isotropic testdata corpus (`embedding_anisotropy` measures
+    * it) residuals vs sample centroids GAIN energy and gain_milli goes
+    * negative — serve raw there. Differences from [[annIvfadcTopk]],
+    * exactly the real-IVFADC deltas:
+    *
+    *  - the corpus codes are [[residualEncoded]] (argmin over the
+    *    residual codebook, assignment carried);
+    *  - the ADC table is per (query, PROBED centroid): the query's
+    *    residual against that centroid, cut into subvectors against the
+    *    residual codebook — nprobe tables per query instead of one,
+    *    still queries·nprobe·pqM·pqK rows, broadcast;
+    *  - candidates join their OWN list's table entry on
+    *    (query_id, cent_id, m, code) — a vector is ranked by the table
+    *    of the list it lives in, the §V.B algorithm.
+    *
+    * Scale shape is unchanged from the raw composition: coarse filter
+    * bounds candidates at corpus·nprobe/K, ranking touches only 4-code
+    * representations, every small side broadcast, exact int64
+    * everywhere. */
+  private def annIvfadcResidualTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val pr = SimilarityOps.ivfServeProbes(s, dir, SimilarityOps.ivfProbes)
+    // query residual per probed list: qq − that list's centroid
+    val qres = pr.join(broadcast(SimilarityOps.ivfServeCents(s, dir)), "cent_id")
+      .select(col("query_id"), col("cent_id"),
+        expr("transform(qq, (x, i) -> x - try_element_at(cq, i + 1))").as("q"))
+    val rtab = subvectorsBy(qres, Seq("query_id", "cent_id"))
+      .join(broadcast(residualCodebook(s, dir)), Seq("m"))
+      .select(col("query_id"), col("cent_id"), col("m"), col("code"),
+        (col("ss") - lit(2L) * dotQ(col("sub"), col("csub")) + col("cc"))
+          .as("pd"))
+    val cand = pr.select(col("query_id"), col("cent_id"))
+      .join(SimilarityOps.ivfServeAssigned(s, dir)
+        .select(col("vec_id"), col("cent_id")), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+    val adc = cand
+      .join(residualEncoded(s, dir).select(col("vec_id"), col("cent_id"),
+        col("m"), col("code")), Seq("vec_id", "cent_id"))
+      .join(broadcast(rtab), Seq("query_id", "cent_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val annIvfadcResidualTopkSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$pqResidualCtes,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, qq, cent_id FROM (
+       |    SELECT qu.query_id, qu.qq, c.cent_id,
+       |      row_number() OVER (PARTITION BY qu.query_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(len(qu.qq)), i -> qu.qq[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(qu.qn*c.cn AS DOUBLE)) DESC, c.cent_id) AS prn
+       |    FROM qs qu CROSS JOIN cents c)
+       |  WHERE prn <= ${SimilarityOps.ivfProbes}),
+       |qres AS (
+       |  SELECT p.query_id, p.cent_id,
+       |    list_transform(range(len(p.qq)), i -> p.qq[i+1] - c.cq[i+1]) AS q
+       |  FROM pr p JOIN cents c USING (cent_id)),
+       |rqsvn AS (
+       |  SELECT query_id, cent_id, CAST(m AS INT) AS m,
+       |    q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim] AS sub,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      q[m*$pqSubDim+1 : m*$pqSubDim+$pqSubDim],
+       |      x -> x*x)) AS BIGINT), 0) AS ss
+       |  FROM qres, UNNEST(range($pqM)) t(m)),
+       |rtab AS (
+       |  SELECT s.query_id, s.cent_id, s.m, c.code,
+       |    s.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(s.sub)),
+       |      i -> s.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS pd
+       |  FROM rqsvn s JOIN rcb c USING (m)),
+       |ivf_cand AS (
+       |  SELECT p.query_id, a.cent_id, a.vec_id
+       |  FROM pr p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT ic.query_id, ic.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc_dist
+       |  FROM ivf_cand ic
+       |  JOIN renc en ON en.vec_id = ic.vec_id AND en.cent_id = ic.cent_id
+       |  JOIN rtab t ON t.query_id = ic.query_id AND t.cent_id = ic.cent_id
+       |    AND t.m = en.m AND t.code = en.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rk, vec_id AS neighbor_id, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, vec_id) AS rk
+       |  FROM adc)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Two-stage serve audit — the standard production recall recovery: a
+    * cheap PQ/ADC candidate stage keeps the top-[[rerankCandidates]] per
+    * query (compressed codes only), then an exact full-vector int64 L2
+    * re-rank of JUST those candidates picks the final top-5. Per query,
+    * the audit reports brute-truth hits of the single-stage ADC top-5 vs
+    * the reranked top-5 — the measured evidence that a bounded exact
+    * stage (20 full-vector distances per query, independent of corpus
+    * size) recovers what quantization lost (PqOpsSpec pins rerank ≥ adc
+    * per query).
+    *
+    * Scale shape: stage 1 is the flat ADC aggregate (corpus·pqM integer
+    * adds); stage 2 touches rerankCandidates·dim per query — at 100 TB
+    * that is the only stage reading raw vectors, and it reads ≤ 20 of
+    * them per query via an id-equi-join against the (id-partitioned)
+    * vector store, never a scan. */
+  val rerankCandidates = 20
+
+  private def annRerankAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = SimilarityOps.quantizedBase(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    // stage 1: flat ADC ranking, kept to depth rerankCandidates
+    val cand = pqEncoded(s, dir)
+      .join(broadcast(adcTable(s, dir)), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    val staged = cand.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= rerankCandidates)
+    // stage 2: exact int64 L2 over ONLY the staged candidates
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id"))
+    val reranked = staged.join(e, "vec_id").join(broadcast(qs), "query_id")
+      .withColumn("l2",
+        col("qn") - lit(2L) * dotQ(col("qq"), col("q")) + col("nrm"))
+      .withColumn("rrk", row_number().over(wR)).filter(col("rrk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    // truth: exact L2 top-5 over the full corpus (the pq_recall_audit rule)
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id"))
+    val truth = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        col("qn") - lit(2L) * dotQ(col("qq"), col("q")) + col("nrm"))
+      .withColumn("rk", row_number().over(wT)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val adc5 = staged.filter(col("ark") <= 5)
+      .select(col("query_id").as("a_qid"), col("vec_id").as("a_nid"))
+    val rr5 = reranked
+      .select(col("query_id").as("r_qid"), col("vec_id").as("r_nid"))
+    truth
+      .join(adc5, col("query_id") === col("a_qid") &&
+        col("vec_id") === col("a_nid"), "left")
+      .join(rr5, col("query_id") === col("r_qid") &&
+        col("vec_id") === col("r_nid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("a_nid")).as("n_hits_adc"),
+        count(col("r_nid")).as("n_hits_rerank"))
+      .select(col("query_id"), col("n_hits_adc"),
+        (col("n_hits_adc") * 200).as("recall_adc_milli"),
+        col("n_hits_rerank"),
+        (col("n_hits_rerank") * 200).as("recall_rerank_milli"))
+      .orderBy("query_id")
+  }
+
+  private val annRerankAuditSql =
+    s"""WITH $pqSqlCtes,
+       |tab AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.code,
+       |    q.ss - 2*COALESCE(CAST(list_sum(list_transform(range(len(q.sub)),
+       |      i -> q.sub[i+1]*c.csub[i+1])) AS BIGINT), 0) + c.cc AS pd
+       |  FROM svn q JOIN cb c USING (m) WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT t.query_id, en.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc_dist
+       |  FROM enc en JOIN tab t ON en.m = t.m AND en.code = t.code
+       |    AND en.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |staged AS (
+       |  SELECT query_id, vec_id, ark FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, vec_id) AS ark
+       |    FROM adc)
+       |  WHERE ark <= $rerankCandidates),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e WHERE vec_id < 5),
+       |reranked AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT st.query_id, st.vec_id,
+       |      row_number() OVER (PARTITION BY st.query_id ORDER BY
+       |        qu.qn - 2*COALESCE(CAST(list_sum(list_transform(range(len(qu.qq)),
+       |          i -> qu.qq[i+1]*b.q[i+1])) AS BIGINT), 0) + b.nrm ASC,
+       |        st.vec_id) AS rrk
+       |    FROM staged st JOIN e b ON b.vec_id = st.vec_id
+       |    JOIN qs qu ON qu.query_id = st.query_id)
+       |  WHERE rrk <= 5),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        a.nrm - 2*COALESCE(CAST(list_sum(list_transform(range(len(a.q)),
+       |          i -> a.q[i+1]*b.q[i+1])) AS BIGINT), 0) + b.nrm ASC,
+       |        b.vec_id) AS rk
+       |    FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= 5)
+       |SELECT x.query_id,
+       |  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits_adc,
+       |  CAST(COUNT(a.vec_id) * 200 AS BIGINT) AS recall_adc_milli,
+       |  CAST(COUNT(r.vec_id) AS BIGINT) AS n_hits_rerank,
+       |  CAST(COUNT(r.vec_id) * 200 AS BIGINT) AS recall_rerank_milli
+       |FROM truth x
+       |LEFT JOIN (SELECT query_id, vec_id FROM staged WHERE ark <= 5) a
+       |  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |LEFT JOIN reranked r
+       |  ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pq_encode_stats", pqEncodeStats, Some(pqEncodeStatsSql)),
     Q("pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql)),
     Q("pq_recall_audit", pqRecallAudit, Some(pqRecallAuditSql)),
     Q("ann_ivfadc_topk", annIvfadcTopk, Some(annIvfadcTopkSql)),
+    Q("ann_ivfadc_residual_topk", annIvfadcResidualTopk,
+      Some(annIvfadcResidualTopkSql)),
+    Q("ann_rerank_audit", annRerankAudit, Some(annRerankAuditSql)),
     Q("pq_residual_gain", pqResidualGain, Some(pqResidualGainSql)))
 }

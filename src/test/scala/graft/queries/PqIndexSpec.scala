@@ -31,4 +31,30 @@ class PqIndexSpec extends SparkSpec {
     assert(served.nonEmpty)
     assert(served == inSession)
   }
+
+  test("saveIvfAdc + cold serve ≡ in-session ann_ivfadc_topk, bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("ivfadcindex").toString
+    PqIndex.saveIvfAdc(spark, dir, out)
+
+    // the four deployment artifacts exist with index shapes
+    val cents = spark.read.parquet(s"$out/centroids.parquet")
+    assert(cents.count() == SimilarityOps.ivfCentroids)
+    val assigned = spark.read.parquet(s"$out/assigned.parquet")
+    val nVecs = assigned.count()
+    assert(assigned.select("vec_id").distinct().count() == nVecs,
+      "one inverted-list assignment per vector")
+    assert(spark.read.parquet(s"$out/codes.parquet").count() ==
+      nVecs * PqOps.pqM)
+
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 5")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
+    val served = canon(PqIndex.serveIvfAdcTopk(spark, out, queries))
+    val inSession = canon(SparkEntry.queries("ann_ivfadc_topk")(spark, dir))
+    assert(served.nonEmpty)
+    assert(served == inSession)
+  }
 }
