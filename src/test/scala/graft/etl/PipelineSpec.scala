@@ -81,6 +81,62 @@ class PipelineSpec extends SparkSpec {
     assert(stagingAfter.count() == 0)
   }
 
+  test("catalog: register + write-then-refresh keeps spark.table in sync " +
+      "with the path-addressed pipeline") {
+    val root = Files.createTempDirectory("pipecat")
+    val novos = Files.createDirectories(root.resolve("novos"))
+    val lidos = root.resolve("lidos"); val erros = root.resolve("erros")
+    val stagingP = root.resolve("staging").toString
+    val dwP = root.resolve("dw").toString
+    val histP = root.resolve("hist").toString
+    val pipeline = new Pipeline(spark, stagingP, dwP, histP)
+
+    // registration before any data exists: tables resolve and read empty
+    GraftCatalog.register(spark, stagingP, dwP, histP)
+    assert(spark.table(GraftCatalog.dwTable).count() == 0)
+    assert(spark.table(GraftCatalog.stagingTable).count() == 0)
+
+    writeCsv(novos, "f1.csv",
+      s"1;P1;$k1;1.234,56;1,5;SP;31/12/2024;01/01/2024 10:00:00;3;CD1;01/01/2024 09:00:00",
+      s"3;P2;$k2;10,0;0,5;RJ;2024-11-30;02/01/2024 08:00:00;1;CD2;02/01/2024 09:00:00")
+    pipeline.loadStage(novos, lidos, erros)
+    pipeline.upsertDw()
+    pipeline.archive()
+    GraftCatalog.refresh(spark)
+
+    // catalog reads ≡ path reads, per table
+    val dwCat = spark.table(GraftCatalog.dwTable)
+      .drop(Pipeline.dwPartitionCol)
+      .orderBy("chave_nfe").collect().toSeq
+    val dwPath = pipeline.readDw().orderBy("chave_nfe").collect().toSeq
+    assert(dwCat.nonEmpty && dwCat == dwPath)
+    assert(spark.table(GraftCatalog.histTable).count() == 2)
+    assert(spark.table(GraftCatalog.stagingTable).count() == 0)
+
+    // month predicate on the catalog table ≡ the pruned path read
+    val m1 = spark.table(GraftCatalog.dwTable)
+      .filter(org.apache.spark.sql.functions
+        .col(Pipeline.dwPartitionCol) === "2024-12")
+      .drop(Pipeline.dwPartitionCol).collect().toSeq
+    val m2 = pipeline.readDwMonth("2024-12").collect().toSeq
+    assert(m1.map(_.getAs[String]("chave_nfe")).sorted ==
+      m2.map(_.getAs[String]("chave_nfe")).sorted)
+    assert(m1.length == 1)
+
+    // second write cycle: the DW directory is atomically SWAPPED —
+    // refresh must pick up the new generation and re-sync partitions
+    writeCsv(novos, "f2.csv",
+      s"9;P3;${"3" * 44};50,0;1,0;MG;15/06/2024;05/01/2024 10:00:00;2;CD3;05/01/2024 09:00:00")
+    pipeline.loadStage(novos, lidos, erros)
+    pipeline.upsertDw()
+    GraftCatalog.refresh(spark)
+    val dwCat2 = spark.table(GraftCatalog.dwTable)
+    assert(dwCat2.count() == 3)
+    // the NEW month partition is discovered by the sync
+    assert(dwCat2.filter(org.apache.spark.sql.functions
+      .col(Pipeline.dwPartitionCol) === "2024-06").count() == 1)
+  }
+
   test("archive dedupOnReplay: crash between append and truncate does not double-archive") {
     val root = Files.createTempDirectory("archive-replay")
     val stagingPath = root.resolve("staging").toString
