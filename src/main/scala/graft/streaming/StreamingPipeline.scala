@@ -742,6 +742,59 @@ object StreamingPipeline {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Static quote snapshot for the streaming as-of enrichment: the click
+    * side of `asof_join` (graft.queries.Relational3) collapsed to ONE row
+    * per user — clicks deduped to one per (user, ts) (max event_id, the
+    * composed query's tie rule), then packed into an ascending
+    * (ts, click_id) struct array. The per-user array is the broadcastable
+    * unit: the stream side never shuffles and never keeps state, the
+    * quantizer-row collapse pattern applied to a keyed dimension. Array
+    * length is bounded by per-user click history in the snapshot window —
+    * the deployment rotates snapshots (this is a SNAPSHOT join by design:
+    * the as-of reference data a serving job pins for its run, exactly
+    * like the fixed IVF quantizer in [[ivfAssignStream]]). */
+  def asofQuoteSnapshot(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click" &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("click_id"))))
+        .as("quotes"))
+
+  /** Streaming as-of enrichment — the streaming twin of `asof_join` /
+    * `asof_join_native`, completing the one operator family that had no
+    * streaming counterpart: each arriving purchase is annotated with the
+    * most recent click at-or-before its event time by the same user,
+    * against a STATIC [[asofQuoteSnapshot]].
+    *
+    * Plan shape is fully stream-safe: a stream-static LEFT equi-join on
+    * user_id (static side broadcast — no stream shuffle) and a row-local
+    * array probe (`filter(quotes, q.ts ≤ ts)` then last element — the
+    * array is ts-ascending, so the last kept entry IS the as-of match,
+    * inclusive on equality like DuckDB ASOF's `>=`). No watermark, no
+    * keyed state, no aggregation: every input row emits exactly one
+    * output row immediately, so the twin runs identically on a static
+    * frame (StreamingPipelineSpec pins row parity against the batch
+    * query). The stream-stream alternative (both sides unbounded) is the
+    * [[attributionJoinStream]] state machine with the range bound —
+    * as-of's "latest before" needs a per-purchase argmax that append-mode
+    * stream-stream joins can't express without a second stateful stage,
+    * which is why the snapshot formulation is the production shape. */
+  def asofEnrichStream(purchases: DataFrame, quoteSnapshot: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase" &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    p.join(broadcast(quoteSnapshot), Seq("user_id"), "left")
+      .withColumn("m", expr(
+        // try_: an empty filtered array (no click at-or-before) is a
+        // NON-match, not an error — NULL propagates to the quote columns
+        "try_element_at(filter(quotes, q -> q.ts <= purchase_ts), -1)"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("m.click_id").as("click_id"), col("m.ts").as("click_ts"))
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -487,6 +487,69 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.filter("user_id = 10 AND event_id = 1").count() == 1)
   }
 
+  test("asofEnrichStream: exact batch parity with asof_join on real sf0.001 data") {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("asofstream")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evSchema = spark.read.parquet(srcDir.toString).schema
+    val raw = spark.readStream.schema(evSchema).parquet(srcDir.toString)
+    val stream = evSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val ev = graft.queries.Util.t(spark, "/root/testdata/sf0.001", "events")
+    val snapshot = StreamingPipeline.asofQuoteSnapshot(ev)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("purchase_ts"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(Long.unbox),
+        Option(r.getAs[java.sql.Timestamp]("click_ts")))).toSet
+    val streamed = canon(StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.asofEnrichStream(stream, snapshot), "asof_stream")
+      .collect())
+    val batch = canon(graft.SparkEntry.queries("asof_join")(
+      spark, "/root/testdata/sf0.001").collect())
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the enrichment is stateless append: every purchase emitted exactly once
+    assert(streamed.size ==
+      ev.filter(col("event_type") === "purchase" &&
+        col("ts").isNotNull && col("user_id").isNotNull).count())
+  }
+
+  test("asofEnrichStream planted fixture: inclusive bound, NULL on no-click, key isolation") {
+    val root = Files.createTempDirectory("asoffix")
+    val src = root.resolve("purchases")
+    Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0), // after q_mid
+      (101L, ts("2024-01-01 10:05:00"), 1L, "purchase", 1.0), // equal ts: inclusive
+      (102L, ts("2024-01-01 10:00:00"), 2L, "purchase", 1.0), // user 2: no clicks
+      (103L, ts("2024-01-01 09:00:00"), 3L, "purchase", 1.0)) // before user 3's click
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(src.toString)
+    val clicks = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-01 09:55:00"), 1L, "click", 0.0),
+      (12L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (13L, ts("2024-01-01 12:00:00"), 3L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema).parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.asofEnrichStream(stream,
+        StreamingPipeline.asofQuoteSnapshot(clicks)), "asof_fixture")
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("click_id")).map(Long.unbox)).toMap
+    assert(out == Map(
+      100L -> Some(11L), // latest ≤ 10:00
+      101L -> Some(12L), // ts >= click_ts inclusive
+      102L -> None,      // user 2 never clicked
+      103L -> None))     // user 3's only click is later
+  }
+
   test("stream-stream join: clicks join purchases within the event-time bound") {
     import org.apache.spark.sql.functions._
     // the file stream source needs a DIRECTORY; the testdata table is a
