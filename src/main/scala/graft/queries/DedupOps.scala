@@ -600,6 +600,18 @@ object DedupOps {
   private val ccLabelCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Unpersist + drop this session's CC label/edge caches — the
+    * [[Util.releaseCaches]] ladder's hook into this file's registries
+    * (checkpointed frames release their blocks on unpersist; the
+    * checkpoint FILES follow the ContextCleaner as always). */
+  private[queries] def releaseCcCaches(s: SparkSession): Unit =
+    ccComputeLock.synchronized {
+      Seq(ccLabelCache, ccEdgeCache, ccBaseLabelCache).foreach(
+        _.filterInPlace { case (k, df) =>
+          if (k._1 eq s) { df.unpersist(); false } else true
+        })
+    }
   /** Guards the two caches below whose miss path RUNS SPARK JOBS (the CC
     * fixpoint / edge checkpoint): without it, two concurrent first callers
     * would both pay the full compute and leak one checkpoint's blocks until

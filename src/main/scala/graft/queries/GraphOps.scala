@@ -126,6 +126,17 @@ object GraphOps {
   private val itemsCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Unpersist + drop this session's basket/pair caches — the
+    * [[Util.releaseCaches]] ladder's hook into this file's registries. */
+  private[queries] def releaseGraphCaches(s: SparkSession): Unit = {
+    itemsCache.filterInPlace { case (k, df) =>
+      if (k._1 eq s) { df.unpersist(); false } else true
+    }
+    pairCache.filterInPlace { case (k, df) =>
+      if (k._1 eq s) { df.unpersist(); false } else true
+    }
+  }
   private def cappedItems(s: SparkSession, dir: String): DataFrame = {
     itemsCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val key = (s, dir, maxBasket(s))

@@ -86,6 +86,18 @@ object SimilarityOps {
     * the cache for every later consumer. */
   private val baseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist + drop this session's quantized-base and LSH-state
+    * entries — the [[Util.releaseCaches]] ladder's hook into this
+    * file's registries. */
+  private[queries] def releaseBase(s: SparkSession): Unit = {
+    baseCache.filterInPlace { case (k, df) =>
+      if (k._1 eq s) { df.unpersist(); false } else true
+    }
+    lshCache.filterInPlace { case (k, dfs) =>
+      if (k._1 eq s) { dfs.foreach(_.unpersist()); false } else true
+    }
+  }
   private[queries] def quantizedBase(s: SparkSession, dir: String): DataFrame = {
     // evict entries whose session is gone so the map can't pin stopped
     // sessions (and their cached blocks) for the JVM lifetime

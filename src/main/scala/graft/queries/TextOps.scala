@@ -907,6 +907,15 @@ object TextOps {
     .empty[(SparkSession, String),
       (Seq[(Int, String, String, String, Long)], DataFrame)]
   private val bpeComputeLock = new Object
+
+  /** Unpersist + drop this session's BPE training cache — the
+    * [[Util.releaseCaches]] ladder's hook into this registry. */
+  private[queries] def releaseBpeCache(s: SparkSession): Unit =
+    bpeComputeLock.synchronized {
+      bpeCache.filterInPlace { case (k, (_, df)) =>
+        if (k._1 eq s) { df.unpersist(); false } else true
+      }
+    }
   private def bpeTrained(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
     bpeComputeLock.synchronized {

@@ -88,6 +88,29 @@ object Util {
     })
   }
 
+  /** Explicit unpersist ladder for a long-lived session: drop and
+    * unpersist EVERY session-cached relation this session owns — the
+    * [[cachedRelation]] registry plus each file's private registries
+    * (quantized base + LSH state, CC labels/edges, basket/pair
+    * relations, BPE training). The per-entry eviction above handles
+    * knob retuning; this
+    * handles the end of a work phase (a notebook finishing its dedup
+    * pass, a server rotating corpora) where the right amount of cached
+    * state is zero. Persisted levels are MEMORY_AND_DISK, so between
+    * phases Spark would otherwise spill-age these blocks instead of
+    * freeing them — the ladder makes reclamation deterministic.
+    * Correctness is untouched: the next query rebuilds lazily
+    * (CacheHygieneSpec pins both). */
+  def releaseCaches(s: SparkSession): Unit = {
+    relCache.filterInPlace { case (k, df) =>
+      if (k._1 eq s) { df.unpersist(); false } else true
+    }
+    SimilarityOps.releaseBase(s)
+    DedupOps.releaseCcCaches(s)
+    GraphOps.releaseGraphCaches(s)
+    TextOps.releaseBpeCache(s)
+  }
+
   /** Read one testdata table.
     *
     * `events.ts` has shipped in two layouts across driver testdata

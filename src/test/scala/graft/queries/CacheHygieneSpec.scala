@@ -45,6 +45,38 @@ class CacheHygieneSpec extends SparkSpec {
       s"re-run stacked checkpoint RDDs: " + leaked2.toSeq.sorted)
   }
 
+  test("releaseCaches: the unpersist ladder empties every registry and " +
+      "queries rebuild correctly after it") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sharedState.cacheManager.clearCache()
+    Util.releaseCaches(spark) // drain state left by sibling tests first
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+
+    // populate several distinct registries. All these queries persist ONLY
+    // through session registries the ladder owns; iterative queries with
+    // per-run localCheckpoints (kcore_peel, connected_components) are
+    // excluded — their checkpoint blocks follow the ContextCleaner's GC
+    // lifecycle, which the first test in this suite covers
+    val names = Seq("knn_brute_cosine", "pq_adc_topk", "bm25_topk",
+      "containment_prefix_pairs", "part_cooccurrence", "bpe_pair_stats")
+    val first = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, dir).collect().length).toMap
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > baseline.size,
+      "the cache family must actually be populated before the ladder runs")
+
+    Util.releaseCaches(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leaked.isEmpty,
+      s"releaseCaches left persisted RDDs behind: ${leaked.toSeq.sorted}")
+
+    // correctness is untouched: every query rebuilds lazily to the same rows
+    names.foreach { n =>
+      assert(SparkEntry.queries(n)(spark, dir).collect().length == first(n),
+        s"$n changed row count after the release ladder")
+    }
+    Util.releaseCaches(spark) // leave the shared session clean for siblings
+  }
+
   test("per-query persisted relations are cached per session, not stacked per call") {
     // the Util.cachedRelation contract: invoking the same query twice in
     // one session reuses the SAME persisted relation — a long-lived
