@@ -467,20 +467,26 @@ object SimilarityOps {
   /** Serve-quantizer inverted-list assignment (vec_id, cent_id, q, nrm):
     * best centroid per vector, ccos desc with cent_id ties — ONE copy of
     * the assignment math shared by `ann_ivf_cosine`, `ivf_probe_sweep`
-    * and the IVFADC composition in [[PqOps]] (the ivfSqlCtes discipline,
-    * engine side). */
+    * and the raw + residual IVFADC compositions in [[PqOps]] (the
+    * ivfSqlCtes discipline, engine side). Session-cached: this relation
+    * IS the inverted index — the residual family alone references it
+    * three times per query (residual projection, encode join-back,
+    * candidate lists), and at scale a deployment holds the assignment,
+    * not re-derives it per search. */
   private[queries] def ivfServeAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedBase(s, dir)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    e.crossJoin(broadcast(ivfServeCents(s, dir)))
-      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
-        sqrt((col("nrm") * col("cn")).cast("double")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    Util.cachedRelation(s, dir, "ivfServeAssigned", s"K=$ivfCentroids") {
+      val e = quantizedBase(s, dir)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      e.crossJoin(broadcast(ivfServeCents(s, dir)))
+        .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+          sqrt((col("nrm") * col("cn")).cast("double")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    }
   }
 
   /** Probe lists for the query set (query_id, qq, qn, cent_id, prn ≤
