@@ -261,6 +261,48 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq_kmeans_step: hand-computed Lloyd round — floor-means, re-encode, " +
+      "reassignment") {
+    // donors 0..7 ≡ const 10(j+1) per dim; corpus at const 13, 15, 16, 17.
+    // Before: 13→code0 (144/sub), 15→code0 (400, the 10|20 tie → lower),
+    // 16→code1 (256), 17→code1 (144) ⇒ distortion_before = 944 per sub.
+    // Means: code0 = floor((10+13+15)/3) = 12, code1 = floor((20+16+17)/3)
+    // = 17, others keep their donor. Re-encode: vec0→64, vec1→144, 13→16,
+    // 15→64 via code1 (REASSIGNED 0→1: 144 vs 64), 16→16, 17→0 ⇒
+    // distortion_after = 304, gain = floor(1000·640/944) = 677, moved = 1.
+    val dir = java.nio.file.Files.createTempDirectory("pqkm").toString
+    import spark.implicits._
+    def const(c: Float): Array[Float] = Array.fill(64)(c)
+    val rows =
+      (0 until 8).map(j => (j.toLong, const((j + 1) * 0.01f), 0)) ++ Seq(
+        (10L, const(0.013f), 0), (11L, const(0.015f), 0),
+        (12L, const(0.016f), 0), (13L, const(0.017f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("pq_kmeans_step")(spark, dir).collect()
+      .map(r => r.getAs[Int]("m") ->
+        ((r.getAs[Long]("distortion_before"), r.getAs[Long]("distortion_after"),
+          Option(r.getAs[java.lang.Long]("gain_milli")).map(Long.unbox),
+          r.getAs[Long]("n_reassigned")))).toMap
+    assert(out.keySet == Set(0, 1, 2, 3))
+    (0 to 3).foreach(m =>
+      assert(out(m) == ((944L, 304L, Some(677L), 1L)), s"m=$m: ${out(m)}"))
+  }
+
+  test("pq_kmeans_step on the real corpus: one round strictly improves") {
+    val out = SparkEntry.queries("pq_kmeans_step")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val b = r.getAs[Long]("distortion_before")
+      val a = r.getAs[Long]("distortion_after")
+      // Lloyd with exact means is monotone; floor-rounding can cost at most
+      // dim per code — far below the measured improvement
+      assert(a < b, s"m=${r.getAs[Int]("m")}: retrain must reduce distortion")
+      assert(r.getAs[Long]("n_reassigned") >= 0L)
+    }
+  }
+
   test("pq_recall_audit on the real corpus: recall measured, not asserted") {
     val out = SparkEntry.queries("pq_recall_audit")(spark,
       "/root/testdata/sf0.001").collect()
