@@ -115,6 +115,20 @@ class Pipeline(spark: SparkSession, stagingPath: String, dwPath: String,
       Archive.run(spark, stagingPath, histPath)
     }.getOrElse(Archive.Audit(0, "", lockBusy = true))
 
+  /** Staging small-files maintenance: [[loadStage]] appends one parquet
+    * file set per loaded CSV, so staging accumulates a file per source
+    * file between archives — this rewrites it into healthy-sized files
+    * under the SAME run lock the load/archive stages use (a compactor
+    * racing a loader would lose the loader's concurrent append in the
+    * swap). Scheduled alongside the reference's cron cadence; a lock-busy
+    * invocation no-ops with `skipped = true` rather than blocking the
+    * pipeline. */
+  def compactStaging(targetBytes: Long = Compactor.defaultTargetBytes)
+      : Compactor.Audit =
+    RunLock.tryWithLock(runLockFile, lockWaitMs) {
+      Compactor.compact(spark, stagingPath, targetBytes)
+    }.getOrElse(Compactor.Audit(0, 0L, 0, 0L, skipped = true))
+
   /** Logical fat-table view: fatSchema columns only (the derived partition
     * column is storage layout, not data — dropped on read so merge inputs
     * keep the canonical 40-column shape). */

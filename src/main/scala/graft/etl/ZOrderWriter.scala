@@ -77,10 +77,13 @@ object ZOrderWriter {
     ordered.drop("__z", "__zd1", "__zd2")
       .write.mode("overwrite").parquet(path)
     // manifest: true min/max of the RAW dimension values per written file
-    // (NULLs ignored by min/max — sound, a NULL never matches a range)
+    // (NULLs ignored by min/max — sound, a NULL never matches a range).
+    // Files are recorded by BASENAME, not absolute path: the directory is
+    // the unit every maintenance operation moves (atomic swap, compact),
+    // so a relocatable manifest survives them all
     spark.read.parquet(path)
-      .select(input_file_name().as("file"), d1.cast("int").as("d1"),
-        d2.cast("int").as("d2"))
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        d1.cast("int").as("d1"), d2.cast("int").as("d2"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n_rows"),
         min("d1").as("min_d1"), max("d1").as("max_d1"),
@@ -93,9 +96,11 @@ object ZOrderWriter {
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$manifestDir")
 
-  /** Files whose envelope intersects the probe ranges (None = no
-    * constraint on that dimension). A file whose dimension is all-NULL
-    * has a NULL envelope and cannot match a range probe on it. */
+  /** Full paths of the files whose envelope intersects the probe ranges
+    * (None = no constraint on that dimension). A file whose dimension is
+    * all-NULL has a NULL envelope and cannot match a range probe on it.
+    * Basenames from the manifest resolve against the CURRENT directory,
+    * so pruning keeps working after swaps/compaction. */
   def prunedFiles(spark: SparkSession, path: String,
       d1Range: Option[(Int, Int)], d2Range: Option[(Int, Int)]): Seq[String] = {
     val m = manifest(spark, path)
@@ -105,7 +110,38 @@ object ZOrderWriter {
       d2Range.map { case (lo, hi) =>
         col("max_d2") >= lo && col("min_d2") <= hi })
       .flatten.reduceOption(_ && _).getOrElse(lit(true))
-    m.filter(hit).select("file").collect().map(_.getString(0)).toSeq
+    m.filter(hit).select("file").collect()
+      .map(r => s"$path/${r.getString(0)}").toSeq
+  }
+
+  /** Layout-preserving compaction of a [[write]]-produced directory:
+    * re-sorts on the same dimensions into ⌈bytes/targetBytes⌉ files and
+    * regenerates the manifest, swapped in atomically — the
+    * [[graft.etl.Compactor]] maintenance job for z-ordered tables, where
+    * a plain row-shuffling rewrite would destroy the min/max envelopes
+    * pruning depends on. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, d1: Column, d2: Column,
+      targetBytes: Long = Compactor.defaultTargetBytes,
+      layout: Layout = ZOrder): (Int, Int) = {
+    val p = java.nio.file.Paths.get(path)
+    val files = Compactor.dataFiles(p)
+    if (files.isEmpty) return (0, 0)
+    val bytes = files.map(java.nio.file.Files.size).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.size <= want) return (files.size, files.size)
+    val df = spark.read.parquet(path).cache()
+    df.count() // materialize so the rewrite never reads the swapped dir
+    val tmp = path + ".compact_" + System.nanoTime()
+    write(df, tmp, d1, d2, want, layout)
+    df.unpersist()
+    val target = java.nio.file.Paths.get(path)
+    val trash = java.nio.file.Paths.get(path + ".old_" + System.nanoTime())
+    java.nio.file.Files.move(target, trash)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    java.nio.file.Files.walk(trash)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    (files.size, Compactor.dataFiles(p).size)
   }
 
   /** Read only the probe-relevant files. Callers still apply their exact

@@ -106,6 +106,77 @@ object PqIndex {
     * over each candidate's 4 stored codes. Self-matches excluded — the
     * suite-wide serve rule. The corpus vectors are never read: index
     * artifacts only. */
+  /** Write the RESIDUAL-encoded IVFADC index ([[PqOps]]
+    * `ann_ivfadc_residual_topk`'s artifacts) under `out`: coarse
+    * quantizer + assignment (as [[saveIvfAdc]]) plus the residual
+    * codebook (rcodebook.parquet) and the per-list residual codes
+    * (rcodes.parquet — vec_id, cent_id, m, code). The pair
+    * save/serve is what a deployment whose `pq_residual_gain` audit
+    * came back positive persists instead of the raw artifacts. */
+  def saveIvfAdcResidual(s: SparkSession, dir: String, out: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    SimilarityOps.ivfServeCents(s, dir)
+      .write.mode("overwrite").parquet(s"$out/centroids.parquet")
+    SimilarityOps.ivfServeAssigned(s, dir).select(col("vec_id"), col("cent_id"))
+      .write.mode("overwrite").parquet(s"$out/assigned.parquet")
+    PqOps.residualCodebook(s, dir)
+      .write.mode("overwrite").parquet(s"$out/rcodebook.parquet")
+    PqOps.residualEncoded(s, dir)
+      .select(col("vec_id"), col("cent_id"), col("m"), col("code"))
+      .write.mode("overwrite").parquet(s"$out/rcodes.parquet")
+  }
+
+  /** Top-k residual-IVFADC search over a SAVED index
+    * ([[saveIvfAdcResidual]]) — the cold twin of
+    * `ann_ivfadc_residual_topk`, bit-for-bit (PqIndexSpec): queries
+    * quantize row-locally, probe their nprobe max-cosine centroids, form
+    * the per-(query, probed centroid) RESIDUAL, build its ADC table
+    * against the loaded residual codebook, and rank the probed lists'
+    * stored residual codes by summed lookups. Corpus vectors never
+    * load. */
+  def serveIvfAdcResidualTopk(s: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 5,
+      nprobe: Int = SimilarityOps.ivfProbes): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+    val assigned = s.read.parquet(s"$indexDir/assigned.parquet")
+    val rcb = s.read.parquet(s"$indexDir/rcodebook.parquet")
+    val rcodes = s.read.parquet(s"$indexDir/rcodes.parquet")
+    val q = SimilarityOps.quantize(queries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        graft.functions.GraftFunctions.quantized_dot(col("qq"), col("cq"))
+          .cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("prn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("cent_id"), col("qq"), col("cq"))
+    val qres = probes.select(col("query_id"), col("cent_id"),
+      expr("transform(qq, (x, i) -> x - try_element_at(cq, i + 1))").as("q"))
+    val rtab = PqOps.subvectorsKeyed(qres, Seq("query_id", "cent_id"))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("query_id"), col("cent_id"), col("m"), col("code"),
+        (col("ss") - lit(2L) *
+          graft.functions.GraftFunctions.quantized_dot(col("sub"), col("csub"))
+          + col("cc")).as("pd"))
+    val cand = probes.select(col("query_id"), col("cent_id"))
+      .join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+    val adc = cand.join(rcodes, Seq("vec_id", "cent_id"))
+      .join(broadcast(rtab), Seq("query_id", "cent_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rk")
+  }
+
   def serveIvfAdcTopk(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = SimilarityOps.ivfProbes): DataFrame = {
     graft.functions.GraftFunctions.register(s)

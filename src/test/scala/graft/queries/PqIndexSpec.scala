@@ -57,4 +57,28 @@ class PqIndexSpec extends SparkSpec {
     assert(served.nonEmpty)
     assert(served == inSession)
   }
+
+  test("saveIvfAdcResidual + cold serve ≡ in-session ann_ivfadc_residual_topk") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("ivfadcresidx").toString
+    PqIndex.saveIvfAdcResidual(spark, dir, out)
+
+    assert(spark.read.parquet(s"$out/rcodebook.parquet").count() ==
+      PqOps.pqM * PqOps.pqK)
+    val rcodes = spark.read.parquet(s"$out/rcodes.parquet")
+    assert(rcodes.count() ==
+      spark.read.parquet(s"$out/assigned.parquet").count() * PqOps.pqM,
+      "4 residual codes per assigned vector")
+
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 5")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSeq
+    val served = canon(PqIndex.serveIvfAdcResidualTopk(spark, out, queries))
+    val inSession = canon(
+      SparkEntry.queries("ann_ivfadc_residual_topk")(spark, dir))
+    assert(served.nonEmpty)
+    assert(served == inSession)
+  }
 }
