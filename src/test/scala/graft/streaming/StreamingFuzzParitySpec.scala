@@ -262,6 +262,51 @@ class StreamingFuzzParitySpec extends SparkSpec {
       assert(idSet.distinct.length == idSet.length &&
         idSet.toSet == evs.map(_.event_id).toSet,
         s"dedupStream id set drifted (seed $seed)")
+
+      // ---- as-of enrichment: purchase stream against the static click
+      // snapshot; dirty classes exercised: same-ts click companions (the
+      // max-event_id dedup tie), purchases AT a click's exact ts (the
+      // inclusive bound), verbatim duplicate purchases (one output row
+      // per INPUT row), users with junk/NULL types only (no clicks →
+      // NULL enrichment)
+      val aOracle = asofOracle(evs)
+      val aStream = runToMemory(spark,
+        asofEnrichStream(stream.toDF(),
+          asofQuoteSnapshot(evs.toDS().toDF())), s"fz_asof_${seed}_$slices")
+        .collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("purchase_ts").getTime,
+          Option(r.getAs[java.lang.Long]("click_id")).map(Long.unbox),
+          Option(r.getAs[Timestamp]("click_ts")).map(_.getTime)))
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+      assert(aStream.toSeq == aOracle,
+        s"asofEnrichStream drifted from the recount (seed $seed)")
+      val aBatch = batchQ("asof_join").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("purchase_ts").getTime,
+          Option(r.getAs[java.lang.Long]("click_id")).map(Long.unbox),
+          Option(r.getAs[Timestamp]("click_ts")).map(_.getTime)))
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+      assert(aBatch.toSeq == aOracle,
+        s"batch asof_join drifted from the recount (seed $seed)")
+  }
+
+  /** Per purchase ROW (duplicates kept — the stream emits one output per
+    * input row): the latest click at-or-before by the same user, clicks
+    * first deduped to one per (user, ts) by max event_id — the composed
+    * query's exact rule. */
+  private def asofOracle(evs: Seq[Event])
+      : Seq[(Long, Long, Long, Option[Long], Option[Long])] = {
+    val clicks = evs.filter(_.event_type == "click")
+      .groupBy(e => (e.user_id, e.ts.getTime))
+      .map { case ((u, t), es) => (u, t, es.map(_.event_id).max) }.toSeq
+    evs.filter(_.event_type == "purchase").map { p =>
+      val cands = clicks.filter(c =>
+        c._1 == p.user_id && c._2 <= p.ts.getTime)
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(_._2)) // unique per ts after the dedup
+      (p.event_id, p.user_id, p.ts.getTime, best.map(_._3), best.map(_._2))
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
   }
 
   for (seed <- Seq(101, 202, 303)) {
