@@ -619,7 +619,26 @@ object Relational3 {
       .orderBy("purchase_id")
   }
 
+  /** The THIRD as-of formulation sharing the one DuckDB ASOF oracle: the
+    * snapshot-collapse plan of the STREAMING twin
+    * ([[graft.streaming.StreamingPipeline.asofEnrichStream]] — per-user
+    * ts-ascending quote arrays, broadcast equi-join, row-local array
+    * probe), executed here on static frames so the streaming operator's
+    * exact plan is hash-checked against DuckDB like every batch query.
+    * Three strategies, one oracle: tagged-union window (`asof_join`,
+    * scalable both-sides-large), native merge operator
+    * (`asof_join_native`, independent per-side exchanges), snapshot
+    * broadcast (THIS — quote side bounded, probe side never shuffles;
+    * the streaming/serving regime). */
+  private def asofSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.streaming.StreamingPipeline.asofEnrichStream(ev,
+        graft.streaming.StreamingPipeline.asofQuoteSnapshot(ev))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("asof_snapshot", asofSnapshot, Some(asofJoinSql)),
     Q("asof_join_native", asofJoinNative, Some(asofJoinSql)),
     Q("approx_sketches", approxSketches, Some(approxSketchesSql)),
     Q("mode_per_group", modePerGroup, Some(modePerGroupSql)),
