@@ -45,10 +45,12 @@ object GraphOps {
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("p").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
-    // one relation carrying (src, dst, outd): persisted because all 4
-    // iterations re-join it (LazyPlanSpec pattern — lazy persist, single
-    // construction)
-    val edgesW = edges.join(deg, "src").persist()
+    // one relation carrying (src, dst, outd): all 4 iterations re-join it,
+    // and the session-keyed registry (the kcoreEdges discipline) keeps
+    // repeated invocations from stacking one persisted copy per call
+    val edgesW = Util.cachedRelation(s, dir, "pagerankEdges", "") {
+      edges.join(deg, "src")
+    }
     var mass = deg.select(col("src").as("node"), lit(1000L).as("mass"))
     for (_ <- 1 to 4) {
       mass = edgesW.join(mass, edgesW("src") === mass("node"))
