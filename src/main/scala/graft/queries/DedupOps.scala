@@ -185,10 +185,12 @@ object DedupOps {
       .filter(col("df") <= maxTokenDf(s))
       .select(col("sh"))
     // capped shingle relation feeds three consumers (set sizes + both
-    // self-join sides): LAZY persist so the explode + df-cap subtree
-    // evaluates once across them — same construction-safe pattern as the
-    // simhash `bands` persist below (LazyPlanSpec rationale)
-    val shOk = sh.join(okSh, Seq("sh"), "left_semi").persist()
+    // self-join sides): registry-cached LAZY persist so the explode +
+    // df-cap subtree evaluates once across them AND repeated invocations
+    // reuse one copy with release-ladder coverage (the kcoreEdges
+    // discipline; LazyPlanSpec rationale for the laziness)
+    val shOk = Util.cachedRelation(s, dir, "ngramShinglesCapped",
+      s"df=${maxTokenDf(s)}")(sh.join(okSh, Seq("sh"), "left_semi"))
     val sizes = shOk.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shOk.as("a"); val b = shOk.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -418,13 +420,17 @@ object DedupOps {
     }
     // one row per doc, 5 ints, referenced four times downstream (bucket
     // sizes, both self-join sides, both verification sides). A LAZY
-    // persist makes the heavy (md5 explode + 64-col aggregate) subtree
-    // evaluate once across those references without running anything at
-    // construction — a checkpoint would not: even
+    // registry-cached persist makes the heavy (md5 explode + 64-col
+    // aggregate) subtree evaluate once across those references without
+    // running anything at construction — a checkpoint would not: even
     // localCheckpoint(eager = false) calls physicalPlan.execute() at
     // construction, which under AQE materializes every shuffle stage and
-    // breaks schema/explain-only callers (LazyPlanSpec guards this).
-    val bands = sums.select((col("doc_id") +: bandCols): _*).persist()
+    // breaks schema/explain-only callers (LazyPlanSpec guards this). The
+    // registry (vs a bare persist) adds release-ladder coverage: the
+    // outer simhashPairsRel cache made this a once-per-session build
+    // already, but its blocks were otherwise unreclaimable.
+    val bands = Util.cachedRelation(s, dir, "simhashBands", "")(
+      sums.select((col("doc_id") +: bandCols): _*))
     // bucket per (band index, band value); candidates via a self-equi-join
     // on the bucket key (band, v) — exactly the oracle's formulation — so
     // pairs STREAM through the join instead of collecting one array per

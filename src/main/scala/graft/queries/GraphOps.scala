@@ -265,12 +265,16 @@ object GraphOps {
     val ed = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-    val oriented = ed.select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("src"), col("v").as("dst")))
-          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+    // registry-cached (the kcoreEdges discipline): three self-join sides
+    // share one copy, repeated calls don't stack, the ladder reclaims it
+    val oriented = Util.cachedRelation(s, dir, "triangleOriented",
+      s"basket=${maxBasket(s)},support=${minSupport(s)}") {
+      ed.select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("src"), col("v").as("dst")))
+            .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
     val w1 = oriented.as("w1"); val w2 = oriented.as("w2"); val cl = oriented.as("cl")
     val tris = w1.join(w2, col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
       .join(cl, col("cl.src") === col("w1.dst") && col("cl.dst") === col("w2.dst") ||
