@@ -62,6 +62,18 @@ object PipelineDemo {
       "data_nfe", "data_ultima_ocr", "qtd_volumes", "arquivo_origem")
       .orderBy("chave_nfe").show(20, truncate = false)
 
+    // the SQL-side addressing: namespaces registered over the same dirs
+    GraftCatalog.register(spark, work.resolve("staging").toString,
+      work.resolve("dw").toString, work.resolve("hist").toString)
+    val viaCatalog = spark.sql(
+      s"SELECT COUNT(*) AS n FROM ${GraftCatalog.dwTable}").collect()(0).getLong(0)
+    println(s"[catalog] spark.table(${GraftCatalog.dwTable}) rows=$viaCatalog")
+
+    // staging small-files maintenance (one parquet file set per loaded CSV)
+    val comp = pipeline.compactStaging()
+    println(s"[compact] files=${comp.filesBefore}->${comp.filesAfter} " +
+      s"skipped=${comp.skipped}")
+
     val audit = pipeline.archive()
     println(s"[archive] moved=${audit.moved} batch_id=${audit.batchId}")
     val histRows =
