@@ -69,6 +69,47 @@ class ZOrderWriterSpec extends SparkSpec {
     assert(linD2 <= zD2, s"linear owns its sort dim: lin=$linD2 z=$zD2")
   }
 
+  test("property: pruning is SOUND for random dirty dims and random probes " +
+      "(negatives, out-of-range, NULLs, skew)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    def sample[T](g: Gen[T], n: Int, seed0: Long): Seq[T] =
+      (0 until n).flatMap(i => g.apply(params, Seed(seed0 + i)))
+    // dirty dimension values: in-range, negative, > 255, NULL, hot value
+    val genDim: Gen[Option[Int]] = Gen.frequency(
+      6 -> Gen.choose(0, 255).map(Some(_)),
+      1 -> Gen.choose(-500, -1).map(Some(_)),
+      1 -> Gen.choose(256, 1000).map(Some(_)),
+      1 -> Gen.const(Some(42)), // skewed hot value
+      1 -> Gen.const(None))
+    for (seed <- Seq(7L, 8L)) {
+      val rows = sample(Gen.zip(genDim, genDim), 400, seed * 1000)
+        .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val out = java.nio.file.Files
+        .createTempDirectory(s"zwprop$seed").toString + "/z"
+      ZOrderWriter.write(rows.toDF("id", "a", "b"), out,
+        col("a"), col("b"), numFiles = 8)
+      assert(spark.read.parquet(out).count() == 400, "no rows lost")
+      val probes = sample(
+        Gen.zip(Gen.choose(-100, 300), Gen.choose(0, 200)), 6, seed * 7777)
+        .map { case (lo, w) => (lo, lo + w) }
+      for ((lo, hi) <- probes; dimIsA <- Seq(true, false)) {
+        val (d1R, d2R) =
+          if (dimIsA) (Some((lo, hi)), None) else (None, Some((lo, hi)))
+        val cPred = (if (dimIsA) col("a") else col("b")).between(lo, hi)
+        val viaPruned = ZOrderWriter.readPruned(spark, out, d1R, d2R)
+          .filter(cPred).select("id").collect().map(_.getLong(0)).toSet
+        val viaFull = spark.read.parquet(out)
+          .filter(cPred).select("id").collect().map(_.getLong(0)).toSet
+        assert(viaPruned == viaFull,
+          s"seed=$seed probe=[$lo,$hi] dimIsA=$dimIsA: pruning dropped " +
+            s"${(viaFull -- viaPruned).size} matching rows")
+      }
+    }
+  }
+
   test("NULL dims: rows are kept, never matched by a range probe, never lost") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("zwnull").toString + "/z"
