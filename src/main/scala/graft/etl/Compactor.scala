@@ -61,10 +61,10 @@ object Compactor {
     val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (files.size <= want)
       return Audit(files.size, bytes, files.size, -1L, skipped = true)
-    val df = spark.read.parquet(path).repartition(want)
-    val rows = df.cache().count() // one materialization feeds the write
-    Pipeline.atomicOverwrite(df, path)
-    df.unpersist()
+    Pipeline.atomicOverwrite(spark.read.parquet(path).repartition(want), path)
+    // audit row count from the NEW generation's parquet footers — a
+    // metadata read, no data scan and no whole-table cache residency
+    val rows = spark.read.parquet(path).count()
     Audit(files.size, bytes, dataFiles(p).size, rows, skipped = false)
   }
 }

@@ -229,10 +229,21 @@ object Pipeline {
     val partitioned =
       if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer
     partitioned.parquet(tmp)
+    swapInto(tmp, path)
+  }
+
+  /** The swap half of the write-new-then-swap protocol, shared by
+    * [[atomicOverwrite]] and [[ZOrderWriter.compact]] (ONE copy of the
+    * move/trash/cleanup sequence): displace the current generation to a
+    * nanoTime-named trash dir, move the new generation into place,
+    * best-effort delete the trash. Readers see the old or the new
+    * generation — never a mix — modulo the directory-rename window, same
+    * as the reference's transaction boundary. */
+  def swapInto(tmpDir: String, path: String): Unit = {
     val target = java.nio.file.Paths.get(path)
     val trash = java.nio.file.Paths.get(path + ".old_" + System.nanoTime())
     if (Files.exists(target)) Files.move(target, trash)
-    Files.move(java.nio.file.Paths.get(tmp), target)
+    Files.move(java.nio.file.Paths.get(tmpDir), target)
     if (Files.exists(trash)) {
       // best-effort cleanup of the displaced generation
       Files.walk(trash).sorted(java.util.Comparator.reverseOrder())

@@ -129,18 +129,12 @@ object ZOrderWriter {
     val bytes = files.map(java.nio.file.Files.size).sum
     val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (files.size <= want) return (files.size, files.size)
-    val df = spark.read.parquet(path).cache()
-    df.count() // materialize so the rewrite never reads the swapped dir
+    // the rewrite (and its manifest pass) lands entirely in tmp BEFORE the
+    // swap, so the source directory is intact for the whole read — no
+    // defensive materialization needed (the atomicOverwrite premise)
     val tmp = path + ".compact_" + System.nanoTime()
-    write(df, tmp, d1, d2, want, layout)
-    df.unpersist()
-    val target = java.nio.file.Paths.get(path)
-    val trash = java.nio.file.Paths.get(path + ".old_" + System.nanoTime())
-    java.nio.file.Files.move(target, trash)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-    java.nio.file.Files.walk(trash)
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    write(spark.read.parquet(path), tmp, d1, d2, want, layout)
+    Pipeline.swapInto(tmp, path)
     (files.size, Compactor.dataFiles(p).size)
   }
 

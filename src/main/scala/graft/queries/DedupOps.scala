@@ -608,14 +608,27 @@ object DedupOps {
       .empty[(SparkSession, String, Int), DataFrame]
 
   /** Unpersist + drop this session's CC label/edge caches — the
-    * [[Util.releaseCaches]] ladder's hook into this file's registries
-    * (checkpointed frames release their blocks on unpersist; the
-    * checkpoint FILES follow the ContextCleaner as always). */
+    * [[Util.releaseCaches]] ladder's hook into this file's registries.
+    * These entries are localCheckpoint'd frames, and `Dataset.unpersist`
+    * only clears CacheManager entries — checkpoint blocks are RDD-level
+    * persists (the ccFixpointLoop comment's distinction), so the blocks
+    * are freed by walking the plan's LogicalRDD exactly like the loop's
+    * own per-generation release. A released checkpoint has no lineage to
+    * recompute from: callers must not hold result frames across the
+    * ladder (the ladder's contract — the next query rebuilds fresh). */
   private[queries] def releaseCcCaches(s: SparkSession): Unit =
     ccComputeLock.synchronized {
       Seq(ccLabelCache, ccEdgeCache, ccBaseLabelCache).foreach(
         _.filterInPlace { case (k, df) =>
-          if (k._1 eq s) { df.unpersist(); false } else true
+          if (k._1 eq s) {
+            df.unpersist()
+            df.queryExecution.analyzed.foreach {
+              case r: org.apache.spark.sql.execution.LogicalRDD =>
+                r.rdd.unpersist(blocking = false)
+              case _ => ()
+            }
+            false
+          } else true
         })
     }
   /** Guards the two caches below whose miss path RUNS SPARK JOBS (the CC

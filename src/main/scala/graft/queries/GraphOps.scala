@@ -387,8 +387,12 @@ object GraphOps {
     val und = supportPairs(s, dir).select(col("pa").as("u"), col("pb").as("v"))
     // session-keyed cache (the supportPairs-consumer discipline): repeated
     // kcore_peel runs reuse ONE persisted edge relation per (session, dir)
-    // instead of stacking a fresh InMemoryRelation per invocation
-    val e0 = Util.cachedRelation(s, dir, "kcoreEdges", s"k=$k") {
+    // instead of stacking a fresh InMemoryRelation per invocation. The key
+    // carries the supportPairs knobs this relation is built from — a
+    // retuned graft.cap.basket / graft.minSupport must rebuild, not serve
+    // stale edges (the triangleOriented keying rule)
+    val e0 = Util.cachedRelation(s, dir, "kcoreEdges",
+      s"basket=${maxBasket(s)},support=${minSupport(s)}") {
       und.select(col("u").as("src"), col("v").as("dst"))
         .union(und.select(col("v").as("src"), col("u").as("dst")))
     }

@@ -97,15 +97,6 @@ object PqIndex {
       .write.mode("overwrite").parquet(s"$out/assigned.parquet")
   }
 
-  /** Top-k IVFADC search over a SAVED index ([[saveIvfAdc]]) for `queries`
-    * (vec_id, embedding) rows — the cold twin of `ann_ivfadc_topk`, and
-    * PqIndexSpec pins them bit-for-bit identical: queries quantize
-    * row-locally, probe their `nprobe` max-cosine centroids (broadcast
-    * K-row quantizer), candidates come from the probed inverted lists
-    * (assignment equi-join), and ranking is the summed ADC table lookup
-    * over each candidate's 4 stored codes. Self-matches excluded — the
-    * suite-wide serve rule. The corpus vectors are never read: index
-    * artifacts only. */
   /** Write the RESIDUAL-encoded IVFADC index ([[PqOps]]
     * `ann_ivfadc_residual_topk`'s artifacts) under `out`: coarse
     * quantizer + assignment (as [[saveIvfAdc]]) plus the residual
@@ -156,7 +147,7 @@ object PqIndex {
       .select(col("query_id"), col("cent_id"), col("qq"), col("cq"))
     val qres = probes.select(col("query_id"), col("cent_id"),
       expr("transform(qq, (x, i) -> x - try_element_at(cq, i + 1))").as("q"))
-    val rtab = PqOps.subvectorsKeyed(qres, Seq("query_id", "cent_id"))
+    val rtab = PqOps.subvectorsBy(qres, Seq("query_id", "cent_id"))
       .join(broadcast(rcb), Seq("m"))
       .select(col("query_id"), col("cent_id"), col("m"), col("code"),
         (col("ss") - lit(2L) *
@@ -177,6 +168,15 @@ object PqIndex {
       .orderBy("query_id", "rk")
   }
 
+  /** Top-k IVFADC search over a SAVED index ([[saveIvfAdc]]) for `queries`
+    * (vec_id, embedding) rows — the cold twin of `ann_ivfadc_topk`, and
+    * PqIndexSpec pins them bit-for-bit identical: queries quantize
+    * row-locally, probe their `nprobe` max-cosine centroids (broadcast
+    * K-row quantizer), candidates come from the probed inverted lists
+    * (assignment equi-join), and ranking is the summed ADC table lookup
+    * over each candidate's 4 stored codes. Self-matches excluded — the
+    * suite-wide serve rule. The corpus vectors are never read: index
+    * artifacts only. */
   def serveIvfAdcTopk(s: SparkSession, indexDir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = SimilarityOps.ivfProbes): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -58,10 +58,7 @@ object PqOps {
   /** (keys..., m, sub, ss): every vector of `df` cut into [[pqM]] quantized
     * subvectors with their exact int64 self-dots, carrying `keys` through.
     * Row-local (explode × slice × dot) — no shuffle. */
-  private[queries] def subvectorsKeyed(df: DataFrame, keys: Seq[String]): DataFrame =
-    subvectorsBy(df, keys)
-
-  private def subvectorsBy(df: DataFrame, keys: Seq[String]): DataFrame =
+  private[queries] def subvectorsBy(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(keys.map(col) :+
         explode(array((0 until pqM).map(lit(_)): _*)).as("m") :+ col("q"): _*)
       .withColumn("sub",

@@ -52,13 +52,15 @@ class CacheHygieneSpec extends SparkSpec {
     Util.releaseCaches(spark) // drain state left by sibling tests first
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
 
-    // populate several distinct registries. All these queries persist ONLY
-    // through session registries the ladder owns; iterative queries with
-    // per-run localCheckpoints (kcore_peel, connected_components) are
-    // excluded — their checkpoint blocks follow the ContextCleaner's GC
-    // lifecycle, which the first test in this suite covers
+    // populate several distinct registries, INCLUDING the checkpointed CC
+    // caches (the ladder frees their blocks via the LogicalRDD walk —
+    // Dataset.unpersist alone is a no-op on localCheckpoint state).
+    // kcore_peel stays excluded: its 8 PER-RUN round checkpoints are
+    // referenced only by the result frame and follow the ContextCleaner's
+    // GC lifecycle, which the first test in this suite covers
     val names = Seq("knn_brute_cosine", "pq_adc_topk", "bm25_topk",
-      "containment_prefix_pairs", "part_cooccurrence", "bpe_pair_stats")
+      "containment_prefix_pairs", "part_cooccurrence", "bpe_pair_stats",
+      "connected_components")
     val first = names.map(n =>
       n -> SparkEntry.queries(n)(spark, dir).collect().length).toMap
     assert(spark.sparkContext.getPersistentRDDs.keySet.size > baseline.size,
