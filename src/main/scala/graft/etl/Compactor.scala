@@ -25,7 +25,7 @@ object Compactor {
     * one comfortable scan task). */
   val defaultTargetBytes: Long = 128L * 1024 * 1024
 
-  private[etl] def dataFiles(path: Path): Seq[Path] = {
+  private[graft] def dataFiles(path: Path): Seq[Path] = {
     if (!Files.exists(path)) return Nil
     val s = Files.walk(path)
     try {
