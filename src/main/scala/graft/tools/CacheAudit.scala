@@ -18,11 +18,15 @@ object CacheAudit {
     // one representative per session-cached relation family:
     "knn_brute_cosine",      // quantizedBase
     "pq_adc_topk",           // pqEncoded (+ base)
-    "ann_ivfadc_residual_topk", // residualEncoded (+ assigned)
+    "ann_ivfadc_residual_topk", // residualEncoded (+ ivfServeAssigned)
     "bm25_topk",             // tf relation
     "connected_components",  // CC signatures/edges/labels
     "kcore_peel",            // kcore edge relation
-    "containment_prefix_pairs") // rankedShingles
+    "containment_prefix_pairs", // rankedShingles
+    "pagerank_links",        // pagerankEdges
+    "triangle_count",        // triangleOriented (+ basket/pair caches)
+    "ngram_jaccard_pairs",   // ngramShinglesCapped
+    "simhash_neardup_pairs") // simhashBands + simhash pair relation
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
