@@ -50,7 +50,8 @@ object SparkEntry {
     EtlQueries.all ++ Relational.all ++ Relational2.all ++ Relational3.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
       CorpusOps.all ++ PrivacyOps.all ++ FunnelOps.all ++ RobustStatsOps.all ++
-      DiagOps.all ++ GraphOps.all ++ PqOps.all ++ CatalogOps.all
+      DiagOps.all ++ GraphOps.all ++ PqOps.all ++ CatalogOps.all ++
+      UnigramOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.fn).toMap

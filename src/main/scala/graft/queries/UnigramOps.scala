@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Util.{cachedRelation, t}
+
+/** Unigram-LM tokenizer step (SentencePiece-style) — the second of the two
+  * canonical subword-tokenizer training algorithms (BPE is the other; see
+  * TextOps.bpeTrained). Kudo's unigram LM scores a segmentation of a word
+  * as the sum of per-piece surprisals and trains by EM: segment the corpus
+  * with the current piece probabilities (E), re-estimate piece counts from
+  * the segmentations (M). This family implements ONE audited hard-EM round
+  * (Viterbi E-step, count M-step) — the same "one real algorithm round,
+  * exactly replayed by the oracle" contract as bpe_merge_rounds and
+  * kmeans_step.
+  *
+  * Exactness contract (the word_bigram_surprisal log₂ rule, at double
+  * resolution): a piece with seed count c out of N total piece occurrences
+  * costs 500·(⌊log₂N²⌋ − ⌊log₂c²⌋) ≈ 1000·log₂(N/c) millibits, where
+  * ⌊log₂x²⌋ comes from binary-rendering length (libm-free, exact on both
+  * engines; counts are capped at 2³¹−1 before squaring so the square stays
+  * in BIGINT — beyond that cap an ultra-frequent piece's cost is already
+  * pinned at the resolution floor). The Viterbi DP itself runs in a
+  * STRING-ENCODED table both engines fold identically: best[i] is
+  * `lpad(cost,12,'0') || lpad(n_pieces,4,'0') || seg`, so `least()` over
+  * candidate strings IS the (cost, piece-count, segmentation) lexicographic
+  * tie-break — deterministic even when the half-bit cost quantization
+  * produces exact ties.
+  *
+  * Scale shape: the token-scale work is ONE map-side-combining word count
+  * (shared shape with the BPE family); everything after runs on the
+  * DISTINCT VOCABULARY (Zipf: ≪ occurrences) — a vocabulary-sized piece
+  * count, a ≤4·maxlen-wide candidate explode, and a per-word linear fold.
+  * Both relations are session-cached ([[Util.cachedRelation]]), so the
+  * step query and the segmentation query pay the DP once. Nothing is
+  * corpus-quadratic; the only single-partition window ranks the
+  * vocabulary-sized multi-char piece relation (the tokenBudgetFill
+  * dimension-sized-window pattern).
+  */
+object UnigramOps {
+
+  /** Longest candidate piece, chars. */
+  private val MaxPiece = 4
+
+  /** Multi-char vocabulary budget (single chars always survive, so every
+    * word keeps at least one valid segmentation). */
+  private val VocabMulti = 500
+
+  /** Cost of a non-vocab piece: any path through one (≥ 10⁹) loses to the
+    * worst all-vocab path (≤ maxlen·500·63 < 10⁶), so the DP can index
+    * every (start, len) slot densely without a reachability special case. */
+  private val Sentinel = 1000000000L
+
+  /** ⌊log₂(min(c, 2³¹−1)²)⌋ + 1 via binary-string length — the libm-free
+    * half-bit-resolution log₂ both engines render identically. */
+  private def halfBits(c: Column): Column =
+    length(bin(least(c, lit(2147483647L)) * least(c, lit(2147483647L))))
+      .cast("long")
+
+  /** Corpus word frequencies — the BPE family's exact filter (lowercase
+    * ascii words, ≥ 2 chars) so the two tokenizer trainers are comparable
+    * on the same universe. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** All (start, len ≤ MaxPiece) substrings of the vocabulary, weighted by
+    * word corpus frequency. */
+  private def pieceCounts(wf: DataFrame): DataFrame =
+    wf.select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("st"))
+      .select(col("word"), col("freq"), col("st"),
+        explode(sequence(lit(1), lit(MaxPiece))).as("p"))
+      .filter(col("st") + col("p") - 1 <= length(col("word")))
+      .select(col("word").substr(col("st"), col("p")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** Seed vocabulary with costs: every single char + the top-[[VocabMulti]]
+    * multi-char pieces by (count desc, piece asc). (piece, cnt, cost). */
+  private def vocabRel(s: SparkSession, dir: String): DataFrame =
+    cachedRelation(s, dir, "unigramVocab", "") {
+      val pc = pieceCounts(wordFreq(s, dir))
+      // single-partition rank is deliberate: pc is vocabulary-sized
+      // (dimension-scale, the tokenBudgetFill pattern), never token-scale
+      val multi = pc.filter(length(col("piece")) > 1)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("piece"))))
+        .filter(col("rk") <= VocabMulti).drop("rk")
+      val vocab = pc.filter(length(col("piece")) === 1).unionByName(multi)
+      val tot = vocab.agg(sum("cnt").as("ntot"))
+      vocab.crossJoin(broadcast(tot)) // scalar broadcast
+        .select(col("piece"), col("cnt"),
+          (lit(500L) * (halfBits(col("ntot")) - halfBits(col("cnt"))))
+            .as("cost"))
+    }
+
+  /** One Viterbi candidate: extend best[i−j] with the j-char piece ending
+    * at i. `stepCost(i, j)` abstracts where the piece cost comes from (the
+    * batch dense array vs the stream's broadcast map) so the two callers
+    * share ONE copy of the DP. Indices are clamped for the j > i slots —
+    * the CASE guard means the clamped value is never read, the clamp only
+    * keeps element_at from tripping its index-zero check if Catalyst ever
+    * evaluates the dead branch. */
+  private def cand(j: Int, acc: Column, i: Column, word: Column,
+      stepCost: (Column, Int) => Column): Column = {
+    val rows = split(acc, "\\|")
+    val prev = element_at(rows, greatest(i - lit(j) + 1, lit(1)))
+    val enc = concat(
+      lpad((substring(prev, 1, 12).cast("long") + stepCost(i, j))
+        .cast("string"), 12, "0"),
+      lpad((substring(prev, 13, 4).cast("long") + 1).cast("string"), 4, "0"),
+      prev.substr(lit(17), length(prev)),
+      lit("·"), word.substr(i - lit(j) + 1, lit(j)))
+    when(lit(j) <= i, enc).otherwise(lit("Z")) // 'Z' sorts after any digit
+  }
+
+  /** The full string-table Viterbi fold over `word`, parameterized on the
+    * piece-cost source; returns the LAST table row (the word's best). */
+  private def dpFinal(word: Column,
+      stepCost: (Column, Int) => Column): Column = {
+    val base = "0" * 12 + "0000" // best[0]: cost 0, 0 pieces, empty seg
+    val tbl = aggregate(
+      sequence(lit(1), length(word)), lit(base),
+      (acc, i) => concat(acc, lit("|"),
+        least((1 to MaxPiece).map(j => cand(j, acc, i, word, stepCost)): _*)))
+    element_at(split(tbl, "\\|"), -1)
+  }
+
+  /** Decode a DP-final string into the public columns. */
+  private def decoded(fin: Column): Seq[Column] = Seq(
+    substring(fin, 1, 12).cast("long").as("cost_millibits"),
+    substring(fin, 13, 4).cast("long").as("n_pieces"),
+    ltrim(fin.substr(lit(17), length(fin)), "·").as("seg"))
+
+  /** Per-word Viterbi result over the seed vocab: (word, freq, seg,
+    * n_pieces, cost_millibits). The DP folds positions 1..len over a
+    * '|'-separated table of string-encoded bests; slot (start, len) of the
+    * dense cost array holds the piece cost or [[Sentinel]]. */
+  private def viterbiRel(s: SparkSession, dir: String): DataFrame =
+    cachedRelation(s, dir, "unigramViterbi", "") {
+      val vc = vocabRel(s, dir).select(col("piece"), col("cost"))
+      val wf = wordFreq(s, dir)
+      val ca = wf
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("st"))
+        .select(col("word"), col("freq"), col("st"),
+          explode(sequence(lit(1), lit(MaxPiece))).as("p"))
+        .withColumn("idx", (col("st") - 1) * MaxPiece + col("p"))
+        .withColumn("piece", col("word").substr(col("st"), col("p")))
+        .withColumn("ok", col("st") + col("p") - 1 <= length(col("word")))
+        .join(vc, Seq("piece"), "left")
+        .select(col("word"), col("freq"), col("idx"),
+          when(col("ok"), coalesce(col("cost"), lit(Sentinel)))
+            .otherwise(lit(Sentinel)).as("cost"))
+      val arr = ca.groupBy("word").agg(
+        max("freq").as("freq"),
+        transform(array_sort(collect_list(struct(col("idx"), col("cost")))),
+          x => x("cost")).as("costs"))
+      val stepCost = (i: Column, j: Int) => element_at(col("costs"),
+        greatest((i - lit(j)) * lit(MaxPiece) + lit(j), lit(1)))
+      arr
+        .withColumn("fin", dpFinal(col("word"), stepCost))
+        .select(Seq(col("word"), col("freq")) ++ decoded(col("fin")): _*)
+    }
+
+  /** The trained segmenter collapsed to ONE broadcastable row (piece →
+    * cost map) — the fixed-state snapshot the streaming twin probes
+    * row-locally (the ivfQuantizerRow / nbWeightsRow collapse pattern).
+    * Vocabulary is bounded (26 + [[VocabMulti]] + punctuation-free
+    * single chars) at any corpus scale, so the broadcast never grows
+    * with the data. */
+  def vocabCostRow(s: SparkSession, dir: String): DataFrame =
+    vocabRel(s, dir).agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+        .as("vmap"))
+
+  /** Row-local Viterbi against a broadcast piece-cost map — the streaming
+    * twin's segmenter, sharing [[dpFinal]]/[[cand]] with the batch DP so
+    * the two sides cannot drift. Pieces absent from the map cost
+    * [[Sentinel]], exactly like the batch dense array's non-vocab slots.
+    * Used by [[graft.streaming.StreamingPipeline.unigramSegmentStream]]. */
+  def segmentWithMap(word: Column, vmap: Column): Seq[Column] = {
+    val stepCost = (i: Column, j: Int) => coalesce(
+      try_element_at(vmap, word.substr(i - lit(j) + 1, lit(j))),
+      lit(Sentinel))
+    decoded(dpFinal(word, stepCost))
+  }
+
+  /** Hard-EM M-step count table: which seed pieces does the Viterbi
+    * segmentation actually USE, and how often — the piece-probability
+    * re-estimate of one unigram-LM training round, next to the seed counts
+    * it replaces (the mass reallocation is the point: substring counts
+    * double-count every overlap; Viterbi counts are a proper partition of
+    * the corpus). Pieces the E-step never uses carry no row — exactly the
+    * candidates the next prune round would drop. */
+  private def unigramLmStep(s: SparkSession, dir: String): DataFrame =
+    viterbiRel(s, dir)
+      .select(explode(split(col("seg"), "·")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("viterbi_count"))
+      .join(vocabRel(s, dir), "piece")
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt").as("seed_count"), col("cost").as("cost_millibits"),
+        col("viterbi_count"))
+      .orderBy(col("viterbi_count").desc, col("piece")).limit(50)
+
+  /** The trained segmenter's acceptance view: the most frequent corpus
+    * words with their minimum-cost segmentations. */
+  private def unigramSegmentWords(s: SparkSession, dir: String): DataFrame =
+    viterbiRel(s, dir)
+      .select(col("word"), col("freq"), col("n_pieces"),
+        col("cost_millibits"), col("seg"))
+      .orderBy(col("freq").desc, col("word")).limit(30)
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB twin of [[cand]] — generated from the same j so the two engines
+    * can't drift structurally. `acc` is the DP table string, `x` the
+    * position (VARCHAR element, cast at each use). */
+  private def sqlCand(j: Int): String =
+    // single-line pieces joined with trailing `||` — the outer CTE constant
+    // runs stripMargin over this text again, so no generated line may start
+    // with whitespace + '|'
+    Seq(
+      s"CASE WHEN $j <= CAST(x AS INT) THEN",
+      s"  lpad(CAST(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 1, 12) AS BIGINT)",
+      s"    + costs[(CAST(x AS INT) - $j) * $MaxPiece + $j] AS VARCHAR), 12, '0') ||",
+      s"  lpad(CAST(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 13, 4) AS BIGINT)",
+      s"    + 1 AS VARCHAR), 4, '0') ||",
+      s"  substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 17) ||",
+      s"  '·' || substr(word, CAST(x AS INT) - $j + 1, $j)",
+      s"ELSE 'Z' END").mkString("\n")
+
+  /** Shared CTE chain: word count → piece count → capped vocab + half-bit
+    * costs → dense per-word cost array → string-table Viterbi fold —
+    * THE single copy of the oracle's training math, shared by both
+    * unigram oracles (the bpeCtes pattern). */
+  private val unigramSqlCtes =
+    s"""wf AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY word),
+       |pc AS (
+       |  SELECT substr(word, CAST(s AS INT), CAST(p AS INT)) AS piece,
+       |    SUM(freq) AS cnt
+       |  FROM wf,
+       |       UNNEST(generate_series(1, length(word))) AS ts(s),
+       |       UNNEST(generate_series(1, $MaxPiece)) AS tp(p)
+       |  WHERE s + p - 1 <= length(word)
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM pc WHERE length(piece) > 1) WHERE rk <= $VocabMulti),
+       |ntot AS (SELECT SUM(cnt) AS n FROM vocab),
+       |vc AS (
+       |  SELECT piece, cnt,
+       |    500 * (length(bin(least(n, 2147483647) * least(n, 2147483647)))
+       |         - length(bin(least(cnt, 2147483647) * least(cnt, 2147483647))))
+       |      AS cost
+       |  FROM vocab CROSS JOIN ntot),
+       |ca AS (
+       |  SELECT word, freq, idx,
+       |    CASE WHEN ok THEN COALESCE(vc.cost, $Sentinel)
+       |         ELSE $Sentinel END AS cost
+       |  FROM (SELECT word, freq, (s - 1) * $MaxPiece + p AS idx,
+       |          substr(word, CAST(s AS INT), CAST(p AS INT)) AS piece,
+       |          (s + p - 1 <= length(word)) AS ok
+       |        FROM wf,
+       |             UNNEST(generate_series(1, length(word))) AS ts(s),
+       |             UNNEST(generate_series(1, $MaxPiece)) AS tp(p))
+       |  LEFT JOIN vc USING (piece)),
+       |arr AS (
+       |  SELECT word, MAX(freq) AS freq, list(cost ORDER BY idx) AS costs
+       |  FROM ca GROUP BY word),
+       |dp AS (
+       |  SELECT word, freq,
+       |    list_reduce(
+       |      ['${"0" * 12}0000'] ||
+       |        list_transform(generate_series(1, CAST(length(word) AS INT)),
+       |          y -> CAST(y AS VARCHAR)),
+       |      (acc, x) -> acc || '|' || least(
+       |        ${(1 to MaxPiece).map(sqlCand).mkString(",\n        ")})) AS tbl
+       |  FROM arr),
+       |vit AS (
+       |  SELECT word, freq,
+       |    CAST(substr(fin, 1, 12) AS BIGINT) AS cost_millibits,
+       |    CAST(substr(fin, 13, 4) AS BIGINT) AS n_pieces,
+       |    ltrim(substr(fin, 17), '·') AS seg
+       |  FROM (SELECT word, freq,
+       |          list_extract(string_split(tbl, '|'),
+       |            len(string_split(tbl, '|'))) AS fin
+       |        FROM dp))""".stripMargin
+
+  private val unigramLmStepSql =
+    s"""WITH $unigramSqlCtes
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+       |  CAST(vc.cnt AS BIGINT) AS seed_count,
+       |  CAST(vc.cost AS BIGINT) AS cost_millibits,
+       |  CAST(SUM(freq) AS BIGINT) AS viterbi_count
+       |FROM (SELECT UNNEST(string_split(seg, '·')) AS piece, freq FROM vit) e
+       |JOIN vc USING (piece)
+       |GROUP BY piece, vc.cnt, vc.cost
+       |ORDER BY viterbi_count DESC, piece LIMIT 50""".stripMargin
+
+  private val unigramSegmentWordsSql =
+    s"""WITH $unigramSqlCtes
+       |SELECT word, CAST(freq AS BIGINT) AS freq, n_pieces, cost_millibits,
+       |  seg
+       |FROM vit ORDER BY freq DESC, word LIMIT 30""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),
+    Q("unigram_segment_words", unigramSegmentWords,
+      Some(unigramSegmentWordsSql)))
+}

@@ -498,6 +498,36 @@ object StreamingPipeline {
         col("best.dist").as("dist"))
   }
 
+  /** Streaming unigram-LM segmentation — tokenize-on-ingest with the
+    * TRAINED segmenter (the text-side twin of [[pqEncodeStream]]'s
+    * encode-on-ingest): every ARRIVING doc's lowercase-ascii words (the
+    * trainer's exact universe filter) run the same string-encoded Viterbi
+    * DP as the batch trainer, against the FIXED piece-cost vocabulary held
+    * as one broadcast map row
+    * ([[graft.queries.UnigramOps.vocabCostRow]] — the
+    * ivfQuantizerRow/nbWeightsRow collapse; a retrained vocab takes effect
+    * on the next micro-batch). The DP expression is SHARED with the batch
+    * path ([[graft.queries.UnigramOps.segmentWithMap]] parameterizes only
+    * the cost lookup), so stream and batch segmentations cannot drift —
+    * including the (cost, piece-count, seg) tie-break.
+    *
+    * One word-row out per qualifying word in, no state, no shuffle,
+    * append-safe. Out-of-vocabulary pieces cost the batch sentinel, so a
+    * word of entirely novel characters still segments (into the FEWEST
+    * sentinel pieces — the DP minimizes their count) rather than
+    * dropping — the downstream monitor reads `cost_millibits ≥ 10⁹` as
+    * the OOV signal feeding the retrain decision, the ivf_list_drift
+    * cadence on the text side. */
+  def unigramSegmentStream(docs: DataFrame, vocabRow: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .crossJoin(broadcast(vocabRow)) // static side is ONE row
+      .select(Seq(col("doc_id"), col("word")) ++
+        graft.queries.UnigramOps.segmentWithMap(col("word"), col("vmap")): _*)
+  }
+
   case class ChunkOcc(doc_id: Long, chunk_idx: Long, chunk: String)
   case class ChunkVerdict(doc_id: Long, chunk_idx: Long, chunk: String,
       kept: Boolean)

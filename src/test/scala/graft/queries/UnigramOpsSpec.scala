@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Unigram-LM tokenizer step: a hand-computed fixture (vocab costs, the
+  * piece-count-over-cost tie-break, hard-EM count reallocation) plus a
+  * full brute-force Viterbi recount on the real sf0.001 corpus — every
+  * word's segmentation, cost and piece count re-derived by enumerating
+  * ALL ≤4-char-piece segmentations in plain Scala with the same
+  * (cost, n_pieces, seg) tie-break. */
+class UnigramOpsSpec extends SparkSpec {
+
+  private def step(dir: String) =
+    SparkEntry.queries("unigram_lm_step")(spark, dir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("piece_len"),
+        r.getAs[Long]("seed_count"), r.getAs[Long]("cost_millibits"),
+        r.getAs[Long]("viterbi_count")))
+
+  private def segs(dir: String) =
+    SparkEntry.queries("unigram_segment_words")(spark, dir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"),
+        r.getAs[Long]("n_pieces"), r.getAs[Long]("cost_millibits"),
+        r.getAs[String]("seg")))
+
+  test("hand-computed fixture: costs, tie-break on piece count, EM counts") {
+    val dir = java.nio.file.Files.createTempDirectory("uni1").toString
+    import spark.implicits._
+    // words: ab x6, abab x2, cd x1.
+    // piece counts: a 10, b 10, ab 10, ba 2, aba 2, bab 2, abab 2,
+    //               c 1, d 1, cd 1 -> N = 41.
+    // halfbit log2: 41^2 = 1681 -> 11 bits; 10^2 = 100 -> 7; 2^2 = 4 -> 3;
+    //               1 -> 1. cost = 500 * (11 - bits):
+    //   cost(a)=cost(b)=cost(ab)=2000, cost(abab)=4000, cost(cd)=5000.
+    // Viterbi "abab": ab·ab = 4000/2 pieces vs abab = 4000/1 piece ->
+    //   the (cost, n_pieces, seg) tie-break picks the SINGLE piece.
+    // Viterbi "ab" -> ab (2000); "cd" -> cd (5000, beats c·d = 10000).
+    val docs =
+      (1L to 6L).map(i => (i, "ab")) ++
+        (7L to 8L).map(i => (i, "abab")) ++ Seq((9L, "cd"))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(step(dir).toSeq == Seq(
+      ("ab", 2L, 10L, 2000L, 6L),
+      ("abab", 4L, 2L, 4000L, 2L),
+      ("cd", 2L, 1L, 5000L, 1L)))
+    assert(segs(dir).toSeq == Seq(
+      ("ab", 6L, 1L, 2000L, "ab"),
+      ("abab", 2L, 1L, 4000L, "abab"),
+      ("cd", 1L, 1L, 5000L, "cd")))
+  }
+
+  /** Plain-Scala replay of the whole trainer: word freqs, piece counts,
+    * capped vocab, half-bit costs, then exhaustive segmentation search with
+    * the string-encoding's exact tie-break order. */
+  private def bruteForce(words: Seq[String])
+      : (Map[String, Long], Map[String, (Long, Long, String)]) = {
+    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val pieceCnt = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; s <- 0 until w.length;
+         p <- 1 to math.min(4, w.length - s))
+      pieceCnt(w.substring(s, s + p)) =
+        pieceCnt.getOrElse(w.substring(s, s + p), 0L) + f
+    val multi = pieceCnt.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(500)
+    val vocab = (pieceCnt.filter(_._1.length == 1).toSeq ++ multi).toMap
+    val n = vocab.values.sum
+    def halfBits(c: Long): Long =
+      java.lang.Long.toBinaryString(
+        math.min(c, 2147483647L) * math.min(c, 2147483647L)).length.toLong
+    val cost = vocab.map { case (p, c) => p -> 500L * (halfBits(n) - halfBits(c)) }
+    def best(w: String): (Long, Long, String) = {
+      def all(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else for {
+          p <- (1 to math.min(4, w.length - i)).toSeq
+          piece = w.substring(i, i + p)
+          if cost.contains(piece)
+          rest <- all(i + p)
+        } yield piece :: rest
+      val m = all(0).map { ps =>
+        val c = ps.map(cost).sum
+        (f"$c%012d" + f"${ps.size}%04d" + ps.mkString("·"),
+          c, ps.size.toLong, ps.mkString("·"))
+      }.minBy(_._1) // the engine's exact string-encoded tie-break
+      (m._2, m._3, m._4)
+    }
+    (cost, freq.map { case (w, _) => w -> best(w) })
+  }
+
+  test("sf0.001: Viterbi output equals exhaustive-search recount") {
+    val dir = "/root/testdata/sf0.001"
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).filter(w => w != null && w.matches("^[a-z]+$") &&
+        w.length >= 2).toSeq
+    val (cost, bf) = bruteForce(words)
+    val got = segs(dir)
+    assert(got.nonEmpty && got.length <= 30)
+    // top-30 is the full vocab here (sf0.001 has ~30 distinct words)
+    for ((w, f, n, c, seg) <- got) {
+      val (bc, bn, bseg) = bf(w)
+      assert(seg.split('·').mkString == w, s"seg must rejoin to $w")
+      assert((c, n, seg) == (bc, bn, bseg),
+        s"$w: got ($c,$n,$seg) brute ($bc,$bn,$bseg)")
+    }
+    // EM counts: piece usage re-aggregated from the brute-force segs
+    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val emCnt = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; p <- bf(w)._3.split('·'))
+      emCnt(p) = emCnt.getOrElse(p, 0L) + f
+    val expected = emCnt.toSeq.sortBy { case (p, v) => (-v, p) }.take(50)
+    val gotStep = step(dir).map(r => (r._1, r._5)).toSeq
+    assert(gotStep == expected.map { case (p, v) => (p, v) },
+      s"EM counts: got $gotStep expected $expected")
+    // cost column consistency
+    for ((p, _, _, c, _) <- step(dir)) assert(cost(p) == c)
+  }
+}

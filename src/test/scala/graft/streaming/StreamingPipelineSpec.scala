@@ -1009,4 +1009,60 @@ class StreamingPipelineSpec extends SparkSpec {
     // u13's clickless purchase appears on no row
     assert(!out.exists(r => Option(r.getAs[Any]("purchase_id")).contains(6L)))
   }
+
+  test("unigramSegmentStream: exact batch parity; OOV words segment at sentinel cost") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("unistream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val vocabRow = graft.queries.UnigramOps.vocabCostRow(spark, sf)
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.unigramSegmentStream(stream, vocabRow), "uni_seg")
+      .collect()
+    // batch truth: sf0.001 has ≤ 30 distinct qualifying words, so the
+    // top-30 acceptance view IS the full trained segmenter state
+    val batch = graft.SparkEntry.queries("unigram_segment_words")(spark, sf)
+      .collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("n_pieces"), r.getAs[Long]("cost_millibits"),
+          r.getAs[String]("seg")))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(batch(w) == ((r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("cost_millibits"), r.getAs[String]("seg"))), s"word $w")
+    }
+    // occurrence-grain parity: one streamed row per qualifying batch word
+    val nQualifying = corpus
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where("w rlike '^[a-z]+$' AND length(w) >= 2").count()
+    assert(streamed.length.toLong == nQualifying)
+
+    // OOV contract on a planted vocab: chars e/f are outside the ab/cd
+    // fixture vocabulary, so "ef" still segments — as ONE sentinel piece
+    // (the DP minimizes sentinel count: 1·10⁹ beats e·f at 2·10⁹) — the
+    // cost ≥ 10⁹ retrain signal, not a dropped row
+    val fixDir = Files.createTempDirectory("unifix").toString
+    ((1L to 6L).map(i => (i, "ab")) ++ Seq((7L, "abab"), (8L, "cd")))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$fixDir/documents.parquet")
+    val fixVocab = graft.queries.UnigramOps.vocabCostRow(spark, fixDir)
+    val src2 = root.resolve("novel")
+    Seq((9001L, "ef ab", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(src2.toString)
+    val stream2 = spark.readStream.schema(corpus.schema)
+      .parquet(src2.toString)
+    val novel = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.unigramSegmentStream(stream2, fixVocab), "uni_seg_oov")
+      .collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("n_pieces"), r.getAs[Long]("cost_millibits"),
+          r.getAs[String]("seg")))).toMap
+    assert(novel("ef") == ((1L, 1000000000L, "ef")))
+    assert(novel("ab")._3 == "ab") // in-vocab word unaffected
+    assert(novel("ab")._2 < 1000000000L)
+  }
 }
