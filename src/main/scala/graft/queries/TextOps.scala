@@ -916,6 +916,11 @@ object TextOps {
         if (k._1 eq s) { df.unpersist(); false } else true
       }
     }
+  /** Package-visible for UnigramOps.tokenizerFertility — the cross-trainer
+    * comparison rides the same cached training state. */
+  private[queries] def bpeFinalState(s: SparkSession, dir: String): DataFrame =
+    bpeTrained(s, dir)._2
+
   private def bpeTrained(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
     bpeComputeLock.synchronized {
@@ -1015,7 +1020,7 @@ object TextOps {
     * carried through so [[bpeCompressionSql]] can join the final state
     * back to the corpus — THE single copy of the oracle's training math,
     * shared by both BPE oracles. */
-  private val bpeCtes = {
+  private[queries] val bpeCtes = {
     val v0 =
       """v0 AS (
         |  SELECT word, freq,

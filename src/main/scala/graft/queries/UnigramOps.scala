@@ -215,6 +215,39 @@ object UnigramOps {
         col("cost_millibits"), col("seg"))
       .orderBy(col("freq").desc, col("word")).limit(30)
 
+  /** Tokenizer-selection report — BPE vs unigram measured on the SAME
+    * corpus: per source, tokens-per-word fertility of the 8-round BPE
+    * merge state and the unigram Viterbi segmenter, over the shared word
+    * universe. This is the decision artifact a tokenizer build ends with
+    * (SentencePiece's own eval: fertility against the corpus you'll
+    * train on) — and it rides BOTH session-cached training states
+    * (TextOps.bpeFinalState, [[viterbiRel]]), so the comparison costs one
+    * (source, word) map-side count plus two vocabulary-sized joins.
+    * n_words/n_char_tokens/n_bpe_tokens reconcile exactly with
+    * `bpe_compression` (UnigramOpsSpec pins it), n_uni_pieces adds the
+    * unigram column; fertilities are the suite's exact-milli floors. */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val nsym = graft.queries.TextOps.bpeFinalState(s, dir)
+      .select(col("word"), size(split(col("s"), "·")).as("n_sym"))
+    val nuni = viterbiRel(s, dir).select(col("word"), col("n_pieces"))
+    val occ = t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("source", "word").agg(count(lit(1)).as("occ"))
+    occ.join(nsym, "word").join(nuni, "word")
+      .groupBy("source").agg(
+        sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_char_tokens"),
+        sum(col("occ") * col("n_sym")).as("n_bpe_tokens"),
+        sum(col("occ") * col("n_pieces")).as("n_uni_pieces"))
+      .withColumn("bpe_fertility_milli",
+        floor(lit(1000.0) * col("n_bpe_tokens") / col("n_words")).cast("long"))
+      .withColumn("uni_fertility_milli",
+        floor(lit(1000.0) * col("n_uni_pieces") / col("n_words")).cast("long"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB twin of [[cand]] — generated from the same j so the two engines
@@ -316,8 +349,35 @@ object UnigramOps {
        |  seg
        |FROM vit ORDER BY freq DESC, word LIMIT 30""".stripMargin
 
+  /** Both trainers' CTE chains compose in one WITH (disjoint CTE names);
+    * the occurrence count repeats the corpus-side filter exactly as
+    * bpeCompressionSql does. */
+  private val tokenizerFertilitySql =
+    s"""WITH ${graft.queries.TextOps.bpeCtes},
+       |$unigramSqlCtes,
+       |nsym AS (SELECT word, len(string_split(s, '·')) AS n_sym FROM v8),
+       |occ AS (
+       |  SELECT COALESCE(source, '') AS source, word, COUNT(*) AS occ
+       |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(SUM(occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(occ * length(word)) AS BIGINT) AS n_char_tokens,
+       |  CAST(SUM(occ * n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(occ * n_pieces) AS BIGINT) AS n_uni_pieces,
+       |  CAST(floor(1000.0 * SUM(occ * n_sym) / SUM(occ)) AS BIGINT)
+       |    AS bpe_fertility_milli,
+       |  CAST(floor(1000.0 * SUM(occ * n_pieces) / SUM(occ)) AS BIGINT)
+       |    AS uni_fertility_milli
+       |FROM occ JOIN nsym USING (word) JOIN vit USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),
     Q("unigram_segment_words", unigramSegmentWords,
-      Some(unigramSegmentWordsSql)))
+      Some(unigramSegmentWordsSql)),
+    Q("tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)))
 }

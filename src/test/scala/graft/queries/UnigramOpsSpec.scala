@@ -116,4 +116,45 @@ class UnigramOpsSpec extends SparkSpec {
     // cost column consistency
     for ((p, _, _, c, _) <- step(dir)) assert(cost(p) == c)
   }
+
+  private def fert(dir: String) =
+    SparkEntry.queries("tokenizer_fertility")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_char_tokens"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_uni_pieces"), r.getAs[Long]("bpe_fertility_milli"),
+        r.getAs[Long]("uni_fertility_milli")))
+
+  test("tokenizer_fertility: hand-computed two-source fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("unif").toString
+    import spark.implicits._
+    // the BpeMergeSpec ROI corpus: srcA abab x3 + ab x2, srcB cd x5.
+    // BPE fuses every word to ONE symbol in 3 merges; unigram vocab
+    // (N = 51 -> 12 bits) prices abab at 4000 as a single piece, which
+    // beats ab·ab = 5000 -> every word is also ONE unigram piece.
+    val docs =
+      (1L to 3L).map(i => (i, "abab", "srcA")) ++
+        (4L to 5L).map(i => (i, "ab", "srcA")) ++
+        (6L to 10L).map(i => (i, "cd", "srcB"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(fert(dir).toSeq == Seq(
+      ("srcA", 5L, 16L, 5L, 5L, 1000L, 1000L),
+      ("srcB", 5L, 10L, 5L, 5L, 1000L, 1000L)))
+  }
+
+  test("tokenizer_fertility reconciles with bpe_compression on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val f = fert(dir).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val b = SparkEntry.queries("bpe_compression")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_char_tokens"),
+          r.getAs[Long]("n_bpe_tokens")))).toMap
+    assert(f == b, s"shared columns must match bpe_compression: $f vs $b")
+    // the unigram column is a real partition of each word: at least one
+    // piece per word, at most one per character
+    for ((src, _, chars, _, uni, _, _) <- fert(dir)) {
+      assert(uni >= f(src)._1 && uni <= chars, s"$src: $uni")
+    }
+  }
 }
