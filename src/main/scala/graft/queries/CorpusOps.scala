@@ -818,6 +818,144 @@ object CorpusOps {
       |  END AS boost_milli
       |FROM rooted CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Epoch-capped, quality-weighted token allocation across sources — the
+    * data-constrained-scaling mixing decision (repeating data beyond ~4
+    * epochs adds ≈ no value, so an allocator must CAP repetition, not just
+    * weight sources): given a training budget of 2× the corpus (fixed,
+    * knob-free — the token_budget_fill convention), each source s receives
+    * alloc_s = min(4·tok_s, r·q_s·tok_s/10⁶), one global rate r scaled by
+    * the source's quality share q_s (milli, the row-local gate) under the
+    * 4-epoch cap. Completes the mixing family: mix_upsample reweights
+    * WITHIN a source, token_budget_fill picks BETWEEN sources greedily,
+    * temperature_mix_weights flattens shares — this adds the repetition
+    * ceiling those ignore.
+    *
+    * The water-fill rate is solved in CLOSED FORM by rank windows — no
+    * iteration, no driver loop: sort sources in cap-binding order (q desc,
+    * source; the capping threshold is 4·10⁶/q), for each prefix length k
+    * compute r_k = (T − Σ_{i≤k}4·tok_i)·10⁶ div Σ_{i>k}q_i·tok_i, and keep
+    * the FIRST k whose rate actually caps its prefix (r_k·q_k ≥ 4·10⁶) and
+    * not its successor (r_k·q_{k+1} < 4·10⁶) — integer cross-
+    * multiplications, never rational comparisons, so both engines select
+    * the identical k even at exact boundaries. A wsum = 0 tail (all
+    * remaining sources quality-zero) allocates nothing and is valid by
+    * construction; floors make Σ alloc ≤ T always (never over-commit).
+    *
+    * Unit contract: all int64; T·10⁶ < 2⁶³ ⇒ budgets to ~9·10¹² tokens.
+    * A larger deployment rescales the unit (kilotokens) before
+    * allocating — the formulas are unit-invariant.
+    *
+    * Scale shape: ONE corpus scan into a per-source map-side aggregate;
+    * every window after runs on the |sources|-row slice relation (single-
+    * partition by design — the token_budget_fill dimension-sized-window
+    * pattern) and the chosen (k, r) broadcasts back as a one-row scalar. */
+  private def epochAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(
+      coalesce(col("source"), lit("")).as("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      coalesce(TextOps.qualityKeepLocal(col("text")), lit(false)).as("ok"))
+    val slices = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).as("tok"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_q"))
+      .withColumn("q", expr("(1000 * n_q) div n_docs"))
+    val w = Window.orderBy(col("q").desc, col("source"))
+    val ranked = slices
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cap_cum", sum(col("tok") * 4)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("w_cum", sum(col("q") * col("tok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t_budget", expr("2 * sum(tok) over ()"))
+      .withColumn("w_tot", expr("sum(q * tok) over ()"))
+      .withColumn("q_next", lead(col("q"), 1).over(w))
+    val candK = ranked.select(col("k"), col("cap_cum").as("cap_tok"),
+        (col("w_tot") - col("w_cum")).as("wsum"), col("q").as("q_k"),
+        col("q_next"), col("t_budget"))
+      .unionByName(ranked.filter(col("k") === 1).select(
+        lit(0L).as("k"), lit(0L).as("cap_tok"), col("w_tot").as("wsum"),
+        lit(null).cast("long").as("q_k"), col("q").as("q_next"),
+        col("t_budget")))
+    val chosen = candK
+      .withColumn("r",
+        when(col("wsum") > 0 && col("cap_tok") <= col("t_budget"),
+          expr("((t_budget - cap_tok) * 1000000) div wsum")))
+      .filter(
+        col("cap_tok") <= col("t_budget") &&
+          (col("k") === 0 ||
+            (col("q_k") > 0 &&
+              (col("wsum") === 0 || col("r") * col("q_k") >= 4000000L))) &&
+          (col("q_next").isNull || col("wsum") === 0 ||
+            col("r") * col("q_next") < 4000000L))
+      .orderBy("k").limit(1)
+      .select(col("k").as("k_star"), col("r").as("r_star"))
+    ranked.crossJoin(broadcast(chosen)) // one-row scalar
+      .withColumn("alloc_tokens",
+        when(col("k") <= col("k_star"), col("tok") * 4)
+          .when(col("r_star").isNotNull,
+            expr("(r_star * q * tok) div 1000000"))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+        col("q").as("quality_milli"), col("alloc_tokens"),
+        when(col("tok") > 0, expr("(1000 * alloc_tokens) div tok"))
+          .otherwise(lit(0L)).as("epochs_milli"),
+        (col("k") <= col("k_star")).as("capped"))
+      .orderBy("source")
+  }
+
+  private val epochAllocationSql =
+    s"""WITH d AS (
+       |  SELECT COALESCE(source, '') AS source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    COALESCE(${TextOps.qualityKeepSql}, FALSE) AS ok
+       |  FROM documents),
+       |slices AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS tok,
+       |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+       |  FROM d GROUP BY 1),
+       |r0 AS (SELECT *, (1000 * n_q) // n_docs AS q FROM slices),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY q DESC, source) AS BIGINT) AS k,
+       |    SUM(tok * 4) OVER (ORDER BY q DESC, source
+       |      ROWS UNBOUNDED PRECEDING) AS cap_cum,
+       |    SUM(q * tok) OVER (ORDER BY q DESC, source
+       |      ROWS UNBOUNDED PRECEDING) AS w_cum,
+       |    2 * SUM(tok) OVER () AS t_budget,
+       |    SUM(q * tok) OVER () AS w_tot,
+       |    LEAD(q, 1) OVER (ORDER BY q DESC, source) AS q_next
+       |  FROM r0),
+       |candk AS (
+       |  SELECT k, cap_cum AS cap_tok, w_tot - w_cum AS wsum, q AS q_k,
+       |    q_next, t_budget
+       |  FROM ranked
+       |  UNION ALL
+       |  SELECT 0, 0, w_tot, NULL, q, t_budget FROM ranked WHERE k = 1),
+       |withr AS (
+       |  SELECT *, CASE WHEN wsum > 0 AND cap_tok <= t_budget
+       |    THEN ((t_budget - cap_tok) * 1000000) // wsum END AS r
+       |  FROM candk),
+       |chosen AS (
+       |  SELECT k AS k_star, r AS r_star FROM withr
+       |  WHERE cap_tok <= t_budget
+       |    AND (k = 0 OR (q_k > 0 AND (wsum = 0 OR r * q_k >= 4000000)))
+       |    AND (q_next IS NULL OR wsum = 0 OR r * q_next < 4000000)
+       |  ORDER BY k LIMIT 1),
+       |alloc AS (
+       |  SELECT source, n_docs, tok, q, k, k_star,
+       |    CASE WHEN k <= k_star THEN tok * 4
+       |         WHEN r_star IS NOT NULL THEN (r_star * q * tok) // 1000000
+       |         ELSE 0 END AS alloc_tokens
+       |  FROM ranked CROSS JOIN chosen)
+       |SELECT source, n_docs, tok AS n_tokens, q AS quality_milli,
+       |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       |  CAST(CASE WHEN tok > 0 THEN (1000 * alloc_tokens) // tok
+       |       ELSE 0 END AS BIGINT) AS epochs_milli,
+       |  k <= k_star AS capped
+       |FROM alloc ORDER BY source""".stripMargin
+
   /** Per-document n-gram novelty — what fraction of a doc's distinct word
     * trigrams appear here FIRST (no earlier doc_id contains them)?  The
     * redundancy signal behind "is the tail of this source new content or
@@ -939,5 +1077,6 @@ object CorpusOps {
     Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),
     Q("mix_upsample", mixUpsample, Some(mixUpsampleSql)),
     Q("corpus_mix_report", corpusMixReport, Some(corpusMixReportSql)),
-    Q("vocab_growth_curve", vocabGrowthCurve, Some(vocabGrowthCurveSql)))
+    Q("vocab_growth_curve", vocabGrowthCurve, Some(vocabGrowthCurveSql)),
+    Q("epoch_allocation", epochAllocation, Some(epochAllocationSql)))
 }
