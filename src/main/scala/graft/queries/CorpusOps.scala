@@ -851,15 +851,22 @@ object CorpusOps {
     * pattern) and the chosen (k, r) broadcasts back as a one-row scalar. */
   private def epochAllocation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents").select(
-      coalesce(col("source"), lit("")).as("source"),
-      size(split(col("text"), " ")).cast("long").as("toks"),
-      coalesce(TextOps.qualityKeepLocal(col("text")), lit(false)).as("ok"))
-    val slices = d.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(col("toks")), lit(0L)).as("tok"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("n_q"))
-      .withColumn("q", expr("(1000 * n_q) div n_docs"))
+    // session-cached (lazy persist): the plan references this slice
+    // relation THREE times (the allocation probe side, the candidate
+    // ranks, and the k = 0 union row) — without the cache Catalyst
+    // re-derives the corpus scan + quality gate per reference (the
+    // bigramSurprisalFrame lesson), turning one scan into three
+    val slices = cachedRelation(s, dir, "epochSlices", "") {
+      t(s, dir, "documents").select(
+          coalesce(col("source"), lit("")).as("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          coalesce(TextOps.qualityKeepLocal(col("text")), lit(false)).as("ok"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("toks")), lit(0L)).as("tok"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_q"))
+        .withColumn("q", expr("(1000 * n_q) div n_docs"))
+    }
     val w = Window.orderBy(col("q").desc, col("source"))
     val ranked = slices
       .withColumn("k", row_number().over(w).cast("long"))

@@ -61,12 +61,18 @@ object UnigramOps {
 
   /** Corpus word frequencies — the BPE family's exact filter (lowercase
     * ascii words, ≥ 2 chars) so the two tokenizer trainers are comparable
-    * on the same universe. */
+    * on the same universe. Session-cached: this is the ONLY token-scale
+    * stage in the whole trainer, and the cold vocab build otherwise
+    * re-derives it once per union/ntot branch (plan audit counted five
+    * corpus scans; with the cache the trainer reads the corpus once and
+    * every downstream stage runs on the vocabulary-sized relation). */
   private def wordFreq(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    cachedRelation(s, dir, "unigramWords", "") {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+    }
 
   /** All (start, len ≤ MaxPiece) substrings of the vocabulary, weighted by
     * word corpus frequency. */
