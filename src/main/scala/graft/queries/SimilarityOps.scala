@@ -1778,7 +1778,167 @@ object SimilarityOps {
        |  END AS v1_milli
        |FROM n2 ORDER BY dim""".stripMargin
 
+  /** Graph-based ANN serve audit — the fourth serve paradigm next to the
+    * IVF, LSH and PQ families (HNSW/NSW's core mechanic, measured): build
+    * a bounded-degree proximity graph from the LSH candidate pairs (the
+    * session-cached relation `ann_lsh_cosine` already verifies — top-4
+    * out-edges per node by pair cosine, so build cost adds ONE window over
+    * the candidate-sized relation, never an all-pairs kNN), then GREEDY
+    * BEAM-1 SEARCH: each query starts at the lowest graph node and takes
+    * up to 3 strict-improvement hops to its best current neighbor. The
+    * audit row compares where the walk lands against the brute-force true
+    * NN — found_exact, final vs true cosine, hops actually taken — i.e.
+    * the measured recall/hop trade of a graph serve on THIS corpus, the
+    * decision input next to ann_recall_audit (IVF) and lsh_recall_audit.
+    *
+    * Determinism: hop candidates rank (cos DESC, nbr ASC); moves require
+    * STRICT improvement (ties stay put); the entry rule (lowest node ≠
+    * query) and the unrolled 3-hop loop are identical formulas in both
+    * engines — the hop blocks of the oracle are GENERATED from the same
+    * loop as the Spark fold. A real HNSW adds layered entries and a beam
+    * > 1; this is the single-layer, beam-1 core with the iteration bound
+    * made explicit so the oracle can replay it exactly.
+    *
+    * Scale shape: graph build = one window over the banded candidate
+    * relation (bucket-capped, cached); each hop touches |queries|·degree
+    * rows; truth is the query-count-bounded brute relation shared with
+    * knn_brute_cosine. Nothing corpus-quadratic anywhere. */
+  private val graphDegree = 4
+  private val graphHops = 3
+
+  private def annGraphGreedyAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    val p = annLshCosine(s, dir)
+    val ed = p.select(col("a_id").as("node"), col("b_id").as("nbr"), col("cos"))
+      .unionByName(
+        p.select(col("b_id").as("node"), col("a_id").as("nbr"), col("cos")))
+    val g = ed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rk") <= graphDegree).select("node", "nbr")
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val low2 = g.select("node").distinct().orderBy("node").limit(2)
+      .agg(min("node").as("n1"), max("node").as("n2"))
+    val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
+      col("nrm").as("cn"))
+    var h = qs.crossJoin(broadcast(low2)) // two-scalar broadcast
+      .withColumn("cur",
+        when(col("query_id") === col("n1"), col("n2")).otherwise(col("n1")))
+      .join(en, "cur")
+      .select(col("query_id"), col("qq"), col("qn"), col("cur").as("entry_id"),
+        col("cur"),
+        (dotQ(col("qq"), col("cq")).cast("double") /
+          sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"),
+        lit(0L).as("moves"))
+    for (_ <- 1 to graphHops) {
+      val best = h
+        .select(col("query_id"), col("qq"), col("qn"), col("cur").as("node"))
+        .join(g, "node")
+        .filter(col("nbr") =!= col("query_id"))
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+          col("nrm").as("nn")), "nbr")
+        .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
+          sqrt((col("qn") * col("nn")).cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("ncos").desc, col("nbr"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("nbr").as("best_nbr"), col("ncos"))
+      h = h.join(best, Seq("query_id"), "left")
+        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
+          when(col("ncos") > col("ccos"), col("best_nbr")).otherwise(col("cur"))
+            .as("cur"),
+          when(col("ncos") > col("ccos"), col("ncos")).otherwise(col("ccos"))
+            .as("ccos"),
+          (col("moves") +
+            when(col("ncos") > col("ccos"), 1L).otherwise(0L)).as("moves"))
+    }
+    val nn = knnBruteCosine(s, dir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
+        col("cos").as("true_cos"))
+    h.join(nn, "query_id")
+      .select(col("query_id"), col("entry_id"), col("cur").as("final_id"),
+        col("ccos").as("final_cos"), col("true_nn_id"), col("true_cos"),
+        (col("cur") === col("true_nn_id")).as("found_exact"), col("moves"))
+      .orderBy("query_id")
+  }
+
+  private val annGraphGreedyAuditSql = {
+    def cosSql(q1: String, n1: String, q2: String, n2: String) =
+      s"CAST(CAST(list_sum(list_transform(range(len($q1)), " +
+        s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
+        s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
+    // hop blocks generated from the same 1..graphHops loop as the Spark
+    // fold — the engines cannot drift structurally
+    val hops = (1 to graphHops).map { k =>
+      s"""c$k AS (
+         |  SELECT h.query_id, c.nbr,
+         |    ${cosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+         |  FROM h${k - 1} h JOIN g c ON c.node = h.cur
+         |  JOIN e ON e.vec_id = c.nbr
+         |  WHERE c.nbr <> h.query_id),
+         |b$k AS (
+         |  SELECT query_id, nbr, ncos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ncos DESC, nbr) AS rk FROM c$k) WHERE rk = 1),
+         |h$k AS (
+         |  SELECT h.query_id, h.qq, h.qn, h.entry_id,
+         |    CASE WHEN b.ncos > h.ccos THEN b.nbr ELSE h.cur END AS cur,
+         |    CASE WHEN b.ncos > h.ccos THEN b.ncos ELSE h.ccos END AS ccos,
+         |    h.moves + CASE WHEN b.ncos > h.ccos THEN 1 ELSE 0 END AS moves
+         |  FROM h${k - 1} h LEFT JOIN b$k b USING (query_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandsCtes,
+       |p0 AS (
+       |  SELECT a.vec_id a_id, b.vec_id b_id,
+       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
+       |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT a_id, b_id, ${cosSql("qa", "na", "qb", "nb")} AS cos
+       |       FROM p0),
+       |ed AS (SELECT a_id AS node, b_id AS nbr, cos FROM pc
+       |       UNION ALL SELECT b_id, a_id, cos FROM pc),
+       |g AS (SELECT node, nbr FROM (
+       |        SELECT node, nbr, row_number() OVER (PARTITION BY node
+       |          ORDER BY cos DESC, nbr) AS rk FROM ed)
+       |      WHERE rk <= $graphDegree),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
+       |       WHERE vec_id < 5),
+       |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |           SELECT DISTINCT node FROM g ORDER BY node LIMIT 2)),
+       |h0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${cosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low2 l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |$hops,
+       |tp AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a.q", "a.nrm", "b.q", "b.nrm")} AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |nn AS (SELECT query_id, neighbor_id AS true_nn_id, cos AS true_cos
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
+       |       WHERE rk = 1)
+       |SELECT h.query_id, h.entry_id, h.cur AS final_id, h.ccos AS final_cos,
+       |  nn.true_nn_id, nn.true_cos,
+       |  h.cur = nn.true_nn_id AS found_exact, CAST(h.moves AS BIGINT) AS moves
+       |FROM h$graphHops h JOIN nn USING (query_id) ORDER BY query_id"""
+      .stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("ann_graph_greedy_audit", annGraphGreedyAudit,
+      Some(annGraphGreedyAuditSql)),
     Q("pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     Q("embedding_anisotropy", embeddingAnisotropy,
       Some(embeddingAnisotropySql)),

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** ann_graph_greedy_audit: replay the ENTIRE pipeline in plain Scala —
+  * quantization, top-4 graph off the public LSH pair query, entry rule,
+  * three strict-improvement hops, brute truth — and require exact
+  * agreement (ids and IEEE cosines) with the query output. */
+class GraphGreedySpec extends SparkSpec {
+
+  private def quant(v: Seq[Float]): Array[Long] =
+    v.map(x => BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+
+  private def dot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  test("independent JVM replay of the whole greedy walk (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_graph_greedy_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("entry_id"), r.getAs[Long]("final_id"),
+          r.getAs[Double]("final_cos"), r.getAs[Long]("true_nn_id"),
+          r.getAs[Double]("true_cos"), r.getAs[Boolean]("found_exact"),
+          r.getAs[Long]("moves")))).toMap
+    assert(out.nonEmpty)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).map(_ =>
+          r.getAs[Long]("vec_id") -> quant(r.getSeq[Float](
+            r.fieldIndex("embedding"))))
+      }.toMap
+    val nrm = emb.map { case (id, q) => id -> dot(q, q) }
+    val live = emb.filter { case (id, _) => nrm(id) > 0 }
+    def cos(a: Long, b: Long): Double =
+      dot(live(a), live(b)).toDouble / math.sqrt((nrm(a) * nrm(b)).toDouble)
+
+    // graph: top-4 per node over the public LSH pair relation
+    val pairs = SparkEntry.queries("ann_lsh_cosine")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos")))
+    val adj = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).map { case (n, es) =>
+        n -> es.sortBy { case (_, nbr, c) => (-c, nbr) }.take(4).map(_._2).toSeq
+      }
+    val nodes = adj.keys.toSeq.sorted
+    assert(nodes.size >= 2, "graph too small for the walk")
+    val (n1, n2) = (nodes(0), nodes(1))
+
+    val queries = live.keys.filter(_ < 5).toSeq.sorted
+    assert(queries.nonEmpty)
+    for (qid <- queries) {
+      val entry = if (qid == n1) n2 else n1
+      var cur = entry
+      var ccos = cos(qid, cur)
+      var moves = 0L
+      for (_ <- 1 to 3) {
+        val cands = adj.getOrElse(cur, Seq.empty).filter(_ != qid)
+        if (cands.nonEmpty) {
+          val best = cands.map(n => (n, cos(qid, n)))
+            .minBy { case (n, c) => (-c, n) }
+          if (best._2 > ccos) { cur = best._1; ccos = best._2; moves += 1 }
+        }
+      }
+      val truth = live.keys.filter(_ != qid).map(n => (n, cos(qid, n)))
+        .minBy { case (n, c) => (-c, n) }
+      val got = out(qid)
+      assert(got == ((entry, cur, ccos, truth._1, truth._2,
+        cur == truth._1, moves)), s"query $qid: got $got, " +
+        s"replay (${(entry, cur, ccos, truth._1, truth._2, cur == truth._1, moves)})")
+    }
+    // the audit is honest only if the walk sometimes moves on this corpus
+    assert(out.values.exists(_._7 > 0) || out.values.forall(_._6),
+      "no movement and no exact hits — degenerate graph, check the build")
+  }
+}
