@@ -53,6 +53,39 @@ object MultimodalOps {
       |  TRY_CAST(substr(source, 4, 10) AS INT) AS source_idx
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exact payload dedup — the FIRST dedup tier of a media pipeline
+    * (before any perceptual hash): identical byte payloads collapse by
+    * content hash, reporting each duplicate family's canonical copy
+    * (lowest id — the dedup_exact rule) and the storage the collapse
+    * reclaims. On a 100 TB media corpus this is one map-side-combining
+    * hash aggregate over (sha256, bytes) — the payload bytes themselves
+    * never shuffle, only their 32-byte digests; NULL payloads are
+    * excluded (no bytes ⇒ nothing to dedup, and NULL ≠ NULL). */
+  private def mediaExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), sha2(payload, 256).as("sha256"),
+        length(payload).cast("long").as("nb"))
+      .groupBy("sha256").agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"),
+        max(col("nb")).as("n_bytes"))
+      .filter(col("n_copies") > 1)
+      .withColumn("bytes_saved", (col("n_copies") - 1) * col("n_bytes"))
+      .orderBy("sha256")
+  }
+
+  private val mediaExactDedupSql =
+    """SELECT sha256, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  MIN(doc_id) AS canonical_id,
+      |  CAST(MAX(nb) AS BIGINT) AS n_bytes,
+      |  CAST((COUNT(*) - 1) * MAX(nb) AS BIGINT) AS bytes_saved
+      |FROM (SELECT doc_id, sha256(text) AS sha256,
+      |        octet_length(encode(text)) AS nb
+      |      FROM documents WHERE text IS NOT NULL)
+      |GROUP BY sha256 HAVING COUNT(*) > 1 ORDER BY sha256""".stripMargin
+
   /** One decoded media item (what a real image decoder would emit). */
   case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,
       meanByte: Double, nBytes: Long)
@@ -113,5 +146,6 @@ object MultimodalOps {
 
   val all: Seq[Q] = Seq(
     Q("multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Q("media_exact_dedup", mediaExactDedup, Some(mediaExactDedupSql)),
     Q("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)))
 }

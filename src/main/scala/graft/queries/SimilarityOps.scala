@@ -819,6 +819,162 @@ object SimilarityOps {
        |SELECT s.cent_id, CAST(n_members AS BIGINT) AS n_members, inertia, shift_sq
        |FROM stats s JOIN shift USING (cent_id) ORDER BY cent_id""".stripMargin
 
+  /** The coarse quantizer's ACTUAL training loop — kmeans_step is one
+    * audited Lloyd round; this runs [[kmeansTrainRoundsK]] of them (the
+    * bpe_merge_rounds contract for the vector side): per round, assign
+    * every vector to its max-cosine centroid (ccos DESC, cent_id ties —
+    * the serve rule), report the round's L2 inertia against its INPUT
+    * centroids, the live-centroid count, and how many assignments moved
+    * since the previous round, then update each centroid to the floor-mean
+    * of its members (per-(cent, dim) integer sums over n_members — the
+    * kmeans_step update; memberless centroids keep their vector, the
+    * pq_kmeans_step rule). Round 1 therefore equals kmeans_step's input
+    * state exactly — KmeansTrainSpec pins the reconciliation — and the
+    * inertia column is the convergence curve a retrain job monitors.
+    *
+    * Scale/lineage: assignments derive from the session-cached
+    * quantizedBase; only the 8-row centroid relation crosses rounds, and
+    * it crosses via localCheckpoint (the kcore/bpe discipline — an 8-row
+    * eager action per round, no analyzer-exploding lineage), with each
+    * superseded generation's checkpoint RDD released. Per-round driver
+    * actions are the bounded-scalar class (one 2-column aggregate + one
+    * count); results are session-cached so Verify/bench pay the loop
+    * once. */
+  private val kmeansTrainRoundsK = 4
+  private val kmeansTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Long, Long, Option[Long])]]
+  private val kmeansTrainLock = new Object
+
+  private def kmeansTrainRows(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Option[Long])] = kmeansTrainLock.synchronized {
+    kmeansTrainCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    kmeansTrainCache.getOrElseUpdate((s, dir), {
+      graft.functions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      def release(df: DataFrame): Unit =
+        df.queryExecution.analyzed.foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      val e = quantizedBase(s, dir)
+      def assign(cents: DataFrame): DataFrame = {
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("dot", dotQ(col("q"), col("cq")))
+          .withColumn("ccos", col("dot").cast("double") /
+            sqrt((col("nrm") * col("cn")).cast("double")))
+          .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+          .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"),
+            col("dot"), col("cn"))
+      }
+      var cents = e.filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nrm").as("cn"))
+      var prevCents: DataFrame = null
+      var prevAssign: DataFrame = null
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Option[Long])]
+      for (r <- 1 to kmeansTrainRoundsK) {
+        val a = assign(cents)
+        val st = a.agg(
+          coalesce(sum(col("nrm") - lit(2L) * col("dot") + col("cn")), lit(0L))
+            .as("inertia"),
+          countDistinct(col("cent_id")).as("n_active")).collect().head
+        val moved: Option[Long] =
+          if (prevAssign == null) None
+          else Some(a.select(col("vec_id"), col("cent_id"))
+            .join(prevAssign.select(col("vec_id"), col("cent_id").as("pc")),
+              "vec_id")
+            .filter(col("cent_id") =!= col("pc")).count())
+        out += ((r.toLong, st.getLong(0), st.getLong(1), moved))
+        val stats = a.groupBy("cent_id").agg(count(lit(1)).as("n_members"))
+        val newC = a
+          .select(col("cent_id"), posexplode(col("q")).as(Seq("d", "x")))
+          .groupBy("cent_id", "d").agg(sum(col("x")).as("sx"))
+          .join(stats, "cent_id")
+          .withColumn("ndv",
+            floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
+          .groupBy("cent_id").agg(
+            transform(array_sort(collect_list(struct(col("d"), col("ndv")))),
+              x => x("ndv")).as("nq"))
+          .withColumn("nn", graft.functions.GraftFunctions
+            .quantized_dot(col("nq"), col("nq")))
+        val merged = cents
+          .join(newC, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("nq"), col("cq")).as("cq"),
+            coalesce(col("nn"), col("cn")).as("cn"))
+        prevAssign = a
+        if (prevCents != null) release(prevCents)
+        prevCents = cents
+        cents = merged.localCheckpoint() // 8 rows, eager
+      }
+      if (prevCents != null) release(prevCents)
+      release(cents)
+      out.toSeq
+    })
+  }
+
+  private def kmeansTrainRounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansTrainRows(s, dir)
+      .toDF("round", "inertia", "n_active", "n_moved")
+      .orderBy("round")
+  }
+
+  /** Unrolled round template generated from the same 1..k loop as the
+    * driver loop (the bpeCtes discipline): a0/cents come from the shared
+    * maintenance-quantizer CTE chain; each c$r is the floor-mean update
+    * with memberless carry-over, each a$r the re-assignment. */
+  private val kmeansTrainRoundsSql = {
+    val rounds = (1 to kmeansTrainRoundsK - 1).map { r =>
+      val prevA = if (r == 1) "assigned" else s"a${r - 1}"
+      val prevC = if (r == 1) "cents" else s"c${r - 1}"
+      s"""s$r AS (SELECT cent_id, COUNT(*) AS n_members FROM $prevA GROUP BY 1),
+         |nd$r AS (
+         |  SELECT cent_id, d, CAST(floor(1.0 * sx / n_members) AS BIGINT) AS ndv
+         |  FROM (SELECT cent_id, i AS d, CAST(SUM(q[i+1]) AS BIGINT) AS sx
+         |        FROM $prevA, UNNEST(range(len(q))) t(i) GROUP BY 1, 2)
+         |  JOIN s$r USING (cent_id)),
+         |c$r AS (
+         |  SELECT c.cent_id, COALESCE(n.nq, c.cq) AS cq,
+         |    COALESCE(n.nn, c.cn) AS cn
+         |  FROM $prevC c LEFT JOIN (
+         |    SELECT cent_id, nq,
+         |      CAST(list_sum(list_transform(nq, x -> x*x)) AS BIGINT) AS nn
+         |    FROM (SELECT cent_id, list(ndv ORDER BY d) AS nq
+         |          FROM nd$r GROUP BY 1)) n USING (cent_id)),
+         |a$r AS (
+         |  SELECT vec_id, cent_id, q, nrm, cn, dot FROM (
+         |    SELECT e.vec_id, c.cent_id, e.q, e.nrm, c.cn,
+         |      CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS dot,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+         |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+         |    FROM e CROSS JOIN c$r c)
+         |  WHERE arn = 1)""".stripMargin
+    }.mkString(",\n")
+    val metricRows = (1 to kmeansTrainRoundsK).map { r =>
+      val aR = if (r == 1) "assigned" else s"a${r - 1}"
+      val aPrev = if (r == 2) "assigned" else s"a${r - 2}"
+      val movedExpr =
+        if (r == 1) "CAST(NULL AS BIGINT)"
+        else s"""(SELECT CAST(COUNT(*) AS BIGINT) FROM $aR x
+                 |   JOIN $aPrev y USING (vec_id)
+                 |   WHERE x.cent_id <> y.cent_id)""".stripMargin
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COALESCE(SUM(nrm - 2*dot + cn), 0) AS BIGINT) FROM $aR) AS inertia,
+         |  (SELECT CAST(COUNT(DISTINCT cent_id) AS BIGINT) FROM $aR) AS n_active,
+         |  $movedExpr AS n_moved""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfMaintCtes,
+       |$rounds
+       |$metricRows
+       |ORDER BY round""".stripMargin
+  }
+
   /** Measured recall@5 of the IVF ANN path against the brute-force
     * oracle — the ANN counterpart of `lsh_recall_audit`: the standard
     * accept/reject evidence for an approximate index (probe-2 over
@@ -1963,6 +2119,7 @@ object SimilarityOps {
     Q("ann_ivf_cosine", annIvfCosine, Some(annIvfCosineSql)),
     Q("ivf_list_drift", ivfListDrift, Some(ivfListDriftSql)),
     Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    Q("kmeans_train_rounds", kmeansTrainRounds, Some(kmeansTrainRoundsSql)),
     Q("ivf_probe_sweep", ivfProbeSweep, Some(ivfProbeSweepSql)),
     Q("embedding_stats", embeddingStats, Some(embeddingStatsSql)))
 }

@@ -21,4 +21,33 @@ class MultimodalSpec extends SparkSpec {
     val again = MultimodalOps.decodeStub(items).collect().sortBy(_.id)
     assert(out.toSeq == again.toSeq)
   }
+
+  test("media_exact_dedup: payload-hash families, canonical lowest id, bytes saved") {
+    val dir = java.nio.file.Files.createTempDirectory("mdedup").toString
+    // ids 5 and 2 share a payload (canonical 2); 7 unique; 9 NULL (excluded)
+    Seq((5L, "same bytes"), (2L, "same bytes"), (7L, "unique"),
+        (9L, null.asInstanceOf[String]))
+      .map { case (id, t) =>
+        (id, t, "en", "s0", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("media_exact_dedup")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("n_copies"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("bytes_saved")))
+    assert(out.toSeq == Seq((2L, 2L, 10L, 10L)))
+
+    // real corpus: payload families ⟺ identical-text families (payload is
+    // the UTF-8 encoding, so the counts must reconcile exactly — sf0.001
+    // happens to carry none, which both sides must agree on)
+    val sf = "/root/testdata/sf0.001"
+    val real = graft.SparkEntry.queries("media_exact_dedup")(spark, sf)
+      .collect()
+    val textFamilies = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("text IS NOT NULL").groupBy("text").count()
+      .filter("count > 1").count()
+    assert(real.length.toLong == textFamilies)
+    assert(real.forall(r => r.getAs[Long]("bytes_saved") ==
+      (r.getAs[Long]("n_copies") - 1) * r.getAs[Long]("n_bytes")))
+  }
 }
