@@ -1979,6 +1979,22 @@ object SimilarityOps {
         col("nrm").as("qn"))
     val low2 = g.select("node").distinct().orderBy("node").limit(2)
       .agg(min("node").as("n1"), max("node").as("n2"))
+    // "stay" is modeled as a SELF-LOOP candidate rather than a second
+    // reference to the walk state: each hop then reads h exactly ONCE, so
+    // the unrolled plan is linear (the first formulation referenced h
+    // twice per hop — 2^hops copies of the walk subtree, measured 8.8 s
+    // of pure stage overhead on 5 rows). Ranking (ncos DESC, self-first,
+    // nbr ASC) is exactly "move only on strict improvement": a neighbor
+    // tying the current cosine ranks below the self candidate. The graph
+    // is node·degree-sized and read once per hop — session-cached (keyed
+    // by the LSH knobs, like the pair relation it derives from) so the
+    // three hops and repeated runs scan one materialization.
+    val g2 = Util.cachedRelation(s, dir, "greedyGraph",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      g.unionByName(
+        g.select(col("node")).distinct()
+          .select(col("node"), col("node").as("nbr")))
+    }
     val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
       col("nrm").as("cn"))
     var h = qs.crossJoin(broadcast(low2)) // two-scalar broadcast
@@ -1991,26 +2007,24 @@ object SimilarityOps {
           sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"),
         lit(0L).as("moves"))
     for (_ <- 1 to graphHops) {
-      val best = h
-        .select(col("query_id"), col("qq"), col("qn"), col("cur").as("node"))
-        .join(g, "node")
-        .filter(col("nbr") =!= col("query_id"))
+      val wH = Window.partitionBy("query_id")
+        .orderBy(col("ncos").desc, (col("nbr") === col("cur0")).desc,
+          col("nbr"))
+      h = h
+        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
+          col("cur").as("cur0"), col("moves"))
+        .join(g2, col("node") === col("cur0"))
+        .filter(col("nbr") =!= col("query_id")) // cur0 ≠ query, loop survives
         .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
           col("nrm").as("nn")), "nbr")
         .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
           sqrt((col("qn") * col("nn")).cast("double")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("ncos").desc, col("nbr"))))
+        .withColumn("rk", row_number().over(wH))
         .filter(col("rk") === 1)
-        .select(col("query_id"), col("nbr").as("best_nbr"), col("ncos"))
-      h = h.join(best, Seq("query_id"), "left")
         .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
-          when(col("ncos") > col("ccos"), col("best_nbr")).otherwise(col("cur"))
-            .as("cur"),
-          when(col("ncos") > col("ccos"), col("ncos")).otherwise(col("ccos"))
-            .as("ccos"),
+          col("nbr").as("cur"), col("ncos").as("ccos"),
           (col("moves") +
-            when(col("ncos") > col("ccos"), 1L).otherwise(0L)).as("moves"))
+            when(col("nbr") =!= col("cur0"), 1L).otherwise(0L)).as("moves"))
     }
     val nn = knnBruteCosine(s, dir).filter(col("rk") === 1)
       .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
@@ -2028,24 +2042,22 @@ object SimilarityOps {
         s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
         s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
     // hop blocks generated from the same 1..graphHops loop as the Spark
-    // fold — the engines cannot drift structurally
+    // fold — the engines cannot drift structurally; like the Spark side,
+    // "stay" is the self-loop candidate so each hop reads h once
     val hops = (1 to graphHops).map { k =>
       s"""c$k AS (
-         |  SELECT h.query_id, c.nbr,
+         |  SELECT h.query_id, h.qq, h.qn, h.entry_id, h.cur AS cur0,
+         |    h.moves, c.nbr,
          |    ${cosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
-         |  FROM h${k - 1} h JOIN g c ON c.node = h.cur
+         |  FROM h${k - 1} h JOIN g2 c ON c.node = h.cur
          |  JOIN e ON e.vec_id = c.nbr
          |  WHERE c.nbr <> h.query_id),
-         |b$k AS (
-         |  SELECT query_id, nbr, ncos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ncos DESC, nbr) AS rk FROM c$k) WHERE rk = 1),
          |h$k AS (
-         |  SELECT h.query_id, h.qq, h.qn, h.entry_id,
-         |    CASE WHEN b.ncos > h.ccos THEN b.nbr ELSE h.cur END AS cur,
-         |    CASE WHEN b.ncos > h.ccos THEN b.ncos ELSE h.ccos END AS ccos,
-         |    h.moves + CASE WHEN b.ncos > h.ccos THEN 1 ELSE 0 END AS moves
-         |  FROM h${k - 1} h LEFT JOIN b$k b USING (query_id))"""
+         |  SELECT query_id, qq, qn, entry_id, nbr AS cur, ncos AS ccos,
+         |    moves + CASE WHEN nbr <> cur0 THEN 1 ELSE 0 END AS moves
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY ncos DESC, (nbr = cur0) DESC, nbr) AS rk
+         |        FROM c$k) WHERE rk = 1)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH $lshBandsCtes,
@@ -2064,6 +2076,8 @@ object SimilarityOps {
        |        SELECT node, nbr, row_number() OVER (PARTITION BY node
        |          ORDER BY cos DESC, nbr) AS rk FROM ed)
        |      WHERE rk <= $graphDegree),
+       |g2 AS (SELECT node, nbr FROM g
+       |       UNION ALL SELECT DISTINCT node, node FROM g),
        |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
        |       WHERE vec_id < 5),
        |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
