@@ -57,10 +57,13 @@ object MultimodalOps {
     * (before any perceptual hash): identical byte payloads collapse by
     * content hash, reporting each duplicate family's canonical copy
     * (lowest id — the dedup_exact rule) and the storage the collapse
-    * reclaims. On a 100 TB media corpus this is one map-side-combining
-    * hash aggregate over (sha256, bytes) — the payload bytes themselves
-    * never shuffle, only their 32-byte digests; NULL payloads are
-    * excluded (no bytes ⇒ nothing to dedup, and NULL ≠ NULL). */
+    * reclaims (0 for singleton families — every payload gets a row, the
+    * dedup_exact grain, so the report is also the content-hash index a
+    * dedup-on-write sink probes). On a 100 TB media corpus this is one
+    * map-side-combining hash aggregate over (sha256, bytes) — the
+    * payload bytes themselves never shuffle, only their 32-byte digests;
+    * NULL payloads are excluded (no bytes ⇒ nothing to dedup, and
+    * NULL ≠ NULL). */
   private def mediaExactDedup(s: SparkSession, dir: String): DataFrame = {
     val payload = encode(col("text"), "UTF-8")
     t(s, dir, "documents")
@@ -71,7 +74,6 @@ object MultimodalOps {
         count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("canonical_id"),
         max(col("nb")).as("n_bytes"))
-      .filter(col("n_copies") > 1)
       .withColumn("bytes_saved", (col("n_copies") - 1) * col("n_bytes"))
       .orderBy("sha256")
   }
@@ -84,7 +86,7 @@ object MultimodalOps {
       |FROM (SELECT doc_id, sha256(text) AS sha256,
       |        octet_length(encode(text)) AS nb
       |      FROM documents WHERE text IS NOT NULL)
-      |GROUP BY sha256 HAVING COUNT(*) > 1 ORDER BY sha256""".stripMargin
+      |GROUP BY sha256 ORDER BY sha256""".stripMargin
 
   /** One decoded media item (what a real image decoder would emit). */
   case class MediaFeatures(id: Long, width: Int, height: Int, channels: Int,

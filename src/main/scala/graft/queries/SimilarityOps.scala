@@ -24,6 +24,13 @@ import Util._
   */
 object SimilarityOps {
 
+  /** Graph-serve knobs, declared ahead of every val that interpolates
+    * them (a val declared later reads as 0 during object init — exactly
+    * the bug that emptied the beam oracle's hop chain before this moved
+    * up). */
+  private val graphDegree = 4
+  private val graphHops = 3
+
   /** Quantized int64 vector: round(x*1000) per element, in double to match
     * DuckDB's float→double promotion. */
   private def qvec(c: Column): Column =
@@ -922,6 +929,175 @@ object SimilarityOps {
     kmeansTrainRows(s, dir)
       .toDF("round", "inertia", "n_active", "n_moved")
       .orderBy("round")
+  }
+
+  /** Beam-width tuning curve for the graph serve — the graph family's
+    * ivf_probe_sweep / minhash_band_sweep: HNSW deployments tune
+    * ef_search (the beam width); this measures the recall-vs-cost curve
+    * for beam ∈ 1..3 on the SAME graph [[annGraphGreedyAudit]] walks.
+    * Pure beam search per hop: states ∪ their neighbors (self-loops keep
+    * the current nodes candidates), DEDUP to distinct (query, node) —
+    * a node's score does not depend on the path that reached it — then
+    * keep the top-beam by (cos DESC, node ASC). After the same 3 hops:
+    * the best landed node vs brute truth, and the surviving final
+    * states (≤ beam; the cost side of the curve is structural —
+    * candidates per hop ≤ beam·(degree+1)).
+    *
+    * Beam-1 differs from the greedy audit ONLY in the tie rule (pure
+    * (cos, node) ranking vs the walk's stay-on-tie), so its final COSINE
+    * is pinned equal to the greedy audit's in GraphGreedySpec — the
+    * curves reconcile while each keeps its canonical semantics. Each
+    * width is its own unrolled single-reference chain (the linearization
+    * lesson); all three ride the session-cached graph relation. */
+  private val beamWidths = Seq(1, 2, 3)
+
+  private def annGraphBeamSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    val p = annLshCosine(s, dir)
+    val ed = p.select(col("a_id").as("node"), col("b_id").as("nbr"), col("cos"))
+      .unionByName(
+        p.select(col("b_id").as("node"), col("a_id").as("nbr"), col("cos")))
+    val g = ed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rk") <= graphDegree).select("node", "nbr")
+    val g2 = Util.cachedRelation(s, dir, "greedyGraph",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      g.unionByName(
+        g.select(col("node")).distinct()
+          .select(col("node"), col("node").as("nbr")))
+    }
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val low2 = g2.select("node").distinct().orderBy("node").limit(2)
+      .agg(min("node").as("n1"), max("node").as("n2"))
+    val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
+      col("nrm").as("cn"))
+    val h0 = qs.crossJoin(broadcast(low2))
+      .withColumn("cur",
+        when(col("query_id") === col("n1"), col("n2")).otherwise(col("n1")))
+      .join(en, "cur")
+      .select(col("query_id"), col("qq"), col("qn"), col("cur"),
+        (dotQ(col("qq"), col("cq")).cast("double") /
+          sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"))
+    def runBeam(b: Int): DataFrame = {
+      var hb = h0
+      for (_ <- 1 to graphHops) {
+        val wB = Window.partitionBy("query_id")
+          .orderBy(col("ncos").desc, col("nbr"))
+        hb = hb
+          .join(g2, col("node") === col("cur"))
+          .filter(col("nbr") =!= col("query_id"))
+          .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+            col("nrm").as("nn")), "nbr")
+          .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
+            sqrt((col("qn") * col("nn")).cast("double")))
+          .select(col("query_id"), col("qq"), col("qn"), col("nbr"),
+            col("ncos")).distinct() // path-independent: dedup (query, node)
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= b)
+          .select(col("query_id"), col("qq"), col("qn"),
+            col("nbr").as("cur"), col("ncos").as("ccos"))
+      }
+      val wF = Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("cur"))
+      hb
+        .withColumn("n_states", count(lit(1)).over(
+          Window.partitionBy("query_id")))
+        .withColumn("frk", row_number().over(wF))
+        .filter(col("frk") === 1)
+        .select(lit(b.toLong).as("beam_width"), col("query_id"),
+          col("cur").as("final_id"), col("ccos").as("final_cos"),
+          col("n_states"))
+    }
+    val nn = knnBruteCosine(s, dir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
+        col("cos").as("true_cos"))
+    beamWidths.map(runBeam).reduce(_ unionByName _)
+      .join(nn, "query_id")
+      .select(col("beam_width"), col("query_id"), col("final_id"),
+        col("final_cos"), col("true_nn_id"),
+        (col("final_id") === col("true_nn_id")).as("found_exact"),
+        col("n_states"))
+      .orderBy("beam_width", "query_id")
+  }
+
+  private val annGraphBeamSweepSql = {
+    def cosSql(q1: String, n1: String, q2: String, n2: String) =
+      s"CAST(CAST(list_sum(list_transform(range(len($q1)), " +
+        s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
+        s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
+    val chains = beamWidths.map { b =>
+      val hops = (1 to graphHops).map { k =>
+        s"""b${b}h$k AS (
+           |  SELECT query_id, qq, qn, nbr AS cur, ncos AS ccos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ncos DESC, nbr) AS rk
+           |    FROM (SELECT DISTINCT h.query_id, h.qq, h.qn, c.nbr,
+           |            ${cosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+           |          FROM b${b}h${k - 1} h JOIN g2 c ON c.node = h.cur
+           |          JOIN e ON e.vec_id = c.nbr
+           |          WHERE c.nbr <> h.query_id))
+           |  WHERE rk <= $b)""".stripMargin
+      }.mkString(",\n")
+      s"""b${b}h0 AS (SELECT query_id, qq, qn, cur, ccos FROM h0),
+         |$hops,
+         |f$b AS (
+         |  SELECT CAST($b AS BIGINT) AS beam_width, query_id,
+         |    cur AS final_id, ccos AS final_cos, n_states FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ccos DESC, cur) AS frk,
+         |      COUNT(*) OVER (PARTITION BY query_id) AS n_states
+         |    FROM b${b}h$graphHops)
+         |  WHERE frk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandsCtes,
+       |p0 AS (
+       |  SELECT a.vec_id a_id, b.vec_id b_id,
+       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
+       |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT a_id, b_id, ${cosSql("qa", "na", "qb", "nb")} AS cos
+       |       FROM p0),
+       |ed AS (SELECT a_id AS node, b_id AS nbr, cos FROM pc
+       |       UNION ALL SELECT b_id, a_id, cos FROM pc),
+       |g AS (SELECT node, nbr FROM (
+       |        SELECT node, nbr, row_number() OVER (PARTITION BY node
+       |          ORDER BY cos DESC, nbr) AS rk FROM ed)
+       |      WHERE rk <= $graphDegree),
+       |g2 AS (SELECT node, nbr FROM g
+       |       UNION ALL SELECT DISTINCT node, node FROM g),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
+       |       WHERE vec_id < 5),
+       |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |           SELECT DISTINCT node FROM g2 ORDER BY node LIMIT 2)),
+       |h0 AS (
+       |  SELECT q.query_id, q.qq, q.qn, e.vec_id AS cur,
+       |    ${cosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos
+       |  FROM qs q CROSS JOIN low2 l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |$chains,
+       |tp AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a.q", "a.nrm", "b.q", "b.nrm")} AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |nn AS (SELECT query_id, neighbor_id AS true_nn_id
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
+       |       WHERE rk = 1),
+       |allb AS (${beamWidths.map(b => s"SELECT * FROM f$b")
+                    .mkString(" UNION ALL ")})
+       |SELECT beam_width, query_id, final_id, final_cos, true_nn_id,
+       |  final_id = true_nn_id AS found_exact,
+       |  CAST(n_states AS BIGINT) AS n_states
+       |FROM allb JOIN nn USING (query_id)
+       |ORDER BY beam_width, query_id""".stripMargin
   }
 
   /** Unrolled round template generated from the same 1..k loop as the
@@ -1959,8 +2135,6 @@ object SimilarityOps {
     * relation (bucket-capped, cached); each hop touches |queries|·degree
     * rows; truth is the query-count-bounded brute relation shared with
     * knn_brute_cosine. Nothing corpus-quadratic anywhere. */
-  private val graphDegree = 4
-  private val graphHops = 3
 
   private def annGraphGreedyAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2109,6 +2283,7 @@ object SimilarityOps {
   val all: Seq[Q] = Seq(
     Q("ann_graph_greedy_audit", annGraphGreedyAudit,
       Some(annGraphGreedyAuditSql)),
+    Q("ann_graph_beam_sweep", annGraphBeamSweep, Some(annGraphBeamSweepSql)),
     Q("pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     Q("embedding_anisotropy", embeddingAnisotropy,
       Some(embeddingAnisotropySql)),

@@ -77,4 +77,31 @@ class GraphGreedySpec extends SparkSpec {
     assert(out.values.exists(_._7 > 0) || out.values.forall(_._6),
       "no movement and no exact hits — degenerate graph, check the build")
   }
+
+  test("ann_graph_beam_sweep: beam-1 cos parity with the greedy walk; widening never hurts") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = SparkEntry.queries("ann_graph_beam_sweep")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("beam_width"),
+        r.getAs[Long]("query_id")) ->
+        ((r.getAs[Double]("final_cos"), r.getAs[Boolean]("found_exact"),
+          r.getAs[Long]("n_states"))))
+      .toMap
+    val greedy = SparkEntry.queries("ann_graph_greedy_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("final_cos")).toMap
+    assert(sweep.nonEmpty)
+    val queries = greedy.keys.toSeq.sorted
+    for (q <- queries) {
+      // beam-1 and the greedy walk rank by the same cosines; only the
+      // exact-tie rule differs, so the landed SCORE must agree
+      assert(sweep((1L, q))._1 == greedy(q), s"beam-1 cos for query $q")
+      // measured monotone on THIS corpus (a regression pin, not a
+      // theorem: a dropped low-scoring intermediate can in principle
+      // outrun a wider beam — if the corpus ever regenerates into that
+      // geometry, re-measure before weakening the query)
+      assert(sweep((2L, q))._1 >= sweep((1L, q))._1, s"beam 2 worse at $q")
+      assert(sweep((3L, q))._1 >= sweep((2L, q))._1, s"beam 3 worse at $q")
+      assert(sweep((3L, q))._3 <= 3L && sweep((1L, q))._3 == 1L)
+    }
+  }
 }

@@ -35,7 +35,9 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("n_copies"),
         r.getAs[Long]("canonical_id"), r.getAs[Long]("n_bytes"),
         r.getAs[Long]("bytes_saved")))
-    assert(out.toSeq == Seq((2L, 2L, 10L, 10L)))
+    // every non-NULL payload gets a family row (the dedup_exact grain);
+    // only the shared-payload family reclaims bytes
+    assert(out.toSet == Set((2L, 2L, 10L, 10L), (1L, 7L, 6L, 0L)))
 
     // real corpus: payload families ⟺ identical-text families (payload is
     // the UTF-8 encoding, so the counts must reconcile exactly — sf0.001
@@ -44,9 +46,9 @@ class MultimodalSpec extends SparkSpec {
     val real = graft.SparkEntry.queries("media_exact_dedup")(spark, sf)
       .collect()
     val textFamilies = spark.read.parquet(s"$sf/documents.parquet")
-      .filter("text IS NOT NULL").groupBy("text").count()
-      .filter("count > 1").count()
+      .filter("text IS NOT NULL").select("text").distinct().count()
     assert(real.length.toLong == textFamilies)
+    assert(real.nonEmpty)
     assert(real.forall(r => r.getAs[Long]("bytes_saved") ==
       (r.getAs[Long]("n_copies") - 1) * r.getAs[Long]("n_bytes")))
   }
