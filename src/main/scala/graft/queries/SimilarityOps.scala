@@ -896,27 +896,33 @@ object SimilarityOps {
               "vec_id")
             .filter(col("cent_id") =!= col("pc")).count())
         out += ((r.toLong, st.getLong(0), st.getLong(1), moved))
-        val stats = a.groupBy("cent_id").agg(count(lit(1)).as("n_members"))
-        val newC = a
-          .select(col("cent_id"), posexplode(col("q")).as(Seq("d", "x")))
-          .groupBy("cent_id", "d").agg(sum(col("x")).as("sx"))
-          .join(stats, "cent_id")
-          .withColumn("ndv",
-            floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
-          .groupBy("cent_id").agg(
-            transform(array_sort(collect_list(struct(col("d"), col("ndv")))),
-              x => x("ndv")).as("nq"))
-          .withColumn("nn", graft.functions.GraftFunctions
-            .quantized_dot(col("nq"), col("nq")))
-        val merged = cents
-          .join(newC, Seq("cent_id"), "left")
-          .select(col("cent_id"),
-            coalesce(col("nq"), col("cq")).as("cq"),
-            coalesce(col("nn"), col("cn")).as("cn"))
         prevAssign = a
-        if (prevCents != null) release(prevCents)
-        prevCents = cents
-        cents = merged.localCheckpoint() // 8 rows, eager
+        // the LAST round's metrics are already recorded — its centroid
+        // update would never be read, and it costs a full corpus-scale
+        // aggregate + an eager checkpoint job (review finding: the SQL
+        // oracle correctly generates only K−1 update rounds)
+        if (r < kmeansTrainRoundsK) {
+          val stats = a.groupBy("cent_id").agg(count(lit(1)).as("n_members"))
+          val newC = a
+            .select(col("cent_id"), posexplode(col("q")).as(Seq("d", "x")))
+            .groupBy("cent_id", "d").agg(sum(col("x")).as("sx"))
+            .join(stats, "cent_id")
+            .withColumn("ndv",
+              floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
+            .groupBy("cent_id").agg(
+              transform(array_sort(collect_list(struct(col("d"), col("ndv")))),
+                x => x("ndv")).as("nq"))
+            .withColumn("nn", graft.functions.GraftFunctions
+              .quantized_dot(col("nq"), col("nq")))
+          val merged = cents
+            .join(newC, Seq("cent_id"), "left")
+            .select(col("cent_id"),
+              coalesce(col("nq"), col("cq")).as("cq"),
+              coalesce(col("nn"), col("cn")).as("cn"))
+          if (prevCents != null) release(prevCents)
+          prevCents = cents
+          cents = merged.localCheckpoint() // 8 rows, eager
+        }
       }
       if (prevCents != null) release(prevCents)
       release(cents)
@@ -951,7 +957,65 @@ object SimilarityOps {
     * lesson); all three ride the session-cached graph relation. */
   private val beamWidths = Seq(1, 2, 3)
 
-  private def annGraphBeamSweep(s: SparkSession, dir: String): DataFrame = {
+  /** SQL cosine between two quantized (q, nrm) pairs — the graph family's
+    * shared expression builder (a def, so object-init order can't zero
+    * it). */
+  private def graphCosSql(q1: String, n1: String, q2: String, n2: String) =
+    s"CAST(CAST(list_sum(list_transform(range(len($q1)), " +
+      s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
+      s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
+
+  /** ONE copy of the graph-serve build, shared by the greedy audit and
+    * the beam sweep oracles (the lshBandsCtes/ivfSqlCtes discipline —
+    * review finding: the first cut duplicated this chain verbatim in both
+    * oracles, exactly the drift risk the shared-constant rule exists
+    * for): LSH candidate pairs → symmetric edges → top-degree graph →
+    * self-loops → query set, entry rule, start state h0 (entry_id and a
+    * zeroed moves column ride along; the beam chains simply don't select
+    * them) and the rank-1 brute truth `nn`. */
+  private val graphServeCtes =
+    s"""p0 AS (
+       |  SELECT a.vec_id a_id, b.vec_id b_id,
+       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
+       |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT a_id, b_id, ${graphCosSql("qa", "na", "qb", "nb")} AS cos
+       |       FROM p0),
+       |ed AS (SELECT a_id AS node, b_id AS nbr, cos FROM pc
+       |       UNION ALL SELECT b_id, a_id, cos FROM pc),
+       |g AS (SELECT node, nbr FROM (
+       |        SELECT node, nbr, row_number() OVER (PARTITION BY node
+       |          ORDER BY cos DESC, nbr) AS rk FROM ed)
+       |      WHERE rk <= $graphDegree),
+       |g2 AS (SELECT node, nbr FROM g
+       |       UNION ALL SELECT DISTINCT node, node FROM g),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
+       |       WHERE vec_id < 5),
+       |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |           SELECT DISTINCT node FROM g2 ORDER BY node LIMIT 2)),
+       |h0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${graphCosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low2 l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |tp AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${graphCosSql("a.q", "a.nrm", "b.q", "b.nrm")} AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |nn AS (SELECT query_id, neighbor_id AS true_nn_id, cos AS true_cos
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
+       |       WHERE rk = 1)""".stripMargin
+
+  /** Spark twin of [[graphServeCtes]]: (quantized base, cached self-loop
+    * graph, start state h0 with entry_id + zeroed moves). */
+  private def graphServeParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val e = quantizedBase(s, dir)
@@ -963,6 +1027,8 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
       .filter(col("rk") <= graphDegree).select("node", "nbr")
+    // the graph is node·degree-sized and read once per hop per consumer —
+    // session-cached, keyed by the LSH knobs like the pair relation
     val g2 = Util.cachedRelation(s, dir, "greedyGraph",
       s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
       g.unionByName(
@@ -976,13 +1042,28 @@ object SimilarityOps {
       .agg(min("node").as("n1"), max("node").as("n2"))
     val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
       col("nrm").as("cn"))
-    val h0 = qs.crossJoin(broadcast(low2))
+    val h0 = qs.crossJoin(broadcast(low2)) // two-scalar broadcast
       .withColumn("cur",
         when(col("query_id") === col("n1"), col("n2")).otherwise(col("n1")))
       .join(en, "cur")
-      .select(col("query_id"), col("qq"), col("qn"), col("cur"),
+      .select(col("query_id"), col("qq"), col("qn"), col("cur").as("entry_id"),
+        col("cur"),
         (dotQ(col("qq"), col("cq")).cast("double") /
-          sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"))
+          sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"),
+        lit(0L).as("moves"))
+    (e, g2, h0)
+  }
+
+  /** Rank-1 brute truth shared by the graph family's reconciliations. */
+  private def bruteTruth(s: SparkSession, dir: String): DataFrame =
+    knnBruteCosine(s, dir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
+        col("cos").as("true_cos"))
+
+  private def annGraphBeamSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (e, g2, h0full) = graphServeParts(s, dir)
+    val h0 = h0full.select("query_id", "qq", "qn", "cur", "ccos")
     def runBeam(b: Int): DataFrame = {
       var hb = h0
       for (_ <- 1 to graphHops) {
@@ -1013,11 +1094,8 @@ object SimilarityOps {
           col("cur").as("final_id"), col("ccos").as("final_cos"),
           col("n_states"))
     }
-    val nn = knnBruteCosine(s, dir).filter(col("rk") === 1)
-      .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
-        col("cos").as("true_cos"))
     beamWidths.map(runBeam).reduce(_ unionByName _)
-      .join(nn, "query_id")
+      .join(bruteTruth(s, dir), "query_id")
       .select(col("beam_width"), col("query_id"), col("final_id"),
         col("final_cos"), col("true_nn_id"),
         (col("final_id") === col("true_nn_id")).as("found_exact"),
@@ -1026,10 +1104,6 @@ object SimilarityOps {
   }
 
   private val annGraphBeamSweepSql = {
-    def cosSql(q1: String, n1: String, q2: String, n2: String) =
-      s"CAST(CAST(list_sum(list_transform(range(len($q1)), " +
-        s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
-        s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
     val chains = beamWidths.map { b =>
       val hops = (1 to graphHops).map { k =>
         s"""b${b}h$k AS (
@@ -1037,7 +1111,7 @@ object SimilarityOps {
            |    SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY ncos DESC, nbr) AS rk
            |    FROM (SELECT DISTINCT h.query_id, h.qq, h.qn, c.nbr,
-           |            ${cosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+           |            ${graphCosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
            |          FROM b${b}h${k - 1} h JOIN g2 c ON c.node = h.cur
            |          JOIN e ON e.vec_id = c.nbr
            |          WHERE c.nbr <> h.query_id))
@@ -1055,42 +1129,8 @@ object SimilarityOps {
          |  WHERE frk = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH $lshBandsCtes,
-       |p0 AS (
-       |  SELECT a.vec_id a_id, b.vec_id b_id,
-       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
-       |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-       |  GROUP BY 1, 2),
-       |pc AS (SELECT a_id, b_id, ${cosSql("qa", "na", "qb", "nb")} AS cos
-       |       FROM p0),
-       |ed AS (SELECT a_id AS node, b_id AS nbr, cos FROM pc
-       |       UNION ALL SELECT b_id, a_id, cos FROM pc),
-       |g AS (SELECT node, nbr FROM (
-       |        SELECT node, nbr, row_number() OVER (PARTITION BY node
-       |          ORDER BY cos DESC, nbr) AS rk FROM ed)
-       |      WHERE rk <= $graphDegree),
-       |g2 AS (SELECT node, nbr FROM g
-       |       UNION ALL SELECT DISTINCT node, node FROM g),
-       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
-       |       WHERE vec_id < 5),
-       |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
-       |           SELECT DISTINCT node FROM g2 ORDER BY node LIMIT 2)),
-       |h0 AS (
-       |  SELECT q.query_id, q.qq, q.qn, e.vec_id AS cur,
-       |    ${cosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos
-       |  FROM qs q CROSS JOIN low2 l
-       |  JOIN e ON e.vec_id =
-       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |$graphServeCtes,
        |$chains,
-       |tp AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${cosSql("a.q", "a.nrm", "b.q", "b.nrm")} AS cos
-       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
-       |nn AS (SELECT query_id, neighbor_id AS true_nn_id
-       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
-       |       WHERE rk = 1),
        |allb AS (${beamWidths.map(b => s"SELECT * FROM f$b")
                     .mkString(" UNION ALL ")})
        |SELECT beam_width, query_id, final_id, final_cos, true_nn_id,
@@ -2138,48 +2178,15 @@ object SimilarityOps {
 
   private def annGraphGreedyAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val e = quantizedBase(s, dir)
-    val p = annLshCosine(s, dir)
-    val ed = p.select(col("a_id").as("node"), col("b_id").as("nbr"), col("cos"))
-      .unionByName(
-        p.select(col("b_id").as("node"), col("a_id").as("nbr"), col("cos")))
-    val g = ed
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
-      .filter(col("rk") <= graphDegree).select("node", "nbr")
-    val qs = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("nrm").as("qn"))
-    val low2 = g.select("node").distinct().orderBy("node").limit(2)
-      .agg(min("node").as("n1"), max("node").as("n2"))
     // "stay" is modeled as a SELF-LOOP candidate rather than a second
     // reference to the walk state: each hop then reads h exactly ONCE, so
     // the unrolled plan is linear (the first formulation referenced h
     // twice per hop — 2^hops copies of the walk subtree, measured 8.8 s
     // of pure stage overhead on 5 rows). Ranking (ncos DESC, self-first,
     // nbr ASC) is exactly "move only on strict improvement": a neighbor
-    // tying the current cosine ranks below the self candidate. The graph
-    // is node·degree-sized and read once per hop — session-cached (keyed
-    // by the LSH knobs, like the pair relation it derives from) so the
-    // three hops and repeated runs scan one materialization.
-    val g2 = Util.cachedRelation(s, dir, "greedyGraph",
-      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
-      g.unionByName(
-        g.select(col("node")).distinct()
-          .select(col("node"), col("node").as("nbr")))
-    }
-    val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
-      col("nrm").as("cn"))
-    var h = qs.crossJoin(broadcast(low2)) // two-scalar broadcast
-      .withColumn("cur",
-        when(col("query_id") === col("n1"), col("n2")).otherwise(col("n1")))
-      .join(en, "cur")
-      .select(col("query_id"), col("qq"), col("qn"), col("cur").as("entry_id"),
-        col("cur"),
-        (dotQ(col("qq"), col("cq")).cast("double") /
-          sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"),
-        lit(0L).as("moves"))
+    // tying the current cosine ranks below the self candidate.
+    val (e, g2, h0) = graphServeParts(s, dir)
+    var h = h0
     for (_ <- 1 to graphHops) {
       val wH = Window.partitionBy("query_id")
         .orderBy(col("ncos").desc, (col("nbr") === col("cur0")).desc,
@@ -2200,10 +2207,7 @@ object SimilarityOps {
           (col("moves") +
             when(col("nbr") =!= col("cur0"), 1L).otherwise(0L)).as("moves"))
     }
-    val nn = knnBruteCosine(s, dir).filter(col("rk") === 1)
-      .select(col("query_id"), col("neighbor_id").as("true_nn_id"),
-        col("cos").as("true_cos"))
-    h.join(nn, "query_id")
+    h.join(bruteTruth(s, dir), "query_id")
       .select(col("query_id"), col("entry_id"), col("cur").as("final_id"),
         col("ccos").as("final_cos"), col("true_nn_id"), col("true_cos"),
         (col("cur") === col("true_nn_id")).as("found_exact"), col("moves"))
@@ -2211,18 +2215,15 @@ object SimilarityOps {
   }
 
   private val annGraphGreedyAuditSql = {
-    def cosSql(q1: String, n1: String, q2: String, n2: String) =
-      s"CAST(CAST(list_sum(list_transform(range(len($q1)), " +
-        s"i -> $q1[i+1]*$q2[i+1])) AS BIGINT) AS DOUBLE) " +
-        s"/ sqrt(CAST($n1*$n2 AS DOUBLE))"
     // hop blocks generated from the same 1..graphHops loop as the Spark
     // fold — the engines cannot drift structurally; like the Spark side,
-    // "stay" is the self-loop candidate so each hop reads h once
+    // "stay" is the self-loop candidate so each hop reads h once; the
+    // build/truth CTEs are the shared graphServeCtes
     val hops = (1 to graphHops).map { k =>
       s"""c$k AS (
          |  SELECT h.query_id, h.qq, h.qn, h.entry_id, h.cur AS cur0,
          |    h.moves, c.nbr,
-         |    ${cosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+         |    ${graphCosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
          |  FROM h${k - 1} h JOIN g2 c ON c.node = h.cur
          |  JOIN e ON e.vec_id = c.nbr
          |  WHERE c.nbr <> h.query_id),
@@ -2235,44 +2236,8 @@ object SimilarityOps {
         .stripMargin
     }.mkString(",\n")
     s"""WITH $lshBandsCtes,
-       |p0 AS (
-       |  SELECT a.vec_id a_id, b.vec_id b_id,
-       |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
-       |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-       |  GROUP BY 1, 2),
-       |pc AS (SELECT a_id, b_id, ${cosSql("qa", "na", "qb", "nb")} AS cos
-       |       FROM p0),
-       |ed AS (SELECT a_id AS node, b_id AS nbr, cos FROM pc
-       |       UNION ALL SELECT b_id, a_id, cos FROM pc),
-       |g AS (SELECT node, nbr FROM (
-       |        SELECT node, nbr, row_number() OVER (PARTITION BY node
-       |          ORDER BY cos DESC, nbr) AS rk FROM ed)
-       |      WHERE rk <= $graphDegree),
-       |g2 AS (SELECT node, nbr FROM g
-       |       UNION ALL SELECT DISTINCT node, node FROM g),
-       |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn FROM e
-       |       WHERE vec_id < 5),
-       |low2 AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
-       |           SELECT DISTINCT node FROM g ORDER BY node LIMIT 2)),
-       |h0 AS (
-       |  SELECT q.query_id, q.qq, q.qn,
-       |    e.vec_id AS entry_id, e.vec_id AS cur,
-       |    ${cosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
-       |    CAST(0 AS BIGINT) AS moves
-       |  FROM qs q CROSS JOIN low2 l
-       |  JOIN e ON e.vec_id =
-       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
-       |$hops,
-       |tp AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${cosSql("a.q", "a.nrm", "b.q", "b.nrm")} AS cos
-       |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
-       |nn AS (SELECT query_id, neighbor_id AS true_nn_id, cos AS true_cos
-       |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
-       |       WHERE rk = 1)
+       |$graphServeCtes,
+       |$hops
        |SELECT h.query_id, h.entry_id, h.cur AS final_id, h.ccos AS final_cos,
        |  nn.true_nn_id, nn.true_cos,
        |  h.cur = nn.true_nn_id AS found_exact, CAST(h.moves AS BIGINT) AS moves

@@ -59,20 +59,36 @@ object UnigramOps {
     length(bin(least(c, lit(2147483647L)) * least(c, lit(2147483647L))))
       .cast("long")
 
+  /** Trainer word-length ceiling. The string-table DP is O(len²) with
+    * heavy per-step string splitting, so an unbounded "word" (a
+    * pathological run of letters in a dirty crawl) would stall the whole
+    * stage — SentencePiece applies the same kind of length bound for the
+    * same reason. 64 chars is far beyond any natural-language word;
+    * longer runs are junk the trainer should not model. Applies to the
+    * batch universe, the oracle and the streaming twin identically. */
+  private val MaxWordLen = 64
+
   /** Corpus word frequencies — the BPE family's exact filter (lowercase
-    * ascii words, ≥ 2 chars) so the two tokenizer trainers are comparable
-    * on the same universe. Session-cached: this is the ONLY token-scale
-    * stage in the whole trainer, and the cold vocab build otherwise
-    * re-derives it once per union/ntot branch (plan audit counted five
-    * corpus scans; with the cache the trainer reads the corpus once and
-    * every downstream stage runs on the vocabulary-sized relation). */
+    * ascii words, ≥ 2 chars) plus the [[MaxWordLen]] DP bound, so the two
+    * tokenizer trainers are comparable on the same universe.
+    * Session-cached: this is the ONLY token-scale stage in the whole
+    * trainer, and the cold vocab build otherwise re-derives it once per
+    * union/ntot branch (plan audit counted five corpus scans; with the
+    * cache the trainer reads the corpus once and every downstream stage
+    * runs on the vocabulary-sized relation). */
   private def wordFreq(s: SparkSession, dir: String): DataFrame =
     cachedRelation(s, dir, "unigramWords", "") {
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
-        .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .where(col("word").rlike("^[a-z]+$") &&
+          length(col("word")).between(2, MaxWordLen))
         .groupBy("word").agg(count(lit(1)).as("freq"))
     }
+
+  /** The stream-side twin of [[wordFreq]]'s universe filter — one
+    * definition so the gates cannot drift. */
+  def wordUniverseFilter(word: Column): Column =
+    word.rlike("^[a-z]+$") && length(word).between(2, MaxWordLen)
 
   /** All (start, len ≤ MaxPiece) substrings of the vocabulary, weighted by
     * word corpus frequency. */
@@ -104,6 +120,16 @@ object UnigramOps {
             .as("cost"))
     }
 
+  /** Saturation ceilings for the two fixed-width fields: without them a
+    * pathological word (≥ ~9 200 chars of all-sentinel pieces, or ≥ 10⁴
+    * pieces) would overflow its lpad width and TRUNCATE — silently
+    * breaking the lexicographic-order-is-cost-order invariant. Saturated
+    * paths compare equal on the saturated field and fall through to the
+    * next tie-break field, which is the right semantics for
+    * "infinitely bad either way". */
+  private val CostCeil = 999999999999L
+  private val NCeil = 9999L
+
   /** One Viterbi candidate: extend best[i−j] with the j-char piece ending
     * at i. `stepCost(i, j)` abstracts where the piece cost comes from (the
     * batch dense array vs the stream's broadcast map) so the two callers
@@ -116,9 +142,10 @@ object UnigramOps {
     val rows = split(acc, "\\|")
     val prev = element_at(rows, greatest(i - lit(j) + 1, lit(1)))
     val enc = concat(
-      lpad((substring(prev, 1, 12).cast("long") + stepCost(i, j))
-        .cast("string"), 12, "0"),
-      lpad((substring(prev, 13, 4).cast("long") + 1).cast("string"), 4, "0"),
+      lpad(least(substring(prev, 1, 12).cast("long") + stepCost(i, j),
+        lit(CostCeil)).cast("string"), 12, "0"),
+      lpad(least(substring(prev, 13, 4).cast("long") + 1, lit(NCeil))
+        .cast("string"), 4, "0"),
       prev.substr(lit(17), length(prev)),
       lit("·"), word.substr(i - lit(j) + 1, lit(j)))
     when(lit(j) <= i, enc).otherwise(lit("Z")) // 'Z' sorts after any digit
@@ -265,10 +292,10 @@ object UnigramOps {
     // with whitespace + '|'
     Seq(
       s"CASE WHEN $j <= CAST(x AS INT) THEN",
-      s"  lpad(CAST(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 1, 12) AS BIGINT)",
-      s"    + costs[(CAST(x AS INT) - $j) * $MaxPiece + $j] AS VARCHAR), 12, '0') ||",
-      s"  lpad(CAST(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 13, 4) AS BIGINT)",
-      s"    + 1 AS VARCHAR), 4, '0') ||",
+      s"  lpad(CAST(least(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 1, 12) AS BIGINT)",
+      s"    + costs[(CAST(x AS INT) - $j) * $MaxPiece + $j], $CostCeil) AS VARCHAR), 12, '0') ||",
+      s"  lpad(CAST(least(CAST(substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 13, 4) AS BIGINT)",
+      s"    + 1, $NCeil) AS VARCHAR), 4, '0') ||",
       s"  substr(string_split(acc, '|')[CAST(x AS INT) - $j + 1], 17) ||",
       s"  '·' || substr(word, CAST(x AS INT) - $j + 1, $j)",
       s"ELSE 'Z' END").mkString("\n")
@@ -281,7 +308,8 @@ object UnigramOps {
     s"""wf AS (
        |  SELECT word, COUNT(*) AS freq FROM (
        |      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |    AND length(word) BETWEEN 2 AND $MaxWordLen
        |  GROUP BY word),
        |pc AS (
        |  SELECT substr(word, CAST(s AS INT), CAST(p AS INT)) AS piece,

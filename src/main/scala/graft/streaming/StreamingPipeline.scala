@@ -522,7 +522,10 @@ object StreamingPipeline {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      // the shared universe filter includes the trainer's word-length
+      // ceiling: the DP is O(len²), so an unbounded junk run of letters
+      // must not reach it (batch, oracle and stream share one definition)
+      .where(graft.queries.UnigramOps.wordUniverseFilter(col("word")))
       .crossJoin(broadcast(vocabRow)) // static side is ONE row
       .select(Seq(col("doc_id"), col("word")) ++
         graft.queries.UnigramOps.segmentWithMap(col("word"), col("vmap")): _*)

@@ -10,7 +10,17 @@ import graft.{SparkEntry, SparkSpec}
   * per-round plan audits check by hand, for every query at once, so a
   * future edit that drops a broadcast hint (or re-derives a join key into
   * non-equi form) fails CI instead of surfacing as a 100× blowup in
-  * SCALECHECK. Planning only — no query executes. */
+  * SCALECHECK.
+  *
+  * Known limits (review finding): construction is planning-only for the
+  * declarative queries, but the trainer-backed ones (bpe_*,
+  * tokenizer_fertility via the BPE cache, kmeans_train_rounds) RUN their
+  * driver loops at construction — this sweep therefore also costs their
+  * (session-cached, sf0.001-sized) training time — and for those the
+  * final plan is a local relation of collected rows, so their per-round
+  * INNER plans are not inspectable here; the scalar broadcasts inside
+  * those loops are covered by their own specs' runtimes instead (a
+  * cartesian there would blow the suite's time budget loudly). */
 class PlanGuardSpec extends SparkSpec {
 
   test("no query plans CartesianProductExec (full surface, sf0.001)") {

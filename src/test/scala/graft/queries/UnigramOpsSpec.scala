@@ -117,6 +117,30 @@ class UnigramOpsSpec extends SparkSpec {
     for ((p, _, _, c, _) <- step(dir)) assert(cost(p) == c)
   }
 
+  test("word-length ceiling: the O(len²) DP never sees unbounded junk runs") {
+    import org.apache.spark.sql.functions._
+    // the universe filter bounds the DP input (batch, oracle and stream
+    // share the definition): a 65-char run is out, a 64-char one is in
+    // and lands at the worst-case all-sentinel cost — comfortably inside
+    // the 12-digit field (the lpad saturation ceilings stay as
+    // defense-in-depth for direct library calls with uncapped words)
+    val words = spark.range(1).select(
+      explode(array(lit("q" * 64), lit("q" * 65), lit("ab"))).as("word"))
+    val kept = words
+      .where(graft.queries.UnigramOps.wordUniverseFilter(col("word")))
+      .collect().map(_.getString(0))
+    assert(kept.toSet == Set("q" * 64, "ab"))
+    val df = spark.range(1).select(
+      lit("q" * 64).as("word"),
+      map_from_entries(array().cast("array<struct<piece:string,cost:bigint>>"))
+        .as("vmap"))
+    val out = df.select(
+      graft.queries.UnigramOps.segmentWithMap(col("word"), col("vmap")): _*)
+      .collect().head
+    assert(out.getAs[Long]("cost_millibits") == 16L * 1000000000L)
+    assert(out.getAs[Long]("n_pieces") == 16L) // 64 / 4-char pieces
+  }
+
   private def fert(dir: String) =
     SparkEntry.queries("tokenizer_fertility")(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),

@@ -1037,7 +1037,7 @@ class StreamingPipelineSpec extends SparkSpec {
     // occurrence-grain parity: one streamed row per qualifying batch word
     val nQualifying = corpus
       .selectExpr("explode(split(text, ' ')) AS w")
-      .where("w rlike '^[a-z]+$' AND length(w) >= 2").count()
+      .where("w rlike '^[a-z]+$' AND length(w) BETWEEN 2 AND 64").count()
     assert(streamed.length.toLong == nQualifying)
 
     // OOV contract on a planted vocab: chars e/f are outside the ab/cd
