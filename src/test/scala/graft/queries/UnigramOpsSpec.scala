@@ -50,51 +50,12 @@ class UnigramOpsSpec extends SparkSpec {
       ("cd", 1L, 1L, 5000L, "cd")))
   }
 
-  /** Plain-Scala replay of the whole trainer: word freqs, piece counts,
-    * capped vocab, half-bit costs, then exhaustive segmentation search with
-    * the string-encoding's exact tie-break order. */
-  private def bruteForce(words: Seq[String])
-      : (Map[String, Long], Map[String, (Long, Long, String)]) = {
-    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
-    val pieceCnt = collection.mutable.Map.empty[String, Long]
-    for ((w, f) <- freq; s <- 0 until w.length;
-         p <- 1 to math.min(4, w.length - s))
-      pieceCnt(w.substring(s, s + p)) =
-        pieceCnt.getOrElse(w.substring(s, s + p), 0L) + f
-    val multi = pieceCnt.filter(_._1.length > 1).toSeq
-      .sortBy { case (p, c) => (-c, p) }.take(500)
-    val vocab = (pieceCnt.filter(_._1.length == 1).toSeq ++ multi).toMap
-    val n = vocab.values.sum
-    def halfBits(c: Long): Long =
-      java.lang.Long.toBinaryString(
-        math.min(c, 2147483647L) * math.min(c, 2147483647L)).length.toLong
-    val cost = vocab.map { case (p, c) => p -> 500L * (halfBits(n) - halfBits(c)) }
-    def best(w: String): (Long, Long, String) = {
-      def all(i: Int): Seq[List[String]] =
-        if (i == w.length) Seq(Nil)
-        else for {
-          p <- (1 to math.min(4, w.length - i)).toSeq
-          piece = w.substring(i, i + p)
-          if cost.contains(piece)
-          rest <- all(i + p)
-        } yield piece :: rest
-      val m = all(0).map { ps =>
-        val c = ps.map(cost).sum
-        (f"$c%012d" + f"${ps.size}%04d" + ps.mkString("·"),
-          c, ps.size.toLong, ps.mkString("·"))
-      }.minBy(_._1) // the engine's exact string-encoded tie-break
-      (m._2, m._3, m._4)
-    }
-    (cost, freq.map { case (w, _) => w -> best(w) })
-  }
-
   test("sf0.001: Viterbi output equals exhaustive-search recount") {
     val dir = "/root/testdata/sf0.001"
     val words = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("explode(split(text, ' ')) AS w").collect()
-      .map(_.getString(0)).filter(w => w != null && w.matches("^[a-z]+$") &&
-        w.length >= 2).toSeq
-    val (cost, bf) = bruteForce(words)
+      .map(_.getString(0)).toSeq
+    val (cost, bf) = UnigramTestOracle.train(words)
     val got = segs(dir)
     assert(got.nonEmpty && got.length <= 30)
     // top-30 is the full vocab here (sf0.001 has ~30 distinct words)
@@ -105,7 +66,8 @@ class UnigramOpsSpec extends SparkSpec {
         s"$w: got ($c,$n,$seg) brute ($bc,$bn,$bseg)")
     }
     // EM counts: piece usage re-aggregated from the brute-force segs
-    val freq = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val freq = UnigramTestOracle.universe(words).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
     val emCnt = collection.mutable.Map.empty[String, Long]
     for ((w, f) <- freq; p <- bf(w)._3.split('·'))
       emCnt(p) = emCnt.getOrElse(p, 0L) + f

@@ -417,6 +417,44 @@ class StreamingFuzzParitySpec extends SparkSpec {
     * cosine is bit-reproducible in the JVM recount. Ids 1-9 are forced
     * valid so the fixed quantizer rule (vec_id < 10, % 5 != 0) has its 8
     * centroids. */
+  for (seed <- Seq(515, 616)) {
+    test(s"fuzz seed $seed: unigramSegmentStream equals the JVM Viterbi recount on a dirty corpus") {
+      val root = Files.createTempDirectory(s"unifuzz$seed")
+      val docsSeq = dirtyDocs(seed, 200)
+      docsSeq.toDF("doc_id", "text")
+        .write.parquet(root.resolve("documents.parquet").toString)
+      val dir = root.toString
+      val corpus = spark.read
+        .parquet(root.resolve("documents.parquet").toString)
+      val vocabRow = graft.queries.UnigramOps.vocabCostRow(spark, dir)
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.unigramSegmentStream(
+          spark.readStream.schema(corpus.schema)
+            .parquet(root.resolve("documents.parquet").toString),
+          vocabRow), s"unifuzz$seed")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word"),
+          r.getAs[Long]("cost_millibits"), r.getAs[Long]("n_pieces"),
+          r.getAs[String]("seg"))).toSeq
+      // independent JVM recount: train on the full dirty corpus (the
+      // vocab row's own universe), then exhaustive-search every
+      // qualifying word occurrence — NULL/empty/unicode/uppercase and
+      // over-length docs must be dropped identically by both sides
+      val allWords = docsSeq.flatMap { case (_, t) =>
+        Option(t).toSeq.flatMap(_.split(" ")) }
+      val (_, bests) = graft.queries.UnigramTestOracle.train(allWords)
+      val expected = docsSeq.flatMap { case (id, t) =>
+        Option(t).toSeq.flatMap(_.split(" "))
+          .filter(w =>
+            graft.queries.UnigramTestOracle.universe(Seq(w)).nonEmpty)
+          .map { w =>
+            val (c, n, seg) = bests(w); (id, w, c, n, seg) }
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed.sorted == expected.sorted)
+    }
+  }
+
   private def dirtyVecs(seed: Int, n: Int): Seq[(Long, Array[Float])] = {
     val rnd = new scala.util.Random(seed)
     def clean(): Array[Float] = {
