@@ -1064,11 +1064,30 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val (e, g2, h0full) = graphServeParts(s, dir)
     val h0 = h0full.select("query_id", "qq", "qn", "cur", "ccos")
+    val wB = Window.partitionBy("query_id")
+      .orderBy(col("ncos").desc, col("nbr"))
+    // hop 1's candidate pool is BEAM-INDEPENDENT (all widths expand the
+    // same single entry state), so the ranked pool is computed once and
+    // session-cached; each width just cuts rk ≤ b from it. No distinct
+    // needed at this hop: one state per query × g2's distinct neighbors.
+    val hop1 = Util.cachedRelation(s, dir, "graphHop1",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      h0
+        .join(g2, col("node") === col("cur"))
+        .filter(col("nbr") =!= col("query_id"))
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+          col("nrm").as("nn")), "nbr")
+        .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
+          sqrt((col("qn") * col("nn")).cast("double")))
+        .select(col("query_id"), col("qq"), col("qn"), col("nbr"),
+          col("ncos"))
+        .withColumn("rk", row_number().over(wB))
+    }
     def runBeam(b: Int): DataFrame = {
-      var hb = h0
-      for (_ <- 1 to graphHops) {
-        val wB = Window.partitionBy("query_id")
-          .orderBy(col("ncos").desc, col("nbr"))
+      var hb = hop1.filter(col("rk") <= b)
+        .select(col("query_id"), col("qq"), col("qn"),
+          col("nbr").as("cur"), col("ncos").as("ccos"))
+      for (_ <- 2 to graphHops) {
         hb = hb
           .join(g2, col("node") === col("cur"))
           .filter(col("nbr") =!= col("query_id"))
@@ -1104,8 +1123,19 @@ object SimilarityOps {
   }
 
   private val annGraphBeamSweepSql = {
+    // hop 1 is beam-independent (every width expands the same entry
+    // state): ONE ranked pool CTE, each width cuts rk <= b from it —
+    // mirrors the session-cached hop1 relation on the Spark side
+    val hop1 =
+      s"""c1s AS (SELECT h.query_id, h.qq, h.qn, c.nbr,
+         |          ${graphCosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+         |        FROM h0 h JOIN g2 c ON c.node = h.cur
+         |        JOIN e ON e.vec_id = c.nbr
+         |        WHERE c.nbr <> h.query_id),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY ncos DESC, nbr) AS rk FROM c1s)""".stripMargin
     val chains = beamWidths.map { b =>
-      val hops = (1 to graphHops).map { k =>
+      val hops = (2 to graphHops).map { k =>
         s"""b${b}h$k AS (
            |  SELECT query_id, qq, qn, nbr AS cur, ncos AS ccos FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1117,7 +1147,8 @@ object SimilarityOps {
            |          WHERE c.nbr <> h.query_id))
            |  WHERE rk <= $b)""".stripMargin
       }.mkString(",\n")
-      s"""b${b}h0 AS (SELECT query_id, qq, qn, cur, ccos FROM h0),
+      s"""b${b}h1 AS (SELECT query_id, qq, qn, nbr AS cur, ncos AS ccos
+         |           FROM r1 WHERE rk <= $b),
          |$hops,
          |f$b AS (
          |  SELECT CAST($b AS BIGINT) AS beam_width, query_id,
@@ -1130,6 +1161,7 @@ object SimilarityOps {
     }.mkString(",\n")
     s"""WITH $lshBandsCtes,
        |$graphServeCtes,
+       |$hop1,
        |$chains,
        |allb AS (${beamWidths.map(b => s"SELECT * FROM f$b")
                     .mkString(" UNION ALL ")})
