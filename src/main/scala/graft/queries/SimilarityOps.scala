@@ -446,7 +446,11 @@ object SimilarityOps {
        |sigs AS (SELECT vec_id, q, nrm, $sig0 AS sig0, $sig1 AS sig1 FROM e),
        |bands AS (
        |  SELECT vec_id, q, nrm, 0 AS band, sig0 AS sig FROM sigs
-       |  UNION ALL SELECT vec_id, q, nrm, 1, sig1 FROM sigs)""".stripMargin
+       |  UNION ALL SELECT vec_id, q, nrm, 1, sig1 FROM sigs),
+       |okb AS (
+       |  SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= $maxLshBucketDefault),
+       |bandsok AS (SELECT bands.* FROM bands JOIN okb USING (band, sig))""".stripMargin
   }
 
   private val annLshCosineSql =
@@ -454,7 +458,7 @@ object SimilarityOps {
        |cand AS (
        |  SELECT a.vec_id a_id, b.vec_id b_id, COUNT(*) AS n_shared_bands,
        |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na, ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
-       |  FROM bands a JOIN bands b
+       |  FROM bandsok a JOIN bandsok b
        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2)
        |SELECT a_id, b_id, n_shared_bands,
@@ -972,13 +976,16 @@ object SimilarityOps {
     * for): LSH candidate pairs → symmetric edges → top-degree graph →
     * self-loops → query set, entry rule, start state h0 (entry_id and a
     * zeroed moves column ride along; the beam chains simply don't select
-    * them) and the rank-1 brute truth `nn`. */
+    * them) and the rank-1 brute truth `nn`. Candidate pairs come from
+    * `bandsok` — the maxLshBucket-capped band relation — so the oracle
+    * graph mirrors the engine graph (which rides annLshCosine's capped
+    * pair relation) even on a corpus where a bucket overflows the cap. */
   private val graphServeCtes =
     s"""p0 AS (
        |  SELECT a.vec_id a_id, b.vec_id b_id,
        |    ANY_VALUE(a.q) qa, ANY_VALUE(a.nrm) na,
        |    ANY_VALUE(b.q) qb, ANY_VALUE(b.nrm) nb
-       |  FROM bands a JOIN bands b
+       |  FROM bandsok a JOIN bandsok b
        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2),
        |pc AS (SELECT a_id, b_id, ${graphCosSql("qa", "na", "qb", "nb")} AS cos

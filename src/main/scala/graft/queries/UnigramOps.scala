@@ -256,9 +256,17 @@ object UnigramOps {
     * train on) — and it rides BOTH session-cached training states
     * (TextOps.bpeFinalState, [[viterbiRel]]), so the comparison costs one
     * (source, word) map-side count plus two vocabulary-sized joins.
-    * n_words/n_char_tokens/n_bpe_tokens reconcile exactly with
-    * `bpe_compression` (UnigramOpsSpec pins it), n_uni_pieces adds the
-    * unigram column; fertilities are the suite's exact-milli floors. */
+    *
+    * Universe: [[wordUniverseFilter]] — the TRAINED universe, i.e. the
+    * BPE filter plus the [[MaxWordLen]] DP bound, stated explicitly in
+    * the occurrence count (not left implicit in the inner join with the
+    * length-bounded unigram state). On corpora whose lowercase words all
+    * fit [[MaxWordLen]] (every sf corpus does), n_words/n_char_tokens/
+    * n_bpe_tokens reconcile exactly with `bpe_compression`, whose
+    * universe has no length bound; a longer junk word counts there but
+    * is excluded here — UnigramOpsSpec pins both the reconciliation and
+    * that bounded divergence. n_uni_pieces adds the unigram column;
+    * fertilities are the suite's exact-milli floors. */
   private def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
     val nsym = graft.queries.TextOps.bpeFinalState(s, dir)
       .select(col("word"), size(split(col("s"), "·")).as("n_sym"))
@@ -266,7 +274,7 @@ object UnigramOps {
     val occ = t(s, dir, "documents")
       .select(coalesce(col("source"), lit("")).as("source"),
         explode(split(col("text"), " ")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .where(wordUniverseFilter(col("word")))
       .groupBy("source", "word").agg(count(lit(1)).as("occ"))
     occ.join(nsym, "word").join(nuni, "word")
       .groupBy("source").agg(
@@ -384,8 +392,9 @@ object UnigramOps {
        |FROM vit ORDER BY freq DESC, word LIMIT 30""".stripMargin
 
   /** Both trainers' CTE chains compose in one WITH (disjoint CTE names);
-    * the occurrence count repeats the corpus-side filter exactly as
-    * bpeCompressionSql does. */
+    * the occurrence count states the TRAINED universe — the BPE corpus
+    * filter plus the [[MaxWordLen]] bound — mirroring
+    * [[wordUniverseFilter]] exactly. */
   private val tokenizerFertilitySql =
     s"""WITH ${graft.queries.TextOps.bpeCtes},
        |$unigramSqlCtes,
@@ -394,7 +403,8 @@ object UnigramOps {
        |  SELECT COALESCE(source, '') AS source, word, COUNT(*) AS occ
        |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
        |        FROM documents)
-       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |    AND length(word) BETWEEN 2 AND $MaxWordLen
        |  GROUP BY 1, 2)
        |SELECT source,
        |  CAST(SUM(occ) AS BIGINT) AS n_words,

@@ -129,6 +129,29 @@ class UnigramOpsSpec extends SparkSpec {
       ("srcB", 5L, 10L, 5L, 5L, 1000L, 1000L)))
   }
 
+  test("tokenizer_fertility universe is MaxWordLen-bounded: a >64-char " +
+      "word counts in bpe_compression but not here") {
+    val dir = java.nio.file.Files.createTempDirectory("unil").toString
+    import spark.implicits._
+    // srcA: ab x5 plus ONE 65-char junk run (a x65). The junk word is
+    // inside bpe_compression's unbounded universe (n_words = 6,
+    // n_char_tokens = 10 + 65) but outside the trained MaxWordLen = 64
+    // universe the fertility report measures (n_words = 5).
+    val junk = "a" * 65
+    val docs = (1L to 5L).map(i => (i, "ab")) ++ Seq((6L, junk))
+    docs.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val f = fert(dir).toSeq
+    assert(f.map(r => (r._1, r._2, r._3)) == Seq(("srcA", 5L, 10L)),
+      s"fertility must exclude the $junk word: $f")
+    val b = SparkEntry.queries("bpe_compression")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_char_tokens"))).toSeq
+    assert(b == Seq(("srcA", 6L, 75L)),
+      s"bpe_compression's unbounded universe must keep it: $b")
+  }
+
   test("tokenizer_fertility reconciles with bpe_compression on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val f = fert(dir).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
