@@ -956,9 +956,14 @@ object SimilarityOps {
     * Beam-1 differs from the greedy audit ONLY in the tie rule (pure
     * (cos, node) ranking vs the walk's stay-on-tie), so its final COSINE
     * is pinned equal to the greedy audit's in GraphGreedySpec — the
-    * curves reconcile while each keeps its canonical semantics. Each
-    * width is its own unrolled single-reference chain (the linearization
-    * lesson); all three ride the session-cached graph relation. */
+    * curves reconcile while each keeps its canonical semantics. All
+    * three widths run as ONE unrolled single-reference chain with the
+    * beam width as a DATA column (seeded by exploding the shared hop-1
+    * pool, ranked per (bw, query) with rk ≤ bw): per-width chains cost
+    * 3× the hop stages for identical results — the same
+    * branches-as-data linearization lesson as the greedy walk, applied
+    * across the sweep dimension. The oracle keeps its per-width CTE
+    * chains (generated from the same loop; DuckDB CTEs are cheap). */
   private val beamWidths = Seq(1, 2, 3)
 
   /** SQL cosine between two quantized (q, nrm) pairs — the graph family's
@@ -1071,7 +1076,9 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val (e, g2, h0full) = graphServeParts(s, dir)
     val h0 = h0full.select("query_id", "qq", "qn", "cur", "ccos")
-    val wB = Window.partitionBy("query_id")
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("ncos").desc, col("nbr"))
+    val wB = Window.partitionBy("bw", "query_id")
       .orderBy(col("ncos").desc, col("nbr"))
     // hop 1's candidate pool is BEAM-INDEPENDENT (all widths expand the
     // same single entry state), so the ranked pool is computed once and
@@ -1088,39 +1095,42 @@ object SimilarityOps {
           sqrt((col("qn") * col("nn")).cast("double")))
         .select(col("query_id"), col("qq"), col("qn"), col("nbr"),
           col("ncos"))
+        .withColumn("rk", row_number().over(wQ))
+    }
+    // ONE chain for all widths: bw is a data column, the shared ranked
+    // hop-1 pool seeds every width via rk <= bw, each hop references the
+    // state once and ranks per (bw, query_id)
+    var hb = hop1
+      .withColumn("bw", explode(typedLit(beamWidths.map(_.toLong))))
+      .filter(col("rk") <= col("bw"))
+      .select(col("bw"), col("query_id"), col("qq"), col("qn"),
+        col("nbr").as("cur"), col("ncos").as("ccos"))
+    for (_ <- 2 to graphHops) {
+      hb = hb
+        .join(g2, col("node") === col("cur"))
+        .filter(col("nbr") =!= col("query_id"))
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+          col("nrm").as("nn")), "nbr")
+        .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
+          sqrt((col("qn") * col("nn")).cast("double")))
+        .select(col("bw"), col("query_id"), col("qq"), col("qn"),
+          col("nbr"), col("ncos"))
+        .distinct() // path-independent: dedup (bw, query, node)
         .withColumn("rk", row_number().over(wB))
-    }
-    def runBeam(b: Int): DataFrame = {
-      var hb = hop1.filter(col("rk") <= b)
-        .select(col("query_id"), col("qq"), col("qn"),
+        .filter(col("rk") <= col("bw"))
+        .select(col("bw"), col("query_id"), col("qq"), col("qn"),
           col("nbr").as("cur"), col("ncos").as("ccos"))
-      for (_ <- 2 to graphHops) {
-        hb = hb
-          .join(g2, col("node") === col("cur"))
-          .filter(col("nbr") =!= col("query_id"))
-          .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
-            col("nrm").as("nn")), "nbr")
-          .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
-            sqrt((col("qn") * col("nn")).cast("double")))
-          .select(col("query_id"), col("qq"), col("qn"), col("nbr"),
-            col("ncos")).distinct() // path-independent: dedup (query, node)
-          .withColumn("rk", row_number().over(wB))
-          .filter(col("rk") <= b)
-          .select(col("query_id"), col("qq"), col("qn"),
-            col("nbr").as("cur"), col("ncos").as("ccos"))
-      }
-      val wF = Window.partitionBy("query_id")
-        .orderBy(col("ccos").desc, col("cur"))
-      hb
-        .withColumn("n_states", count(lit(1)).over(
-          Window.partitionBy("query_id")))
-        .withColumn("frk", row_number().over(wF))
-        .filter(col("frk") === 1)
-        .select(lit(b.toLong).as("beam_width"), col("query_id"),
-          col("cur").as("final_id"), col("ccos").as("final_cos"),
-          col("n_states"))
     }
-    beamWidths.map(runBeam).reduce(_ unionByName _)
+    val wF = Window.partitionBy("bw", "query_id")
+      .orderBy(col("ccos").desc, col("cur"))
+    hb
+      .withColumn("n_states", count(lit(1)).over(
+        Window.partitionBy("bw", "query_id")))
+      .withColumn("frk", row_number().over(wF))
+      .filter(col("frk") === 1)
+      .select(col("bw").as("beam_width"), col("query_id"),
+        col("cur").as("final_id"), col("ccos").as("final_cos"),
+        col("n_states"))
       .join(bruteTruth(s, dir), "query_id")
       .select(col("beam_width"), col("query_id"), col("final_id"),
         col("final_cos"), col("true_nn_id"),
