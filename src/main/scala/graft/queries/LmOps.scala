@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Language-model perplexity filtering — the CCNet/Wenzek-et-al. quality
+  * gate every large pretraining pipeline runs: train a smoothed LM on a
+  * trusted reference slice, score EVERY document by its perplexity under
+  * that model, and bucket each source's documents into head/middle/tail
+  * terciles so downstream sampling can prefer the head. This differs from
+  * the corpus-statistical `word_bigram_surprisal` in exactly the ways the
+  * production gate differs from a frequency heuristic: an asymmetric
+  * train/score split (the model is trained ONLY on the `lang = 'en'`
+  * reference slice, standing in for CCNet's Wikipedia), Kneser–Ney
+  * smoothing with continuation-probability backoff for unseen events, and
+  * explicit OOV accounting.
+  *
+  * Model: interpolated bigram Kneser–Ney with the standard 0.75 absolute
+  * discount —
+  *   P(v|u) = max(c(u,v) − D, 0)/c(u) + λ(u)·P_cont(v),
+  *   λ(u)   = D·N1+(u·)/c(u),     P_cont(v) = N1+(·v)/N1+(··).
+  * Unseen context u backs off to P_cont(v) alone; an unseen word (no
+  * continuation mass) floors at 1 micro and is counted as OOV.
+  *
+  * Determinism contract (the suite's integer fixed-point discipline): all
+  * probabilities live in MICRO units with floor division at every step —
+  * term1 = (1000·max(1000·c(u,v) − 750, 0)) div c(u), λ_micro =
+  * (750000·N1+(u·)) div c(u), term2 = (λ_micro·pcont_micro) div 10⁶ —
+  * then clamp to [1, 10⁶] (the degenerate-corpus guard: floor sums can
+  * nominally exceed 1.0 on a near-single-word vocabulary). Bits use the
+  * family's libm-free floor-log₂, 1000·(len(bin 10⁶) − len(bin p)), so
+  * both engines agree bit-for-bit. Every division is guarded (cu > 0,
+  * n1all > 0) — ANSI mode turns an unguarded zero divide into a crash,
+  * and an empty training slice must degrade to all-OOV scoring, not fail.
+  *
+  * Scale shape (the tfidf/surprisal plan family): token-scale work is two
+  * map-side-combining hash aggregates — train (u,v) counts and score
+  * (doc,u,v) counts; every model relation is vocabulary-sized (Zipf) and
+  * joined by word keys at (doc, bigram) grain; the only broadcast is the
+  * single-row N1+(··) total. The train bigram-count relation feeds four
+  * consumers (pair counts, context stats, continuation stats, total) and
+  * the per-doc frame feeds two queries — both ride [[Util.cachedRelation]]
+  * per the repeated-subtree rule. Nothing is all-pairs; at 100 TB this is
+  * the same shuffle budget as tfidf_topk plus dimension-table joins. */
+object LmOps {
+
+  /** KN absolute discount in milli (0.75 — Chen & Goodman's default). */
+  private val KnDiscountMilli = 750
+
+  /** (doc_id, u, v, tf) for every adjacent word pair — the shared
+    * bigram-extraction shape of the surprisal family (raw split on ' ',
+    * no token filtering; NULL text and one-word docs contribute nothing
+    * on either engine). */
+  private def docBigrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> named_struct('u', a, 'v', b))")).as("g"))
+      .select(col("doc_id"), col("g.u").as("u"), col("g.v").as("v"))
+
+  /** Train-slice bigram counts c(u,v) — four consumers (context stats,
+    * continuation stats, the total, the score join), so session-cached. */
+  private def trainCounts(s: SparkSession, dir: String): DataFrame =
+    cachedRelation(s, dir, "knTrainCounts", "") {
+      docBigrams(t(s, dir, "documents").filter(col("lang") === "en"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    }
+
+  /** The micro-probability expression over joined model columns
+    * (cuv/cu/n1u/pcont, NULLs already coalesced); `div` is Spark's
+    * integer floor-for-nonnegatives division — the oracle mirrors it
+    * with `//`. */
+  private def pMicroExpr(idiv: String): String =
+    s"""CASE WHEN cu > 0 THEN least(greatest(
+       |    (1000 * greatest(1000 * cuv - $KnDiscountMilli, 0)) $idiv cu
+       |    + ((($KnDiscountMilli * 1000 * n1u) $idiv cu) * pcont) $idiv 1000000,
+       |  1), 1000000)
+       |ELSE least(greatest(pcont, 1), 1000000) END""".stripMargin
+
+  /** Per-doc KN frame (doc_id, source, n_bigrams, n_oov_bigrams,
+    * kn_bits_milli) — shared by both queries, so session-cached. */
+  private def knFrame(s: SparkSession, dir: String): DataFrame =
+    cachedRelation(s, dir, "knPplFrame", "") {
+      val cb = trainCounts(s, dir)
+      val cu = cb.groupBy("u")
+        .agg(sum("cuv").as("cu"), count(lit(1)).as("n1u"))
+      val cv = cb.groupBy("v").agg(count(lit(1)).as("n1v"))
+      val nall = cb.agg(count(lit(1)).as("n1all"))
+      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val sb = docBigrams(d)
+        .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
+      val scored = sb
+        .join(cb, Seq("u", "v"), "left")
+        .join(cu, Seq("u"), "left")
+        .join(cv, Seq("v"), "left")
+        .crossJoin(broadcast(nall)) // single-row total
+        .select(col("doc_id"), col("tf"),
+          coalesce(col("cuv"), lit(0L)).as("cuv"),
+          coalesce(col("cu"), lit(0L)).as("cu"),
+          coalesce(col("n1u"), lit(0L)).as("n1u"),
+          coalesce(col("n1v"), lit(0L)).as("n1v"),
+          col("n1all"))
+        .withColumn("pcont", expr(
+          "CASE WHEN n1all > 0 THEN (1000000 * n1v) div n1all ELSE 0 END"))
+        .withColumn("p_micro", expr(pMicroExpr("div")))
+        .withColumn("is_oov", col("n1v") === 0L || col("n1all") === 0L)
+        .withColumn("bits_milli", expr(
+          "1000 * (length(bin(1000000)) - length(bin(p_micro)))"))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          sum(when(col("is_oov"), col("tf")).otherwise(0L))
+            .as("n_oov_bigrams"),
+          expr("sum(tf * bits_milli) div sum(tf)").as("kn_bits_milli"))
+      d.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+        .join(perDoc, "doc_id")
+    }
+
+  /** One-row broadcastable KN model (the nbWeightsRow/ivfQuantizerRow
+    * collapse) for the streaming gate: pair counts keyed "u v", context
+    * stats u → (cu, n1u), continuation counts v → n1v, and the N1+(··)
+    * total — built from the SAME train-slice definition as the batch
+    * model. Model-sized (Zipf-bounded distinct train bigrams), so it
+    * broadcasts the way the NB weight map does. */
+  def knModelRow(docs: DataFrame): DataFrame = {
+    val cb = docBigrams(docs.filter(col("lang") === "en"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    val pm = cb.agg(
+      map_from_entries(collect_list(struct(
+        concat(col("u"), lit(" "), col("v")), col("cuv")))).as("pm"),
+      count(lit(1)).as("n1all"))
+    val cm = cb.groupBy("u")
+      .agg(sum("cuv").as("cu"), count(lit(1)).as("n1u"))
+      .agg(map_from_entries(collect_list(struct(col("u"),
+        struct(col("cu").as("cu"), col("n1u").as("n1u"))))).as("cm"))
+    val vm = cb.groupBy("v").agg(count(lit(1)).as("n1v"))
+      .agg(map_from_entries(collect_list(struct(col("v"), col("n1v"))))
+        .as("vm"))
+    pm.crossJoin(cm).crossJoin(vm)
+  }
+
+  /** Column-level twin of [[pMicroExpr]] for map-based lookups (the
+    * streaming gate): the (bits_milli, is_oov) pair for ONE bigram given
+    * its looked-up counts, under the identical micro fixed-point formula
+    * — div() here IS the batch expr's IntegralDivide, and
+    * StreamingPipelineSpec pins the stream twin to the batch output so
+    * the two renderings cannot drift. */
+  private[graft] def pairBits(cuv: Column, cu: Column, n1u: Column,
+      n1v: Column, n1all: Column): (Column, Column) = {
+    val pcont = when(n1all > 0,
+      call_function("div", lit(1000000L) * n1v, n1all)).otherwise(lit(0L))
+    val pRaw = when(cu > 0,
+      call_function("div", lit(1000L) *
+        greatest(lit(1000L) * cuv - lit(KnDiscountMilli.toLong), lit(0L)),
+        cu) +
+        call_function("div",
+          call_function("div", lit(1000L * KnDiscountMilli) * n1u, cu)
+            * pcont,
+          lit(1000000L)))
+      .otherwise(pcont)
+    val pMicro = least(greatest(pRaw, lit(1L)), lit(1000000L))
+    val bits = lit(1000L) *
+      (length(bin(lit(1000000L))) - length(bin(pMicro))).cast("long")
+    (bits, n1v === 0L || n1all === 0L)
+  }
+
+  private def knBigramPpl(s: SparkSession, dir: String): DataFrame =
+    knFrame(s, dir)
+      .select("doc_id", "n_bigrams", "n_oov_bigrams", "kn_bits_milli")
+      .orderBy("doc_id")
+
+  /** Shared oracle CTE chain: train slice → c(u,v) → context/continuation
+    * stats → per-(doc, bigram) scoring → per-doc frame with source. */
+  private def knCtes: String =
+    s"""tw AS (SELECT string_split(text, ' ') AS w FROM documents
+       |       WHERE lang = 'en'),
+       |tb AS (SELECT w[i+1] AS u, w[i+2] AS v
+       |       FROM tw, UNNEST(range(greatest(len(w) - 1, 0))) t(i)),
+       |cb AS (SELECT u, v, COUNT(*) AS cuv FROM tb GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(SUM(cuv) AS BIGINT) AS cu, COUNT(*) AS n1u
+       |       FROM cb GROUP BY 1),
+       |cv AS (SELECT v, COUNT(*) AS n1v FROM cb GROUP BY 1),
+       |nall AS (SELECT COUNT(*) AS n1all FROM cb),
+       |sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE doc_id IS NOT NULL),
+       |sb AS (SELECT doc_id, u, v, COUNT(*) AS tf FROM (
+       |         SELECT doc_id, w[i+1] AS u, w[i+2] AS v
+       |         FROM sw, UNNEST(range(greatest(len(w) - 1, 0))) t(i))
+       |       GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT doc_id, tf, n1v, n1all, is_oov,
+       |    1000 * (length(bin(1000000)) - length(bin(p_micro))) AS bits_milli
+       |  FROM (
+       |    SELECT doc_id, tf, n1v, n1all,
+       |      (n1v = 0 OR n1all = 0) AS is_oov,
+       |      ${pMicroExpr("//").replace("\n", "\n      ")} AS p_micro
+       |    FROM (
+       |      SELECT s.doc_id, s.tf,
+       |        COALESCE(cb.cuv, 0) AS cuv, COALESCE(cu.cu, 0) AS cu,
+       |        COALESCE(cu.n1u, 0) AS n1u, COALESCE(cv.n1v, 0) AS n1v,
+       |        nall.n1all,
+       |        CASE WHEN nall.n1all > 0
+       |          THEN (1000000 * COALESCE(cv.n1v, 0)) // nall.n1all
+       |          ELSE 0 END AS pcont
+       |      FROM sb s
+       |      LEFT JOIN cb ON cb.u = s.u AND cb.v = s.v
+       |      LEFT JOIN cu ON cu.u = s.u
+       |      LEFT JOIN cv ON cv.v = s.v
+       |      CROSS JOIN nall))),
+       |perdoc0 AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN is_oov THEN tf ELSE 0 END) AS BIGINT)
+       |      AS n_oov_bigrams,
+       |    CAST(SUM(tf * bits_milli) // SUM(tf) AS BIGINT) AS kn_bits_milli
+       |  FROM scored GROUP BY 1),
+       |perdoc AS (
+       |  -- aggregate FIRST, then attach source: a duplicated doc_id must
+       |  -- fan out the finished per-doc row (the Spark plan's shape), not
+       |  -- double the sums inside it
+       |  SELECT p.doc_id, COALESCE(d.source, '') AS source,
+       |    p.n_bigrams, p.n_oov_bigrams, p.kn_bits_milli
+       |  FROM perdoc0 p JOIN documents d USING (doc_id))""".stripMargin
+
+  private def knBigramPplSql: String =
+    s"""WITH $knCtes
+       |SELECT doc_id, n_bigrams, n_oov_bigrams, kn_bits_milli
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  /** CCNet head/middle/tail: per source, tercile-bucket the scored docs
+    * by (kn_bits_milli ASC, doc_id) — head = lowest perplexity — and
+    * report each bucket's volume and bits profile. ntile is deterministic
+    * under the total order (unique doc_id tiebreak) and both engines
+    * share its uneven-split rule (first buckets get the remainder). The
+    * bucket labels sort head < middle < tail alphabetically, so the
+    * output's (source, bucket) order is also the semantic order. */
+  private def ccnetPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("kn_bits_milli").asc, col("doc_id").asc)
+    knFrame(s, dir)
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle").otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum("n_oov_bigrams").as("n_oov_bigrams"),
+        expr("sum(kn_bits_milli) div count(1)").as("mean_bits_milli"),
+        max("kn_bits_milli").as("max_bits_milli"))
+      .orderBy("source", "bucket")
+  }
+
+  private def ccnetPplBucketsSql: String =
+    s"""WITH $knCtes,
+       |bucketed AS (
+       |  SELECT *, CASE ntile(3) OVER (PARTITION BY source
+       |      ORDER BY kn_bits_milli ASC, doc_id ASC)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM perdoc)
+       |SELECT source, bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(n_oov_bigrams) AS BIGINT) AS n_oov_bigrams,
+       |  CAST(SUM(kn_bits_milli) // COUNT(*) AS BIGINT) AS mean_bits_milli,
+       |  MAX(kn_bits_milli) AS max_bits_milli
+       |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Length-bias audit for the perplexity gate: per source, ordinary
+    * least squares of kn_bits_milli on n_bigrams — a strongly negative
+    * slope with high R² means the "quality" gate is mostly re-measuring
+    * document length (short docs score high perplexity under any n-gram
+    * LM), the classic CCNet-gate failure a pipeline checks before
+    * trusting the buckets.
+    *
+    * Determinism: the five moment sums are EXACT BIGINT aggregates (one
+    * map-side-combining pass over the doc-count-sized frame; an ANSI
+    * overflow fails loudly past ~10⁹ token-docs); slope/intercept/R²
+    * then evaluate in DOUBLE from those identical integers with the
+    * identical expression shape on both engines — the cosine family's
+    * exact-integers-then-double contract. Degenerate sources (constant
+    * x or y, or n < 2) yield NULL slope/R² via explicit guards rather
+    * than a zero divide. */
+  private def pplLengthOls(s: SparkSession, dir: String): DataFrame =
+    knFrame(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sx"),
+        sum("kn_bits_milli").as("sy"),
+        sum(expr("n_bigrams * n_bigrams")).as("sxx"),
+        sum(expr("n_bigrams * kn_bits_milli")).as("sxy"),
+        sum(expr("kn_bits_milli * kn_bits_milli")).as("syy"))
+      .select(col("source"), col("n_docs"),
+        expr(olsSlope).as("slope"),
+        expr(olsIntercept).as("intercept"),
+        expr(olsR2).as("r2"))
+      .orderBy("source")
+
+  /** Shared OLS expressions over (n_docs, sx, sy, sxx, sxy, syy) —
+    * identical text on both engines: double math on exact integer
+    * sums. */
+  private def olsDet: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private def olsNum: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private def olsDetY: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)" +
+      " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private def olsSlope: String =
+    s"CASE WHEN $olsDet > 0 THEN $olsNum / $olsDet ELSE NULL END"
+  private def olsIntercept: String =
+    s"CASE WHEN $olsDet > 0 THEN" +
+      s" (CAST(sy AS DOUBLE) - ($olsNum / $olsDet)" +
+      s" * CAST(sx AS DOUBLE)) / CAST(n_docs AS DOUBLE) ELSE NULL END"
+  private def olsR2: String =
+    s"CASE WHEN $olsDet > 0 AND $olsDetY > 0 THEN" +
+      s" ($olsNum * $olsNum) / ($olsDet * $olsDetY) ELSE NULL END"
+
+  private def pplLengthOlsSql: String =
+    s"""WITH $knCtes,
+       |m AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_bigrams) AS BIGINT) AS sx,
+       |    CAST(SUM(kn_bits_milli) AS BIGINT) AS sy,
+       |    CAST(SUM(n_bigrams * n_bigrams) AS BIGINT) AS sxx,
+       |    CAST(SUM(n_bigrams * kn_bits_milli) AS BIGINT) AS sxy,
+       |    CAST(SUM(kn_bits_milli * kn_bits_milli) AS BIGINT) AS syy
+       |  FROM perdoc GROUP BY 1)
+       |SELECT source, n_docs,
+       |  $olsSlope AS slope,
+       |  $olsIntercept AS intercept,
+       |  $olsR2 AS r2
+       |FROM m ORDER BY source""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("kn_bigram_ppl", knBigramPpl, Some(knBigramPplSql)),
+    Q("ccnet_ppl_buckets", ccnetPplBuckets, Some(ccnetPplBucketsSql)),
+    Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)))
+}

@@ -419,6 +419,48 @@ object StreamingPipeline {
         (floor(col("sum_llr_milli").cast("double") / col("n_words")) >= 0)
           .as("pred_target"))
 
+  /** Streaming KN perplexity gate — score-on-ingest for the CCNet-style
+    * quality filter ([[graft.queries.LmOps]] `kn_bigram_ppl`): every
+    * ARRIVING doc's bigrams fold row-locally over the TRAINED model held
+    * as ONE broadcast row ([[graft.queries.LmOps.knModelRow]] — the
+    * nbWeightsRow collapse; a retrained model takes effect next
+    * micro-batch), summing the identical micro fixed-point KN bits
+    * (shared [[graft.queries.LmOps.pairBits]] columns; its div() IS the
+    * batch expr's IntegralDivide). One row in, one row out, no state, no
+    * shuffle, append-safe — the deployment shape of a perplexity gate in
+    * front of a 100 TB/day ingest. Docs with no bigram (one word, NULL
+    * text or NULL doc_id) drop, mirroring the batch explode; the one
+    * semantic delta, as with [[nbScoreStream]]: duplicate doc_ids score
+    * per arrival where the batch frame folds them into one row and fans
+    * the result out. */
+  def knScoreStream(docs: DataFrame, modelRow: DataFrame): DataFrame = {
+    docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .crossJoin(broadcast(modelRow)) // static side is ONE row
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ps", expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> named_struct('u', a, 'v', b))"))
+      .filter(size(col("ps")) > 0)
+      .withColumn("acc", aggregate(col("ps"),
+        struct(lit(0L).as("bits"), lit(0L).as("oov")),
+        (acc, p) => {
+          val cs = try_element_at(col("cm"), p.getField("u"))
+          val (bits, isOov) = graft.queries.LmOps.pairBits(
+            coalesce(try_element_at(col("pm"),
+              concat(p.getField("u"), lit(" "), p.getField("v"))), lit(0L)),
+            coalesce(cs.getField("cu"), lit(0L)),
+            coalesce(cs.getField("n1u"), lit(0L)),
+            coalesce(try_element_at(col("vm"), p.getField("v")), lit(0L)),
+            col("n1all"))
+          struct((acc.getField("bits") + bits).as("bits"),
+            (acc.getField("oov") + when(isOov, 1L).otherwise(0L)).as("oov"))
+        }))
+      .withColumn("n_bigrams", size(col("ps")).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("acc.oov").as("n_oov_bigrams"),
+        expr("acc.bits div n_bigrams").as("kn_bits_milli"))
+  }
+
   /** Streaming semantic decontamination — the embedding-tier gate on the
     * vector ingest path, completing streaming twins for all three
     * decontamination tiers (exact n-gram [[decontaminateStream]], bloom

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Kneser–Ney perplexity gate: a hand-computed fixture covering the full
+  * formula (discounted term, continuation backoff, OOV floor, clamp) plus
+  * the empty-training-slice degradation and the CCNet tercile buckets. */
+class LmOpsSpec extends SparkSpec {
+
+  private def writeDocs(dir: String,
+      docs: Seq[(Long, String, String, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, t, lang, src) =>
+      (id, t, lang, src, Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+  }
+
+  private def ppl(dir: String) =
+    SparkEntry.queries("kn_bigram_ppl")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_oov_bigrams"), r.getAs[Long]("kn_bits_milli")))
+      .toSeq
+
+  test("hand-computed KN fixture: discount, backoff, OOV floor") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl1").toString
+    // Train slice (lang=en): doc1 "a b a b c", doc2 "a b".
+    //   c(u,v): (a,b)=3 (b,a)=1 (b,c)=1; c(a)=3 n1u(a)=1; c(b)=2 n1u(b)=2;
+    //   n1v(a)=n1v(b)=n1v(c)=1; N1+(..)=3; pcont = 1000000//3 = 333333.
+    // p(b|a): term1 = 1000*max(3000-750,0)//3 = 750000;
+    //   lam = 750000*1//3 = 250000; term2 = 250000*333333//1e6 = 83333;
+    //   p = 833333 -> len(bin)=20 = len(bin 1e6) -> bits 0.
+    // p(a|b) = p(c|b): term1 = 1000*250//2 = 125000; lam = 750000;
+    //   term2 = 249999; p = 374999 -> 19 digits -> bits 1000.
+    // doc10 (fr, "a b x"): (a,b) bits 0; (b,x): x unseen -> pcont 0,
+    //   term1 0 -> p floors to 1 -> bits 19000, OOV.
+    // doc11 "q" (one word) and doc12 NULL text score no bigrams.
+    writeDocs(dir, Seq(
+      (1L, "a b a b c", "en", "s0"),
+      (2L, "a b", "en", "s0"),
+      (10L, "a b x", "fr", "s0"),
+      (11L, "q", "fr", "s0"),
+      (12L, null, "fr", "s0")))
+    assert(ppl(dir) == Seq(
+      (1L, 4L, 0L, 500L),   // (0+0+1000+1000)//4
+      (2L, 1L, 0L, 0L),
+      (10L, 2L, 1L, 9500L))) // (0+19000)//2
+  }
+
+  test("empty training slice degrades to all-OOV floor scoring") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl2").toString
+    writeDocs(dir, Seq((1L, "a b c", "fr", "s0")))
+    // no lang=en docs: n1all=0, every p floors to 1 -> 19000 bits, OOV
+    assert(ppl(dir) == Seq((1L, 2L, 2L, 19000L)))
+  }
+
+  test("ccnet buckets: per-source terciles ordered by bits then doc_id") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl3").toString
+    writeDocs(dir, Seq(
+      (1L, "a b a b c", "en", "s0"),
+      (2L, "a b", "en", "s0"),
+      (10L, "a b x", "fr", "s0")))
+    // bits: doc2=0 doc1=500 doc10=9500 -> head/middle/tail, one doc each
+    val b = SparkEntry.queries("ccnet_ppl_buckets")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("mean_bits_milli"))).toSeq
+    assert(b == Seq(
+      ("s0", "head", 1L, 1L, 0L),
+      ("s0", "middle", 1L, 4L, 500L),
+      ("s0", "tail", 1L, 2L, 9500L)))
+  }
+
+  test("ppl_length_ols: hand-computed moments; degenerate source is NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl4").toString
+    writeDocs(dir, Seq(
+      (1L, "a b a b c", "en", "s0"),
+      (2L, "a b", "en", "s0"),
+      (10L, "a b x", "fr", "s0"),
+      (20L, "a b", "fr", "s1"))) // single doc: det = 0 -> NULLs
+    // s0 points (x=n_bigrams, y=bits): (4,500) (1,0) (2,9500).
+    // n=3 Sx=7 Sy=10000 Sxx=21 Sxy=21000 Syy=90500000.
+    // det = 3*21-49 = 14; num = 63000-70000 = -7000 -> slope -500.
+    // intercept = (10000 + 500*7)/3 = 4500. detY = 171500000;
+    // r2 = 7000^2 / (14 * 171500000).
+    val r = SparkEntry.queries("ppl_length_ols")(spark, dir).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("n_docs"),
+        Option(x.getAs[java.lang.Double]("slope")),
+        Option(x.getAs[java.lang.Double]("intercept")),
+        Option(x.getAs[java.lang.Double]("r2")))).toSeq
+    assert(r == Seq(
+      ("s0", 3L, Some(-500.0), Some(4500.0),
+        Some(49000000.0 / 2401000000.0)),
+      ("s1", 1L, None, None, None)))
+  }
+}

@@ -254,6 +254,42 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(novel.head.getAs[Long]("avg_llr_milli") == w0)
   }
 
+  test("knScoreStream: exact batch parity with kn_bigram_ppl") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("knstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val model = graft.queries.LmOps.knModelRow(corpus)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov_bigrams"),
+          r.getAs[Long]("kn_bits_milli")))
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.knScoreStream(stream, model), "kn_score")
+      .collect().map(key).toMap
+    val batch = graft.SparkEntry.queries("kn_bigram_ppl")(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+
+    // an arrival of entirely novel words exercises the OOV floor: every
+    // bigram scores p = 1 micro -> 19000 milli-bits, all counted OOV
+    val src2 = root.resolve("novel")
+    Seq((9001L, "zzz yyy xxx", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(src2.toString)
+    val stream2 = spark.readStream
+      .schema(corpus.schema).parquet(src2.toString)
+    val novel = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.knScoreStream(stream2, model), "kn_score_novel")
+      .collect().map(key).toMap
+    assert(novel == Map(9001L -> ((2L, 2L, 19000L))))
+  }
+
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
     import org.apache.spark.sql.functions.{col, not}
     val sf = "/root/testdata/sf0.001"
