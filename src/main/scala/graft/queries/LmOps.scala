@@ -61,13 +61,19 @@ object LmOps {
           " (a, b) -> named_struct('u', a, 'v', b))")).as("g"))
       .select(col("doc_id"), col("g.u").as("u"), col("g.v").as("v"))
 
-  /** Train-slice bigram counts c(u,v) — four consumers (context stats,
-    * continuation stats, the total, the score join), so session-cached. */
-  private def trainCounts(s: SparkSession, dir: String): DataFrame =
-    cachedRelation(s, dir, "knTrainCounts", "") {
-      docBigrams(t(s, dir, "documents").filter(col("lang") === "en"))
+  /** Train-slice bigram counts c(u,v) for a named slice — four consumers
+    * each (context stats, continuation stats, the total, the score join),
+    * so session-cached per slice. */
+  private def trainCountsFor(s: SparkSession, dir: String, key: String,
+      slice: DataFrame => DataFrame): DataFrame =
+    cachedRelation(s, dir, s"knTrainCounts$key", "") {
+      docBigrams(slice(t(s, dir, "documents")))
         .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
     }
+
+  /** The reference model's slice: lang = 'en' (CCNet's Wikipedia stand-in). */
+  private def trainCounts(s: SparkSession, dir: String): DataFrame =
+    trainCountsFor(s, dir, "En", _.filter(col("lang") === "en"))
 
   /** The micro-probability expression over joined model columns
     * (cuv/cu/n1u/pcont, NULLs already coalesced); `div` is Spark's
@@ -80,42 +86,51 @@ object LmOps {
        |  1), 1000000)
        |ELSE least(greatest(pcont, 1), 1000000) END""".stripMargin
 
+  /** Doc-grain KN scoring (doc_id, n_bigrams, n_oov_bigrams,
+    * kn_bits_milli), one row per distinct doc_id, against the model
+    * trained on `cb` — the shared core of every model variant. */
+  private def scoredPerDoc(s: SparkSession, dir: String,
+      cb: DataFrame): DataFrame = {
+    val cu = cb.groupBy("u")
+      .agg(sum("cuv").as("cu"), count(lit(1)).as("n1u"))
+    val cv = cb.groupBy("v").agg(count(lit(1)).as("n1v"))
+    val nall = cb.agg(count(lit(1)).as("n1all"))
+    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+    val sb = docBigrams(d)
+      .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
+    sb
+      .join(cb, Seq("u", "v"), "left")
+      .join(cu, Seq("u"), "left")
+      .join(cv, Seq("v"), "left")
+      .crossJoin(broadcast(nall)) // single-row total
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("cuv"), lit(0L)).as("cuv"),
+        coalesce(col("cu"), lit(0L)).as("cu"),
+        coalesce(col("n1u"), lit(0L)).as("n1u"),
+        coalesce(col("n1v"), lit(0L)).as("n1v"),
+        col("n1all"))
+      .withColumn("pcont", expr(
+        "CASE WHEN n1all > 0 THEN (1000000 * n1v) div n1all ELSE 0 END"))
+      .withColumn("p_micro", expr(pMicroExpr("div")))
+      .withColumn("is_oov", col("n1v") === 0L || col("n1all") === 0L)
+      .withColumn("bits_milli", expr(
+        "1000 * (length(bin(1000000)) - length(bin(p_micro)))"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(when(col("is_oov"), col("tf")).otherwise(0L))
+          .as("n_oov_bigrams"),
+        expr("sum(tf * bits_milli) div sum(tf)").as("kn_bits_milli"))
+  }
+
   /** Per-doc KN frame (doc_id, source, n_bigrams, n_oov_bigrams,
-    * kn_bits_milli) — shared by both queries, so session-cached. */
+    * kn_bits_milli) under the reference (en-trained) model — shared by
+    * three queries, so session-cached. */
   private def knFrame(s: SparkSession, dir: String): DataFrame =
     cachedRelation(s, dir, "knPplFrame", "") {
-      val cb = trainCounts(s, dir)
-      val cu = cb.groupBy("u")
-        .agg(sum("cuv").as("cu"), count(lit(1)).as("n1u"))
-      val cv = cb.groupBy("v").agg(count(lit(1)).as("n1v"))
-      val nall = cb.agg(count(lit(1)).as("n1all"))
-      val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
-      val sb = docBigrams(d)
-        .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
-      val scored = sb
-        .join(cb, Seq("u", "v"), "left")
-        .join(cu, Seq("u"), "left")
-        .join(cv, Seq("v"), "left")
-        .crossJoin(broadcast(nall)) // single-row total
-        .select(col("doc_id"), col("tf"),
-          coalesce(col("cuv"), lit(0L)).as("cuv"),
-          coalesce(col("cu"), lit(0L)).as("cu"),
-          coalesce(col("n1u"), lit(0L)).as("n1u"),
-          coalesce(col("n1v"), lit(0L)).as("n1v"),
-          col("n1all"))
-        .withColumn("pcont", expr(
-          "CASE WHEN n1all > 0 THEN (1000000 * n1v) div n1all ELSE 0 END"))
-        .withColumn("p_micro", expr(pMicroExpr("div")))
-        .withColumn("is_oov", col("n1v") === 0L || col("n1all") === 0L)
-        .withColumn("bits_milli", expr(
-          "1000 * (length(bin(1000000)) - length(bin(p_micro)))"))
-      val perDoc = scored.groupBy("doc_id")
-        .agg(sum("tf").as("n_bigrams"),
-          sum(when(col("is_oov"), col("tf")).otherwise(0L))
-            .as("n_oov_bigrams"),
-          expr("sum(tf * bits_milli) div sum(tf)").as("kn_bits_milli"))
-      d.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
-        .join(perDoc, "doc_id")
+      t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("source"), lit("")).as("source"))
+        .join(scoredPerDoc(s, dir, trainCounts(s, dir)), "doc_id")
     }
 
   /** One-row broadcastable KN model (the nbWeightsRow/ivfQuantizerRow
@@ -171,25 +186,28 @@ object LmOps {
       .select("doc_id", "n_bigrams", "n_oov_bigrams", "kn_bits_milli")
       .orderBy("doc_id")
 
-  /** Shared oracle CTE chain: train slice → c(u,v) → context/continuation
-    * stats → per-(doc, bigram) scoring → per-doc frame with source. */
-  private def knCtes: String =
-    s"""tw AS (SELECT string_split(text, ' ') AS w FROM documents
-       |       WHERE lang = 'en'),
-       |tb AS (SELECT w[i+1] AS u, w[i+2] AS v
-       |       FROM tw, UNNEST(range(greatest(len(w) - 1, 0))) t(i)),
-       |cb AS (SELECT u, v, COUNT(*) AS cuv FROM tb GROUP BY 1, 2),
-       |cu AS (SELECT u, CAST(SUM(cuv) AS BIGINT) AS cu, COUNT(*) AS n1u
-       |       FROM cb GROUP BY 1),
-       |cv AS (SELECT v, COUNT(*) AS n1v FROM cb GROUP BY 1),
-       |nall AS (SELECT COUNT(*) AS n1all FROM cb),
-       |sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  /** Oracle CTE chain for one model variant: train slice (trainWhere) →
+    * c(u,v) → context/continuation stats → per-(doc, bigram) scoring →
+    * doc-grain frame; every CTE name carries the sfx so two models can
+    * share one WITH (the joined tables are re-aliased to fixed names, so
+    * the scoring text is byte-identical across variants). */
+  private def knCtesFor(sfx: String, trainWhere: String): String =
+    s"""tw$sfx AS (SELECT string_split(text, ' ') AS w FROM documents
+       |       $trainWhere),
+       |tb$sfx AS (SELECT w[i+1] AS u, w[i+2] AS v
+       |       FROM tw$sfx, UNNEST(range(greatest(len(w) - 1, 0))) t(i)),
+       |cb$sfx AS (SELECT u, v, COUNT(*) AS cuv FROM tb$sfx GROUP BY 1, 2),
+       |cu$sfx AS (SELECT u, CAST(SUM(cuv) AS BIGINT) AS cu, COUNT(*) AS n1u
+       |       FROM cb$sfx GROUP BY 1),
+       |cv$sfx AS (SELECT v, COUNT(*) AS n1v FROM cb$sfx GROUP BY 1),
+       |nall$sfx AS (SELECT COUNT(*) AS n1all FROM cb$sfx),
+       |sw$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |       WHERE doc_id IS NOT NULL),
-       |sb AS (SELECT doc_id, u, v, COUNT(*) AS tf FROM (
+       |sb$sfx AS (SELECT doc_id, u, v, COUNT(*) AS tf FROM (
        |         SELECT doc_id, w[i+1] AS u, w[i+2] AS v
-       |         FROM sw, UNNEST(range(greatest(len(w) - 1, 0))) t(i))
+       |         FROM sw$sfx, UNNEST(range(greatest(len(w) - 1, 0))) t(i))
        |       GROUP BY 1, 2, 3),
-       |scored AS (
+       |scored$sfx AS (
        |  SELECT doc_id, tf, n1v, n1all, is_oov,
        |    1000 * (length(bin(1000000)) - length(bin(p_micro))) AS bits_milli
        |  FROM (
@@ -204,25 +222,29 @@ object LmOps {
        |        CASE WHEN nall.n1all > 0
        |          THEN (1000000 * COALESCE(cv.n1v, 0)) // nall.n1all
        |          ELSE 0 END AS pcont
-       |      FROM sb s
-       |      LEFT JOIN cb ON cb.u = s.u AND cb.v = s.v
-       |      LEFT JOIN cu ON cu.u = s.u
-       |      LEFT JOIN cv ON cv.v = s.v
-       |      CROSS JOIN nall))),
-       |perdoc0 AS (
+       |      FROM sb$sfx s
+       |      LEFT JOIN cb$sfx cb ON cb.u = s.u AND cb.v = s.v
+       |      LEFT JOIN cu$sfx cu ON cu.u = s.u
+       |      LEFT JOIN cv$sfx cv ON cv.v = s.v
+       |      CROSS JOIN nall$sfx nall))),
+       |perdoc0$sfx AS (
        |  SELECT doc_id,
        |    CAST(SUM(tf) AS BIGINT) AS n_bigrams,
        |    CAST(SUM(CASE WHEN is_oov THEN tf ELSE 0 END) AS BIGINT)
        |      AS n_oov_bigrams,
        |    CAST(SUM(tf * bits_milli) // SUM(tf) AS BIGINT) AS kn_bits_milli
-       |  FROM scored GROUP BY 1),
-       |perdoc AS (
+       |  FROM scored$sfx GROUP BY 1),
+       |perdoc$sfx AS (
        |  -- aggregate FIRST, then attach source: a duplicated doc_id must
        |  -- fan out the finished per-doc row (the Spark plan's shape), not
        |  -- double the sums inside it
        |  SELECT p.doc_id, COALESCE(d.source, '') AS source,
        |    p.n_bigrams, p.n_oov_bigrams, p.kn_bits_milli
-       |  FROM perdoc0 p JOIN documents d USING (doc_id))""".stripMargin
+       |  FROM perdoc0$sfx p JOIN documents d USING (doc_id))""".stripMargin
+
+  /** The reference (en-trained) model's chain — unsuffixed names, so the
+    * single-model oracles read as before. */
+  private def knCtes: String = knCtesFor("", "WHERE lang = 'en'")
 
   private def knBigramPplSql: String =
     s"""WITH $knCtes
@@ -335,8 +357,50 @@ object LmOps {
        |  $olsR2 AS r2
        |FROM m ORDER BY source""".stripMargin
 
+  /** RHO-1/DoReMi-style domain-gap signal: per doc, KN bits under the
+    * en-trained REFERENCE model minus bits under the SELF model trained
+    * on the whole corpus. A large positive gap marks text the corpus
+    * explains but the reference doesn't — domain-specific or off-target
+    * material the excess-loss selection literature keeps or drops by
+    * policy; near-zero gaps are reference-like text. Composing two KN
+    * models this way is the cheapest proxy for the two-LM excess-loss
+    * score (the trained-model version needs an actual LM; the gate's
+    * SHAPE — score under two models, rank by the difference — is
+    * identical).
+    *
+    * Plan: the reference side reuses the session-cached [[knFrame]]
+    * (with its source fanout — the bucket family's deployment frame);
+    * the self side is its own cached doc-grain frame; the join is
+    * doc-keyed at doc-count grain. The self frame deliberately has NO
+    * documents re-join, so a duplicated doc_id fans out once (from the
+    * reference frame), not quadratically. */
+  private def pplDomainGap(s: SparkSession, dir: String): DataFrame = {
+    val self = cachedRelation(s, dir, "knPplFrameSelf", "") {
+      scoredPerDoc(s, dir, trainCountsFor(s, dir, "All", identity))
+    }
+    knFrame(s, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("kn_bits_milli").as("bits_ref_milli"))
+      .join(self.select(col("doc_id"),
+        col("kn_bits_milli").as("bits_self_milli")), "doc_id")
+      .withColumn("gap_milli",
+        col("bits_ref_milli") - col("bits_self_milli"))
+      .orderBy("doc_id")
+  }
+
+  private def pplDomainGapSql: String =
+    s"""WITH $knCtes,
+       |${knCtesFor("2", "")}
+       |SELECT p.doc_id, p.n_bigrams,
+       |  p.kn_bits_milli AS bits_ref_milli,
+       |  q.kn_bits_milli AS bits_self_milli,
+       |  p.kn_bits_milli - q.kn_bits_milli AS gap_milli
+       |FROM perdoc p JOIN perdoc02 q USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("kn_bigram_ppl", knBigramPpl, Some(knBigramPplSql)),
     Q("ccnet_ppl_buckets", ccnetPplBuckets, Some(ccnetPplBucketsSql)),
-    Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)))
+    Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)),
+    Q("ppl_domain_gap", pplDomainGap, Some(pplDomainGapSql)))
 }

@@ -93,4 +93,26 @@ class LmOpsSpec extends SparkSpec {
         Some(49000000.0 / 2401000000.0)),
       ("s1", 1L, None, None, None)))
   }
+
+  test("ppl_domain_gap: self-model explains off-reference text") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl5").toString
+    writeDocs(dir, Seq(
+      (1L, "a b", "en", "s0"),
+      (2L, "c d c d", "fr", "s0")))
+    // Ref model (en): cb={(a,b):1}, n1all=1; Self model (all): adds
+    // (c,d):2 (d,c):1, n1all=3, pcont=333333.
+    // doc1 ref: p(b|a) = 250000+750000 = 1000000 -> bits 0.
+    // doc1 self: 250000 + (750000*333333)//1e6 = 499999 -> bits 1000.
+    // doc2 ref: c,d unseen -> both pairs floor at 1 -> 19000, all OOV.
+    // doc2 self: (c,d) p = 625000+124999 = 749999 -> 0 bits;
+    //   (d,c) p = 250000+249999 = 499999 -> 1000 bits;
+    //   bits = (2*0 + 1000)//3 = 333.
+    val g = SparkEntry.queries("ppl_domain_gap")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("bits_ref_milli"), r.getAs[Long]("bits_self_milli"),
+        r.getAs[Long]("gap_milli"))).toSeq
+    assert(g == Seq(
+      (1L, 1L, 0L, 1000L, -1000L),
+      (2L, 3L, 19000L, 333L, 18667L)))
+  }
 }
