@@ -88,14 +88,17 @@ object LmOps {
 
   /** Doc-grain KN scoring (doc_id, n_bigrams, n_oov_bigrams,
     * kn_bits_milli), one row per distinct doc_id, against the model
-    * trained on `cb` — the shared core of every model variant. */
+    * trained on `cb` — the shared core of every model variant. `probe`
+    * restricts the SCORE side (the bounded-rescore audits); the model is
+    * untouched by it. */
   private def scoredPerDoc(s: SparkSession, dir: String,
-      cb: DataFrame): DataFrame = {
+      cb: DataFrame, probe: Column = lit(true)): DataFrame = {
     val cu = cb.groupBy("u")
       .agg(sum("cuv").as("cu"), count(lit(1)).as("n1u"))
     val cv = cb.groupBy("v").agg(count(lit(1)).as("n1v"))
     val nall = cb.agg(count(lit(1)).as("n1all"))
-    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull).filter(probe)
     val sb = docBigrams(d)
       .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
     sb
@@ -191,7 +194,8 @@ object LmOps {
     * doc-grain frame; every CTE name carries the sfx so two models can
     * share one WITH (the joined tables are re-aliased to fixed names, so
     * the scoring text is byte-identical across variants). */
-  private def knCtesFor(sfx: String, trainWhere: String): String =
+  private def knCtesFor(sfx: String, trainWhere: String,
+      scoreWhere: String = "WHERE doc_id IS NOT NULL"): String =
     s"""tw$sfx AS (SELECT string_split(text, ' ') AS w FROM documents
        |       $trainWhere),
        |tb$sfx AS (SELECT w[i+1] AS u, w[i+2] AS v
@@ -202,7 +206,7 @@ object LmOps {
        |cv$sfx AS (SELECT v, COUNT(*) AS n1v FROM cb$sfx GROUP BY 1),
        |nall$sfx AS (SELECT COUNT(*) AS n1all FROM cb$sfx),
        |sw$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |       WHERE doc_id IS NOT NULL),
+       |       $scoreWhere),
        |sb$sfx AS (SELECT doc_id, u, v, COUNT(*) AS tf FROM (
        |         SELECT doc_id, w[i+1] AS u, w[i+2] AS v
        |         FROM sw$sfx, UNNEST(range(greatest(len(w) - 1, 0))) t(i))
@@ -398,9 +402,169 @@ object LmOps {
        |FROM perdoc p JOIN perdoc02 q USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
 
+  /** Total, NULL-safe md5-hash decile of doc_id (the leakage_safe_split
+    * engine-portable hash) — a PLAIN doc_id modulus would alias with the
+    * testdata's source assignment (source = id % 20), sampling 4 of 20
+    * sources; the hash decile decorrelates. NULLs land in decile 0 so the
+    * base/increment split stays total. */
+  private def docHashDecile(idiv: String): String = idiv match {
+    case "spark" =>
+      "COALESCE(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8)," +
+        " 16, 10) AS BIGINT) % 10, 0)"
+    case _ =>
+      "COALESCE(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)" +
+        " AS BIGINT) % 10, 0)"
+  }
+  private def incRule(e: String) = s"${docHashDecile(e)} = 9"
+  private def probeRule(e: String) = s"${docHashDecile(e)} IN (0, 5)"
+
+  /** LM-gate maintenance under an increment — the ivf_list_drift /
+    * cc_incremental pattern applied to the perplexity model: the deployed
+    * gate holds its model between retrains; arriving reference docs (the
+    * hash-decile-9 slice stands in for the increment) UPDATE the model
+    * by pure count ADDITION (KN's sufficient statistics are additive, so
+    * the merge touches vocabulary-sized rows, never the corpus), and a
+    * bounded probe sample (hash deciles {0, 5} — the [[docHashDecile]]
+    * rule; a plain id modulus would alias with the testdata's
+    * source-assignment rule) rescoring under base vs updated model
+    * reports the per-source bits drift — the retrain/invalidate signal
+    * for downstream ccnet_ppl_buckets cutoffs.
+    *
+    * The Spark side computes the updated model BY MERGE (base counts ∪
+    * increment counts → summed); the oracle retrains the updated model
+    * from the full reference slice — so the driver's hash compare proves
+    * merge ≡ recompute end to end, exactly the cc_incremental contract
+    * (LmOpsSpec additionally pins the merged count relation against the
+    * full-retrain relation row-for-row). */
+  private def knModelDrift(s: SparkSession, dir: String): DataFrame = {
+    val isInc = expr(incRule("spark"))
+    val cbBase = trainCountsFor(s, dir, "Base",
+      _.filter(col("lang") === "en").filter(!isInc))
+    val cbInc = docBigrams(
+      t(s, dir, "documents").filter(col("lang") === "en").filter(isInc))
+      .groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    // the maintenance step: additive merge, vocabulary-sized — cached
+    // like every model relation (4 consumers: cu/cv/nall/score join)
+    val cbUpd = cachedRelation(s, dir, "knTrainCountsUpd", "") {
+      cbBase.unionByName(cbInc)
+        .groupBy("u", "v").agg(sum("cuv").as("cuv"))
+    }
+    val probe = expr(probeRule("spark"))
+    val base = scoredPerDoc(s, dir, cbBase, probe)
+    val upd = scoredPerDoc(s, dir, cbUpd, probe)
+    t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .join(base.select(col("doc_id"), col("n_bigrams"),
+        col("n_oov_bigrams").as("oov_b"),
+        col("kn_bits_milli").as("bits_b")), "doc_id")
+      .join(upd.select(col("doc_id"),
+        col("n_oov_bigrams").as("oov_u"),
+        col("kn_bits_milli").as("bits_u")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        expr("sum(bits_b) div count(1)").as("mean_bits_base_milli"),
+        expr("sum(bits_u) div count(1)").as("mean_bits_upd_milli"),
+        sum("oov_b").as("n_oov_base"),
+        sum("oov_u").as("n_oov_upd"))
+      .withColumn("drift_milli",
+        col("mean_bits_upd_milli") - col("mean_bits_base_milli"))
+      .orderBy("source")
+  }
+
+  private def knModelDriftSql: String =
+    s"""WITH ${knCtesFor("b",
+        s"WHERE lang = 'en' AND NOT (${incRule("")})",
+        s"WHERE doc_id IS NOT NULL AND ${probeRule("")}")},
+       |${knCtesFor("u2", "WHERE lang = 'en'",
+        s"WHERE doc_id IS NOT NULL AND ${probeRule("")}")}
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(b.kn_bits_milli) // COUNT(*) AS BIGINT)
+       |    AS mean_bits_base_milli,
+       |  CAST(SUM(u.kn_bits_milli) // COUNT(*) AS BIGINT)
+       |    AS mean_bits_upd_milli,
+       |  CAST(SUM(b.n_oov_bigrams) AS BIGINT) AS n_oov_base,
+       |  CAST(SUM(u.n_oov_bigrams) AS BIGINT) AS n_oov_upd,
+       |  CAST(SUM(u.kn_bits_milli) // COUNT(*)
+       |    - SUM(b.kn_bits_milli) // COUNT(*) AS BIGINT) AS drift_milli
+       |FROM (SELECT doc_id, COALESCE(source, '') AS source FROM documents
+       |      WHERE doc_id IS NOT NULL) d
+       |JOIN perdoc0b b USING (doc_id)
+       |JOIN perdoc0u2 u USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Do the two quality gates prune the same documents? 2×2 agreement
+    * matrix per source between the NB classifier verdict
+    * (`nb_quality_score`'s pred_target) and a rank-based KN gate (the
+    * top half of each source by ascending perplexity — the
+    * target_affinity_resample keep rule, so the gate needs no value
+    * cutoff and both engines select identical docs even at exact-bits
+    * ties) — the dedup_tier_agreement contract applied to quality: high
+    * agreement means the second gate adds nothing; low means they prune
+    * different documents and a pipeline should audit WHICH before
+    * composing them. Rides the session-cached [[knFrame]]; the NB side
+    * is the tfidf-family single-scan pipeline; the oracle composes the
+    * two chains in one WITH (disjoint CTE names, one copy of each
+    * scorer's math — TextOps.nbSqlCtes). */
+  private def qualityGateAgreement(s: SparkSession, dir: String): DataFrame = {
+    val j = knFrame(s, dir)
+      .select(col("doc_id"), col("source"), col("kn_bits_milli"))
+      .join(graft.queries.TextOps.nbScored(s, dir)
+        .select(col("doc_id"), col("lang"), col("pred_target")), "doc_id")
+    val w = Window.partitionBy("source")
+      .orderBy(col("kn_bits_milli").asc, col("doc_id").asc,
+        col("lang").asc_nulls_last)
+    j
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("kn_pass", col("rk") * 2 <= col("n") + 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_target") && col("kn_pass"), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("pred_target") && !col("kn_pass"), 1L).otherwise(0L))
+          .as("n_nb_only"),
+        sum(when(!col("pred_target") && col("kn_pass"), 1L).otherwise(0L))
+          .as("n_kn_only"),
+        sum(when(!col("pred_target") && !col("kn_pass"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .withColumn("agreement_milli",
+        expr("(1000 * (n_both + n_neither)) div n_docs"))
+      .orderBy("source")
+  }
+
+  private def qualityGateAgreementSql: String =
+    s"""WITH $knCtes,
+       |${graft.queries.TextOps.nbSqlCtes},
+       |j AS (
+       |  SELECT p.doc_id, p.source, p.kn_bits_milli, v.lang, v.pred_target
+       |  FROM perdoc p JOIN nbv v USING (doc_id)),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY kn_bits_milli ASC, doc_id ASC, lang NULLS LAST) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM j),
+       |g AS (SELECT *, rk * 2 <= n + 1 AS kn_pass FROM r)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN pred_target AND kn_pass THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN pred_target AND NOT kn_pass THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_nb_only,
+       |  CAST(SUM(CASE WHEN NOT pred_target AND kn_pass THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kn_only,
+       |  CAST(SUM(CASE WHEN NOT pred_target AND NOT kn_pass THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neither,
+       |  CAST((1000 * SUM(CASE WHEN pred_target = kn_pass THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS agreement_milli
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("kn_bigram_ppl", knBigramPpl, Some(knBigramPplSql)),
     Q("ccnet_ppl_buckets", ccnetPplBuckets, Some(ccnetPplBucketsSql)),
     Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)),
-    Q("ppl_domain_gap", pplDomainGap, Some(pplDomainGapSql)))
+    Q("ppl_domain_gap", pplDomainGap, Some(pplDomainGapSql)),
+    Q("kn_model_drift", knModelDrift, Some(knModelDriftSql)),
+    Q("quality_gate_agreement", qualityGateAgreement,
+      Some(qualityGateAgreementSql)))
 }

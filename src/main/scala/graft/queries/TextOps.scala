@@ -1401,8 +1401,12 @@ object TextOps {
         min(col("w0")).as("w0"))
   }
 
-  private val nbQualityScoreSql =
-    """WITH occ AS (
+  /** NB scorer as a composable CTE chain ending in `nbv` (the scored
+    * verdict relation) — ONE copy of the classifier math, shared by the
+    * public query and the gate-agreement audit
+    * ([[graft.queries.LmOps]] `quality_gate_agreement`). */
+  private[queries] val nbSqlCtes: String =
+    """occ AS (
       |  SELECT doc_id, lang, w
       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
       |    UNNEST(ws) t(w)),
@@ -1417,16 +1421,25 @@ object TextOps {
       |llr AS (
       |  SELECT w, CAST(1000 * ((length(bin(cpos+1)) - length(bin(npos+1)))
       |    - (length(bin(cneg+1)) - length(bin(nneg+1)))) AS BIGINT) AS llr_milli
-      |  FROM stats CROSS JOIN tot)
-      |SELECT doc_id, lang, n_words, sum_llr_milli,
-      |  CAST(floor(CAST(sum_llr_milli AS DOUBLE) / n_words) AS BIGINT)
-      |    AS avg_llr_milli,
-      |  floor(CAST(sum_llr_milli AS DOUBLE) / n_words) >= 0 AS pred_target
-      |FROM (
-      |  SELECT t.doc_id, t.lang, CAST(SUM(t.tf) AS BIGINT) AS n_words,
-      |    CAST(SUM(t.tf * l.llr_milli) AS BIGINT) AS sum_llr_milli
-      |  FROM tf t JOIN llr l USING (w) GROUP BY 1, 2)
-      |ORDER BY doc_id, lang NULLS LAST""".stripMargin
+      |  FROM stats CROSS JOIN tot),
+      |nbv AS (
+      |  SELECT doc_id, lang, n_words, sum_llr_milli,
+      |    CAST(floor(CAST(sum_llr_milli AS DOUBLE) / n_words) AS BIGINT)
+      |      AS avg_llr_milli,
+      |    floor(CAST(sum_llr_milli AS DOUBLE) / n_words) >= 0 AS pred_target
+      |  FROM (
+      |    SELECT t.doc_id, t.lang, CAST(SUM(t.tf) AS BIGINT) AS n_words,
+      |      CAST(SUM(t.tf * l.llr_milli) AS BIGINT) AS sum_llr_milli
+      |    FROM tf t JOIN llr l USING (w) GROUP BY 1, 2))""".stripMargin
+
+  private val nbQualityScoreSql =
+    s"""WITH $nbSqlCtes
+       |SELECT * FROM nbv ORDER BY doc_id, lang NULLS LAST""".stripMargin
+
+  /** The scored NB verdict frame for composition (the public query minus
+    * its ORDER BY). */
+  private[queries] def nbScored(s: SparkSession, dir: String): DataFrame =
+    nbQualityScore(s, dir)
 
   /** Curriculum schedule buckets — the easy-to-hard data-ordering
     * artifact (curriculum-learning pipelines feed low-perplexity docs

@@ -115,4 +115,71 @@ class LmOpsSpec extends SparkSpec {
       (1L, 1L, 0L, 1000L, -1000L),
       (2L, 3L, 19000L, 333L, 18667L)))
   }
+
+  test("kn_model_drift: additive merge equals retrain; probe rescore") {
+    val dir = java.nio.file.Files.createTempDirectory("knppl6").toString
+    // md5 hash deciles: id4 -> 7 (base slice), id19 -> 9 (increment),
+    // id2 -> 5 (probe, fr so never trained on). Base model {(a,b):1}
+    // (n1all=1); merged = full-retrain model {(a,b):1,(b,c):1}
+    // (n1all=2, pcont 500000) - the hand numbers below USE the full
+    // model, so the fixture itself pins merge = retrain.
+    // Probe "a b c" under base: (a,b) p=1000000 -> 0 bits; (b,c) unseen
+    //   context -> floor 1 -> 19000 bits, OOV. mean = 9500.
+    // Under merged: both pairs p = 250000 + (750000*500000)//1e6
+    //   = 625000 -> 20 bin digits -> 0 bits, no OOV.
+    writeDocs(dir, Seq(
+      (4L, "a b", "en", "s0"),
+      (19L, "b c", "en", "s0"),
+      (2L, "a b c", "fr", "s0")))
+    val r = SparkEntry.queries("kn_model_drift")(spark, dir).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_bigrams"), x.getAs[Long]("mean_bits_base_milli"),
+        x.getAs[Long]("mean_bits_upd_milli"), x.getAs[Long]("n_oov_base"),
+        x.getAs[Long]("n_oov_upd"), x.getAs[Long]("drift_milli"))).toSeq
+    assert(r == Seq(("s0", 1L, 2L, 9500L, 0L, 1L, 0L, -9500L)))
+
+    // real data: a grown model can only shrink OOV mass
+    val real = SparkEntry.queries("kn_model_drift")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    real.foreach { x =>
+      assert(x.getAs[Long]("n_oov_upd") <= x.getAs[Long]("n_oov_base"))
+    }
+  }
+
+  test("quality_gate_agreement reconciles with its two component gates") {
+    val dir = "/root/testdata/sf0.001"
+    val kn = SparkEntry.queries("kn_bigram_ppl")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kn_bits_milli"))
+      .toMap
+    val nb = SparkEntry.queries("nb_quality_score")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("lang")),
+        r.getAs[Boolean]("pred_target"))).toSeq
+    val src = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("source")).getOrElse("")).toMap
+    val joined = nb.filter(x => kn.contains(x._1))
+      .map(x => (src(x._1), x._1, x._2, kn(x._1), x._3))
+    val expected = joined.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (s0, rows) =>
+        val sorted = rows.sortBy(r =>
+          (r._4, r._2, r._3.isEmpty, r._3.getOrElse("")))
+        val n = sorted.length
+        val v = sorted.zipWithIndex.map { case (r, i) =>
+          (r._5, (i + 1) * 2 <= n + 1) } // (nb_pass, kn_pass)
+        val both = v.count(x => x._1 && x._2).toLong
+        val nbOnly = v.count(x => x._1 && !x._2).toLong
+        val knOnly = v.count(x => !x._1 && x._2).toLong
+        val neither = v.count(x => !x._1 && !x._2).toLong
+        (s0, n.toLong, both, nbOnly, knOnly, neither,
+          1000L * (both + neither) / n)
+    }
+    val got = SparkEntry.queries("quality_gate_agreement")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_both"),
+        r.getAs[Long]("n_nb_only"), r.getAs[Long]("n_kn_only"),
+        r.getAs[Long]("n_neither"), r.getAs[Long]("agreement_milli"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

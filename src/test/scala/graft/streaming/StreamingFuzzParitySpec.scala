@@ -417,6 +417,75 @@ class StreamingFuzzParitySpec extends SparkSpec {
     * cosine is bit-reproducible in the JVM recount. Ids 1-9 are forced
     * valid so the fixed quantizer rule (vec_id < 10, % 5 != 0) has its 8
     * centroids. */
+  for (seed <- Seq(505, 606)) {
+    test(s"fuzz seed $seed: knScoreStream, batch kn_bigram_ppl, and the " +
+        "JVM KN recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"knfuzz$seed")
+      val langs = Vector("en", "fr", null, "zh", "en")
+      val full = dirtyDocs(seed, 250).map { case (id, t) =>
+        (id, t, langs((id % 5).toInt), s"s${id % 3}",
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      val docs = full.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val path = root.resolve("documents.parquet").toString
+      docs.write.parquet(path)
+
+      // independent JVM recount of the full KN formula (split with
+      // limit -1: Spark's split keeps trailing empties)
+      def pairs(t: String): Seq[(String, String)] = {
+        val w = t.split(" ", -1).toSeq
+        if (w.length < 2) Nil else w.init.zip(w.tail)
+      }
+      val train = full.filter(d => d._3 == "en" && d._2 != null).map(_._2)
+      val cb = train.flatMap(pairs).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val cu = cb.toSeq.groupBy(_._1._1).map { case (u, m) =>
+        u -> ((m.map(_._2).sum, m.size.toLong)) }
+      val nv = cb.toSeq.groupBy(_._1._2).map { case (v, m) =>
+        v -> m.size.toLong }
+      val n1all = cb.size.toLong
+      def bits(u: String, v: String): (Long, Boolean) = {
+        val n1v = nv.getOrElse(v, 0L)
+        val pcont = if (n1all > 0) 1000000L * n1v / n1all else 0L
+        val cuv = cb.getOrElse((u, v), 0L)
+        val (cuC, n1u) = cu.getOrElse(u, (0L, 0L))
+        val pRaw =
+          if (cuC > 0)
+            1000L * math.max(1000L * cuv - 750L, 0L) / cuC +
+              (750000L * n1u / cuC) * pcont / 1000000L
+          else pcont
+        val p = math.min(math.max(pRaw, 1L), 1000000L)
+        (1000L * (20L - java.lang.Long.toBinaryString(p).length),
+          n1v == 0 || n1all == 0)
+      }
+      val expected = full.filter(_._2 != null).flatMap {
+        case (id, t, _, _, _) =>
+          val ps = pairs(t)
+          if (ps.isEmpty) None
+          else {
+            val bs = ps.map(p => bits(p._1, p._2))
+            Some(id -> ((ps.size.toLong, bs.count(_._2).toLong,
+              bs.map(_._1).sum / ps.size)))
+          }
+      }.toMap
+
+      def key(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov_bigrams"),
+            r.getAs[Long]("kn_bits_milli")))
+      val model = graft.queries.LmOps.knModelRow(spark.read.parquet(path))
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.knScoreStream(
+          spark.readStream.schema(docs.schema).parquet(path), model),
+        s"knfuzz$seed")
+        .collect().map(key).toMap
+      assert(streamed == expected, "stream vs JVM recount")
+      val batch = graft.SparkEntry.queries("kn_bigram_ppl")(
+        spark, root.toString).collect().map(key).toMap
+      assert(batch == expected, "batch vs JVM recount")
+    }
+  }
+
   for (seed <- Seq(515, 616)) {
     test(s"fuzz seed $seed: unigramSegmentStream equals the JVM Viterbi recount on a dirty corpus") {
       val root = Files.createTempDirectory(s"unifuzz$seed")
