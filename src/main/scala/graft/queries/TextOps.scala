@@ -1609,6 +1609,117 @@ object TextOps {
        |SELECT query_id, rk, doc_id, n_terms, score_micro
        |FROM bm25ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** BM25 with pseudo-relevance feedback (Rocchio's query expansion, the
+    * standard second stage of a production lexical retrieval stack): the
+    * first BM25 pass's top-3 docs per query are ASSUMED relevant, their 5
+    * highest idf-weighted-tf terms (length ≥ 4, not already in the query,
+    * deterministic (score DESC, word) pick) join the query at HALF weight
+    * (Rocchio β = 0.5 as 500 milli vs 1000), and the corpus is rescored —
+    * per-term contribution (weight·idf_milli·tfsat_milli) div 1000. PRF
+    * recalls docs sharing NO original term (they surface through
+    * expansion terms only; n_exp_terms says how much of each hit is
+    * expansion-driven — the audit column for topic drift, PRF's known
+    * failure mode).
+    *
+    * All arithmetic stays the exact integer BM25 contract (idf ≤ ~667·N
+    * milli, tfsat ≤ 2200 milli, weight ≤ 1000: per-term ≤ ~7·10¹⁴ —
+    * int64-safe). Scale shape: pass 1 IS [[bm25Ranked]] (postings of
+    * query terms only); expansion reads the 3·|queries| feedback docs'
+    * postings; pass 2 is the same broadcast-terms inverted-index access
+    * with ≤ |qterms| + 5 terms per query. Nothing corpus-wide is sorted
+    * or crossed. */
+  private def bm25PrfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tfRelation(s, dir)
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qterms = tf.filter(col("doc_id") < 3 && length(col("word")) >= 4)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val idf = df.crossJoin(broadcast(tot))
+      .select(col("word"),
+        expr("((2*(n_docs - df) + 1) * 1000) div (2*df + 1)").as("idf_milli"))
+    val fb = bm25Ranked(s, dir).filter(col("rk") <= 3)
+      .select(col("query_id"), col("doc_id"))
+    val expTerms = fb
+      .join(tf, "doc_id")
+      .filter(length(col("word")) >= 4)
+      .join(qterms, Seq("query_id", "word"), "left_anti")
+      .join(idf, "word")
+      .groupBy(col("query_id"), col("word"))
+      .agg(sum(col("tf") * col("idf_milli")).as("escore"))
+      .withColumn("erk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("escore").desc, col("word"))))
+      .filter(col("erk") <= 5)
+      .select(col("query_id"), col("word"), lit(500L).as("wgt"))
+    val allq = qterms.select(col("query_id"), col("word"),
+      lit(1000L).as("wgt")).unionByName(expTerms)
+    val scored = tf.join(broadcast(allq), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(df, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_milli",
+        expr("((2*(n_docs - df) + 1) * 1000) div (2*df + 1)"))
+      .withColumn("tfsat_milli",
+        expr("(22*tf*total_len*1000) div (10*tf*total_len + 3*total_len + 9*dl*n_docs)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("wgt") === 500L, 1L).otherwise(0L)).as("n_exp_terms"),
+        sum(expr("(wgt * idf_milli * tfsat_milli) div 1000")).as("score_micro"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_terms"),
+        col("n_exp_terms"), col("score_micro"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val bm25PrfTopkSql =
+    s"""WITH $bm25RankedCtes,
+       |idfr AS (
+       |  SELECT word, ((2*(n_docs - df) + 1) * 1000) // (2*df + 1) AS idf_milli
+       |  FROM df CROSS JOIN tot),
+       |fb AS (SELECT query_id, doc_id FROM bm25ranked WHERE rk <= 3),
+       |exp0 AS (
+       |  SELECT f.query_id, tf.word,
+       |    CAST(SUM(tf.tf * i.idf_milli) AS BIGINT) AS escore
+       |  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+       |  JOIN idfr i ON i.word = tf.word
+       |  WHERE length(tf.word) >= 4 AND NOT EXISTS (
+       |    SELECT 1 FROM qterms q
+       |    WHERE q.query_id = f.query_id AND q.word = tf.word)
+       |  GROUP BY 1, 2),
+       |expt AS (
+       |  SELECT query_id, word, CAST(500 AS BIGINT) AS wgt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY escore DESC, word) AS erk FROM exp0)
+       |  WHERE erk <= 5),
+       |allq AS (
+       |  SELECT query_id, word, CAST(1000 AS BIGINT) AS wgt FROM qterms
+       |  UNION ALL SELECT query_id, word, wgt FROM expt),
+       |scored2 AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    COUNT(*) AS n_terms,
+       |    CAST(SUM(CASE WHEN q.wgt = 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_exp_terms,
+       |    CAST(SUM((q.wgt * (((2*(n_docs - df) + 1) * 1000) // (2*df + 1))
+       |      * ((22*tf*total_len*1000)
+       |         // (10*tf*total_len + 3*total_len + 9*dl*n_docs))) // 1000)
+       |      AS BIGINT) AS score_micro
+       |  FROM tf JOIN allq q ON tf.word = q.word AND tf.doc_id <> q.query_id
+       |  JOIN df ON df.word = tf.word
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN tot
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS INT) AS rk,
+       |  doc_id, n_terms, n_exp_terms, score_micro
+       |FROM scored2
+       |QUALIFY rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   private val mgK = 32
 
   /** Heavy hitters via the engine's mergeable Misra–Gries Aggregator
@@ -1814,6 +1925,7 @@ object TextOps {
     Q("langid_confusion", langidConfusion, Some(langidConfusionSql)),
     Q("heavy_hitters_sketch", heavyHittersSketch, Some(heavyHittersSketchSql)),
     Q("bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    Q("bm25_prf_topk", bm25PrfTopk, Some(bm25PrfTopkSql)),
     Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
     Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),

@@ -33,6 +33,48 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25_prf_topk: expansion recalls a doc sharing no original term") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("prf").toString
+    // q0's terms {alphaterm, betaterm}; doc10 is the only pass-1 hit and
+    // contributes expansion terms {gammaterm, deltaterm}; doc11 shares
+    // ONLY expansion terms, doc12 shares nothing.
+    Seq(
+      (0L, "alphaterm betaterm"),
+      (1L, "aa bb"), (2L, "aa bb"),
+      (10L, "alphaterm betaterm gammaterm deltaterm"),
+      (11L, "gammaterm deltaterm gammaterm"),
+      (12L, "zzzz yyyy"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val pass1 = SparkEntry.queries("bm25_topk")(spark, d).collect()
+      .filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("doc_id"))
+    assert(pass1.toSeq == Seq(10L), "pass 1 sees only the shared-term doc")
+    val prf = SparkEntry.queries("bm25_prf_topk")(spark, d).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+    val byDoc = prf.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_exp_terms")))).toMap
+    assert(byDoc.contains(11L), s"PRF must recall doc11: $byDoc")
+    assert(byDoc(11L) == ((2L, 2L)), "doc11 is expansion-only")
+    assert(byDoc(10L)._1 == 4L && byDoc(10L)._2 == 2L)
+    assert(!byDoc.contains(12L))
+  }
+
+  test("bm25_prf_topk on sf0.001: ranked, no self-hits, exp <= total") {
+    val rows = SparkEntry.queries("bm25_prf_topk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to byRk.length))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("doc_id") != q)
+        assert(r.getAs[Long]("n_exp_terms") <= r.getAs[Long]("n_terms"))
+        assert(r.getAs[Long]("score_micro") > 0)
+      }
+    }
+  }
+
   test("rrf_hybrid_topk: scores recompute from the component rankings") {
     val got = SparkEntry.queries("rrf_hybrid_topk")(spark, dir).collect()
     assert(got.nonEmpty)
