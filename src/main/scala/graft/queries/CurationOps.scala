@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Corpus-curation operators from the published LLM-data-pipeline
+  * literature that complete the selection/export story around
+  * [[CorpusOps]]: the deterministic global shuffle a training exporter
+  * runs last (shard manifests with order checksums), and DSIR-style
+  * hashed-n-gram importance weighting (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling") — the scalable
+  * feature-hashing variant of the unigram affinity already covered by
+  * `target_affinity_resample`.
+  *
+  * House determinism contract throughout: engine-portable md5 hashing
+  * (`conv(substring(md5(x), 1, 8), 16, 10)` ↔ DuckDB
+  * `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)`), exact integer milli
+  * arithmetic, the libm-free floor-log₂ (`length(bin(x)) − 1`), and
+  * explicit ORDER BY on a unique key. */
+object CurationOps {
+
+  /** Shard count for the training-export shuffle. Fixed small here; a
+    * production export sizes it to target-file-size (tokens/shard), which
+    * changes only this constant. */
+  val shuffleShards = 8
+
+  /** Order-checksum modulus (2³¹−1-scale prime): keeps the positional
+    * checksum exact in int64 — each term is ((pos % M)·(h % M)) % M
+    * < M² ≈ 10¹⁸ < 2⁶³, and the running sum stays exact for up to ~9·10⁹
+    * docs per shard before the final % M. */
+  val ordMod = 1000000007L
+
+  /** Engine-portable 32-bit doc hash (the [[graft.queries]] md5-nibble
+    * idiom — a plain doc_id modulus would alias with the testdata's
+    * source = id % 20 rule). */
+  private def docHash: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic global shuffle + shard manifest — the training
+    * exporter's last step (every published pretraining pipeline shuffles
+    * before sharding so a sequential reader sees an unbiased stream; e.g.
+    * the Pile/Dolma/RedPajama release layouts). Docs are assigned
+    * shard = h % S by the md5 hash and ordered WITHIN each shard by
+    * (h, doc_id); the output is the shard MANIFEST a reader validates
+    * against: doc/token counts, the hash range, an order-independent
+    * hash sum, and a position-weighted checksum that pins the within-
+    * shard ORDER itself (two engines agreeing on ord_check agree on the
+    * full permutation, not just the membership).
+    *
+    * Scale shape — the reason this beats a global sort-by-random: shard
+    * assignment is a stateless projection, the within-shard order is a
+    * PER-SHARD local sort (one hash partition each, no global ordering
+    * across shards), and the manifest is an S-row aggregate. At 100 TB
+    * with S sized to ~file-size this is one shuffle by shard key with
+    * sort-within-partitions — exactly `repartition(S, h).sortWithin...`
+    * — never a single total order. */
+  private def globalShuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "")).cast("long").as("toks"))
+      .withColumn("h", docHash)
+      .withColumn("shard", col("h") % shuffleShards)
+    val pos = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+    d.withColumn("pos", pos.cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"),
+        sum(col("h") % ordMod).as("sum_h_raw"),
+        sum(((col("pos") % ordMod) * (col("h") % ordMod)) % ordMod)
+          .as("ord_raw"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("min_h"), col("max_h"),
+        (col("sum_h_raw") % ordMod).as("hash_sum"),
+        (col("ord_raw") % ordMod).as("ord_check"))
+      .orderBy("shard")
+  }
+
+  private val globalShuffleShardsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+       |      x -> x <> '')) AS BIGINT) AS toks,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |p AS (
+       |  SELECT *, h % $shuffleShards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY h % $shuffleShards
+       |      ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM d)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  MIN(h) AS min_h, MAX(h) AS max_h,
+       |  CAST(SUM(h % $ordMod) AS BIGINT) % $ordMod AS hash_sum,
+       |  CAST(SUM(((pos % $ordMod) * (h % $ordMod)) % $ordMod) AS BIGINT)
+       |    % $ordMod AS ord_check
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Hashed-feature bucket count for the DSIR weights (2⁸ — the feature-
+    * hashing trick; the published method uses 10⁴, the mechanics are
+    * identical and 256 keeps the verify-scale buckets non-degenerate). */
+  val dsirBuckets = 256
+
+  /** DSIR importance weights over HASHED bigram features (Xie et al.
+    * 2023): both the raw corpus and the target slice (`lang = 'en'`, the
+    * family's reference stand-in) are reduced to B-bucket hashed-bigram
+    * count vectors, and each document scores
+    * Σ_occurrences [log p_target(bucket) − log p_raw(bucket)] — the
+    * importance log-ratio whose resampling defines DSIR. This is the
+    * SCALE counterpart of `target_affinity_resample`: that query joins a
+    * vocabulary-sized word-stats relation; this one broadcasts a
+    * CONSTANT-size (B-row) model no matter the corpus, which is exactly
+    * why the paper hashes features.
+    *
+    * Determinism: bucket = md5-nibble hash of "u v" % B; add-one
+    * smoothing on bucket counts; logs are a libm-free OCTAVE-LINEAR
+    * fixed-point log₂ in milli-bits — L(x) = 1000·⌊log₂x⌋ +
+    * (1000·x) div 2^⌊log₂x⌋ − 1000, i.e. the family's floor-log₂ plus a
+    * linearly-interpolated mantissa (≤ ~86 milli-bits interpolation
+    * error, exact integers on both engines; the bare floor-log₂ is too
+    * coarse here — it collapses most bucket ratios to exactly 0). Taken
+    * per FACTOR (L(ct) − L(S_t) − L(cr) + L(S_r)) so nothing multiplies
+    * two counts; 1000·x bounds each count at ~9·10¹⁵, far above any
+    * real bucket count. keep = weight > 0 (importance ratio > 1) — a
+    * threshold on the ratio itself, not a corpus-wide rank, so no
+    * global sort exists in the plan.
+    *
+    * Bigram extraction mirrors the [[LmOps]] contract (raw split on ' ';
+    * NULL text and one-word docs contribute nothing on either engine);
+    * docs with no bigrams are excluded — they have no features to score.
+    *
+    * Scale shape: one token-scale (doc, bucket) map-side-combining hash
+    * aggregate, a 256-row model relation broadcast back onto it, one
+    * doc-grain aggregate. Nothing is vocabulary- or pair-sized. */
+  private def dsirHashedNgramWeights(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("g"))
+      .withColumn("f",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % dsirBuckets)
+    val occ = bg.groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("tf"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_t"))
+    val feat = occ.groupBy(col("f"))
+      .agg((sum(col("tf")) + 1L).as("cr"), (sum(col("tf_t")) + 1L).as("ct"))
+    val tot = feat.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
+    def lg(c: String) =
+      s"(1000 * (length(bin($c)) - 1) + (1000 * $c) div " +
+        s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) - 1000)"
+    val model = feat.crossJoin(broadcast(tot))
+      .select(col("f"), expr(
+        s"CAST((${lg("ct")} - ${lg("st")}) - (${lg("cr")} - ${lg("sr")}) " +
+          "AS BIGINT)").as("w_milli"))
+    occ.join(model, "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("w_milli")).as("weight_milli"))
+      .select(col("doc_id"), col("n_bigrams"), col("weight_milli"),
+        (col("weight_milli") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def lgSql(c: String) =
+    s"(1000 * (length(bin($c)) - 1) + (1000 * $c) // " +
+      s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1)) - 1000)"
+
+  private val dsirHashedNgramWeightsSql =
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $dsirBuckets AS f
+       |  FROM d, UNNEST(list_transform(range(greatest(len(w) - 1, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2])) t(g)),
+       |occ AS (
+       |  SELECT doc_id, f, COUNT(*) AS tf,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+       |  FROM bg GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT f, CAST(SUM(tf) + 1 AS BIGINT) AS cr,
+       |    CAST(SUM(tf_t) + 1 AS BIGINT) AS ct
+       |  FROM occ GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS sr,
+       |  CAST(SUM(ct) AS BIGINT) AS st FROM feat),
+       |model AS (
+       |  SELECT f, CAST((${lgSql("ct")} - ${lgSql("st")})
+       |    - (${lgSql("cr")} - ${lgSql("sr")}) AS BIGINT) AS w_milli
+       |  FROM feat CROSS JOIN tot)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(tf * w_milli) AS BIGINT) AS weight_milli,
+       |  CAST(SUM(tf * w_milli) AS BIGINT) > 0 AS keep
+       |FROM occ JOIN model USING (f)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup cluster-size cap: a cluster larger than this is dropped
+    * from PAIRING (members still appear in the output with n_dups = 0)
+    * and the drop is logged — the maxLshBucket discipline. At web scale
+    * the real control is K ∝ √N (the paper uses 50k clusters for LAION);
+    * the cap is the backstop for a degenerate quantizer, not the design.
+    * Session conf `graft.cap.semCluster` overrides. */
+  val maxSemClusterDefault = 4096
+  def maxSemCluster(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.semCluster").map(_.toInt)
+      .getOrElse(maxSemClusterDefault)
+
+  /** SemDeDup duplicate threshold (cosine ≥ 0.4 — corpus-relative, the
+    * `dedup_embedding_neardup` constant: the synthetic corpus max
+    * off-diagonal cosine is ≈ 0.51). */
+  val semTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with a coarse quantizer, compare vectors ONLY within their
+    * cluster, call a pair semantic duplicates at cosine ≥ τ, and keep
+    * exactly one representative per duplicate neighborhood — the paper
+    * keeps the member FURTHEST from its cluster centroid (diversity-
+    * preserving), which this variant makes deterministic: x is pruned
+    * iff some τ-neighbor y in its cluster has strictly lower
+    * centroid-cosine (ties broken by lower vec_id). Output is one row
+    * per corpus vector: cluster, centroid cosine, τ-neighbor count, the
+    * keep verdict, and the pruning witness.
+    *
+    * Rides the session-cached [[SimilarityOps.ivfServeAssigned]]
+    * inverted lists — SemDeDup IS "IVF assignment + within-list pairs",
+    * so the serve index and the dedup pass share one physical relation.
+    *
+    * Scale shape: the pair join is keyed by cent_id and bounded by the
+    * cluster cap (quadratic only WITHIN a cluster; the paper's K ∝ √N
+    * keeps clusters ~√N); centroids broadcast; everything else is
+    * vector-grain. Exact int64 dots; cosines are identical IEEE doubles
+    * on both engines. */
+  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def dotQ(a: Column, b: Column) =
+      graft.functions.GraftFunctions.quantized_dot(a, b)
+    val cents = SimilarityOps.ivfServeCents(s, dir)
+    val m = SimilarityOps.ivfServeAssigned(s, dir)
+      .join(broadcast(cents), "cent_id")
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"), col("ccos"))
+    val csz = m.groupBy(col("cent_id")).agg(count(lit(1)).as("k"))
+    val ok = withDropMetric(s, csz, "graft_drop_sem_cluster",
+        sum(when(col("k") > maxSemCluster(s), 1L).otherwise(0L)))
+      .filter(col("k") <= maxSemCluster(s))
+      .select(col("cent_id"))
+    val mok = m.join(ok, Seq("cent_id"), "left_semi")
+    val a = mok.select(col("cent_id"), col("vec_id").as("x"),
+      col("q").as("qx"), col("nrm").as("nx"), col("ccos").as("xc"))
+    val b = mok.select(col("cent_id"), col("vec_id").as("y"),
+      col("q").as("qy"), col("nrm").as("ny"), col("ccos").as("yc"))
+    val dup = a.join(b, Seq("cent_id")).filter(col("x") =!= col("y"))
+      .withColumn("cos", dotQ(col("qx"), col("qy")).cast("double") /
+        sqrt((col("nx") * col("ny")).cast("double")))
+      .filter(col("cos") >= semTau)
+    val agg = dup.groupBy(col("x").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(when(col("yc") < col("xc") ||
+          (col("yc") === col("xc") && col("y") < col("x")), col("y")))
+          .as("pruned_by"))
+    m.join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("ccos"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("pruned_by").isNull.as("keep"), col("pruned_by"))
+      .orderBy("vec_id")
+  }
+
+  private val semdedupPruneSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |m AS (
+       |  SELECT vec_id, cent_id, q, nrm,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nrm * cn AS DOUBLE)) AS ccos
+       |  FROM assigned),
+       |ok AS (SELECT cent_id FROM m GROUP BY cent_id
+       |       HAVING COUNT(*) <= $maxSemClusterDefault),
+       |mok AS (SELECT m.* FROM m JOIN ok USING (cent_id)),
+       |dup AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y, a.ccos AS xc, b.ccos AS yc
+       |  FROM mok a JOIN mok b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+       |  WHERE CAST(CAST(list_sum(list_transform(range(len(a.q)),
+       |      i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
+       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= $semTau),
+       |agg AS (
+       |  SELECT x AS vec_id, COUNT(*) AS n_dups,
+       |    MIN(CASE WHEN yc < xc OR (yc = xc AND y < x) THEN y END)
+       |      AS pruned_by
+       |  FROM dup GROUP BY 1)
+       |SELECT m.vec_id, m.cent_id, m.ccos,
+       |  COALESCE(a.n_dups, 0) AS n_dups,
+       |  a.pruned_by IS NULL AS keep, a.pruned_by
+       |FROM m LEFT JOIN agg a USING (vec_id)
+       |ORDER BY m.vec_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("global_shuffle_shards", globalShuffleShards,
+      Some(globalShuffleShardsSql)),
+    Q("dsir_hashed_ngram_weights", dsirHashedNgramWeights,
+      Some(dsirHashedNgramWeightsSql)),
+    Q("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)))
+}

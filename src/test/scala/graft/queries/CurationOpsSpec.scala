@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Contract tests for the curation wave: the shuffle-shard manifest and
+  * the DSIR hashed-n-gram weights are recomputed INDEPENDENTLY in plain
+  * Scala (java MessageDigest md5, integer arithmetic) on the real
+  * sf0.001 corpus and on planted fixtures — the InvariantSpec pattern
+  * (never compare the query to itself). */
+class CurationOpsSpec extends SparkSpec {
+
+  private val M = CurationOps.ordMod
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h32(x: String): Long =
+    java.lang.Long.parseLong(md5hex(x).take(8), 16)
+
+  private def docs(dir: String): Seq[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang").collect().toSeq
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+
+  test("global_shuffle_shards ≡ straight-line recount on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val byShard = docs(dir)
+      .map { case (id, text, _) =>
+        val toks = Option(text).getOrElse("").split(" ").count(_.nonEmpty)
+        (h32(id.toString), id, toks.toLong)
+      }
+      .groupBy(_._1 % CurationOps.shuffleShards)
+    val expected = byShard.map { case (shard, members) =>
+      val ordered = members.sortBy(m => (m._1, m._2))
+      val ord = ordered.zipWithIndex
+        .map { case ((h, _, _), i) => ((i + 1).toLong % M) * (h % M) % M }
+        .sum % M
+      (shard, members.size.toLong, members.map(_._3).sum,
+        members.map(_._1).min, members.map(_._1).max,
+        members.map(_._1 % M).sum % M, ord)
+    }.toSet
+    val got = SparkEntry.queries("global_shuffle_shards")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // the manifest is a partition of the corpus
+    assert(got.toSeq.map(_._2).sum == docs(dir).size)
+  }
+
+  test("global_shuffle_shards ord_check pins the order, not just membership") {
+    // two docs landing in one shard: swapping their hash order must flip
+    // ord_check — recompute both permutations by hand and check they differ
+    val dir = java.nio.file.Files.createTempDirectory("shuf").toString
+    import spark.implicits._
+    val ids = (1L to 40L)
+    ids.map(i => (i, s"w$i a b", "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("global_shuffle_shards")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == 40L)
+    rows.foreach { r =>
+      val (shard, sumH, ord) = (r.getLong(0), r.getLong(5), r.getLong(6))
+      val members = ids.map(i => h32(i.toString))
+        .filter(_ % CurationOps.shuffleShards == shard).sorted
+      assert(sumH == members.map(_ % M).sum % M, s"shard $shard hash_sum")
+      val straight = members.zipWithIndex
+        .map { case (h, i) => ((i + 1).toLong % M) * (h % M) % M }.sum % M
+      assert(ord == straight, s"shard $shard ord_check")
+      if (members.size >= 2) {
+        val swapped = (members.tail.head +: members.head +: members.drop(2))
+          .zipWithIndex
+          .map { case (h, i) => ((i + 1).toLong % M) * (h % M) % M }.sum % M
+        assert(swapped != straight, s"shard $shard: ord_check order-blind")
+      }
+    }
+  }
+
+  /** The octave-linear milli-bit log₂ of the DSIR weights, recomputed
+    * from scratch (floorDiv mirrors both engines' div/// on these
+    * nonnegative operands). */
+  private def lg(x: Long): Long = {
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    1000L * k + java.lang.Math.floorDiv(1000L * x, 1L << k) - 1000L
+  }
+
+  private def dsirRecount(corpus: Seq[(Long, String, String)])
+      : Map[Long, (Long, Long)] = {
+    val B = CurationOps.dsirBuckets
+    val occs = corpus.flatMap { case (id, text, lang) =>
+      val w = Option(text).map(_.split(" ", -1)).getOrElse(Array.empty[String])
+      w.iterator.zip(w.iterator.drop(1)).map { case (u, v) =>
+        (id, h32(s"$u $v") % B, lang == "en")
+      }.toSeq
+    }
+    val cr = occs.groupBy(_._2).view.mapValues(_.size.toLong + 1).toMap
+    val ct = occs.groupBy(_._2).view
+      .mapValues(_.count(_._3).toLong + 1).toMap
+    val sr = cr.values.sum
+    val st = ct.values.sum
+    val w = cr.keys.map(f =>
+      f -> ((lg(ct(f)) - lg(st)) - (lg(cr(f)) - lg(sr)))).toMap
+    occs.groupBy(_._1).view.mapValues { os =>
+      (os.size.toLong, os.map(o => w(o._2)).sum)
+    }.toMap
+  }
+
+  test("dsir_hashed_ngram_weights ≡ recount on sf0.001; en slice scores higher") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = docs(dir)
+    val expected = dsirRecount(corpus)
+    val got = SparkEntry.queries("dsir_hashed_ngram_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, wm, keep)) =>
+      assert((n, wm) == expected(id), s"doc $id")
+      assert(keep == (wm > 0), s"doc $id keep")
+    }
+    // aggregate sanity: the target slice must average a higher importance
+    // weight than the rest (it IS the target distribution)
+    val lang = corpus.map(c => c._1 -> c._3).toMap
+    val (en, rest) = got.toSeq.partition(kv => lang(kv._1) == "en")
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    assert(mean(en.map(_._2._2)) > mean(rest.map(_._2._2)))
+  }
+
+  test("dsir fixture: pure-target doc kept, off-distribution doc dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    import spark.implicits._
+    // 6 en docs share a tight bigram vocabulary; one junk doc repeats
+    // bigrams that never occur in the en slice
+    val en = (1 to 6).map(i =>
+      (i.toLong, "the model trains on clean text " + s"tail$i", "en", "s", 0L))
+    val junk = Seq((9L, Array.fill(8)("zz qq").mkString(" "), "xx", "s", 0L))
+    (en ++ junk).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dsir_hashed_ngram_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2, "target-slice doc must be kept")
+    assert(!got(9L)._2, "off-distribution doc must be dropped")
+    assert(got(9L)._1 < got(1L)._1)
+  }
+}

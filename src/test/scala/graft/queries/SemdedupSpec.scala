@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** `semdedup_prune` contract tests: the full pipeline (quantize → coarse
+  * assignment → within-cluster τ-pairs → keep-furthest-from-centroid
+  * dominance) recomputed in straight-line Scala on the real sf0.001
+  * corpus, plus a planted-geometry fixture where every keep/prune verdict
+  * is derivable by hand. */
+class SemdedupSpec extends SparkSpec {
+
+  private case class Verdict(centId: Long, ccos: Double, nDups: Long,
+      keep: Boolean, prunedBy: Option[Long])
+
+  /** Independent recount of the whole operator (BigDecimal HALF_UP
+    * quantization mirrors both engines' round()). */
+  private def recount(vecs: Seq[(Long, Array[Float])]): Map[Long, Verdict] = {
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.filter { case (_, v) => v.map(x => x * x).sum > 0 }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrm(a: Array[Long]): Long = dot(a, a)
+    val cents = q.filter(_._1 < SimilarityOps.ivfCentroids)
+    val assigned = q.map { case (id, v) =>
+      val best = cents.toSeq.map { case (cid, cv) =>
+        (dot(v, cv).toDouble / math.sqrt((nrm(v) * nrm(cv)).toDouble), cid)
+      }.sortBy { case (c, cid) => (-c, cid) }.head
+      id -> (best._2, best._1)
+    }
+    val byCluster = assigned.groupBy(_._2._1)
+    assigned.map { case (id, (cid, ccos)) =>
+      val peers = byCluster(cid).keys.filter(_ != id).toSeq
+      val dups = peers.filter { p =>
+        dot(q(id), q(p)).toDouble /
+          math.sqrt((nrm(q(id)) * nrm(q(p))).toDouble) >= CurationOps.semTau
+      }
+      val doms = dups.filter { p =>
+        val pc = assigned(p)._2
+        pc < ccos || (pc == ccos && p < id)
+      }
+      id -> Verdict(cid, ccos, dups.size.toLong, doms.isEmpty,
+        if (doms.isEmpty) None else Some(doms.min))
+    }
+  }
+
+  private def run(dir: String): Map[Long, Verdict] =
+    SparkEntry.queries("semdedup_prune")(spark, dir).collect().map { r =>
+      r.getLong(0) -> Verdict(r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toMap
+
+  test("semdedup_prune ≡ straight-line recount on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(run(dir) == recount(vecs))
+  }
+
+  test("planted geometry: keep-furthest-from-centroid, isolated vec kept") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    import spark.implicits._
+    val dim = 10
+    def e(i: Int, s: Double): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) s.toFloat else 0f)
+    // centroids 0..7 = basis vectors; 8 and 9 hug centroid 0 (mutual dups
+    // with it and each other); 10 leans weakly (cos ≈ 0.36 < τ) on
+    // centroid 1 plus an off-centroid direction — assigned but no dups
+    val v8 = Array.tabulate(dim)(j =>
+      if (j == 0) 0.9f else if (j == 2) 0.1f else 0f)
+    val v9 = Array.tabulate(dim)(j =>
+      if (j == 0) 0.85f else if (j == 2) 0.15f else 0f)
+    val v10 = Array.tabulate(dim)(j =>
+      if (j == 1) 0.35f else if (j == 9) 0.9f else 0f)
+    val vecs = (0 until 8).map(i => (i.toLong, e(i, 1.0))) ++
+      Seq((8L, v8), (9L, v9), (10L, v10))
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = run(dir)
+    assert(got == recount(vecs.map { case (id, v) => (id, v) }))
+    // centroid 0 (ccos = 1, the closest) and v8 are pruned; v9 — the
+    // furthest τ-neighbor from the centroid — is the kept representative
+    assert(!got(0L).keep && got(0L).prunedBy.contains(8L))
+    assert(!got(8L).keep && got(8L).prunedBy.contains(9L))
+    assert(got(9L).keep && got(9L).nDups == 2L)
+    // weak lean: assigned to cluster 1, below τ → untouched
+    assert(got(10L).centId == 1L && got(10L).keep && got(10L).nDups == 0L)
+    // every cluster-0 τ-neighborhood retains exactly one representative
+    assert(Seq(0L, 8L, 9L).count(got(_).keep) == 1)
+  }
+}
