@@ -302,10 +302,72 @@ object CurationOps {
        |FROM m LEFT JOIN agg a USING (vec_id)
        |ORDER BY m.vec_id""".stripMargin
 
+  /** Prototype-prune fraction in mille: the most-prototypical 30% of
+    * each cluster is pruned (the abundant-data regime of the paper —
+    * keep HARD examples; the scarce-data regime flips the sign, which
+    * changes one comparison). */
+  val protoPruneMille = 300
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): the
+    * hardness metric is the cosine to the assigned cluster centroid —
+    * the most PROTOTYPICAL (highest centroid-cosine) examples are the
+    * most redundant, so in the abundant-data regime the top
+    * `protoPruneMille`‰ of each cluster is pruned and the hard tail
+    * kept. The within-cluster rank (ccos DESC, vec_id ASC) makes the
+    * verdict deterministic; the keep rule `1000·rk > k·mille` is exact
+    * integer arithmetic.
+    *
+    * Rides the same session-cached [[SimilarityOps.ivfServeAssigned]]
+    * inverted lists as [[semdedupPrune]] — prototypicality IS the IVF
+    * assignment geometry, so the serve index, SemDeDup, and this pruner
+    * share one physical relation. Unlike SemDeDup there is no pair
+    * join at all: one window rank per cluster (hash-partitioned by
+    * cent_id), vector-grain everywhere — this tier costs a sort within
+    * each inverted list and nothing quadratic, which is why the paper
+    * runs it at web scale where pairwise tiers need banding. */
+  private def prototypePrune(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def dotQ(a: Column, b: Column) =
+      graft.functions.GraftFunctions.quantized_dot(a, b)
+    val cents = SimilarityOps.ivfServeCents(s, dir)
+    val m = SimilarityOps.ivfServeAssigned(s, dir)
+      .join(broadcast(cents), "cent_id")
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
+        sqrt((col("nrm") * col("cn")).cast("double")))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("k_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cent_id"))).cast("long"))
+      .select(col("vec_id"), col("cent_id"), col("ccos"), col("rk"),
+        col("k_cluster"),
+        (col("rk") * 1000L > col("k_cluster") * protoPruneMille).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val prototypePruneSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |m AS (
+       |  SELECT vec_id, cent_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nrm * cn AS DOUBLE)) AS ccos
+       |  FROM assigned),
+       |r AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+       |      ORDER BY ccos DESC, vec_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT) AS k_cluster
+       |  FROM m)
+       |SELECT vec_id, cent_id, ccos, rk, k_cluster,
+       |  rk * 1000 > k_cluster * $protoPruneMille AS keep
+       |FROM r ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
     Q("dsir_hashed_ngram_weights", dsirHashedNgramWeights,
       Some(dsirHashedNgramWeightsSql)),
-    Q("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)))
+    Q("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
+    Q("prototype_prune", prototypePrune, Some(prototypePruneSql)))
 }

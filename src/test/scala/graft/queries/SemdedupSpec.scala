@@ -12,23 +12,32 @@ class SemdedupSpec extends SparkSpec {
   private case class Verdict(centId: Long, ccos: Double, nDups: Long,
       keep: Boolean, prunedBy: Option[Long])
 
-  /** Independent recount of the whole operator (BigDecimal HALF_UP
-    * quantization mirrors both engines' round()). */
-  private def recount(vecs: Seq[(Long, Array[Float])]): Map[Long, Verdict] = {
-    val q = vecs.map { case (id, e) =>
+  private def quantize(vecs: Seq[(Long, Array[Float])]): Map[Long, Array[Long]] =
+    vecs.map { case (id, e) =>
       id -> e.map(x => BigDecimal(x.toDouble * 1000)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     }.filter { case (_, v) => v.map(x => x * x).sum > 0 }.toMap
-    def dot(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => x * y }.sum
-    def nrm(a: Array[Long]): Long = dot(a, a)
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+  private def nrm(a: Array[Long]): Long = dot(a, a)
+
+  /** The shared coarse-assignment recount (BigDecimal HALF_UP
+    * quantization mirrors both engines' round()). */
+  private def assign(q: Map[Long, Array[Long]]): Map[Long, (Long, Double)] = {
     val cents = q.filter(_._1 < SimilarityOps.ivfCentroids)
-    val assigned = q.map { case (id, v) =>
+    q.map { case (id, v) =>
       val best = cents.toSeq.map { case (cid, cv) =>
         (dot(v, cv).toDouble / math.sqrt((nrm(v) * nrm(cv)).toDouble), cid)
       }.sortBy { case (c, cid) => (-c, cid) }.head
       id -> (best._2, best._1)
     }
+  }
+
+  /** Independent recount of the whole operator. */
+  private def recount(vecs: Seq[(Long, Array[Float])]): Map[Long, Verdict] = {
+    val q = quantize(vecs)
+    val assigned = assign(q)
     val byCluster = assigned.groupBy(_._2._1)
     assigned.map { case (id, (cid, ccos)) =>
       val peers = byCluster(cid).keys.filter(_ != id).toSeq
@@ -91,5 +100,72 @@ class SemdedupSpec extends SparkSpec {
     assert(got(10L).centId == 1L && got(10L).keep && got(10L).nDups == 0L)
     // every cluster-0 τ-neighborhood retains exactly one representative
     assert(Seq(0L, 8L, 9L).count(got(_).keep) == 1)
+  }
+
+  /** Independent recount of prototype_prune (rank within cluster by
+    * centroid-cosine DESC, vec_id ASC; prune the top mille fraction). */
+  private def protoRecount(vecs: Seq[(Long, Array[Float])])
+      : Map[Long, (Long, Long, Long, Boolean)] = {
+    val assigned = assign(quantize(vecs))
+    assigned.groupBy(_._2._1).flatMap { case (cid, members) =>
+      val ranked = members.toSeq
+        .sortBy { case (id, (_, ccos)) => (-ccos, id) }.zipWithIndex
+      val k = ranked.size.toLong
+      ranked.map { case ((id, _), i) =>
+        val rk = i + 1L
+        id -> (cid, rk, k, rk * 1000L > k * CurationOps.protoPruneMille)
+      }
+    }
+  }
+
+  test("prototype_prune ≡ straight-line recount on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val got = SparkEntry.queries("prototype_prune")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == protoRecount(vecs))
+    // every non-trivial cluster prunes SOMETHING and keeps SOMETHING
+    got.values.groupBy(_._1).foreach { case (cid, ms) =>
+      if (ms.head._3 >= 4) {
+        assert(ms.exists(_._4), s"cluster $cid kept nothing")
+        assert(ms.exists(!_._4), s"cluster $cid pruned nothing")
+      }
+    }
+  }
+
+  test("prototype_prune planted: most-prototypical members pruned, hard tail kept") {
+    val dir = java.nio.file.Files.createTempDirectory("proto").toString
+    import spark.implicits._
+    val dim = 10
+    def e(i: Int, s: Double): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) s.toFloat else 0f)
+    // centroids 0..7 = basis vectors; ids 8..17 all land in cluster 0 with
+    // strictly decreasing centroid cosine (increasing off-axis lean)
+    val leaners = (0 until 10).map { m =>
+      (8L + m, Array.tabulate(dim)(j =>
+        if (j == 0) 1.0f else if (j == 9) 0.1f * (m + 1) else 0f))
+    }
+    val vecs = (0 until 8).map(i => (i.toLong, e(i, 1.0))) ++ leaners
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("prototype_prune")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == protoRecount(vecs))
+    // cluster 0 = centroid itself + 10 leaners (k = 11): ranks 1..3
+    // (the centroid, then the two straightest leaners) are pruned —
+    // 1000·rk ≤ 300·11 up to rk = 3 — and the 8 hardest survive
+    val c0 = got.filter(_._2._1 == 0L)
+    assert(c0.size == 11 && c0.values.forall(_._3 == 11L))
+    assert(c0(0L)._2 == 1L && !c0(0L)._4, "centroid is rank 1, pruned")
+    assert(!c0(8L)._4 && !c0(9L)._4, "straightest leaners pruned")
+    assert((10L to 17L).forall(c0(_)._4), "hard tail kept")
+    // singleton clusters (the other centroids) always keep their member
+    (1L to 7L).foreach(i => assert(got(i)._4 && got(i)._3 == 1L))
   }
 }
