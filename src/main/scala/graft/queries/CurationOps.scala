@@ -139,6 +139,12 @@ object CurationOps {
     * Scale shape: one token-scale (doc, bucket) map-side-combining hash
     * aggregate, a 256-row model relation broadcast back onto it, one
     * doc-grain aggregate. Nothing is vocabulary- or pair-sized. */
+  /** Spark-side octave-linear milli-bit log₂ (the DuckDB twin is
+    * [[lgSql]]). */
+  private def lg(c: String) =
+    s"(1000 * (length(bin($c)) - 1) + (1000 * $c) div " +
+      s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) - 1000)"
+
   private def dsirHashedNgramWeights(s: SparkSession, dir: String): DataFrame = {
     val bg = t(s, dir, "documents").filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
@@ -154,9 +160,6 @@ object CurationOps {
     val feat = occ.groupBy(col("f"))
       .agg((sum(col("tf")) + 1L).as("cr"), (sum(col("tf_t")) + 1L).as("ct"))
     val tot = feat.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
-    def lg(c: String) =
-      s"(1000 * (length(bin($c)) - 1) + (1000 * $c) div " +
-        s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) - 1000)"
     val model = feat.crossJoin(broadcast(tot))
       .select(col("f"), expr(
         s"CAST((${lg("ct")} - ${lg("st")}) - (${lg("cr")} - ${lg("sr")}) " +
@@ -201,6 +204,37 @@ object CurationOps {
        |  CAST(SUM(tf * w_milli) AS BIGINT) > 0 AS keep
        |FROM occ JOIN model USING (f)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** One-row broadcastable DSIR model for the streaming gate (the
+    * knModelRow/nbWeightsRow collapse): bucket → w_milli map over the
+    * hashed-bigram feature space plus the unseen-bucket default — under
+    * add-one smoothing a bucket absent from the training corpus has
+    * cr = ct = 1, so w0 = L(sr) − L(st). CONSTANT-size by construction
+    * (≤ [[dsirBuckets]] entries) — the feature-hashing trick is exactly
+    * what makes the streaming broadcast trivial where the unigram
+    * affinity model needs a vocabulary-sized map. */
+  def dsirModelRow(docs: DataFrame): DataFrame = {
+    val bg = docs.filter(col("doc_id").isNotNull)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("g"))
+      .withColumn("f",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % dsirBuckets)
+    val feat = bg.groupBy(col("f"))
+      .agg((count(lit(1)) + 1L).as("cr"),
+        (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 1L).as("ct"))
+    val tot = feat.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
+    feat.crossJoin(broadcast(tot))
+      .select(col("f"),
+        expr(s"CAST((${lg("ct")} - ${lg("st")}) - (${lg("cr")} - ${lg("sr")}) " +
+          "AS BIGINT)").as("w_milli"),
+        expr(s"CAST(${lg("sr")} - ${lg("st")} AS BIGINT)").as("w0r"))
+      .agg(map_from_entries(collect_list(struct(col("f"), col("w_milli"))))
+          .as("wm"),
+        max(col("w0r")).as("w0"))
+  }
 
   /** SemDeDup cluster-size cap: a cluster larger than this is dropped
     * from PAIRING (members still appear in the output with n_dups = 0)

@@ -392,10 +392,15 @@ object LmOps {
     * doc-keyed at doc-count grain. The self frame deliberately has NO
     * documents re-join, so a duplicated doc_id fans out once (from the
     * reference frame), not quadratically. */
-  private def pplDomainGap(s: SparkSession, dir: String): DataFrame = {
-    val self = cachedRelation(s, dir, "knPplFrameSelf", "") {
+  /** Per-doc frame under the SELF (corpus-trained) model — shared by the
+    * domain-gap signal and the DoReMi weight step, so session-cached. */
+  private def selfFrame(s: SparkSession, dir: String): DataFrame =
+    cachedRelation(s, dir, "knPplFrameSelf", "") {
       scoredPerDoc(s, dir, trainCountsFor(s, dir, "All", identity))
     }
+
+  private def pplDomainGap(s: SparkSession, dir: String): DataFrame = {
+    val self = selfFrame(s, dir)
     knFrame(s, dir)
       .select(col("doc_id"), col("n_bigrams"),
         col("kn_bits_milli").as("bits_ref_milli"))
@@ -415,6 +420,75 @@ object LmOps {
        |  p.kn_bits_milli - q.kn_bits_milli AS gap_milli
        |FROM perdoc p JOIN perdoc02 q USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
+
+  /** DoReMi domain-weight update (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): one
+    * exponentiated-gradient step over domain (source) weights from each
+    * domain's EXCESS loss — the bigram-weighted mean of the
+    * [[pplDomainGap]] signal (bits under the en-trained reference model
+    * minus bits under the corpus-trained self model), clipped at 0 the
+    * way the paper clips per-domain excess loss. w*_d ∝ exp(η·excess_d)
+    * at η = 1/bit, then the uniform stability mix
+    * w_d = 0.8·w*_d + 0.2/k.
+    *
+    * Determinism: excess is exact integer milli-bits (clip BEFORE the
+    * division so both engines divide nonnegatives — DuckDB's `//`
+    * floors where Spark's div truncates, which only agrees ≥ 0); exp2
+    * is the octave-linear INVERSE of the DSIR log — E(m) =
+    * (1000 + m mod 1000)·2^(m div 1000), exact int64 (excess ≤ 20 bits
+    * caps the shift at 20); normalization is integer micro via div.
+    *
+    * Scale shape: both per-doc frames are the session-cached relations
+    * the ppl family already holds ([[knFrame]], [[selfFrame]]); the
+    * update itself is a |sources|-row aggregate against a broadcast
+    * one-row total — the weight step costs nothing beyond the scoring
+    * passes, which is DoReMi's point (a small proxy scores, the weights
+    * steer the full corpus). */
+  private def doremiWeightUpdate(s: SparkSession, dir: String): DataFrame = {
+    val gap = knFrame(s, dir)
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("kn_bits_milli").as("bits_ref_milli"))
+      .join(selfFrame(s, dir).select(col("doc_id"),
+        col("kn_bits_milli").as("bits_self_milli")), "doc_id")
+    val dom = gap.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        expr("greatest(0, sum(n_bigrams * (bits_ref_milli - " +
+          "bits_self_milli))) div sum(n_bigrams)").as("excess_milli"))
+      .withColumn("e_milli", expr(
+        "(1000 + excess_milli % 1000) * shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(excess_milli div 1000 AS INT))"))
+    val tot = dom.agg(sum("e_milli").as("tot_e"), count(lit(1)).as("k"))
+    dom.crossJoin(broadcast(tot)) // one-row total
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("excess_milli"),
+        expr("(1000000 * e_milli) div tot_e").as("w_star_micro"),
+        expr("(800000 * e_milli) div tot_e + 200000 div k").as("w_micro"))
+      .orderBy("source")
+  }
+
+  private def doremiWeightUpdateSql: String =
+    s"""WITH $knCtes,
+       |${knCtesFor("2", "")},
+       |dm AS (
+       |  SELECT p.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(p.n_bigrams) AS BIGINT) AS n_bigrams,
+       |    greatest(0, CAST(SUM(p.n_bigrams *
+       |        (p.kn_bits_milli - q.kn_bits_milli)) AS BIGINT))
+       |      // CAST(SUM(p.n_bigrams) AS BIGINT) AS excess_milli
+       |  FROM perdoc p JOIN perdoc02 q USING (doc_id)
+       |  GROUP BY 1),
+       |ew AS (
+       |  SELECT *, (1000 + excess_milli % 1000) *
+       |    (CAST(1 AS BIGINT) << CAST(excess_milli // 1000 AS INT))
+       |    AS e_milli
+       |  FROM dm),
+       |wt AS (SELECT CAST(SUM(e_milli) AS BIGINT) AS tot_e,
+       |  COUNT(*) AS k FROM ew)
+       |SELECT source, n_docs, n_bigrams, excess_milli,
+       |  (1000000 * e_milli) // tot_e AS w_star_micro,
+       |  (800000 * e_milli) // tot_e + 200000 // k AS w_micro
+       |FROM ew CROSS JOIN wt ORDER BY source""".stripMargin
 
   /** Total, NULL-safe md5-hash decile of doc_id (the leakage_safe_split
     * engine-portable hash) — a PLAIN doc_id modulus would alias with the
@@ -579,6 +653,8 @@ object LmOps {
     Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)),
     Q("ppl_domain_gap", pplDomainGap, Some(pplDomainGapSql)),
     Q("kn_model_drift", knModelDrift, Some(knModelDriftSql)),
+    Q("doremi_weight_update", doremiWeightUpdate,
+      Some(doremiWeightUpdateSql)),
     Q("quality_gate_agreement", qualityGateAgreement,
       Some(qualityGateAgreementSql)))
 }

@@ -461,6 +461,39 @@ object StreamingPipeline {
         expr("acc.bits div n_bigrams").as("kn_bits_milli"))
   }
 
+  /** Streaming DSIR importance gate — score-on-ingest for the
+    * hashed-n-gram importance weights ([[graft.queries.CurationOps]]
+    * `dsir_hashed_ngram_weights`): every ARRIVING doc's bigrams hash to
+    * their feature bucket and fold row-locally over the TRAINED
+    * 256-bucket model held as ONE broadcast row
+    * ([[graft.queries.CurationOps.dsirModelRow]]), summing the
+    * identical integer milli-bit importance log-ratios; a bucket the
+    * training corpus never produced falls back to the add-one-smoothing
+    * default w0. One row in, one row out, no state, no shuffle,
+    * append-safe — and because the model is CONSTANT-size regardless of
+    * corpus (the feature-hashing trick), this gate broadcasts at any
+    * scale where the vocabulary-sized affinity model could not. Docs
+    * with no bigram (one word, NULL text or NULL doc_id) drop,
+    * mirroring the batch join; the one semantic delta, as with
+    * [[knScoreStream]]: duplicate doc_ids score per arrival where the
+    * batch frame folds them into one row. */
+  def dsirScoreStream(docs: DataFrame, modelRow: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .crossJoin(broadcast(modelRow)) // static side is ONE row
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("gs", expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> concat(a, ' ', b))"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("weight_milli", aggregate(col("gs"), lit(0L),
+        (acc, g) => acc + coalesce(
+          try_element_at(col("wm"),
+            conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+              % graft.queries.CurationOps.dsirBuckets),
+          col("w0"))))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
+        col("weight_milli"), (col("weight_milli") > 0).as("keep"))
+
   /** Streaming semantic decontamination — the embedding-tier gate on the
     * vector ingest path, completing streaming twins for all three
     * decontamination tiers (exact n-gram [[decontaminateStream]], bloom

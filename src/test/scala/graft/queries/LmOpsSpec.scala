@@ -147,6 +147,63 @@ class LmOpsSpec extends SparkSpec {
     }
   }
 
+  /** Independent recount of the DoReMi step FROM ppl_domain_gap's own
+    * (already pinned) per-doc output: token-weighted clipped excess,
+    * octave-linear exp2, integer-micro normalization + uniform mix. */
+  private def doremiRecount(dir: String): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val src = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("source")).getOrElse("")).toMap
+    val gap = SparkEntry.queries("ppl_domain_gap")(spark, dir).collect()
+      .map(r => (src(r.getAs[Long]("doc_id")), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("gap_milli")))
+    val dom = gap.groupBy(_._1).toSeq.map { case (s, rows) =>
+      val nb = rows.map(_._2).sum
+      val m = math.max(0L, rows.map(r => r._2 * r._3).sum) / nb
+      (s, rows.size.toLong, nb, m, (1000L + m % 1000L) << (m / 1000L))
+    }
+    val tot = dom.map(_._5).sum
+    val k = dom.size.toLong
+    dom.sortBy(_._1).map { case (s, nd, nb, m, e) =>
+      (s, nd, nb, m, 1000000L * e / tot, 800000L * e / tot + 200000L / k)
+    }
+  }
+
+  private def doremiRows(dir: String): Seq[(String, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("doremi_weight_update")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("excess_milli"),
+        r.getAs[Long]("w_star_micro"), r.getAs[Long]("w_micro"))).toSeq
+
+  test("doremi_weight_update ≡ recount from the pinned domain-gap rows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = doremiRows(dir)
+    assert(got == doremiRecount(dir))
+    assert(got.nonEmpty)
+    // weights are a (truncated) distribution and order by excess
+    assert(math.abs(got.map(_._6).sum - 1000000L) <= got.size * 2L)
+    val byExcess = got.sortBy(_._4)
+    assert(byExcess.map(_._6) == byExcess.map(_._6).sorted)
+  }
+
+  test("doremi fixture: off-reference domain takes nearly all the weight") {
+    val dir = java.nio.file.Files.createTempDirectory("doremi").toString
+    // the ppl_domain_gap fixture split across two sources: s0's doc has
+    // NEGATIVE excess (clips to 0, e = 1000); s1's doc carries 18667
+    // milli-bits of excess (e = 1667 << 18) and must dominate
+    writeDocs(dir, Seq(
+      (1L, "a b", "en", "s0"),
+      (2L, "c d c d", "fr", "s1")))
+    val got = doremiRows(dir)
+    assert(got == doremiRecount(dir))
+    val bySrc = got.map(r => r._1 -> r).toMap
+    assert(bySrc("s0")._4 == 0L && bySrc("s0")._5 <= 3L)
+    assert(bySrc("s1")._4 == 18667L && bySrc("s1")._5 >= 999990L)
+    // smoothing floors the zero-excess domain at ~c/k = 100000 micro
+    assert(bySrc("s0")._6 >= 100000L && bySrc("s0")._6 <= 100005L)
+  }
+
   test("quality_gate_agreement reconciles with its two component gates") {
     val dir = "/root/testdata/sf0.001"
     val kn = SparkEntry.queries("kn_bigram_ppl")(spark, dir).collect()

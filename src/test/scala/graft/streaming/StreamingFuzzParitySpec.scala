@@ -486,6 +486,67 @@ class StreamingFuzzParitySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(525, 626)) {
+    test(s"fuzz seed $seed: dsirScoreStream, batch dsir_hashed_ngram_weights," +
+        " and the JVM recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"dsirfuzz$seed")
+      val langs = Vector("en", "fr", null, "zh", "en")
+      val full = dirtyDocs(seed, 250).map { case (id, t) =>
+        (id, t, langs((id % 5).toInt), s"s${id % 3}",
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      val docs = full.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val path = root.resolve("documents.parquet").toString
+      docs.write.parquet(path)
+
+      // independent JVM recount (md5-bucket hashing, add-one smoothing,
+      // octave-linear milli-bit log2; split limit -1 keeps trailing
+      // empties, matching both engines)
+      def h32(x: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8),
+        16)
+      def lg(x: Long): Long = {
+        val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        1000L * k + java.lang.Math.floorDiv(1000L * x, 1L << k) - 1000L
+      }
+      val B = graft.queries.CurationOps.dsirBuckets
+      val occs = full.filter(_._2 != null).flatMap { case (id, t, lang, _, _) =>
+        val w = t.split(" ", -1).toSeq
+        w.init.zip(w.tail).map { case (u, v) =>
+          (id, h32(s"$u $v") % B, lang == "en")
+        }
+      }
+      val cr = occs.groupBy(_._2).view.mapValues(_.size.toLong + 1).toMap
+      val ct = occs.groupBy(_._2).view
+        .mapValues(_.count(_._3).toLong + 1).toMap
+      val sr = cr.values.sum
+      val st = ct.values.sum
+      val wmap = cr.keys.map(f =>
+        f -> ((lg(ct(f)) - lg(st)) - (lg(cr(f)) - lg(sr)))).toMap
+      val expected = occs.groupBy(_._1).view.mapValues { os =>
+        val wm = os.map(o => wmap(o._2)).sum
+        (os.size.toLong, wm, wm > 0)
+      }.toMap
+
+      def key(r: org.apache.spark.sql.Row) =
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("weight_milli"),
+            r.getAs[Boolean]("keep")))
+      val model = graft.queries.CurationOps
+        .dsirModelRow(spark.read.parquet(path))
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.dsirScoreStream(
+          spark.readStream.schema(docs.schema).parquet(path), model),
+        s"dsirfuzz$seed")
+        .collect().map(key).toMap
+      assert(streamed == expected, "stream vs JVM recount")
+      val batch = graft.SparkEntry.queries("dsir_hashed_ngram_weights")(
+        spark, root.toString).collect().map(key).toMap
+      assert(batch == expected, "batch vs JVM recount")
+    }
+  }
+
   for (seed <- Seq(515, 616)) {
     test(s"fuzz seed $seed: unigramSegmentStream equals the JVM Viterbi recount on a dirty corpus") {
       val root = Files.createTempDirectory(s"unifuzz$seed")

@@ -290,6 +290,60 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(novel == Map(9001L -> ((2L, 2L, 19000L))))
   }
 
+  test("dsirScoreStream: exact batch parity with dsir_hashed_ngram_weights") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("dsirstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val model = graft.queries.CurationOps.dsirModelRow(corpus)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("weight_milli"),
+          r.getAs[Boolean]("keep")))
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.dsirScoreStream(stream, model), "dsir_score")
+      .collect().map(key).toMap
+    val batch = graft.SparkEntry.queries("dsir_hashed_ngram_weights")(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+
+    // unseen-bucket fallback: a TINY training corpus leaves most of the
+    // 256 buckets unoccupied; an arrival hashing into them scores w0
+    val tinySrc = root.resolve("tiny")
+    Seq((1L, "aa bb cc", "en", "s", 0L), (2L, "aa bb", "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tinySrc.toString)
+    val tinyModel = graft.queries.CurationOps
+      .dsirModelRow(spark.read.parquet(tinySrc.toString))
+    val mr = tinyModel.collect().head
+    val wm = mr.getAs[scala.collection.Map[Long, Long]]("wm")
+    val w0 = mr.getAs[Long]("w0")
+    val src2 = root.resolve("novel")
+    Seq((9001L, "zz qq rr", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(src2.toString)
+    val stream2 = spark.readStream
+      .schema(corpus.schema).parquet(src2.toString)
+    val novel = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.dsirScoreStream(stream2, tinyModel),
+      "dsir_score_novel").collect()
+    def h32(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8),
+      16)
+    val buckets = Seq("zz qq", "qq rr")
+      .map(g => h32(g) % graft.queries.CurationOps.dsirBuckets)
+    assert(buckets.exists(b => !wm.contains(b)), "fixture hit no unseen bucket")
+    assert(novel.length == 1)
+    assert(novel.head.getAs[Long]("weight_milli") ==
+      buckets.map(b => wm.getOrElse(b, w0)).sum)
+  }
+
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
     import org.apache.spark.sql.functions.{col, not}
     val sf = "/root/testdata/sf0.001"
