@@ -154,9 +154,13 @@ object CurationOps {
       .withColumn("f",
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
           % dsirBuckets)
-    val occ = bg.groupBy(col("doc_id"), col("f"))
-      .agg(count(lit(1)).as("tf"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_t"))
+    // (doc, bucket)-grain — referenced twice (model build + final scoring
+    // join), so session-cached to avoid re-running the token-scale pass
+    val occ = Util.cachedRelation(s, dir, "dsirOcc", s"B=$dsirBuckets") {
+      bg.groupBy(col("doc_id"), col("f"))
+        .agg(count(lit(1)).as("tf"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_t"))
+    }
     val feat = occ.groupBy(col("f"))
       .agg((sum(col("tf")) + 1L).as("cr"), (sum(col("tf_t")) + 1L).as("ct"))
     val tot = feat.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
