@@ -1065,7 +1065,72 @@ object CorpusOps {
       |    // MAX(n) AS entropy_milli
       |FROM withn GROUP BY source ORDER BY source""".stripMargin
 
+  /** Padding-waste policy report at context length 512 (the
+    * `pack_token_shards` budget): per source, the contexts and wasted
+    * pad tokens under the two standard packing policies — PAD-PER-DOC
+    * (each doc rounds up to its own ⌈len/L⌉ contexts; the fine-tuning
+    * default, Krell et al. 2022 measure up to ~50% waste on short-doc
+    * corpora) vs CROSS-DOC CONCAT (the GPT-pretraining default: one
+    * running token stream per source, waste only in the final partial
+    * context). The per-mille waste gap is the decision signal for
+    * whether a corpus needs the packed/attention-mask path at all.
+    *
+    * Exact integers throughout (⌈x/L⌉ = (x+L−1) div L; per-mille via
+    * div); zero-token docs occupy zero contexts under both policies; a
+    * source with no tokens reports NULL waste rates via explicit
+    * guards. One scan, row-local token counts, a |sources|-row
+    * aggregate — nothing shuffles but the final groupBy. */
+  private def packPaddingReport(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(expr(s"(n + ${L - 1}) div $L")).as("ctx_padded"))
+      .withColumn("ctx_packed", expr(s"(n_tokens + ${L - 1}) div $L"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("ctx_padded"),
+        (col("ctx_padded") * L - col("n_tokens")).as("waste_padded"),
+        when(col("ctx_padded") > 0,
+          expr(s"(1000 * (ctx_padded * $L - n_tokens)) div (ctx_padded * $L)"))
+          .as("waste_padded_milli"),
+        col("ctx_packed"),
+        (col("ctx_packed") * L - col("n_tokens")).as("waste_packed"),
+        when(col("ctx_packed") > 0,
+          expr(s"(1000 * (ctx_packed * $L - n_tokens)) div (ctx_packed * $L)"))
+          .as("waste_packed_milli"))
+      .orderBy("source")
+  }
+
+  private val packPaddingReportSql =
+    """WITH toks AS (
+      |  SELECT COALESCE(source, '') AS source,
+      |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+      |      x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(SUM((n + 511) // 512) AS BIGINT) AS ctx_padded
+      |  FROM toks GROUP BY 1)
+      |SELECT source, n_docs, n_tokens, ctx_padded,
+      |  ctx_padded * 512 - n_tokens AS waste_padded,
+      |  CASE WHEN ctx_padded > 0 THEN
+      |    (1000 * (ctx_padded * 512 - n_tokens)) // (ctx_padded * 512)
+      |  END AS waste_padded_milli,
+      |  (n_tokens + 511) // 512 AS ctx_packed,
+      |  ((n_tokens + 511) // 512) * 512 - n_tokens AS waste_packed,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    (1000 * (((n_tokens + 511) // 512) * 512 - n_tokens))
+      |      // (((n_tokens + 511) // 512) * 512)
+      |  END AS waste_packed_milli
+      |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("pack_padding_report", packPaddingReport, Some(packPaddingReportSql)),
     Q("source_entropy", sourceEntropy, Some(sourceEntropySql)),
     Q("temperature_mix_weights", temperatureMixWeights,
       Some(temperatureMixWeightsSql)),

@@ -277,16 +277,24 @@ object CurationOps {
     * keeps clusters ~√N); centroids broadcast; everything else is
     * vector-grain. Exact int64 dots; cosines are identical IEEE doubles
     * on both engines. */
-  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+  private def dotQ(a: Column, b: Column) =
+    graft.functions.GraftFunctions.quantized_dot(a, b)
+
+  /** The shared geometry of the cluster-curation tiers: every corpus
+    * vector with its assigned cluster and centroid cosine — derived
+    * from the session-cached [[SimilarityOps.ivfServeAssigned]]
+    * inverted lists (one cheap broadcast join on top of the cache). */
+  private def centAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    def dotQ(a: Column, b: Column) =
-      graft.functions.GraftFunctions.quantized_dot(a, b)
-    val cents = SimilarityOps.ivfServeCents(s, dir)
-    val m = SimilarityOps.ivfServeAssigned(s, dir)
-      .join(broadcast(cents), "cent_id")
+    SimilarityOps.ivfServeAssigned(s, dir)
+      .join(broadcast(SimilarityOps.ivfServeCents(s, dir)), "cent_id")
       .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
         sqrt((col("nrm") * col("cn")).cast("double")))
       .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"), col("ccos"))
+  }
+
+  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val m = centAssigned(s, dir)
     val csz = m.groupBy(col("cent_id")).agg(count(lit(1)).as("k"))
     val ok = withDropMetric(s, csz, "graft_drop_sem_cluster",
         sum(when(col("k") > maxSemCluster(s), 1L).otherwise(0L)))
@@ -365,15 +373,7 @@ object CurationOps {
     * each inverted list and nothing quadratic, which is why the paper
     * runs it at web scale where pairwise tiers need banding. */
   private def prototypePrune(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    def dotQ(a: Column, b: Column) =
-      graft.functions.GraftFunctions.quantized_dot(a, b)
-    val cents = SimilarityOps.ivfServeCents(s, dir)
-    val m = SimilarityOps.ivfServeAssigned(s, dir)
-      .join(broadcast(cents), "cent_id")
-      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
-        sqrt((col("nrm") * col("cn")).cast("double")))
-      .select(col("vec_id"), col("cent_id"), col("ccos"))
+    val m = centAssigned(s, dir).select(col("vec_id"), col("cent_id"), col("ccos"))
     val w = Window.partitionBy(col("cent_id"))
       .orderBy(col("ccos").desc, col("vec_id"))
     m.withColumn("rk", row_number().over(w).cast("long"))
@@ -401,11 +401,93 @@ object CurationOps {
        |  rk * 1000 > k_cluster * $protoPruneMille AS keep
        |FROM r ORDER BY vec_id""".stripMargin
 
+  /** Do the two cluster-curation tiers prune the same vectors? Per
+    * cluster, the 2×2 verdict matrix between SemDeDup's keep (no
+    * dominating τ-neighbor) and the prototype pruner's keep (hard
+    * tail) — the `dedup_tier_agreement`/`quality_gate_agreement`
+    * contract applied to the embedding side. The tiers answer DIFFERENT
+    * questions (redundant-near-copy vs too-easy-example), so the
+    * off-diagonal cells are the calibration signal: sem-only = hard
+    * but duplicated (dedup catches what hardness misses), proto-only =
+    * unique but prototypical (pruning catches what dedup misses). A
+    * cluster where agreement ≈ 1000 means one tier is redundant THERE.
+    *
+    * Plan: both verdict relations derive from the one cached
+    * assignment ([[centAssigned]]); the join is vector-keyed and the
+    * output is cluster-grain. */
+  private def clusterPruneAgreement(s: SparkSession, dir: String): DataFrame = {
+    val sem = semdedupPrune(s, dir)
+      .select(col("vec_id"), col("cent_id"), col("keep").as("sem_keep"))
+    val proto = prototypePrune(s, dir)
+      .select(col("vec_id"), col("keep").as("proto_keep"))
+    sem.join(proto, "vec_id")
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("k_cluster"),
+        sum(when(col("sem_keep") && col("proto_keep"), 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(col("sem_keep") && !col("proto_keep"), 1L).otherwise(0L))
+          .as("n_sem_only"),
+        sum(when(!col("sem_keep") && col("proto_keep"), 1L).otherwise(0L))
+          .as("n_proto_only"),
+        sum(when(!col("sem_keep") && !col("proto_keep"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .withColumn("agreement_milli",
+        expr("(1000 * (n_both_keep + n_neither)) div k_cluster"))
+      .orderBy("cent_id")
+  }
+
+  private val clusterPruneAgreementSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |m AS (
+       |  SELECT vec_id, cent_id, q, nrm,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nrm * cn AS DOUBLE)) AS ccos
+       |  FROM assigned),
+       |ok AS (SELECT cent_id FROM m GROUP BY cent_id
+       |       HAVING COUNT(*) <= $maxSemClusterDefault),
+       |mok AS (SELECT m.* FROM m JOIN ok USING (cent_id)),
+       |dup AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y, a.ccos AS xc, b.ccos AS yc
+       |  FROM mok a JOIN mok b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+       |  WHERE CAST(CAST(list_sum(list_transform(range(len(a.q)),
+       |      i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
+       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= $semTau),
+       |agg AS (
+       |  SELECT x AS vec_id,
+       |    MIN(CASE WHEN yc < xc OR (yc = xc AND y < x) THEN y END)
+       |      AS pruned_by
+       |  FROM dup GROUP BY 1),
+       |sem AS (
+       |  SELECT m.vec_id, m.cent_id, a.pruned_by IS NULL AS sem_keep
+       |  FROM m LEFT JOIN agg a USING (vec_id)),
+       |pr AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+       |      ORDER BY ccos DESC, vec_id) AS BIGINT) * 1000
+       |      > CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT)
+       |        * $protoPruneMille AS proto_keep
+       |  FROM m)
+       |SELECT s.cent_id, COUNT(*) AS k_cluster,
+       |  CAST(SUM(CASE WHEN sem_keep AND proto_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_both_keep,
+       |  CAST(SUM(CASE WHEN sem_keep AND NOT proto_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sem_only,
+       |  CAST(SUM(CASE WHEN NOT sem_keep AND proto_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_proto_only,
+       |  CAST(SUM(CASE WHEN NOT sem_keep AND NOT proto_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_neither,
+       |  (1000 * CAST(SUM(CASE WHEN sem_keep = proto_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // COUNT(*) AS agreement_milli
+       |FROM sem s JOIN pr USING (vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
     Q("dsir_hashed_ngram_weights", dsirHashedNgramWeights,
       Some(dsirHashedNgramWeightsSql)),
     Q("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
-    Q("prototype_prune", prototypePrune, Some(prototypePruneSql)))
+    Q("prototype_prune", prototypePrune, Some(prototypePruneSql)),
+    Q("cluster_prune_agreement", clusterPruneAgreement,
+      Some(clusterPruneAgreementSql)))
 }

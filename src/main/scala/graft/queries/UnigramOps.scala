@@ -418,10 +418,114 @@ object UnigramOps {
        |FROM occ JOIN nsym USING (word) JOIN vit USING (word)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Fraction of multi-char pieces pruned per round, in mille (the
+    * SentencePiece trainer prunes a fixed fraction per EM round). */
+  private val VocabPruneMille = 200L
+
+  /** The PRUNE round of the unigram trainer (Kudo 2018 §3.2: after the
+    * E/M counts, drop the pieces whose removal costs the least corpus
+    * likelihood, keep all single chars as the alphabet floor). The
+    * removal loss uses the CHARACTER-FALLBACK bound: if piece p is
+    * dropped, every Viterbi occurrence re-segments at worst into its
+    * single characters, so loss(p) = viterbi_count(p) · (Σ_chars cost_c
+    * − cost_p) — an upper bound on the true re-segmentation loss that
+    * is exact when no shorter multi-char piece covers p (and the exact
+    * published quantity when the alternative IS the char fallback).
+    * Every char of every piece is itself a vocab single by substring
+    * closure, so the bound always evaluates. Never-used pieces
+    * (viterbi_count = 0, the E-step's own prune candidates) and pieces
+    * whose cost exceeds their char fallback get loss ≤ 0 — pruned
+    * first. keep = top (1000−[[VocabPruneMille]])‰ of multi-char pieces
+    * by (loss desc, piece); singles always keep.
+    *
+    * Scale shape: every relation here is VOCABULARY-sized (≤ 26 +
+    * [[VocabMulti]] pieces); the single-partition rank window is the
+    * [[vocabRel]] pattern (dimension-scale, never token-scale); the
+    * only token-scale work lives in the session-cached
+    * [[vocabRel]]/[[viterbiRel]] this query rides. */
+  private def unigramVocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val vc = vocabRel(s, dir)
+    val used = viterbiRel(s, dir)
+      .select(explode(split(col("seg"), "·")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("viterbi_count"))
+    val base = vc.join(used, Seq("piece"), "left")
+      .select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"), col("cost"),
+        coalesce(col("viterbi_count"), lit(0L)).as("viterbi_count"))
+    val charCosts = vc.filter(length(col("piece")) === 1)
+      .select(col("piece").as("ch"), col("cost").as("ch_cost"))
+    val chars = base.filter(col("piece_len") > 1)
+      .select(col("piece"),
+        explode(sequence(lit(1), length(col("piece")))).as("i"))
+      .withColumn("ch", col("piece").substr(col("i"), lit(1)))
+      .join(broadcast(charCosts), "ch") // alphabet-sized
+      .groupBy("piece").agg(sum(col("ch_cost")).as("char_cost"))
+    val multi = base.filter(col("piece_len") > 1).join(chars, "piece")
+      .withColumn("loss_milli",
+        col("viterbi_count") * (col("char_cost") - col("cost")))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("loss_milli").desc, col("piece")))
+        .cast("long"))
+      .withColumn("nm",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .select(col("piece"), col("piece_len"), col("viterbi_count"),
+        col("cost").as("cost_millibits"),
+        col("char_cost").as("char_cost_millibits"), col("loss_milli"),
+        (col("rk") * 1000L <= col("nm") * (1000L - VocabPruneMille))
+          .as("keep"))
+    val singles = base.filter(col("piece_len") === 1)
+      .select(col("piece"), col("piece_len"), col("viterbi_count"),
+        col("cost").as("cost_millibits"),
+        lit(null).cast("long").as("char_cost_millibits"),
+        lit(null).cast("long").as("loss_milli"), lit(true).as("keep"))
+    multi.unionByName(singles).orderBy("piece")
+  }
+
+  private val unigramVocabPruneSql =
+    s"""WITH $unigramSqlCtes,
+       |used AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS viterbi_count
+       |  FROM (SELECT UNNEST(string_split(seg, '·')) AS piece, freq FROM vit)
+       |  GROUP BY 1),
+       |pbase AS (
+       |  SELECT vc.piece, CAST(length(vc.piece) AS BIGINT) AS piece_len,
+       |    CAST(vc.cost AS BIGINT) AS cost,
+       |    COALESCE(used.viterbi_count, 0) AS viterbi_count
+       |  FROM vc LEFT JOIN used USING (piece)),
+       |chars AS (
+       |  SELECT b.piece, CAST(SUM(c.cost) AS BIGINT) AS char_cost
+       |  FROM (SELECT piece FROM pbase WHERE piece_len > 1) b,
+       |       UNNEST(generate_series(1, length(b.piece))) t(i)
+       |  JOIN vc c ON c.piece = substr(b.piece, CAST(i AS INT), 1)
+       |  GROUP BY 1),
+       |pmulti AS (
+       |  SELECT b.*, ch.char_cost,
+       |    b.viterbi_count * (ch.char_cost - b.cost) AS loss_milli
+       |  FROM pbase b JOIN chars ch USING (piece)
+       |  WHERE b.piece_len > 1),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY loss_milli DESC, piece)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS nm
+       |  FROM pmulti)
+       |SELECT piece, piece_len, viterbi_count, cost AS cost_millibits,
+       |  char_cost AS char_cost_millibits, loss_milli,
+       |  rk * 1000 <= nm * ${1000L - VocabPruneMille} AS keep
+       |FROM ranked
+       |UNION ALL
+       |SELECT piece, piece_len, viterbi_count, cost AS cost_millibits,
+       |  CAST(NULL AS BIGINT) AS char_cost_millibits,
+       |  CAST(NULL AS BIGINT) AS loss_milli, TRUE AS keep
+       |FROM pbase WHERE piece_len = 1
+       |ORDER BY piece""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),
     Q("unigram_segment_words", unigramSegmentWords,
       Some(unigramSegmentWordsSql)),
     Q("tokenizer_fertility", tokenizerFertility,
-      Some(tokenizerFertilitySql)))
+      Some(tokenizerFertilitySql)),
+    Q("unigram_vocab_prune", unigramVocabPrune,
+      Some(unigramVocabPruneSql)))
 }

@@ -167,6 +167,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(("GROW", 9)) == ((2L, 21L))) // 1 + 20 distinct words total
   }
 
+  test("pack_padding_report: hand-computed waste under both policies; empty source NULLs") {
+    // A: lens 512,512,1,600,1 → padded ctx 1+1+1+2+1=6, waste 3072−1626;
+    //    packed ctx ⌈1626/512⌉=4, waste 2048−1626
+    // B: lens 6,5 → padded ctx 2, waste 1013; packed ctx 1, waste 501
+    val got = SparkEntry.queries("pack_padding_report")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    assert(got == Map(
+      "A" -> ((5L, 1626L, 6L, 1446L, 470L, 4L, 422L, 206L)),
+      "B" -> ((2L, 11L, 2L, 1013L, 989L, 1L, 501L, 978L))))
+
+    // a source of zero tokens (NULL text) reports zero contexts and NULL rates
+    val d2 = java.nio.file.Files.createTempDirectory("padnull").toString
+    import spark.implicits._
+    Seq((1L, null: String, "en", "Z", 0L), (2L, "", "en", "Z", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val z = SparkEntry.queries("pack_padding_report")(spark, d2).collect()
+    assert(z.length == 1)
+    val r = z.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(6), r.getLong(7)) == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(r.isNullAt(5) && r.isNullAt(8))
+  }
+
   test("corpus_balance_langs: integer-coin keep rule, dominant lang sampled down") {
     val d = java.nio.file.Files.createTempDirectory("balance").toString
     import spark.implicits._

@@ -168,4 +168,29 @@ class SemdedupSpec extends SparkSpec {
     // singleton clusters (the other centroids) always keep their member
     (1L to 7L).foreach(i => assert(got(i)._4 && got(i)._3 == 1L))
   }
+
+  test("cluster_prune_agreement reconciles with its two component tiers") {
+    val dir = "/root/testdata/sf0.001"
+    val sem = run(dir).map { case (id, v) => id -> (v.centId, v.keep) }
+    val proto = SparkEntry.queries("prototype_prune")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val expected = sem.groupBy(_._2._1).map { case (cid, ms) =>
+      val cells = ms.toSeq.map { case (id, (_, sk)) => (sk, proto(id)) }
+      val k = cells.size.toLong
+      val agree = cells.count(c => c._1 == c._2).toLong
+      cid -> ((k,
+        cells.count(c => c._1 && c._2).toLong,
+        cells.count(c => c._1 && !c._2).toLong,
+        cells.count(c => !c._1 && c._2).toLong,
+        cells.count(c => !c._1 && !c._2).toLong,
+        1000L * agree / k))
+    }
+    val got = SparkEntry.queries("cluster_prune_agreement")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+    // cells partition each cluster
+    got.values.foreach { case (k, a, b, c, d, _) => assert(a + b + c + d == k) }
+    assert(got.nonEmpty)
+  }
 }

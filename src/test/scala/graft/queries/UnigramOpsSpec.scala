@@ -79,6 +79,82 @@ class UnigramOpsSpec extends SparkSpec {
     for ((p, _, _, c, _) <- step(dir)) assert(cost(p) == c)
   }
 
+  private def prune(dir: String) =
+    SparkEntry.queries("unigram_vocab_prune")(spark, dir).collect()
+      .map(r => r.getAs[String]("piece") -> ((r.getAs[Long]("piece_len"),
+        r.getAs[Long]("viterbi_count"), r.getAs[Long]("cost_millibits"),
+        Option(r.getAs[java.lang.Long]("char_cost_millibits")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("loss_milli")).map(_.toLong),
+        r.getAs[Boolean]("keep")))).toMap
+
+  /** Independent recount of the prune round from the test oracle's
+    * trained state (char-fallback loss, loss-desc rank, 800‰ keep). */
+  private def pruneRecount(words: Seq[String])
+      : Map[String, (Long, Long, Long, Option[Long], Option[Long], Boolean)] = {
+    val (cost, bf) = UnigramTestOracle.train(words)
+    val freq = UnigramTestOracle.universe(words).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val emCnt = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; p <- bf(w)._3.split('·'))
+      emCnt(p) = emCnt.getOrElse(p, 0L) + f
+    val multi = cost.keys.filter(_.length > 1).toSeq
+    val loss = multi.map { p =>
+      val cc = p.map(c => cost(c.toString)).sum
+      p -> (emCnt.getOrElse(p, 0L) * (cc - cost(p)), cc)
+    }.toMap
+    val ranked = multi.sortBy(p => (-loss(p)._1, p)).zipWithIndex
+      .map { case (p, i) => p -> (i + 1L) }.toMap
+    val nm = multi.size.toLong
+    cost.map { case (p, c) =>
+      if (p.length == 1)
+        p -> ((1L, emCnt.getOrElse(p, 0L), c, None, None, true))
+      else
+        p -> ((p.length.toLong, emCnt.getOrElse(p, 0L), c,
+          Some(loss(p)._2), Some(loss(p)._1), ranked(p) * 1000L <= nm * 800L))
+    }
+  }
+
+  test("unigram_vocab_prune ≡ char-fallback recount on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).toSeq
+    val got = prune(dir)
+    assert(got == pruneRecount(words))
+    // singles all keep; some multi is pruned; kept multis dominate by loss
+    assert(got.filter(_._2._1 == 1L).values.forall(_._6))
+    val multis = got.filter(_._2._1 > 1L).values
+    assert(multis.exists(!_._6) && multis.exists(_._6))
+    val worstKept = multis.filter(_._6).flatMap(_._5).min
+    val bestPruned = multis.filter(!_._6).flatMap(_._5).max
+    assert(bestPruned <= worstKept)
+  }
+
+  test("unigram_vocab_prune fixture: never-used pieces pruned first") {
+    val dir = java.nio.file.Files.createTempDirectory("uniprune").toString
+    import spark.implicits._
+    // the unigram fixture corpus: losses ab 12000, abab 8000, cd 5000,
+    // then the never-used {aba, ba, bab} at 0 -> rk 4,5,6 of nm=6;
+    // keep iff 1000·rk <= 4800: ab, abab, cd, aba keep; ba, bab pruned
+    val docs = (1L to 6L).map(i => (i, "ab")) ++
+      (7L to 8L).map(i => (i, "abab")) ++ Seq((9L, "cd"))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = prune(dir)
+    assert(got == Map(
+      "a" -> ((1L, 0L, 2000L, None, None, true)),
+      "b" -> ((1L, 0L, 2000L, None, None, true)),
+      "c" -> ((1L, 0L, 5000L, None, None, true)),
+      "d" -> ((1L, 0L, 5000L, None, None, true)),
+      "ab" -> ((2L, 6L, 2000L, Some(4000L), Some(12000L), true)),
+      "abab" -> ((4L, 2L, 4000L, Some(8000L), Some(8000L), true)),
+      "cd" -> ((2L, 1L, 5000L, Some(10000L), Some(5000L), true)),
+      "aba" -> ((3L, 0L, 4000L, Some(6000L), Some(0L), true)),
+      "ba" -> ((2L, 0L, 4000L, Some(4000L), Some(0L), false)),
+      "bab" -> ((3L, 0L, 4000L, Some(6000L), Some(0L), false))))
+  }
+
   test("word-length ceiling: the O(len²) DP never sees unbounded junk runs") {
     import org.apache.spark.sql.functions._
     // the universe filter bounds the DP input (batch, oracle and stream
