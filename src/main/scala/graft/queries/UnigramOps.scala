@@ -169,13 +169,14 @@ object UnigramOps {
     substring(fin, 13, 4).cast("long").as("n_pieces"),
     ltrim(fin.substr(lit(17), length(fin)), "·").as("seg"))
 
-  /** Per-word Viterbi result over the seed vocab: (word, freq, seg,
-    * n_pieces, cost_millibits). The DP folds positions 1..len over a
-    * '|'-separated table of string-encoded bests; slot (start, len) of the
-    * dense cost array holds the piece cost or [[Sentinel]]. */
-  private def viterbiRel(s: SparkSession, dir: String): DataFrame =
-    cachedRelation(s, dir, "unigramViterbi", "") {
-      val vc = vocabRel(s, dir).select(col("piece"), col("cost"))
+  /** Per-word Viterbi over an ARBITRARY (piece, cost) vocabulary —
+    * the [[viterbiRel]] body parameterized on the cost source so the
+    * seed-vocab segmentation and the pruned-vocab re-segmentation run
+    * the IDENTICAL DP (cacheKey names the session cache slot). */
+  private def viterbiWith(s: SparkSession, dir: String, vcIn: DataFrame,
+      cacheKey: String): DataFrame =
+    cachedRelation(s, dir, cacheKey, "") {
+      val vc = vcIn.select(col("piece"), col("cost"))
       val wf = wordFreq(s, dir)
       val ca = wf
         .select(col("word"), col("freq"),
@@ -199,6 +200,13 @@ object UnigramOps {
         .withColumn("fin", dpFinal(col("word"), stepCost))
         .select(Seq(col("word"), col("freq")) ++ decoded(col("fin")): _*)
     }
+
+  /** Per-word Viterbi result over the seed vocab: (word, freq, seg,
+    * n_pieces, cost_millibits). The DP folds positions 1..len over a
+    * '|'-separated table of string-encoded bests; slot (start, len) of the
+    * dense cost array holds the piece cost or [[Sentinel]]. */
+  private def viterbiRel(s: SparkSession, dir: String): DataFrame =
+    viterbiWith(s, dir, vocabRel(s, dir), "unigramViterbi")
 
   /** The trained segmenter collapsed to ONE broadcastable row (piece →
     * cost map) — the fixed-state snapshot the streaming twin probes
@@ -443,7 +451,17 @@ object UnigramOps {
     * [[vocabRel]] pattern (dimension-scale, never token-scale); the
     * only token-scale work lives in the session-cached
     * [[vocabRel]]/[[viterbiRel]] this query rides. */
-  private def unigramVocabPrune(s: SparkSession, dir: String): DataFrame = {
+  private def unigramVocabPrune(s: SparkSession, dir: String): DataFrame =
+    pruneVerdicts(s, dir).orderBy("piece")
+
+  /** Kept vocabulary after the prune round — the (piece, cost) input of
+    * the acceptance re-segmentation ([[unigramPruneEffect]]); shares
+    * [[pruneVerdicts]] so there is exactly one copy of the keep rule. */
+  private def keptVocab(s: SparkSession, dir: String): DataFrame =
+    pruneVerdicts(s, dir).filter(col("keep"))
+      .select(col("piece"), col("cost_millibits").as("cost"))
+
+  private def pruneVerdicts(s: SparkSession, dir: String): DataFrame = {
     val vc = vocabRel(s, dir)
     val used = viterbiRel(s, dir)
       .select(explode(split(col("seg"), "·")).as("piece"), col("freq"))
@@ -478,12 +496,58 @@ object UnigramOps {
         col("cost").as("cost_millibits"),
         lit(null).cast("long").as("char_cost_millibits"),
         lit(null).cast("long").as("loss_milli"), lit(true).as("keep"))
-    multi.unionByName(singles).orderBy("piece")
+    multi.unionByName(singles)
   }
 
-  private val unigramVocabPruneSql =
-    s"""WITH $unigramSqlCtes,
-       |used AS (
+  /** Prune-acceptance audit — the round-trip evidence the prune kept
+    * enough: re-segment the whole word universe with the PRUNED
+    * vocabulary (the identical [[viterbiWith]] DP, absent pieces cost
+    * [[Sentinel]] exactly like non-vocab slots) and report the corpus
+    * totals before/after — vocab size, occurrence-weighted pieces and
+    * millibit cost, exact-milli fertility both ways, and the cost
+    * regret in per-mille. A small regret at a 20% vocab cut is the
+    * accept signal for the EM round; a blown-up fertility means the
+    * prune removed load-bearing pieces (on a corpus whose mass sits in
+    * few pieces the char-fallback bound is loose — the audit MEASURES
+    * rather than assumes).
+    *
+    * Scale shape: the second Viterbi costs what the first did (the DP
+    * over the word universe — the only non-vocabulary-sized stage,
+    * session-cached like it); the join is word-keyed at vocabulary
+    * grain; output is ONE row of exact integers. */
+  private def unigramPruneEffect(s: SparkSession, dir: String): DataFrame = {
+    val before = viterbiRel(s, dir)
+      .select(col("word"), col("freq"),
+        col("n_pieces").as("np_b"), col("cost_millibits").as("c_b"))
+    val after = viterbiWith(s, dir, keptVocab(s, dir), "unigramViterbiPruned")
+      .select(col("word"), col("n_pieces").as("np_a"),
+        col("cost_millibits").as("c_a"))
+    val sizes = pruneVerdicts(s, dir).agg(
+      count(lit(1)).as("vocab_before"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("vocab_after"))
+    before.join(after, "word")
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("np_b")).as("pieces_before"),
+        sum(col("freq") * col("np_a")).as("pieces_after"),
+        sum(col("freq") * col("c_b")).as("cost_before"),
+        sum(col("freq") * col("c_a")).as("cost_after"))
+      .crossJoin(broadcast(sizes)) // one-row scalar
+      .select(col("vocab_before"), col("vocab_after"),
+        col("n_distinct_words"), col("n_words"),
+        col("pieces_before"), col("pieces_after"),
+        expr("(1000 * pieces_before) div n_words").as("fert_before_milli"),
+        expr("(1000 * pieces_after) div n_words").as("fert_after_milli"),
+        col("cost_before"), col("cost_after"),
+        expr("CASE WHEN cost_before > 0 THEN" +
+          " (1000 * (cost_after - cost_before)) div cost_before END")
+          .as("cost_regret_milli"))
+  }
+
+  /** The prune chain's CTEs — one copy of the keep rule, shared by the
+    * prune verdict oracle and the acceptance re-segmentation oracle. */
+  private def pruneSqlCtes: String =
+    s"""used AS (
        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS viterbi_count
        |  FROM (SELECT UNNEST(string_split(seg, '·')) AS piece, freq FROM vit)
        |  GROUP BY 1),
@@ -508,7 +572,16 @@ object UnigramOps {
        |    CAST(row_number() OVER (ORDER BY loss_milli DESC, piece)
        |      AS BIGINT) AS rk,
        |    CAST(COUNT(*) OVER () AS BIGINT) AS nm
-       |  FROM pmulti)
+       |  FROM pmulti),
+       |kept AS (
+       |  SELECT piece, cost FROM ranked
+       |  WHERE rk * 1000 <= nm * ${1000L - VocabPruneMille}
+       |  UNION ALL
+       |  SELECT piece, cost FROM pbase WHERE piece_len = 1)""".stripMargin
+
+  private def unigramVocabPruneSql =
+    s"""WITH $unigramSqlCtes,
+       |$pruneSqlCtes
        |SELECT piece, piece_len, viterbi_count, cost AS cost_millibits,
        |  char_cost AS char_cost_millibits, loss_milli,
        |  rk * 1000 <= nm * ${1000L - VocabPruneMille} AS keep
@@ -520,6 +593,68 @@ object UnigramOps {
        |FROM pbase WHERE piece_len = 1
        |ORDER BY piece""".stripMargin
 
+  /** Second DP chain over the PRUNED vocabulary (ca2/arr2/dp2/vit2 —
+    * the vit chain re-instantiated against `kept`; [[sqlCand]] is the
+    * same generated candidate text, so the two folds cannot drift). */
+  private def vitPrunedSqlCtes: String =
+    s"""ca2 AS (
+       |  SELECT word, freq, idx,
+       |    CASE WHEN ok THEN COALESCE(kept.cost, $Sentinel)
+       |         ELSE $Sentinel END AS cost
+       |  FROM (SELECT word, freq, (s - 1) * $MaxPiece + p AS idx,
+       |          substr(word, CAST(s AS INT), CAST(p AS INT)) AS piece,
+       |          (s + p - 1 <= length(word)) AS ok
+       |        FROM wf,
+       |             UNNEST(generate_series(1, length(word))) AS ts(s),
+       |             UNNEST(generate_series(1, $MaxPiece)) AS tp(p))
+       |  LEFT JOIN kept USING (piece)),
+       |arr2 AS (
+       |  SELECT word, MAX(freq) AS freq, list(cost ORDER BY idx) AS costs
+       |  FROM ca2 GROUP BY word),
+       |dp2 AS (
+       |  SELECT word, freq,
+       |    list_reduce(
+       |      ['${"0" * 12}0000'] ||
+       |        list_transform(generate_series(1, CAST(length(word) AS INT)),
+       |          y -> CAST(y AS VARCHAR)),
+       |      (acc, x) -> acc || '|' || least(
+       |        ${(1 to MaxPiece).map(sqlCand).mkString(",\n        ")})) AS tbl
+       |  FROM arr2),
+       |vit2 AS (
+       |  SELECT word,
+       |    CAST(substr(fin, 1, 12) AS BIGINT) AS cost_millibits,
+       |    CAST(substr(fin, 13, 4) AS BIGINT) AS n_pieces
+       |  FROM (SELECT word,
+       |          list_extract(string_split(tbl, '|'),
+       |            len(string_split(tbl, '|'))) AS fin
+       |        FROM dp2))""".stripMargin
+
+  private def unigramPruneEffectSql =
+    s"""WITH $unigramSqlCtes,
+       |$pruneSqlCtes,
+       |$vitPrunedSqlCtes,
+       |sizes AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pbase) AS vocab_before,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS vocab_after)
+       |SELECT s.vocab_before, s.vocab_after,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       |  CAST(SUM(b.freq) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.freq * b.n_pieces) AS BIGINT) AS pieces_before,
+       |  CAST(SUM(b.freq * a.n_pieces) AS BIGINT) AS pieces_after,
+       |  (1000 * CAST(SUM(b.freq * b.n_pieces) AS BIGINT))
+       |    // CAST(SUM(b.freq) AS BIGINT) AS fert_before_milli,
+       |  (1000 * CAST(SUM(b.freq * a.n_pieces) AS BIGINT))
+       |    // CAST(SUM(b.freq) AS BIGINT) AS fert_after_milli,
+       |  CAST(SUM(b.freq * b.cost_millibits) AS BIGINT) AS cost_before,
+       |  CAST(SUM(b.freq * a.cost_millibits) AS BIGINT) AS cost_after,
+       |  CASE WHEN SUM(b.freq * b.cost_millibits) > 0 THEN
+       |    (1000 * (CAST(SUM(b.freq * a.cost_millibits) AS BIGINT)
+       |      - CAST(SUM(b.freq * b.cost_millibits) AS BIGINT)))
+       |    // CAST(SUM(b.freq * b.cost_millibits) AS BIGINT)
+       |  END AS cost_regret_milli
+       |FROM vit b JOIN vit2 a USING (word) CROSS JOIN sizes s
+       |GROUP BY s.vocab_before, s.vocab_after""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),
     Q("unigram_segment_words", unigramSegmentWords,
@@ -527,5 +662,7 @@ object UnigramOps {
     Q("tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
     Q("unigram_vocab_prune", unigramVocabPrune,
-      Some(unigramVocabPruneSql)))
+      Some(unigramVocabPruneSql)),
+    Q("unigram_prune_effect", unigramPruneEffect,
+      Some(unigramPruneEffectSql)))
 }

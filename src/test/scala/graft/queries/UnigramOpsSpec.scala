@@ -155,6 +155,62 @@ class UnigramOpsSpec extends SparkSpec {
       "bab" -> ((3L, 0L, 4000L, Some(6000L), Some(0L), false))))
   }
 
+  private def effectRow(dir: String) = {
+    val r = SparkEntry.queries("unigram_prune_effect")(spark, dir)
+      .collect().head
+    (r.getAs[Long]("vocab_before"), r.getAs[Long]("vocab_after"),
+      r.getAs[Long]("n_distinct_words"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("pieces_before"), r.getAs[Long]("pieces_after"),
+      r.getAs[Long]("fert_before_milli"), r.getAs[Long]("fert_after_milli"),
+      r.getAs[Long]("cost_before"), r.getAs[Long]("cost_after"),
+      r.getAs[Long]("cost_regret_milli"))
+  }
+
+  private def effectRecount(words: Seq[String]) = {
+    val (cost, bf) = UnigramTestOracle.train(words)
+    val verdicts = pruneRecount(words)
+    val keptCost = cost.filter { case (p, _) => verdicts(p)._6 }
+    val freq = UnigramTestOracle.universe(words).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val rows = freq.map { case (w, f) =>
+      val (cb, nb, _) = bf(w)
+      val (ca, na, _) = UnigramTestOracle.best(w, keptCost)
+      (f, f * nb, f * na, f * cb, f * ca)
+    }.toSeq
+    val (nw, pb, pa, cb, ca) = (rows.map(_._1).sum, rows.map(_._2).sum,
+      rows.map(_._3).sum, rows.map(_._4).sum, rows.map(_._5).sum)
+    (cost.size.toLong, keptCost.size.toLong, freq.size.toLong, nw,
+      pb, pa, 1000L * pb / nw, 1000L * pa / nw, cb, ca,
+      1000L * (ca - cb) / cb)
+  }
+
+  test("unigram_prune_effect ≡ pruned-vocab re-segmentation recount; regret ≥ 0") {
+    val dir = "/root/testdata/sf0.001"
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).toSeq
+    val got = effectRow(dir)
+    assert(got == effectRecount(words))
+    // a subset vocabulary can never beat the superset's DP
+    assert(got._10 >= got._9 && got._11 >= 0L)
+    assert(got._2 < got._1)
+  }
+
+  test("unigram_prune_effect fixture: pruning only never-used pieces costs nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("uniprune2").toString
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "ab")) ++
+      (7L to 8L).map(i => (i, "abab")) ++ Seq((9L, "cd"))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // {ba, bab} pruned, both unused -> identical segmentations:
+    // vocab 10 -> 8, pieces 9 (ab x6, abab, cd all one piece... wait:
+    // freq-weighted: ab:6·1 + abab:2·1 + cd:1·1 = 9), zero regret
+    assert(effectRow(dir) == ((10L, 8L, 3L, 9L, 9L, 9L, 1000L, 1000L,
+      25000L, 25000L, 0L)))
+  }
+
   test("word-length ceiling: the O(len²) DP never sees unbounded junk runs") {
     import org.apache.spark.sql.functions._
     // the universe filter bounds the DP input (batch, oracle and stream
