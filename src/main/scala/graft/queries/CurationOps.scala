@@ -293,7 +293,10 @@ object CurationOps {
       .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"), col("ccos"))
   }
 
-  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+  /** The capped within-cluster pair relation (x, y, xc, yc, cos) with
+    * NO τ applied — shared by the fixed-τ prune and the τ sweep, so the
+    * expensive pair join exists once. */
+  private def semPairs(s: SparkSession, dir: String): DataFrame = {
     val m = centAssigned(s, dir)
     val csz = m.groupBy(col("cent_id")).agg(count(lit(1)).as("k"))
     val ok = withDropMetric(s, csz, "graft_drop_sem_cluster",
@@ -305,10 +308,15 @@ object CurationOps {
       col("q").as("qx"), col("nrm").as("nx"), col("ccos").as("xc"))
     val b = mok.select(col("cent_id"), col("vec_id").as("y"),
       col("q").as("qy"), col("nrm").as("ny"), col("ccos").as("yc"))
-    val dup = a.join(b, Seq("cent_id")).filter(col("x") =!= col("y"))
+    a.join(b, Seq("cent_id")).filter(col("x") =!= col("y"))
       .withColumn("cos", dotQ(col("qx"), col("qy")).cast("double") /
         sqrt((col("nx") * col("ny")).cast("double")))
-      .filter(col("cos") >= semTau)
+      .select(col("x"), col("y"), col("xc"), col("yc"), col("cos"))
+  }
+
+  private def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val m = centAssigned(s, dir)
+    val dup = semPairs(s, dir).filter(col("cos") >= semTau)
     val agg = dup.groupBy(col("x").as("vec_id"))
       .agg(count(lit(1)).as("n_dups"),
         min(when(col("yc") < col("xc") ||
@@ -321,22 +329,30 @@ object CurationOps {
       .orderBy("vec_id")
   }
 
-  private val semdedupPruneSql =
-    s"""WITH ${SimilarityOps.ivfServeCtes},
-       |m AS (
+  /** Oracle CTEs for the shared geometry: m (assignment + centroid
+    * cosine) and prs (the capped within-cluster pair relation, no τ) —
+    * one copy of the pair math for the prune, the sweep and the
+    * tier-agreement oracles. */
+  private def semPairsSqlCtes: String =
+    s"""m AS (
        |  SELECT vec_id, cent_id, q, nrm,
        |    CAST(dot AS DOUBLE) / sqrt(CAST(nrm * cn AS DOUBLE)) AS ccos
        |  FROM assigned),
        |ok AS (SELECT cent_id FROM m GROUP BY cent_id
        |       HAVING COUNT(*) <= $maxSemClusterDefault),
        |mok AS (SELECT m.* FROM m JOIN ok USING (cent_id)),
-       |dup AS (
-       |  SELECT a.vec_id AS x, b.vec_id AS y, a.ccos AS xc, b.ccos AS yc
-       |  FROM mok a JOIN mok b
-       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-       |  WHERE CAST(CAST(list_sum(list_transform(range(len(a.q)),
+       |prs AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y, a.ccos AS xc, b.ccos AS yc,
+       |    CAST(CAST(list_sum(list_transform(range(len(a.q)),
        |      i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
-       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= $semTau),
+       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cos
+       |  FROM mok a JOIN mok b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)""".stripMargin
+
+  private val semdedupPruneSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$semPairsSqlCtes,
+       |dup AS (SELECT x, y, xc, yc FROM prs WHERE cos >= $semTau),
        |agg AS (
        |  SELECT x AS vec_id, COUNT(*) AS n_dups,
        |    MIN(CASE WHEN yc < xc OR (yc = xc AND y < x) THEN y END)
@@ -438,20 +454,8 @@ object CurationOps {
 
   private val clusterPruneAgreementSql =
     s"""WITH ${SimilarityOps.ivfServeCtes},
-       |m AS (
-       |  SELECT vec_id, cent_id, q, nrm,
-       |    CAST(dot AS DOUBLE) / sqrt(CAST(nrm * cn AS DOUBLE)) AS ccos
-       |  FROM assigned),
-       |ok AS (SELECT cent_id FROM m GROUP BY cent_id
-       |       HAVING COUNT(*) <= $maxSemClusterDefault),
-       |mok AS (SELECT m.* FROM m JOIN ok USING (cent_id)),
-       |dup AS (
-       |  SELECT a.vec_id AS x, b.vec_id AS y, a.ccos AS xc, b.ccos AS yc
-       |  FROM mok a JOIN mok b
-       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-       |  WHERE CAST(CAST(list_sum(list_transform(range(len(a.q)),
-       |      i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
-       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) >= $semTau),
+       |$semPairsSqlCtes,
+       |dup AS (SELECT x, y, xc, yc FROM prs WHERE cos >= $semTau),
        |agg AS (
        |  SELECT x AS vec_id,
        |    MIN(CASE WHEN yc < xc OR (yc = xc AND y < x) THEN y END)
@@ -481,6 +485,77 @@ object CurationOps {
        |FROM sem s JOIN pr USING (vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The τ grid of the sweep, in milli (brackets the deployed
+    * [[semTau]] = 0.4). */
+  val semTauGrid: Seq[Long] = Seq(300L, 400L, 500L)
+
+  /** SemDeDup τ sweep — the calibration curve a deployment reads before
+    * committing a duplicate threshold at scale (the
+    * minhash_band_sweep / ivf_probe_sweep contract applied to the
+    * semantic tier): per candidate τ, the corpus-wide duplicate-pair
+    * count, pruned-vector count and exact-milli prune rate under the
+    * SAME keep-furthest dominance rule as [[semdedupPrune]]. The τ
+    * where the prune rate jumps is where the threshold stops removing
+    * near-copies and starts removing topic neighbors.
+    *
+    * Plan: the capped pair relation ([[semPairs]]) is computed ONCE and
+    * exploded ×|grid| (3 small rows per pair); per-(τ, vector) verdicts
+    * are a hash aggregate, per-τ totals another; n_vectors broadcasts
+    * as a one-row scalar. Nothing re-runs the pair join per τ. */
+  private def semdedupEpsSweep(s: SparkSession, dir: String): DataFrame = {
+    val nv = centAssigned(s, dir).agg(count(lit(1)).as("n_vectors"))
+    val pt = semPairs(s, dir)
+      .withColumn("tau_milli",
+        explode(array(semTauGrid.map(lit): _*)))
+      .filter(col("cos") >= col("tau_milli").cast("double") / 1000.0)
+    val perVec = pt.groupBy(col("tau_milli"), col("x"))
+      .agg(sum(when(col("x") < col("y"), 1L).otherwise(0L)).as("np"),
+        max(when(col("yc") < col("xc") ||
+          (col("yc") === col("xc") && col("y") < col("x")), 1L)
+          .otherwise(0L)).as("pruned"))
+    val perTau = perVec.groupBy(col("tau_milli"))
+      .agg(sum(col("np")).as("np_t"), sum(col("pruned")).as("pr_t"))
+    // every grid row appears even when no pair reaches its τ — a
+    // calibration curve with silently-missing points misreads as data
+    nv.select(explode(array(semTauGrid.map(lit): _*)).as("tau_milli"),
+        col("n_vectors"))
+      .join(perTau, Seq("tau_milli"), "left")
+      .select(col("tau_milli"), col("n_vectors"),
+        coalesce(col("np_t"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("pr_t"), lit(0L)).as("n_pruned"))
+      .withColumn("prune_milli",
+        expr("(1000 * n_pruned) div n_vectors"))
+      .orderBy("tau_milli")
+  }
+
+  private val semdedupEpsSweepSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$semPairsSqlCtes,
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM m),
+       |pt AS (
+       |  SELECT tau_milli, x, y, xc, yc
+       |  FROM prs, UNNEST([${semTauGrid.mkString(", ")}]) t(tau_milli)
+       |  WHERE cos >= CAST(tau_milli AS DOUBLE) / 1000),
+       |pv AS (
+       |  SELECT tau_milli, x,
+       |    CAST(SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    MAX(CASE WHEN yc < xc OR (yc = xc AND y < x)
+       |        THEN 1 ELSE 0 END) AS pruned
+       |  FROM pt GROUP BY 1, 2),
+       |pa AS (
+       |  SELECT tau_milli, CAST(SUM(np) AS BIGINT) AS np_t,
+       |    CAST(SUM(pruned) AS BIGINT) AS pr_t
+       |  FROM pv GROUP BY 1),
+       |grid AS (
+       |  SELECT CAST(tau_milli AS BIGINT) AS tau_milli, nv.n_vectors
+       |  FROM nv, UNNEST([${semTauGrid.mkString(", ")}]) t(tau_milli))
+       |SELECT g.tau_milli, g.n_vectors,
+       |  COALESCE(pa.np_t, 0) AS n_dup_pairs,
+       |  COALESCE(pa.pr_t, 0) AS n_pruned,
+       |  (1000 * COALESCE(pa.pr_t, 0)) // g.n_vectors AS prune_milli
+       |FROM grid g LEFT JOIN pa USING (tau_milli)
+       |ORDER BY g.tau_milli""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
@@ -489,5 +564,6 @@ object CurationOps {
     Q("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     Q("prototype_prune", prototypePrune, Some(prototypePruneSql)),
     Q("cluster_prune_agreement", clusterPruneAgreement,
-      Some(clusterPruneAgreementSql)))
+      Some(clusterPruneAgreementSql)),
+    Q("semdedup_eps_sweep", semdedupEpsSweep, Some(semdedupEpsSweepSql)))
 }

@@ -169,6 +169,46 @@ class SemdedupSpec extends SparkSpec {
     (1L to 7L).foreach(i => assert(got(i)._4 && got(i)._3 == 1L))
   }
 
+  test("semdedup_eps_sweep ≡ per-τ recount; prune rate falls as τ rises") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val q = quantize(vecs)
+    val assigned = assign(q)
+    val byCluster = assigned.groupBy(_._2._1)
+    val expected = CurationOps.semTauGrid.map { tau =>
+      val t = tau.toDouble / 1000.0
+      var pairs = 0L
+      var pruned = 0L
+      assigned.foreach { case (id, (cid, ccos)) =>
+        val dups = byCluster(cid).keys.filter(_ != id).filter { p =>
+          dot(q(id), q(p)).toDouble /
+            math.sqrt((nrm(q(id)) * nrm(q(p))).toDouble) >= t
+        }
+        pairs += dups.count(_ > id)
+        if (dups.exists { p =>
+          val pc = assigned(p)._2
+          pc < ccos || (pc == ccos && p < id)
+        }) pruned += 1
+      }
+      tau -> ((assigned.size.toLong, pairs, pruned,
+        1000L * pruned / assigned.size))
+    }.toMap
+    val got = SparkEntry.queries("semdedup_eps_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // monotone: a stricter τ can only shrink pairs and prunes
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.map(_._2) == ordered.map(_._2).sorted.reverse)
+    assert(ordered.map(_._3) == ordered.map(_._3).sorted.reverse)
+    // the deployed τ = 0.4 row reconciles with semdedup_prune
+    val fixedPruned = run(dir).values.count(!_.keep).toLong
+    assert(got(400L)._3 == fixedPruned)
+  }
+
   test("cluster_prune_agreement reconciles with its two component tiers") {
     val dir = "/root/testdata/sf0.001"
     val sem = run(dir).map { case (id, v) => id -> (v.centId, v.keep) }
