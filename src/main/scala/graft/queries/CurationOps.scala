@@ -58,11 +58,22 @@ object CurationOps {
     * with S sized to ~file-size this is one shuffle by shard key with
     * sort-within-partitions — exactly `repartition(S, h).sortWithin...`
     * — never a single total order. */
-  private def globalShuffleShards(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+  private def globalShuffleShards(s: SparkSession, dir: String): DataFrame =
+    shardManifestOf(docTokens(s, dir))
+
+  /** (doc_id, toks) projection of the export universe: every non-null
+    * doc_id with its whitespace token count. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         size(filter(split(coalesce(col("text"), lit("")), " "),
           x => x =!= "")).cast("long").as("toks"))
+
+  /** The shard-manifest core over ANY (doc_id, toks) doc set — shared by
+    * the whole-corpus export and the curated (post-gate) export, so the
+    * two manifests can't drift in hashing or checksum arithmetic. */
+  private def shardManifestOf(d0: DataFrame): DataFrame = {
+    val d = d0
       .withColumn("h", docHash)
       .withColumn("shard", col("h") % shuffleShards)
     val pos = row_number().over(
@@ -83,18 +94,14 @@ object CurationOps {
       .orderBy("shard")
   }
 
-  private val globalShuffleShardsSql =
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
-       |      x -> x <> '')) AS BIGINT) AS toks,
-       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
-       |  FROM documents WHERE doc_id IS NOT NULL),
-       |p AS (
+  /** Oracle twin of [[shardManifestOf]]: the p → manifest chain reading
+    * from a caller-named (doc_id, toks, h) CTE. */
+  private def shardManifestSqlFrom(dCte: String): String =
+    s"""p AS (
        |  SELECT *, h % $shuffleShards AS shard,
        |    CAST(row_number() OVER (PARTITION BY h % $shuffleShards
        |      ORDER BY h, doc_id) AS BIGINT) AS pos
-       |  FROM d)
+       |  FROM $dCte)
        |SELECT shard, COUNT(*) AS n_docs,
        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
        |  MIN(h) AS min_h, MAX(h) AS max_h,
@@ -102,6 +109,48 @@ object CurationOps {
        |  CAST(SUM(((pos % $ordMod) * (h % $ordMod)) % $ordMod) AS BIGINT)
        |    % $ordMod AS ord_check
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The whole-universe (doc_id, toks, h) CTE of the export oracles. */
+  private val docTokensSqlCte =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+       |      x -> x <> '')) AS BIGINT) AS toks,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM documents WHERE doc_id IS NOT NULL)""".stripMargin
+
+  private def globalShuffleShardsSql =
+    s"""WITH $docTokensSqlCte,
+       |${shardManifestSqlFrom("d")}""".stripMargin
+
+  /** Curated-export manifest — the END of the curation pipeline as one
+    * declarative plan: the docs that survived every row-local and
+    * corpus-global gate of `corpus_prune_verdicts` (canonical under exact
+    * dedup, quality band, repetition gate), pushed through the SAME
+    * deterministic shuffle-shard manifest as [[globalShuffleShards]].
+    * This is the artifact a training run actually consumes: per shard,
+    * how many curated docs/tokens, the hash range, and membership+order
+    * checksums a reader can validate before touching payload bytes.
+    *
+    * Plan shape: the verdict relation (one corpus scan + canon-hash
+    * window + repetition join) feeds a doc-keyed semi-join against the
+    * (doc_id, toks) projection; above that it is exactly the
+    * [[shardManifestOf]] core — one exchange on the shard key, per-shard
+    * local sort, S-row aggregate. Nothing global-orders the corpus; the
+    * gates and the export compose in a single Catalyst plan with no
+    * intermediate materialization. */
+  private def curatedShardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestOf(docTokens(s, dir)
+      .join(TextOps.pruneVerdictRel(s, dir).filter(col("keep"))
+        .select(col("doc_id")), "doc_id"))
+
+  private def curatedShardManifestSql =
+    s"""WITH v AS (
+       |  SELECT doc_id FROM (${TextOps.corpusPruneVerdictsSql
+             .replace("\n", "\n  ")}) WHERE keep),
+       |$docTokensSqlCte,
+       |dk AS (SELECT d.* FROM d JOIN v USING (doc_id)),
+       |${shardManifestSqlFrom("dk")}""".stripMargin
 
   /** Hashed-feature bucket count for the DSIR weights (2⁸ — the feature-
     * hashing trick; the published method uses 10⁴, the mechanics are
@@ -565,5 +614,7 @@ object CurationOps {
     Q("prototype_prune", prototypePrune, Some(prototypePruneSql)),
     Q("cluster_prune_agreement", clusterPruneAgreement,
       Some(clusterPruneAgreementSql)),
-    Q("semdedup_eps_sweep", semdedupEpsSweep, Some(semdedupEpsSweepSql)))
+    Q("semdedup_eps_sweep", semdedupEpsSweep, Some(semdedupEpsSweepSql)),
+    Q("curated_shard_manifest", curatedShardManifest,
+      Some(curatedShardManifestSql)))
 }

@@ -490,6 +490,76 @@ object LmOps {
        |  (800000 * e_milli) // tot_e + 200000 // k AS w_micro
        |FROM ew CROSS JOIN wt ORDER BY source""".stripMargin
 
+  /** RHO-style per-doc selection (Mindermann et al. 2022, "Prioritized
+    * Training on Points that are Learnable, Worth Learning, and Not Yet
+    * Learnt"): rank every doc WITHIN its source by the two-model excess
+    * signal ([[pplDomainGap]]'s gap = bits under the reference model
+    * minus bits under the corpus-trained self model — the reducible-loss
+    * proxy) and select the top quarter, ceil((n+3) div 4), per source.
+    * This is the per-DOC counterpart of [[doremiWeightUpdate]]'s
+    * per-source step: DoReMi reweights domains, RHO picks points; both
+    * ride the same two cached scoring frames, so the selection costs no
+    * new token-scale pass.
+    *
+    * Output is the per-source selection report a batch-composition run
+    * reads: quota actually filled, the gap threshold the quota implies
+    * (min gap among selected — the admission bar), and the selected
+    * mass (bigram count and the EXACT bigram-weighted gap sum, left as
+    * an integer sum rather than a mean so no negative-operand division
+    * exists on either engine; gaps can be negative and DuckDB's `//`
+    * floors where Spark's div truncates).
+    *
+    * Determinism: rank ties break on doc_id; a duplicated doc_id fans
+    * out identical finished rows on both engines (frame join shape), and
+    * whichever copy lands inside the quota, the aggregates are equal.
+    * Plan: doc-grain join of two cached frames → one exchange on source
+    * for the rank/count window pair → |sources|-row aggregate. */
+  private def rhoExcessSelect(s: SparkSession, dir: String): DataFrame = {
+    val gap = knFrame(s, dir)
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("kn_bits_milli").as("bits_ref_milli"))
+      .join(selfFrame(s, dir).select(col("doc_id"),
+        col("kn_bits_milli").as("bits_self_milli")), "doc_id")
+      .withColumn("gap_milli",
+        col("bits_ref_milli") - col("bits_self_milli"))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val rk = row_number().over(
+      bySource.orderBy(col("gap_milli").desc, col("doc_id")))
+    gap.withColumn("n", count(lit(1)).over(bySource))
+      .withColumn("sel", rk.cast("long") <= expr("(n + 3) div 4"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        min(when(col("sel"), col("gap_milli"))).as("gap_cutoff_milli"),
+        sum(when(col("sel"), col("n_bigrams"))).as("sel_bigrams"),
+        sum(when(col("sel"), col("n_bigrams") * col("gap_milli")))
+          .as("sel_excess_sum"))
+      .orderBy("source")
+  }
+
+  private def rhoExcessSelectSql: String =
+    s"""WITH $knCtes,
+       |${knCtesFor("2", "")},
+       |g AS (
+       |  SELECT p.doc_id, p.source, p.n_bigrams,
+       |    p.kn_bits_milli - q.kn_bits_milli AS gap_milli
+       |  FROM perdoc p JOIN perdoc02 q USING (doc_id)),
+       |r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY gap_milli DESC, doc_id) AS BIGINT) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM g),
+       |sel AS (SELECT *, rk <= (n + 3) // 4 AS sel FROM r)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  MIN(CASE WHEN sel THEN gap_milli END) AS gap_cutoff_milli,
+       |  CAST(SUM(CASE WHEN sel THEN n_bigrams END) AS BIGINT) AS sel_bigrams,
+       |  CAST(SUM(CASE WHEN sel THEN n_bigrams * gap_milli END) AS BIGINT)
+       |    AS sel_excess_sum
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   /** Total, NULL-safe md5-hash decile of doc_id (the leakage_safe_split
     * engine-portable hash) — a PLAIN doc_id modulus would alias with the
     * testdata's source assignment (source = id % 20), sampling 4 of 20
@@ -653,6 +723,7 @@ object LmOps {
     Q("ppl_length_ols", pplLengthOls, Some(pplLengthOlsSql)),
     Q("ppl_domain_gap", pplDomainGap, Some(pplDomainGapSql)),
     Q("kn_model_drift", knModelDrift, Some(knModelDriftSql)),
+    Q("rho_excess_select", rhoExcessSelect, Some(rhoExcessSelectSql)),
     Q("doremi_weight_update", doremiWeightUpdate,
       Some(doremiWeightUpdateSql)),
     Q("quality_gate_agreement", qualityGateAgreement,

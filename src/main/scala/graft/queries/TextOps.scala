@@ -770,7 +770,10 @@ object TextOps {
       .select(col("doc_id"), canonHash(col("text")).as("ch"))
       .groupBy(col("ch")).agg(min(col("doc_id")).as("canonical_id"))
 
-  private def corpusPruneVerdicts(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered verdict relation backing `corpus_prune_verdicts` — also
+    * the survivor gate of CurationOps' curated_shard_manifest, which
+    * filters `keep` and re-shards what passed every tier. */
+  private[queries] def pruneVerdictRel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "documents")
       .select(col("doc_id"),
@@ -792,10 +795,12 @@ object TextOps {
           .when(!col("quality_ok"), "quality")
           .when(!col("repetition_ok"), "repetition")
           .otherwise("ok"))
-      .orderBy("doc_id")
   }
 
-  private val corpusPruneVerdictsSql = {
+  private def corpusPruneVerdicts(s: SparkSession, dir: String): DataFrame =
+    pruneVerdictRel(s, dir).orderBy("doc_id")
+
+  private[queries] val corpusPruneVerdictsSql = {
     val stopList = stopEn.map(sw => s"'$sw'").mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id,

@@ -79,6 +79,78 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  /** Straight-line manifest recount over (h, doc_id, toks) members —
+    * the global test's arithmetic, shared with the curated-export
+    * tests. */
+  private def manifestRecount(members0: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long, Long, Long, Long, Long)] =
+    members0.groupBy(_._1 % CurationOps.shuffleShards).map {
+      case (shard, members) =>
+        val ordered = members.sortBy(m => (m._1, m._2))
+        val ord = ordered.zipWithIndex
+          .map { case ((h, _, _), i) => ((i + 1).toLong % M) * (h % M) % M }
+          .sum % M
+        (shard, members.size.toLong, members.map(_._3).sum,
+          members.map(_._1).min, members.map(_._1).max,
+          members.map(_._1 % M).sum % M, ord)
+    }.toSet
+
+  private def manifestRows(name: String, dir: String)
+      : Set[(Long, Long, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+  test("curated_shard_manifest ≡ recount over verdict survivors (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val keep = SparkEntry.queries("corpus_prune_verdicts")(spark, dir)
+      .collect().filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keep.nonEmpty)
+    val members = docs(dir).filter(d => keep(d._1)).map { case (id, text, _) =>
+      (h32(id.toString), id,
+        Option(text).getOrElse("").split(" ").count(_.nonEmpty).toLong)
+    }
+    val got = manifestRows("curated_shard_manifest", dir)
+    assert(got == manifestRecount(members))
+    assert(got.toSeq.map(_._2).sum == keep.size)
+    // per shard, the curated export is a subset of the whole-corpus one
+    val glob = manifestRows("global_shuffle_shards", dir)
+      .map(r => r._1 -> r).toMap
+    got.foreach { r =>
+      assert(r._2 <= glob(r._1)._2 && r._3 <= glob(r._1)._3, s"shard ${r._1}")
+    }
+  }
+
+  test("curated manifest fixture: only gate-surviving docs are exported") {
+    import spark.implicits._
+    val passA = "the alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo"
+    val passB = "a november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray"
+    val rows = Seq(
+      (1L, passA, "en", "s", 0L), // canonical, passes both gates
+      (2L, passA, "en", "s", 0L), // exact dup of 1 -> pruned
+      (3L, "w3 a b", "en", "s", 0L), // 3 words -> quality fail
+      (4L, passB, "en", "s", 0L), // second survivor
+      (5L, null.asInstanceOf[String], "en", "s", 0L)) // no text
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = manifestRecount(
+      Seq(1L, 4L).map(id => (h32(id.toString), id, 12L)))
+    assert(manifestRows("curated_shard_manifest", dir) == expected)
+    // the global export still counts all five
+    assert(manifestRows("global_shuffle_shards", dir).toSeq.map(_._2).sum == 5L)
+
+    // an all-junk corpus exports an empty manifest
+    val dir2 = java.nio.file.Files.createTempDirectory("curated2").toString
+    rows.filter(r => r._1 == 3L || r._1 == 5L)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(manifestRows("curated_shard_manifest", dir2).isEmpty)
+  }
+
   /** The octave-linear milli-bit log₂ of the DSIR weights, recomputed
     * from scratch (floorDiv mirrors both engines' div/// on these
     * nonnegative operands). */

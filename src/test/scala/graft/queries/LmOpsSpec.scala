@@ -204,6 +204,51 @@ class LmOpsSpec extends SparkSpec {
     assert(bySrc("s0")._6 >= 100000L && bySrc("s0")._6 <= 100005L)
   }
 
+  private def rhoRows(dir: String): Seq[(String, Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("rho_excess_select")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("gap_cutoff_milli"),
+        r.getAs[Long]("sel_bigrams"), r.getAs[Long]("sel_excess_sum"))).toSeq
+
+  /** Independent recount of the RHO selection from ppl_domain_gap's own
+    * (already pinned) per-doc rows: per source, sort by (gap desc,
+    * doc_id), take ceil(n/4), report cutoff and selected mass. */
+  private def rhoRecount(dir: String): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val src = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("source")).getOrElse("")).toMap
+    val gap = SparkEntry.queries("ppl_domain_gap")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("gap_milli")))
+    gap.groupBy(r => src(r._1)).toSeq.map { case (s, rows) =>
+      val sel = rows.sortBy(r => (-r._3, r._1)).take((rows.size + 3) / 4)
+      (s, rows.size.toLong, sel.size.toLong, sel.map(_._3).min,
+        sel.map(_._2).sum, sel.map(r => r._2 * r._3).sum)
+    }.sortBy(_._1)
+  }
+
+  test("rho_excess_select ≡ recount from the pinned domain-gap rows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = rhoRows(dir)
+    assert(got == rhoRecount(dir))
+    assert(got.nonEmpty)
+    // the quota is exactly ceil(n/4) and always fills
+    got.foreach(r => assert(r._3 == (r._2 + 3) / 4, s"source ${r._1}"))
+  }
+
+  test("rho fixture: quota of one admits only the high-excess doc") {
+    val dir = java.nio.file.Files.createTempDirectory("rho").toString
+    // the ppl_domain_gap fixture in one source: doc 1 gap = -1000 (1
+    // bigram), doc 2 gap = 18667 (3 bigrams); quota ceil(2/4) = 1 picks
+    // doc 2, so cutoff = 18667 and the selected mass is 3 bigrams
+    // carrying 3 * 18667 = 56001 excess
+    writeDocs(dir, Seq(
+      (1L, "a b", "en", "s0"),
+      (2L, "c d c d", "fr", "s0")))
+    assert(rhoRows(dir) == Seq(("s0", 2L, 1L, 18667L, 3L, 56001L)))
+  }
+
   test("quality_gate_agreement reconciles with its two component gates") {
     val dir = "/root/testdata/sf0.001"
     val kn = SparkEntry.queries("kn_bigram_ppl")(spark, dir).collect()
