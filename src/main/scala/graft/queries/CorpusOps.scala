@@ -291,7 +291,7 @@ object CorpusOps {
   /** 24-bit uniform hash of a doc id — the deterministic coin for sampling
     * decisions, built nibble-wise from the md5 hex prefix (the engine-
     * portable digit trick simhash uses; no engine-specific hex parse). */
-  private def u24(id: Column): Column = {
+  private[graft] def u24(id: Column): Column = {
     val h = md5(id.cast("string"))
     (0 until 6).map { i =>
       (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
@@ -782,8 +782,15 @@ object CorpusOps {
     * (map-side combined), then arithmetic over |sources| rows with two
     * scalar aggregates broadcast back. Corpus is scanned once; nothing
     * wider than the source dimension ever shuffles. */
-  private def temperatureMixWeights(s: SparkSession, dir: String): DataFrame = {
-    val bySrc = t(s, dir, "documents")
+  /** Unordered temperature-weights frame (source, n_docs, n_tokens,
+    * p_milli, t_milli, boost_milli) — shared by the weights report and
+    * the sampler-execution audit so the target and the applied rate can
+    * never drift. */
+  private def tempWeightsFrame(s: SparkSession, dir: String): DataFrame =
+    tempWeightsOf(t(s, dir, "documents"))
+
+  private def tempWeightsOf(docs: DataFrame): DataFrame = {
+    val bySrc = docs
       .select(coalesce(col("source"), lit("")).as("source"),
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n"))
       .groupBy(col("source"))
@@ -797,11 +804,26 @@ object CorpusOps {
         expr("(rt * 1000) div tot_rt").as("t_milli"))
       .withColumn("boost_milli",
         when(col("p_milli") > 0, expr("(t_milli * 1000) div p_milli")))
-      .orderBy("source")
   }
 
-  private val temperatureMixWeightsSql =
-    """WITH bysrc AS (
+  private def temperatureMixWeights(s: SparkSession, dir: String): DataFrame =
+    tempWeightsFrame(s, dir).orderBy("source")
+
+  /** One-row broadcastable source→boost map (the dsirModelRow /
+    * knModelRow collapse) for the streaming sampler twin — built from
+    * the SAME weights relation as the batch audit, NULL boosts already
+    * coalesced to the neutral 1000. |sources|-sized, so it broadcasts at
+    * any corpus scale. */
+  def tempWeightsRow(docs: DataFrame): DataFrame =
+    tempWeightsOf(docs)
+      .select(col("source"),
+        coalesce(col("boost_milli"), lit(1000L)).as("b"))
+      .agg(map_from_entries(collect_list(struct(col("source"), col("b"))))
+        .as("bm"))
+
+  /** The bysrc → wgt CTE chain of the temperature-mix oracles. */
+  private val tempWeightsSqlCtes =
+    """bysrc AS (
       |  SELECT COALESCE(source, '') AS source, COUNT(*) AS n_docs,
       |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
@@ -809,14 +831,77 @@ object CorpusOps {
       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS rt
       |  FROM bysrc),
       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
-      |               CAST(SUM(rt) AS BIGINT) AS tot_rt FROM rooted)
-      |SELECT source, n_docs, n_tokens,
-      |  (n_tokens * 1000) // tot_tokens AS p_milli,
-      |  (rt * 1000) // tot_rt AS t_milli,
-      |  CASE WHEN (n_tokens * 1000) // tot_tokens > 0
-      |    THEN (((rt * 1000) // tot_rt) * 1000) // ((n_tokens * 1000) // tot_tokens)
-      |  END AS boost_milli
-      |FROM rooted CROSS JOIN tot ORDER BY source""".stripMargin
+      |               CAST(SUM(rt) AS BIGINT) AS tot_rt FROM rooted),
+      |wgt AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    (n_tokens * 1000) // tot_tokens AS p_milli,
+      |    (rt * 1000) // tot_rt AS t_milli,
+      |    CASE WHEN (n_tokens * 1000) // tot_tokens > 0
+      |      THEN (((rt * 1000) // tot_rt) * 1000) // ((n_tokens * 1000) // tot_tokens)
+      |    END AS boost_milli
+      |  FROM rooted CROSS JOIN tot)""".stripMargin
+
+  private val temperatureMixWeightsSql =
+    s"""WITH $tempWeightsSqlCtes
+       |SELECT source, n_docs, n_tokens, p_milli, t_milli, boost_milli
+       |FROM wgt ORDER BY source""".stripMargin
+
+  /** Execution audit of the temperature mix — the deterministic sampler a
+    * distributed exporter actually runs to HIT [[temperatureMixWeights]]'
+    * per-source rates without RNG: each doc is emitted
+    * k = boost div 1000 whole copies plus one extra copy iff its md5 coin
+    * ([[u24]] mod 1000) clears the fractional part — reproducible across
+    * engines, retries and partitionings (the same property
+    * corpus_balance_langs' coin rule and hash_sample rely on; a
+    * rand()-based sampler is none of those). A NULL boost (a source with
+    * a 0-milli token share) degrades to the neutral 1000 — emit once —
+    * on both engines.
+    *
+    * Output is the achieved-vs-target audit per source: whole-copy
+    * factor, fractional acceptances, emitted rows and the realized
+    * exact-milli rate. Nothing materializes the emitted stream here —
+    * the audit sums copy counts arithmetically (the materializing plan
+    * is mix_upsample's posexplode shape applied to these factors).
+    *
+    * Plan: the token-scale pass lives in the shared weights frame; the
+    * apply side is a doc-grain (source, coin) projection, a broadcast
+    * join of the |sources|-row weights relation, and one |sources|-row
+    * hash aggregate — no window, no explosion, no extra shuffle beyond
+    * the final aggregate's. */
+  private def temperatureSampleAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = tempWeightsFrame(s, dir)
+      .select(col("source"), coalesce(col("boost_milli"), lit(1000L)).as("b"))
+    t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        u24(col("doc_id")).as("coin"))
+      .join(broadcast(w), "source")
+      .withColumn("k", expr("b div 1000"))
+      .withColumn("extra",
+        when(col("coin") % 1000L < col("b") % 1000L, 1L).otherwise(0L))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        max(col("b")).as("boost_milli"),
+        sum(col("k") + col("extra")).as("n_out"),
+        sum(col("extra")).as("n_frac_accepted"))
+      .withColumn("achieved_milli", expr("(1000 * n_out) div n_docs"))
+      .orderBy("source")
+  }
+
+  private val temperatureSampleAuditSql =
+    s"""WITH $tempWeightsSqlCtes,
+       |w AS (SELECT source, COALESCE(boost_milli, 1000) AS b FROM wgt),
+       |c AS (SELECT COALESCE(source, '') AS source,
+       |        ${u24Sql("doc_id")} AS coin
+       |      FROM documents),
+       |j AS (
+       |  SELECT c.source, b, b // 1000 AS k,
+       |    CASE WHEN coin % 1000 < b % 1000 THEN 1 ELSE 0 END AS extra
+       |  FROM c JOIN w USING (source))
+       |SELECT source, COUNT(*) AS n_docs, MAX(b) AS boost_milli,
+       |  CAST(SUM(k + extra) AS BIGINT) AS n_out,
+       |  CAST(SUM(extra) AS BIGINT) AS n_frac_accepted,
+       |  (1000 * CAST(SUM(k + extra) AS BIGINT)) // COUNT(*) AS achieved_milli
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** Epoch-capped, quality-weighted token allocation across sources — the
     * data-constrained-scaling mixing decision (repeating data beyond ~4
@@ -1134,6 +1219,8 @@ object CorpusOps {
     Q("source_entropy", sourceEntropy, Some(sourceEntropySql)),
     Q("temperature_mix_weights", temperatureMixWeights,
       Some(temperatureMixWeightsSql)),
+    Q("temperature_sample_audit", temperatureSampleAudit,
+      Some(temperatureSampleAuditSql)),
     Q("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Q("target_affinity_resample", targetAffinityResample,
       Some(targetAffinityResampleSql)),

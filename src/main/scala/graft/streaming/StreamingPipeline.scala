@@ -494,6 +494,36 @@ object StreamingPipeline {
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
         col("weight_milli"), (col("weight_milli") > 0).as("keep"))
 
+  /** Streaming temperature-mix sampler — the replication-factor half of
+    * [[graft.queries.CorpusOps]] `temperature_sample_audit` applied on
+    * ingest: every ARRIVING doc looks its source's boost up in the
+    * trained one-row broadcast map
+    * ([[graft.queries.CorpusOps.tempWeightsRow]]) and emits its copy
+    * count — `boost div 1000` whole copies plus one extra iff the doc's
+    * deterministic md5 coin clears the fractional part. The coin is
+    * [[graft.queries.CorpusOps.u24]] (numerically `conv` of the first 6
+    * md5 hex digits — the nibble form exists only for DuckDB
+    * portability), so the stream twin replicates the batch decision
+    * bit-for-bit: reproducible across retries, partitionings and
+    * engines, which rand()-based sampling is not. A source absent from
+    * the trained map falls back to the neutral 1000 (emit once) — the
+    * same degradation the batch audit applies to a NULL boost. NULL
+    * doc_id coins are NULL, so the fractional copy never fires (the
+    * batch rule). copies = 0 docs still emit their verdict row — the
+    * downstream replicator, not the gate, skips them. One row in, one
+    * row out, no state, no shuffle, append-safe. */
+  def temperatureSampleStream(docs: DataFrame, weightsRow: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(weightsRow)) // static side is ONE row
+      .withColumn("src", coalesce(col("source"), lit("")))
+      .withColumn("b",
+        coalesce(try_element_at(col("bm"), col("src")), lit(1000L)))
+      .withColumn("coin", graft.queries.CorpusOps.u24(col("doc_id")))
+      .select(col("doc_id"), col("src").as("source"),
+        col("b").as("boost_milli"),
+        (expr("b div 1000") +
+          when(col("coin") % 1000L < col("b") % 1000L, 1L).otherwise(0L))
+          .as("copies"))
+
   /** Streaming semantic decontamination — the embedding-tier gate on the
     * vector ingest path, completing streaming twins for all three
     * decontamination tiers (exact n-gram [[decontaminateStream]], bloom

@@ -224,6 +224,56 @@ class CorpusOpsSpec extends SparkSpec {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("temperature_sample_audit ≡ coin recount from the pinned weights rows") {
+    val dir = "/root/testdata/sf0.001"
+    val boost = SparkEntry.queries("temperature_mix_weights")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (if (r.isNullAt(r.fieldIndex("boost_milli"))) 1000L
+         else r.getAs[Long]("boost_milli"))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[String]("source")).getOrElse("")))
+    def u24(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6), 16)
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val b = boost(src)
+      val extra = ds.count(d => u24(d._1) % 1000L < b % 1000L).toLong
+      val out = (b / 1000L) * ds.size + extra
+      (src, ds.size.toLong, b, out, extra, 1000L * out / ds.size)
+    }.toSet
+    val got = SparkEntry.queries("temperature_sample_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("temperature sampler fixture: heavy source down, light source up") {
+    val d = java.nio.file.Files.createTempDirectory("tsample").toString
+    import spark.implicits._
+    // heavy: 90 docs x 4 tokens = 360 tokens; light: 10 x 4 = 40.
+    // sqrt flattening: rt = 18 / 6 -> t = 750 / 250 vs p = 900 / 100,
+    // so boost = 833 (heavy, sampled DOWN via coins alone: k=0) and
+    // 2500 (light, 2 whole copies + a 500-milli coin)
+    ((1 to 90).map(i => (i.toLong, "a b c d", "en", "heavy", 0L)) ++
+      (1 to 10).map(i => (200L + i, "a b c d", "en", "light", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("temperature_sample_audit")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got("heavy")._2 == 833L && got("light")._2 == 2500L)
+    // heavy emits only coin-accepted fractionals; light emits 2 whole
+    // copies per doc plus its fractional acceptances
+    assert(got("heavy")._3 == got("heavy")._4)
+    assert(got("light")._3 == 2L * 10L + got("light")._4)
+    // the flattening direction: heavy under-emits, light over-emits
+    assert(got("heavy")._3 < 90L && got("light")._3 > 10L)
+  }
+
   test("mix_upsample: per-source epoch factor repeats docs with epoch index") {
     val d = java.nio.file.Files.createTempDirectory("upsample").toString
     import spark.implicits._

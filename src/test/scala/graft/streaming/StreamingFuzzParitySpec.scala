@@ -547,6 +547,69 @@ class StreamingFuzzParitySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(535, 636)) {
+    test(s"fuzz seed $seed: temperatureSampleStream, batch temperature_sample_audit," +
+        " and the JVM recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"tsampfuzz$seed")
+      val full = dirtyDocs(seed, 250).map { case (id, t) =>
+        (id, t, "en", if (id % 7 == 0) null else s"s${id % 3}",
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      val docs = full.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val path = root.resolve("documents.parquet").toString
+      docs.write.parquet(path)
+
+      // independent JVM recount of the weights and the coin rule
+      def toks(t: String): Option[Long] =
+        Option(t).map(_.split(" ", -1).count(_.nonEmpty).toLong)
+      val bySrc = full.groupBy(d => Option(d._4).getOrElse(""))
+      val nTok = bySrc.view.mapValues { ds =>
+        val ts = ds.flatMap(d => toks(d._2))
+        if (ts.isEmpty) None else Some(ts.sum)
+      }.toMap
+      val rt = nTok.view.mapValues(_.map(n =>
+        math.sqrt(n.toDouble).toLong)).toMap
+      val totT = nTok.values.flatten.sum
+      val totR = rt.values.flatten.sum
+      val boost = nTok.keys.map { s =>
+        s -> (for {
+          n <- nTok(s); r <- rt(s)
+          p = n * 1000L / totT
+          if p > 0
+        } yield r * 1000L / totR * 1000L / p).getOrElse(1000L)
+      }.toMap
+      def u24(id: Long): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(6), 16)
+      val expected = full.map { d =>
+        val src = Option(d._4).getOrElse("")
+        val b = boost(src)
+        d._1 -> ((src, b,
+          b / 1000L + (if (u24(d._1) % 1000L < b % 1000L) 1L else 0L)))
+      }.toMap
+
+      val weights = graft.queries.CorpusOps
+        .tempWeightsRow(spark.read.parquet(path))
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.temperatureSampleStream(
+          spark.readStream.schema(docs.schema).parquet(path), weights),
+        s"tsampfuzz$seed").collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("source"),
+          r.getAs[Long]("boost_milli"), r.getAs[Long]("copies")))).toMap
+      assert(streamed == expected, "stream vs JVM recount")
+
+      val batchAgg = graft.SparkEntry
+        .queries("temperature_sample_audit")(spark, root.toString)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val expAgg = expected.values.groupBy(_._1).view.mapValues { vs =>
+        (vs.size.toLong, vs.head._2, vs.map(_._3).sum)
+      }.toMap
+      assert(batchAgg == expAgg, "batch vs JVM recount")
+    }
+  }
+
   for (seed <- Seq(515, 616)) {
     test(s"fuzz seed $seed: unigramSegmentStream equals the JVM Viterbi recount on a dirty corpus") {
       val root = Files.createTempDirectory(s"unifuzz$seed")

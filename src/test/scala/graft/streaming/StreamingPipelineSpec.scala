@@ -290,6 +290,50 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(novel == Map(9001L -> ((2L, 2L, 19000L))))
   }
 
+  test("temperatureSampleStream: aggregated parity with temperature_sample_audit") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("tsampstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      src.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(src.toString)
+    val weights = graft.queries.CorpusOps.tempWeightsRow(corpus)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(src.toString)
+    val streamed = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.temperatureSampleStream(stream, weights),
+      "temp_sample").collect()
+    assert(streamed.nonEmpty)
+    // fold the per-arrival verdicts to the batch audit's source grain
+    val agg = streamed.groupBy(_.getAs[String]("source")).map {
+      case (s, rows) =>
+        val b = rows.head.getAs[Long]("boost_milli")
+        assert(rows.forall(_.getAs[Long]("boost_milli") == b))
+        val out = rows.map(_.getAs[Long]("copies")).sum
+        (s, rows.size.toLong, b, out, out - (b / 1000L) * rows.size,
+          1000L * out / rows.size)
+    }.toSet
+    val batch = graft.SparkEntry
+      .queries("temperature_sample_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(agg == batch)
+
+    // a source the weights were never trained on emits once (boost 1000)
+    val src2 = root.resolve("novel")
+    Seq((9001L, "zz qq", "en", "never_seen", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(src2.toString)
+    val stream2 = spark.readStream
+      .schema(corpus.schema).parquet(src2.toString)
+    val novel = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.temperatureSampleStream(stream2, weights),
+      "temp_sample_novel").collect()
+    assert(novel.length == 1)
+    assert(novel.head.getAs[Long]("boost_milli") == 1000L)
+    assert(novel.head.getAs[Long]("copies") == 1L)
+  }
+
   test("dsirScoreStream: exact batch parity with dsir_hashed_ngram_weights") {
     val sf = "/root/testdata/sf0.001"
     val root = Files.createTempDirectory("dsirstream")
