@@ -1190,6 +1190,85 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** The context-length grid of the packing sweep (brackets the deployed
+    * 512 of [[packPaddingReport]]). */
+  val packLenGrid: Seq[Long] = Seq(512L, 2048L, 8192L)
+
+  /** Context-length sweep for the packing decision — the other axis of
+    * [[packPaddingReport]]: that query fixes L = 512 and varies the
+    * policy; this one varies L over [[packLenGrid]] (the
+    * semdedup_eps_sweep / minhash_band_sweep grid contract) and reports,
+    * per candidate length, the corpus-wide cost of all three deployment
+    * policies — PAD-PER-DOC contexts and waste (grows with L: short docs
+    * waste almost the whole window at 8k), CROSS-DOC CONCAT contexts and
+    * waste (≈ L-independent, the packing literature's point), and
+    * TRUNCATE-AT-L losses (docs cut and the exact-milli share of corpus
+    * tokens lost — shrinks with L). Reading the three columns against
+    * each other is how a run picks its context length before committing
+    * compute.
+    *
+    * Plan: one token-count projection (doc-grain), exploded ×|grid|,
+    * one |grid|-row hash aggregate; every per-L figure is exact integer
+    * arithmetic on (n, l) so the grid explode adds 3 small rows per doc,
+    * never a second corpus scan. */
+  private def packLengthSweep(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(size(filter(split(coalesce(col("text"), lit("")), " "),
+        x => x =!= "")).cast("long").as("n"))
+      .withColumn("l", explode(array(packLenGrid.map(lit): _*)))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(expr("(n + l - 1) div l")).as("ctx_padded"),
+        sum(when(col("n") > col("l"), 1L).otherwise(0L))
+          .as("n_docs_truncated"),
+        sum(when(col("n") > col("l"), col("n") - col("l")).otherwise(0L))
+          .as("tokens_truncated"))
+      .withColumn("ctx_packed", expr("(n_tokens + l - 1) div l"))
+      .select(col("l").as("ctx_len"), col("n_docs"), col("n_tokens"),
+        col("ctx_padded"),
+        when(col("ctx_padded") > 0,
+          expr("(1000 * (ctx_padded * l - n_tokens)) div (ctx_padded * l)"))
+          .as("waste_padded_milli"),
+        col("ctx_packed"),
+        when(col("ctx_packed") > 0,
+          expr("(1000 * (ctx_packed * l - n_tokens)) div (ctx_packed * l)"))
+          .as("waste_packed_milli"),
+        col("n_docs_truncated"),
+        when(col("n_tokens") > 0,
+          expr("(1000 * tokens_truncated) div n_tokens"))
+          .as("tokens_trunc_milli"))
+      .orderBy("ctx_len")
+
+  private val packLengthSweepSql =
+    s"""WITH toks AS (
+       |  SELECT CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+       |    x -> x <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (SELECT n, CAST(l AS BIGINT) AS l
+       |      FROM toks, UNNEST([${packLenGrid.mkString(", ")}]) t(l)),
+       |agg AS (
+       |  SELECT l, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    CAST(SUM((n + l - 1) // l) AS BIGINT) AS ctx_padded,
+       |    CAST(SUM(CASE WHEN n > l THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_truncated,
+       |    CAST(SUM(CASE WHEN n > l THEN n - l ELSE 0 END) AS BIGINT)
+       |      AS tokens_truncated
+       |  FROM g GROUP BY l)
+       |SELECT l AS ctx_len, n_docs, n_tokens, ctx_padded,
+       |  CASE WHEN ctx_padded > 0 THEN
+       |    (1000 * (ctx_padded * l - n_tokens)) // (ctx_padded * l)
+       |  END AS waste_padded_milli,
+       |  (n_tokens + l - 1) // l AS ctx_packed,
+       |  CASE WHEN n_tokens > 0 THEN
+       |    (1000 * (((n_tokens + l - 1) // l) * l - n_tokens))
+       |      // (((n_tokens + l - 1) // l) * l)
+       |  END AS waste_packed_milli,
+       |  n_docs_truncated,
+       |  CASE WHEN n_tokens > 0 THEN (1000 * tokens_truncated) // n_tokens
+       |  END AS tokens_trunc_milli
+       |FROM agg ORDER BY ctx_len""".stripMargin
+
   private val packPaddingReportSql =
     """WITH toks AS (
       |  SELECT COALESCE(source, '') AS source,
@@ -1216,6 +1295,7 @@ object CorpusOps {
 
   val all: Seq[Q] = Seq(
     Q("pack_padding_report", packPaddingReport, Some(packPaddingReportSql)),
+    Q("pack_length_sweep", packLengthSweep, Some(packLengthSweepSql)),
     Q("source_entropy", sourceEntropy, Some(sourceEntropySql)),
     Q("temperature_mix_weights", temperatureMixWeights,
       Some(temperatureMixWeightsSql)),

@@ -72,7 +72,14 @@ object CurationOps {
   /** The shard-manifest core over ANY (doc_id, toks) doc set — shared by
     * the whole-corpus export and the curated (post-gate) export, so the
     * two manifests can't drift in hashing or checksum arithmetic. */
-  private def shardManifestOf(d0: DataFrame): DataFrame = {
+  private def shardManifestOf(d0: DataFrame): DataFrame =
+    shardManifestRelOf(d0).orderBy("shard")
+
+  /** Unordered manifest relation — the export core itself, shared by the
+    * two export queries (via [[shardManifestOf]]) and the three-manifest
+    * drift audit, which joins these relations and must not carry
+    * intermediate sorts. */
+  private def shardManifestRelOf(d0: DataFrame): DataFrame = {
     val d = d0
       .withColumn("h", docHash)
       .withColumn("shard", col("h") % shuffleShards)
@@ -91,24 +98,24 @@ object CurationOps {
         col("min_h"), col("max_h"),
         (col("sum_h_raw") % ordMod).as("hash_sum"),
         (col("ord_raw") % ordMod).as("ord_check"))
-      .orderBy("shard")
   }
 
-  /** Oracle twin of [[shardManifestOf]]: the p → manifest chain reading
+  /** Oracle twin of [[shardManifestRelOf]] as a named CTE pair reading
     * from a caller-named (doc_id, toks, h) CTE. */
-  private def shardManifestSqlFrom(dCte: String): String =
-    s"""p AS (
+  private def manifestSqlCte(name: String, dCte: String): String =
+    s"""p$name AS (
        |  SELECT *, h % $shuffleShards AS shard,
        |    CAST(row_number() OVER (PARTITION BY h % $shuffleShards
        |      ORDER BY h, doc_id) AS BIGINT) AS pos
-       |  FROM $dCte)
-       |SELECT shard, COUNT(*) AS n_docs,
-       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
-       |  MIN(h) AS min_h, MAX(h) AS max_h,
-       |  CAST(SUM(h % $ordMod) AS BIGINT) % $ordMod AS hash_sum,
-       |  CAST(SUM(((pos % $ordMod) * (h % $ordMod)) % $ordMod) AS BIGINT)
-       |    % $ordMod AS ord_check
-       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+       |  FROM $dCte),
+       |$name AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    MIN(h) AS min_h, MAX(h) AS max_h,
+       |    CAST(SUM(h % $ordMod) AS BIGINT) % $ordMod AS hash_sum,
+       |    CAST(SUM(((pos % $ordMod) * (h % $ordMod)) % $ordMod) AS BIGINT)
+       |      % $ordMod AS ord_check
+       |  FROM p$name GROUP BY shard)""".stripMargin
 
   /** The whole-universe (doc_id, toks, h) CTE of the export oracles. */
   private val docTokensSqlCte =
@@ -121,7 +128,8 @@ object CurationOps {
 
   private def globalShuffleShardsSql =
     s"""WITH $docTokensSqlCte,
-       |${shardManifestSqlFrom("d")}""".stripMargin
+       |${manifestSqlCte("mf", "d")}
+       |SELECT * FROM mf ORDER BY shard""".stripMargin
 
   /** Curated-export manifest — the END of the curation pipeline as one
     * declarative plan: the docs that survived every row-local and
@@ -150,7 +158,75 @@ object CurationOps {
              .replace("\n", "\n  ")}) WHERE keep),
        |$docTokensSqlCte,
        |dk AS (SELECT d.* FROM d JOIN v USING (doc_id)),
-       |${shardManifestSqlFrom("dk")}""".stripMargin
+       |${manifestSqlCte("mf", "dk")}
+       |SELECT * FROM mf ORDER BY shard""".stripMargin
+
+  /** Export-manifest maintenance audit — the kn_model_drift /
+    * cc_incremental contract applied to the export: when an increment
+    * lands (the family's md5-decile-9 slice), which manifest fields can
+    * a maintainer MERGE and which force a re-sort? The audit computes
+    * the base, increment and merged manifests from the same factored
+    * core and reports, per shard, that the COUNTING fields compose
+    * additively (n_docs, n_tokens, and hash_sum mod the prime — the
+    * membership checksum is a sum, so merge ≡ recompute by
+    * construction, and the row SHOWS it) while `ord_preserved` exposes
+    * the positional checksum's non-additivity: any increment doc
+    * hashing into the middle of a shard's (h, doc_id) order shifts
+    * every later position, so ord_check must be recomputed from the
+    * re-sorted shard — exactly the field a naive incremental exporter
+    * would corrupt. A shard the increment misses keeps its order
+    * (ord_preserved true); an empty base shard compares NULL-safely
+    * false.
+    *
+    * Plan: three manifest relations over one doc-grain projection
+    * (each one exchange-by-shard + per-shard local sort + 8-row
+    * aggregate), joined at shard grain — increment-sized work never
+    * multiplies the corpus-sized pass. */
+  private def exportManifestDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docTokens(s, dir).withColumn("dec", docHash % 10)
+    def named(df: DataFrame, p: String): DataFrame =
+      shardManifestRelOf(df).select(col("shard") +:
+        Seq("n_docs", "n_tokens", "hash_sum", "ord_check")
+          .map(c => col(c).as(s"${p}_$c")): _*)
+    val base = named(d.filter(col("dec") =!= 9).drop("dec"), "base")
+    val inc = named(d.filter(col("dec") === 9).drop("dec"), "inc")
+    val merged = named(d.drop("dec"), "m")
+    merged.join(base, Seq("shard"), "left").join(inc, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("base_n_docs"), lit(0L)).as("base_docs"),
+        coalesce(col("inc_n_docs"), lit(0L)).as("inc_docs"),
+        col("m_n_docs").as("merged_docs"),
+        (coalesce(col("base_n_docs"), lit(0L)) +
+          coalesce(col("inc_n_docs"), lit(0L)) === col("m_n_docs") &&
+          coalesce(col("base_n_tokens"), lit(0L)) +
+            coalesce(col("inc_n_tokens"), lit(0L)) === col("m_n_tokens") &&
+          (coalesce(col("base_hash_sum"), lit(0L)) +
+            coalesce(col("inc_hash_sum"), lit(0L))) % ordMod ===
+            col("m_hash_sum")).as("additive_ok"),
+        (col("base_ord_check") <=> col("m_ord_check")).as("ord_preserved"))
+      .orderBy("shard")
+  }
+
+  private def exportManifestDriftSql =
+    s"""WITH $docTokensSqlCte,
+       |d0 AS (SELECT *, h % 10 AS dec FROM d),
+       |db AS (SELECT doc_id, toks, h FROM d0 WHERE dec <> 9),
+       |di AS (SELECT doc_id, toks, h FROM d0 WHERE dec = 9),
+       |${manifestSqlCte("mb", "db")},
+       |${manifestSqlCte("mi", "di")},
+       |${manifestSqlCte("mm", "d")}
+       |SELECT mm.shard,
+       |  COALESCE(mb.n_docs, 0) AS base_docs,
+       |  COALESCE(mi.n_docs, 0) AS inc_docs,
+       |  mm.n_docs AS merged_docs,
+       |  (COALESCE(mb.n_docs, 0) + COALESCE(mi.n_docs, 0) = mm.n_docs
+       |   AND COALESCE(mb.n_tokens, 0) + COALESCE(mi.n_tokens, 0)
+       |     = mm.n_tokens
+       |   AND (COALESCE(mb.hash_sum, 0) + COALESCE(mi.hash_sum, 0))
+       |     % $ordMod = mm.hash_sum) AS additive_ok,
+       |  mb.ord_check IS NOT DISTINCT FROM mm.ord_check AS ord_preserved
+       |FROM mm LEFT JOIN mb USING (shard) LEFT JOIN mi USING (shard)
+       |ORDER BY mm.shard""".stripMargin
 
   /** Hashed-feature bucket count for the DSIR weights (2⁸ — the feature-
     * hashing trick; the published method uses 10⁴, the mechanics are
@@ -616,5 +692,7 @@ object CurationOps {
       Some(clusterPruneAgreementSql)),
     Q("semdedup_eps_sweep", semdedupEpsSweep, Some(semdedupEpsSweepSql)),
     Q("curated_shard_manifest", curatedShardManifest,
-      Some(curatedShardManifestSql)))
+      Some(curatedShardManifestSql)),
+    Q("export_manifest_drift", exportManifestDrift,
+      Some(exportManifestDriftSql)))
 }

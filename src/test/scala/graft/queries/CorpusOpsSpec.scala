@@ -224,6 +224,55 @@ class CorpusOpsSpec extends SparkSpec {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("pack_length_sweep fixture: hand-computed grid; policy directions") {
+    val d = java.nio.file.Files.createTempDirectory("lensweep").toString
+    import spark.implicits._
+    Seq(3, 512, 700, 9000).zipWithIndex.map { case (k, i) =>
+      (i.toLong, Seq.fill(k)("w").mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("pack_length_sweep")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toSeq
+    // n_tokens = 10215; e.g. at L=512: pad ⌈3/512⌉+1+⌈700/512⌉+⌈9000/512⌉
+    // = 22 contexts wasting 1049 of 11264 (93‰); concat ⌈10215/512⌉ = 20
+    // (2‰); truncation cuts 2 docs, 8676 of 10215 tokens (849‰)
+    assert(got == Seq(
+      (512L, 4L, 10215L, 22L, 93L, 20L, 2L, 2L, 849L),
+      (2048L, 4L, 10215L, 8L, 376L, 5L, 2L, 1L, 680L),
+      (8192L, 4L, 10215L, 5L, 750L, 2L, 376L, 1L, 79L)))
+  }
+
+  test("pack_length_sweep ≡ recount on sf0.001; monotone policy curves") {
+    val dir = "/root/testdata/sf0.001"
+    val ns = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect()
+      .map(r => Option(r.getAs[String]("text")).getOrElse("")
+        .split(" ").count(_.nonEmpty).toLong)
+    val tot = ns.sum
+    val expected = CorpusOps.packLenGrid.map { l =>
+      val pad = ns.map(n => (n + l - 1) / l).sum
+      val packed = (tot + l - 1) / l
+      val tr = ns.filter(_ > l)
+      (l, ns.length.toLong, tot, pad,
+        1000L * (pad * l - tot) / (pad * l), packed,
+        1000L * (packed * l - tot) / (packed * l),
+        tr.length.toLong, 1000L * tr.map(_ - l).sum / tot)
+    }
+    val got = SparkEntry.queries("pack_length_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toSeq
+    assert(got == expected)
+    // the decision directions the sweep exists to show: pad waste grows
+    // with L, truncation loss and concat contexts shrink
+    val byL = got.sortBy(_._1)
+    assert(byL.map(_._5) == byL.map(_._5).sorted)
+    assert(byL.map(_._9) == byL.map(_._9).sorted.reverse)
+    assert(byL.map(_._6) == byL.map(_._6).sorted.reverse)
+  }
+
   test("temperature_sample_audit ≡ coin recount from the pinned weights rows") {
     val dir = "/root/testdata/sf0.001"
     val boost = SparkEntry.queries("temperature_mix_weights")(spark, dir)

@@ -151,6 +151,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(manifestRows("curated_shard_manifest", dir2).isEmpty)
   }
 
+  test("export_manifest_drift ≡ three-manifest recount; additivity vs order") {
+    val dir = "/root/testdata/sf0.001"
+    val all = docs(dir).map { case (id, text, _) =>
+      (h32(id.toString), id,
+        Option(text).getOrElse("").split(" ").count(_.nonEmpty).toLong)
+    }
+    def byShard(ms: Seq[(Long, Long, Long)]) =
+      manifestRecount(ms).map(r => r._1 -> r).toMap
+    val b = byShard(all.filter(_._1 % 10 != 9))
+    val i = byShard(all.filter(_._1 % 10 == 9))
+    val m = byShard(all)
+    val expected = m.values.map { r =>
+      val (bb, ii) = (b.get(r._1), i.get(r._1))
+      (r._1, bb.map(_._2).getOrElse(0L), ii.map(_._2).getOrElse(0L), r._2,
+        bb.map(_._2).getOrElse(0L) + ii.map(_._2).getOrElse(0L) == r._2 &&
+          bb.map(_._3).getOrElse(0L) + ii.map(_._3).getOrElse(0L) == r._3 &&
+          (bb.map(_._6).getOrElse(0L) + ii.map(_._6).getOrElse(0L)) % M == r._6,
+        bb.exists(_._7 == r._7))
+    }.toSet
+    val got = SparkEntry.queries("export_manifest_drift")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(got == expected)
+    // the audit's two claims: counting fields always merge; order breaks
+    // somewhere (the real increment hits mid-shard positions) and holds
+    // exactly where the increment is absent
+    assert(got.forall(_._5), "additive field merge failed somewhere")
+    assert(got.exists(!_._6), "no shard shows the positional-checksum break")
+    got.filter(_._3 == 0L).foreach(r => assert(r._6, s"shard ${r._1}"))
+  }
+
+  test("export_manifest_drift fixture: an increment-free corpus preserves order everywhere") {
+    val d = java.nio.file.Files.createTempDirectory("mdrift").toString
+    import spark.implicits._
+    val ids = (1L to 60L).filter(i => h32(i.toString) % 10 != 9)
+    assert(ids.size >= 8)
+    ids.map(i => (i, "w a b", "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("export_manifest_drift")(spark, d).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == 0L) // no doc hashes into the increment decile
+      assert(r.getBoolean(4) && r.getBoolean(5))
+      assert(r.getLong(1) == r.getLong(3))
+    }
+  }
+
   /** The octave-linear milli-bit log₂ of the DSIR weights, recomputed
     * from scratch (floorDiv mirrors both engines' div/// on these
     * nonnegative operands). */
