@@ -681,6 +681,91 @@ object CurationOps {
        |FROM grid g LEFT JOIN pa USING (tau_milli)
        |ORDER BY g.tau_milli""".stripMargin
 
+  /** Engine-portable md5 decile of a vec_id — the increment selector of
+    * the maintenance family (LmOps/DedupOps convention; a plain modulus
+    * would alias with the testdata's id-derived columns). */
+  private def vecDec(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+  private def vecDecSql(e: String): String =
+    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+
+  /** SemDeDup under an increment — the maintenance path of the semantic
+    * tier (the ivf_list_drift / cc_incremental / kn_model_drift contract
+    * applied to [[semdedupPrune]]): arriving vectors (the family's
+    * md5-decile-9 slice) are assigned to the DEPLOYED coarse quantizer's
+    * clusters and dup-checked against the BASE members of their cluster
+    * only — increment × cluster-sized work, never base × base. An
+    * arriving duplicate of existing content is pruned and existing
+    * content wins (the dedup_incremental replay convention — dominance
+    * ranking only applies inside a batch; against an installed corpus
+    * the installed copy is the representative). Per arrival: base-dup
+    * count, the nearest base duplicate (max cosine, min-id tiebreak) and
+    * the keep verdict.
+    *
+    * Cluster-cap semantics are inherited from the deployed tier (the
+    * full-corpus cap semi-join, drop-logged): an arrival landing in a
+    * dropped cluster reports 0 dups — the same backstop
+    * [[semdedupPrune]] documents. Cosines are exact int64 dots over
+    * identical IEEE doubles on both engines; `best_cos` rides the same
+    * contract as the prune's ccos output. */
+  private def semdedupIncrement(s: SparkSession, dir: String): DataFrame = {
+    val m = centAssigned(s, dir)
+    val csz = m.groupBy(col("cent_id")).agg(count(lit(1)).as("k"))
+    val ok = withDropMetric(s, csz, "graft_drop_sem_cluster_inc",
+        sum(when(col("k") > maxSemCluster(s), 1L).otherwise(0L)))
+      .filter(col("k") <= maxSemCluster(s))
+      .select(col("cent_id"))
+    val mok = m.join(ok, Seq("cent_id"), "left_semi")
+    val a = mok.filter(vecDec(col("vec_id")) === 9)
+      .select(col("cent_id"), col("vec_id").as("x"),
+        col("q").as("qx"), col("nrm").as("nx"))
+    val b = mok.filter(vecDec(col("vec_id")) =!= 9)
+      .select(col("cent_id"), col("vec_id").as("y"),
+        col("q").as("qy"), col("nrm").as("ny"))
+    val dup = a.join(b, Seq("cent_id"))
+      .withColumn("cos", dotQ(col("qx"), col("qy")).cast("double") /
+        sqrt((col("nx") * col("ny")).cast("double")))
+      .filter(col("cos") >= semTau)
+    // one aggregate: max over (cos, -y) is lexicographic, so ties on the
+    // cosine resolve to the LOWEST base id — the oracle replays this as
+    // a max-cos + min-id two-step
+    val agg = dup.groupBy(col("x").as("vec_id"))
+      .agg(count(lit(1)).as("n_base_dups"),
+        max(struct(col("cos").as("c"), (-col("y")).as("ny"))).as("mx"))
+      .select(col("vec_id"), col("n_base_dups"),
+        col("mx.c").as("best_cos"), (-col("mx.ny")).as("nearest_dup"))
+    m.filter(vecDec(col("vec_id")) === 9)
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("ccos"),
+        coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"),
+        col("best_cos"), col("nearest_dup"),
+        col("n_base_dups").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private def semdedupIncrementSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$semPairsSqlCtes,
+       |dinc AS (
+       |  SELECT x, y, cos FROM prs
+       |  WHERE ${vecDecSql("x")} = 9 AND ${vecDecSql("y")} <> 9
+       |    AND cos >= $semTau),
+       |ag AS (
+       |  SELECT x, COUNT(*) AS n_base_dups, MAX(cos) AS best_cos
+       |  FROM dinc GROUP BY x),
+       |nd AS (
+       |  SELECT d.x, MIN(d.y) AS nearest_dup
+       |  FROM dinc d JOIN ag ON d.x = ag.x AND d.cos = ag.best_cos
+       |  GROUP BY d.x)
+       |SELECT m.vec_id, m.cent_id, m.ccos,
+       |  COALESCE(ag.n_base_dups, 0) AS n_base_dups,
+       |  ag.best_cos, nd.nearest_dup, ag.x IS NULL AS keep
+       |FROM m LEFT JOIN ag ON m.vec_id = ag.x
+       |LEFT JOIN nd ON m.vec_id = nd.x
+       |WHERE ${vecDecSql("m.vec_id")} = 9
+       |ORDER BY m.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
@@ -694,5 +779,7 @@ object CurationOps {
     Q("curated_shard_manifest", curatedShardManifest,
       Some(curatedShardManifestSql)),
     Q("export_manifest_drift", exportManifestDrift,
-      Some(exportManifestDriftSql)))
+      Some(exportManifestDriftSql)),
+    Q("semdedup_increment", semdedupIncrement,
+      Some(semdedupIncrementSql)))
 }

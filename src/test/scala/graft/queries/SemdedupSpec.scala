@@ -209,6 +209,48 @@ class SemdedupSpec extends SparkSpec {
     assert(got(400L)._3 == fixedPruned)
   }
 
+  test("semdedup_increment ≡ base-neighbor recount; existing content wins") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val q = quantize(vecs)
+    val assigned = assign(q)
+    val byCluster = assigned.groupBy(_._2._1)
+    def dec(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16) % 10
+    val expected = assigned.filter(kv => dec(kv._1) == 9).map {
+      case (id, (cid, ccos)) =>
+        val dups = byCluster(cid).keys
+          .filter(p => p != id && dec(p) != 9)
+          .map { p =>
+            (p, dot(q(id), q(p)).toDouble /
+              math.sqrt((nrm(q(id)) * nrm(q(p))).toDouble))
+          }.filter(_._2 >= CurationOps.semTau).toSeq
+        val best = dups.map(_._2).sorted.lastOption
+        val nearest = best.map(b => dups.filter(_._2 == b).map(_._1).min)
+        id -> ((cid, ccos, dups.size.toLong, best, nearest, dups.isEmpty))
+    }
+    assert(expected.nonEmpty)
+    val got = SparkEntry.queries("semdedup_increment")(spark, dir)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getBoolean(6)))
+      }.toMap
+    assert(got == expected)
+    // consistency with the batch tier: an arrival with NO τ-neighbor at
+    // all in the full batch cannot acquire one against the base alone
+    val batch = run(dir)
+    got.foreach { case (id, v) =>
+      if (batch(id).nDups == 0L) assert(v._6, s"vec $id")
+    }
+  }
+
   test("cluster_prune_agreement reconciles with its two component tiers") {
     val dir = "/root/testdata/sf0.001"
     val sem = run(dir).map { case (id, v) => id -> (v.centId, v.keep) }
