@@ -33,6 +33,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     require(graft.queries.SimilarityOps.lshBitsFor(spark, sfDir) == 16,
       "verify contract: graft.lsh.bits must resolve to the oracle width (16)")
+    // The DuckDB oracle twins are STATIC SQL interpolating each cap/knob's
+    // DEFAULT (the driver's oracleSql contract is session-free), so a
+    // session override of any oracle-pinned knob makes dual-replay report
+    // spurious drift on the capped queries. Refuse loudly instead of
+    // dumping oracles that no longer describe the engine's output.
+    Seq("graft.cap.lshBucket", "graft.cap.semCluster",
+      "graft.cap.simhashBucket", "graft.cap.tokenDf", "graft.cap.ccBucket",
+      "graft.cap.basket", "graft.bloom.log2bits", "graft.knn.probeMod",
+      "graft.lsh.probeMod", "graft.minSupport").foreach { k =>
+      require(spark.conf.getOption(k).isEmpty,
+        s"verify contract: $k is session-overridden but the DuckDB oracles " +
+          "interpolate its default; unset it for oracle replay")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }

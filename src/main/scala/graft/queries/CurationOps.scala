@@ -362,7 +362,10 @@ object CurationOps {
         expr(s"CAST(${lg("sr")} - ${lg("st")} AS BIGINT)").as("w0r"))
       .agg(map_from_entries(collect_list(struct(col("f"), col("w_milli"))))
           .as("wm"),
-        max(col("w0r")).as("w0"))
+        // coalesce: a training corpus with ZERO bigrams has an empty feat
+        // relation, so max() is NULL — the gate must degrade to the neutral
+        // log-ratio (weight 0 / keep false), not emit NULL verdicts forever
+        coalesce(max(col("w0r")), lit(0L)).as("w0"))
   }
 
   /** SemDeDup cluster-size cap: a cluster larger than this is dropped
@@ -370,7 +373,11 @@ object CurationOps {
     * and the drop is logged — the maxLshBucket discipline. At web scale
     * the real control is K ∝ √N (the paper uses 50k clusters for LAION);
     * the cap is the backstop for a degenerate quantizer, not the design.
-    * Session conf `graft.cap.semCluster` overrides. */
+    * Session conf `graft.cap.semCluster` overrides — ENGINE SIDE ONLY:
+    * the DuckDB oracle twins are static SQL interpolating the default
+    * (the driver's `oracleSql` contract is session-free), so dual-replay
+    * under an override reports spurious drift. [[graft.Verify]] refuses
+    * to run with any oracle-pinned knob overridden. */
   val maxSemClusterDefault = 4096
   def maxSemCluster(s: SparkSession): Int =
     s.conf.getOption("graft.cap.semCluster").map(_.toInt)
@@ -648,8 +655,11 @@ object CurationOps {
       .select(col("tau_milli"), col("n_vectors"),
         coalesce(col("np_t"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("pr_t"), lit(0L)).as("n_pruned"))
+      // n_vectors > 0 guard: the suite's every-division-guarded contract —
+      // an empty embeddings table must yield NULL on both engines, not an
+      // ANSI divide-by-zero on the Spark side only
       .withColumn("prune_milli",
-        expr("(1000 * n_pruned) div n_vectors"))
+        expr("CASE WHEN n_vectors > 0 THEN (1000 * n_pruned) div n_vectors END"))
       .orderBy("tau_milli")
   }
 
@@ -677,7 +687,8 @@ object CurationOps {
        |SELECT g.tau_milli, g.n_vectors,
        |  COALESCE(pa.np_t, 0) AS n_dup_pairs,
        |  COALESCE(pa.pr_t, 0) AS n_pruned,
-       |  (1000 * COALESCE(pa.pr_t, 0)) // g.n_vectors AS prune_milli
+       |  CASE WHEN g.n_vectors > 0
+       |    THEN (1000 * COALESCE(pa.pr_t, 0)) // g.n_vectors END AS prune_milli
        |FROM grid g LEFT JOIN pa USING (tau_milli)
        |ORDER BY g.tau_milli""".stripMargin
 

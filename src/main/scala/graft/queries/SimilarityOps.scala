@@ -221,7 +221,10 @@ object SimilarityOps {
     * The cap bounds that at ~500k pairs per bucket. Sized to never bind at
     * test scale (max observed bucket ≈ 30 at sf0.1), so oracle output is
     * unchanged there.
-    * Session conf `graft.cap.lshBucket` overrides per deployment. */
+    * Session conf `graft.cap.lshBucket` overrides per deployment — ENGINE
+    * SIDE ONLY: the DuckDB oracle twins interpolate the default (static
+    * `oracleSql` contract), so [[graft.Verify]] refuses oracle replay
+    * under an override. */
   val maxLshBucketDefault = 1024
   def maxLshBucket(s: SparkSession): Int =
     s.conf.getOption("graft.cap.lshBucket").map(_.toInt)

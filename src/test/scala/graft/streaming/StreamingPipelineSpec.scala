@@ -386,6 +386,28 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(novel.length == 1)
     assert(novel.head.getAs[Long]("weight_milli") ==
       buckets.map(b => wm.getOrElse(b, w0)).sum)
+
+    // zero-bigram degradation (ADVICE r12): a training corpus where every
+    // doc has < 2 words yields an EMPTY feature relation; the model must
+    // degrade to the neutral log-ratio (w0 = 0, empty map) so the gate
+    // emits weight 0 / keep false — never NULL verdicts
+    val emptySrc = root.resolve("nobigrams")
+    Seq((1L, "solo", "en", "s", 0L), (2L, null.asInstanceOf[String], "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(emptySrc.toString)
+    val degModel = graft.queries.CurationOps
+      .dsirModelRow(spark.read.parquet(emptySrc.toString))
+    val dm = degModel.collect().head
+    assert(dm.getAs[Long]("w0") == 0L)
+    assert(dm.getAs[scala.collection.Map[Long, Long]]("wm").isEmpty)
+    val stream3 = spark.readStream
+      .schema(corpus.schema).parquet(src2.toString)
+    val degraded = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.dsirScoreStream(stream3, degModel),
+      "dsir_score_degraded").collect()
+    assert(degraded.length == 1)
+    assert(degraded.head.getAs[Long]("weight_milli") == 0L)
+    assert(!degraded.head.getAs[Boolean]("keep"))
   }
 
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
