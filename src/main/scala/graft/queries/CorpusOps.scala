@@ -203,6 +203,153 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy-contamination Jaccard threshold (milli): a train doc whose best
+    * bench near-dup reaches word-set J ≥ this is contaminated — the same
+    * 0.5 cut as the CC near-dup edge rule, so "fuzzy-contaminated" means
+    * exactly "near-duplicate of a bench doc" in this suite's terms. */
+  val deconJaccardMilli = 500L
+
+  /** Fuzzy (near-duplicate) benchmark decontamination — the FOURTH tier
+    * of the family: [[decontaminateNgrams]] catches verbatim n-gram
+    * overlap, the bloom tier accelerates it, the semantic tier catches
+    * paraphrase by embedding; this tier catches lightly-edited copies of
+    * eval items (the fuzzy-dedup decontamination pass the Llama/GPT-4
+    * corpus reports describe) that exact grams miss once a few words
+    * change, at lexical rather than embedding cost. Train and bench
+    * splits are banded with the SAME 16-seed / 4-band MinHash scheme as
+    * the dedup tier ([[DedupOps.minhashBands]] — one copy of the
+    * signature math), candidates are band-bucket collisions between the
+    * two sides, and each candidate is verified with exact word-set
+    * Jaccard on row-local arrays. One row per train doc: candidate
+    * count, best bench Jaccard, the nearest bench witness (max-J,
+    * min-id tiebreak — the semdedup_increment convention), and the
+    * contamination verdict at J ≥ [[deconJaccardMilli]].
+    *
+    * The shingle universe is word TRIGRAMS on both the signature and the
+    * verify side — NOT the dedup tier's word unigrams: contamination is a
+    * claim about shared PHRASING, and on any corpus whose vocabulary is
+    * small relative to document length (this synthetic one extremely so:
+    * 31 words), word-SET Jaccard saturates — measured here, word-set J
+    * flags 83 % of train docs against a 6-doc bench set while trigram J
+    * tops out at 0.03 for genuinely unrelated docs. Trigram banding also
+    * keeps the candidate join selective at scale for the same reason.
+    *
+    * Scale shape: the bench side is an EVAL SET, so its band relation is
+    * tiny and the band equi-join degrades gracefully to broadcast; the
+    * train side is one signature aggregate (16 min-columns, map-side
+    * combining) — never a token-scale shuffle onto a gram key. The
+    * verify reads each candidate's two trigram ARRAYS row-locally
+    * (`array_intersect`, candidate-pair-sized — the ccEdgeDiscovery
+    * choice), so no gram key ever becomes a join key. A degenerate bench
+    * bucket (an eval item duplicated enough to collide everywhere) is
+    * capped at [[DedupOps.maxCcBucket]] and drop-logged — fan-out per
+    * train row is bounded by the cap. Recall contract is the banding
+    * curve `lsh_recall_audit` measures: a J ≥ 0.5 pair is caught with
+    * p = 1−(1−J⁴)⁴; the oracle applies IDENTICAL banding, so the compare
+    * checks the scheme, not exhaustive recall.
+    *
+    * Determinism: candidates sharing no trigram are dropped before
+    * scoring (their J is 0 and the division would be 0/0); j_milli is
+    * floor(1000·i/u) — the [[DedupOps]] pair convention. NULL-text and
+    * sub-3-word docs have no shingles, hence no candidates, and are
+    * emitted clean via the documents-anchored left join. */
+  private def decontaminateMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bb = DedupOps.minhashBandsOfShingles(DedupOps.trigramShingles(bench))
+    val bsz = bb.groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("k"))
+    val okb = withDropMetric(s, bsz, "graft_drop_decon_bucket",
+        sum(when(col("k") > DedupOps.maxCcBucket(s), 1L).otherwise(0L)))
+      .filter(col("k") <= DedupOps.maxCcBucket(s))
+      .select(col("band"), col("band_sig"))
+    val bbok = bb.join(okb, Seq("band", "band_sig"), "left_semi")
+    val cand = DedupOps
+      .minhashBandsOfShingles(DedupOps.trigramShingles(train)).as("x")
+      .join(bbok.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("bench_id"))
+      .distinct()
+    def triSets(d: DataFrame) = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(wordGrams(col("w"), 3)).as("ws"))
+    val wa = triSets(train)
+      .select(col("doc_id"), col("ws").as("wa"), size(col("ws")).as("na"))
+    val wb = triSets(bench).select(col("doc_id").as("bench_id"),
+      col("ws").as("wb"), size(col("ws")).as("nb"))
+    val scored = cand.join(wa, "doc_id").join(wb, "bench_id")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))))
+      .filter(col("i") >= 1)
+      .withColumn("j_milli", floor(lit(1000.0) * col("i") /
+        (col("na") + col("nb") - col("i"))).cast("long"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_cands"),
+        max(struct(col("j_milli").as("j"), (-col("bench_id")).as("nb"))).as("mx"))
+      .select(col("doc_id"), col("n_bench_cands"),
+        col("mx.j").as("best_j_milli"), (-col("mx.nb")).as("nearest_bench"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_cands"), lit(0L)).as("n_bench_cands"),
+        col("best_j_milli"), col("nearest_bench"),
+        coalesce(col("best_j_milli") >= deconJaccardMilli, lit(false))
+          .as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateMinhashSql =
+    s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |tr AS (SELECT * FROM dw WHERE doc_id % 97 <> 0),
+       |be AS (SELECT * FROM dw WHERE doc_id % 97 = 0),
+       |tsh AS (SELECT DISTINCT doc_id, s AS sh
+       |  FROM tr, UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+       |bsh AS (SELECT DISTINCT doc_id, s AS sh
+       |  FROM be, UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+       |${DedupOps.minhashBandsSqlCteOverShingles("t")},
+       |${DedupOps.minhashBandsSqlCteOverShingles("b")},
+       |okb AS (SELECT band, band_sig FROM bbands GROUP BY 1, 2
+       |        HAVING COUNT(*) <= ${DedupOps.maxCcBucketDefault}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+       |  FROM tbands x
+       |  JOIN (SELECT b.* FROM bbands b JOIN okb USING (band, band_sig)) y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig),
+       |sza AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+       |szb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_id, c.bench_id, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN tsh a ON a.doc_id = c.doc_id
+       |  JOIN bsh b ON b.doc_id = c.bench_id AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT i.doc_id, i.bench_id,
+       |    CAST(floor(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS j_milli
+       |  FROM inter i
+       |  JOIN sza sa ON sa.doc_id = i.doc_id
+       |  JOIN szb sb ON sb.doc_id = i.bench_id
+       |  WHERE i >= 1),
+       |ag AS (
+       |  SELECT doc_id, COUNT(*) AS n_bench_cands,
+       |    MAX(j_milli) AS best_j_milli
+       |  FROM sc GROUP BY 1),
+       |nd AS (
+       |  SELECT s.doc_id, MIN(s.bench_id) AS nearest_bench
+       |  FROM sc s JOIN ag ON s.doc_id = ag.doc_id
+       |    AND s.j_milli = ag.best_j_milli
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(ag.n_bench_cands, 0) AS n_bench_cands,
+       |  ag.best_j_milli, nd.nearest_bench,
+       |  COALESCE(ag.best_j_milli >= $deconJaccardMilli, FALSE)
+       |    AS is_contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN ag USING (doc_id) LEFT JOIN nd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Token-budget shard packing: assign documents to fixed-budget training
     * shards (512 whitespace tokens here) by running token offset, packing
     * greedily in doc_id order WITHIN each source — documents are never
@@ -1311,6 +1458,8 @@ object CorpusOps {
     // exact SQL as the oracle on purpose: the bloom is a prefilter whose
     // false positives the verify join removes, so outputs must be identical
     Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateNgramsSql)),
+    Q("decontaminate_minhash", decontaminateMinhash,
+      Some(decontaminateMinhashSql)),
     Q("pack_token_shards", packTokenShards, Some(packTokenShardsSql)),
     Q("chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     Q("corpus_balance_langs", corpusBalanceLangs, Some(corpusBalanceLangsSql)),

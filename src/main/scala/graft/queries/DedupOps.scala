@@ -145,7 +145,7 @@ object DedupOps {
       |FROM sizes GROUP BY 1, 2 ORDER BY bucket""".stripMargin
 
   /** Word trigram shingles (distinct) of a text column, exploded. */
-  private def trigramShingles(docs: DataFrame): DataFrame = {
+  private[queries] def trigramShingles(docs: DataFrame): DataFrame = {
     // materialize the split ONCE per row: inlining `split` into the
     // transform lambda re-evaluates the regex split (and allocates the
     // full word array) for EVERY element_at call — 3 per trigram, ~300
@@ -227,14 +227,24 @@ object DedupOps {
     * One row per shingle carrying all 16 seeded hashes as columns: a single
     * map-side-combining hash aggregate (no seed cross-join, no collect_list
     * — 16× fewer shuffled rows than the naive plan). */
-  private def minhashSignaturesOf(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("sh"))
+  private def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    sigsOfShingles(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("sh")))
+
+  /** Signature aggregate over an ARBITRARY (doc_id, sh) shingle relation —
+    * the word-unigram dedup family and the trigram-shingled fuzzy
+    * decontamination tier share this one copy of the seeded-md5 min
+    * aggregate. */
+  private def sigsOfShingles(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(
       min(md5(concat(lit("0"), lit(":"), col("sh")))).as("m0"),
       (1 until minhashSeeds).map(seed =>
         min(md5(concat(lit(seed.toString), lit(":"), col("sh")))).as(s"m$seed")): _*)
-  }
+
+  /** Band relation over an arbitrary shingle relation — see
+    * [[sigsOfShingles]]. */
+  private[queries] def minhashBandsOfShingles(sh: DataFrame): DataFrame =
+    bandsOfSigs(sigsOfShingles(sh))
 
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(t(s, dir, "documents"))
@@ -243,7 +253,7 @@ object DedupOps {
     * minhashes in 4 bands of 4, one md5 signature per band. Shared by the
     * band-stats cost model and connected-components edge discovery — the
     * "join on bucket, never all-pairs" key for the whole MinHash family. */
-  private def minhashBands(docs: DataFrame): DataFrame =
+  private[queries] def minhashBands(docs: DataFrame): DataFrame =
     bandsOfSigs(minhashSignaturesOf(docs))
 
   /** Band relation from an ALREADY-BUILT signature frame — split out so a
@@ -739,19 +749,38 @@ object DedupOps {
     * banding, capless candidate join, exact Jaccard verify at J ≥ 0.5) —
     * shared verbatim by [[connectedComponentsSql]] and
     * [[crossSourceLeakageSql]] so the two oracles can never drift. */
-  private val ccEdgesSqlCtes: String = {
+  /** Parametrized oracle CTE chain `${p}sh` / `${p}minh` / `${p}bands`
+    * over a named (doc_id, text) CTE — ONE copy of the seeded-md5 MinHash
+    * and 4×4 banding SQL for every oracle that bands a non-default doc
+    * universe: [[ccEdgesSqlCtes]]'s sampled docs and the fuzzy
+    * decontamination tier's train/bench splits
+    * ([[CorpusOps]] `decontaminate_minhash`). The p = "" / src = "d"
+    * instantiation is byte-identical to the chain the CC oracles always
+    * used, so their hashes are untouched. */
+  private[queries] def minhashBandsSqlCte(p: String, src: String): String =
+    s"""${p}sh AS (SELECT DISTINCT doc_id, s AS sh FROM $src, UNNEST(string_split(text,' ')) t(s)),
+      |${minhashBandsSqlCteOverShingles(p)}""".stripMargin
+
+  /** The signature + banding half of [[minhashBandsSqlCte]] over a
+    * caller-defined `${p}sh` (doc_id, sh) CTE — the SQL twin of
+    * [[minhashBandsOfShingles]], for oracles whose shingle universe is
+    * not word unigrams (the trigram-shingled fuzzy decontamination). */
+  private[queries] def minhashBandsSqlCteOverShingles(p: String): String = {
     val minhDefs = (0 until minhashSeeds)
       .map(i => s"MIN(md5('$i' || ':' || sh)) AS m$i").mkString(",\n    ")
     val bandDefs = (0 until minhashSeeds / bandSize).map { b =>
       val parts = (b * bandSize until (b + 1) * bandSize)
         .map(seed => f"'$seed%02d:' || m$seed").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM minh"
+      s"SELECT doc_id, $b AS band, md5($parts) AS band_sig FROM ${p}minh"
     }.mkString("\n  UNION ALL ")
+    s"""${p}minh AS (SELECT doc_id, $minhDefs FROM ${p}sh GROUP BY doc_id),
+      |${p}bands AS (
+      |  $bandDefs)""".stripMargin
+  }
+
+  private val ccEdgesSqlCtes: String = {
     s"""d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      |sh AS (SELECT DISTINCT doc_id, s AS sh FROM d, UNNEST(string_split(text,' ')) t(s)),
-      |minh AS (SELECT doc_id, $minhDefs FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  $bandDefs),
+      |${minhashBandsSqlCte("", "d")},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
