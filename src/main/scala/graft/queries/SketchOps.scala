@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Util._
+
+/** Mergeable-summary operators — the sketch tier a 100 TB pipeline runs
+  * where exact global state is unaffordable or must compose across
+  * shards/streams: Count-Min frequency estimation (Cormode & Muthukrishnan
+  * 2005), KMV/bottom-k distinct counting (Bar-Yossef et al. 2002 — the
+  * theta-sketch core), and Duffield–Lund–Thorup priority sampling
+  * (Duffield et al. 2007) for weighted subset-sum estimation. Complements
+  * the existing sketch surface (`approx_sketches` = engine HLL++/quantile
+  * contracts, `heavy_hitters_sketch` = Misra–Gries): these three are
+  * hand-rolled from published constructions so their MERGE laws are
+  * first-class, audited facts rather than engine internals.
+  *
+  * House determinism contract: engine-portable md5 hashing
+  * (`conv(substring(md5(x), 1, 8), 16, 10)` ↔ DuckDB
+  * `CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)`), exact integer
+  * arithmetic only (every estimate is an integer division of int64s),
+  * explicit ORDER BY on a unique key. The audited universe throughout is
+  * the word-TRIGRAM stream of the documents table — the same shingle
+  * universe as the dedup/decontamination tiers, and (unlike the corpus's
+  * 31-word unigram vocabulary) large enough that the sketches actually
+  * approximate. */
+object SketchOps {
+
+  /** Count-Min depth (independent hash rows). */
+  val cmsDepth = 4
+  /** Count-Min width (buckets per row). 256 on a ~16k-distinct-gram
+    * verify corpus makes collisions — hence visible overestimates —
+    * certain, which is what an audit wants; a deployment sizes
+    * w = ⌈e/ε⌉ for additive error εN. */
+  val cmsWidth = 256L
+  /** Keys audited against their exact counts. */
+  val cmsTopK = 20
+
+  /** u32 md5 bucket of a gram under seed row `i` (the md5-nibble idiom —
+    * seed-prefixed so rows are independent). */
+  private def cmsBucket(i: Int, g: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), g)), 1, 8), 16, 10)
+      .cast("long") % cmsWidth
+  private def cmsBucketSql(i: Int, g: String): String =
+    s"CAST('0x' || substr(md5('$i:' || $g), 1, 8) AS BIGINT) % $cmsWidth"
+
+  /** The trigram OCCURRENCE stream (non-distinct — frequency sketches
+    * count occurrences) with NULL-safe doc handling: NULL text yields no
+    * grams. */
+  private def gramStream(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+
+  /** (row, bucket) CMS cell keys of a doc frame's trigram occurrences —
+    * THE single copy of the cell math, shared by the batch build and the
+    * streaming counter twin
+    * ([[graft.streaming.StreamingPipeline.cmsCellStream]]): build and
+    * probe/merge must agree cell-for-cell or additivity silently breaks
+    * (the bloomPositions discipline). */
+  def cmsCellKeys(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("w"))
+      .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+      .select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
+        .as("c"))
+      .select(col("c.row").as("row"), col("c.bucket").as("bucket"))
+
+  /** (source, gram, hash) distinct-universe projection of a doc frame —
+    * the KMV sketch's input grain, shared by the batch audits and the
+    * streaming bottom-k twin
+    * ([[graft.streaming.StreamingPipeline.kmvSketchStream]]). NOTE the
+    * streaming side must NOT pre-distinct (a blocking op on a stream);
+    * the bottom-k state merge is idempotent in duplicates, which is why
+    * sharing the HASH math (not the distinct) is what the parity
+    * contract needs. */
+  def kmvKeyed(docs: DataFrame): DataFrame =
+    docs.select(coalesce(col("source"), lit("")).as("source"),
+        split(col("text"), " ").as("w"))
+      .select(col("source"), explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+      .withColumn("h", kmvHash(col("g")))
+
+  private val gramStreamSql =
+    """gs AS (
+      |  SELECT s AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents) d,
+      |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s))""".stripMargin
+
+  /** Count-Min sketch audit: build a [[cmsDepth]]×[[cmsWidth]] counter
+    * table over the corpus trigram stream, then audit the exact
+    * top-[[cmsTopK]] grams against their sketch estimates
+    * (est = min over rows of the gram's bucket counter). The one-sided
+    * error law — CMS NEVER underestimates — is emitted per row
+    * (`ok = est ≥ exact`), so the driver's hash compare pins the sketch's
+    * defining theorem cross-engine, and `over = est − exact` IS the
+    * measured collision noise the ε·N bound caps.
+    *
+    * Scale shape: the build is ONE map-side-combining hash aggregate to
+    * d·w = 1024 rows no matter the corpus (each gram occurrence explodes
+    * to d (row, bucket) cells — token-scale map work, constant-size
+    * reduce); counters are sums, so shards/streams merge by addition —
+    * the reason CMS is the standard distributed frequency sketch. The
+    * audit side joins the k exact keys against the constant-size counter
+    * relation (broadcast). The exact top-k (the audit's ground truth) is
+    * the only token-keyed aggregate, and it is what any corpus already
+    * computes as `vocab_topk`. */
+  private def cmsTopkAudit(s: SparkSession, dir: String): DataFrame = {
+    val gs = gramStream(s, dir)
+    val cells = cmsCellKeys(t(s, dir, "documents"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = gs.groupBy(col("g")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("g")).limit(cmsTopK)
+    val probes = exact.select(col("g"), col("exact"),
+      explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
+        .as("p"))
+      .select(col("g"), col("exact"), col("p.row").as("row"),
+        col("p.bucket").as("bucket"))
+    probes.join(cells, Seq("row", "bucket"))
+      .groupBy(col("g"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("g"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"),
+        (col("est") >= col("exact")).as("ok"))
+      .orderBy("g")
+  }
+
+  private def cmsTopkAuditSql = {
+    val cellUnion = (0 until cmsDepth).map(i =>
+      s"SELECT $i AS row, ${cmsBucketSql(i, "g")} AS bucket FROM gs")
+      .mkString("\n  UNION ALL ")
+    val probeUnion = (0 until cmsDepth).map(i =>
+      s"SELECT g, exact, $i AS row, ${cmsBucketSql(i, "g")} AS bucket FROM exact")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $gramStreamSql,
+       |cellkeys AS (
+       |  $cellUnion),
+       |cells AS (
+       |  SELECT row, bucket, COUNT(*) AS cnt FROM cellkeys GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT g, COUNT(*) AS exact FROM gs GROUP BY 1
+       |  ORDER BY exact DESC, g LIMIT $cmsTopK),
+       |probes AS (
+       |  $probeUnion)
+       |SELECT p.g, p.exact, MIN(c.cnt) AS est,
+       |  MIN(c.cnt) - p.exact AS over,
+       |  MIN(c.cnt) >= p.exact AS ok
+       |FROM probes p JOIN cells c USING (row, bucket)
+       |GROUP BY p.g, p.exact
+       |ORDER BY p.g""".stripMargin
+  }
+
+  /** KMV sketch size (minimum hash values retained). */
+  val kmvK = 32
+  /** Hash domain size: u32 hashes from 8 md5 nibbles. */
+  val kmvDomain = 4294967296L
+
+  /** u32 content hash of a gram — seed-free so the SAME gram hashes
+    * identically in every source's sketch (the merge law depends on it). */
+  private def kmvHash(g: Column): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+  private val kmvHashSql = "CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)"
+
+  /** Distinct (source, gram, hash) universe, NULL source bucketed as ''
+    * (the fuzz-gate NULL-key contract). */
+  private def kmvUniverse(s: SparkSession, dir: String): DataFrame =
+    kmvKeyed(t(s, dir, "documents")).distinct()
+
+  private val kmvUniverseSql =
+    """u AS (
+      |  SELECT DISTINCT COALESCE(source, '') AS source, s AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+      |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s))""".stripMargin
+
+  /** KMV (bottom-k) distinct-count audit, per source: keep the
+    * [[kmvK]] smallest u32 gram hashes; with n > k the (k)th smallest
+    * hash h_k estimates distinct count as (k−1)·2³²/h_k (the classic
+    * bottom-k estimator), and with n ≤ k the sketch IS the exact set.
+    * Each source row reports the exact distinct count, the sketch
+    * boundary hash, the estimate, and ratio_milli = ⌊1000·est/exact⌋ —
+    * the audit a deployment reads before trusting the sketch for corpus
+    * accounting.
+    *
+    * Determinism: ranks order by (hash, gram) so a u32 collision cannot
+    * flip the boundary between engines; estimates guard h_k > 0 (an
+    * all-zero-prefix md5 is one in 4·10⁹ but would divide by zero).
+    *
+    * Scale shape: one distinct-aggregate to (source, gram) grain, one
+    * rank window per source (hash-partitioned), k rows retained per
+    * source — the sketch state is k·|sources| no matter the corpus. At
+    * 100 TB each executor keeps its partition's k smallest and the merge
+    * is "union, re-take bottom k" ([[kmvMergeAudit]] pins that law). */
+  private def kmvDistinctAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = kmvUniverse(s, dir)
+    val ranked = u.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("h"), col("g")))
+      .cast("long"))
+    val nsrc = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val hk = ranked.filter(col("rk") === kmvK)
+      .select(col("source"), col("h").as("h_k"))
+    nsrc.join(hk, Seq("source"), "left")
+      .select(col("source"), col("n_exact"), col("h_k"),
+        when(col("n_exact") <= kmvK, col("n_exact"))
+          .otherwise(when(col("h_k") > 0,
+            expr(s"(${kmvK - 1} * $kmvDomain) div h_k"))).as("est"))
+      .withColumn("ratio_milli",
+        expr("CASE WHEN n_exact > 0 THEN (1000 * est) div n_exact END"))
+      .orderBy("source")
+  }
+
+  private def kmvDistinctAuditSql =
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT source, g, $kmvHashSql AS h FROM u),
+       |ranked AS (
+       |  SELECT source, h,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, g)
+       |      AS BIGINT) AS rk
+       |  FROM hh),
+       |nsrc AS (SELECT source, COUNT(*) AS n_exact FROM hh GROUP BY 1),
+       |hk AS (SELECT source, h AS h_k FROM ranked WHERE rk = $kmvK)
+       |SELECT n.source, n.n_exact, hk.h_k,
+       |  CASE WHEN n.n_exact <= $kmvK THEN n.n_exact
+       |       WHEN hk.h_k > 0 THEN (${kmvK - 1} * $kmvDomain) // hk.h_k
+       |  END AS est,
+       |  CASE WHEN n.n_exact > 0
+       |    THEN (1000 * (CASE WHEN n.n_exact <= $kmvK THEN n.n_exact
+       |       WHEN hk.h_k > 0 THEN (${kmvK - 1} * $kmvDomain) // hk.h_k END))
+       |      // n.n_exact
+       |  END AS ratio_milli
+       |FROM nsrc n LEFT JOIN hk ON n.source = hk.source
+       |ORDER BY n.source""".stripMargin
+
+  /** KMV merge law audit — the fact that makes bottom-k sketches THE
+    * distributed distinct counter: merging the per-source sketches
+    * (union their ≤ k retained hashes, re-take the bottom k) yields
+    * EXACTLY the sketch of the unioned universe, because the corpus's k
+    * smallest gram hashes each sit inside their own source's bottom k.
+    * One row: the corpus-wide exact distinct count, the estimate from a
+    * sketch built directly on the corpus, the estimate from merging the
+    * 20 per-source sketches, and `merge_exact` — which the construction
+    * forces TRUE, so a hash-green row is a cross-engine proof of the
+    * merge law on this corpus, not an assertion.
+    *
+    * Scale shape: the merged side touches only k·|sources| retained
+    * rows — increment/shard maintenance is sketch-sized, never
+    * corpus-sized (the kn_model_drift contract for distinct counts). */
+  private def kmvMergeAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = kmvUniverse(s, dir)
+    // global bottom-k via orderBy+limit (TakeOrderedAndProject — a
+    // distributed top-k, never a whole-relation single-partition window)
+    val direct = u.select(col("g"), col("h")).distinct()
+      .orderBy(col("h"), col("g")).limit(kmvK)
+    val perSource = u.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("g")))
+        .cast("long"))
+      .filter(col("rk") <= kmvK)
+    val merged = perSource.select(col("g"), col("h")).distinct()
+      .orderBy(col("h"), col("g")).limit(kmvK)
+    val nAll = u.select(col("g")).distinct().agg(count(lit(1)).as("n_exact"))
+    val dAgg = direct.agg(max(col("h")).as("dh"), count(lit(1)).as("dn"))
+    val mAgg = merged.agg(max(col("h")).as("mh"), count(lit(1)).as("mn"))
+    nAll.crossJoin(broadcast(dAgg)).crossJoin(broadcast(mAgg))
+      .select(col("n_exact"),
+        when(col("n_exact") <= kmvK, col("n_exact"))
+          .otherwise(when(col("dh") > 0,
+            expr(s"(${kmvK - 1} * $kmvDomain) div dh"))).as("est_direct"),
+        when(col("n_exact") <= kmvK, col("n_exact"))
+          .otherwise(when(col("mh") > 0,
+            expr(s"(${kmvK - 1} * $kmvDomain) div mh"))).as("est_merged"),
+        (col("dh") <=> col("mh") && col("dn") <=> col("mn"))
+          .as("merge_exact"))
+  }
+
+  private def kmvMergeAuditSql =
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT source, g, $kmvHashSql AS h FROM u),
+       |dg AS (SELECT DISTINCT g, h FROM hh),
+       |direct AS (
+       |  SELECT h FROM (
+       |    SELECT h, CAST(row_number() OVER (ORDER BY h, g) AS BIGINT) rk
+       |    FROM dg) WHERE rk <= $kmvK),
+       |ps AS (
+       |  SELECT g, h FROM (
+       |    SELECT g, h, CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY h, g) AS BIGINT) rk FROM hh) WHERE rk <= $kmvK),
+       |merged AS (
+       |  SELECT h FROM (
+       |    SELECT h, CAST(row_number() OVER (ORDER BY h, g) AS BIGINT) rk
+       |    FROM (SELECT DISTINCT g, h FROM ps)) WHERE rk <= $kmvK),
+       |na AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact FROM hh),
+       |da AS (SELECT MAX(h) AS dh, COUNT(*) AS dn FROM direct),
+       |ma AS (SELECT MAX(h) AS mh, COUNT(*) AS mn FROM merged)
+       |SELECT n_exact,
+       |  CASE WHEN n_exact <= $kmvK THEN n_exact
+       |       WHEN dh > 0 THEN (${kmvK - 1} * $kmvDomain) // dh
+       |  END AS est_direct,
+       |  CASE WHEN n_exact <= $kmvK THEN n_exact
+       |       WHEN mh > 0 THEN (${kmvK - 1} * $kmvDomain) // mh
+       |  END AS est_merged,
+       |  dh IS NOT DISTINCT FROM mh AND dn IS NOT DISTINCT FROM mn
+       |    AS merge_exact
+       |FROM na CROSS JOIN da CROSS JOIN ma""".stripMargin
+
+  /** Priority-sample size per source. */
+  val prioK = 8
+  /** Coin scale: u24 md5 coins, u ∈ [1, 2²⁴]. */
+  val prioScale = 16777216L
+
+  /** Duffield–Lund–Thorup priority sampling audit, per source: each doc
+    * gets priority p = ⌊w·2²⁴/u⌋ from its token-count weight w and a
+    * deterministic md5-u24 coin u (reproducible across engines, retries
+    * and partitionings — the temperature_sample_audit coin discipline);
+    * the k highest-priority docs form the sample, τ is the (k+1)th
+    * priority, and the subset-sum estimator assigns each sampled doc
+    * weight max(w, τ) — giving `est_tokens` for the source's total token
+    * count from k docs. With n ≤ k the sample is the source and the
+    * estimate exact. Reported per source: doc/sample counts, exact total,
+    * τ, the estimate and ratio_milli — the accuracy a deployment reads
+    * before replacing per-source token accounting with a sample.
+    *
+    * Priorities use integer floor division (identical truncation both
+    * engines, positive operands only); zero-weight docs get priority 0
+    * and never displace a weighted doc, contributing 0 to the true total
+    * regardless. NULL doc_id rows are excluded — the coin is a function
+    * of the id (documented; the exact total is over the same universe so
+    * the estimator audits apples against apples).
+    *
+    * Scale shape: one row-local projection (weight, coin, priority), one
+    * rank window per source, a k-row-per-source aggregate. The sample is
+    * mergeable the same way KMV is (keep the k highest priorities seen;
+    * τ re-derives on merge), which is why this — not uniform
+    * subsampling — is the published estimator for skewed weights. */
+  private def prioritySampleAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(coalesce(col("source"), lit("")).as("source"), col("doc_id"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "")).cast("long").as("w"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") + 1L)
+      .withColumn("p", expr(s"(w * $prioScale) div u"))
+    val ranked = d.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("p").desc, col("doc_id"))).cast("long"))
+    val tau = ranked.filter(col("rk") === prioK + 1)
+      .select(col("source"), col("p").as("tau"))
+    val totals = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("exact_tokens"))
+    val est = ranked.filter(col("rk") <= prioK)
+      .join(tau, Seq("source"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), coalesce(col("tau"), lit(0L))))
+          .as("est_tokens"))
+    totals.join(est, Seq("source"), "left")
+      .join(tau, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("exact_tokens"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tau"), lit(0L)).as("tau"),
+        coalesce(col("est_tokens"), lit(0L)).as("est_tokens"))
+      .withColumn("ratio_milli", expr(
+        "CASE WHEN exact_tokens > 0 THEN (1000 * est_tokens) div exact_tokens END"))
+      .orderBy("source")
+  }
+
+  private def prioritySampleAuditSql =
+    s"""WITH d AS (
+       |  SELECT COALESCE(source, '') AS source, doc_id,
+       |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+       |      x -> x <> '')) AS BIGINT) AS w,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+       |      AS BIGINT) + 1 AS u
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |p AS (SELECT *, (w * $prioScale) // u AS p FROM d),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY p DESC, doc_id) AS BIGINT) AS rk
+       |  FROM p),
+       |tau AS (SELECT source, p AS tau FROM ranked WHERE rk = ${prioK + 1}),
+       |totals AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(w) AS BIGINT) AS exact_tokens
+       |  FROM d GROUP BY 1),
+       |est AS (
+       |  SELECT r.source, COUNT(*) AS n_sampled,
+       |    CAST(SUM(greatest(r.w, COALESCE(t.tau, 0))) AS BIGINT)
+       |      AS est_tokens
+       |  FROM ranked r LEFT JOIN tau t ON r.source = t.source
+       |  WHERE r.rk <= $prioK GROUP BY 1)
+       |SELECT tt.source, tt.n_docs, tt.exact_tokens,
+       |  COALESCE(e.n_sampled, 0) AS n_sampled,
+       |  COALESCE(t.tau, 0) AS tau,
+       |  COALESCE(e.est_tokens, 0) AS est_tokens,
+       |  CASE WHEN tt.exact_tokens > 0
+       |    THEN (1000 * COALESCE(e.est_tokens, 0)) // tt.exact_tokens
+       |  END AS ratio_milli
+       |FROM totals tt LEFT JOIN est e ON tt.source = e.source
+       |LEFT JOIN tau t ON tt.source = t.source
+       |ORDER BY tt.source""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
+    Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),
+    Q("kmv_merge_audit", kmvMergeAudit, Some(kmvMergeAuditSql)),
+    Q("priority_sample_audit", prioritySampleAudit,
+      Some(prioritySampleAuditSql)))
+}

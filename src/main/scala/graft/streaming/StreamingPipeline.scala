@@ -933,6 +933,76 @@ object StreamingPipeline {
         col("m.click_id").as("click_id"), col("m.ts").as("click_ts"))
   }
 
+  /** Streaming Count-Min counter maintenance — the sketch-tier ingest
+    * path ([[graft.queries.SketchOps]] `cms_topk_audit`'s build half run
+    * as a running aggregate): arriving docs explode to the IDENTICAL
+    * (row, bucket) cell keys (the shared
+    * [[graft.queries.SketchOps.cmsCellKeys]] math — build and batch
+    * probe must agree cell-for-cell) and a watermark-less streaming
+    * aggregation keeps the running counters. CMS counters are SUMS, so
+    * the live state after any prefix of the feed IS the batch sketch of
+    * that prefix — additivity makes the twin exact, not
+    * arrival-order-approximate like the keyed-first-occurrence twins.
+    * Run in Update mode; the sink's latest row per cell is the counter.
+    *
+    * Scale: state is d·w counters (1024 rows here) REGARDLESS of feed
+    * size — the whole point of sketch-tier ingest; the shuffle is keyed
+    * by cell, and map-side partial aggregation compresses each
+    * micro-batch to ≤ d·w rows before it. */
+  def cmsCellStream(docs: DataFrame): DataFrame =
+    graft.queries.SketchOps.cmsCellKeys(docs)
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  case class KmvIn(source: String, g: String, h: Long)
+  case class KmvSketchRow(source: String, n_sketch: Long,
+      h_k: Option[Long], est: Long, upd: Long)
+
+  /** Streaming KMV (bottom-k) distinct sketch per source — the
+    * distinct-counting ingest path ([[graft.queries.SketchOps]]
+    * `kmv_distinct_audit` held incrementally): keyed state per source is
+    * the ≤ k smallest (hash, gram) pairs ever seen; each micro-batch
+    * merges the arrivals' hashes into the state (set-union, re-take
+    * bottom k — the EXACT merge law `kmv_merge_audit` proves) and emits
+    * the source's current sketch row: retained size, the boundary hash,
+    * and the sketch-only estimate (n_sketch < k ⇒ the sketch IS the
+    * distinct set, exact; saturated ⇒ (k−1)·2³²/h_k).
+    *
+    * Duplicates need no pre-distinct (a blocking op on a stream): the
+    * bottom-k set-merge is idempotent, which is why the sketch — unlike
+    * the exact distinct count — streams at all. The estimator differs
+    * from the batch AUDIT's `est` only on the measure-zero boundary
+    * n_exact = k exactly (the audit knows n_exact and reports it; a
+    * sketch-only consumer cannot) — StreamingPipelineSpec pins the final
+    * emitted rows against a batch recount of the sketch-only rule.
+    *
+    * Scale: one shuffle keyed by source; state is k·|sources| pairs
+    * forever (bounded by construction, no timeout needed); `upd` is a
+    * per-source monotone update index so a sink consumer (and the spec)
+    * can select each source's LATEST sketch. */
+  def kmvSketchStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = graft.queries.SketchOps.kmvK
+    val dom = graft.queries.SketchOps.kmvDomain
+    val keyed = graft.queries.SketchOps.kmvKeyed(docs).as[KmvIn]
+    keyed.groupByKey(_.source)
+      .flatMapGroupsWithState[(Seq[(Long, String)], Long), KmvSketchRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[KmvIn],
+            state: GroupState[(Seq[(Long, String)], Long)]) =>
+          val (held, upd) = state.getOption.getOrElse((Seq.empty, 0L))
+          val merged = (held ++ it.map(r => (r.h, r.g)))
+            .distinct.sorted.take(k)
+          state.update((merged, upd + 1L))
+          val n = merged.size.toLong
+          val hk = if (n >= k) Some(merged.last._1) else None
+          val est =
+            if (n < k) n
+            else hk.filter(_ > 0).map((k - 1).toLong * dom / _).getOrElse(0L)
+          Iterator.single(KmvSketchRow(src, n, hk, est, upd + 1L))
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -754,4 +754,75 @@ class StreamingFuzzParitySpec extends SparkSpec {
         Set("exact_dup", "quality", "repetition", "ok"))
     }
   }
+
+  for (seed <- Seq(545, 646)) {
+    test(s"fuzz seed $seed: cms/kmv sketch streams, the batch sketches," +
+        " and the JVM recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"sketchfuzz$seed")
+      val full = dirtyDocs(seed, 250).map { case (id, t) =>
+        (id, t, "en", if (id % 7 == 0) null else s"s${id % 3}",
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      val docs = full.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val path = root.resolve("documents.parquet").toString
+      docs.write.parquet(path)
+
+      def md5hex(x: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def u32(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(8), 16)
+      def trigrams(t: String): Seq[String] = {
+        val w = Option(t).getOrElse("").split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }
+
+      // JVM CMS cell recount (the stream's running counters after the
+      // whole feed == the sketch of the corpus — additivity)
+      val S = graft.queries.SketchOps
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      for ((_, t, _, _, _) <- full; g <- trigrams(t); i <- 0 until S.cmsDepth) {
+        val k = (i, u32(s"$i:$g") % S.cmsWidth)
+        cells(k) = cells.getOrElse(k, 0L) + 1L
+      }
+      val cmsStreamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.cmsCellStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"cmsfuzz$seed", org.apache.spark.sql.streaming.OutputMode.Update())
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cmsStreamed == cells.toMap, "cms stream vs JVM recount")
+
+      // JVM KMV bottom-k recount per source (NULL source buckets as '')
+      val bySource = full.flatMap { case (_, t, _, src, _) =>
+        trigrams(t).map(g => (Option(src).getOrElse(""), g))
+      }.distinct
+      val expected = bySource.groupBy(_._1).map { case (src, gs) =>
+        val bottom = gs.map(g => (u32(g._2), g._2)).distinct.sorted.take(S.kmvK)
+        val n = bottom.size.toLong
+        val hk = if (n >= S.kmvK) Some(bottom.last._1) else None
+        val est = if (n < S.kmvK) n
+          else hk.filter(_ > 0)
+            .map((S.kmvK - 1).toLong * S.kmvDomain / _).getOrElse(0L)
+        src -> ((n, hk, est))
+      }
+      val kmvRows = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.kmvSketchStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"kmvfuzz$seed").collect()
+      val kmvStreamed = kmvRows.groupBy(_.getString(0)).map { case (s, rs) =>
+        val last = rs.maxBy(_.getLong(4))
+        s -> ((last.getLong(1),
+          if (last.isNullAt(2)) None else Some(last.getLong(2)),
+          last.getLong(3)))
+      }
+      assert(kmvStreamed == expected, "kmv stream vs JVM recount")
+      // batch audit agrees on the sketch boundary and saturation facts
+      val batch = graft.SparkEntry.queries("kmv_distinct_audit")(
+        spark, root.toString).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(batch == expected.map { case (s, v) => s -> v._2 },
+        "batch h_k vs JVM recount")
+    }
+  }
 }

@@ -410,6 +410,107 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(!degraded.head.getAs[Boolean]("keep"))
   }
 
+  test("cmsCellStream: running counters ≡ batch cells, additive across batches") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("cmsstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // two files → two micro-batches under maxFilesPerTrigger(1): the
+    // additivity claim (state after the full feed == batch sketch of the
+    // full corpus) is only a claim if state actually crosses a batch
+    // NULL-safe md5-coin halving (a plain doc_id parity would alias with
+    // the testdata's source = id %% 20 rule and put every source entirely
+    // in ONE file, so no group would ever see a second micro-batch)
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    // drop file a, process, then drop file b into the SAME live query —
+    // two real micro-batches, so the counters demonstrably carried state
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.cmsCellStream(stream).writeStream
+      .format("memory").queryName("cms_cells")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("cms_cells")
+    val got = updates
+      // counters only grow, so each cell's LATEST value is its max
+      .groupBy(col("row"), col("bucket")).agg(max(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cross-batch additivity really exercised: some cell updated twice
+    assert(updates.groupBy(col("row"), col("bucket")).count()
+      .filter(col("count") >= 2).count() > 0)
+    val expected = graft.queries.SketchOps.cmsCellKeys(corpus)
+      .groupBy(col("row"), col("bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("kmvSketchStream: final per-source sketch ≡ batch bottom-k recount") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("kmvstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // NULL-safe md5-coin halving (a plain doc_id parity would alias with
+    // the testdata's source = id %% 20 rule and put every source entirely
+    // in ONE file, so no group would ever see a second micro-batch)
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.kmvSketchStream(stream).writeStream
+      .format("memory").queryName("kmv_sketch").outputMode("append").start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kmv_sketch").collect()
+    val got = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      val last = rs.maxBy(_.getLong(4))
+      s -> ((last.getLong(1),
+        if (last.isNullAt(2)) None else Some(last.getLong(2)),
+        last.getLong(3)))
+    }
+    // batch recount of the sketch-only estimator over the full corpus
+    val k = graft.queries.SketchOps.kmvK
+    val dom = graft.queries.SketchOps.kmvDomain
+    val expected = graft.queries.SketchOps.kmvKeyed(corpus)
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, rs) =>
+        val bottom = rs.map(r => (r._3, r._2)).distinct.sorted.take(k)
+        val n = bottom.size.toLong
+        val hk = if (n >= k) Some(bottom.last._1) else None
+        val est = if (n < k) n
+          else hk.filter(_ > 0).map((k - 1).toLong * dom / _).getOrElse(0L)
+        s -> ((n, hk, est))
+      }
+    assert(got == expected)
+    // cross-batch growth actually happened: at least one source emitted
+    // two updates (state merged across micro-batches)
+    assert(rows.exists(_.getLong(4) == 2L))
+  }
+
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
     import org.apache.spark.sql.functions.{col, not}
     val sf = "/root/testdata/sf0.001"
