@@ -166,9 +166,14 @@ object SketchOps {
   private val kmvHashSql = "CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)"
 
   /** Distinct (source, gram, hash) universe, NULL source bucketed as ''
-    * (the fuzz-gate NULL-key contract). */
+    * (the fuzz-gate NULL-key contract). Registry-cached: the distinct
+    * audit and the merge audit reference it four times between them, and
+    * without the cache each reference re-runs the token-scale explode +
+    * distinct (the cachedRelation discipline — plan audit counted the
+    * redundant scans). */
   private def kmvUniverse(s: SparkSession, dir: String): DataFrame =
-    kmvKeyed(t(s, dir, "documents")).distinct()
+    Util.cachedRelation(s, dir, "kmvUniverse", s"k=$kmvK")(
+      kmvKeyed(t(s, dir, "documents")).distinct())
 
   private val kmvUniverseSql =
     """u AS (
@@ -196,14 +201,15 @@ object SketchOps {
     * 100 TB each executor keeps its partition's k smallest and the merge
     * is "union, re-take bottom k" ([[kmvMergeAudit]] pins that law). */
   private def kmvDistinctAudit(s: SparkSession, dir: String): DataFrame = {
-    val u = kmvUniverse(s, dir)
-    val ranked = u.withColumn("rk", row_number().over(
+    // single pass: the rank window and the per-source exact count share
+    // one Exchange on source; the k-th row's hash surfaces through the
+    // aggregate as max(h where rk = k) — no second scan, no self-join
+    val ranked = kmvUniverse(s, dir).withColumn("rk", row_number().over(
       Window.partitionBy(col("source")).orderBy(col("h"), col("g")))
       .cast("long"))
-    val nsrc = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-    val hk = ranked.filter(col("rk") === kmvK)
-      .select(col("source"), col("h").as("h_k"))
-    nsrc.join(hk, Seq("source"), "left")
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rk") === kmvK, col("h"))).as("h_k"))
       .select(col("source"), col("n_exact"), col("h_k"),
         when(col("n_exact") <= kmvK, col("n_exact"))
           .otherwise(when(col("h_k") > 0,
@@ -344,25 +350,22 @@ object SketchOps {
         conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
           .cast("long") + 1L)
       .withColumn("p", expr(s"(w * $prioScale) div u"))
-    val ranked = d.withColumn("rk", row_number().over(
-      Window.partitionBy(col("source"))
-        .orderBy(col("p").desc, col("doc_id"))).cast("long"))
-    val tau = ranked.filter(col("rk") === prioK + 1)
-      .select(col("source"), col("p").as("tau"))
-    val totals = d.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("exact_tokens"))
-    val est = ranked.filter(col("rk") <= prioK)
-      .join(tau, Seq("source"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_sampled"),
-        sum(greatest(col("w"), coalesce(col("tau"), lit(0L))))
-          .as("est_tokens"))
-    totals.join(est, Seq("source"), "left")
-      .join(tau, Seq("source"), "left")
-      .select(col("source"), col("n_docs"), col("exact_tokens"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-        coalesce(col("tau"), lit(0L)).as("tau"),
-        coalesce(col("est_tokens"), lit(0L)).as("est_tokens"))
+    // single pass: rank + τ broadcast as windows inside ONE Exchange on
+    // source, then one aggregate — a plan audit found the naive
+    // three-relation join re-scanned documents 8× for the same answer
+    val w = Window.partitionBy(col("source"))
+    val ranked = d
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("p").desc, col("doc_id"))).cast("long"))
+      .withColumn("tau", coalesce(
+        max(when(col("rk") === prioK + 1, col("p"))).over(w), lit(0L)))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("exact_tokens"),
+        sum(when(col("rk") <= prioK, 1L).otherwise(0L)).as("n_sampled"),
+        max(col("tau")).as("tau"),
+        coalesce(sum(when(col("rk") <= prioK,
+          greatest(col("w"), col("tau")))), lit(0L)).as("est_tokens"))
       .withColumn("ratio_milli", expr(
         "CASE WHEN exact_tokens > 0 THEN (1000 * est_tokens) div exact_tokens END"))
       .orderBy("source")
