@@ -265,8 +265,10 @@ object CurationOps {
     * aggregate, a 256-row model relation broadcast back onto it, one
     * doc-grain aggregate. Nothing is vocabulary- or pair-sized. */
   /** Spark-side octave-linear milli-bit log₂ (the DuckDB twin is
-    * [[lgSql]]). */
-  private def lg(c: String) =
+    * [[lgSql]]) — package-shared: the DSIR weights, the HLL linear-
+    * counting correction and the Zipf-slope audit all need the same
+    * deterministic fixed-point log. */
+  private[queries] def lg(c: String) =
     s"(1000 * (length(bin($c)) - 1) + (1000 * $c) div " +
       s"shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1) - 1000)"
 
@@ -302,7 +304,7 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
-  private def lgSql(c: String) =
+  private[queries] def lgSql(c: String) =
     s"(1000 * (length(bin($c)) - 1) + (1000 * $c) // " +
       s"(CAST(1 AS BIGINT) << (length(bin($c)) - 1)) - 1000)"
 

@@ -337,27 +337,11 @@ object LmOps {
         expr(olsR2).as("r2"))
       .orderBy("source")
 
-  /** Shared OLS expressions over (n_docs, sx, sy, sxx, sxy, syy) —
-    * identical text on both engines: double math on exact integer
-    * sums. */
-  private def olsDet: String =
-    "(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)" +
-      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-  private def olsNum: String =
-    "(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)" +
-      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-  private def olsDetY: String =
-    "(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)" +
-      " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
-  private def olsSlope: String =
-    s"CASE WHEN $olsDet > 0 THEN $olsNum / $olsDet ELSE NULL END"
-  private def olsIntercept: String =
-    s"CASE WHEN $olsDet > 0 THEN" +
-      s" (CAST(sy AS DOUBLE) - ($olsNum / $olsDet)" +
-      s" * CAST(sx AS DOUBLE)) / CAST(n_docs AS DOUBLE) ELSE NULL END"
-  private def olsR2: String =
-    s"CASE WHEN $olsDet > 0 AND $olsDetY > 0 THEN" +
-      s" ($olsNum * $olsNum) / ($olsDet * $olsDetY) ELSE NULL END"
+  // OLS expression strings moved to Util (shared with the Zipf-slope
+  // audit); text is byte-identical, so the oracle SQL is unchanged.
+  private def olsSlope: String = Util.olsSlope
+  private def olsIntercept: String = Util.olsIntercept
+  private def olsR2: String = Util.olsR2
 
   private def pplLengthOlsSql: String =
     s"""WITH $knCtes,

@@ -406,8 +406,204 @@ object SketchOps {
        |LEFT JOIN tau t ON tt.source = t.source
        |ORDER BY tt.source""".stripMargin
 
+  /** HLL precision: p = 6 → m = 64 registers; α₆₄ = 0.709 (Flajolet
+    * et al. 2007, Fig. 3 — the m = 64 bias constant), held in milli. */
+  val hllRegisters = 64L
+  val hllAlphaMilli = 709L
+  /** Width of the ρ field: u32 hash minus the 6 register-index bits. */
+  val hllRhoBits = 26
+
+  /** HyperLogLog register audit — the third canonical sketch beside the
+    * CMS frequency counter and the KMV boundary: 64 registers over the
+    * corpus's distinct-gram u32 hashes (top 6 bits pick the register,
+    * ρ = leading-zero rank of the remaining 26 via the libm-free
+    * bit-length idiom), the harmonic estimate computed EXACTLY — each
+    * 2^−M term is the integer 2³⁰ ≫ M, so the indicator sum Z is an
+    * int64 and est_raw = α·m²·2³⁰ div Z involves no float — and the
+    * small-range linear-counting correction (est ≤ 5m/2 with empty
+    * registers → m·ln(m/V)) in the octave-linear milli-bit log of the
+    * DSIR family (ln x = lg_milli(x)·ln2, one integer division).
+    * The merge law (per-register MAX composes) is audited exactly like
+    * [[kmvMergeAudit]]: per-source register maxes max-merged must equal
+    * the direct registers — structurally true, emitted as merge_exact
+    * so a hash-green row is a cross-engine proof.
+    *
+    * Scale shape: rides the session-cached KMV universe; the register
+    * table is a 64-row aggregate (map-side combining to ≤ 64 rows per
+    * task), the merged side is ≤ 64·|sources| rows, and sketch state is
+    * CONSTANT at any corpus size — why HLL is the standard cardinality
+    * sketch where KMV's k·2³² hash range needs tuning. The exact
+    * distinct count (the audit's baseline) is the only corpus-sized
+    * aggregate. */
+  private def hllDistinctAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = kmvUniverse(s, dir)
+    val rhoW = 1L << hllRhoBits
+    def withReg(d: DataFrame): DataFrame = d
+      .withColumn("j", expr(s"h div $rhoW"))
+      .withColumn("r", col("h") % rhoW)
+      .withColumn("rho", when(col("r") === 0, lit(hllRhoBits + 1))
+        .otherwise(lit(hllRhoBits + 1) - length(bin(col("r")))).cast("long"))
+    val grid = s.range(hllRegisters).select(col("id").as("j"))
+    val direct = grid.join(
+        withReg(u.select(col("g"), col("h")).distinct())
+          .groupBy(col("j")).agg(max(col("rho")).as("m_direct")),
+        Seq("j"), "left")
+      .select(col("j"), coalesce(col("m_direct"), lit(0L)).as("m_direct"))
+    val merged = grid.join(
+        withReg(u).groupBy(col("source"), col("j"))
+          .agg(max(col("rho")).as("m_src"))
+          .groupBy(col("j")).agg(max(col("m_src")).as("m_merged")),
+        Seq("j"), "left")
+      .select(col("j"), coalesce(col("m_merged"), lit(0L)).as("m_merged"))
+    val regs = direct.join(merged, "j")
+    val nAll = u.select(col("g")).distinct().agg(count(lit(1)).as("n_exact"))
+    val aggd = regs.agg(
+      sum(call_function("shiftleft", lit(1L),
+        (lit(30) - col("m_direct")).cast("int"))).as("z_scaled"),
+      sum(when(col("m_direct") === 0, 1L).otherwise(0L)).as("v_empty"),
+      max(when(col("m_direct") =!= col("m_merged"), 1L).otherwise(0L))
+        .as("m_drift"))
+    val m = hllRegisters
+    // precomputed Long: interpolating the factors would parse as INT
+    // literals and overflow the 32-bit multiply under ANSI
+    val estNum = hllAlphaMilli * m * m * (1L << 30)
+    nAll.crossJoin(broadcast(aggd))
+      .withColumn("est_raw", expr(
+        s"(${estNum}L div (1000 * z_scaled))"))
+      .withColumn("est", expr(
+        s"CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN " +
+          s"($m * (${CurationOps.lg(m.toString)} - " +
+          s"${CurationOps.lg("v_empty")}) * 693147) div 1000000000 " +
+          "ELSE est_raw END"))
+      .select(col("n_exact"), col("v_empty"), col("z_scaled"),
+        col("est_raw"), col("est"),
+        expr("CASE WHEN n_exact > 0 THEN (1000 * est) div n_exact END")
+          .as("ratio_milli"),
+        (col("m_drift") === 0).as("merge_exact"))
+  }
+
+  private def hllDistinctAuditSql = {
+    val rhoW = 1L << hllRhoBits
+    val m = hllRegisters
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT source, g, $kmvHashSql AS h FROM u),
+       |rr AS (
+       |  SELECT source, g, h // $rhoW AS j, h % $rhoW AS r FROM hh),
+       |rho AS (
+       |  SELECT source, g, j,
+       |    CAST(CASE WHEN r = 0 THEN ${hllRhoBits + 1}
+       |         ELSE ${hllRhoBits + 1} - length(bin(r)) END AS BIGINT) AS rho
+       |  FROM rr),
+       |grid AS (SELECT CAST(range AS BIGINT) AS j FROM range($m)),
+       |direct AS (
+       |  SELECT grid.j, COALESCE(d.m_direct, 0) AS m_direct
+       |  FROM grid LEFT JOIN (
+       |    SELECT j, MAX(rho) AS m_direct
+       |    FROM (SELECT DISTINCT g, j, rho FROM rho) GROUP BY 1) d
+       |  ON grid.j = d.j),
+       |merged AS (
+       |  SELECT grid.j, COALESCE(d.m_merged, 0) AS m_merged
+       |  FROM grid LEFT JOIN (
+       |    SELECT j, MAX(m_src) AS m_merged FROM (
+       |      SELECT source, j, MAX(rho) AS m_src FROM rho GROUP BY 1, 2)
+       |    GROUP BY 1) d
+       |  ON grid.j = d.j),
+       |regs AS (SELECT * FROM direct JOIN merged USING (j)),
+       |na AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact FROM hh),
+       |ag AS (
+       |  SELECT
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - m_direct AS INTEGER))
+       |      AS BIGINT) AS z_scaled,
+       |    CAST(SUM(CASE WHEN m_direct = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_empty,
+       |    MAX(CASE WHEN m_direct <> m_merged THEN 1 ELSE 0 END) AS m_drift
+       |  FROM regs),
+       |e1 AS (
+       |  SELECT n_exact, v_empty, z_scaled, m_drift,
+       |    ${hllAlphaMilli * m * m * (1L << 30)} // (1000 * z_scaled)
+       |      AS est_raw
+       |  FROM na CROSS JOIN ag),
+       |e2 AS (
+       |  SELECT *,
+       |    CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN
+       |      ($m * (${CurationOps.lgSql(m.toString)} -
+       |        ${CurationOps.lgSql("v_empty")}) * 693147) // 1000000000
+       |    ELSE est_raw END AS est
+       |  FROM e1)
+       |SELECT n_exact, v_empty, z_scaled, est_raw, est,
+       |  CASE WHEN n_exact > 0 THEN (1000 * est) // n_exact END
+       |    AS ratio_milli,
+       |  m_drift = 0 AS merge_exact
+       |FROM e2""".stripMargin
+  }
+
+  /** How many top-frequency grams the Zipf fit reads (bounded so the
+    * milli-bit moment products stay far inside int64). */
+  val zipfTopN = 256
+
+  /** Zipf-slope audit: OLS of log₂(count) on log₂(rank) over the top-
+    * [[zipfTopN]] corpus trigrams — the corpus-statistics sanity check a
+    * pipeline runs on ingest (natural text fits slope ≈ −1; a synthetic
+    * or deduplicated-to-death corpus drifts visibly; Piantadosi 2014
+    * reviews the law). Logs are the octave-linear milli-bit log₂ (exact
+    * integers both engines), moments are exact int64 sums, and
+    * slope/intercept/R² evaluate through the SHARED OLS expressions
+    * ([[Util.olsSlope]] — the ppl_length_ols contract) so degenerate
+    * corpora (fewer than 2 distinct counts) yield NULLs, not a divide.
+    *
+    * Plan: the gram count is the only token-scale aggregate; the top-N
+    * cut is a distributed TakeOrdered (never a global sort), the rank
+    * window runs over the N retained rows, and the fit is a one-row
+    * aggregate. */
+  private def zipfSlopeAudit(s: SparkSession, dir: String): DataFrame = {
+    val top = gramStream(s, dir).groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(zipfTopN)
+    val ranked = top.withColumn("rk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("g"))).cast("long"))
+      .withColumn("x", expr(CurationOps.lg("rk")))
+      .withColumn("y", expr(CurationOps.lg("cnt")))
+    ranked.agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_docs").as("n_points"),
+        expr(Util.olsSlope).as("slope_milli_per_milli"),
+        expr(Util.olsIntercept).as("intercept_milli"),
+        expr(Util.olsR2).as("r2"))
+  }
+
+  private def zipfSlopeAuditSql =
+    s"""WITH $gramStreamSql,
+       |top AS (
+       |  SELECT g, COUNT(*) AS cnt FROM gs GROUP BY 1
+       |  ORDER BY cnt DESC, g LIMIT $zipfTopN),
+       |ranked AS (
+       |  SELECT cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, g) AS BIGINT) AS rk
+       |  FROM top),
+       |xy AS (
+       |  SELECT ${CurationOps.lgSql("rk")} AS x,
+       |    ${CurationOps.lgSql("cnt")} AS y
+       |  FROM ranked),
+       |m AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM xy)
+       |SELECT n_docs AS n_points,
+       |  ${Util.olsSlope} AS slope_milli_per_milli,
+       |  ${Util.olsIntercept} AS intercept_milli,
+       |  ${Util.olsR2} AS r2
+       |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
+    Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),
+    Q("zipf_slope_audit", zipfSlopeAudit, Some(zipfSlopeAuditSql)),
     Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),
     Q("kmv_merge_audit", kmvMergeAudit, Some(kmvMergeAuditSql)),
     Q("priority_sample_audit", prioritySampleAudit,

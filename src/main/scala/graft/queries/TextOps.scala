@@ -1446,6 +1446,58 @@ object TextOps {
   private[queries] def nbScored(s: SparkSession, dir: String): DataFrame =
     nbQualityScore(s, dir)
 
+  /** Calibration-bucket width in milli (a twentieth of a log-likelihood
+    * bit — the labeled scores here span ~half a bit, so quarter-bit
+    * buckets collapsed the curve to two points). */
+  val nbCalibBucketMilli = 50
+
+  /** NB classifier reliability curve — the calibration audit a pipeline
+    * reads before treating the quality score as a probability-like
+    * gate: over the LABELED slice (the en/zh seed langs — seed-sized in
+    * a real deployment, where the crawl itself is unlabeled), docs land
+    * in fixed-width score buckets ([[nbCalibBucketMilli]] milli)
+    * and each bucket reports its positive rate. A well-calibrated
+    * scorer shows pos_milli rising monotonically through bucket 0 (the
+    * gate's threshold); a flat curve means the score ranks nothing.
+    *
+    * Buckets are VALUE-width, not rank deciles — the
+    * curriculum_buckets discipline: no global sort exists in the plan,
+    * one row-local floor and one hash aggregate. The floor is computed
+    * in DOUBLE (floor(x/250.0)) because integer division on NEGATIVE
+    * scores never crosses engines (DuckDB `//` floors, Spark `div`
+    * truncates); the quotient magnitudes sit far inside 2⁵³ so the IEEE
+    * result is exact and identical. */
+  private def nbCalibrationCurve(s: SparkSession, dir: String): DataFrame =
+    nbScored(s, dir)
+      .filter(col("lang") === "en" || col("lang") === "zh")
+      .withColumn("bucket",
+        floor(col("avg_llr_milli") / lit(nbCalibBucketMilli.toDouble))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"),
+        (col("bucket") * nbCalibBucketMilli).as("score_lo_milli"),
+        col("n_docs"), col("n_pos"),
+        expr("(1000 * n_pos) div n_docs").as("pos_milli"))
+      .orderBy("bucket")
+
+  private val nbCalibrationCurveSql =
+    s"""WITH $nbSqlCtes,
+       |lab AS (
+       |  SELECT CAST(floor(avg_llr_milli / ${nbCalibBucketMilli.toDouble})
+       |      AS BIGINT) AS bucket,
+       |    lang
+       |  FROM nbv WHERE lang IN ('en', 'zh')),
+       |bk AS (
+       |  SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos
+       |  FROM lab GROUP BY 1)
+       |SELECT bucket, bucket * $nbCalibBucketMilli AS score_lo_milli,
+       |  n_docs, n_pos, (1000 * n_pos) // n_docs AS pos_milli
+       |FROM bk ORDER BY bucket""".stripMargin
+
   /** Curriculum schedule buckets — the easy-to-hard data-ordering
     * artifact (curriculum-learning pipelines feed low-perplexity docs
     * first): every scored doc lands in a surprisal decile, reported as
@@ -1933,6 +1985,8 @@ object TextOps {
     Q("bm25_prf_topk", bm25PrfTopk, Some(bm25PrfTopkSql)),
     Q("curriculum_buckets", curriculumBuckets, Some(curriculumBucketsSql)),
     Q("nb_quality_score", nbQualityScore, Some(nbQualityScoreSql)),
+    Q("nb_calibration_curve", nbCalibrationCurve,
+      Some(nbCalibrationCurveSql)),
     Q("bpe_pair_stats", bpePairStats, Some(bpePairStatsSql)),
     Q("bpe_merge_rounds", bpeMergeRounds, Some(bpeMergeRoundsSql)),
     Q("bpe_compression", bpeCompression, Some(bpeCompressionSql)),

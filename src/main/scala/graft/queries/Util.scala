@@ -160,4 +160,29 @@ object Util {
 
   /** SQL twin of [[cents]]. */
   def centsSql(expr: String): String = s"CAST(round($expr * 100, 0) AS BIGINT)"
+
+  /** Shared OLS expressions over exact-integer moment columns
+    * (n_docs, sx, sy, sxx, sxy, syy) — identical text on both engines:
+    * double math on exact integer sums, degenerate inputs (constant x
+    * or y, n < 2) yield NULL via the determinant guards. Shared by the
+    * perplexity length-bias audit ([[LmOps]]) and the Zipf-slope audit
+    * ([[SketchOps]]). */
+  private def olsDet: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private def olsNum: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private def olsDetY: String =
+    "(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)" +
+      " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+  def olsSlope: String =
+    s"CASE WHEN $olsDet > 0 THEN $olsNum / $olsDet ELSE NULL END"
+  def olsIntercept: String =
+    s"CASE WHEN $olsDet > 0 THEN" +
+      s" (CAST(sy AS DOUBLE) - ($olsNum / $olsDet)" +
+      s" * CAST(sx AS DOUBLE)) / CAST(n_docs AS DOUBLE) ELSE NULL END"
+  def olsR2: String =
+    s"CASE WHEN $olsDet > 0 AND $olsDetY > 0 THEN" +
+      s" ($olsNum * $olsNum) / ($olsDet * $olsDetY) ELSE NULL END"
 }

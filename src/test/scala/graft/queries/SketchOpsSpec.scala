@@ -87,6 +87,130 @@ class SketchOpsSpec extends SparkSpec {
     assert(mrow.getBoolean(3), "merge_exact must be structurally true")
   }
 
+  /** The octave-linear milli-bit log₂ (CurationOps.lg's JVM twin). */
+  private def lg(x: Long): Long = {
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    1000L * k + java.lang.Math.floorDiv(1000L * x, 1L << k) - 1000L
+  }
+
+  /** JVM HLL recount over (source, gram) rows: returns
+    * (n_exact, v_empty, z_scaled, est_raw, est, merge_ok). */
+  private def hllRecount(bySource: Seq[(String, String)])
+      : (Long, Long, Long, Long, Long, Boolean) = {
+    val S = SketchOps
+    val rhoW = 1L << S.hllRhoBits
+    def reg(h: Long): (Long, Long) = {
+      val j = h / rhoW
+      val r = h % rhoW
+      (j, if (r == 0) S.hllRhoBits + 1L
+          else S.hllRhoBits + 1L - (64 - java.lang.Long.numberOfLeadingZeros(r)))
+    }
+    val allGrams = bySource.map(_._2).distinct
+    val direct = Array.fill(S.hllRegisters.toInt)(0L)
+    allGrams.foreach { g =>
+      val (j, rho) = reg(u32(g))
+      direct(j.toInt) = math.max(direct(j.toInt), rho)
+    }
+    val merged = Array.fill(S.hllRegisters.toInt)(0L)
+    bySource.groupBy(_._1).values.foreach { gs =>
+      val srcReg = Array.fill(S.hllRegisters.toInt)(0L)
+      gs.foreach { case (_, g) =>
+        val (j, rho) = reg(u32(g))
+        srcReg(j.toInt) = math.max(srcReg(j.toInt), rho)
+      }
+      (0 until S.hllRegisters.toInt)
+        .foreach(j => merged(j) = math.max(merged(j), srcReg(j)))
+    }
+    val z = direct.map(mj => 1L << (30 - mj)).sum
+    val v = direct.count(_ == 0L).toLong
+    val m = S.hllRegisters
+    val estRaw = S.hllAlphaMilli * m * m * (1L << 30) / (1000L * z)
+    val est = if (estRaw <= 5 * m / 2 && v > 0)
+      m * (lg(m) - lg(v)) * 693147L / 1000000000L else estRaw
+    (allGrams.size.toLong, v, z, estRaw, est,
+      direct.toSeq == merged.toSeq)
+  }
+
+  private def hllRow(dir: String): (Long, Long, Long, Long, Long, Boolean) = {
+    val r = SparkEntry.queries("hll_distinct_audit")(spark, dir)
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getBoolean(6))
+  }
+
+  test("hll_distinct_audit ≡ plain-Scala registers; merge law holds") {
+    val dir = "/root/testdata/sf0.001"
+    val bySource = docs(dir)
+      .flatMap(d => trigrams(d._2).map(g => (d._3, g))).distinct
+    val exp = hllRecount(bySource)
+    assert(exp._6, "JVM merge law recount")
+    assert(hllRow(dir) == exp)
+    // the real corpus saturates all 64 registers (v = 0): this test
+    // covers the raw-estimate branch; the sparse fixture below fires
+    // the linear-counting correction
+    assert(exp._2 == 0L)
+  }
+
+  test("hll_distinct_audit: sparse fixture fires the linear-counting branch") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hllsparse").toString
+    val fixture = Seq(
+      (1L, "a b c d e", "en", "s0", 0L),
+      (2L, "f g h i j", "en", "s1", 0L),
+      (3L, null.asInstanceOf[String], "en", "s0", 0L))
+    fixture.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val bySource = fixture
+      .flatMap(r => trigrams(r._2).map(g => (r._4, g))).distinct
+    val exp = hllRecount(bySource)
+    assert(exp._2 > 0L, "fixture must leave empty registers")
+    assert(exp._4 != exp._5, "correction must actually change the estimate")
+    assert(hllRow(d) == exp)
+  }
+
+  test("zipf_slope_audit ≡ plain-Scala OLS on the top-N gram frequencies") {
+    val dir = "/root/testdata/sf0.001"
+    val S = SketchOps
+    val counts = docs(dir).flatMap(d => trigrams(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(S.zipfTopN)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (lg(i + 1L), lg(c))
+    }
+    val n = xy.size.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val det = n.toDouble * sxx - sx.toDouble * sx
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) / det
+    val row = SparkEntry.queries("zipf_slope_audit")(spark, dir)
+      .collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-12)
+    // a natural-text corpus would fit ≈ −1; the audit must report a
+    // defined slope and R² on the real corpus
+    assert(!row.isNullAt(3))
+  }
+
+  test("nb_calibration_curve ≡ bucket recount from nb_quality_score rows") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = SparkEntry.queries("nb_quality_score")(spark, dir)
+      .collect()
+      .filter(r => r.getString(1) == "en" || r.getString(1) == "zh")
+      .map(r => (math.floor(r.getLong(4) /
+        TextOps.nbCalibBucketMilli.toDouble).toLong, r.getString(1) == "en"))
+    val expected = scored.groupBy(_._1).map { case (b, rs) =>
+      val pos = rs.count(_._2).toLong
+      b -> ((b * TextOps.nbCalibBucketMilli, rs.size.toLong, pos,
+        1000L * pos / rs.size))
+    }
+    val got = SparkEntry.queries("nb_calibration_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("priority_sample_audit ≡ plain-Scala DLT; sampled priorities clear τ") {
     val dir = "/root/testdata/sf0.001"
     val d = docs(dir).collect { case (Some(id), text, src) =>
