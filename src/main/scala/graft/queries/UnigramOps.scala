@@ -176,6 +176,22 @@ object UnigramOps {
   private def viterbiWith(s: SparkSession, dir: String, vcIn: DataFrame,
       cacheKey: String): DataFrame =
     cachedRelation(s, dir, cacheKey, "") {
+      val arr = costsArrWith(s, dir, vcIn, cacheKey + "Arr")
+      val stepCost = (i: Column, j: Int) => element_at(col("costs"),
+        greatest((i - lit(j)) * lit(MaxPiece) + lit(j), lit(1)))
+      arr
+        .withColumn("fin", dpFinal(col("word"), stepCost))
+        .select(Seq(col("word"), col("freq")) ++ decoded(col("fin")): _*)
+    }
+
+  /** Dense per-word cost-array relation over an arbitrary vocabulary —
+    * the segmenters' shared input (one copy of the (start, len) slot
+    * indexing), registry-cached because the Viterbi DP and the WordPiece
+    * greedy audit both fold over it. Slot (st, p) of `costs` holds the
+    * piece cost or [[Sentinel]] at index (st−1)·MaxPiece + p. */
+  private def costsArrWith(s: SparkSession, dir: String, vcIn: DataFrame,
+      cacheKey: String): DataFrame =
+    cachedRelation(s, dir, cacheKey, "") {
       val vc = vcIn.select(col("piece"), col("cost"))
       val wf = wordFreq(s, dir)
       val ca = wf
@@ -190,15 +206,10 @@ object UnigramOps {
         .select(col("word"), col("freq"), col("idx"),
           when(col("ok"), coalesce(col("cost"), lit(Sentinel)))
             .otherwise(lit(Sentinel)).as("cost"))
-      val arr = ca.groupBy("word").agg(
+      ca.groupBy("word").agg(
         max("freq").as("freq"),
         transform(array_sort(collect_list(struct(col("idx"), col("cost")))),
           x => x("cost")).as("costs"))
-      val stepCost = (i: Column, j: Int) => element_at(col("costs"),
-        greatest((i - lit(j)) * lit(MaxPiece) + lit(j), lit(1)))
-      arr
-        .withColumn("fin", dpFinal(col("word"), stepCost))
-        .select(Seq(col("word"), col("freq")) ++ decoded(col("fin")): _*)
     }
 
   /** Per-word Viterbi result over the seed vocab: (word, freq, seg,
@@ -655,7 +666,132 @@ object UnigramOps {
        |FROM vit b JOIN vit2 a USING (word) CROSS JOIN sizes s
        |GROUP BY s.vocab_before, s.vocab_after""".stripMargin
 
+  // ------------------------------------------------- WordPiece greedy
+
+  /** Greedy longest-match-first fold over `word` — the WordPiece RUNTIME
+    * algorithm (the BERT tokenizer's deployed segmenter: at each
+    * position take the longest vocabulary piece, advance by its length;
+    * training differs, inference is exactly this). State string:
+    * nextPos(4) | cost(12) | n_pieces(4) | seg — positions the fold
+    * visits mid-piece pass the state through untouched. Shares the
+    * [[CostCeil]]/[[NCeil]] saturation and the `·` seg encoding with the
+    * Viterbi DP so the two segmenters decode identically. Single-char
+    * pieces are always in vocabulary (every corpus char is), so the
+    * greedy never needs an UNK branch on this universe. */
+  private def greedyFinal(word: Column,
+      stepCost: (Column, Int) => Column): Column = {
+    val base = "0001" + "0" * 12 + "0000"
+    aggregate(sequence(lit(1), length(word)), lit(base), (acc, i) => {
+      val nextPos = substring(acc, 1, 4).cast("long")
+      val cost = substring(acc, 5, 12).cast("long")
+      val n = substring(acc, 17, 4).cast("long")
+      val seg = acc.substr(lit(21), length(acc))
+      def enc(j: Int): Column = concat(
+        lpad((i + lit(j)).cast("string"), 4, "0"),
+        lpad(least(cost + stepCost(i, j), lit(CostCeil)).cast("string"),
+          12, "0"),
+        lpad(least(n + 1, lit(NCeil)).cast("string"), 4, "0"),
+        seg, lit("·"), word.substr(i, lit(j)))
+      val pick = (MaxPiece to 2 by -1).foldRight(enc(1)) { (j, shorter) =>
+        when(i + lit(j) - 1 <= length(word) &&
+          stepCost(i, j) < Sentinel, enc(j)).otherwise(shorter)
+      }
+      when(i =!= nextPos, acc).otherwise(pick)
+    })
+  }
+
+  /** WordPiece-vs-Viterbi segmenter audit — the third tokenizer family
+    * beside BPE and the unigram LM, measured against the optimal
+    * segmentation it approximates: both segmenters run over the SAME
+    * seed vocabulary and cost table (the shared [[costsArrWith]] dense
+    * array — one copy of the slot math), and each of the top-30 corpus
+    * words reports its greedy segmentation next to the Viterbi one with
+    * `excess_millibits = greedy − viterbi` — provably ≥ 0 (Viterbi is
+    * cost-optimal over all segmentations, greedy's included), so the
+    * hash-green row pins the optimality theorem cross-engine, and the
+    * `greedy_optimal` flags show exactly WHERE longest-match-first pays
+    * for its O(len) simplicity. The published trade this audits: BERT's
+    * runtime uses greedy for speed; SentencePiece's unigram uses the DP
+    * for likelihood — a corpus where excess ≈ 0 everywhere can ship the
+    * cheaper segmenter.
+    *
+    * Scale shape: one fold over the cached per-word cost arrays
+    * (vocabulary-universe-sized, never token-scale), a word-keyed join
+    * of the two segmenters' outputs, TakeOrdered(30). */
+  private def wordpieceGreedyAudit(s: SparkSession, dir: String): DataFrame = {
+    val arr = costsArrWith(s, dir, vocabRel(s, dir), "unigramViterbiArr")
+    val stepCost = (i: Column, j: Int) =>
+      element_at(col("costs"), (i - lit(1)) * lit(MaxPiece) + lit(j))
+    val g = arr.withColumn("gfin", greedyFinal(col("word"), stepCost))
+      .select(col("word"), col("freq"),
+        substring(col("gfin"), 5, 12).cast("long").as("greedy_cost_millibits"),
+        substring(col("gfin"), 17, 4).cast("long").as("n_pieces_greedy"),
+        ltrim(col("gfin").substr(lit(21), length(col("gfin"))), "·")
+          .as("seg_greedy"))
+    val v = viterbiRel(s, dir).select(col("word"),
+      col("cost_millibits").as("viterbi_cost_millibits"),
+      col("n_pieces").as("n_pieces_viterbi"),
+      col("seg").as("seg_viterbi"))
+    g.join(v, "word")
+      .select(col("word"), col("freq"),
+        col("n_pieces_greedy"), col("greedy_cost_millibits"),
+        col("seg_greedy"),
+        col("n_pieces_viterbi"), col("viterbi_cost_millibits"),
+        col("seg_viterbi"),
+        (col("greedy_cost_millibits") - col("viterbi_cost_millibits"))
+          .as("excess_millibits"),
+        (col("greedy_cost_millibits") === col("viterbi_cost_millibits"))
+          .as("greedy_optimal"))
+      .orderBy(col("freq").desc, col("word")).limit(30)
+  }
+
+  /** DuckDB twin of [[greedyFinal]]'s longest-first pick ladder —
+    * generated from the same j range. */
+  private def sqlGreedyLadder: String =
+    (MaxPiece to 2 by -1).map(j =>
+      s"WHEN $j <= length(word) - pos + 1 AND " +
+        s"costs[(pos - 1) * $MaxPiece + $j] < $Sentinel THEN $j")
+      .mkString("\n      ") + "\n      ELSE 1 END"
+
+  /** The greedy fold as a RECURSIVE CTE, not a second list_reduce:
+    * DuckDB 1.0's executor miscomputes a query whose final sort sits
+    * above a join of TWO list_reduce-projected relations (one word's
+    * fold result lands on another word's row — observed directly, and
+    * independent of AS MATERIALIZED or lambda-variable renaming; the
+    * lone Viterbi fold is fine). One piece per recursion step, depth
+    * ≤ MaxWordLen, exactly one pos = len + 1 final row per word. */
+  private val wordpieceGreedyAuditSql =
+    s"""WITH RECURSIVE $unigramSqlCtes,
+       |grec AS (
+       |  SELECT word, freq, costs, 1 AS pos, CAST(0 AS BIGINT) AS cost,
+       |    CAST(0 AS BIGINT) AS n, '' AS seg
+       |  FROM arr
+       |  UNION ALL
+       |  SELECT word, freq, costs, pos + j,
+       |    least(cost + costs[(pos - 1) * $MaxPiece + j], $CostCeil),
+       |    least(n + 1, $NCeil),
+       |    seg || '·' || substr(word, pos, j)
+       |  FROM (
+       |    SELECT *, CASE
+       |      $sqlGreedyLadder AS j
+       |    FROM grec WHERE pos <= length(word))),
+       |greedy AS (
+       |  SELECT word, freq, cost AS greedy_cost_millibits,
+       |    n AS n_pieces_greedy, ltrim(seg, '·') AS seg_greedy
+       |  FROM grec WHERE pos = length(word) + 1)
+       |SELECT g.word, CAST(g.freq AS BIGINT) AS freq,
+       |  g.n_pieces_greedy, g.greedy_cost_millibits, g.seg_greedy,
+       |  v.n_pieces AS n_pieces_viterbi,
+       |  v.cost_millibits AS viterbi_cost_millibits,
+       |  v.seg AS seg_viterbi,
+       |  g.greedy_cost_millibits - v.cost_millibits AS excess_millibits,
+       |  g.greedy_cost_millibits = v.cost_millibits AS greedy_optimal
+       |FROM greedy g JOIN vit v USING (word)
+       |ORDER BY g.freq DESC, g.word LIMIT 30""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("wordpiece_greedy_audit", wordpieceGreedyAudit,
+      Some(wordpieceGreedyAuditSql)),
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),
     Q("unigram_segment_words", unigramSegmentWords,
       Some(unigramSegmentWordsSql)),

@@ -298,4 +298,57 @@ class UnigramOpsSpec extends SparkSpec {
       assert(uni >= f(src)._1 && uni <= chars, s"$src: $uni")
     }
   }
+
+  private def wpRows(dir: String) =
+    graft.SparkEntry.queries("wordpiece_greedy_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6),
+        r.getString(7), r.getLong(8), r.getBoolean(9)))
+
+  test("wordpiece_greedy_audit ≡ oracle greedy + exhaustive Viterbi; excess ≥ 0") {
+    val dir = "/root/testdata/sf0.001"
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0)).toSeq
+    val (cost, bf) = UnigramTestOracle.train(words)
+    val freq = UnigramTestOracle.universe(words)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val expected = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(30)
+      .map { case (w, f) =>
+        val (gc, gn, gs) = UnigramTestOracle.greedy(w, cost)
+        val (vc, vn, vs) = bf(w)
+        (w, f, gn, gc, gs, vn, vc, vs, gc - vc, gc == vc)
+      }
+    val got = wpRows(dir)
+    assert(got.toSeq == expected)
+    assert(got.forall(_._9 >= 0L), "greedy must never beat the optimal DP")
+  }
+
+  test("wordpiece fixture: longest-match provably pays vs the DP") {
+    val dir = java.nio.file.Files.createTempDirectory("wp1").toString
+    import spark.implicits._
+    // 'park' is cheap (50 occurrences), 'spar' rare (only inside
+    // 'spark'), and 's' is boosted far beyond 'spar' by the 'si' words —
+    // so on 'spark' the greedy grabs the longest prefix (spar·k) while
+    // the DP pays hb(s) ≫ hb(spar) less via s·park. Without the boost
+    // the two splits tie exactly (cnt(s) = cnt(spar), cnt(k) = cnt(park))
+    // and the encoded tie-break happens to pick the greedy's split.
+    val docs = (1L to 50L).map(i => (i, "park")) ++
+      (51L to 55L).map(i => (i, "spark")) ++
+      (56L to 255L).map(i => (i, "si"))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val words = docs.map(_._2)
+    val (cost, bf) = UnigramTestOracle.train(words)
+    val (gc, gn, gs) = UnigramTestOracle.greedy("spark", cost)
+    val (vc, vn, vs) = bf("spark")
+    assert(gs == "spar·k" && vs == "s·park" && gc > vc,
+      s"fixture no longer separates the segmenters: $gs/$gc vs $vs/$vc")
+    val row = wpRows(dir).find(_._1 == "spark").get
+    assert(row._5 == "spar·k" && row._8 == "s·park")
+    assert(row._9 == gc - vc && !row._10)
+    // and on the word where they agree, the flag is true
+    assert(wpRows(dir).find(_._1 == "park").get._10)
+  }
 }

@@ -37,6 +37,27 @@ object UnigramTestOracle {
     (cost, freq.keys.map(w => w -> best(w, cost)).toMap)
   }
 
+  /** WordPiece greedy longest-match-first segmentation (the runtime
+    * algorithm `wordpiece_greedy_audit` audits): at each position take
+    * the longest vocabulary piece, advance by its length. Singles are
+    * always in vocabulary on this universe, so no UNK branch. */
+  def greedy(w: String, cost: Map[String, Long]): (Long, Long, String) = {
+    var pos = 0
+    var c = 0L
+    var n = 0L
+    val seg = Seq.newBuilder[String]
+    while (pos < w.length) {
+      val j = (math.min(MaxPiece, w.length - pos) to 1 by -1)
+        .find(j => cost.contains(w.substring(pos, pos + j))).get
+      val p = w.substring(pos, pos + j)
+      c = math.min(c + cost(p), 999999999999L)
+      n = math.min(n + 1, 9999L)
+      seg += p
+      pos += j
+    }
+    (c, n, seg.result().mkString("·"))
+  }
+
   /** Exhaustive min-cost segmentation under the engine's encoded
     * tie-break; unknown pieces cost [[Sentinel]] (with the engine's
     * saturation ceilings applied, so the comparison mirrors the DP even
