@@ -341,8 +341,13 @@ object SketchOps {
     * mergeable the same way KMV is (keep the k highest priorities seen;
     * τ re-derives on merge), which is why this — not uniform
     * subsampling — is the published estimator for skewed weights. */
-  private def prioritySampleAudit(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+  /** (source, doc_id, w, p) priority projection of a doc frame — the
+    * weight/coin/priority math shared by the batch audit and the
+    * streaming twin
+    * ([[graft.streaming.StreamingPipeline.prioritySampleStream]]): one
+    * copy or the estimator sides drift. */
+  def prioKeyed(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull)
       .select(coalesce(col("source"), lit("")).as("source"), col("doc_id"),
         size(filter(split(coalesce(col("text"), lit("")), " "),
           x => x =!= "")).cast("long").as("w"))
@@ -350,6 +355,10 @@ object SketchOps {
         conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
           .cast("long") + 1L)
       .withColumn("p", expr(s"(w * $prioScale) div u"))
+      .drop("u")
+
+  private def prioritySampleAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = prioKeyed(t(s, dir, "documents"))
     // single pass: rank + τ broadcast as windows inside ONE Exchange on
     // source, then one aggregate — a plan audit found the naive
     // three-relation join re-scanned documents 8× for the same answer
@@ -600,8 +609,110 @@ object SketchOps {
        |  ${Util.olsR2} AS r2
        |FROM m""".stripMargin
 
+  /** The width grid of the CMS sweep (brackets the deployed
+    * [[cmsWidth]] = 256 an octave either side, ×4 steps). */
+  val cmsWidthGrid: Seq[Long] = Seq(64L, 256L, 1024L)
+
+  /** CMS width calibration sweep — the sizing decision a deployment
+    * reads before committing sketch memory (the minhash_band_sweep /
+    * semdedup_eps_sweep grid-as-data contract applied to the sketch
+    * tier): per candidate width w, the total and worst overestimate of
+    * the exact top-[[cmsTopK]] grams, the one-sided law verdict, and
+    * whether the worst error sat under the paper's e·N/w Markov bound.
+    * Wider is monotonically cheaper in error and linearly costlier in
+    * memory — the sweep shows exactly where the curve flattens.
+    *
+    * Plan shape: the u32 seed hashes are computed ONCE per (occurrence,
+    * row) and exploded ×|grid| with the width as a data column (bucket
+    * = h % w) — nothing re-hashes per width; counters are one hash
+    * aggregate to Σ d·w ≤ 5 376 cells; the audited keys join the
+    * constant-size counter relation. Every grid row always appears
+    * (the LEFT-join-the-grid rule does not even arise: the counter
+    * build emits every width by construction and the top-k is
+    * non-empty whenever the corpus has any trigram; an EMPTY corpus
+    * yields zero rows on both engines). */
+  private def cmsWidthSweep(s: SparkSession, dir: String): DataFrame = {
+    val gs = gramStream(s, dir)
+    val hashed = gs.select(explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("row"),
+          conv(substring(md5(concat(lit(s"$i:"), col("g"))), 1, 8), 16, 10)
+            .cast("long").as("h"))): _*)).as("c"))
+      .select(col("c.row").as("row"), col("c.h").as("h"))
+      .withColumn("w", explode(array(cmsWidthGrid.map(lit): _*)))
+    val cells = hashed.groupBy(col("w"), col("row"),
+        (col("h") % col("w")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val nTot = gs.agg(count(lit(1)).as("n_grams"))
+    val exact = gs.groupBy(col("g")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("g")).limit(cmsTopK)
+    val probes = exact.select(col("g"), col("exact"),
+        explode(array((0 until cmsDepth).map(i =>
+          struct(lit(i).as("row"), cmsBucket2(i, col("g")).as("h"))): _*))
+          .as("p"))
+      .select(col("g"), col("exact"), col("p.row").as("row"), col("p.h").as("h"))
+      .withColumn("w", explode(array(cmsWidthGrid.map(lit): _*)))
+      .withColumn("bucket", col("h") % col("w"))
+    val ests = probes.join(cells, Seq("w", "row", "bucket"))
+      .groupBy(col("w"), col("g"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+    ests.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_audited"),
+        sum(col("est") - col("exact")).as("total_over"),
+        max(col("est") - col("exact")).as("max_over"),
+        min(when(col("est") >= col("exact"), 1L).otherwise(0L)).as("okm"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w"), (col("w") * cmsDepth).as("n_cells"),
+        col("n_grams"), col("n_audited"), col("total_over"), col("max_over"),
+        (col("okm") === 1L).as("all_ok"),
+        (col("max_over") * 1000L * col("w") <= lit(2718L) * col("n_grams"))
+          .as("under_markov_bound"))
+      .orderBy("w")
+  }
+
+  /** Raw u32 seed hash of a gram (the [[cmsBucket]] math without the
+    * deployed-width modulus — the sweep applies its own widths). */
+  private def cmsBucket2(i: Int, g: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), g)), 1, 8), 16, 10).cast("long")
+
+  private def cmsWidthSweepSql = {
+    val hashUnion = (0 until cmsDepth).map(i =>
+      s"SELECT $i AS row, CAST('0x' || substr(md5('$i:' || g), 1, 8) AS BIGINT) AS h FROM gs")
+      .mkString("\n  UNION ALL ")
+    val probeUnion = (0 until cmsDepth).map(i =>
+      s"SELECT g, exact, $i AS row, CAST('0x' || substr(md5('$i:' || g), 1, 8) AS BIGINT) AS h FROM exact")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $gramStreamSql,
+       |hashed AS (
+       |  SELECT row, h, CAST(w AS BIGINT) AS w FROM (
+       |    $hashUnion) x, UNNEST([${cmsWidthGrid.mkString(", ")}]) t(w)),
+       |cells AS (
+       |  SELECT w, row, h % w AS bucket, COUNT(*) AS cnt
+       |  FROM hashed GROUP BY 1, 2, 3),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams FROM gs),
+       |exact AS (
+       |  SELECT g, COUNT(*) AS exact FROM gs GROUP BY 1
+       |  ORDER BY exact DESC, g LIMIT $cmsTopK),
+       |probes AS (
+       |  SELECT g, exact, row, h, CAST(w AS BIGINT) AS w, h % CAST(w AS BIGINT) AS bucket FROM (
+       |    $probeUnion) x, UNNEST([${cmsWidthGrid.mkString(", ")}]) t(w)),
+       |ests AS (
+       |  SELECT p.w, p.g, p.exact, MIN(c.cnt) AS est
+       |  FROM probes p JOIN cells c USING (w, row, bucket)
+       |  GROUP BY 1, 2, 3)
+       |SELECT w, w * $cmsDepth AS n_cells, nt.n_grams,
+       |  COUNT(*) AS n_audited,
+       |  CAST(SUM(est - exact) AS BIGINT) AS total_over,
+       |  MAX(est - exact) AS max_over,
+       |  MIN(CASE WHEN est >= exact THEN 1 ELSE 0 END) = 1 AS all_ok,
+       |  MAX(est - exact) * 1000 * w <= 2718 * nt.n_grams
+       |    AS under_markov_bound
+       |FROM ests CROSS JOIN nt
+       |GROUP BY w, nt.n_grams ORDER BY w""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
+    Q("cms_width_sweep", cmsWidthSweep, Some(cmsWidthSweepSql)),
     Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),
     Q("zipf_slope_audit", zipfSlopeAudit, Some(zipfSlopeAuditSql)),
     Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),

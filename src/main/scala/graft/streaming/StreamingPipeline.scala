@@ -1003,6 +1003,68 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  case class PrioIn(source: String, doc_id: Long, w: Long, p: Long)
+  case class PrioState(top: Seq[(Long, Long, Long)], // (p, doc_id, w)
+      nDocs: Long, sumW: Long, upd: Long)
+  case class PrioRow(source: String, n_docs: Long, exact_tokens: Long,
+      n_sampled: Long, tau: Long, est_tokens: Long,
+      ratio_milli: Option[Long], upd: Long)
+
+  /** Streaming DLT priority sample per source — the third mergeable-
+    * state twin beside the CMS counters and the KMV bottom-k
+    * ([[graft.queries.SketchOps]] `priority_sample_audit` held
+    * incrementally): keyed state is the k+1 highest-priority
+    * (p, doc_id, w) triples ever seen (k sampled + the (k+1)-th, which
+    * IS τ) plus the additive exact totals; each micro-batch merges
+    * arrivals (dedup by doc_id — a replayed doc carries the same
+    * deterministic coin, so the merge is idempotent) and emits the
+    * FULL audit row, so the final emission per source is bit-identical
+    * to the batch query's row (StreamingPipelineSpec pins it). Priority
+    * math lives in the shared [[graft.queries.SketchOps.prioKeyed]]
+    * projection — one copy or the estimator sides drift.
+    *
+    * Scale: one shuffle keyed by source; state is k+1 triples + two
+    * longs per source forever (bounded by construction, no timeout);
+    * `upd` is the monotone update index for latest-row selection. */
+  def prioritySampleStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = graft.queries.SketchOps.prioK
+    val keyed = graft.queries.SketchOps.prioKeyed(docs).as[PrioIn]
+    keyed.groupByKey(_.source)
+      .flatMapGroupsWithState[PrioState, PrioRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[PrioIn], state: GroupState[PrioState]) =>
+          val st = state.getOption.getOrElse(PrioState(Seq.empty, 0L, 0L, 0L))
+          val arrivals = it.toSeq
+          // doc_id is the item identity: replays are idempotent (same
+          // deterministic coin) and a within-batch id collision resolves
+          // to the max (p, w) tuple — deterministic under any shuffle
+          // order, unlike iterator-order "first wins"
+          val fresh = arrivals
+            .filterNot(a => st.top.exists(_._2 == a.doc_id))
+            .groupBy(_.doc_id).values
+            .map(g => g.maxBy(a => (a.p, a.w))).toSeq.sortBy(_.doc_id)
+          val merged = (st.top ++ fresh.map(a => (a.p, a.doc_id, a.w)))
+            .sortBy { case (p, id, _) => (-p, id) }.take(k + 1)
+          // additive totals: replays of an ALREADY-RETAINED doc were
+          // filtered above; a replay of an evicted doc is
+          // indistinguishable from a new arrival (the bounded-state
+          // trade — the batch query, which sees whole rows, is exact)
+          val nDocs = st.nDocs + fresh.size
+          val sumW = st.sumW + fresh.map(_.w).sum
+          val upd = st.upd + 1L
+          state.update(PrioState(merged, nDocs, sumW, upd))
+          val sample = merged.take(k)
+          val tau = if (merged.size > k) merged(k)._1 else 0L
+          val est =
+            if (nDocs <= k) sumW
+            else sample.map(t => math.max(t._3, tau)).sum
+          Iterator.single(PrioRow(src, nDocs, sumW, sample.size.toLong,
+            tau, est,
+            if (sumW > 0) Some(1000L * est / sumW) else None, upd))
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

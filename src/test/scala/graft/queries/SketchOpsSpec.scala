@@ -52,6 +52,36 @@ class SketchOpsSpec extends SparkSpec {
     assert(got.size == SketchOps.cmsTopK)
   }
 
+  test("cms_width_sweep ≡ plain-Scala recount; error falls as width grows") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = docs(dir).flatMap(d => trigrams(d._2))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topk = exact.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(SketchOps.cmsTopK)
+    val expected = SketchOps.cmsWidthGrid.map { w =>
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      for (g <- stream; i <- 0 until SketchOps.cmsDepth) {
+        val k = (i, u32(s"$i:$g") % w)
+        cells(k) = cells.getOrElse(k, 0L) + 1L
+      }
+      val overs = topk.map { case (g, c) =>
+        (0 until SketchOps.cmsDepth)
+          .map(i => cells((i, u32(s"$i:$g") % w))).min - c
+      }
+      val n = stream.size.toLong
+      w -> ((w * SketchOps.cmsDepth, n, topk.size.toLong, overs.sum,
+        overs.max, overs.forall(_ >= 0L),
+        overs.max * 1000L * w <= 2718L * n))
+    }.toMap
+    val got = SparkEntry.queries("cms_width_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got == expected)
+    // total error must fall monotonically with width
+    val totals = SketchOps.cmsWidthGrid.map(w => got(w)._4)
+    assert(totals == totals.sorted.reverse)
+  }
+
   test("kmv audits ≡ plain-Scala bottom-k; merge law holds") {
     val dir = "/root/testdata/sf0.001"
     val bySource = docs(dir)

@@ -771,6 +771,7 @@ class StreamingFuzzParitySpec extends SparkSpec {
         java.security.MessageDigest.getInstance("MD5")
           .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
       def u32(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(8), 16)
+      def u24(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(6), 16)
       def trigrams(t: String): Seq[String] = {
         val w = Option(t).getOrElse("").split(" ", -1)
         if (w.length < 3) Seq.empty
@@ -823,6 +824,43 @@ class StreamingFuzzParitySpec extends SparkSpec {
           (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
       assert(batch == expected.map { case (s, v) => s -> v._2 },
         "batch h_k vs JVM recount")
+
+      // priority-sample twin: id-keyed recount (the stream's documented
+      // identity rule — dirty corpora carry duplicate doc_ids, which the
+      // stream collapses to the max-(p, w) row; the row-identity batch
+      // query is fuzz-gated separately by the main oracle gate)
+      val K = S.prioK
+      val SC = S.prioScale
+      val prioExpected = full
+        .filter(_._1 != 0L) // dirtyDocs never emits id 0; all ids non-null
+        .map { case (id, t, _, src, _) =>
+          val w = Option(t).getOrElse("").split(" ", -1)
+            .count(_.nonEmpty).toLong
+          (Option(src).getOrElse(""), id, w, w * SC / (u24(id.toString) + 1L))
+        }
+        .groupBy(r => (r._1, r._2))
+        .map(_._2.maxBy(r => (r._4, r._3)))
+        .toSeq
+        .groupBy(_._1).map { case (src, rows) =>
+          val ranked = rows.sortBy(r => (-r._4, r._2))
+          val sample = ranked.take(K)
+          val tau = if (ranked.size > K) ranked(K)._4 else 0L
+          val exact = rows.map(_._3).sum
+          val est = sample.map(r => math.max(r._3, tau)).sum
+          src -> ((rows.size.toLong, exact, sample.size.toLong, tau, est,
+            if (exact > 0) Some(1000L * est / exact) else None))
+        }
+      val prioRows = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.prioritySampleStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"priofuzz$seed").collect()
+      val prioStreamed = prioRows.groupBy(_.getString(0)).map { case (s, rs) =>
+        val last = rs.maxBy(_.getLong(7))
+        s -> ((last.getLong(1), last.getLong(2), last.getLong(3),
+          last.getLong(4), last.getLong(5),
+          if (last.isNullAt(6)) None else Some(last.getLong(6))))
+      }
+      assert(prioStreamed == prioExpected, "priority stream vs JVM recount")
     }
   }
 }

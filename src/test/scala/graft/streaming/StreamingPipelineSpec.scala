@@ -511,6 +511,44 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) == 2L))
   }
 
+  test("prioritySampleStream: final per-source rows ≡ batch priority_sample_audit") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("priostream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.prioritySampleStream(stream).writeStream
+      .format("memory").queryName("prio_sample").outputMode("append").start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("prio_sample").collect()
+    val got = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      val last = rs.maxBy(_.getLong(7))
+      s -> ((last.getLong(1), last.getLong(2), last.getLong(3),
+        last.getLong(4), last.getLong(5),
+        if (last.isNullAt(6)) None else Some(last.getLong(6))))
+    }
+    val batch = graft.SparkEntry.queries("priority_sample_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got == batch)
+    assert(rows.exists(_.getLong(7) == 2L), "state must cross a micro-batch")
+  }
+
   test("semanticGateStream: exact batch parity with decontaminate_semantic") {
     import org.apache.spark.sql.functions.{col, not}
     val sf = "/root/testdata/sf0.001"
