@@ -54,6 +54,29 @@ object SketchOps {
       .select(split(col("text"), " ").as("w"))
       .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
 
+  /** Corpus gram-count relation (g, cnt) — registry-cached: every
+    * frequency-sketch audit derives from counts, and |vocabulary| ≪
+    * occurrences (the bpe_pair_stats lesson), so the token-scale explode
+    * runs ONCE per session and the counter/estimate/top-k stages all run
+    * vocabulary-sized. The sketch-build math is unchanged: a counter
+    * over occurrences equals the cnt-weighted sum over distinct grams. */
+  private def gramCounts(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "sketchGramCounts", "")(
+      gramCountsBySrc(s, dir).groupBy(col("g")).agg(sum(col("cnt")).as("cnt")))
+
+  /** Per-source gram counts (source, g, cnt) — the finer grain the AMS
+    * merge-law audit needs; the corpus-level [[gramCounts]] derives from
+    * it, so the session pays ONE token-scale aggregate for the whole
+    * sketch family. */
+  private def gramCountsBySrc(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "sketchGramCountsBySrc", "")(
+      t(s, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          split(col("text"), " ").as("w"))
+        .select(col("source"),
+          explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt")))
+
   /** (row, bucket) CMS cell keys of a doc frame's trigram occurrences —
     * THE single copy of the cell math, shared by the batch build and the
     * streaming counter twin
@@ -108,11 +131,17 @@ object SketchOps {
     * the only token-keyed aggregate, and it is what any corpus already
     * computes as `vocab_topk`. */
   private def cmsTopkAudit(s: SparkSession, dir: String): DataFrame = {
-    val gs = gramStream(s, dir)
-    val cells = cmsCellKeys(t(s, dir, "documents"))
-      .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = gs.groupBy(col("g")).agg(count(lit(1)).as("exact"))
+    val gc = gramCounts(s, dir)
+    // counters from the cached count relation: Σ over occurrences of a
+    // bucket ≡ Σ cnt over its distinct grams, at vocabulary scale. The
+    // cell math itself stays THE shared cmsCellKeys definition for the
+    // streaming twin (which cannot pre-aggregate a stream).
+    val cells = gc.select(col("cnt"), explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
+        .as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val exact = gc.select(col("g"), col("cnt").as("exact"))
       .orderBy(col("exact").desc, col("g")).limit(cmsTopK)
     val probes = exact.select(col("g"), col("exact"),
       explode(array((0 until cmsDepth).map(i =>
@@ -565,8 +594,7 @@ object SketchOps {
     * window runs over the N retained rows, and the fit is a one-row
     * aggregate. */
   private def zipfSlopeAudit(s: SparkSession, dir: String): DataFrame = {
-    val top = gramStream(s, dir).groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(s, dir)
       .orderBy(col("cnt").desc, col("g")).limit(zipfTopN)
     val ranked = top.withColumn("rk", row_number().over(
       Window.orderBy(col("cnt").desc, col("g"))).cast("long"))
@@ -632,18 +660,18 @@ object SketchOps {
     * non-empty whenever the corpus has any trigram; an EMPTY corpus
     * yields zero rows on both engines). */
   private def cmsWidthSweep(s: SparkSession, dir: String): DataFrame = {
-    val gs = gramStream(s, dir)
-    val hashed = gs.select(explode(array((0 until cmsDepth).map(i =>
-        struct(lit(i).as("row"),
-          conv(substring(md5(concat(lit(s"$i:"), col("g"))), 1, 8), 16, 10)
-            .cast("long").as("h"))): _*)).as("c"))
-      .select(col("c.row").as("row"), col("c.h").as("h"))
+    val gc = gramCounts(s, dir)
+    val hashed = gc.select(col("cnt"),
+        explode(array((0 until cmsDepth).map(i =>
+          struct(lit(i).as("row"), cmsBucket2(i, col("g")).as("h"))): _*))
+          .as("c"))
+      .select(col("cnt"), col("c.row").as("row"), col("c.h").as("h"))
       .withColumn("w", explode(array(cmsWidthGrid.map(lit): _*)))
     val cells = hashed.groupBy(col("w"), col("row"),
         (col("h") % col("w")).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val nTot = gs.agg(count(lit(1)).as("n_grams"))
-    val exact = gs.groupBy(col("g")).agg(count(lit(1)).as("exact"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val nTot = gc.agg(sum(col("cnt")).as("n_grams"))
+    val exact = gc.select(col("g"), col("cnt").as("exact"))
       .orderBy(col("exact").desc, col("g")).limit(cmsTopK)
     val probes = exact.select(col("g"), col("exact"),
         explode(array((0 until cmsDepth).map(i =>
@@ -710,7 +738,100 @@ object SketchOps {
        |GROUP BY w, nt.n_grams ORDER BY w""".stripMargin
   }
 
+  /** AMS estimator count (the paper's s₂; mean over these — with 8 the
+    * relative stderr is √2/√8 = 50 %, honest for an audit; a deployment
+    * scales d for its ε). */
+  val amsDepth = 8
+
+  /** AMS/Tug-of-War second-moment audit (Alon–Matias–Szegedy 1996):
+    * F₂ = Σ_g cnt(g)² — the SELF-JOIN SIZE on the gram key, the quantity
+    * `join_size_probe` computes exactly for its pre-flight and every
+    * query optimizer estimates — sketched by [[amsDepth]] ±1-signed
+    * sums X_i = Σ_g s_i(g)·cnt(g) with est = mean X_i². Signs are
+    * md5-parity (engine-portable), every accumulation is exact int64,
+    * and the estimate is one integer division. The sketch is LINEAR, so
+    * per-source sketches compose by ADDITION — `merge_exact` audits
+    * Σ_sources X_i(src) = X_i(corpus) per estimator (structurally true;
+    * a hash-green row is the cross-engine proof, the kmv_merge_audit
+    * contract). Completes the frequency-moment story: F₀ = KMV/HLL,
+    * F₂ = AMS, heavy hitters = CMS/Misra–Gries.
+    *
+    * Scale shape: rides the cached per-source count relation; the
+    * sketch state is d numbers per shard/source at any corpus size; the
+    * exact F₂ (the audit's baseline) is the only vocabulary-sized
+    * aggregate, and nothing is ever pair-wise — the point: the true
+    * self-join size is quadratic to MATERIALIZE but constant-state to
+    * sketch. */
+  private def amsF2Audit(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = gramCountsBySrc(s, dir)
+    val gc = gramCounts(s, dir)
+    def sign(g: Column, i: Column): Column =
+      lit(1L) - lit(2L) * (conv(substring(md5(
+        concat(i.cast("string"), lit(":"), g)), 1, 8), 16, 10)
+        .cast("long") % 2L)
+    val est = gc.select(col("g"), col("cnt"),
+        explode(sequence(lit(0), lit(amsDepth - 1))).as("i"))
+      .groupBy(col("i"))
+      .agg(sum(sign(col("g"), col("i")) * col("cnt")).as("x"))
+      .agg(sum(col("x") * col("x")).as("sx2"),
+        min(col("x") * col("x")).as("x2_min"),
+        max(col("x") * col("x")).as("x2_max"))
+    val merged = bySrc.select(col("source"), col("g"), col("cnt"),
+        explode(sequence(lit(0), lit(amsDepth - 1))).as("i"))
+      .groupBy(col("source"), col("i"))
+      .agg(sum(sign(col("g"), col("i")) * col("cnt")).as("xs"))
+      .groupBy(col("i")).agg(sum(col("xs")).as("xm"))
+      .agg(sum(col("xm") * col("xm")).as("sx2m"))
+    val base = gc.agg(sum(col("cnt")).as("n_grams"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("cnt") * col("cnt")).as("f2_exact"))
+    base.crossJoin(broadcast(est)).crossJoin(broadcast(merged))
+      .select(col("n_grams"), col("n_distinct"), col("f2_exact"),
+        expr(s"sx2 div $amsDepth").as("est"),
+        col("x2_min"), col("x2_max"),
+        expr(s"CASE WHEN f2_exact > 0 THEN (1000 * (sx2 div $amsDepth))" +
+          " div f2_exact END").as("ratio_milli"),
+        (col("sx2") <=> col("sx2m")).as("merge_exact"))
+  }
+
+  private def amsF2AuditSql = {
+    val signSql =
+      "(1 - 2 * (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 8) AS BIGINT) % 2))"
+    s"""WITH bysrc AS (
+       |  SELECT COALESCE(source, '') AS source, s AS g, COUNT(*) AS cnt
+       |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)
+       |  GROUP BY 1, 2),
+       |gc AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS cnt FROM bysrc GROUP BY 1),
+       |xs AS (
+       |  SELECT i, CAST(SUM($signSql * cnt) AS BIGINT) AS x
+       |  FROM gc, UNNEST(range(0, $amsDepth)) t(i) GROUP BY 1),
+       |est AS (
+       |  SELECT CAST(SUM(x * x) AS BIGINT) AS sx2,
+       |    MIN(x * x) AS x2_min, MAX(x * x) AS x2_max
+       |  FROM xs),
+       |xsm AS (
+       |  SELECT i, CAST(SUM(xsrc) AS BIGINT) AS xm FROM (
+       |    SELECT source, i, CAST(SUM($signSql * cnt) AS BIGINT) AS xsrc
+       |    FROM bysrc, UNNEST(range(0, $amsDepth)) t(i) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |mg AS (SELECT CAST(SUM(xm * xm) AS BIGINT) AS sx2m FROM xsm),
+       |base AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+       |  FROM gc)
+       |SELECT n_grams, n_distinct, f2_exact,
+       |  sx2 // $amsDepth AS est, x2_min, x2_max,
+       |  CASE WHEN f2_exact > 0
+       |    THEN (1000 * (sx2 // $amsDepth)) // f2_exact END AS ratio_milli,
+       |  sx2 IS NOT DISTINCT FROM sx2m AS merge_exact
+       |FROM base CROSS JOIN est CROSS JOIN mg""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("ams_f2_audit", amsF2Audit, Some(amsF2AuditSql)),
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
     Q("cms_width_sweep", cmsWidthSweep, Some(cmsWidthSweepSql)),
     Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),

@@ -82,6 +82,35 @@ class SketchOpsSpec extends SparkSpec {
     assert(totals == totals.sorted.reverse)
   }
 
+  test("ams_f2_audit ≡ plain-Scala tug-of-war; linearity law holds") {
+    val dir = "/root/testdata/sf0.001"
+    val S = SketchOps
+    val bySrc = docs(dir)
+      .flatMap(d => trigrams(d._2).map(g => (d._3, g)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gc = bySrc.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    def sign(i: Int, g: String): Long =
+      1L - 2L * (u32(s"$i:$g") % 2L)
+    val xs = (0 until S.amsDepth).map(i =>
+      gc.map { case (g, c) => sign(i, g) * c }.sum)
+    val sx2 = xs.map(x => x * x).sum
+    // linearity: per-source X vectors sum to the corpus X vector
+    val xm = (0 until S.amsDepth).map(i =>
+      bySrc.groupBy(_._1._1).values
+        .map(_.map { case ((_, g), c) => sign(i, g) * c }.sum).sum)
+    assert(xs == xm, "JVM linearity recount")
+    val f2 = gc.values.map(c => c * c).sum
+    val r = SparkEntry.queries("ams_f2_audit")(spark, dir).collect().head
+    assert(r.getLong(0) == gc.values.sum)
+    assert(r.getLong(1) == gc.size.toLong)
+    assert(r.getLong(2) == f2)
+    assert(r.getLong(3) == sx2 / S.amsDepth)
+    assert(r.getLong(4) == xs.map(x => x * x).min)
+    assert(r.getLong(5) == xs.map(x => x * x).max)
+    assert(r.getBoolean(7), "merge_exact must be structurally true")
+  }
+
   test("kmv audits ≡ plain-Scala bottom-k; merge law holds") {
     val dir = "/root/testdata/sf0.001"
     val bySource = docs(dir)
