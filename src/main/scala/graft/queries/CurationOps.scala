@@ -779,7 +779,70 @@ object CurationOps {
        |WHERE ${vecDecSql("m.vec_id")} = 9
        |ORDER BY m.vec_id""".stripMargin
 
+  /** Contrastive-training triple mining — the embedding-model training-
+    * data op (DPR/SimCSE-style hard-negative mining: Karpukhin et al.
+    * 2020 mine hard negatives from the same retrieval shortlist;
+    * in-batch negatives are the easy baseline): for every corpus vector
+    * that has BOTH, emit its best POSITIVE (highest-cosine τ-neighbor —
+    * a semantic duplicate, the label-free positive SimCSE-style
+    * pipelines use) and its best HARD NEGATIVE (highest-cosine
+    * same-cluster vector BELOW τ — near in coarse geometry, not a
+    * duplicate: exactly the "hard" band that makes contrastive losses
+    * learn). Ties resolve max-cos then min-id (the semdedup_increment
+    * convention). `margin_milli` = ⌊1000·(pos−neg)⌋ is structurally > 0
+    * whenever floor doesn't collapse it (pos ≥ τ > neg), and its
+    * distribution is the curriculum signal a training run reads.
+    *
+    * Scale shape: BOTH aggregates read the one capped within-cluster
+    * pair relation ([[semPairs]] — shared with the prune, the sweep and
+    * the agreement audit), so mining costs two hash aggregates and a
+    * vector-keyed join on top of state the dedup pass already built.
+    * Mining from the dedup tier's own candidates is the point: at
+    * 100 TB nobody runs a second pair pass to build training triples. */
+  private def contrastiveTriples(s: SparkSession, dir: String): DataFrame = {
+    val prs = semPairs(s, dir)
+    def bestOf(df: DataFrame) = df
+      .groupBy(col("x").as("anchor"))
+      .agg(max(struct(col("cos").as("c"), (-col("y")).as("ny"))).as("m"))
+    val pos = bestOf(prs.filter(col("cos") >= semTau))
+      .select(col("anchor"), (-col("m.ny")).as("pos_id"),
+        col("m.c").as("pos_cos"))
+    val neg = bestOf(prs.filter(col("cos") < semTau))
+      .select(col("anchor"), (-col("m.ny")).as("neg_id"),
+        col("m.c").as("neg_cos"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        floor(lit(1000.0) * (col("pos_cos") - col("neg_cos")))
+          .cast("long").as("margin_milli"))
+      .orderBy("anchor")
+  }
+
+  private def contrastiveTriplesSql =
+    s"""WITH ${SimilarityOps.ivfServeCtes},
+       |$semPairsSqlCtes,
+       |posc AS (SELECT x AS anchor, MAX(cos) AS pos_cos
+       |         FROM prs WHERE cos >= $semTau GROUP BY 1),
+       |posi AS (
+       |  SELECT p.x AS anchor, MIN(p.y) AS pos_id
+       |  FROM prs p JOIN posc ON p.x = posc.anchor AND p.cos = posc.pos_cos
+       |  WHERE p.cos >= $semTau GROUP BY 1),
+       |negc AS (SELECT x AS anchor, MAX(cos) AS neg_cos
+       |         FROM prs WHERE cos < $semTau GROUP BY 1),
+       |negi AS (
+       |  SELECT p.x AS anchor, MIN(p.y) AS neg_id
+       |  FROM prs p JOIN negc ON p.x = negc.anchor AND p.cos = negc.neg_cos
+       |  WHERE p.cos < $semTau GROUP BY 1)
+       |SELECT pc.anchor, pi.pos_id, pc.pos_cos, ni.neg_id, nc.neg_cos,
+       |  CAST(floor(1000 * (pc.pos_cos - nc.neg_cos)) AS BIGINT)
+       |    AS margin_milli
+       |FROM posc pc JOIN posi pi USING (anchor)
+       |JOIN negc nc USING (anchor) JOIN negi ni USING (anchor)
+       |ORDER BY pc.anchor""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("contrastive_triples", contrastiveTriples,
+      Some(contrastiveTriplesSql)),
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
     Q("dsir_hashed_ngram_weights", dsirHashedNgramWeights,

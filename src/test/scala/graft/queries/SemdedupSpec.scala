@@ -275,4 +275,39 @@ class SemdedupSpec extends SparkSpec {
     got.values.foreach { case (k, a, b, c, d, _) => assert(a + b + c + d == k) }
     assert(got.nonEmpty)
   }
+
+  test("contrastive_triples ≡ within-cluster recount; pos ≥ τ > neg, margin > 0") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val q = quantize(vecs)
+    val assigned = assign(q)
+    val byCluster = assigned.groupBy(_._2._1)
+    def cosOf(a: Long, b: Long): Double =
+      dot(q(a), q(b)).toDouble / math.sqrt((nrm(q(a)) * nrm(q(b))).toDouble)
+    val expected = assigned.flatMap { case (id, (cid, _)) =>
+      val peers = byCluster(cid).keys.filter(_ != id).toSeq
+        .map(p => (p, cosOf(id, p)))
+      // max-cos, min-id tiebreak — the engine's struct-max rule
+      def best(cands: Seq[(Long, Double)]): Option[(Long, Double)] =
+        if (cands.isEmpty) None
+        else { val m = cands.map(_._2).max
+          Some((cands.filter(_._2 == m).map(_._1).min, m)) }
+      for {
+        (pid, pc) <- best(peers.filter(_._2 >= CurationOps.semTau))
+        (nid, nc) <- best(peers.filter(_._2 < CurationOps.semTau))
+      } yield id -> ((pid, pc, nid, nc,
+        math.floor(1000.0 * (pc - nc)).toLong))
+    }
+    val got = SparkEntry.queries("contrastive_triples")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture corpus must yield at least one triple")
+    got.values.foreach { case (_, pc, _, nc, m) =>
+      assert(pc >= CurationOps.semTau && nc < CurationOps.semTau && m >= 0)
+    }
+  }
 }
