@@ -738,6 +738,74 @@ object SketchOps {
        |GROUP BY w, nt.n_grams ORDER BY w""".stripMargin
   }
 
+  /** The k grid of the KMV sweep (brackets the deployed [[kmvK]] = 32 an
+    * octave-squared either side). */
+  val kmvKGrid: Seq[Int] = Seq(8, 32, 128)
+
+  /** KMV sketch-size calibration sweep — the memory/accuracy decision
+    * for the distinct counter (the cms_width_sweep contract applied to
+    * the bottom-k sketch): per candidate k, the corpus-wide estimate
+    * from the k-th smallest distinct-gram hash and its exact-milli
+    * ratio to the true distinct count. The relative stderr falls as
+    * 1/√(k−2), so the sweep shows where extra retained hashes stop
+    * buying accuracy.
+    *
+    * Plan shape: ONE distributed bottom-max(k) TakeOrdered over the
+    * cached universe serves every grid point (the rank window then runs
+    * over ≤ 128 retained rows); the exact distinct count is the only
+    * corpus-sized aggregate. Every grid row appears even if the corpus
+    * has fewer than k distinct grams (saturated rows report the exact
+    * count — LEFT join the grid). */
+  private def kmvKSweep(s: SparkSession, dir: String): DataFrame = {
+    val kMax = kmvKGrid.max
+    val bottom = kmvUniverse(s, dir).select(col("g"), col("h")).distinct()
+      .orderBy(col("h"), col("g")).limit(kMax)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h"), col("g"))).cast("long"))
+    val hks = bottom.select(explode(array(kmvKGrid.map(lit): _*)).as("k"),
+        col("rk"), col("h"))
+      .filter(col("rk") === col("k"))
+      .select(col("k").cast("long").as("k"), col("h").as("h_k"))
+    val nAll = kmvUniverse(s, dir).select(col("g")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    nAll.select(explode(array(kmvKGrid.map(k => lit(k.toLong)): _*)).as("k"),
+        col("n_exact"))
+      .join(hks, Seq("k"), "left")
+      .select(col("k"), col("n_exact"), col("h_k"),
+        when(col("n_exact") <= col("k"), col("n_exact"))
+          .otherwise(when(col("h_k") > 0,
+            expr(s"((k - 1) * $kmvDomain) div h_k"))).as("est"))
+      .withColumn("ratio_milli",
+        expr("CASE WHEN n_exact > 0 THEN (1000 * est) div n_exact END"))
+      .orderBy("k")
+  }
+
+  private def kmvKSweepSql =
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT DISTINCT g, $kmvHashSql AS h FROM u),
+       |bottom AS (
+       |  SELECT h, CAST(row_number() OVER (ORDER BY h, g) AS BIGINT) AS rk
+       |  FROM (SELECT g, h FROM hh ORDER BY h, g LIMIT ${kmvKGrid.max})),
+       |hks AS (
+       |  SELECT CAST(k AS BIGINT) AS k, h AS h_k
+       |  FROM bottom, UNNEST([${kmvKGrid.mkString(", ")}]) t(k)
+       |  WHERE rk = k),
+       |na AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact FROM hh),
+       |grid AS (
+       |  SELECT CAST(k AS BIGINT) AS k, n_exact
+       |  FROM na, UNNEST([${kmvKGrid.mkString(", ")}]) t(k))
+       |SELECT g.k, g.n_exact, hks.h_k,
+       |  CASE WHEN g.n_exact <= g.k THEN g.n_exact
+       |       WHEN hks.h_k > 0 THEN ((g.k - 1) * $kmvDomain) // hks.h_k
+       |  END AS est,
+       |  CASE WHEN g.n_exact > 0 THEN
+       |    (1000 * (CASE WHEN g.n_exact <= g.k THEN g.n_exact
+       |       WHEN hks.h_k > 0 THEN ((g.k - 1) * $kmvDomain) // hks.h_k END))
+       |      // g.n_exact
+       |  END AS ratio_milli
+       |FROM grid g LEFT JOIN hks ON g.k = hks.k
+       |ORDER BY g.k""".stripMargin
+
   /** AMS estimator count (the paper's s₂; mean over these — with 8 the
     * relative stderr is √2/√8 = 50 %, honest for an audit; a deployment
     * scales d for its ε). */
@@ -838,6 +906,7 @@ object SketchOps {
     Q("zipf_slope_audit", zipfSlopeAudit, Some(zipfSlopeAuditSql)),
     Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),
     Q("kmv_merge_audit", kmvMergeAudit, Some(kmvMergeAuditSql)),
+    Q("kmv_k_sweep", kmvKSweep, Some(kmvKSweepSql)),
     Q("priority_sample_audit", prioritySampleAudit,
       Some(prioritySampleAuditSql)))
 }

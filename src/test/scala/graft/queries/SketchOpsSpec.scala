@@ -82,6 +82,30 @@ class SketchOpsSpec extends SparkSpec {
     assert(totals == totals.sorted.reverse)
   }
 
+  test("kmv_k_sweep ≡ plain-Scala recount across the k grid") {
+    val dir = "/root/testdata/sf0.001"
+    val S = SketchOps
+    val grams = docs(dir).flatMap(d => trigrams(d._2)).distinct
+    val hs = grams.map(g => (u32(g), g)).sorted
+    val n = hs.size.toLong
+    val expected = S.kmvKGrid.map { k =>
+      val hk = if (n >= k) Some(hs(k - 1)._1) else None
+      val est =
+        if (n <= k) n
+        else hk.filter(_ > 0).map((k - 1).toLong * S.kmvDomain / _)
+          .getOrElse(0L)
+      k.toLong -> ((n, hk, est,
+        if (n > 0) Some(1000L * est / n) else None))
+    }.toMap
+    val got = SparkEntry.queries("kmv_k_sweep")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got == expected)
+    assert(got.size == S.kmvKGrid.size)
+  }
+
   test("ams_f2_audit ≡ plain-Scala tug-of-war; linearity law holds") {
     val dir = "/root/testdata/sf0.001"
     val S = SketchOps
