@@ -10,11 +10,14 @@ import Util._
   * where exact global state is unaffordable or must compose across
   * shards/streams: Count-Min frequency estimation (Cormode & Muthukrishnan
   * 2005), KMV/bottom-k distinct counting (Bar-Yossef et al. 2002 — the
-  * theta-sketch core), and Duffield–Lund–Thorup priority sampling
-  * (Duffield et al. 2007) for weighted subset-sum estimation. Complements
-  * the existing sketch surface (`approx_sketches` = engine HLL++/quantile
-  * contracts, `heavy_hitters_sketch` = Misra–Gries): these three are
-  * hand-rolled from published constructions so their MERGE laws are
+  * theta-sketch core), HyperLogLog registers (Flajolet et al. 2007), AMS
+  * tug-of-war second moments (Alon–Matias–Szegedy 1996), and
+  * Duffield–Lund–Thorup priority sampling (Duffield et al. 2007) for
+  * weighted subset-sum estimation — each with a width/size calibration
+  * sweep where that is the deployment's memory knob. Complements the
+  * existing sketch surface (`approx_sketches` = engine HLL++/quantile
+  * contracts, `heavy_hitters_sketch` = Misra–Gries): these are hand-rolled
+  * from the published constructions so their MERGE/linearity laws are
   * first-class, audited facts rather than engine internals.
   *
   * House determinism contract: engine-portable md5 hashing
@@ -46,14 +49,6 @@ object SketchOps {
   private def cmsBucketSql(i: Int, g: String): String =
     s"CAST('0x' || substr(md5('$i:' || $g), 1, 8) AS BIGINT) % $cmsWidth"
 
-  /** The trigram OCCURRENCE stream (non-distinct — frequency sketches
-    * count occurrences) with NULL-safe doc handling: NULL text yields no
-    * grams. */
-  private def gramStream(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(split(col("text"), " ").as("w"))
-      .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
-
   /** Corpus gram-count relation (g, cnt) — registry-cached: every
     * frequency-sketch audit derives from counts, and |vocabulary| ≪
     * occurrences (the bpe_pair_stats lesson), so the token-scale explode
@@ -78,11 +73,12 @@ object SketchOps {
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt")))
 
   /** (row, bucket) CMS cell keys of a doc frame's trigram occurrences —
-    * THE single copy of the cell math, shared by the batch build and the
-    * streaming counter twin
-    * ([[graft.streaming.StreamingPipeline.cmsCellStream]]): build and
-    * probe/merge must agree cell-for-cell or additivity silently breaks
-    * (the bloomPositions discipline). */
+    * the STREAMING twin's projection
+    * ([[graft.streaming.StreamingPipeline.cmsCellStream]]; a stream
+    * cannot pre-aggregate to counts). The batch build aggregates the
+    * cached count relation instead, but through the SAME [[cmsBucket]]
+    * seed-hash — the one copy whose drift would silently break
+    * counter additivity (the bloomPositions discipline). */
   def cmsCellKeys(docs: DataFrame): DataFrame =
     docs.select(split(col("text"), " ").as("w"))
       .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
@@ -105,6 +101,9 @@ object SketchOps {
       .select(col("source"), explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
       .withColumn("h", kmvHash(col("g")))
 
+  /** SQL-side trigram OCCURRENCE stream (the oracles aggregate from
+    * occurrences directly; the Spark side aggregates once into the
+    * cached count relations above — same math, one token-scale pass). */
   private val gramStreamSql =
     """gs AS (
       |  SELECT s AS g
@@ -133,9 +132,9 @@ object SketchOps {
   private def cmsTopkAudit(s: SparkSession, dir: String): DataFrame = {
     val gc = gramCounts(s, dir)
     // counters from the cached count relation: Σ over occurrences of a
-    // bucket ≡ Σ cnt over its distinct grams, at vocabulary scale. The
-    // cell math itself stays THE shared cmsCellKeys definition for the
-    // streaming twin (which cannot pre-aggregate a stream).
+    // bucket ≡ Σ cnt over its distinct grams, at vocabulary scale — the
+    // seed hash stays the one shared cmsBucket definition (the streaming
+    // twin, which cannot pre-aggregate, uses it via cmsCellKeys).
     val cells = gc.select(col("cnt"), explode(array((0 until cmsDepth).map(i =>
         struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
         .as("c"))
@@ -195,8 +194,8 @@ object SketchOps {
   private val kmvHashSql = "CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)"
 
   /** Distinct (source, gram, hash) universe, NULL source bucketed as ''
-    * (the fuzz-gate NULL-key contract). Registry-cached: the distinct
-    * audit and the merge audit reference it four times between them, and
+    * (the fuzz-gate NULL-key contract). Registry-cached: the kmv
+    * audits, the k sweep and the HLL audit reference it repeatedly, and
     * without the cache each reference re-runs the token-scale explode +
     * distinct (the cachedRelation discipline — plan audit counted the
     * redundant scans). */
