@@ -737,6 +737,117 @@ object SketchOps {
        |GROUP BY w, nt.n_grams ORDER BY w""".stripMargin
   }
 
+  /** KMV set-intersection audit — the theta-sketch estimator for
+    * CROSS-SOURCE content overlap (the sketch-tier sibling of
+    * `cross_source_leakage`, which verifies pairs exactly): for every
+    * unordered source pair, the union sketch is the bottom-k of the two
+    * retained hash sets, θ its k-th smallest hash, and the intersection
+    * estimate m·est_union/k where m counts union-bottom-k items present
+    * in BOTH sketches — membership is EXACT for those items because any
+    * x ∈ A with h(x) < θ ≤ θ_A is necessarily inside A's bottom-k (the
+    * theta-sketch composability fact this audit pins). A pair whose
+    * union pool retains fewer than k items is in the exact regime
+    * (the sketches jointly saw everything: estimate ≡ m). Every pair is
+    * emitted with its exact intersection for the accuracy read.
+    *
+    * Scale shape: all sketch-side work runs on k·|sources| retained
+    * rows (640 here) — pair grids, union ranks and m are tiny no matter
+    * the corpus; only the exact baseline touches the vocabulary (one
+    * gram-keyed self-join bounded by per-gram source fan-out). At
+    * 100 TB a deployment drops the exact side and keeps the
+    * sketch-only plan — this is precisely why theta sketches are the
+    * standard cross-dataset overlap tool. */
+  private def kmvIntersectAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = kmvUniverse(s, dir)
+    val sk = u.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("g")))
+        .cast("long"))
+      .filter(col("rk") <= kmvK)
+      .select(col("source"), col("g"), col("h"))
+    val srcs = u.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val pool = pairs
+      .join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("g"), col("h"), lit(1L).as("in_a"),
+        lit(0L).as("in_b"))
+      .unionByName(pairs
+        .join(sk.withColumnRenamed("source", "sb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("g"), col("h"), lit(0L).as("in_a"),
+          lit(1L).as("in_b")))
+      .groupBy(col("sa"), col("sb"), col("g"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val ranked = pool.withColumn("rk", row_number().over(
+      Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"), col("g")))
+      .cast("long"))
+    val agg = ranked.filter(col("rk") <= kmvK)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_pool"),
+        max(when(col("rk") === kmvK, col("h"))).as("theta"),
+        sum(col("in_a") * col("in_b")).as("m"))
+    val exact = u.select(col("source").as("sa"), col("g"))
+      .join(u.select(col("source").as("sb"), col("g")), Seq("g"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_exact_inter"))
+    pairs.join(agg, Seq("sa", "sb"), "left")
+      .join(exact, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        coalesce(col("m"), lit(0L)).as("m"),
+        // NULL path must match the oracle's COALESCE: a pair whose pool
+        // is empty (a gram-less source) estimates 0, not NULL
+        when(col("n_pool") < kmvK || col("theta").isNull,
+            coalesce(col("m"), lit(0L)))
+          .otherwise(when(col("theta") > 0, expr(
+            s"(m * ((${kmvK - 1} * $kmvDomain) div theta)) div $kmvK")))
+          .as("est_inter"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private def kmvIntersectAuditSql =
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT source, g, $kmvHashSql AS h FROM u),
+       |sk AS (
+       |  SELECT source, g, h FROM (
+       |    SELECT source, g, h, CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY h, g) AS BIGINT) AS rk
+       |    FROM hh) WHERE rk <= $kmvK),
+       |srcs AS (SELECT DISTINCT source FROM hh),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pool AS (
+       |  SELECT sa, sb, g, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+       |    SELECT p.sa, p.sb, k.g, k.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk k ON k.source = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, k.g, k.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN sk k ON k.source = p.sb)
+       |  GROUP BY 1, 2, 3, 4),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY sa, sb
+       |    ORDER BY h, g) AS BIGINT) AS rk
+       |  FROM pool),
+       |ag AS (
+       |  SELECT sa, sb, COUNT(*) AS n_pool,
+       |    MAX(CASE WHEN rk = $kmvK THEN h END) AS theta,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS m
+       |  FROM ranked WHERE rk <= $kmvK GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_exact_inter
+       |  FROM hh a JOIN hh b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.sa AS source_a, p.sb AS source_b,
+       |  COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+       |  COALESCE(ag.m, 0) AS m,
+       |  CASE WHEN ag.n_pool < $kmvK OR ag.theta IS NULL THEN COALESCE(ag.m, 0)
+       |       WHEN ag.theta > 0 THEN
+       |         (ag.m * ((${kmvK - 1} * $kmvDomain) // ag.theta)) // $kmvK
+       |  END AS est_inter
+       |FROM pairs p LEFT JOIN ag USING (sa, sb) LEFT JOIN ex
+       |  ON p.sa = ex.sa AND p.sb = ex.sb
+       |ORDER BY p.sa, p.sb""".stripMargin
+
   /** The k grid of the KMV sweep (brackets the deployed [[kmvK]] = 32 an
     * octave-squared either side). */
   val kmvKGrid: Seq[Int] = Seq(8, 32, 128)
@@ -906,6 +1017,8 @@ object SketchOps {
     Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),
     Q("kmv_merge_audit", kmvMergeAudit, Some(kmvMergeAuditSql)),
     Q("kmv_k_sweep", kmvKSweep, Some(kmvKSweepSql)),
+    Q("kmv_intersect_audit", kmvIntersectAudit,
+      Some(kmvIntersectAuditSql)),
     Q("priority_sample_audit", prioritySampleAudit,
       Some(prioritySampleAuditSql)))
 }
