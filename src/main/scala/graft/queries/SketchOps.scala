@@ -737,26 +737,48 @@ object SketchOps {
        |GROUP BY w, nt.n_grams ORDER BY w""".stripMargin
   }
 
+  /** df-cap for the [[kmvIntersectAudit]] EXACT baseline's gram-keyed
+    * self-join: a gram present in more than this many sources contributes
+    * df² join rows, the classic quadratic key ([[graft.queries.DedupOps]]
+    * `maxTokenDf` discipline applied here for symmetry). The cap restricts
+    * the exact-intersection UNIVERSE (both the join and what n_exact_inter
+    * counts — a consistent sub-universe, never a mixed-universe
+    * undercount), drops are logged via `graft_drop_kmv_exact_gram`, and
+    * the SKETCH side is untouched — it never joins on grams. Never binds
+    * at test scale (≤ 20 sources, so max df = 20 < 1000), so oracle
+    * output is unchanged there. Session conf `graft.cap.kmvExactDf`
+    * overrides per deployment — ENGINE SIDE ONLY: the DuckDB oracle
+    * interpolates the default, so Verify refuses replay under an
+    * override. */
+  val kmvExactDfDefault = 1000
+  def kmvExactDf(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.kmvExactDf").map(_.toInt)
+      .getOrElse(kmvExactDfDefault)
+
   /** KMV set-intersection audit — the theta-sketch estimator for
     * CROSS-SOURCE content overlap (the sketch-tier sibling of
     * `cross_source_leakage`, which verifies pairs exactly): for every
     * unordered source pair, the union sketch is the bottom-k of the two
-    * retained hash sets, θ its k-th smallest hash, and the intersection
-    * estimate m·est_union/k where m counts union-bottom-k items present
-    * in BOTH sketches — membership is EXACT for those items because any
-    * x ∈ A with h(x) < θ ≤ θ_A is necessarily inside A's bottom-k (the
-    * theta-sketch composability fact this audit pins). A pair whose
-    * union pool retains fewer than k items is in the exact regime
-    * (the sketches jointly saw everything: estimate ≡ m). Every pair is
+    * retained hash sets and θ its k-th smallest hash; following the
+    * classical estimator, only entries STRICTLY below θ form the uniform
+    * sample (inclusion probability θ/2³²), so m counts below-θ items
+    * present in BOTH sketches and the intersection estimate is
+    * m·est_union/(k−1) = m·2³²/θ — membership is EXACT for those items
+    * because any x ∈ A with h(x) < θ ≤ θ_A is necessarily inside A's
+    * bottom-k (the theta-sketch composability fact this audit pins; the
+    * strict inequality also makes it immune to a u32 hash tie AT a
+    * source's own boundary). A pair whose union pool retains fewer than
+    * k items is in the exact regime (the sketches jointly saw
+    * everything: estimate ≡ m over the whole pool). Every pair is
     * emitted with its exact intersection for the accuracy read.
     *
     * Scale shape: all sketch-side work runs on k·|sources| retained
     * rows (640 here) — pair grids, union ranks and m are tiny no matter
     * the corpus; only the exact baseline touches the vocabulary (one
-    * gram-keyed self-join bounded by per-gram source fan-out). At
-    * 100 TB a deployment drops the exact side and keeps the
-    * sketch-only plan — this is precisely why theta sketches are the
-    * standard cross-dataset overlap tool. */
+    * gram-keyed self-join, df-capped by [[kmvExactDf]] so no stop-gram
+    * can go quadratic). At 100 TB a deployment drops the exact side and
+    * keeps the sketch-only plan — this is precisely why theta sketches
+    * are the standard cross-dataset overlap tool. */
   private def kmvIntersectAudit(s: SparkSession, dir: String): DataFrame = {
     val u = kmvUniverse(s, dir)
     val sk = u.withColumn("rk", row_number().over(
@@ -784,22 +806,34 @@ object SketchOps {
       .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("n_pool"),
         max(when(col("rk") === kmvK, col("h"))).as("theta"),
-        sum(col("in_a") * col("in_b")).as("m"))
-    val exact = u.select(col("source").as("sa"), col("g"))
+        sum(col("in_a") * col("in_b")).as("m_all"),
+        sum(when(col("rk") < kmvK, col("in_a") * col("in_b"))
+          .otherwise(lit(0L))).as("m_below"))
+    // u is distinct (source, g), so the per-gram count IS source fan-out
+    val okG = Util.withDropMetric(s, u.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")), "graft_drop_kmv_exact_gram",
+        sum(when(col("df") > kmvExactDf(s), 1L).otherwise(0L)))
+      .filter(col("df") <= kmvExactDf(s))
+      .select(col("g"))
+    val exact = u.join(okG, Seq("g"), "left_semi")
+      .select(col("source").as("sa"), col("g"))
       .join(u.select(col("source").as("sb"), col("g")), Seq("g"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_exact_inter"))
+    // exact-regime test: theta.isNull is true for both the unsaturated
+    // pool AND the no-pool (left-join-null) pair, so one predicate
+    // covers the empty-source COALESCE path of the oracle
+    val exactRegime = col("n_pool") < kmvK || col("theta").isNull
     pairs.join(agg, Seq("sa", "sb"), "left")
       .join(exact, Seq("sa", "sb"), "left")
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
-        coalesce(col("m"), lit(0L)).as("m"),
-        // NULL path must match the oracle's COALESCE: a pair whose pool
-        // is empty (a gram-less source) estimates 0, not NULL
-        when(col("n_pool") < kmvK || col("theta").isNull,
-            coalesce(col("m"), lit(0L)))
+        when(exactRegime, coalesce(col("m_all"), lit(0L)))
+          .otherwise(col("m_below")).as("m"),
+        when(exactRegime, coalesce(col("m_all"), lit(0L)))
           .otherwise(when(col("theta") > 0, expr(
-            s"(m * ((${kmvK - 1} * $kmvDomain) div theta)) div $kmvK")))
+            s"(m_below * ((${kmvK - 1} * $kmvDomain) div theta)) " +
+              s"div ${kmvK - 1}")))
           .as("est_inter"))
       .orderBy("source_a", "source_b")
   }
@@ -831,18 +865,26 @@ object SketchOps {
        |ag AS (
        |  SELECT sa, sb, COUNT(*) AS n_pool,
        |    MAX(CASE WHEN rk = $kmvK THEN h END) AS theta,
-       |    CAST(SUM(in_a * in_b) AS BIGINT) AS m
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS m_all,
+       |    CAST(SUM(CASE WHEN rk < $kmvK THEN in_a * in_b ELSE 0 END)
+       |      AS BIGINT) AS m_below
        |  FROM ranked WHERE rk <= $kmvK GROUP BY 1, 2),
+       |okg AS (SELECT g FROM hh GROUP BY g
+       |  HAVING COUNT(*) <= $kmvExactDfDefault),
        |ex AS (
        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_exact_inter
-       |  FROM hh a JOIN hh b ON a.g = b.g AND a.source < b.source
+       |  FROM hh a JOIN okg USING (g) JOIN hh b
+       |    ON a.g = b.g AND a.source < b.source
        |  GROUP BY 1, 2)
        |SELECT p.sa AS source_a, p.sb AS source_b,
        |  COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
-       |  COALESCE(ag.m, 0) AS m,
-       |  CASE WHEN ag.n_pool < $kmvK OR ag.theta IS NULL THEN COALESCE(ag.m, 0)
+       |  CASE WHEN ag.n_pool < $kmvK OR ag.theta IS NULL
+       |       THEN COALESCE(ag.m_all, 0) ELSE ag.m_below END AS m,
+       |  CASE WHEN ag.n_pool < $kmvK OR ag.theta IS NULL
+       |       THEN COALESCE(ag.m_all, 0)
        |       WHEN ag.theta > 0 THEN
-       |         (ag.m * ((${kmvK - 1} * $kmvDomain) // ag.theta)) // $kmvK
+       |         (ag.m_below * ((${kmvK - 1} * $kmvDomain) // ag.theta))
+       |           // ${kmvK - 1}
        |  END AS est_inter
        |FROM pairs p LEFT JOIN ag USING (sa, sb) LEFT JOIN ex
        |  ON p.sa = ex.sa AND p.sb = ex.sb

@@ -1463,7 +1463,7 @@ object TextOps {
     * Buckets are VALUE-width, not rank deciles — the
     * curriculum_buckets discipline: no global sort exists in the plan,
     * one row-local floor and one hash aggregate. The floor is computed
-    * in DOUBLE (floor(x/250.0)) because integer division on NEGATIVE
+    * in DOUBLE (floor(x / nbCalibBucketMilli)) because integer division on NEGATIVE
     * scores never crosses engines (DuckDB `//` floors, Spark `div`
     * truncates); the quotient magnitudes sit far inside 2⁵³ so the IEEE
     * result is exact and identical. */

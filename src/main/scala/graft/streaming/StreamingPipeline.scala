@@ -971,10 +971,14 @@ object StreamingPipeline {
     * Duplicates need no pre-distinct (a blocking op on a stream): the
     * bottom-k set-merge is idempotent, which is why the sketch — unlike
     * the exact distinct count — streams at all. The estimator differs
-    * from the batch AUDIT's `est` only on the measure-zero boundary
-    * n_exact = k exactly (the audit knows n_exact and reports it; a
-    * sketch-only consumer cannot) — StreamingPipelineSpec pins the final
-    * emitted rows against a batch recount of the sketch-only rule.
+    * from the batch AUDIT's `est` in exactly two documented, measure-zero
+    * boundary cases: (1) n_exact = k exactly (the audit knows n_exact and
+    * reports it exact; a sketch-only consumer cannot) and (2) h_k = 0 (an
+    * all-zero-prefix md5, one in 2³²): the batch audit emits NULL there
+    * while this stream's non-nullable `est` emits 0 — both refuse the
+    * division, the stream just spells the refusal as the zero sentinel —
+    * StreamingPipelineSpec pins the final emitted rows against a batch
+    * recount of the sketch-only rule.
     *
     * Scale: one shuffle keyed by source; state is k·|sources| pairs
     * forever (bounded by construction, no timeout needed); `upd` is a
@@ -1016,10 +1020,16 @@ object StreamingPipeline {
     * incrementally): keyed state is the k+1 highest-priority
     * (p, doc_id, w) triples ever seen (k sampled + the (k+1)-th, which
     * IS τ) plus the additive exact totals; each micro-batch merges
-    * arrivals (dedup by doc_id — a replayed doc carries the same
-    * deterministic coin, so the merge is idempotent) and emits the
-    * FULL audit row, so the final emission per source is bit-identical
-    * to the batch query's row (StreamingPipelineSpec pins it). Priority
+    * arrivals (dedup by doc_id — a replay of a RETAINED doc carries the
+    * same deterministic coin, so that merge is idempotent) and emits the
+    * FULL audit row. PRECONDITION for batch equivalence: no doc_id may
+    * recur across micro-batches once evicted from the k+1 retained
+    * triples — an evicted doc's replay is indistinguishable from a new
+    * arrival, so nDocs/sumW would double-count it (the bounded-state
+    * trade the merge code comments). For feeds satisfying that (e.g.
+    * append-only ingest, or replays confined to the retained window) the
+    * final emission per source is bit-identical to the batch query's row
+    * (StreamingPipelineSpec pins it on such a feed). Priority
     * math lives in the shared [[graft.queries.SketchOps.prioKeyed]]
     * projection — one copy or the estimator sides drift.
     *

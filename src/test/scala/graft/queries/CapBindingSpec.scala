@@ -197,4 +197,58 @@ class CapBindingSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("kmv exact-baseline df cap binds: shared grams dropped, sketch side untouched") {
+    assert(SketchOps.kmvExactDf(spark) == 1000)
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("kmv_intersect_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the uncapped baseline must see real cross-source overlap, or the
+    // capped run below proves nothing
+    assert(base.values.exists(_._1 > 0L))
+
+    val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_drop_")) metrics(name) = row.getLong(0)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // cap = 2 PARTIALLY binds on this corpus (grams span df 1..7): df > 2
+    // grams drop, df = 2 grams still intersect — the partially-surviving
+    // shape the withDropMetric contract covers (cap = 1 would empty the
+    // exact relation and AQE's empty-relation propagation would prune the
+    // observed subtree, the documented blind spot)
+    spark.conf.set("graft.cap.kmvExactDf", "2")
+    try {
+      val capped = SparkEntry.queries("kmv_intersect_audit")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(capped.keySet == base.keySet)
+      capped.foreach { case (k, (nExact, m, est)) =>
+        // the capped exact universe is a subset → counts can only shrink
+        assert(nExact <= base(k)._1, s"pair $k: capped n_exact_inter grew")
+        // the sketch estimator never touches the gram join — unchanged
+        assert((m, est) == ((base(k)._2, base(k)._3)),
+          s"pair $k: sketch columns moved under the exact-side cap")
+      }
+      // the cap actually bit: total exact overlap strictly shrank but the
+      // df = 2 survivors keep the relation non-empty
+      assert(capped.values.map(_._1).sum < base.values.map(_._1).sum)
+      assert(capped.values.exists(_._1 > 0L))
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.contains("graft_drop_kmv_exact_gram") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(metrics.get("graft_drop_kmv_exact_gram").exists(_ > 0L),
+        s"expected dropped shared grams, saw $metrics")
+    } finally {
+      spark.conf.unset("graft.cap.kmvExactDf")
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }

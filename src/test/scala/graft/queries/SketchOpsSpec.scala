@@ -104,12 +104,17 @@ class SketchOpsSpec extends SparkSpec {
       val theta = if (nPool >= S.kmvK) Some(bottom.last._1) else None
       val inBoth = bottom.count(x => sk(a).contains(x) && sk(b).contains(x))
         .toLong
-      val est = theta match {
+      // classical estimator: only entries STRICTLY below theta sample
+      val inBelow = (if (theta.isDefined) bottom.init else bottom)
+        .count(x => sk(a).contains(x) && sk(b).contains(x)).toLong
+      val (m, est) = theta match {
         case Some(t) if t > 0 =>
-          inBoth * ((S.kmvK - 1).toLong * S.kmvDomain / t) / S.kmvK
-        case _ => inBoth
+          (inBelow,
+            inBelow * ((S.kmvK - 1).toLong * S.kmvDomain / t) /
+              (S.kmvK - 1))
+        case _ => (inBoth, inBoth)
       }
-      (a, b) -> ((exact((a, b)), inBoth, est))
+      (a, b) -> ((exact((a, b)), m, est))
     }).toMap
     val got = SparkEntry.queries("kmv_intersect_audit")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->

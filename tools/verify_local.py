@@ -53,12 +53,15 @@ def canon_table(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if subset is not None:
+        oracles = {k: v for k, v in oracles.items() if k in subset}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
