@@ -103,7 +103,7 @@ object UnigramOps {
 
   /** Seed vocabulary with costs: every single char + the top-[[VocabMulti]]
     * multi-char pieces by (count desc, piece asc). (piece, cnt, cost). */
-  private def vocabRel(s: SparkSession, dir: String): DataFrame =
+  private[queries] def vocabRel(s: SparkSession, dir: String): DataFrame =
     cachedRelation(s, dir, "unigramVocab", "") {
       val pc = pieceCounts(wordFreq(s, dir))
       // single-partition rank is deliberate: pc is vocabulary-sized
@@ -718,16 +718,24 @@ object UnigramOps {
     * Scale shape: one fold over the cached per-word cost arrays
     * (vocabulary-universe-sized, never token-scale), a word-keyed join
     * of the two segmenters' outputs, TakeOrdered(30). */
-  private def wordpieceGreedyAudit(s: SparkSession, dir: String): DataFrame = {
-    val arr = costsArrWith(s, dir, vocabRel(s, dir), "unigramViterbiArr")
+  /** Greedy segmentation relation over an arbitrary vocabulary — the
+    * [[greedyFinal]] fold bound to a dense cost array (one copy of the
+    * slot math, shared by the audit and [[greedyExcessTotal]]). */
+  private def greedyRel(s: SparkSession, dir: String, vcIn: DataFrame,
+      cacheKey: String): DataFrame = {
+    val arr = costsArrWith(s, dir, vcIn, cacheKey)
     val stepCost = (i: Column, j: Int) =>
       element_at(col("costs"), (i - lit(1)) * lit(MaxPiece) + lit(j))
-    val g = arr.withColumn("gfin", greedyFinal(col("word"), stepCost))
+    arr.withColumn("gfin", greedyFinal(col("word"), stepCost))
       .select(col("word"), col("freq"),
         substring(col("gfin"), 5, 12).cast("long").as("greedy_cost_millibits"),
         substring(col("gfin"), 17, 4).cast("long").as("n_pieces_greedy"),
         ltrim(col("gfin").substr(lit(21), length(col("gfin"))), "·")
           .as("seg_greedy"))
+  }
+
+  private def wordpieceGreedyAudit(s: SparkSession, dir: String): DataFrame = {
+    val g = greedyRel(s, dir, vocabRel(s, dir), "unigramViterbiArr")
     val v = viterbiRel(s, dir).select(col("word"),
       col("cost_millibits").as("viterbi_cost_millibits"),
       col("n_pieces").as("n_pieces_viterbi"),
@@ -789,7 +797,244 @@ object UnigramOps {
        |FROM greedy g JOIN vit v USING (word)
        |ORDER BY g.freq DESC, g.word LIMIT 30""".stripMargin
 
+  // ------------------------------------------------- WordPiece trainer
+
+  /** Merge rounds of the WordPiece TRAINER — matches
+    * TextOps.bpeMergeRoundsK so the two merge-based trainers are
+    * comparable round-for-round. */
+  private[queries] val wpTrainK = 8
+
+  /** Integer scale of the likelihood score: score_nano =
+    * ⌊10⁹·cnt(ab)/(cnt(a)·cnt(b))⌋. All operands are non-negative, so
+    * DuckDB `//` and Spark `div` agree exactly; cnt ≤ corpus tokens keeps
+    * cnt·10⁹ far inside BIGINT up to ~9·10⁹-token corpora (beyond that a
+    * deployment lowers the scale one decade — the ranking, not the
+    * absolute value, is what the argmax consumes). */
+  private val wpScoreScale = 1000000000L
+
+  private val wpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Seq[(Int, String, String, String, Long, Long, Long, Long)], DataFrame)]
+  private val wpComputeLock = new Object
+
+  /** Unpersist + drop this session's WordPiece training cache — the
+    * [[Util.releaseCaches]] ladder's hook into this registry. */
+  private[queries] def releaseWpCache(s: SparkSession): Unit =
+    wpComputeLock.synchronized {
+      wpCache.filterInPlace { case (k, (_, df)) =>
+        if (k._1 eq s) { df.unpersist(); false } else true
+      }
+    }
+
+  /** WordPiece TRAINING loop (Schuster & Nakajima 2012; the BERT
+    * vocabulary builder) — the missing half of the third tokenizer
+    * family, next to the runtime segmenter [[wordpieceGreedyAudit]]
+    * audits: like BPE it repeatedly merges an adjacent symbol pair, but
+    * the pick maximizes the unigram-LM LIKELIHOOD GAIN
+    * cnt(ab)/(cnt(a)·cnt(b)) — merging the pair whose joint frequency
+    * most exceeds what independent pieces predict — instead of BPE's raw
+    * pair count. The two trainers share the merge-fold semantics
+    * (leftmost non-overlapping, TextOps.bpeTrained's fold) and differ
+    * ONLY in the argmax, which is the published difference between the
+    * algorithms.
+    *
+    * Symbol counts come from ONE padded pair stream per round: pairs over
+    * ['^', s₁…sₙ, '$'] give every real symbol occurrence exactly once as
+    * a left element (sentinels cannot collide with corpus symbols — the
+    * universe is ^[a-z]+$), so pair counts (l≠'^', r≠'$') and symbol
+    * counts (group by l≠'^') are two aggregates of the same
+    * vocabulary-sized relation — no second corpus scan, no separate
+    * symbol-count pass.
+    *
+    * Scale shape: token-scale work is the shared [[wordFreq]] count (paid
+    * once per session); each round runs on |vocab| rows — pad + explode +
+    * two hash aggs + a 1-ROW driver argmax (the bounded-scalar class) +
+    * map-only fold — with generation-by-generation checkpoint release,
+    * exactly the bpeTrained loop discipline. At 100 TB vocab ≪ tokens
+    * under any zipfian corpus. */
+  private def wpTrained(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long, Long, Long, Long)],
+         DataFrame) =
+    wpComputeLock.synchronized {
+      wpCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      wpCache.getOrElseUpdate((s, dir), {
+        def release(df: DataFrame): Unit =
+          df.queryExecution.analyzed.foreach {
+            case r: org.apache.spark.sql.execution.LogicalRDD =>
+              r.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        var vocab = wordFreq(s, dir)
+          .select(col("word"), col("freq"),
+            array_join(expr("regexp_extract_all(word, '.', 0)"), "·").as("s"))
+          .localCheckpoint()
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long, Long, Long, Long)]
+        var round = 1
+        var exhausted = false
+        while (round <= wpTrainK && !exhausted) {
+          val syms = split(col("s"), "·")
+          val padded = concat(array(lit("^")), syms, array(lit("$")))
+          val pp = vocab.select(col("freq"), padded.as("a"))
+            .select(col("freq"), col("a"),
+              explode(expr("sequence(1, size(a) - 1)")).as("i"))
+            .select(element_at(col("a"), col("i")).as("l"),
+              element_at(col("a"), col("i") + 1).as("r"), col("freq"))
+          val sc = pp.filter(col("l") =!= "^")
+            .groupBy(col("l").as("sym")).agg(sum("freq").as("scnt"))
+          val top = pp.filter(col("l") =!= "^" && col("r") =!= "$")
+            .groupBy("l", "r").agg(sum("freq").as("cnt"))
+            .join(sc.select(col("sym").as("l"), col("scnt").as("lcnt")), "l")
+            .join(sc.select(col("sym").as("r"), col("scnt").as("rcnt")), "r")
+            .withColumn("score_nano",
+              expr(s"(cnt * $wpScoreScale) div (lcnt * rcnt)"))
+            .orderBy(col("score_nano").desc, col("l"), col("r"))
+            .take(1)
+          if (top.isEmpty) exhausted = true // every word fused to one symbol
+          else {
+            val r0 = top(0)
+            val (l, r) = (r0.getAs[String]("l"), r0.getAs[String]("r"))
+            merges += ((round, l, r, l + r, r0.getAs[Long]("cnt"),
+              r0.getAs[Long]("lcnt"), r0.getAs[Long]("rcnt"),
+              r0.getAs[Long]("score_nano")))
+            val folded = aggregate(syms, lit(""), (acc, x) =>
+              when(acc === "", x)
+                .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
+                  x === lit(r), concat(acc, x))
+                .otherwise(concat(acc, lit("·"), x)))
+            val next = vocab.select(col("word"), col("freq"), folded.as("s"))
+              .localCheckpoint()
+            release(vocab)
+            vocab = next
+            round += 1
+          }
+        }
+        (merges.toSeq, vocab)
+      })
+    }
+
+  /** The trained merge table, one row per round: the pair picked, its
+    * joint count, both marginal symbol counts, and the integer likelihood
+    * score the argmax ranked — the bpe_merge_rounds shape extended with
+    * the quantities WordPiece's criterion actually reads, so a consumer
+    * can audit each round's pick against its own recount. */
+  private def wordpieceTrainRounds(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    wpTrained(s, dir)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count",
+        "left_count", "right_count", "score_nano")
+      .orderBy("round")
+  }
+
+  /** Unrolled w0 → w8 training chain (the bpeCtes pattern): per round a
+    * padded pair stream, its two aggregates, a Top-1 argmax by
+    * score_nano, and the same list_reduce merge fold — THE single copy
+    * of the oracle's WordPiece training math. */
+  private val wpCtes = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    array_to_string(regexp_extract_all(word, '.'), '·') AS s
+         |  FROM (SELECT word, COUNT(*) AS freq FROM (
+         |          SELECT UNNEST(string_split(text, ' ')) AS word
+         |          FROM documents)
+         |        WHERE regexp_matches(word, '^[a-z]+$$')
+         |          AND length(word) BETWEEN 2 AND $MaxWordLen
+         |        GROUP BY word))""".stripMargin
+    val rounds = (1 to wpTrainK).map { k =>
+      s"""pp$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, freq
+         |  FROM (SELECT freq, ['^'] || string_split(s, '·') || ['$$'] AS syms
+         |        FROM w${k - 1}),
+         |       UNNEST(generate_series(1, len(syms) - 1)) AS u(i)),
+         |sc$k AS MATERIALIZED (
+         |  SELECT l AS sym, CAST(SUM(freq) AS BIGINT) AS scnt
+         |  FROM pp$k WHERE l <> '^' GROUP BY 1),
+         |t$k AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.cnt, a.scnt AS lcnt, b.scnt AS rcnt,
+         |    (p.cnt * $wpScoreScale) // (a.scnt * b.scnt) AS score_nano
+         |  FROM (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM pp$k WHERE l <> '^' AND r <> '$$' GROUP BY 1, 2) p
+         |  JOIN sc$k a ON p.l = a.sym JOIN sc$k b ON p.r = b.sym
+         |  ORDER BY score_nano DESC, p.l, p.r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list_reduce(string_split(s, '·'), (acc, x) ->
+         |      CASE WHEN (acc = t$k.l OR ends_with(acc, '·' || t$k.l))
+         |                AND x = t$k.r
+         |           THEN acc || x ELSE acc || '·' || x END) AS s
+         |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+    }
+    s"""$w0,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val wordpieceTrainRoundsSql = {
+    val unions = (1 to wpTrainK).map(k =>
+      s"""SELECT $k AS round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, CAST(cnt AS BIGINT) AS pair_count,
+         |  CAST(lcnt AS BIGINT) AS left_count,
+         |  CAST(rcnt AS BIGINT) AS right_count,
+         |  CAST(score_nano AS BIGINT) AS score_nano FROM t$k""".stripMargin)
+    s"""WITH $wpCtes
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Trained WordPiece vocabulary as a (piece, cnt, cost) relation — the
+    * final training state's symbol counts under the SAME 500·halfbit
+    * cost rule as the seed [[vocabRel]], unioned with any initial single
+    * chars the merges fused away everywhere (a WordPiece vocab always
+    * keeps its base alphabet, so every word stays segmentable without
+    * the sentinel fallback). Feeds [[viterbiWith]]/[[costsArrWith]] so
+    * the trained vocab runs the IDENTICAL segmenters as the seed vocab —
+    * the UnigramOpsSpec pin that training lowers the greedy segmenter's
+    * excess rides this relation. Pieces longer than [[MaxPiece]] keep
+    * their row but no cost-array slot (the segmenters' dense arrays are
+    * MaxPiece-wide) — they price nothing, exactly like any other
+    * non-slot piece. */
+  private[queries] def wordpieceVocabRel(s: SparkSession, dir: String)
+      : DataFrame =
+    cachedRelation(s, dir, "wordpieceVocab", "") {
+      val counts = wpTrained(s, dir)._2
+        .select(explode(split(col("s"), "·")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val chars = wordFreq(s, dir)
+        .select(explode(expr("regexp_extract_all(word, '.', 0)")).as("piece"),
+          col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val vocab = counts.unionByName(
+        chars.join(counts, Seq("piece"), "left_anti"))
+      val tot = vocab.agg(sum("cnt").as("ntot"))
+      vocab.crossJoin(broadcast(tot)) // scalar broadcast
+        .select(col("piece"), col("cnt"),
+          (lit(500L) * (halfBits(col("ntot")) - halfBits(col("cnt"))))
+            .as("cost"))
+    }
+
+  /** Greedy-vs-Viterbi freq-weighted excess totals over an arbitrary
+    * vocabulary — the [[wordpieceGreedyAudit]] comparison collapsed to
+    * one row, parameterized on the cost source so UnigramOpsSpec can pin
+    * trained-vocab excess ≤ seed-vocab excess on identical machinery. */
+  private[queries] def greedyExcessTotal(s: SparkSession, dir: String,
+      vcIn: DataFrame, cacheKey: String): (Long, Long) = {
+    val g = greedyRel(s, dir, vcIn, cacheKey + "Arr")
+    val v = viterbiWith(s, dir, vcIn, cacheKey)
+      .select(col("word"), col("cost_millibits"))
+    val r = g.join(v, "word")
+      .agg(sum(col("freq") *
+          (col("greedy_cost_millibits") - col("cost_millibits")))
+          .as("excess"),
+        sum(when(col("greedy_cost_millibits") =!= col("cost_millibits"),
+          lit(1L)).otherwise(lit(0L))).as("n_suboptimal"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("wordpiece_train_rounds", wordpieceTrainRounds,
+      Some(wordpieceTrainRoundsSql)),
     Q("wordpiece_greedy_audit", wordpieceGreedyAudit,
       Some(wordpieceGreedyAuditSql)),
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),

@@ -109,6 +109,7 @@ object Util {
     DedupOps.releaseCcCaches(s)
     GraphOps.releaseGraphCaches(s)
     TextOps.releaseBpeCache(s)
+    UnigramOps.releaseWpCache(s)
   }
 
   /** Read one testdata table.

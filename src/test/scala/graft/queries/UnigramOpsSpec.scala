@@ -351,4 +351,78 @@ class UnigramOpsSpec extends SparkSpec {
     // and on the word where they agree, the flag is true
     assert(wpRows(dir).find(_._1 == "park").get._10)
   }
+
+  test("wordpiece_train_rounds ≡ plain-Scala likelihood-trainer recount") {
+    import scala.collection.mutable
+    val dir = "/root/testdata/sf0.001"
+    val wf = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0))
+      .filter(w => w.matches("^[a-z]+$") && w.length >= 2 && w.length <= 64)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var state: Map[String, (Long, Vector[String])] =
+      wf.map { case (w, f) => w -> ((f, w.map(_.toString).toVector)) }.toMap
+    val expected = (1 to 8).flatMap { round =>
+      val pairCnt = mutable.Map.empty[(String, String), Long]
+      val symCnt = mutable.Map.empty[String, Long]
+      state.values.foreach { case (f, syms) =>
+        syms.foreach(x => symCnt(x) = symCnt.getOrElse(x, 0L) + f)
+        if (syms.length > 1) syms.sliding(2).foreach { p =>
+          val k = (p(0), p(1))
+          pairCnt(k) = pairCnt.getOrElse(k, 0L) + f
+        }
+      }
+      if (pairCnt.isEmpty) None
+      else {
+        val scored = pairCnt.toSeq.map { case ((l, r), c) =>
+          (l, r, c, symCnt(l), symCnt(r),
+            c * 1000000000L / (symCnt(l) * symCnt(r)))
+        }
+        val (l, r, c, lc, rc, sc) =
+          scored.minBy { case (l, r, _, _, _, sc) => (-sc, l, r) }
+        // apply the merge leftmost-non-overlapping, like the fold
+        state = state.map { case (w, (f, syms)) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> ((f, out.toVector))
+        }
+        Some((round, l, r, l + r, c, lc, rc, sc))
+      }
+    }
+    val got = SparkEntry.queries("wordpiece_train_rounds")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.length == 8)
+    // the likelihood criterion must actually diverge from BPE's count
+    // argmax somewhere in 8 rounds, or this trainer is a renamed BPE
+    val bpe = SparkEntry.queries("bpe_merge_rounds")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got.exists(m => !bpe.contains((m._2, m._3))),
+      "all 8 WordPiece merges coincide with BPE's — criterion not exercised")
+  }
+
+  test("trained WordPiece vocab lowers the greedy segmenter's excess vs the seed vocab") {
+    val dir = "/root/testdata/sf0.001"
+    val (seedExcess, seedSub) = UnigramOps.greedyExcessTotal(
+      spark, dir, UnigramOps.vocabRel(spark, dir), "unigramViterbi")
+    val (trainExcess, trainSub) = UnigramOps.greedyExcessTotal(
+      spark, dir, UnigramOps.wordpieceVocabRel(spark, dir),
+      "wordpieceTrained")
+    // WordPiece's training criterion EXISTS to make longest-match-first
+    // near-optimal: pieces enter the vocab only when their joint
+    // likelihood dominates their parts, so grabbing the longest match is
+    // rarely a mistake. The seed vocab (raw top-substring counts) gives
+    // greedy no such guarantee.
+    assert(trainExcess <= seedExcess,
+      s"trained vocab excess $trainExcess > seed $seedExcess " +
+        s"(suboptimal words: $trainSub vs $seedSub)")
+    assert(seedExcess >= 0L && trainExcess >= 0L)
+  }
 }
