@@ -40,7 +40,8 @@ object Verify {
     // dumping oracles that no longer describe the engine's output.
     Seq("graft.cap.lshBucket", "graft.cap.semCluster",
       "graft.cap.simhashBucket", "graft.cap.tokenDf", "graft.cap.ccBucket",
-      "graft.cap.basket", "graft.cap.kmvExactDf", "graft.bloom.log2bits",
+      "graft.cap.basket", "graft.cap.kmvExactDf", "graft.cap.ivfCentroids",
+      "graft.bloom.log2bits",
       "graft.knn.probeMod",
       "graft.lsh.probeMod", "graft.minSupport").foreach { k =>
       require(spark.conf.getOption(k).isEmpty,

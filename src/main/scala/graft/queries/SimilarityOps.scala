@@ -469,13 +469,25 @@ object SimilarityOps {
        |    / sqrt(CAST(na*nb AS DOUBLE)) AS cos
        |FROM cand ORDER BY a_id, b_id""".stripMargin
 
-  val ivfCentroids = 8
+  /** Serve-quantizer width (nlist). Fixed at 8 for the oracle corpora —
+    * deliberately DEGENERATE at large synthetic scale so the semCluster
+    * cap's backstop path stays exercised there. Session conf
+    * `graft.cap.ivfCentroids` overrides per deployment/scale run — the
+    * production control is K ∝ √N (SemDeDup's 50k clusters for LAION),
+    * which a ScaleCheck run passes as a conf arg to measure the
+    * POPULATED cluster-tier path at big corpora. ENGINE SIDE ONLY: the
+    * DuckDB oracles interpolate the default, so Verify refuses oracle
+    * replay under an override. */
+  val ivfCentroidsDefault = 8
+  def ivfCentroids(s: SparkSession): Int =
+    s.conf.getOption("graft.cap.ivfCentroids").map(_.toInt)
+      .getOrElse(ivfCentroidsDefault)
   val ivfProbes = 2
 
   /** The serve quantizer's centroid relation (cent_id, cq, cn) — the
     * broadcast side of every serve-family assignment/probe. */
   private[queries] def ivfServeCents(s: SparkSession, dir: String): DataFrame =
-    quantizedBase(s, dir).filter(col("vec_id") < ivfCentroids)
+    quantizedBase(s, dir).filter(col("vec_id") < ivfCentroids(s))
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
 
   /** Serve-quantizer inverted-list assignment (vec_id, cent_id, q, nrm):
@@ -490,7 +502,7 @@ object SimilarityOps {
   private[queries] def ivfServeAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    Util.cachedRelation(s, dir, "ivfServeAssigned", s"K=$ivfCentroids") {
+    Util.cachedRelation(s, dir, "ivfServeAssigned", s"K=${ivfCentroids(s)}") {
       val e = quantizedBase(s, dir)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cent_id"))
@@ -571,7 +583,7 @@ object SimilarityOps {
        |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
        |    FROM e CROSS JOIN cents c)
        |  WHERE arn = 1)""".stripMargin
-  private[queries] val ivfServeCtes = ivfSqlCtes(s"vec_id < $ivfCentroids")
+  private[queries] val ivfServeCtes = ivfSqlCtes(s"vec_id < $ivfCentroidsDefault")
   private val ivfMaintCtes = ivfSqlCtes("vec_id < 10 AND vec_id % 5 <> 0")
 
   private val annIvfCosineSql =

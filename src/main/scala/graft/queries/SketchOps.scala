@@ -87,6 +87,40 @@ object SketchOps {
         .as("c"))
       .select(col("c.row").as("row"), col("c.bucket").as("bucket"))
 
+  /** Per-occurrence trigram projection of a doc frame — the zipf drift
+    * monitor's input grain
+    * ([[graft.streaming.StreamingPipeline.zipfDriftStream]]); ONE copy of
+    * the gram rule with the batch [[gramCounts]] pipeline, so the
+    * stream's counts and the batch audit's counts cannot drift. */
+  def gramOccKeyed(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("w"))
+      .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+
+  /** JVM twin of `CurationOps.lg` — the integer milli-log₂
+    * (1000·(bits−1) + 1000·c/2^(bits−1) − 1000, truncating division,
+    * c ≥ 1). Positive operands only, so it matches both engines' SQL
+    * exactly; the streaming drift monitor computes it row-locally in
+    * state where Column expressions cannot reach. */
+  def lgJvm(c: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(c)
+    1000L * (bits - 1) + (1000L * c) / (1L << (bits - 1)) - 1000L
+  }
+
+  /** JVM twin of [[Util.olsSlope]]/olsIntercept/olsR2 over the integer
+    * moment sums — the SAME cast-each-operand-then-multiply order as the
+    * SQL, so the IEEE doubles are bit-identical to the batch audit's
+    * (correctly-rounded primitives on identical inputs). */
+  def olsJvm(n: Long, sx: Long, sy: Long, sxx: Long, sxy: Long, syy: Long)
+      : (Option[Double], Option[Double], Option[Double]) = {
+    val det = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val detY = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    (if (det > 0) Some(num / det) else None,
+      if (det > 0) Some((sy.toDouble - (num / det) * sx.toDouble) / n.toDouble)
+      else None,
+      if (det > 0 && detY > 0) Some((num * num) / (det * detY)) else None)
+  }
+
   /** (source, gram, hash) distinct-universe projection of a doc frame —
     * the KMV sketch's input grain, shared by the batch audits and the
     * streaming bottom-k twin

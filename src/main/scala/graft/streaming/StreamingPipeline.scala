@@ -1075,6 +1075,103 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  case class ZipfDriftRow(upd: Long, n_tracked: Long, n_evictions: Long,
+      n_points: Long, slope_milli_per_milli: Option[Double],
+      intercept_milli: Option[Double], r2: Option[Double],
+      slope_drift: Option[Double])
+
+  /** Streaming corpus-statistics DRIFT monitor — the consumer the
+    * mergeable sketch tier exists for: after every micro-batch, the
+    * current Zipf slope of the corpus's trigram frequency curve (the
+    * batch `zipf_slope_audit` law, held incrementally) plus its change
+    * since the previous batch. A training-data ingest watches
+    * `slope_drift`: a distribution shift in the feed (new domain, junk
+    * flood, dedup regression) moves the rank–frequency slope long before
+    * any per-document gate fires.
+    *
+    * State is ONE Space-Saving (Metwally et al. 2005) heavy-hitter
+    * summary of `capacity` (gram, count) pairs plus the previous slope —
+    * BOUNDED at any corpus size, unlike the exact vocabulary. The
+    * summary admits every arrival: tracked grams increment; new grams
+    * insert while below capacity, else inherit the current minimum
+    * count + their batch count (the Space-Saving overestimate, which
+    * preserves the heavy-hitter guarantee: any gram with true count
+    * > N/capacity is retained). The slope reads only the top
+    * [[graft.queries.SketchOps.zipfTopN]] retained counts through the
+    * SAME integer milli-log₂ and OLS moment math as the batch audit
+    * ([[graft.queries.SketchOps.lgJvm]]/[[graft.queries.SketchOps.olsJvm]]
+    * — JVM twins of the shared SQL expressions, cast-order-identical).
+    *
+    * PARITY contract (StreamingPipelineSpec pins it): while no eviction
+    * has occurred (capacity ≥ distinct grams seen — always true for a
+    * capacity-sized prefix of any feed), every count is EXACT and the
+    * latest emission's (n_points, slope, intercept, r2) equal the batch
+    * `zipf_slope_audit` row over the same documents, bit for bit. Under
+    * eviction the slope is the documented Space-Saving approximation —
+    * `n_evictions` says loudly which regime a row is from.
+    *
+    * Scale: the monitor is a deliberate SINGLE group (a corpus has one
+    * Zipf curve); each batch streams its gram occurrences through one
+    * task and touches capacity-bounded state. At 100 TB the feed this
+    * monitors is the post-gate ingest sample, not the raw firehose —
+    * and the state still never grows. */
+  def zipfDriftStream(docs: DataFrame, capacity: Int = 65536): DataFrame = {
+    import docs.sparkSession.implicits._
+    val topN = graft.queries.SketchOps.zipfTopN
+    val grams = graft.queries.SketchOps.gramOccKeyed(docs).as[String]
+    grams.groupByKey(_ => 0)
+      .flatMapGroupsWithState[
+        (Map[String, Long], Long, Long, Option[Double]), ZipfDriftRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[String],
+            state: GroupState[(Map[String, Long], Long, Long,
+              Option[Double])]) =>
+          val (held, evictions0, upd0, prevSlope) =
+            state.getOption.getOrElse(
+              (Map.empty[String, Long], 0L, 0L, None))
+          val batch = scala.collection.mutable.Map.empty[String, Long]
+          it.foreach(g => batch(g) = batch.getOrElse(g, 0L) + 1L)
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          counts ++= held
+          var evictions = evictions0
+          // admit in sorted gram order: eviction choice is deterministic
+          // under any shuffle/iterator order
+          batch.toSeq.sortBy(_._1).foreach { case (g, d) =>
+            counts.get(g) match {
+              case Some(c) => counts(g) = c + d
+              case None if counts.size < capacity => counts(g) = d
+              case None =>
+                // evict the minimum count; on ties the lexicographically
+                // LARGEST gram goes, so the kept set prefers smaller
+                // grams — the batch top-N tie-break direction
+                val vc = counts.valuesIterator.min
+                val vg = counts.iterator
+                  .collect { case (mg, mc) if mc == vc => mg }.max
+                counts.remove(vg)
+                counts(g) = vc + d // Space-Saving count inheritance
+                evictions += 1L
+            }
+          }
+          val top = counts.toSeq
+            .sortBy { case (g, c) => (-c, g) }.take(topN)
+          var n = 0L; var sx = 0L; var sy = 0L
+          var sxx = 0L; var sxy = 0L; var syy = 0L
+          top.zipWithIndex.foreach { case ((_, c), i) =>
+            val x = graft.queries.SketchOps.lgJvm(i + 1L)
+            val y = graft.queries.SketchOps.lgJvm(c)
+            n += 1L; sx += x; sy += y
+            sxx += x * x; sxy += x * y; syy += y * y
+          }
+          val (slope, icept, r2) =
+            graft.queries.SketchOps.olsJvm(n, sx, sy, sxx, sxy, syy)
+          val upd = upd0 + 1L
+          state.update((counts.toMap, evictions, upd, slope))
+          Iterator.single(ZipfDriftRow(upd, counts.size.toLong, evictions,
+            n, slope, icept, r2,
+            for (s <- slope; p <- prevSlope) yield s - p))
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

@@ -13,7 +13,18 @@ import graft.SparkEntry
   * Usage: runMain graft.tools.ScaleCheck <dataDir> [key=value ...] [query ...]
   * (default queries: the 5 most expensive of the sf0.1 bench; args
   * containing '=' are set as session confs before running — how a scale
-  * run pins deployment knobs like graft.knn.probeMod) */
+  * run pins deployment knobs like graft.knn.probeMod)
+  *
+  * Timing is FULL-EVAL by default (the ForceQ rule): every output column
+  * is folded through `bit_xor(xxhash64(*))`, which no Catalyst rewrite
+  * can prune. A plain `count()` timer silently under-measures every
+  * "anchored audit" query — a left join against a unique-keyed aggregate
+  * (decontaminate_*, the drift/agreement audits) is provably
+  * cardinality-preserving, so under count() Catalyst ELIMINATES the whole
+  * audit subtree and the timer sees only the anchor scan (measured:
+  * decontaminate_minhash 1.2 s by count() vs 29.2 s real at the 100×
+  * corpus). Pass `graft.scalecheck.countOnly=true` to get the old timer
+  * for an A/B of exactly this effect. */
 object ScaleCheck {
   private val defaultQueries = Seq("connected_components", "ann_lsh_cosine",
     "ann_ivf_cosine", "ngram_jaccard_pairs", "simhash_neardup_pairs")
@@ -58,11 +69,23 @@ object ScaleCheck {
       System.err.println(s"[scale-check] warm-up skipped: ${e.getMessage}")
     }
 
+    val countOnly =
+      confs.exists(_.startsWith("graft.scalecheck.countOnly=true"))
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val n =
-        try Right(SparkEntry.queries(name)(spark, dir).count())
-        catch { case e: Throwable =>
+        try {
+          val df = SparkEntry.queries(name)(spark, dir)
+          if (countOnly) Right(df.count())
+          else {
+            // ForceQ rule: hash every column so nothing can be pruned;
+            // count comes from the same single aggregate pass
+            val cols = df.columns.map(c => s"`$c`").mkString(", ")
+            val r = df.selectExpr(s"bit_xor(xxhash64($cols)) AS h",
+              "count(*) AS n").collect()(0)
+            Right(r.getLong(1))
+          }
+        } catch { case e: Throwable =>
           System.err.println(s"[scale-check] $name FAILED: ${e.getMessage}")
           Left(e)
         }

@@ -198,6 +198,25 @@ class CapBindingSpec extends SparkSpec {
     }
   }
 
+  test("ivfCentroids conf binds: the serve quantizer widens with the override") {
+    assert(SimilarityOps.ivfCentroids(spark) == 8)
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("graft.cap.ivfCentroids", "16")
+    try {
+      assert(SimilarityOps.ivfCentroids(spark) == 16)
+      // the centroid relation and the (override-keyed) assignment cache
+      // both honor the conf — the lever a populated-path ScaleCheck run
+      // (K ∝ √N) pulls at big corpora
+      assert(SimilarityOps.ivfServeCents(spark, dir).count() == 16L)
+      val assigned = SimilarityOps.ivfServeAssigned(spark, dir)
+      assert(assigned.select("cent_id").distinct().count() > 8L)
+    } finally {
+      spark.conf.unset("graft.cap.ivfCentroids")
+      graft.queries.Util.releaseCaches(spark)
+    }
+    assert(SimilarityOps.ivfServeCents(spark, dir).count() == 8L)
+  }
+
   test("kmv exact-baseline df cap binds: shared grams dropped, sketch side untouched") {
     assert(SketchOps.kmvExactDf(spark) == 1000)
     val dir = "/root/testdata/sf0.001"

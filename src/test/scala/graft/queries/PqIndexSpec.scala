@@ -39,7 +39,7 @@ class PqIndexSpec extends SparkSpec {
 
     // the four deployment artifacts exist with index shapes
     val cents = spark.read.parquet(s"$out/centroids.parquet")
-    assert(cents.count() == SimilarityOps.ivfCentroids)
+    assert(cents.count() == SimilarityOps.ivfCentroids(spark))
     val assigned = spark.read.parquet(s"$out/assigned.parquet")
     val nVecs = assigned.count()
     assert(assigned.select("vec_id").distinct().count() == nVecs,

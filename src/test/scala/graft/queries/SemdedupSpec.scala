@@ -25,7 +25,7 @@ class SemdedupSpec extends SparkSpec {
   /** The shared coarse-assignment recount (BigDecimal HALF_UP
     * quantization mirrors both engines' round()). */
   private def assign(q: Map[Long, Array[Long]]): Map[Long, (Long, Double)] = {
-    val cents = q.filter(_._1 < SimilarityOps.ivfCentroids)
+    val cents = q.filter(_._1 < SimilarityOps.ivfCentroids(spark))
     q.map { case (id, v) =>
       val best = cents.toSeq.map { case (cid, cv) =>
         (dot(v, cv).toDouble / math.sqrt((nrm(v) * nrm(cv)).toDouble), cid)

@@ -861,6 +861,35 @@ class StreamingFuzzParitySpec extends SparkSpec {
           if (last.isNullAt(6)) None else Some(last.getLong(6))))
       }
       assert(prioStreamed == prioExpected, "priority stream vs JVM recount")
+
+      // zipf drift monitor: stream ≡ batch audit ≡ JVM recount on the
+      // dirty corpus (exact regime — capacity ≫ distinct grams)
+      val gcnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, t, _, _, _) <- full; g <- trigrams(t))
+        gcnt(g) = gcnt.getOrElse(g, 0L) + 1L
+      val zTop = gcnt.toSeq.sortBy { case (g, c) => (-c, g) }.take(S.zipfTopN)
+      var zn = 0L; var zsx = 0L; var zsy = 0L
+      var zsxx = 0L; var zsxy = 0L; var zsyy = 0L
+      zTop.zipWithIndex.foreach { case ((_, c), i) =>
+        val x = S.lgJvm(i + 1L); val y = S.lgJvm(c)
+        zn += 1L; zsx += x; zsy += y
+        zsxx += x * x; zsxy += x * y; zsyy += y * y
+      }
+      val (eSlope, eIcept, eR2) = S.olsJvm(zn, zsx, zsy, zsxx, zsxy, zsyy)
+      def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val zRows = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.zipfDriftStream(
+          spark.readStream.schema(docs.schema).parquet(path), 1 << 20),
+        s"zipffuzz$seed").collect()
+      val zl = zRows.maxBy(_.getLong(0))
+      assert(zl.getLong(2) == 0L, "eviction in the exact regime")
+      assert((zl.getLong(3), optD(zl, 4), optD(zl, 5), optD(zl, 6)) ==
+        ((zn, eSlope, eIcept, eR2)), "zipf stream vs JVM recount")
+      val zb = graft.SparkEntry.queries("zipf_slope_audit")(
+        spark, root.toString).collect()(0)
+      assert((zb.getLong(0), optD(zb, 1), optD(zb, 2), optD(zb, 3)) ==
+        ((zn, eSlope, eIcept, eR2)), "batch zipf audit vs JVM recount")
     }
   }
 }

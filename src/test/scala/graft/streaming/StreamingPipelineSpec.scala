@@ -458,6 +458,69 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("zipfDriftStream: final emission ≡ batch zipf_slope_audit; drift emitted across batches") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("zipfstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    // capacity ≥ any plausible distinct-trigram count of sf0.001 →
+    // the exact (no-eviction) regime the parity contract covers
+    val q = StreamingPipeline.zipfDriftStream(stream, capacity = 1 << 20)
+      .writeStream.format("memory").queryName("zipf_drift")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("zipf_drift").collect().sortBy(_.getLong(0))
+    assert(rows.length == 2) // one emission per micro-batch
+    val Array(first, last) = rows
+    assert(last.getLong(2) == 0L, "eviction fired in the exact regime")
+    // final emission ≡ the batch audit over the SAME full corpus,
+    // bit for bit (shared integer log/OLS math, no approximation left)
+    val b = graft.SparkEntry.queries("zipf_slope_audit")(spark, sf)
+      .collect()(0)
+    assert(last.getLong(3) == b.getLong(0))
+    assert(last.getDouble(4) == b.getDouble(1))
+    assert(last.getDouble(5) == b.getDouble(2))
+    assert(last.getDouble(6) == b.getDouble(3))
+    // drift: no previous slope on the first batch; exact delta on the
+    // second (the half-corpus slope genuinely differs, so the monitor
+    // demonstrably measured a change, not 0 ≡ 0)
+    assert(first.isNullAt(7))
+    assert(last.getDouble(7) == last.getDouble(4) - first.getDouble(4))
+    assert(first.getDouble(4) != last.getDouble(4))
+
+    // eviction regime: a tiny capacity must shed tracked grams loudly
+    // while still emitting every field (the approximate-monitor path)
+    val src2 = Files.createDirectories(root.resolve("docs2"))
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src2.resolve("a.parquet")))
+    val stream2 = spark.readStream.schema(corpus.schema)
+      .parquet(src2.toString)
+    val q2 = StreamingPipeline.zipfDriftStream(stream2, capacity = 8)
+      .writeStream.format("memory").queryName("zipf_drift_small")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val small = spark.table("zipf_drift_small").collect()
+    assert(small.length == 1)
+    assert(small(0).getLong(1) == 8L && small(0).getLong(2) > 0L)
+    assert(small(0).getLong(3) == 8L && !small(0).isNullAt(4))
+  }
+
   test("kmvSketchStream: final per-source sketch ≡ batch bottom-k recount") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
     val sf = "/root/testdata/sf0.001"
