@@ -553,6 +553,140 @@ object SketchOps {
         (col("m_drift") === 0).as("merge_exact"))
   }
 
+  /** The precision grid of the HLL sweep: p register-index bits → m = 2^p
+    * registers, bracketing the deployed p = 6 an octave either side. */
+  val hllPGrid: Seq[Int] = Seq(4, 6, 8)
+
+  /** α_m in milli (Flajolet et al. 2007): the published small-m constants
+    * for m = 16/32/64, the closed form ⌊721.3·m/(m + 1.079)⌋ beyond. */
+  def hllAlphaMilliFor(m: Long): Long = m match {
+    case 16L => 673L
+    case 32L => 697L
+    case 64L => 709L
+    case _ => (721300L * m) / (1000L * m + 1079L)
+  }
+
+  /** HLL precision calibration sweep — the sketch-memory sizing decision
+    * (the cms_width_sweep / kmv_k_sweep contract applied to the register
+    * count): per p ∈ [[hllPGrid]], the full estimator pipeline of
+    * [[hllDistinctAudit]] — register maxes over the SAME cached
+    * distinct-hash universe, exact-integer harmonic estimate with the
+    * published per-m α, small-range linear-counting correction — and the
+    * exact-milli accuracy ratio. Relative stderr falls as 1.04/√m, so
+    * the sweep shows where registers stop buying accuracy (m = 256 on a
+    * ~16k-distinct corpus is already past the knee).
+    *
+    * Plan shape: the (p, j, ρ) projection explodes the vocabulary-sized
+    * distinct-hash relation ×|grid| with p as a data column (different ρ
+    * widths per p — each grid row re-slices, never re-hashes); registers
+    * aggregate to Σ 2^p ≤ 336 cells via the LEFT-joined full (p, j)
+    * grid, so EVERY grid row appears even on an empty corpus (all-empty
+    * registers → linear counting → est 0, the documented degenerate
+    * row); the exact distinct count is the one corpus-sized aggregate,
+    * shared across the grid. */
+  private def hllPSweep(s: SparkSession, dir: String): DataFrame = {
+    val u = kmvUniverse(s, dir)
+    val dh = u.select(col("g"), col("h")).distinct()
+    val byP = hllPGrid.map { p =>
+      val rhoBits = 32 - p
+      val rhoW = 1L << rhoBits
+      dh.select(lit(p).as("p"), expr(s"h div $rhoW").as("j"),
+          (col("h") % rhoW).as("r"))
+        .withColumn("rho", when(col("r") === 0, lit(rhoBits + 1))
+          .otherwise(lit(rhoBits + 1) - length(bin(col("r")))).cast("long"))
+        .select(col("p"), col("j"), col("rho"))
+    }.reduce(_ unionByName _)
+    val grid = hllPGrid.map(p =>
+      s.range(1L << p).select(lit(p).as("p"), col("id").as("j")))
+      .reduce(_ unionByName _)
+    val cells = grid.join(
+        byP.groupBy(col("p"), col("j")).agg(max(col("rho")).as("mj")),
+        Seq("p", "j"), "left")
+      .select(col("p"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val agg = cells.groupBy(col("p")).agg(
+      sum(call_function("shiftleft", lit(1L),
+        (lit(30) - col("mj")).cast("int"))).as("z_scaled"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+    // per-p constants as CASE expressions (3 literals; the numerators are
+    // precomputed Longs — interpolated INT factors would overflow 32-bit)
+    val mCase = hllPGrid.map(p =>
+      s"WHEN p = $p THEN CAST(${1L << p} AS BIGINT)")
+      .mkString("CASE ", " ", " END")
+    val estNumCase = hllPGrid.map { p =>
+      val m = 1L << p
+      s"WHEN p = $p THEN ${hllAlphaMilliFor(m) * m * m * (1L << 30)}"
+    }.mkString("CASE ", " ", " END")
+    val nAll = u.select(col("g")).distinct().agg(count(lit(1)).as("n_exact"))
+    agg.crossJoin(broadcast(nAll))
+      .withColumn("m", expr(mCase))
+      .withColumn("est_raw", expr(s"($estNumCase) div (1000 * z_scaled)"))
+      .withColumn("est", expr(
+        s"CASE WHEN est_raw <= (5 * m) div 2 AND v_empty > 0 THEN " +
+          s"(m * (${CurationOps.lg("m")} - ${CurationOps.lg("v_empty")}) " +
+          "* 693147) div 1000000000 ELSE est_raw END"))
+      .select(col("p"), col("m"), col("n_exact"), col("v_empty"),
+        col("z_scaled"), col("est_raw"), col("est"),
+        expr("CASE WHEN n_exact > 0 THEN (1000 * est) div n_exact END")
+          .as("ratio_milli"))
+      .orderBy("p")
+  }
+
+  private def hllPSweepSql = {
+    val rhoUnion = hllPGrid.map { p =>
+      val rhoBits = 32 - p
+      val rhoW = 1L << rhoBits
+      s"""SELECT $p AS p, h // $rhoW AS j,
+         |    CAST(CASE WHEN h % $rhoW = 0 THEN ${rhoBits + 1}
+         |         ELSE ${rhoBits + 1} - length(bin(h % $rhoW)) END
+         |      AS BIGINT) AS rho
+         |  FROM dh""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val gridUnion = hllPGrid.map(p =>
+      s"SELECT $p AS p, CAST(range AS BIGINT) AS j FROM range(${1L << p})")
+      .mkString("\n  UNION ALL ")
+    val mCase = hllPGrid.map(p =>
+      s"WHEN p = $p THEN CAST(${1L << p} AS BIGINT)")
+      .mkString("CASE ", " ", " END")
+    val estNumCase = hllPGrid.map { p =>
+      val m = 1L << p
+      s"WHEN p = $p THEN ${hllAlphaMilliFor(m) * m * m * (1L << 30)}"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH $kmvUniverseSql,
+       |hh AS (SELECT source, g, $kmvHashSql AS h FROM u),
+       |dh AS (SELECT DISTINCT g, h FROM hh),
+       |na AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact FROM hh),
+       |rho AS (
+       |  $rhoUnion),
+       |grid AS (
+       |  $gridUnion),
+       |regs AS (SELECT p, j, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT grid.p, COALESCE(regs.mj, 0) AS mj
+       |  FROM grid LEFT JOIN regs ON grid.p = regs.p AND grid.j = regs.j),
+       |ag AS (
+       |  SELECT p,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(30 - mj AS INTEGER))
+       |      AS BIGINT) AS z_scaled,
+       |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_empty
+       |  FROM cells GROUP BY 1),
+       |e1 AS (
+       |  SELECT p, $mCase AS m, n_exact, v_empty, z_scaled,
+       |    ($estNumCase) // (1000 * z_scaled) AS est_raw
+       |  FROM ag CROSS JOIN na),
+       |e2 AS (
+       |  SELECT *,
+       |    CASE WHEN est_raw <= (5 * m) // 2 AND v_empty > 0 THEN
+       |      (m * (${CurationOps.lgSql("m")} -
+       |        ${CurationOps.lgSql("v_empty")}) * 693147) // 1000000000
+       |    ELSE est_raw END AS est
+       |  FROM e1)
+       |SELECT p, m, n_exact, v_empty, z_scaled, est_raw, est,
+       |  CASE WHEN n_exact > 0 THEN (1000 * est) // n_exact END
+       |    AS ratio_milli
+       |FROM e2 ORDER BY p""".stripMargin
+  }
+
   private def hllDistinctAuditSql = {
     val rhoW = 1L << hllRhoBits
     val m = hllRegisters
@@ -1089,6 +1223,7 @@ object SketchOps {
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
     Q("cms_width_sweep", cmsWidthSweep, Some(cmsWidthSweepSql)),
     Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),
+    Q("hll_p_sweep", hllPSweep, Some(hllPSweepSql)),
     Q("zipf_slope_audit", zipfSlopeAudit, Some(zipfSlopeAuditSql)),
     Q("kmv_distinct_audit", kmvDistinctAudit, Some(kmvDistinctAuditSql)),
     Q("kmv_merge_audit", kmvMergeAudit, Some(kmvMergeAuditSql)),

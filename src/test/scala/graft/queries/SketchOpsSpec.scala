@@ -284,6 +284,56 @@ class SketchOpsSpec extends SparkSpec {
     assert(exp._2 == 0L)
   }
 
+  test("hll_p_sweep ≡ plain-Scala recount across the p grid; grid intact on an empty corpus") {
+    val S = SketchOps
+    val dir = "/root/testdata/sf0.001"
+    val grams = docs(dir).flatMap(d => trigrams(d._2)).distinct
+    val expected = S.hllPGrid.map { p =>
+      val m = 1L << p
+      val rhoBits = 32 - p
+      val rhoW = 1L << rhoBits
+      val regs = Array.fill(m.toInt)(0L)
+      grams.foreach { g =>
+        val h = u32(g)
+        val j = (h / rhoW).toInt
+        val r = h % rhoW
+        val rho = if (r == 0) rhoBits + 1L
+          else rhoBits + 1L - (64 - java.lang.Long.numberOfLeadingZeros(r))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val z = regs.map(mj => 1L << (30 - mj)).sum
+      val v = regs.count(_ == 0L).toLong
+      val estRaw = S.hllAlphaMilliFor(m) * m * m * (1L << 30) / (1000L * z)
+      val est = if (estRaw <= 5 * m / 2 && v > 0)
+        m * (S.lgJvm(m) - S.lgJvm(v)) * 693147L / 1000000000L else estRaw
+      (p, m, grams.size.toLong, v, z, estRaw, est,
+        if (grams.nonEmpty) Some(1000L * est / grams.size) else None)
+    }
+    def read(d: String) = SparkEntry.queries("hll_p_sweep")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    val got = read(dir)
+    assert(got == expected, s"got $got\nexpected $expected")
+    // more registers must not be less accurate at the grid's ends (the
+    // 1.04/√m stderr law, pinned loosely: p=8 beats p=4 on this corpus)
+    assert(math.abs(got.last._8.get - 1000L) <=
+      math.abs(got.head._8.get - 1000L))
+
+    // empty corpus: every grid row still present, linear counting lands
+    // on 0, ratio NULL
+    import spark.implicits._
+    val edir = java.nio.file.Files.createTempDirectory("hllpempty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$edir/documents.parquet")
+    val er = read(edir)
+    assert(er.map(_._1) == S.hllPGrid)
+    er.foreach { r =>
+      assert(r._3 == 0L && r._7 == 0L && r._8.isEmpty, s"empty-corpus row $r")
+    }
+  }
+
   test("hll_distinct_audit: sparse fixture fires the linear-counting branch") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("hllsparse").toString
