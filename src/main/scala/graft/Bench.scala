@@ -73,10 +73,29 @@ object Bench {
         "first-query timing will include JIT/codegen cost")
     }
 
+    // Optional cache-release ladder (off by default so round-over-round
+    // benches stay comparable): SPARK_GRAFT_RELEASE_EVERY=N unpersists the
+    // whole session-cache registry at every Nth query boundary. This is
+    // the memory-ceiling control for constrained heaps — the r12 scale
+    // finding: four cache-heavy families back-to-back at the 100× corpus
+    // OOM an 8 GB session when 32 concurrent hash builds land on top of
+    // accumulated registries; a release boundary trades rebuild time for
+    // a bounded peak. The released queries then pay their cold builds
+    // again, which is exactly the trade the flag's presence documents.
+    val releaseEvery = sys.env.get("SPARK_GRAFT_RELEASE_EVERY")
+      .map(_.toInt).filter(_ > 0)
+
     // A failed query is reported as NEGATIVE elapsed seconds (not a normal
     // measurement) and forces a nonzero exit, so breakage can't masquerade
     // as a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((name, fn), i) =>
+      releaseEvery.foreach { n =>
+        if (i > 0 && i % n == 0) {
+          graft.queries.Util.releaseCaches(spark)
+          System.err.println(s"[bench] cache release boundary before #$i")
+        }
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

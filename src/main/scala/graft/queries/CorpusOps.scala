@@ -120,22 +120,45 @@ object CorpusOps {
   private def bloomPositions(gram: Column, m: Long): Seq[Column] =
     (0 until bloomHashes).map(h => pmod(xxhash64(lit(h), gram), lit(m)))
 
-  /** One-row bloom bitmap (`bm: map<long,long>` of 64-bit words keyed by
-    * position >> 6) over a gram relation (column `g`). The build is one
-    * explode + two hash-aggs; an unset word is ABSENT from the map, so
-    * bitmap size tracks occupied words, not width. */
-  def bloomBitmapOf(grams: DataFrame, m: Long): DataFrame =
+  /** One-row bloom bitmap (`bm: array<bigint>`, the DENSE m/64-word
+    * bitmap; word i = element i+1) over a gram relation (column `g`).
+    * The build is one explode + two hash-aggs + a one-row dense fill;
+    * the row is m/8 bytes regardless of gram count (128 KiB at the
+    * default 2^20 bits). */
+  def bloomBitmapOf(grams: DataFrame, m: Long): DataFrame = {
+    val words = m >> 6
     grams
       .select(explode(array(bloomPositions(col("g"), m): _*)).as("pos"))
       .groupBy(shiftright(col("pos"), 6).as("wi"))
       .agg(bit_or(call_function("shiftleft", lit(1L),
         col("pos").bitwiseAND(lit(63L)).cast("int"))).as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("wi"), col("bits")))).as("bm"))
+      // DENSE array, not a map: Spark's element_at on a MapType is a
+      // LINEAR SCAN of the keys, so a map-shaped bitmap turns every probe
+      // into O(occupied words) — measured 103 s for decontaminate_bloom
+      // at the 100× corpus (4 probes × ~50M grams × ~k-thousand-entry
+      // scans) where the dense-array probe is O(1) per lookup. The fill
+      // is ONE row's fold over the sorted occupied words (zero-padding
+      // the gaps), O(words) copy — 16 K longs at the default 2^20 bits;
+      // a 2^30-bit deployment shards the eval set per the sizing note
+      // above rather than growing this build.
+      .agg(array_sort(collect_list(struct(col("wi"), col("bits"))))
+        .as("ws"))
+      .select(expr(
+        """aggregate(ws, CAST(array() AS ARRAY<BIGINT>), (acc, w) ->
+          |  concat(acc,
+          |    array_repeat(CAST(0 AS BIGINT), CAST(w.wi AS INT) - size(acc)),
+          |    array(w.bits)))""".stripMargin).as("partial"))
+      .select(concat(col("partial"), expr(
+        s"array_repeat(CAST(0 AS BIGINT), $words - size(partial))"))
+        .as("bm"))
+  }
 
-  /** Probe verdict for one gram against the broadcast bitmap column. */
+  /** Probe verdict for one gram against the broadcast bitmap column.
+    * Positions are in [0, m), so the 1-based dense-array index is always
+    * in range — no absent-key fallback exists by construction. */
   def bloomHitExpr(gram: Column, bm: Column, m: Long): Column =
     bloomPositions(gram, m).map { p =>
-      coalesce(element_at(bm, shiftright(p, 6)), lit(0L))
+      element_at(bm, (shiftright(p, 6) + lit(1L)).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L),
           p.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
     }.reduce(_ && _)

@@ -1218,8 +1218,217 @@ object SketchOps {
        |FROM base CROSS JOIN est CROSS JOIN mg""".stripMargin
   }
 
+  // ------------------------------------------------ dyadic rank/quantile
+
+  /** Dyadic levels of the rank sketch — value universe [0, 2^16). */
+  val rankLevels = 16
+  /** Largest representable value; longer docs clip into this bucket. */
+  val rankVMax = 65535L
+  /** Quantile grid audited (per-mille). */
+  val rankQGrid: Seq[Long] = Seq(100L, 250L, 500L, 750L, 900L, 990L)
+  /** Dense cell count of the packed sketch: levels × depth × width. */
+  val rankCells: Int = rankLevels * cmsDepth * cmsWidth.toInt
+
+  /** Hash key of a dyadic node — level:prefix, the ONE string both
+    * engines and the recount spec md5. */
+  private def rankKey(l: Column, p: Column): Column =
+    concat(l.cast("string"), lit(":"), p.cast("string"))
+
+  /** Doc token-length counts (v, cnt), v clipped into the universe —
+    * the audited value distribution (the per-document length histogram a
+    * packing/curriculum pipeline needs percentiles of). Registry-cached:
+    * the exact side, the sketch build and the grid all re-read it. */
+  private def rankValCounts(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "rankValCounts", "")(
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(least(size(split(col("text"), " ")).cast("long"),
+          lit(rankVMax)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt")))
+
+  /** Point query of dyadic node (level `l`, prefix column `p`) against
+    * the dense-packed cell array: min over the d seed rows. */
+  private def rankPointQ(arr: Column, l: Int, p: Column): Column =
+    (0 until cmsDepth).map { i =>
+      element_at(arr, (lit((l.toLong * cmsDepth + i) * cmsWidth) +
+        cmsBucket(i, rankKey(lit(l), p)) + 1L).cast("int"))
+    }.reduce(least(_, _))
+
+  /** Estimated rank (# values strictly below `x`, x ∈ [0, 2^16)) via the
+    * canonical dyadic decomposition of [0, x): one point query per set
+    * bit of x — the level-ℓ interval starting at x with bits ≤ ℓ
+    * cleared, whose prefix is 2·(x >> (ℓ+1)). */
+  private def rankEstExpr(arr: Column, x: Column): Column =
+    (0 until rankLevels).map { l =>
+      when(shiftright(x, l).bitwiseAND(lit(1L)) === 1L,
+        rankPointQ(arr, l, shiftright(x, l + 1) * 2L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Dyadic Count-Min rank/quantile sketch audit — the QUANTILE member
+    * of the mergeable-sketch tier (Cormode & Muthukrishnan 2005 §4,
+    * "range queries and quantiles": one CMS per dyadic level of a
+    * bounded value universe; rank(x) = Σ of ≤ log U point queries over
+    * the canonical decomposition of [0, x); quantile = the greedy root-
+    * to-leaf descent inverting it). The audited values are per-document
+    * token lengths — the distribution a sequence-packing / curriculum
+    * pipeline needs percentiles of without a global sort.
+    *
+    * Per q ∈ [[rankQGrid]] (per-mille): the exact quantile value (rank-
+    * selection semantics, the value at ascending position ⌈q·n/1000⌉),
+    * the sketch's descent value, the exact strict rank below the exact
+    * quantile and its dyadic estimate. BOTH one-sided laws are theorems
+    * and emitted as audited booleans, so a hash-green row pins them
+    * cross-engine: point queries never underestimate ⇒ `rank_ok`
+    * (est_rank ≥ exact_rank), and the descent stops at the first leaf
+    * whose estimated rank reaches the target — pointwise-dominating
+    * estimates reach it no later ⇒ `v_ok` (est_v ≤ exact_v).
+    *
+    * Scale shape: the only corpus-scale work is ONE map-side-combining
+    * length histogram (no explode — one length per document); the sketch
+    * is a constant [[rankCells]]-cell array (levels·d·w = 16 384) built
+    * vocabulary-sized from the cached histogram and dense-packed into
+    * one broadcast row (the bloom dense-array lesson: element_at on a
+    * map is a linear scan, on an array O(1)). Cells are sums, so
+    * shards/streams merge by addition like every CMS. The descent is 16
+    * chained projections over a |grid|-row relation — each level's
+    * md5 probes materialize once per level (CollapseProject keeps
+    * non-cheap multiply-referenced expressions in their own project). */
+  private def cmsRankAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vc = rankValCounts(s, dir)
+    // dense-packed cells: explode the histogram ×levels ×depth, sum per
+    // cell, pack into index (l·d + seed)·w + bucket of ONE array row
+    val cells = vc.select(col("cnt"),
+        explode(array((0 until rankLevels).map(l =>
+          struct(lit(l.toLong).as("l"), shiftright(col("v"), l).as("p"))): _*))
+          .as("e"))
+      .select(col("cnt"), col("e.l").as("l"), col("e.p").as("p"))
+      .select(col("cnt"),
+        explode(array((0 until cmsDepth).map(i =>
+          ((col("l") * cmsDepth + i) * cmsWidth +
+            cmsBucket(i, rankKey(col("l"), col("p")))).as(s"i$i")): _*))
+          .as("i"))
+      .groupBy(col("i")).agg(sum(col("cnt")).as("cnt"))
+    val arr = cells
+      .agg(array_sort(collect_list(struct(col("i"), col("cnt")))).as("ws"))
+      .select(expr(
+        """aggregate(ws, CAST(array() AS ARRAY<BIGINT>), (acc, w) ->
+          |  concat(acc,
+          |    array_repeat(CAST(0 AS BIGINT), CAST(w.i AS INT) - size(acc)),
+          |    array(w.cnt)))""".stripMargin).as("partial"))
+      .select(concat(col("partial"), expr(
+        s"array_repeat(CAST(0 AS BIGINT), $rankCells - size(partial))"))
+        .as("arr"))
+    val nRow = vc.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_docs"))
+    val cum = vc.select(col("v"), col("cnt"),
+      sum(col("cnt")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val grid = rankQGrid.toDF("q_milli")
+      .crossJoin(broadcast(nRow))
+      .withColumn("r", expr("(q_milli * n_docs + 999) div 1000"))
+    val exact = grid.join(cum, col("cum") >= col("r"), "left")
+      .groupBy("q_milli", "n_docs", "r")
+      .agg(min(col("v")).as("exact_v"))
+    val withRank = exact.join(
+        cum.select(col("v"), (col("cum") - col("cnt")).as("exact_rank")),
+        col("v") === col("exact_v"), "left")
+      .drop("v")
+    var d = withRank.crossJoin(broadcast(arr))
+      .withColumn("p", lit(0L)).withColumn("cur", lit(0L))
+    for (lvl <- (rankLevels - 1) to 0 by -1) {
+      d = d.withColumn("c_", rankPointQ(col("arr"), lvl, col("p") * 2L))
+        .withColumn("take_", col("cur") + col("c_") < col("r"))
+        .withColumn("p", col("p") * 2L + when(col("take_"), 1L).otherwise(0L))
+        .withColumn("cur",
+          col("cur") + when(col("take_"), col("c_")).otherwise(0L))
+        .drop("c_", "take_")
+    }
+    val estRank = when(col("exact_v").isNull, lit(null).cast("long"))
+      .otherwise(rankEstExpr(col("arr"), col("exact_v")))
+    val estV = when(col("n_docs") === 0L, lit(null).cast("long"))
+      .otherwise(col("p"))
+    d.withColumn("est_rank", estRank)
+      .select(col("q_milli"), col("n_docs"), col("exact_v"),
+        estV.as("est_v"),
+        (estV <= col("exact_v")).as("v_ok"),
+        col("exact_rank"),
+        col("est_rank"),
+        (col("est_rank") - col("exact_rank")).as("rank_over"),
+        (col("est_rank") >= col("exact_rank")).as("rank_ok"))
+      .orderBy("q_milli")
+  }
+
+  private def cmsRankAuditSql: String = {
+    def keySql(l: String, p: String) =
+      s"CAST($l AS VARCHAR) || ':' || CAST($p AS VARCHAR)"
+    def bucketSql(i: Int, key: String) =
+      s"CAST('0x' || substr(md5('$i:' || $key), 1, 8) AS BIGINT) % $cmsWidth"
+    def pointqSql(l: String, p: String) =
+      (0 until cmsDepth).map { i =>
+        s"list_extract(arr, ($l * $cmsDepth + $i) * $cmsWidth + " +
+          s"${bucketSql(i, keySql(l, p))} + 1)"
+      }.mkString("LEAST(", ",\n      ", ")")
+    val cellArms = (0 until cmsDepth).map { i =>
+      s"SELECT (l * $cmsDepth + $i) * $cmsWidth + " +
+        s"${bucketSql(i, keySql("l", "p"))} AS i, cnt FROM lv"
+    }.mkString("\n  UNION ALL ")
+    val estRankSql = (0 until rankLevels).map { l =>
+      s"CASE WHEN ((exact_v >> $l) & 1) = 1 THEN " +
+        s"${pointqSql(l.toString, s"2 * (exact_v >> ${l + 1})")} ELSE 0 END"
+    }.mkString("(", "\n    + ", ")")
+    val descent = (rankLevels - 1) to 0 by -1
+    val descentCtes = descent.map { lvl =>
+      s"""d$lvl AS (
+         |  SELECT q_milli, n_docs, exact_v, exact_rank, est_rank, r,
+         |    CASE WHEN cur + pq < r THEN 2 * p + 1 ELSE 2 * p END AS p,
+         |    CASE WHEN cur + pq < r THEN cur + pq ELSE cur END AS cur
+         |  FROM (SELECT d${lvl + 1}.*, ${pointqSql(lvl.toString, "2 * p")} AS pq
+         |        FROM d${lvl + 1}, arr) s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vals AS (
+       |  SELECT LEAST(len(string_split(text, ' ')), $rankVMax) AS v
+       |  FROM documents WHERE text IS NOT NULL),
+       |vc AS MATERIALIZED (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY 1),
+       |lv AS (SELECT cnt, l, (v >> l) AS p
+       |       FROM vc, UNNEST(range(0, $rankLevels)) t(l)),
+       |cells AS (
+       |  SELECT i, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |  $cellArms) GROUP BY 1),
+       |arr AS MATERIALIZED (
+       |  SELECT list(COALESCE(c.cnt, 0) ORDER BY r.i) AS arr
+       |  FROM range(0, $rankCells) r(i) LEFT JOIN cells c ON r.i = c.i),
+       |n AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_docs FROM vc),
+       |cum AS MATERIALIZED (
+       |  SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+       |  FROM vc),
+       |grid AS (SELECT CAST(UNNEST([${rankQGrid.mkString(", ")}]) AS BIGINT)
+       |         AS q_milli),
+       |g2 AS (SELECT q_milli, n_docs,
+       |         CAST((q_milli * n_docs + 999) // 1000 AS BIGINT) AS r
+       |       FROM grid, n),
+       |ex AS (SELECT q_milli, n_docs, r, MIN(c.v) AS exact_v
+       |       FROM g2 LEFT JOIN cum c ON c.cum >= g2.r GROUP BY 1, 2, 3),
+       |er AS (
+       |  SELECT ex.q_milli, ex.n_docs, ex.r, ex.exact_v,
+       |    CAST(c.cum - c.cnt AS BIGINT) AS exact_rank,
+       |    CASE WHEN ex.exact_v IS NULL THEN NULL ELSE CAST($estRankSql
+       |      AS BIGINT) END AS est_rank
+       |  FROM ex LEFT JOIN cum c ON c.v = ex.exact_v, arr),
+       |d$rankLevels AS (
+       |  SELECT q_milli, n_docs, exact_v, exact_rank, est_rank, r,
+       |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cur FROM er),
+       |$descentCtes
+       |SELECT q_milli, n_docs, exact_v,
+       |  CASE WHEN n_docs = 0 THEN NULL ELSE p END AS est_v,
+       |  CASE WHEN n_docs = 0 THEN NULL ELSE p END <= exact_v AS v_ok,
+       |  exact_rank, est_rank,
+       |  est_rank - exact_rank AS rank_over,
+       |  est_rank >= exact_rank AS rank_ok
+       |FROM d0 ORDER BY q_milli""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ams_f2_audit", amsF2Audit, Some(amsF2AuditSql)),
+    Q("cms_rank_audit", cmsRankAudit, Some(cmsRankAuditSql)),
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
     Q("cms_width_sweep", cmsWidthSweep, Some(cmsWidthSweepSql)),
     Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),

@@ -982,6 +982,62 @@ object UnigramOps {
        |ORDER BY round""".stripMargin
   }
 
+  /** Trainer ROI for the WordPiece family — the bpe_compression
+    * acceptance report on the third trainer: the 8 learned merges applied
+    * back to the corpus (the trained final state's per-word symbol
+    * counts), per source the char-level vs post-merge token counts and
+    * the exact-milli savings. Reads: which sources the likelihood-greedy
+    * vocab compresses (their pair statistics dominated the argmax) and
+    * which stay near char-level (underrepresented — want more rounds or
+    * their own merges). The universe is [[wordFreq]]'s (the trainer's
+    * own), so the ROI is measured exactly over what was trained on.
+    *
+    * Scale shape: token-scale work is ONE (source, word) map-side-
+    * combining count; symbol counts come from the session-cached trained
+    * state joined at vocabulary grain; output is |sources| rows. The
+    * float division is the bpe_compression exactness argument: quotient
+    * magnitudes sit far inside 2⁵³, so floor(1000.0·x/y) is IEEE-exact
+    * and engine-identical. */
+  private def wordpieceCompression(s: SparkSession, dir: String)
+      : DataFrame = {
+    val nsym = wpTrained(s, dir)._2
+      .select(col("word"), size(split(col("s"), "·")).cast("long")
+        .as("n_sym"))
+    val occ = t(s, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(wordUniverseFilter(col("word")))
+      .groupBy("source", "word").agg(count(lit(1)).as("occ"))
+    occ.join(nsym, "word")
+      .groupBy("source").agg(
+        sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_char_tokens"),
+        sum(col("occ") * col("n_sym")).as("n_wp_tokens"))
+      .withColumn("saved_milli",
+        floor(lit(1000.0) * (col("n_char_tokens") - col("n_wp_tokens")) /
+          col("n_char_tokens")).cast("long"))
+      .orderBy("source")
+  }
+
+  private val wordpieceCompressionSql =
+    s"""WITH $wpCtes,
+       |nsym AS (SELECT word, len(string_split(s, '·')) AS n_sym FROM w8),
+       |occ AS (
+       |  SELECT COALESCE(source, '') AS source, word, COUNT(*) AS occ
+       |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |    AND length(word) BETWEEN 2 AND $MaxWordLen
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(SUM(occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(occ * length(word)) AS BIGINT) AS n_char_tokens,
+       |  CAST(SUM(occ * n_sym) AS BIGINT) AS n_wp_tokens,
+       |  CAST(floor(1000.0 * (SUM(occ * length(word)) - SUM(occ * n_sym))
+       |       / SUM(occ * length(word))) AS BIGINT) AS saved_milli
+       |FROM occ JOIN nsym USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Trained WordPiece vocabulary as a (piece, cnt, cost) relation — the
     * final training state's symbol counts under the SAME 500·halfbit
     * cost rule as the seed [[vocabRel]], unioned with any initial single
@@ -1035,6 +1091,8 @@ object UnigramOps {
   def all: Seq[Q] = Seq(
     Q("wordpiece_train_rounds", wordpieceTrainRounds,
       Some(wordpieceTrainRoundsSql)),
+    Q("wordpiece_compression", wordpieceCompression,
+      Some(wordpieceCompressionSql)),
     Q("wordpiece_greedy_audit", wordpieceGreedyAudit,
       Some(wordpieceGreedyAuditSql)),
     Q("unigram_lm_step", unigramLmStep, Some(unigramLmStepSql)),

@@ -216,8 +216,9 @@ object StreamingPipeline {
     * [[decontaminateStream]]: where that twin broadcasts the bench grams
     * THEMSELVES (one array row, hard-bounded at ~50 B/gram by
     * `graft.cap.benchGrams`), this broadcasts only their bloom bitmap
-    * (2^`graft.bloom.log2bits` bits regardless of gram count — a 10⁸-gram
-    * eval suite fits in a 128 MiB map where the array row would be 5 GB),
+    * (a dense 2^`graft.bloom.log2bits`-bit array — m/8 bytes regardless
+    * of gram count: a 10⁸-gram eval suite fits in a 128 MiB row at 2^30
+    * bits where broadcasting the grams themselves would be ~5 GB),
     * built and probed with the ONE hash scheme shared with the batch
     * `decontaminate_bloom` query ([[graft.queries.CorpusOps.bloomBitmapOf]]
     * / `bloomHitExpr` — build/probe drift would silently break the

@@ -394,6 +394,61 @@ class SketchOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("cms_rank_audit ≡ plain-Scala dyadic sketch; both one-sided laws hold") {
+    import scala.collection.mutable
+    val dir = "/root/testdata/sf0.001"
+    val S = SketchOps
+    val vals = docs(dir).collect { case (_, text, _) if text != null =>
+      math.min(text.split(" ", -1).length.toLong, S.rankVMax)
+    }
+    val n = vals.length.toLong
+    val cells = mutable.Map.empty[(Int, Int, Long), Long].withDefaultValue(0L)
+    for (v <- vals; l <- 0 until S.rankLevels; i <- 0 until S.cmsDepth)
+      cells((l, i, u32(s"$i:$l:${v >> l}") % S.cmsWidth)) += 1L
+    def pointq(l: Int, p: Long): Long =
+      (0 until S.cmsDepth)
+        .map(i => cells((l, i, u32(s"$i:$l:$p") % S.cmsWidth))).min
+    def estRank(x: Long): Long = (0 until S.rankLevels).map { l =>
+      if (((x >> l) & 1L) == 1L) pointq(l, 2L * (x >> (l + 1))) else 0L
+    }.sum
+    val sorted = vals.sorted
+    val rows = SparkEntry.queries("cms_rank_audit")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == S.rankQGrid)
+    rows.foreach { row =>
+      val q = row.getLong(0)
+      assert(row.getLong(1) == n)
+      val r = (q * n + 999L) / 1000L
+      val exactV = sorted((r - 1).toInt)
+      assert(row.getLong(2) == exactV)
+      var p = 0L; var cur = 0L
+      for (lvl <- (S.rankLevels - 1) to 0 by -1) {
+        val c = pointq(lvl, 2L * p)
+        if (cur + c < r) { p = 2L * p + 1L; cur += c } else p = 2L * p
+      }
+      assert(row.getLong(3) == p, s"descent q=$q")
+      assert(row.getBoolean(4) && p <= exactV, s"v one-sided law q=$q")
+      val exactRank = vals.count(_ < exactV).toLong
+      assert(row.getLong(5) == exactRank)
+      assert(row.getLong(6) == estRank(exactV), s"est_rank q=$q")
+      assert(row.getLong(7) == estRank(exactV) - exactRank)
+      assert(row.getBoolean(8) && estRank(exactV) >= exactRank,
+        s"rank one-sided law q=$q")
+    }
+    // empty corpus: all six grid rows survive with NULL estimates
+    import spark.implicits._
+    val edir = java.nio.file.Files.createTempDirectory("rankempty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$edir/documents.parquet")
+    val er = SparkEntry.queries("cms_rank_audit")(spark, edir).collect()
+    assert(er.map(_.getLong(0)).toSeq == S.rankQGrid)
+    er.foreach { r =>
+      assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) &&
+        r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7) &&
+        r.isNullAt(8), s"empty-corpus row $r")
+    }
+  }
+
   test("priority_sample_audit ≡ plain-Scala DLT; sampled priorities clear τ") {
     val dir = "/root/testdata/sf0.001"
     val d = docs(dir).collect { case (Some(id), text, src) =>

@@ -408,6 +408,48 @@ class UnigramOpsSpec extends SparkSpec {
       "all 8 WordPiece merges coincide with BPE's — criterion not exercised")
   }
 
+  test("wordpiece_compression ≡ merge-replay recount per source") {
+    import scala.collection.mutable
+    val dir = "/root/testdata/sf0.001"
+    // replay the published merge table (already pinned against the
+    // independent trainer recount above) over per-(source, word) counts
+    val merges = SparkEntry.queries("wordpiece_train_rounds")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def segLen(word: String): Long = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length.toLong
+    }
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("coalesce(source, '') AS source",
+        "explode(split(text, ' ')) AS w").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (_, w) =>
+        w.matches("^[a-z]+$") && w.length >= 2 && w.length <= 64 }
+    val expected = occ.groupBy(_._1).map { case (src, ws) =>
+      val words = ws.map(_._2)
+      val chars = words.map(_.length.toLong).sum
+      val wp = words.map(segLen).sum
+      src -> ((words.length.toLong, chars, wp,
+        (1000.0 * (chars - wp) / chars).floor.toLong))
+    }
+    val got = SparkEntry.queries("wordpiece_compression")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the merges must actually compress something somewhere
+    assert(got.values.exists(_._4 > 0L))
+  }
+
   test("trained WordPiece vocab lowers the greedy segmenter's excess vs the seed vocab") {
     val dir = "/root/testdata/sf0.001"
     val (seedExcess, seedSub) = UnigramOps.greedyExcessTotal(
