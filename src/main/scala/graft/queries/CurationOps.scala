@@ -840,9 +840,271 @@ object CurationOps {
        |JOIN negc nc USING (anchor) JOIN negi ni USING (anchor)
        |ORDER BY pc.anchor""".stripMargin
 
+  // ------------------------------------------------ submodular coverage
+
+  /** Greedy coverage-selection rounds. */
+  val covK = 8
+
+  /** Unpersist a localCheckpoint'd generation (the wpTrained/bpeTrained
+    * release discipline — checkpoints otherwise accumulate for the
+    * session's lifetime). */
+  private def releaseGen(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Doc → distinct word-trigram incidence (doc_id, g) — the coverage
+    * universe. NULL doc_ids are excluded (a selection must name its
+    * picks); duplicate doc_ids merge into one candidate (their gram
+    * union), the same rule both engines apply by DISTINCT. */
+  private def covDocGrams(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "covDocGrams", "")(
+      t(s, dir, "documents")
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+        .distinct())
+
+  /** The incidence relation with each gram's document-frequency weight
+    * attached — cached as ONE relation so the ≤ 2·covK per-round actions
+    * of the two selectors never re-derive the weight aggregate (the
+    * 100× ScaleCheck finding: re-aggregating wts inside every round's
+    * job dominated the round). */
+  private def covDocGramW(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "covDocGramW", "")({
+      val dg = covDocGrams(s, dir)
+      dg.join(dg.groupBy("g").agg(count(lit(1)).as("w")), "g")
+    })
+
+  /** Sort-free argmax of a per-doc gain relation: ONE row aggregate
+    * min(struct(−gain, doc_id, …)) ≡ ORDER BY gain DESC, doc_id LIMIT 1
+    * plus the candidate-pool count, in a single job. */
+  private def covArgmax(gains: DataFrame): Array[org.apache.spark.sql.Row] =
+    gains.agg(count(lit(1)).as("n_cand"),
+      min(struct((-col("gain")).as("ng"), col("doc_id"), col("gain"),
+        col("n_new"))).as("m"))
+      .where(col("n_cand") > 0L)
+      .select(col("m.doc_id"), col("m.gain"), col("m.n_new"), col("n_cand"))
+      .collect()
+
+  /** Submodular max-coverage data selection, greedy rounds — the
+    * subset-selection operator of the curation tier (Nemhauser–Wolsey–
+    * Fisher 1978: greedy is (1−1/e)-optimal for monotone submodular
+    * objectives; Kirchhoff & Bilmes 2014 apply exactly this
+    * feature-coverage objective to training-data selection). Round r
+    * picks the document maximizing the marginal gain
+    * Σ_{g ∈ grams(d) \ covered} df(g) — document-frequency-weighted
+    * distinct-trigram coverage, so the objective is "cover the corpus's
+    * doc-gram incidence mass" and the emitted `coverage_milli` is the
+    * exact per-mille of that mass covered after each pick. Ties break on
+    * doc_id; rounds stop early when every gram is covered (every
+    * remaining marginal gain is 0 — emitted rows always have gain ≥ 1).
+    *
+    * Scale shape: token-scale work is ONE cached incidence relation
+    * ([[covDocGrams]]); each of the ≤ [[covK]] rounds is a broadcast-able
+    * anti-join against the covered set (bounded by the selected docs'
+    * gram union — doc-scale, not corpus-scale), a map-side-combining
+    * per-doc sum, and a 1-row driver argmax (the bounded-scalar class the
+    * trainers use), with generation-by-generation checkpoint release. A
+    * 100 TB deployment selecting large k switches to stochastic-greedy
+    * sampling (Mirzasoleiman et al. 2015) — same per-round plan over a
+    * sampled candidate slice, which changes only the candidate filter. */
+  private def coverageGreedyRounds(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val dgw = covDocGramW(s, dir)
+    val total = dgw.count()
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long,
+        Long, Long)]
+    var covered = Seq.empty[String].toDF("g").localCheckpoint()
+    var cum = 0L
+    var round = 1
+    var done = false
+    while (round <= covK && !done) {
+      val top = covArgmax(dgw.join(covered, Seq("g"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new")))
+      if (top.isEmpty) done = true
+      else {
+        val r0 = top(0)
+        val id = r0.getLong(0)
+        cum += r0.getLong(1)
+        rows += ((round.toLong, id, r0.getLong(1), r0.getLong(2), cum,
+          1000L * cum / total))
+        val next = covered
+          .union(dgw.where(col("doc_id") === id).select("g"))
+          .localCheckpoint()
+        releaseGen(covered)
+        covered = next
+        round += 1
+      }
+    }
+    releaseGen(covered)
+    rows.toSeq
+      .toDF("round", "doc_id", "gain_df", "n_new_grams", "cum_df",
+        "coverage_milli")
+      .orderBy("round")
+  }
+
+  /** Stochastic-greedy candidate slice, per-mille of docs eligible per
+    * round (re-sampled every round — the Mirzasoleiman et al. 2015
+    * construction). */
+  val covSampleMilli = 500L
+
+  /** Stochastic-greedy coverage selection — the 100 TB DEPLOYMENT shape
+    * of [[coverageGreedyRounds]] measured against it (Mirzasoleiman et
+    * al. 2015, "Lazier Than Lazy Greedy": per round, argmax over a
+    * RE-SAMPLED candidate slice instead of all docs — (1−1/e−ε) expected
+    * approximation at an |candidates| ∝ (n/k)·ln(1/ε) sample, here a
+    * deterministic md5-coin [[covSampleMilli]]‰ slice keyed (round,
+    * doc_id) so both engines draw the identical "random" slice). A round
+    * whose slice holds no doc with uncovered mass emits nothing and the
+    * selection CONTINUES (the resample is the retry) — unlike the full
+    * greedy, where empty means done; `n_candidates` per emitted row is
+    * the positive-gain pool the argmax actually saw, the quantity that
+    * shrinks as coverage saturates. Comparing this query's final
+    * coverage_milli against the full greedy's IS the audit: the gap is
+    * what the sampled deployment trades for never scanning all
+    * candidates in a round.
+    *
+    * Scale shape: identical to the full greedy (same cached incidence
+    * relation, same per-round anti-join + map-side sum + 1-row argmax)
+    * with the candidate coin applied before the per-doc aggregate — at a
+    * production n/k sampling rate the per-round aggregate reads only the
+    * sampled slice, which is the whole point. */
+  private def coverageStochasticRounds(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val dgw = covDocGramW(s, dir)
+    val total = dgw.count()
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long,
+        Long, Long, Long)]
+    var covered = Seq.empty[String].toDF("g").localCheckpoint()
+    var cum = 0L
+    for (round <- 1 to covK) {
+      val coin = conv(substring(md5(concat(lit(s"$round:"),
+        col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") %
+        lit(1000L)
+      val top = covArgmax(dgw.where(coin < covSampleMilli)
+        .join(covered, Seq("g"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new")))
+      if (top.nonEmpty) {
+        val r0 = top(0)
+        val id = r0.getLong(0)
+        cum += r0.getLong(1)
+        rows += ((round.toLong, id, r0.getLong(1), r0.getLong(2), cum,
+          1000L * cum / total, r0.getLong(3)))
+        val next = covered
+          .union(dgw.where(col("doc_id") === id).select("g"))
+          .localCheckpoint()
+        releaseGen(covered)
+        covered = next
+      }
+    }
+    releaseGen(covered)
+    rows.toSeq
+      .toDF("round", "doc_id", "gain_df", "n_new_grams", "cum_df",
+        "coverage_milli", "n_candidates")
+      .orderBy("round")
+  }
+
+  private def coverageStochasticRoundsSql: String = {
+    def coinSql(k: Int) =
+      s"CAST('0x' || substr(md5('$k:' || CAST(doc_id AS VARCHAR)), 1, 6) " +
+        s"AS BIGINT) % 1000 < $covSampleMilli"
+    val rounds = (1 to covK).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS gain,
+         |    CAST(COUNT(*) AS BIGINT) AS n_new
+         |  FROM dg JOIN wts USING (g)
+         |  WHERE ${coinSql(k)} AND g NOT IN (SELECT g FROM c${k - 1})
+         |  GROUP BY 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id, gain, n_new,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g$k) AS n_candidates
+         |  FROM g$k ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$k AS MATERIALIZED (
+         |  SELECT g FROM c${k - 1}
+         |  UNION SELECT dg.g FROM dg JOIN s$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to covK).map(k =>
+      s"SELECT $k AS round, doc_id, gain, n_new, n_candidates FROM s$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dgo AS (
+       |  SELECT doc_id, s AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id IS NOT NULL) d,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+       |dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM dgo),
+       |wts AS MATERIALIZED (SELECT g, COUNT(*) AS w FROM dg GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM dg),
+       |c0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0),
+       |$rounds,
+       |u AS (
+       |  $arms)
+       |SELECT CAST(round AS BIGINT) AS round, doc_id, gain AS gain_df,
+       |  n_new AS n_new_grams,
+       |  CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_df,
+       |  CAST((1000 * SUM(gain) OVER (ORDER BY round)) // total AS BIGINT)
+       |    AS coverage_milli,
+       |  n_candidates
+       |FROM u, tot ORDER BY round""".stripMargin
+  }
+
+  /** Unrolled s1/c1 → s8/c8 greedy chain (the wpCtes pattern): per round
+    * a NOT-IN anti-join gain aggregate, a Top-1 argmax, and the covered
+    * set extended by the winner's grams — THE single copy of the
+    * oracle's greedy math. */
+  private def coverageGreedyRoundsSql: String = {
+    val rounds = (1 to covK).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS gain,
+         |    CAST(COUNT(*) AS BIGINT) AS n_new
+         |  FROM dg JOIN wts USING (g)
+         |  WHERE g NOT IN (SELECT g FROM c${k - 1})
+         |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$k AS MATERIALIZED (
+         |  SELECT g FROM c${k - 1}
+         |  UNION SELECT dg.g FROM dg JOIN s$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to covK).map(k =>
+      s"SELECT $k AS round, doc_id, gain, n_new FROM s$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dgo AS (
+       |  SELECT doc_id, s AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id IS NOT NULL) d,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+       |dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM dgo),
+       |wts AS MATERIALIZED (SELECT g, COUNT(*) AS w FROM dg GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM dg),
+       |c0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0),
+       |$rounds,
+       |u AS (
+       |  $arms)
+       |SELECT CAST(round AS BIGINT) AS round, doc_id, gain AS gain_df,
+       |  n_new AS n_new_grams,
+       |  CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_df,
+       |  CAST((1000 * SUM(gain) OVER (ORDER BY round)) // total AS BIGINT)
+       |    AS coverage_milli
+       |FROM u, tot ORDER BY round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("contrastive_triples", contrastiveTriples,
       Some(contrastiveTriplesSql)),
+    Q("coverage_greedy_rounds", coverageGreedyRounds,
+      Some(coverageGreedyRoundsSql)),
+    Q("coverage_stochastic_rounds", coverageStochasticRounds,
+      Some(coverageStochasticRoundsSql)),
     Q("global_shuffle_shards", globalShuffleShards,
       Some(globalShuffleShardsSql)),
     Q("dsir_hashed_ngram_weights", dsirHashedNgramWeights,

@@ -1245,6 +1245,29 @@ object SketchOps {
           lit(rankVMax)).as("v"))
         .groupBy("v").agg(count(lit(1)).as("cnt")))
 
+  /** Packed dyadic cell indices of a value column — the ONE copy of the
+    * level/seed hash-and-pack math ((l·d + seed)·w + bucket) shared by
+    * the batch build, the probes and the streaming twin
+    * ([[graft.streaming.StreamingPipeline.rankCellStream]]): build/probe
+    * drift would silently break counter additivity (the bloomPositions
+    * discipline). One array of levels·depth indices per value. */
+  def rankCellIdxArray(v: Column): Column =
+    array((for {
+      l <- 0 until rankLevels
+      i <- 0 until cmsDepth
+    } yield lit((l.toLong * cmsDepth + i) * cmsWidth) +
+      cmsBucket(i, rankKey(lit(l), shiftright(v, l)))): _*)
+
+  /** Per-doc packed cell indices of a doc frame's token lengths — the
+    * STREAMING twin's projection (a stream cannot pre-aggregate to the
+    * length histogram; cell counters are sums, so per-occurrence updates
+    * and cnt-weighted batch aggregation land on identical state). */
+  def rankCellKeys(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(least(size(split(col("text"), " ")).cast("long"),
+        lit(rankVMax)).as("v"))
+      .select(explode(rankCellIdxArray(col("v"))).as("i"))
+
   /** Point query of dyadic node (level `l`, prefix column `p`) against
     * the dense-packed cell array: min over the d seed rows. */
   private def rankPointQ(arr: Column, l: Int, p: Column): Column =
@@ -1295,18 +1318,10 @@ object SketchOps {
   private def cmsRankAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vc = rankValCounts(s, dir)
-    // dense-packed cells: explode the histogram ×levels ×depth, sum per
-    // cell, pack into index (l·d + seed)·w + bucket of ONE array row
-    val cells = vc.select(col("cnt"),
-        explode(array((0 until rankLevels).map(l =>
-          struct(lit(l.toLong).as("l"), shiftright(col("v"), l).as("p"))): _*))
-          .as("e"))
-      .select(col("cnt"), col("e.l").as("l"), col("e.p").as("p"))
-      .select(col("cnt"),
-        explode(array((0 until cmsDepth).map(i =>
-          ((col("l") * cmsDepth + i) * cmsWidth +
-            cmsBucket(i, rankKey(col("l"), col("p")))).as(s"i$i")): _*))
-          .as("i"))
+    // dense-packed cells: explode the histogram ×levels ×depth through
+    // the ONE shared index math, sum per cell
+    val cells = vc
+      .select(col("cnt"), explode(rankCellIdxArray(col("v"))).as("i"))
       .groupBy(col("i")).agg(sum(col("cnt")).as("cnt"))
     val arr = cells
       .agg(array_sort(collect_list(struct(col("i"), col("cnt")))).as("ws"))

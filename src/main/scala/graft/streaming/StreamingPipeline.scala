@@ -955,6 +955,26 @@ object StreamingPipeline {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming dyadic rank-sketch maintenance — [[cmsCellStream]] for
+    * the QUANTILE sketch ([[graft.queries.SketchOps]] `cms_rank_audit`'s
+    * build half run as a running aggregate): arriving docs' token
+    * lengths explode to the IDENTICAL packed cell indices (the shared
+    * [[graft.queries.SketchOps.rankCellKeys]] math) and a watermark-less
+    * streaming aggregation keeps the counters keyed by packed index.
+    * Cells are sums, so the live state after any prefix of the feed IS
+    * the batch sketch of that prefix — any rank/quantile consumer reads
+    * the latest counters through the same descent the batch audit runs.
+    * Run in Update mode; the sink's latest row per cell is the counter.
+    *
+    * Scale: state is ≤ [[graft.queries.SketchOps.rankCells]] counters
+    * (16 384) regardless of feed size; the shuffle is keyed by packed
+    * cell index with map-side partial aggregation compressing each
+    * micro-batch to ≤ that many rows. */
+  def rankCellStream(docs: DataFrame): DataFrame =
+    graft.queries.SketchOps.rankCellKeys(docs)
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("cnt"))
+
   case class KmvIn(source: String, g: String, h: Long)
   case class KmvSketchRow(source: String, n_sketch: Long,
       h_k: Option[Long], est: Long, upd: Long)

@@ -26,6 +26,92 @@ class CurationOpsSpec extends SparkSpec {
         if (r.isNullAt(1)) null else r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2)))
 
+  test("coverage_greedy_rounds ≡ plain-Scala greedy; gains non-increasing") {
+    val dir = "/root/testdata/sf0.001"
+    val byDoc = docs(dir).map { case (id, text, _) =>
+      val w = Option(text).getOrElse("").split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.groupBy(_._1).map { case (id, gs) => id -> gs.flatMap(_._2).toSet }
+    val df = byDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = df.values.sum
+    var covered = Set.empty[String]
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var cum = 0L
+    var stop = false
+    for (round <- 1 to CurationOps.covK if !stop) {
+      val gains = byDoc.toSeq.map { case (id, gs) =>
+        val fresh = gs -- covered
+        (id, fresh.toSeq.map(df).sum, fresh.size.toLong)
+      }.filter(_._2 > 0L)
+      if (gains.isEmpty) stop = true
+      else {
+        val (id, gain, nNew) = gains.minBy { case (d, g, _) => (-g, d) }
+        cum += gain
+        expected += ((round.toLong, id, gain, nNew, cum, 1000L * cum / total))
+        covered ++= byDoc(id)
+      }
+    }
+    val got = SparkEntry.queries("coverage_greedy_rounds")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected.toSeq, s"got $got\nexpected $expected")
+    // submodularity: greedy marginal gains never increase across rounds
+    assert(got.map(_._3) == got.map(_._3).sortBy(-_),
+      "marginal gains must be non-increasing")
+    // a doc is picked at most once, coverage is monotone and ≤ 1000‰
+    assert(got.map(_._2).distinct.size == got.size)
+    assert(got.map(_._6) == got.map(_._6).sorted && got.last._6 <= 1000L)
+    assert(got.nonEmpty && got.head._3 > 0L)
+  }
+
+  test("coverage_stochastic_rounds ≡ plain-Scala stochastic greedy; picks in slice") {
+    val dir = "/root/testdata/sf0.001"
+    def u24(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(6), 16)
+    val byDoc = docs(dir).map { case (id, text, _) =>
+      val w = Option(text).getOrElse("").split(" ", -1)
+      id -> (if (w.length < 3) Set.empty[String]
+             else w.sliding(3).map(_.mkString(" ")).toSet)
+    }.groupBy(_._1).map { case (id, gs) => id -> gs.flatMap(_._2).toSet }
+    val df = byDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = df.values.sum
+    var covered = Set.empty[String]
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    var cum = 0L
+    for (round <- 1 to CurationOps.covK) {
+      val gains = byDoc.toSeq
+        .filter { case (id, _) =>
+          u24(s"$round:$id") % 1000L < CurationOps.covSampleMilli }
+        .map { case (id, gs) =>
+          val fresh = gs -- covered
+          (id, fresh.toSeq.map(df).sum, fresh.size.toLong)
+        }.filter(_._2 > 0L)
+      if (gains.nonEmpty) {
+        val (id, gain, nNew) = gains.minBy { case (d, g, _) => (-g, d) }
+        cum += gain
+        expected += ((round.toLong, id, gain, nNew, cum, 1000L * cum / total,
+          gains.size.toLong))
+        covered ++= byDoc(id)
+      }
+    }
+    val got = SparkEntry.queries("coverage_stochastic_rounds")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected.toSeq, s"got $got\nexpected $expected")
+    assert(got.nonEmpty && got.map(_._2).distinct.size == got.size)
+    // every pick really was inside its round's candidate slice
+    got.foreach { r =>
+      assert(u24(s"${r._1}:${r._2}") % 1000L < CurationOps.covSampleMilli)
+    }
+    // coverage monotone, bounded, and never above the full greedy's at
+    // the same number of picks is NOT a theorem — only the bound is
+    assert(got.map(_._6) == got.map(_._6).sorted && got.last._6 <= 1000L)
+  }
+
   test("global_shuffle_shards ≡ straight-line recount on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val byShard = docs(dir)

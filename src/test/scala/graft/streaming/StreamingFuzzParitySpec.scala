@@ -793,6 +793,25 @@ class StreamingFuzzParitySpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(cmsStreamed == cells.toMap, "cms stream vs JVM recount")
 
+      // JVM dyadic rank-sketch cell recount (same additivity argument:
+      // running counters after the whole feed == the sketch of the
+      // corpus the batch cms_rank_audit builds)
+      val rankCells = scala.collection.mutable.Map.empty[Long, Long]
+      for ((_, t, _, _, _) <- full if t != null) {
+        val v = math.min(t.split(" ", -1).length.toLong, S.rankVMax)
+        for (l <- 0 until S.rankLevels; i <- 0 until S.cmsDepth) {
+          val idx = (l.toLong * S.cmsDepth + i) * S.cmsWidth +
+            u32(s"$i:$l:${v >> l}") % S.cmsWidth
+          rankCells(idx) = rankCells.getOrElse(idx, 0L) + 1L
+        }
+      }
+      val rankStreamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.rankCellStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"rankfuzz$seed", org.apache.spark.sql.streaming.OutputMode.Update())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rankStreamed == rankCells.toMap, "rank stream vs JVM recount")
+
       // JVM KMV bottom-k recount per source (NULL source buckets as '')
       val bySource = full.flatMap { case (_, t, _, src, _) =>
         trigrams(t).map(g => (Option(src).getOrElse(""), g))

@@ -458,6 +458,49 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("rankCellStream: running quantile-sketch cells ≡ batch cells across batches") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("rankstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.rankCellStream(stream).writeStream
+      .format("memory").queryName("rank_cells")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("rank_cells")
+    val got = updates
+      .groupBy(col("i")).agg(max(col("cnt")).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cross-batch additivity really exercised: some cell updated twice
+    assert(updates.groupBy(col("i")).count()
+      .filter(col("count") >= 2).count() > 0)
+    val expected = graft.queries.SketchOps.rankCellKeys(corpus)
+      .groupBy(col("i")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the sketch the stream maintains is the one the batch audit reads:
+    // every non-zero batch cell is present with the same packed index
+    assert(expected.keys.forall(i =>
+      i >= 0 && i < graft.queries.SketchOps.rankCells))
+  }
+
   test("zipfDriftStream: final emission ≡ batch zipf_slope_audit; drift emitted across batches") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
     val sf = "/root/testdata/sf0.001"
