@@ -1234,16 +1234,51 @@ object SketchOps {
   private def rankKey(l: Column, p: Column): Column =
     concat(l.cast("string"), lit(":"), p.cast("string"))
 
+  /** Per-source doc token-length counts (source, v, cnt), v clipped into
+    * the universe, NULL source bucketed as '' — the finer grain the
+    * merge-law audit shards on; the corpus-level [[rankValCounts]]
+    * derives from it, so the session pays ONE token-scale pass for the
+    * whole rank-sketch family (the gramCountsBySrc discipline). */
+  private def rankValCountsBySrc(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "rankValCountsBySrc", "")(
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          least(size(split(col("text"), " ")).cast("long"),
+            lit(rankVMax)).as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("cnt")))
+
   /** Doc token-length counts (v, cnt), v clipped into the universe —
     * the audited value distribution (the per-document length histogram a
     * packing/curriculum pipeline needs percentiles of). Registry-cached:
     * the exact side, the sketch build and the grid all re-read it. */
   private def rankValCounts(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "rankValCounts", "")(
-      t(s, dir, "documents").where(col("text").isNotNull)
-        .select(least(size(split(col("text"), " ")).cast("long"),
-          lit(rankVMax)).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt")))
+      rankValCountsBySrc(s, dir)
+        .groupBy("v").agg(sum(col("cnt")).as("cnt")))
+
+  /** Corpus sketch cells (i, cnt) from a (v, cnt) histogram — the build
+    * half shared by the audit and the merge audit's corpus side. */
+  private def rankCellsOf(vc: DataFrame): DataFrame =
+    vc.select(col("cnt"), explode(rankCellIdxArray(col("v"))).as("i"))
+      .groupBy(col("i")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Dense-pack a (i, cnt) cell relation into one [[rankCells]]-long
+    * array column named `arr` (grouped by any carried key columns). */
+  private def rankDensePack(cells: DataFrame, keys: Seq[String]): DataFrame = {
+    val grouped =
+      if (keys.isEmpty) cells.agg(
+        array_sort(collect_list(struct(col("i"), col("cnt")))).as("ws"))
+      else cells.groupBy(keys.map(col): _*).agg(
+        array_sort(collect_list(struct(col("i"), col("cnt")))).as("ws"))
+    grouped.select(keys.map(col) :+ expr(
+        """aggregate(ws, CAST(array() AS ARRAY<BIGINT>), (acc, w) ->
+          |  concat(acc,
+          |    array_repeat(CAST(0 AS BIGINT), CAST(w.i AS INT) - size(acc)),
+          |    array(w.cnt)))""".stripMargin).as("partial"): _*)
+      .select(keys.map(col) :+ concat(col("partial"), expr(
+        s"array_repeat(CAST(0 AS BIGINT), $rankCells - size(partial))"))
+        .as("arr"): _*)
+  }
 
   /** Packed dyadic cell indices of a value column — the ONE copy of the
     * level/seed hash-and-pack math ((l·d + seed)·w + bucket) shared by
@@ -1319,20 +1354,8 @@ object SketchOps {
     import s.implicits._
     val vc = rankValCounts(s, dir)
     // dense-packed cells: explode the histogram ×levels ×depth through
-    // the ONE shared index math, sum per cell
-    val cells = vc
-      .select(col("cnt"), explode(rankCellIdxArray(col("v"))).as("i"))
-      .groupBy(col("i")).agg(sum(col("cnt")).as("cnt"))
-    val arr = cells
-      .agg(array_sort(collect_list(struct(col("i"), col("cnt")))).as("ws"))
-      .select(expr(
-        """aggregate(ws, CAST(array() AS ARRAY<BIGINT>), (acc, w) ->
-          |  concat(acc,
-          |    array_repeat(CAST(0 AS BIGINT), CAST(w.i AS INT) - size(acc)),
-          |    array(w.cnt)))""".stripMargin).as("partial"))
-      .select(concat(col("partial"), expr(
-        s"array_repeat(CAST(0 AS BIGINT), $rankCells - size(partial))"))
-        .as("arr"))
+    // the ONE shared index math, sum per cell, pack into one array row
+    val arr = rankDensePack(rankCellsOf(vc), Seq.empty)
     val nRow = vc.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_docs"))
     val cum = vc.select(col("v"), col("cnt"),
       sum(col("cnt")).over(Window.orderBy(col("v"))
@@ -1441,9 +1464,171 @@ object SketchOps {
        |FROM d0 ORDER BY q_milli""".stripMargin
   }
 
+  /** Rank-sketch MERGE-law audit — the shard story of [[cmsRankAudit]]
+    * (every sketch family here carries one: kmv_merge_audit, the HLL
+    * register merge, ams_f2_audit's linearity column): cells are sums,
+    * so per-SOURCE sketches built independently must sum — cell for
+    * cell — to the corpus sketch built in one pass; `merge_exact` audits
+    * exactly that (two different aggregation paths over the same packed
+    * index math), hash-proven cross-engine. Per source the audit then
+    * serves the shard-local question a 100 TB deployment actually asks
+    * of a merged quantile sketch — the MEDIAN doc length: exact rank-
+    * selection median vs the sketch descent from the source's own cells,
+    * both one-sided laws emitted per row like the corpus audit.
+    *
+    * Scale shape: rides the ONE cached per-source length histogram;
+    * sketch state is |sources| dense [[rankCells]]-cell arrays (a few MB
+    * at any corpus size); the descent is the same 16 chained projections
+    * over |sources| rows. */
+  private def cmsRankMergeAudit(s: SparkSession, dir: String): DataFrame = {
+    val vcs = rankValCountsBySrc(s, dir)
+    val cs = vcs
+      .select(col("source"), col("cnt"),
+        explode(rankCellIdxArray(col("v"))).as("i"))
+      .groupBy(col("source"), col("i")).agg(sum(col("cnt")).as("cnt"))
+    // merge law: per-source cells summed ≡ corpus cells built in one pass
+    val mergeOk = cs.groupBy(col("i")).agg(sum(col("cnt")).as("mcnt"))
+      .join(rankCellsOf(rankValCounts(s, dir)), Seq("i"), "full_outer")
+      .agg(coalesce(bool_and(
+        coalesce(col("mcnt"), lit(0L)) === coalesce(col("cnt"), lit(0L))),
+        lit(true)).as("merge_exact"))
+    val arrs = rankDensePack(cs, Seq("source"))
+    val n = vcs.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
+    val w = Window.partitionBy(col("src2")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vcs.select(col("source").as("src2"), col("v"), col("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val grid = n.withColumn("r", expr("(500 * n_docs + 999) div 1000"))
+    val exact = grid
+      .join(cum, col("src2") === col("source") && col("cum") >= col("r"),
+        "left")
+      .groupBy("source", "n_docs", "r")
+      .agg(min(col("v")).as("exact_med"))
+    val withRank = exact.join(
+        cum.select(col("src2"), col("v"),
+          (col("cum") - col("cnt")).as("exact_rank")),
+        col("src2") === col("source") && col("v") === col("exact_med"),
+        "left")
+      .drop("src2", "v")
+    var d = withRank.join(arrs, "source")
+    d = d.withColumn("p", lit(0L)).withColumn("cur", lit(0L))
+    for (lvl <- (rankLevels - 1) to 0 by -1) {
+      d = d.withColumn("c_", rankPointQ(col("arr"), lvl, col("p") * 2L))
+        .withColumn("take_", col("cur") + col("c_") < col("r"))
+        .withColumn("p", col("p") * 2L + when(col("take_"), 1L).otherwise(0L))
+        .withColumn("cur",
+          col("cur") + when(col("take_"), col("c_")).otherwise(0L))
+        .drop("c_", "take_")
+    }
+    val estRank = when(col("exact_med").isNull, lit(null).cast("long"))
+      .otherwise(rankEstExpr(col("arr"), col("exact_med")))
+    d.withColumn("est_rank", estRank)
+      .crossJoin(broadcast(mergeOk))
+      .select(col("source"), col("n_docs"), col("exact_med"),
+        col("p").as("est_med"),
+        (col("p") <= col("exact_med")).as("v_ok"),
+        col("exact_rank"),
+        col("est_rank"),
+        (col("est_rank") - col("exact_rank")).as("rank_over"),
+        (col("est_rank") >= col("exact_rank")).as("rank_ok"),
+        col("merge_exact"))
+      .orderBy("source")
+  }
+
+  private def cmsRankMergeAuditSql: String = {
+    def keySql(l: String, p: String) =
+      s"CAST($l AS VARCHAR) || ':' || CAST($p AS VARCHAR)"
+    def bucketSql(i: Int, key: String) =
+      s"CAST('0x' || substr(md5('$i:' || $key), 1, 8) AS BIGINT) % $cmsWidth"
+    def pointqSql(l: String, p: String) =
+      (0 until cmsDepth).map { i =>
+        s"list_extract(arr, ($l * $cmsDepth + $i) * $cmsWidth + " +
+          s"${bucketSql(i, keySql(l, p))} + 1)"
+      }.mkString("LEAST(", ",\n      ", ")")
+    val cellArms = (0 until cmsDepth).map { i =>
+      s"SELECT source, (l * $cmsDepth + $i) * $cmsWidth + " +
+        s"${bucketSql(i, keySql("l", "p"))} AS i, cnt FROM lv"
+    }.mkString("\n  UNION ALL ")
+    val estRankSql = (0 until rankLevels).map { l =>
+      s"CASE WHEN ((exact_med >> $l) & 1) = 1 THEN " +
+        s"${pointqSql(l.toString, s"2 * (exact_med >> ${l + 1})")} ELSE 0 END"
+    }.mkString("(", "\n    + ", ")")
+    val descentCtes = ((rankLevels - 1) to 0 by -1).map { lvl =>
+      s"""d$lvl AS (
+         |  SELECT source, n_docs, exact_med, exact_rank, est_rank, r, arr,
+         |    CASE WHEN cur + pq < r THEN 2 * p + 1 ELSE 2 * p END AS p,
+         |    CASE WHEN cur + pq < r THEN cur + pq ELSE cur END AS cur
+         |  FROM (SELECT d${lvl + 1}.*, ${pointqSql(lvl.toString, "2 * p")} AS pq
+         |        FROM d${lvl + 1}) s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vcs AS MATERIALIZED (
+       |  SELECT COALESCE(source, '') AS source,
+       |    LEAST(len(string_split(text, ' ')), $rankVMax) AS v,
+       |    COUNT(*) AS cnt
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+       |lv AS (SELECT source, cnt, l, (v >> l) AS p
+       |       FROM vcs, UNNEST(range(0, $rankLevels)) t(l)),
+       |cs AS MATERIALIZED (
+       |  SELECT source, i, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |  $cellArms) GROUP BY 1, 2),
+       |lvc AS (SELECT cnt, l, (v >> l) AS p
+       |        FROM (SELECT v, SUM(cnt) AS cnt FROM vcs GROUP BY 1) vc,
+       |        UNNEST(range(0, $rankLevels)) t(l)),
+       |corpuscells AS (
+       |  SELECT i, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |  ${cellArms.replace("FROM lv", "FROM lvc")
+                    .replace("SELECT source, (", "SELECT (")}) GROUP BY 1),
+       |merged AS (
+       |  SELECT i, CAST(SUM(cnt) AS BIGINT) AS mcnt FROM cs GROUP BY 1),
+       |mergeok AS (
+       |  SELECT COALESCE(bool_and(
+       |    COALESCE(m.mcnt, 0) = COALESCE(c.cnt, 0)), TRUE) AS merge_exact
+       |  FROM merged m FULL OUTER JOIN corpuscells c USING (i)),
+       |arrs AS MATERIALIZED (
+       |  SELECT s.source, list(COALESCE(c.cnt, 0) ORDER BY r.i) AS arr
+       |  FROM (SELECT DISTINCT source FROM vcs) s
+       |  CROSS JOIN range(0, $rankCells) r(i)
+       |  LEFT JOIN cs c ON c.source = s.source AND c.i = r.i
+       |  GROUP BY s.source),
+       |n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs
+       |      FROM vcs GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT source AS src2, v, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v)
+       |      AS BIGINT) AS cum
+       |  FROM vcs),
+       |grid AS (SELECT source, n_docs,
+       |           CAST((500 * n_docs + 999) // 1000 AS BIGINT) AS r
+       |         FROM n),
+       |ex AS (SELECT g.source, g.n_docs, g.r, MIN(c.v) AS exact_med
+       |       FROM grid g LEFT JOIN cum c
+       |         ON c.src2 = g.source AND c.cum >= g.r
+       |       GROUP BY 1, 2, 3),
+       |er AS (
+       |  SELECT ex.source, ex.n_docs, ex.r, ex.exact_med, a.arr,
+       |    CAST(c.cum - c.cnt AS BIGINT) AS exact_rank,
+       |    CASE WHEN ex.exact_med IS NULL THEN NULL ELSE CAST($estRankSql
+       |      AS BIGINT) END AS est_rank
+       |  FROM ex JOIN arrs a USING (source)
+       |  LEFT JOIN cum c ON c.src2 = ex.source AND c.v = ex.exact_med),
+       |d$rankLevels AS (
+       |  SELECT source, n_docs, exact_med, exact_rank, est_rank, r, arr,
+       |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cur FROM er),
+       |$descentCtes
+       |SELECT source, n_docs, exact_med, p AS est_med,
+       |  p <= exact_med AS v_ok,
+       |  exact_rank, est_rank,
+       |  est_rank - exact_rank AS rank_over,
+       |  est_rank >= exact_rank AS rank_ok,
+       |  merge_exact
+       |FROM d0, mergeok ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ams_f2_audit", amsF2Audit, Some(amsF2AuditSql)),
     Q("cms_rank_audit", cmsRankAudit, Some(cmsRankAuditSql)),
+    Q("cms_rank_merge_audit", cmsRankMergeAudit,
+      Some(cmsRankMergeAuditSql)),
     Q("cms_topk_audit", cmsTopkAudit, Some(cmsTopkAuditSql)),
     Q("cms_width_sweep", cmsWidthSweep, Some(cmsWidthSweepSql)),
     Q("hll_distinct_audit", hllDistinctAudit, Some(hllDistinctAuditSql)),

@@ -449,6 +449,57 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("cms_rank_merge_audit ≡ per-source plain-Scala recount; merge law holds") {
+    import scala.collection.mutable
+    val dir = "/root/testdata/sf0.001"
+    val S = SketchOps
+    val bySrc = docs(dir).collect { case (_, text, src) if text != null =>
+      src -> math.min(text.split(" ", -1).length.toLong, S.rankVMax)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def cellsOf(vals: Seq[Long]): mutable.Map[Long, Long] = {
+      val m = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (v <- vals; l <- 0 until S.rankLevels; i <- 0 until S.cmsDepth)
+        m((l.toLong * S.cmsDepth + i) * S.cmsWidth +
+          u32(s"$i:$l:${v >> l}") % S.cmsWidth) += 1L
+      m
+    }
+    val expected = bySrc.map { case (src, vals) =>
+      val cells = cellsOf(vals)
+      def pointq(l: Int, p: Long): Long = (0 until S.cmsDepth)
+        .map(i => cells((l.toLong * S.cmsDepth + i) * S.cmsWidth +
+          u32(s"$i:$l:$p") % S.cmsWidth)).min
+      def estRank(x: Long): Long = (0 until S.rankLevels).map { l =>
+        if (((x >> l) & 1L) == 1L) pointq(l, 2L * (x >> (l + 1))) else 0L
+      }.sum
+      val n = vals.length.toLong
+      val r = (500L * n + 999L) / 1000L
+      val exactMed = vals.sorted.apply((r - 1).toInt)
+      var p = 0L; var cur = 0L
+      for (lvl <- (S.rankLevels - 1) to 0 by -1) {
+        val c = pointq(lvl, 2L * p)
+        if (cur + c < r) { p = 2L * p + 1L; cur += c } else p = 2L * p
+      }
+      val exactRank = vals.count(_ < exactMed).toLong
+      src -> ((n, exactMed, p, p <= exactMed, exactRank, estRank(exactMed),
+        estRank(exactMed) - exactRank, estRank(exactMed) >= exactRank, true))
+    }
+    val got = SparkEntry.queries("cms_rank_merge_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // merge law + both one-sided laws on every source row
+    assert(got.nonEmpty)
+    got.values.foreach { v => assert(v._4 && v._8 && v._9) }
+    // per-source cells really do sum to the corpus cells (JVM recount of
+    // the law the query's merge_exact column audits cross-engine)
+    val corpus = cellsOf(bySrc.values.flatten.toSeq)
+    val summed = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    bySrc.values.foreach(vals =>
+      cellsOf(vals).foreach { case (k, c) => summed(k) += c })
+    assert(summed == corpus)
+  }
+
   test("priority_sample_audit ≡ plain-Scala DLT; sampled priorities clear τ") {
     val dir = "/root/testdata/sf0.001"
     val d = docs(dir).collect { case (Some(id), text, src) =>
