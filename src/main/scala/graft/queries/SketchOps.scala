@@ -1624,7 +1624,195 @@ object SketchOps {
        |FROM d0, mergeok ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------ CountSketch (signed)
+
+  /** CountSketch depth (signed counter rows) — ODD, so the median
+    * estimate is an order statistic: an exact int64 both engines hold
+    * identically, never an interpolated midpoint. */
+  val csDepth = 5
+  /** CountSketch width — matches [[cmsWidth]] so the two frequency
+    * sketches see the same collision regime and the audit's CMS
+    * column is an apples-to-apples comparison. */
+  val csWidth = 256L
+  /** Keys audited against their exact counts. */
+  val csTopK = 20
+
+  /** u32 md5 bucket of a gram under signed-sketch seed row `i` — the
+    * `cs` seed prefix keeps the rows independent of the CMS family's
+    * unprefixed seeds. */
+  private def csBucket(i: Int, g: Column): Column =
+    conv(substring(md5(concat(lit(s"cs$i:"), g)), 1, 8), 16, 10)
+      .cast("long") % csWidth
+  private def csBucketSql(i: Int, g: String): String =
+    s"CAST('0x' || substr(md5('cs$i:' || $g), 1, 8) AS BIGINT) % $csWidth"
+
+  /** ±1 md5-parity sign of a gram under seed row `i` (the AMS sign
+    * idiom, `css` seed space). */
+  private def csSign(i: Int, g: Column): Column =
+    lit(1L) - lit(2L) * (conv(substring(md5(
+      concat(lit(s"css$i:"), g)), 1, 8), 16, 10).cast("long") % 2L)
+  private def csSignSql(i: Int, g: String): String =
+    s"(1 - 2 * (CAST('0x' || substr(md5('css$i:' || $g), 1, 8) AS BIGINT) % 2))"
+
+  /** Signed (row, bucket, sgn) CMS cell keys of a doc frame's trigram
+    * occurrences — the STREAMING twin's projection
+    * ([[graft.streaming.StreamingPipeline.countSketchStream]]; a stream
+    * cannot pre-aggregate to counts). The batch build aggregates the
+    * cached count relation through the SAME [[csBucket]]/[[csSign]]
+    * definitions — the one copy whose drift would silently break signed
+    * counter additivity (the cmsCellKeys discipline). */
+  def csCellKeys(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("w"))
+      .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+      .select(explode(array((0 until csDepth).map(i =>
+        struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+          csSign(i, col("g")).as("sgn"))): _*)).as("c"))
+      .select(col("c.row").as("row"), col("c.bucket").as("bucket"),
+        col("c.sgn").as("sgn"))
+
+  /** CountSketch audit (Charikar–Chen–Farach-Colton 2002): the SIGNED
+    * frequency sketch — C[i][b] = Σ_g s_i(g)·cnt(g) over grams with
+    * bucket_i(g) = b, per-key estimate = MEDIAN over rows of
+    * s_i(g)·C[i][bucket_i(g)]. Where CMS is biased one-sided (collisions
+    * only ADD), CountSketch collisions carry random signs, so the
+    * estimate is unbiased and the error two-sided — the audit emits the
+    * same top-[[csTopK]] grams with BOTH estimates side by side
+    * (`err` signed vs `cms_over` ≥ 0, `cms_ok` pinning the one-sided
+    * law), which is the measured version of the textbook comparison.
+    * The median over an ODD [[csDepth]] is an order statistic
+    * (`element_at(sort_array(...), 3)`), exact int64 on both engines.
+    *
+    * Merge law: signed counters are LINEAR, so per-source sketches sum
+    * to the corpus sketch cell-by-cell — `merge_exact` recomputes every
+    * cell from the per-source grain and pins equality cross-engine (the
+    * AMS linearity discipline at cell granularity).
+    *
+    * Scale shape: both counter tables build from the session-cached
+    * vocabulary-sized count relation (Σ over occurrences ≡ cnt-weighted
+    * Σ over distinct grams) into d·w = 1280 cells regardless of corpus
+    * size; the merge side adds one |sources|·d·w-row aggregate; probes
+    * broadcast-join k keys against the constant-size cells. */
+  private def countsketchTopkAudit(s: SparkSession, dir: String): DataFrame = {
+    val gc = gramCounts(s, dir)
+    val cells = gc.select(col("cnt"), explode(array((0 until csDepth).map(i =>
+        struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+          csSign(i, col("g")).as("sgn"))): _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(sum(col("c.sgn") * col("cnt")).as("cnt"))
+    // linearity audit: rebuild every cell from the per-source grain and
+    // compare — a full-outer join of two d·w-row relations
+    val mergedCells = gramCountsBySrc(s, dir)
+      .select(col("source"), col("cnt"), explode(array((0 until csDepth).map(i =>
+        struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+          csSign(i, col("g")).as("sgn"))): _*)).as("c"))
+      .groupBy(col("source"), col("c.row").as("row"),
+        col("c.bucket").as("bucket"))
+      .agg(sum(col("c.sgn") * col("cnt")).as("cs"))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cs")).as("cntm"))
+    val mergeOk = cells.join(mergedCells, Seq("row", "bucket"), "full_outer")
+      .agg(max(when(coalesce(col("cnt"), lit(0L)) =!=
+        coalesce(col("cntm"), lit(0L)), 1L).otherwise(0L)).as("m_drift"))
+      .select((col("m_drift") === 0).as("merge_exact"))
+    // CMS side of the comparison: unsigned counters over the SAME cached
+    // count relation through the CMS family's own seed hash
+    val cmsCells = gc.select(col("cnt"), explode(array((0 until cmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
+        .as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val exact = gc.select(col("g"), col("cnt").as("exact"))
+      .orderBy(col("exact").desc, col("g")).limit(csTopK)
+    val csProbes = exact.select(col("g"), col("exact"),
+        explode(array((0 until csDepth).map(i =>
+          struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+            csSign(i, col("g")).as("sgn"))): _*)).as("p"))
+      .select(col("g"), col("exact"), col("p.row").as("row"),
+        col("p.bucket").as("bucket"), col("p.sgn").as("sgn"))
+    val csEst = csProbes.join(cells, Seq("row", "bucket"))
+      .groupBy(col("g"), col("exact"))
+      .agg(element_at(
+        sort_array(collect_list(col("sgn") * col("cnt"))),
+        csDepth / 2 + 1).as("est"))
+    val cmsProbes = exact.select(col("g"),
+        explode(array((0 until cmsDepth).map(i =>
+          struct(lit(i).as("row"), cmsBucket(i, col("g")).as("bucket"))): _*))
+        .as("p"))
+      .select(col("g"), col("p.row").as("row"), col("p.bucket").as("bucket"))
+    val cmsEst = cmsProbes.join(cmsCells, Seq("row", "bucket"))
+      .groupBy(col("g")).agg(min(col("cnt")).as("cms_est"))
+    csEst.join(cmsEst, "g")
+      .crossJoin(broadcast(mergeOk))
+      .select(col("g"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("err"),
+        col("cms_est"), (col("cms_est") - col("exact")).as("cms_over"),
+        (col("cms_est") >= col("exact")).as("cms_ok"),
+        col("merge_exact"))
+      .orderBy("g")
+  }
+
+  private def countsketchTopkAuditSql = {
+    val med = csDepth / 2 + 1
+    val csCellUnion = (0 until csDepth).map(i =>
+      s"SELECT $i AS row, ${csBucketSql(i, "g")} AS bucket, " +
+        s"${csSignSql(i, "g")} AS sgn, cnt FROM gc")
+      .mkString("\n  UNION ALL ")
+    val csSrcUnion = (0 until csDepth).map(i =>
+      s"SELECT source, $i AS row, ${csBucketSql(i, "g")} AS bucket, " +
+        s"${csSignSql(i, "g")} AS sgn, cnt FROM bysrc")
+      .mkString("\n  UNION ALL ")
+    val csProbeUnion = (0 until csDepth).map(i =>
+      s"SELECT g, exact, $i AS row, ${csBucketSql(i, "g")} AS bucket, " +
+        s"${csSignSql(i, "g")} AS sgn FROM exact")
+      .mkString("\n  UNION ALL ")
+    val cmsCellUnion = (0 until cmsDepth).map(i =>
+      s"SELECT $i AS row, ${cmsBucketSql(i, "g")} AS bucket, cnt FROM gc")
+      .mkString("\n  UNION ALL ")
+    val cmsProbeUnion = (0 until cmsDepth).map(i =>
+      s"SELECT g, $i AS row, ${cmsBucketSql(i, "g")} AS bucket FROM exact")
+      .mkString("\n  UNION ALL ")
+    s"""WITH bysrc AS (
+       |  SELECT COALESCE(source, '') AS source, s AS g, COUNT(*) AS cnt
+       |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)
+       |  GROUP BY 1, 2),
+       |gc AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS cnt FROM bysrc GROUP BY 1),
+       |cells AS (
+       |  SELECT row, bucket, CAST(SUM(sgn * cnt) AS BIGINT) AS cnt FROM (
+       |  $csCellUnion) GROUP BY 1, 2),
+       |mcells AS (
+       |  SELECT row, bucket, CAST(SUM(cs) AS BIGINT) AS cntm FROM (
+       |    SELECT source, row, bucket, CAST(SUM(sgn * cnt) AS BIGINT) AS cs
+       |    FROM ($csSrcUnion) GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |mergeok AS (
+       |  SELECT MAX(CASE WHEN COALESCE(c.cnt, 0) <> COALESCE(m.cntm, 0)
+       |    THEN 1 ELSE 0 END) = 0 AS merge_exact
+       |  FROM cells c FULL OUTER JOIN mcells m USING (row, bucket)),
+       |cmscells AS (
+       |  SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |  $cmsCellUnion) GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT g, cnt AS exact FROM gc ORDER BY exact DESC, g LIMIT $csTopK),
+       |csest AS (
+       |  SELECT g, exact,
+       |    (list_sort(list(p.sgn * c.cnt)))[$med] AS est
+       |  FROM ($csProbeUnion) p JOIN cells c USING (row, bucket)
+       |  GROUP BY 1, 2),
+       |cmsest AS (
+       |  SELECT g, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+       |  FROM ($cmsProbeUnion) p JOIN cmscells c USING (row, bucket)
+       |  GROUP BY 1)
+       |SELECT g, exact, est, est - exact AS err,
+       |  cms_est, cms_est - exact AS cms_over, cms_est >= exact AS cms_ok,
+       |  merge_exact
+       |FROM csest JOIN cmsest USING (g) CROSS JOIN mergeok
+       |ORDER BY g""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("countsketch_topk_audit", countsketchTopkAudit,
+      Some(countsketchTopkAuditSql)),
     Q("ams_f2_audit", amsF2Audit, Some(amsF2AuditSql)),
     Q("cms_rank_audit", cmsRankAudit, Some(cmsRankAuditSql)),
     Q("cms_rank_merge_audit", cmsRankMergeAudit,

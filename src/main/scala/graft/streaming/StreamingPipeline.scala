@@ -955,6 +955,30 @@ object StreamingPipeline {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming CountSketch maintenance — [[cmsCellStream]] for the
+    * SIGNED frequency sketch ([[graft.queries.SketchOps]]
+    * `countsketch_topk_audit`'s build half run as a running aggregate):
+    * arriving docs explode to the IDENTICAL (row, bucket, ±1) cell keys
+    * (the shared [[graft.queries.SketchOps.csCellKeys]] math) and a
+    * watermark-less streaming aggregation keeps the running SIGNED sums.
+    * Signed counters are linear, so the live state after any prefix of
+    * the feed IS the batch sketch of that prefix — the same exact-twin
+    * additivity as the CMS stream, just with cancellation allowed.
+    *
+    * Because a signed counter can move in either direction, "latest row
+    * per cell" in an Update-mode sink cannot be recovered by max(cnt)
+    * the way the monotone CMS counters allow — the emission carries
+    * `n_upd` (occurrences folded into the cell, strictly monotone) so a
+    * sink consumer picks each cell's row with the greatest `n_upd`.
+    *
+    * Scale: state is d·w signed counters (1280 rows here) regardless of
+    * feed size; the shuffle is keyed by cell with map-side partial
+    * aggregation compressing each micro-batch to ≤ d·w rows. */
+  def countSketchStream(docs: DataFrame): DataFrame =
+    graft.queries.SketchOps.csCellKeys(docs)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("sgn")).as("cnt"), count(lit(1)).as("n_upd"))
+
   /** Streaming dyadic rank-sketch maintenance — [[cmsCellStream]] for
     * the QUANTILE sketch ([[graft.queries.SketchOps]] `cms_rank_audit`'s
     * build half run as a running aggregate): arriving docs' token

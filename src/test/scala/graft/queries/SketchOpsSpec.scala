@@ -532,4 +532,61 @@ class SketchOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("countsketch_topk_audit ≡ plain-Scala signed sketch; median is an " +
+    "order statistic; per-source cells sum to corpus cells") {
+    val dir = "/root/testdata/sf0.001"
+    val d = docs(dir)
+    val stream = d.flatMap(x => trigrams(x._2))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bkt(i: Int, g: String): Long = u32(s"cs$i:$g") % SketchOps.csWidth
+    def sgn(i: Int, g: String): Long = 1L - 2L * (u32(s"css$i:$g") % 2L)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (g <- stream; i <- 0 until SketchOps.csDepth) {
+      val k = (i, bkt(i, g))
+      cells(k) = cells.getOrElse(k, 0L) + sgn(i, g)
+    }
+    // CMS side (the unsigned comparison column)
+    val ucells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (g <- stream; i <- 0 until SketchOps.cmsDepth) {
+      val k = (i, u32(s"$i:$g") % SketchOps.cmsWidth)
+      ucells(k) = ucells.getOrElse(k, 0L) + 1L
+    }
+    // linearity: per-source signed cells summed over sources ≡ corpus cells
+    val bySrc = scala.collection.mutable.Map.empty[(String, Int, Long), Long]
+    for ((_, text, src) <- d; g <- trigrams(text);
+         i <- 0 until SketchOps.csDepth) {
+      val k = (src, i, bkt(i, g))
+      bySrc(k) = bySrc.getOrElse(k, 0L) + sgn(i, g)
+    }
+    val summed = bySrc.groupBy { case ((_, i, b), _) => (i, b) }
+      .view.mapValues(_.values.sum).filter(_._2 != 0L).toMap
+    assert(summed == cells.filter(_._2 != 0L).toMap,
+      "signed-counter linearity violated")
+    val topk = exact.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(SketchOps.csTopK)
+    val expected = topk.map { case (g, c) =>
+      val rowEsts = (0 until SketchOps.csDepth)
+        .map(i => sgn(i, g) * cells.getOrElse((i, bkt(i, g)), 0L)).sorted
+      val med = rowEsts(SketchOps.csDepth / 2)
+      val cms = (0 until SketchOps.cmsDepth)
+        .map(i => ucells((i, u32(s"$i:$g") % SketchOps.cmsWidth))).min
+      g -> ((c, med, med - c, cms, cms - c, cms >= c, true))
+    }.toMap
+    val got = SparkEntry.queries("countsketch_topk_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    assert(got == expected)
+    assert(got.size == SketchOps.csTopK)
+    // the median really is one of the d row estimates (odd depth ⇒ order
+    // statistic, never an interpolated midpoint)
+    topk.foreach { case (g, _) =>
+      val rowEsts = (0 until SketchOps.csDepth)
+        .map(i => sgn(i, g) * cells.getOrElse((i, bkt(i, g)), 0L))
+      assert(rowEsts.contains(got(g)._2))
+    }
+    // CMS one-sided law holds on every audited key
+    assert(got.values.forall(_._6), "cms_ok violated")
+  }
 }

@@ -793,6 +793,23 @@ class StreamingFuzzParitySpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(cmsStreamed == cells.toMap, "cms stream vs JVM recount")
 
+      // JVM CountSketch signed-cell recount (linearity: running signed
+      // sums after the whole feed == the batch sketch of the corpus)
+      val csCells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      for ((_, t, _, _, _) <- full; g <- trigrams(t); i <- 0 until S.csDepth) {
+        val k = (i, u32(s"cs$i:$g") % S.csWidth)
+        csCells(k) = csCells.getOrElse(k, 0L) +
+          (1L - 2L * (u32(s"css$i:$g") % 2L))
+      }
+      val csRows = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.countSketchStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"csfuzz$seed", org.apache.spark.sql.streaming.OutputMode.Update())
+        .collect()
+      val csStreamed = csRows.groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.maxBy(_.getLong(3)).getLong(2) }
+      assert(csStreamed == csCells.toMap, "countsketch stream vs JVM recount")
+
       // JVM dyadic rank-sketch cell recount (same additivity argument:
       // running counters after the whole feed == the sketch of the
       // corpus the batch cms_rank_audit builds)

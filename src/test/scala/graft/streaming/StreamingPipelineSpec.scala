@@ -458,6 +458,50 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("countSketchStream: running signed counters ≡ batch cells across batches") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, max, sum}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("csstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.countSketchStream(stream).writeStream
+      .format("memory").queryName("cs_cells")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("cs_cells")
+    // a signed counter is NOT monotone — recover each cell's latest row
+    // via the monotone n_upd companion, exactly as a sink consumer would
+    val got = updates.groupBy(col("row"), col("bucket"))
+      .agg(max(struct(col("n_upd"), col("cnt"))).as("m"))
+      .select(col("row"), col("bucket"), col("m.cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cross-batch additivity really exercised: some cell updated twice
+    assert(updates.groupBy(col("row"), col("bucket")).count()
+      .filter(col("count") >= 2).count() > 0)
+    val expected = graft.queries.SketchOps.csCellKeys(corpus)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("sgn")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // signedness really exercised: some live counter is negative
+    assert(got.values.exists(_ < 0L))
+  }
+
   test("rankCellStream: running quantile-sketch cells ≡ batch cells across batches") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max}
     val sf = "/root/testdata/sf0.001"
