@@ -51,7 +51,8 @@ object SparkEntry {
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
       CorpusOps.all ++ PrivacyOps.all ++ FunnelOps.all ++ RobustStatsOps.all ++
       DiagOps.all ++ GraphOps.all ++ PqOps.all ++ CatalogOps.all ++
-      UnigramOps.all ++ LmOps.all ++ CurationOps.all ++ SketchOps.all
+      UnigramOps.all ++ LmOps.all ++ CurationOps.all ++ SketchOps.all ++
+      CorpusStatsOps.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.fn).toMap

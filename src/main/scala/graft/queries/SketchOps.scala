@@ -63,7 +63,7 @@ object SketchOps {
     * merge-law audit needs; the corpus-level [[gramCounts]] derives from
     * it, so the session pays ONE token-scale aggregate for the whole
     * sketch family. */
-  private def gramCountsBySrc(s: SparkSession, dir: String): DataFrame =
+  private[queries] def gramCountsBySrc(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "sketchGramCountsBySrc", "")(
       t(s, dir, "documents")
         .select(coalesce(col("source"), lit("")).as("source"),
