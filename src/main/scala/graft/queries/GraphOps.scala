@@ -471,7 +471,177 @@ object GraphOps {
        |ORDER BY d.node""".stripMargin
   }
 
+  // ------------------------------------------------ HyperANF
+
+  /** HyperANF register count (m = 2^4) — deliberately small: per-node
+    * memory is the whole cost model of neighborhood sketching, and the
+    * audit's job is to measure what 16 registers buy. */
+  val hanfRegisters = 16
+  /** Register-index split of the u32 hash: top 4 bits pick the
+    * register, the low 28 bits feed rho. */
+  val hanfRhoBits = 28
+  /** Propagation rounds (ball radius audited). */
+  val hanfRounds = 3
+
+  /** HyperANF neighborhood-function audit (Boldi–Rosa–Vigna 2011): the
+    * cross-tier operator where the graph family meets the sketch family.
+    * Every node holds an HLL sketch of its ball; one round of
+    * register-wise MAX-merge along edges grows every ball's radius by 1
+    * simultaneously — N(t) = Σ_v |ball(v, t)| estimated for ALL nodes in
+    * t rounds of one edge join each, where exact BFS would cost a
+    * quadratic all-pairs expansion. N(t)'s growth curve is the standard
+    * effective-diameter/connectivity profile of a web-scale graph.
+    *
+    * Exactness anchors, by arithmetic rather than luck:
+    *  - t = 0: every sketch holds exactly one element, and the m = 16
+    *    linear-counting path maps 1 element to estimate 1 for EVERY hash
+    *    (16·(lg16 − lg15)·ln2 truncates to 1), so N̂(0) = |V| exactly —
+    *    emitted against exact |V|.
+    *  - t = 1: |ball(v,1)| = 1 + deg(v) on this distinct-pair bipartite
+    *    graph, so N(1) = |V| + 2·|pairs| exactly — the one radius whose
+    *    truth is linear to compute; beyond it exact truth IS the
+    *    all-pairs BFS the sketch exists to avoid (documented, not
+    *    computed).
+    * `growth_milli` (N̂(t)/N̂(t−1)) is the profile consumers read;
+    * register maxima only grow, so ball estimates are audited
+    * per round against containment via the emitted curve.
+    *
+    * Scale shape: state is |V|·m register rows; each round is ONE
+    * edges⋈registers join (the pagerank shuffle, ×m fan-out) plus a
+    * (node, j) max-aggregate with map-side combine. Rounds are FIXED
+    * and small, so lineage is bounded; intermediate levels are
+    * session-cached because level t feeds both its own estimate and
+    * level t+1 (without the cache the t-th round recomputes all prior
+    * joins — the O(t²) recompute a deployment would never accept). */
+  private def graphHyperanfAudit(s: SparkSession, dir: String): DataFrame = {
+    val rhoW = 1L << hanfRhoBits
+    val m = hanfRegisters
+    val pairs = t(s, dir, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = Util.cachedRelation(s, dir, "hanfEdges", "")(
+      pairs.select(col("p").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("p").as("dst"))))
+    val r0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("h",
+        conv(substring(md5(concat(lit("hanf:"), col("node").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .select(col("node"), expr(s"h div $rhoW").as("j"),
+        when(col("h") % rhoW === 0, lit(hanfRhoBits + 1).cast("long"))
+          .otherwise(lit(hanfRhoBits + 1) -
+            length(bin(col("h") % rhoW))).cast("long").as("rho"))
+    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
+      Util.cachedRelation(s, dir, s"hanfRegs$tt", "")(
+        prev.union(edges.join(prev, edges("dst") === prev("node"))
+            .select(edges("src").as("node"), prev("j"), prev("rho")))
+          .groupBy(col("node"), col("j")).agg(max(col("rho")).as("rho")))
+    }
+    val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
+    def nhatOf(regs: DataFrame, tt: Int): DataFrame = regs
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(call_function("shiftleft", lit(1L),
+          (lit(30) - col("rho")).cast("int"))).as("z_present"))
+      .select(expr(s"(${m}L - n_present) * ${1L << 30}L + z_present")
+        .as("z_scaled"), expr(s"${m}L - n_present").as("v_empty"))
+      .select(expr(s"${estNum}L div (1000 * z_scaled)").as("est_raw"),
+        col("v_empty"))
+      .select(expr(
+        s"CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN " +
+          s"($m * (${CurationOps.lg(m.toString)} - " +
+          s"${CurationOps.lg("v_empty")}) * 693147) div 1000000000 " +
+          "ELSE est_raw END").as("est"))
+      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
+    val curve = levels.zipWithIndex
+      .map { case (regs, tt) => nhatOf(regs, tt) }
+      .reduce(_.unionAll(_))
+    val nNodes = edges.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    import org.apache.spark.sql.expressions.Window
+    curve.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nPairs))
+      .withColumn("exact", expr(
+        "CASE WHEN t = 0 THEN n_nodes " +
+          "WHEN t = 1 THEN n_nodes + 2 * n_pairs END"))
+      .withColumn("ratio_milli",
+        expr("CASE WHEN exact > 0 THEN (1000 * nhat) div exact END"))
+      .withColumn("growth_milli", expr("CASE WHEN lag(nhat, 1) " +
+        "OVER (ORDER BY t) > 0 THEN (1000 * nhat) div " +
+        "(lag(nhat, 1) OVER (ORDER BY t)) END"))
+      .select(col("t"), col("n_nodes"), col("exact"), col("nhat"),
+        col("ratio_milli"), col("growth_milli"))
+      .orderBy("t")
+  }
+
+  private def graphHyperanfAuditSql = {
+    val rhoW = 1L << hanfRhoBits
+    val m = hanfRegisters
+    val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT node, j, MAX(rho) AS rho FROM (
+         |    SELECT node, j, rho FROM $prev
+         |    UNION ALL
+         |    SELECT e.src AS node, r.j, r.rho
+         |    FROM edges e JOIN $prev r ON e.dst = r.node)
+         |  GROUP BY 1, 2)"""
+    def nhat(lvl: String, tt: Int) =
+      s"""SELECT CAST($tt AS BIGINT) AS t, CAST(SUM(est) AS BIGINT) AS nhat
+         |  FROM (
+         |    SELECT CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN
+         |        ($m * (${CurationOps.lgSql(m.toString)} -
+         |          ${CurationOps.lgSql("v_empty")}) * 693147) // 1000000000
+         |      ELSE est_raw END AS est
+         |    FROM (
+         |      SELECT $estNum // (1000 *
+         |          (($m - COUNT(*)) * ${1L << 30} +
+         |           SUM(CAST(1 AS BIGINT) << CAST(30 - rho AS INTEGER))))
+         |        AS est_raw,
+         |        $m - COUNT(*) AS v_empty
+         |      FROM $lvl GROUP BY node))"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT p AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h AS (
+       |  SELECT node, CAST('0x' || substr(md5('hanf:' ||
+       |    CAST(node AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM nodes),
+       |r0 AS (
+       |  SELECT node, h // $rhoW AS j,
+       |    CAST(CASE WHEN h % $rhoW = 0 THEN ${hanfRhoBits + 1}
+       |      ELSE ${hanfRhoBits + 1} - length(bin(h % $rhoW)) END
+       |      AS BIGINT) AS rho
+       |  FROM h),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")},
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+       |curve AS (
+       |  ${nhat("r0", 0)}
+       |  UNION ALL ${nhat("r1", 1)}
+       |  UNION ALL ${nhat("r2", 2)}
+       |  UNION ALL ${nhat("r3", 3)}),
+       |c2 AS (
+       |  SELECT t, n_nodes,
+       |    CASE WHEN t = 0 THEN n_nodes
+       |      WHEN t = 1 THEN n_nodes + 2 * n_pairs END AS exact,
+       |    nhat
+       |  FROM curve CROSS JOIN nn CROSS JOIN np)
+       |SELECT t, n_nodes, exact, nhat,
+       |  CASE WHEN exact > 0 THEN (1000 * nhat) // exact END AS ratio_milli,
+       |  CASE WHEN lag(nhat) OVER (ORDER BY t) > 0 THEN
+       |    (1000 * nhat) // (lag(nhat) OVER (ORDER BY t)) END AS growth_milli
+       |FROM c2 ORDER BY t""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("graph_hyperanf_audit", graphHyperanfAudit,
+      Some(graphHyperanfAuditSql)),
     Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
     Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
     Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),

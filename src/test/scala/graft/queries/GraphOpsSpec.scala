@@ -74,4 +74,74 @@ class GraphOpsSpec extends SparkSpec {
     assert(!r.contains(5L))            // no surviving edge → not a node
     assert(r.size == 4)
   }
+
+  test("graph_hyperanf_audit ≡ plain-Scala register propagation; " +
+    "t=0 and t=1 anchors exact") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_partkey * 2 AS p", "l_suppkey * 2 + 1 AS s")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.map { case (p, s) => (p, s) } ++
+      pairs.map { case (p, s) => (s, p) }
+    val nodes = edges.map(_._1).distinct
+    val inbound = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val m = GraphOps.hanfRegisters
+    val rhoW = 1L << GraphOps.hanfRhoBits
+    def reg0(v: Long): Map[Long, Long] = {
+      val h = u32(s"hanf:$v")
+      val r = h % rhoW
+      val rho = if (r == 0) GraphOps.hanfRhoBits + 1L
+        else GraphOps.hanfRhoBits + 1L - (64 - java.lang.Long.numberOfLeadingZeros(r))
+      Map((h / rhoW) -> rho)
+    }
+    def lg(c: Long): Long = graft.queries.SketchOps.lgJvm(c)
+    val estNum = graft.queries.SketchOps.hllAlphaMilliFor(m) *
+      m * m * (1L << 30)
+    def estOf(regs: Map[Long, Long]): Long = {
+      val vEmpty = m - regs.size
+      val z = vEmpty.toLong * (1L << 30) +
+        regs.values.map(rho => 1L << (30 - rho).toInt).sum
+      val raw = estNum / (1000L * z)
+      if (raw <= 5 * m / 2 && vEmpty > 0)
+        m * (lg(m.toLong) - lg(vEmpty.toLong)) * 693147L / 1000000000L
+      else raw
+    }
+    var level: Map[Long, Map[Long, Long]] = nodes.map(v => v -> reg0(v)).toMap
+    val nhats = scala.collection.mutable.ArrayBuffer(
+      nodes.map(v => estOf(level(v))).sum)
+    for (_ <- 1 to GraphOps.hanfRounds) {
+      level = nodes.map { v =>
+        val merged = (level(v) +: inbound.getOrElse(v, Nil).map(level))
+          .flatten.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        v -> merged
+      }.toMap
+      nhats += nodes.map(v => estOf(level(v))).sum
+    }
+    val nv = nodes.size.toLong
+    val expected = (0 to GraphOps.hanfRounds).map { t =>
+      val exact = if (t == 0) Some(nv)
+        else if (t == 1) Some(nv + 2L * pairs.size) else None
+      val ratio = exact.filter(_ > 0).map(e => 1000L * nhats(t) / e)
+      val growth = if (t == 0) None
+        else Some(1000L * nhats(t) / nhats(t - 1)).filter(_ => nhats(t - 1) > 0)
+      t.toLong -> ((nv, exact, nhats(t), ratio, growth))
+    }.toMap
+    val got = SparkEntry.queries("graph_hyperanf_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got == expected)
+    // arithmetic anchor: a 1-element m=16 sketch estimates exactly 1,
+    // so the t=0 estimate equals |V| with ratio exactly 1000
+    assert(got(0L)._3 == nv && got(0L)._4.contains(1000L))
+    // register maxima only grow, so the estimated curve is non-decreasing
+    // on this corpus (sketch saturation, the HyperANF invariant)
+    assert(nhats.toSeq == nhats.toSeq.scanLeft(0L)(math.max).tail)
+  }
 }
