@@ -2309,7 +2309,152 @@ object SimilarityOps {
       .stripMargin
   }
 
+  // ------------------------------------------------ k-means|| init
+
+  /** k-means|| oversampling rounds. */
+  val kppRounds = 3
+  /** Oversampling factor ℓ: each round samples each point with
+    * probability min(1, ℓ·d²/φ) — in expectation ℓ new centers per
+    * round, the paper's knob. */
+  val kppEll = 4L
+
+  /** Scalable k-means++ initialization audit (k-means||, Bahmani et al.
+    * 2012) — the missing half of the clustering tier: `kmeans_step` /
+    * `kmeans_train_rounds` audit Lloyd iterations FROM a seed set; this
+    * audits how a deployment gets the seed set without k sequential
+    * corpus passes (classic k-means++ is inherently serial — one center
+    * per pass). Each round computes every vector's squared distance d²
+    * to the current center set, the potential φ = Σ d², and admits each
+    * vector independently with probability min(1, ℓ·d²/φ); ~ℓ centers
+    * join per round, so k seeds cost O(log-ish) rounds of ONE broadcast
+    * join + aggregate each.
+    *
+    * Determinism contract: exact int64 d² on the quantized base
+    * (nrm − 2·dot + cn), md5 round-seeded coins, and the sampling
+    * predicate as one integer cross-division
+    * (u32 < (ℓ·d²·2³²) div φ — caps at probability 1 automatically when
+    * the quotient exceeds 2³²; ℓ·d²·2³² ≤ 4·dim·(2·10³)²·2³² < 2⁶³ at
+    * the quantization width). An already-chosen center has d² = 0 and
+    * can never re-sample. The defining law — adding centers never
+    * increases any point's min-d², so φ is monotone NON-increasing — is
+    * deterministic (not in-expectation) and pinned per row as `phi_ok`.
+    *
+    * Emits one row per round boundary: centers held, φ against them,
+    * vectors sampled (NULL on the final boundary — nothing samples
+    * after the last round). Empty/degenerate corpora keep all rows
+    * (aggregates of an empty base yield NULL φ, 0 centers); φ = 0
+    * (all-identical corpus) disables sampling via the div guard.
+    *
+    * Scale shape: the center set stays ≤ 1 + rounds·O(ℓ) — always
+    * broadcast; each round is one broadcast-join min-distance aggregate
+    * over the session-cached base (map-side combine, the kmeans_step
+    * shuffle) plus two scalar aggregates. Rounds are FIXED and small, so
+    * the unpersisted lineage re-derives earlier rounds' tiny aggregates
+    * (bounded by rounds², trivial); a deployment looping to larger k
+    * checkpoints the center relation per round. */
+  private def kmeansppInitAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedBase(s, dir)
+    def u32(seed: String) =
+      conv(substring(md5(concat(lit(seed), col("vec_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val c0 = e.withColumn("u", u32("kpp0:"))
+      .orderBy(col("u"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nrm").as("cn"))
+    var cents = c0
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 0 to kppRounds) {
+      val dmin = e.crossJoin(broadcast(cents))
+        .withColumn("dd",
+          col("nrm") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn"))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("d2"))
+      val phi = dmin.agg(sum(col("d2")).as("phi"))
+      val nc = cents.agg(count(lit(1)).as("n_centers"))
+      if (r < kppRounds) {
+        val sampled = dmin.crossJoin(broadcast(phi))
+          .filter(col("phi") > 0 &&
+            u32(s"kpp${r + 1}:") <
+              expr(s"($kppEll * d2 * 4294967296L) div phi"))
+          .select(col("vec_id"))
+        rows += nc.crossJoin(phi)
+          .crossJoin(broadcast(sampled.agg(count(lit(1)).as("n_sampled"))))
+          .select(lit(r.toLong).as("r"), col("n_centers"), col("phi"),
+            col("n_sampled"))
+        cents = cents.unionAll(
+          e.join(sampled, "vec_id").select(col("vec_id").as("cent_id"),
+            col("q").as("cq"), col("nrm").as("cn")))
+      } else {
+        rows += nc.crossJoin(phi)
+          .select(lit(r.toLong).as("r"), col("n_centers"), col("phi"),
+            lit(null).cast("long").as("n_sampled"))
+      }
+    }
+    rows.reduce(_.unionAll(_))
+      // vacuously true on the first boundary (no predecessor) — a
+      // nullable BOOLEAN degrades to NaN in pandas-dtype replays
+      .withColumn("phi_ok", coalesce(
+        col("phi") <= lag(col("phi"), 1).over(Window.orderBy(col("r"))),
+        lit(true)))
+      .orderBy("r")
+  }
+
+  private val kmeansppInitAuditSql = {
+    def dotSql(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) AS BIGINT)"
+    def u32(seed: String) =
+      s"CAST('0x' || substr(md5('$seed' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    def round(r: Int): String = {
+      val sample = if (r < kppRounds)
+        s""",s${r + 1} AS (
+           |  SELECT d.vec_id FROM d$r d CROSS JOIN phi$r
+           |  WHERE phi > 0 AND ${u32(s"kpp${r + 1}:")} <
+           |    ($kppEll * d2 * 4294967296) // phi),
+           |cents${r + 1} AS (
+           |  SELECT * FROM cents$r
+           |  UNION ALL
+           |  SELECT e.vec_id AS cent_id, e.q AS cq, e.nrm AS cn
+           |  FROM e JOIN s${r + 1} USING (vec_id))""".stripMargin
+      else ""
+      s"""d$r AS (
+         |  SELECT e.vec_id,
+         |    CAST(MIN(e.nrm - 2 * ${dotSql("e.q", "c.cq")} + c.cn)
+         |      AS BIGINT) AS d2
+         |  FROM e CROSS JOIN cents$r c GROUP BY 1),
+         |phi$r AS (SELECT CAST(SUM(d2) AS BIGINT) AS phi FROM d$r),
+         |nc$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_centers FROM cents$r)
+         |$sample""".stripMargin
+    }
+    val rowSelects = (0 to kppRounds).map { r =>
+      val ns = if (r < kppRounds)
+        s"(SELECT CAST(COUNT(*) AS BIGINT) FROM s${r + 1})"
+      else "CAST(NULL AS BIGINT)"
+      s"SELECT CAST($r AS BIGINT) AS r, n_centers, phi, $ns AS n_sampled " +
+        s"FROM nc$r CROSS JOIN phi$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
+       |  WHERE nrm > 0),
+       |cents0 AS (
+       |  SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY ${u32("kpp0:")}, vec_id)
+       |      AS rn
+       |    FROM e)
+       |  WHERE rn = 1),
+       |${(0 to kppRounds).map(round).mkString(",\n")},
+       |rows_ AS (
+       |  $rowSelects)
+       |SELECT r, n_centers, phi, n_sampled,
+       |  COALESCE(phi <= lag(phi) OVER (ORDER BY r), TRUE) AS phi_ok
+       |FROM rows_ ORDER BY r""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kmeanspp_init_audit", kmeansppInitAudit,
+      Some(kmeansppInitAuditSql)),
     Q("ann_graph_greedy_audit", annGraphGreedyAudit,
       Some(annGraphGreedyAuditSql)),
     Q("ann_graph_beam_sweep", annGraphBeamSweep, Some(annGraphBeamSweepSql)),
