@@ -233,7 +233,107 @@ object CorpusStatsOps {
        |FROM curve CROSS JOIN fit
        |ORDER BY p""".stripMargin
 
+  /** Per-source distribution drift as total-variation distance from the
+    * corpus: TV(P_src, Q) = ½·Σ_g |p_g − q_g| over the trigram
+    * vocabulary, in exact integer MICRO units (p_micro = 10⁶·c_g div
+    * C_src — milli would truncate a 16k-gram vocabulary's typical
+    * probability to 0). The mixing/reweighting tier's pre-flight: a
+    * source with tv ≈ 0 adds no distributional coverage no matter its
+    * volume; the emitted argmax gram (`top_gram`) is the drift's
+    * actionable witness. TV's range law 0 ≤ tv ≤ 10⁶ survives the
+    * per-gram truncation (each side's micro masses sum to ≤ 10⁶) and is
+    * pinned per row as `tv_ok`.
+    *
+    * The absent-gram mass needs NO outer join: grams missing from a
+    * source contribute exactly q_g each, so their total is the global
+    * Σq minus the source's own Σq — one corpus-wide scalar plus
+    * per-source sums over the source's OWN grams.
+    *
+    * Scale shape: rides the session-cached per-source gram counts
+    * joined to the corpus counts on the gram key (vocabulary-sized,
+    * map-side combine); the argmax is one per-source window over the
+    * same relation; output is |sources| rows. */
+  private def sourceTvDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = SketchOps.gramCountsBySrc(s, dir)
+    val gc = bySrc.groupBy(col("g")).agg(sum(col("cnt")).as("dg"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("cnt")).as("ct"))
+    val corpTot = gc.agg(sum(col("dg")).as("dt"))
+    val qtot = gc.crossJoin(broadcast(corpTot))
+      .select(expr("(1000000 * dg) div dt").as("q"))
+      .agg(sum(col("q")).as("qtot"))
+    val perGram = bySrc.join(gc, "g").join(srcTot, "source")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("g"),
+        expr("(1000000 * cnt) div ct").as("p"),
+        expr("(1000000 * dg) div dt").as("q"))
+      .withColumn("ad", abs(col("p") - col("q")))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("ad").desc, col("g"))
+    val top = perGram.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("g").as("top_gram"),
+        col("ad").as("top_diff_micro"))
+    perGram.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("ad")).as("sad"),
+        sum(col("q")).as("sq"))
+      .join(srcTot, "source")
+      .crossJoin(broadcast(qtot))
+      .select(col("source"), col("n_grams"), col("ct").as("n_tok"),
+        expr("(sad + qtot - sq) div 2").as("tv_micro"))
+      .withColumn("tv_ok", col("tv_micro") >= 0 &&
+        col("tv_micro") <= 1000000L)
+      .join(top, "source")
+      .select(col("source"), col("n_grams"), col("n_tok"),
+        col("tv_micro"), col("tv_ok"), col("top_gram"),
+        col("top_diff_micro"))
+      .orderBy("source")
+  }
+
+  private val sourceTvDriftSql =
+    s"""WITH bysrc AS (
+       |  SELECT COALESCE(source, '') AS source, s AS g, COUNT(*) AS cnt
+       |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)
+       |  GROUP BY 1, 2),
+       |gc AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS dg FROM bysrc GROUP BY 1),
+       |srctot AS (
+       |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS ct FROM bysrc GROUP BY 1),
+       |corptot AS (SELECT CAST(SUM(dg) AS BIGINT) AS dt FROM gc),
+       |qtot AS (
+       |  SELECT CAST(SUM((1000000 * dg) // dt) AS BIGINT) AS qtot
+       |  FROM gc CROSS JOIN corptot),
+       |pergram AS (
+       |  SELECT b.source, b.g,
+       |    (1000000 * b.cnt) // s.ct AS p,
+       |    (1000000 * g2.dg) // c.dt AS q
+       |  FROM bysrc b JOIN gc g2 USING (g) JOIN srctot s USING (source)
+       |  CROSS JOIN corptot c),
+       |top AS (
+       |  SELECT source, g AS top_gram,
+       |    CAST(abs(p - q) AS BIGINT) AS top_diff_micro
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY abs(p - q) DESC, g) AS rn
+       |    FROM pergram)
+       |  WHERE rn = 1),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(abs(p - q)) AS BIGINT) AS sad,
+       |    CAST(SUM(q) AS BIGINT) AS sq
+       |  FROM pergram GROUP BY 1)
+       |SELECT a.source, a.n_grams, s.ct AS n_tok,
+       |  (a.sad + q.qtot - a.sq) // 2 AS tv_micro,
+       |  (a.sad + q.qtot - a.sq) // 2 >= 0
+       |    AND (a.sad + q.qtot - a.sq) // 2 <= 1000000 AS tv_ok,
+       |  t.top_gram, t.top_diff_micro
+       |FROM agg a JOIN srctot s USING (source) CROSS JOIN qtot q
+       |JOIN top t USING (source)
+       |ORDER BY a.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("good_turing_audit", goodTuringAudit, Some(goodTuringAuditSql)),
-    Q("heaps_law_audit", heapsLawAudit, Some(heapsLawAuditSql)))
+    Q("heaps_law_audit", heapsLawAudit, Some(heapsLawAuditSql)),
+    Q("source_tv_drift", sourceTvDrift, Some(sourceTvDriftSql)))
 }

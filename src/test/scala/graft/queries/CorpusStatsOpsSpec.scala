@@ -106,4 +106,38 @@ class CorpusStatsOpsSpec extends SparkSpec {
     // Heaps regime on the real corpus: sublinear growth, 0 < β < 1
     assert(slope.exists(b => b > 0 && b < 1))
   }
+
+  test("source_tv_drift ≡ plain-Scala total variation incl. absent-gram " +
+    "mass; range law holds") {
+    val dir = "/root/testdata/sf0.001"
+    val d = docs(dir)
+    val bySrc = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, text, src) <- d; g <- trigrams(text))
+      bySrc((src, g)) = bySrc.getOrElse((src, g), 0L) + 1L
+    val gc = bySrc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val dt = gc.values.sum
+    val qMicro = gc.view.mapValues(dg => 1000000L * dg / dt).toMap
+    val qtot = qMicro.values.sum
+    val expected = bySrc.groupBy(_._1._1).map { case (src, m) =>
+      val ct = m.values.sum
+      val grams = m.map { case ((_, g), c) => g -> c }
+      val pq = grams.map { case (g, c) =>
+        g -> ((1000000L * c / ct, qMicro(g))) }
+      val sad = pq.values.map { case (p, q) => math.abs(p - q) }.sum
+      val sq = pq.values.map(_._2).sum
+      val (topG, topD) = pq.map { case (g, (p, q)) => (g, math.abs(p - q)) }
+        .toSeq.sortBy { case (g, ad) => (-ad, g) }.head
+      val tv = (sad + qtot - sq) / 2
+      src -> ((grams.size.toLong, ct, tv,
+        tv >= 0 && tv <= 1000000L, topG, topD))
+    }
+    val got = SparkEntry.queries("source_tv_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6)))).toMap
+    assert(got == expected.toMap)
+    assert(got.values.forall(_._4), "TV range law violated")
+    // drift is non-degenerate on the real corpus: no source matches the
+    // corpus distribution exactly
+    assert(got.values.forall(_._3 > 0L))
+  }
 }
