@@ -1900,7 +1900,160 @@ object DedupOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------ duplicate-span doubling
+
+  /** Doubling rounds: round k classifies token windows of length 2^k
+    * (1, 2, 4, 8). */
+  val dblRounds = 3
+
+  /** Duplicate-substring detection by equality-class prefix DOUBLING —
+    * the suffix-array construction idea (Manber–Myers / the
+    * suffix-array dedup of Lee et al. 2022) specialized to what dedup
+    * needs, equality classes rather than lexicographic ranks: round 0
+    * gives every token position the class of its token; round k forms
+    * each position's class from the PAIR (class(pos), class(pos+2^{k−1}))
+    * — so after k rounds two positions share a class IFF their
+    * 2^k-token windows are identical, yet no round ever compares more
+    * than two fixed-width ints per position. That is the 100 TB
+    * argument: the direct approach groups materialized 2^k-token
+    * strings (payload grows with the window), doubling joins
+    * constant-width class ids for any window length, reaching window
+    * 2^k in k shuffles.
+    *
+    * Class ids are min-position representatives (gid = doc_id·2²⁰ + pos
+    * — exact while docs stay under 2²⁰ tokens and ids under 2⁴³; the
+    * corpus length cap is 2¹⁶), NOT dense ranks: a dense rank needs a
+    * global sort/window, a min-per-group is one map-side-combining
+    * aggregate. Windows truncate at document end (a truncated right
+    * half carries the sentinel class −1, and truncated windows compare
+    * equal iff their actual remaining tokens do — the same semantics as
+    * the engines' auto-truncating array slice).
+    *
+    * The audit emits, per round: class count, duplicated-position count
+    * (positions whose window occurs ≥ 2 times corpus-wide — the mass
+    * substring-dedup would cut), the largest class, AND the same counts
+    * recomputed DIRECTLY by grouping the materialized token windows —
+    * `direct_match` pins the doubling⇔direct equivalence theorem
+    * per row, cross-engine. `refine_ok`/`mono_ok` pin refinement:
+    * longer windows only split classes, so class counts are
+    * non-decreasing and duplicated mass non-increasing in k.
+    *
+    * Scale shape: one cached token relation; each round is one
+    * (doc, pos)-keyed self-join plus one (lc, rc)-keyed min-aggregate —
+    * both map-side-combining, token-scale, constant-width; levels are
+    * session-cached because level k feeds both its stats and level
+    * k+1. The direct cross-check IS the expensive path (it
+    * materializes window arrays) and exists for the audit, not the
+    * deployment plan. NULL doc_ids are excluded (no stable position
+    * identity), NULL texts tokenize to nothing on both engines. */
+  private def dupSpanDoubling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val toks = Util.cachedRelation(s, dir, "dupDblToks", "")(
+      docs.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tok"),
+          (col("doc_id") * 1048576L + col("pos")).as("gid")))
+    val c0 = toks.join(
+        toks.groupBy(col("tok")).agg(min(col("gid")).as("cls")), "tok")
+      .select(col("doc_id"), col("pos"), col("cls"))
+    val levels = (1 to dblRounds).scanLeft(c0) { (prev, k) =>
+      Util.cachedRelation(s, dir, s"dupDblCls$k", "") {
+        val right = prev.select(col("doc_id"),
+          (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
+        val paired = prev.join(right, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("cls").as("lc"),
+            coalesce(col("rc"), lit(-1L)).as("rc"))
+        paired.join(
+            paired.groupBy(col("lc"), col("rc"))
+              .agg(min(col("doc_id") * 1048576L + col("pos")).as("cls")),
+            Seq("lc", "rc"))
+          .select(col("doc_id"), col("pos"), col("cls"))
+      }
+    }
+    def statsOf(cls: DataFrame, k: Int): DataFrame = {
+      val sizes = cls.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+      val agg = sizes.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_classes"),
+        coalesce(sum(when(col("n") >= 2, col("n")).otherwise(0L)), lit(0L))
+          .as("dup_pos"),
+        coalesce(max(col("n")), lit(0L)).as("max_class"))
+      val direct = docs
+        .select(posexplode(col("w")).as(Seq("pos", "tok")), col("w"))
+        .select(slice(col("w"), col("pos") + 1, lit(1 << k)).as("win"))
+        .groupBy(col("win")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") >= 2, col("n")).otherwise(0L)),
+          lit(0L)).as("direct_dup"))
+      agg.crossJoin(broadcast(direct))
+        .select(lit(k.toLong).as("k"), lit((1L << k)).as("win_len"),
+          col("n_classes"), col("dup_pos"), col("max_class"),
+          col("direct_dup"),
+          (col("dup_pos") === col("direct_dup")).as("direct_match"))
+    }
+    levels.zipWithIndex.map { case (cls, k) => statsOf(cls, k) }
+      .reduce(_.unionAll(_))
+      .withColumn("refine_ok", coalesce(col("n_classes") >=
+        lag(col("n_classes"), 1).over(Window.orderBy(col("k"))), lit(true)))
+      .withColumn("mono_ok", coalesce(col("dup_pos") <=
+        lag(col("dup_pos"), 1).over(Window.orderBy(col("k"))), lit(true)))
+      .orderBy("k")
+  }
+
+  private def dupSpanDoublingSql = {
+    def level(k: Int): String = {
+      val d = 1L << (k - 1)
+      s"""p$k AS (
+         |  SELECT a.doc_id, a.pos, a.cls AS lc, COALESCE(b.cls, -1) AS rc
+         |  FROM c${k - 1} a LEFT JOIN c${k - 1} b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + $d),
+         |c$k AS (
+         |  SELECT p.doc_id, p.pos, m.cls
+         |  FROM p$k p JOIN (
+         |    SELECT lc, rc, MIN(doc_id * 1048576 + pos) AS cls
+         |    FROM p$k GROUP BY 1, 2) m USING (lc, rc))""".stripMargin
+    }
+    def stats(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST(${1L << k} AS BIGINT) AS win_len,
+         |    a.n_classes, a.dup_pos, a.max_class, d.direct_dup,
+         |    a.dup_pos = d.direct_dup AS direct_match
+         |  FROM (
+         |    SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_classes,
+         |      CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END), 0)
+         |        AS BIGINT) AS dup_pos,
+         |      CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_class
+         |    FROM (SELECT cls, COUNT(*) AS n FROM c$k GROUP BY 1)) a
+         |  CROSS JOIN (
+         |    SELECT CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END), 0)
+         |      AS BIGINT) AS direct_dup
+         |    FROM (
+         |      SELECT w[pos+1 : pos+${1L << k}] AS win, COUNT(*) AS n
+         |      FROM tt GROUP BY 1)) d""".stripMargin
+    s"""WITH docs_ AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |tt AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
+       |    doc_id * 1048576 + i AS gid, w
+       |  FROM docs_, UNNEST(range(len(w))) u(i)),
+       |c0 AS (
+       |  SELECT t.doc_id, t.pos, m.cls
+       |  FROM tt t JOIN (
+       |    SELECT tok, MIN(gid) AS cls FROM tt GROUP BY 1) m USING (tok)),
+       |${(1 to dblRounds).map(level).mkString(",\n")},
+       |rows_ AS (
+       |  ${(0 to dblRounds).map(stats).mkString("\n  UNION ALL ")})
+       |SELECT k, win_len, n_classes, dup_pos, max_class, direct_dup,
+       |  direct_match,
+       |  COALESCE(n_classes >= lag(n_classes) OVER (ORDER BY k), TRUE)
+       |    AS refine_ok,
+       |  COALESCE(dup_pos <= lag(dup_pos) OVER (ORDER BY k), TRUE)
+       |    AS mono_ok
+       |FROM rows_ ORDER BY k""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("dup_span_doubling", dupSpanDoubling, Some(dupSpanDoublingSql)),
     Q("minhash_band_sweep", minhashBandSweep, Some(minhashBandSweepSql)),
     Q("minhash_estimate_audit", minhashEstimateAudit,
       Some(minhashEstimateAuditSql)),

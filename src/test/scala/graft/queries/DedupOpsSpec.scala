@@ -251,4 +251,56 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, 2L, 1L, 500L)))
     assert(out(2) == ((4L, 1L, 4L, 3L, 750L)))
   }
+
+  test("dup_span_doubling: hand-computed fixture — classes = identical " +
+    "windows, truncation at doc end, laws hold") {
+    val dir = java.nio.file.Files.createTempDirectory("dupdbl").toString
+    import spark.implicits._
+    // doc 1: "a b a b"  doc 2: "a b x"  doc 3 (null id): ignored
+    Seq((Some(1L), "a b a b"), (Some(2L), "a b x"),
+      (Option.empty[Long], "a b a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("dup_span_doubling")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))).toMap
+    // 7 positions. k=0 (win 1): tokens a,b,a,b | a,b,x → classes {a,b,x};
+    // a×3, b×3 duplicated → dup_pos 6, max class 3.
+    assert(rows(0L) == ((3L, 6L, 3L, 6L, true, true, true)))
+    // k=1 (win 2): windows ab,ba,ab,b | ab,bx,x → classes
+    // {ab, ba, b, bx, x}; ab×3 duplicated → dup_pos 3.
+    assert(rows(1L) == ((5L, 3L, 3L, 3L, true, true, true)))
+    // k=2 (win 4): abab, bab, ab, b | abx, bx, x — all distinct: the
+    // doc-1 "ab" is a TRUNCATED 2-token suffix while doc-2's "ab" prefix
+    // continues with x → 7 classes, nothing duplicated.
+    assert(rows(2L) == ((7L, 0L, 1L, 0L, true, true, true)))
+    assert(rows(3L) == ((7L, 0L, 1L, 0L, true, true, true)))
+    assert(rows.size == DedupOps.dblRounds + 1)
+  }
+
+  test("dup_span_doubling ≡ direct window grouping on the real corpus " +
+    "(the per-row theorem) plus plain-Scala recount at k=3") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("dup_span_doubling")(spark, dir)
+      .collect()
+    assert(rows.length == DedupOps.dblRounds + 1)
+    assert(rows.forall(_.getAs[Boolean]("direct_match")))
+    assert(rows.forall(_.getAs[Boolean]("refine_ok")))
+    assert(rows.forall(_.getAs[Boolean]("mono_ok")))
+    // independent JVM recount of the k=3 row: group 8-token windows
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Array.empty[String]
+        else r.getString(1).split(" ", -1)))
+    val wins = docs.flatMap { case (_, w) =>
+      w.indices.map(i => w.slice(i, math.min(i + 8, w.length)).toSeq) }
+    val sizes = wins.groupBy(identity).view.mapValues(_.length.toLong)
+    val k3 = rows.find(_.getLong(0) == 3L).get
+    assert(k3.getAs[Long]("n_classes") == sizes.size.toLong)
+    assert(k3.getAs[Long]("dup_pos") ==
+      sizes.values.filter(_ >= 2L).sum)
+    assert(k3.getAs[Long]("max_class") == sizes.values.max)
+  }
 }
