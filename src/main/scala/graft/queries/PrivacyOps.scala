@@ -130,8 +130,124 @@ object PrivacyOps {
       |FROM i GROUP BY 1, 2
       |ORDER BY ts_hour NULLS LAST, value_bucket NULLS LAST""".stripMargin
 
+  /** t-closeness threshold in micro units (t = 0.2). */
+  val tCloseMicro = 200000L
+
+  /** t-closeness audit — the last rung of the k → l → t ladder (Li et
+    * al., ICDE 2007): a group can be k-large and l-diverse yet still
+    * leak if its SENSITIVE-value distribution differs sharply from the
+    * table's (an attacker's posterior moves from the global prior to
+    * the group's skew). Here the sensitive attribute is the ORDERED
+    * value bucket (QI = ts_hour × event_type — the dual of the
+    * l-audit's assignment), so closeness is the paper's ordered-
+    * attribute Earth Mover's Distance: with buckets in value order,
+    * EMD(P, Q) = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1) — mass moves only
+    * between adjacent buckets, and the cumulative-difference sum counts
+    * every unit·step of work. Exact integer micro units throughout
+    * (10⁶·cnt div n per side); EMD ≥ 0 is pinned per row, and the
+    * verdict emd ≤ [[tCloseMicro]] is the release gate. A single-bucket
+    * table (m = 1) has EMD 0 by definition (everyone's distribution is
+    * the prior).
+    *
+    * Scale shape: the sensitive histogram per group and globally are
+    * stacked map-side-combining aggregates on generalized keys
+    * (low-cardinality by construction — the privacy-tier invariant);
+    * the alignment is groups × buckets, both generalization-bounded;
+    * the cumulative sum is one window per group over ≤ m rows. NULL
+    * event_type buckets as '' (the l-audit rule); NULL values order
+    * first via a sentinel bucket. */
+  private def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, dir, "events").select(
+      date_trunc("hour", col("ts")).as("ts_hour"),
+      coalesce(col("event_type"), lit("")).as("event_type"),
+      coalesce(
+        (floor(expr("CAST(round(value * 100) AS BIGINT)") / lit(10000.0))
+          * 100).cast("long"),
+        lit(-(1L << 40))).as("sv"))
+    val global = g.groupBy(col("sv")).agg(count(lit(1)).as("gc"))
+    val tot = global.agg(sum(col("gc")).as("n_tot"),
+      count(lit(1)).as("m_buckets"))
+    val groups = g.groupBy(col("ts_hour"), col("event_type"), col("sv"))
+      .agg(count(lit(1)).as("pc"))
+    val groupTot = groups.groupBy(col("ts_hour"), col("event_type"))
+      .agg(sum(col("pc")).as("n"))
+    val gp = groups.select(col("ts_hour").as("p_ts"),
+      col("event_type").as("p_et"), col("sv").as("p_sv"), col("pc"))
+    // null-safe on ts_hour: a NULL-hour group must match its own counts
+    // (the oracle's IS NOT DISTINCT FROM)
+    val aligned = groupTot.crossJoin(global)
+      .join(gp, col("p_ts") <=> col("ts_hour") &&
+        col("p_et") === col("event_type") && col("p_sv") === col("sv"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col("ts_hour"), col("event_type"), col("n"),
+        col("m_buckets"), col("sv"),
+        (expr("(1000000 * coalesce(pc, 0)) div n") -
+          expr("(1000000 * gc) div n_tot")).as("d"))
+    val wCum = Window.partitionBy(col("ts_hour"), col("event_type"))
+      .orderBy(col("sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aligned.withColumn("cum", sum(col("d")).over(wCum))
+      .groupBy(col("ts_hour"), col("event_type"), col("n"),
+        col("m_buckets"))
+      .agg(sum(abs(col("cum"))).as("work"))
+      .select(col("ts_hour"), col("event_type"), col("n"),
+        col("m_buckets"),
+        expr("CASE WHEN m_buckets > 1 THEN work div (m_buckets - 1) " +
+          "ELSE 0 END").as("emd_micro"))
+      .withColumn("emd_ok", col("emd_micro") >= 0)
+      .withColumn("t_ok", col("emd_micro") <= tCloseMicro)
+      .orderBy(col("ts_hour").asc_nulls_last, col("event_type"))
+  }
+
+  private val tClosenessAuditSql =
+    s"""WITH g AS (
+       |  SELECT date_trunc('hour', ts) AS ts_hour,
+       |    COALESCE(event_type, '') AS event_type,
+       |    COALESCE(CAST(floor(CAST(round(value * 100) AS BIGINT)
+       |      / 10000.0) AS BIGINT) * 100, ${-(1L << 40)}) AS sv
+       |  FROM events),
+       |global_ AS (SELECT sv, COUNT(*) AS gc FROM g GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(gc) AS BIGINT) AS n_tot,
+       |    CAST(COUNT(*) AS BIGINT) AS m_buckets
+       |  FROM global_),
+       |grp AS (
+       |  SELECT ts_hour, event_type, sv, COUNT(*) AS pc
+       |  FROM g GROUP BY 1, 2, 3),
+       |grptot AS (
+       |  SELECT ts_hour, event_type, CAST(SUM(pc) AS BIGINT) AS n
+       |  FROM grp GROUP BY 1, 2),
+       |aligned AS (
+       |  SELECT t.ts_hour, t.event_type, t.n, o.m_buckets, gl.sv,
+       |    (1000000 * COALESCE(p.pc, 0)) // t.n
+       |      - (1000000 * gl.gc) // o.n_tot AS d
+       |  FROM grptot t CROSS JOIN global_ gl
+       |  LEFT JOIN grp p ON p.ts_hour IS NOT DISTINCT FROM t.ts_hour
+       |    AND p.event_type = t.event_type AND p.sv = gl.sv
+       |  CROSS JOIN tot o),
+       |cums AS (
+       |  SELECT ts_hour, event_type, n, m_buckets,
+       |    CAST(SUM(d) OVER (PARTITION BY ts_hour, event_type ORDER BY sv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM aligned),
+       |emd AS (
+       |  SELECT ts_hour, event_type, n, m_buckets,
+       |    CASE WHEN m_buckets > 1
+       |      THEN CAST(SUM(abs(cum)) AS BIGINT) // (m_buckets - 1)
+       |      ELSE 0 END AS emd_micro
+       |  FROM cums GROUP BY 1, 2, 3, 4)
+       |SELECT ts_hour, event_type, n, m_buckets, emd_micro,
+       |  emd_micro >= 0 AS emd_ok,
+       |  emd_micro <= $tCloseMicro AS t_ok
+       |FROM emd
+       |ORDER BY ts_hour NULLS LAST, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pii_anonymize", piiAnonymize, Some(piiAnonymizeSql)),
     Q("k_anonymity_audit", kAnonymityAudit, Some(kAnonymityAuditSql)),
-    Q("l_diversity_audit", lDiversityAudit, Some(lDiversityAuditSql)))
+    Q("l_diversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
+    Q("t_closeness_audit", tClosenessAudit, Some(tClosenessAuditSql)))
 }

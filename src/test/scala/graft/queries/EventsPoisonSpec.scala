@@ -16,7 +16,8 @@ class EventsPoisonSpec extends SparkSpec {
   private val eventQueries = Seq(
     "dedup_latest", "conditional_merge", "json_extract", "window_tumbling",
     "sessionize", "asof_join", "range_join_count", "salted_agg",
-    "gap_fill_hours", "pii_anonymize", "k_anonymity_audit", "outlier_mad",
+    "gap_fill_hours", "pii_anonymize", "k_anonymity_audit",
+    "l_diversity_audit", "t_closeness_audit", "outlier_mad",
     "event_funnel", "cohort_retention", "scd2_intervals",
     "event_debounce", "skew_profile", "dau_wau", "error_zscore_hours")
 

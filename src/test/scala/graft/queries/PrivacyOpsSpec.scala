@@ -115,4 +115,51 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(r(Timestamp.valueOf("2024-03-05 11:00:00")) == ((4L, 1L, false, 1000L)))
     assert(r(Timestamp.valueOf("2024-03-05 12:00:00")) == ((2L, 2L, false, 500L)))
   }
+
+  test("t_closeness_audit: hand-computed ordered EMD — skewed group " +
+    "fails t, prior-matching group has EMD 0") {
+    val ts = Timestamp.valueOf("2024-03-05 10:05:00")
+    // value buckets: 50.0 → 0, 250.0 → 200. Global dist {0: 3, 200: 3}.
+    val dir = writeEvents(Seq(
+      (1L, ts, 1L, "A", 50.0, "{}"), (2L, ts, 2L, "A", 50.0, "{}"),
+      (3L, ts, 3L, "B", 250.0, "{}"), (4L, ts, 4L, "B", 250.0, "{}"),
+      (5L, ts, 5L, "C", 50.0, "{}"), (6L, ts, 6L, "C", 250.0, "{}")))
+    val r = SparkEntry.queries("t_closeness_audit")(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("m_buckets"),
+          x.getAs[Long]("emd_micro"), x.getAs[Boolean]("emd_ok"),
+          x.getAs[Boolean]("t_ok")))).toMap
+    // group A: p = (1, 0) vs q = (½, ½): cum diffs (½, 0) → EMD = ½
+    assert(r("A") == ((2L, 2L, 500000L, true, false)))
+    assert(r("B") == ((2L, 2L, 500000L, true, false)))
+    // group C matches the prior exactly → EMD 0, passes t
+    assert(r("C") == ((2L, 2L, 0L, true, true)))
+    assert(r.size == 3)
+  }
+
+  test("t_closeness_audit: NULL values order first as their own bucket; " +
+    "laws hold on the real corpus") {
+    val ts = Timestamp.valueOf("2024-03-05 10:05:00")
+    // global {null: 1, 0: 1}; group D holds the null, group E the 50.0
+    val dir = writeEvents(Seq(
+      (1L, ts, 1L, "D", Double.NaN, "{}"),
+      (2L, ts, 2L, "E", 50.0, "{}")))
+    // NaN round-trips as a non-null double; rewrite row 1 with a true NULL
+    import spark.implicits._
+    Seq((1L, ts.getTime * 1000000L, 1L, "D", Option.empty[Double], "{}"),
+      (2L, ts.getTime * 1000000L, 2L, "E", Some(50.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("t_closeness_audit")(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("m_buckets"), x.getAs[Long]("emd_micro")))).toMap
+    // two buckets (sentinel + 0), each group fully skewed → EMD ½
+    assert(r("D") == ((2L, 500000L)))
+    assert(r("E") == ((2L, 500000L)))
+    // real corpus: EMD ≥ 0 everywhere and verdicts are non-degenerate
+    val real = SparkEntry.queries("t_closeness_audit")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getAs[Boolean]("emd_ok")))
+  }
 }
