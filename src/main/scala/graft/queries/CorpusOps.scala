@@ -1463,7 +1463,153 @@ object CorpusOps {
       |  END AS waste_packed_milli
       |FROM agg ORDER BY source""".stripMargin
 
+  /** Width grid of the bloom FPR sweep (log₂ bits). Deliberately BELOW
+    * the deployed 2^[[bloomLog2BitsDefault]]: the sweep exists to make
+    * false positives measurable (at the deployed width the expected FPR
+    * on this corpus is ~1e-8 — every grid row would read 0 and teach
+    * nothing); the deployed width sits two doublings past the last
+    * measured point on the same (kn/m)^k curve the sweep traces. */
+  val bloomSweepGrid: Seq[Int] = Seq(10, 12, 14)
+
+  /** Bloom false-positive-rate calibration sweep — the sizing audit for
+    * the [[decontaminateBloom]] gate (the cms_width_sweep contract on
+    * the membership filter): per width m ∈ 2^[[bloomSweepGrid]], insert
+    * the bench gram set, probe every train-ONLY gram (ground truth
+    * known exactly: none belong), and report the measured FPR beside
+    * the closed-form bound. Emitted per row: occupancy (set bits/m),
+    * measured fpr_micro, the (kn/m)^k upper bound in micro via a nested
+    * integer-division ladder (overflow-free and libm-free — it
+    * dominates 1−e^(−kn/m) so it bounds the expected FPR), and the
+    * defining NO-FALSE-NEGATIVE theorem (`no_fn`: every inserted bench
+    * gram still probes positive) hash-pinned per width.
+    *
+    * Two deliberate deltas from the gate itself, both auditability
+    * choices: positions here are md5-derived (the sketch-tier portable
+    * hash — the gate's xxhash64 has no cross-engine twin, and FPR
+    * statistics are hash-agnostic for any uniform family), and the
+    * bitmap is RELATIONAL (an occupied-position set probed by
+    * semi-join) rather than a broadcast dense array — same verdicts,
+    * grid-as-data over one position relation, and a trivially equal
+    * oracle. The gate keeps the O(1) dense-array probe; the sweep
+    * measures what its width buys.
+    *
+    * Scale shape: gram sets build once (session-cached); positions are
+    * |grams|·k·|grid| narrow rows; everything aggregates with map-side
+    * combine on (m, pos)/(m, g). Grid rows survive empty corpora (LEFT
+    * join from the grid). */
+  private def bloomFprSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val g = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("w"), 3))).as("g"))
+    val bench = Util.cachedRelation(s, dir, "bloomSweepBench", "")(
+      g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct())
+    val tOnly = Util.cachedRelation(s, dir, "bloomSweepTrainOnly", "")(
+      g.filter(col("doc_id") % 97 =!= 0).select(col("g")).distinct()
+        .join(bench, Seq("g"), "left_anti"))
+    val grid = s.createDataFrame(bloomSweepGrid.map(b =>
+      Tuple2(b.toLong, 1L << b))).toDF("log2m", "m")
+    def positions(grams: DataFrame): DataFrame = grams.crossJoin(grid)
+      .select(col("g"), col("log2m"), col("m"),
+        explode(sequence(lit(0), lit(3))).as("h"))
+      .withColumn("pos",
+        conv(substring(md5(concat(lit("bf"), col("h"), lit(":"), col("g"))),
+          1, 8), 16, 10).cast("long") % col("m"))
+    val occ = positions(bench).select(col("log2m"), col("pos")).distinct()
+    val nSet = occ.groupBy(col("log2m")).agg(count(lit(1)).as("n_set_bits"))
+    def allHit(grams: DataFrame): DataFrame =
+      positions(grams).join(occ, Seq("log2m", "pos"), "left_semi")
+        .groupBy(col("log2m"), col("g")).agg(count(lit(1)).as("nm"))
+        .filter(col("nm") === 4)
+        .groupBy(col("log2m")).agg(count(lit(1)).as("n_hit"))
+    val fp = allHit(tOnly).withColumnRenamed("n_hit", "n_fp")
+    val bHit = allHit(bench).withColumnRenamed("n_hit", "n_bench_hit")
+    val nBench = bench.agg(count(lit(1)).as("n_bench"))
+    val nProbe = tOnly.agg(count(lit(1)).as("n_probes"))
+    grid.join(nSet, Seq("log2m"), "left")
+      .join(fp, Seq("log2m"), "left")
+      .join(bHit, Seq("log2m"), "left")
+      .crossJoin(broadcast(nBench)).crossJoin(broadcast(nProbe))
+      .select(col("log2m"), col("m"), col("n_bench"),
+        coalesce(col("n_set_bits"), lit(0L)).as("n_set_bits"),
+        expr("(1000 * coalesce(n_set_bits, 0)) div m")
+          .as("occupancy_milli"),
+        col("n_probes"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        expr("CASE WHEN n_probes > 0 THEN " +
+          "(1000000 * coalesce(n_fp, 0)) div n_probes ELSE 0 END")
+          .as("fpr_micro"),
+        // ((((10^6·kn div m)·kn div m)·kn div m)·kn div m), capped at 10^6
+        expr("least(1000000, ((((((1000000 * (4 * n_bench)) div m) " +
+          "* (4 * n_bench)) div m) * (4 * n_bench)) div m) " +
+          "* (4 * n_bench) div m)").as("bound_micro"),
+        (coalesce(col("n_bench_hit"), lit(0L)) === col("n_bench"))
+          .as("no_fn"))
+      .orderBy("log2m")
+  }
+
+  private val bloomFprSweepSql = {
+    val gridSql = bloomSweepGrid.map(b =>
+      s"SELECT CAST($b AS BIGINT) AS log2m, CAST(${1L << b} AS BIGINT) AS m")
+      .mkString(" UNION ALL ")
+    s"""WITH gset AS (
+       |  SELECT doc_id, s AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       |  UNNEST(list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) t(s)),
+       |bench AS (SELECT DISTINCT g FROM gset WHERE doc_id % 97 = 0),
+       |tonly AS (
+       |  SELECT DISTINCT g FROM gset WHERE doc_id % 97 <> 0
+       |  EXCEPT SELECT g FROM bench),
+       |grid AS ($gridSql),
+       |bpos AS (
+       |  SELECT b.g, gr.log2m, gr.m, h,
+       |    CAST('0x' || substr(md5('bf' || h || ':' || b.g), 1, 8) AS BIGINT)
+       |      % gr.m AS pos
+       |  FROM bench b CROSS JOIN grid gr, UNNEST(range(4)) u(h)),
+       |tpos AS (
+       |  SELECT t.g, gr.log2m, gr.m, h,
+       |    CAST('0x' || substr(md5('bf' || h || ':' || t.g), 1, 8) AS BIGINT)
+       |      % gr.m AS pos
+       |  FROM tonly t CROSS JOIN grid gr, UNNEST(range(4)) u(h)),
+       |occ AS (SELECT DISTINCT log2m, pos FROM bpos),
+       |nset AS (SELECT log2m, CAST(COUNT(*) AS BIGINT) AS n_set_bits
+       |         FROM occ GROUP BY 1),
+       |fp AS (
+       |  SELECT log2m, CAST(COUNT(*) AS BIGINT) AS n_fp FROM (
+       |    SELECT p.log2m, p.g FROM tpos p SEMI JOIN occ o
+       |      ON p.log2m = o.log2m AND p.pos = o.pos
+       |    GROUP BY 1, 2 HAVING COUNT(*) = 4)
+       |  GROUP BY 1),
+       |bhit AS (
+       |  SELECT log2m, CAST(COUNT(*) AS BIGINT) AS n_bench_hit FROM (
+       |    SELECT p.log2m, p.g FROM bpos p SEMI JOIN occ o
+       |      ON p.log2m = o.log2m AND p.pos = o.pos
+       |    GROUP BY 1, 2 HAVING COUNT(*) = 4)
+       |  GROUP BY 1),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bench FROM bench),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM tonly)
+       |SELECT gr.log2m, gr.m, n_bench,
+       |  COALESCE(n_set_bits, 0) AS n_set_bits,
+       |  (1000 * COALESCE(n_set_bits, 0)) // gr.m AS occupancy_milli,
+       |  n_probes,
+       |  COALESCE(n_fp, 0) AS n_fp,
+       |  CASE WHEN n_probes > 0 THEN
+       |    (1000000 * COALESCE(n_fp, 0)) // n_probes ELSE 0 END AS fpr_micro,
+       |  least(1000000, ((((((1000000 * (4 * n_bench)) // gr.m)
+       |    * (4 * n_bench)) // gr.m) * (4 * n_bench)) // gr.m)
+       |    * (4 * n_bench) // gr.m) AS bound_micro,
+       |  COALESCE(n_bench_hit, 0) = n_bench AS no_fn
+       |FROM grid gr
+       |LEFT JOIN nset USING (log2m)
+       |LEFT JOIN fp USING (log2m)
+       |LEFT JOIN bhit USING (log2m)
+       |CROSS JOIN nb CROSS JOIN np
+       |ORDER BY gr.log2m""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("bloom_fpr_sweep", bloomFprSweep, Some(bloomFprSweepSql)),
     Q("pack_padding_report", packPaddingReport, Some(packPaddingReportSql)),
     Q("pack_length_sweep", packLengthSweep, Some(packLengthSweepSql)),
     Q("source_entropy", sourceEntropy, Some(sourceEntropySql)),

@@ -400,4 +400,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == (("s1", 2L, 0L, false)))    // rk 3 of 3 → dropped
     assert(out(4L) == (("s2", 1L, 333L, true)))   // sole doc of its source
   }
+
+  test("bloom_fpr_sweep ≡ plain-Scala membership replay; no false " +
+    "negatives at any width; FPR falls with width") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    def trigrams(text: String): Seq[String] = {
+      val w = Option(text).getOrElse("").split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val bench = d.filter(_._1 % 97 == 0)
+      .flatMap(x => trigrams(x._2).distinct).toSet
+    val tOnly = d.filter(_._1 % 97 != 0)
+      .flatMap(x => trigrams(x._2).distinct).toSet -- bench
+    val expected = CorpusOps.bloomSweepGrid.map { b =>
+      val m = 1L << b
+      val occ = bench.flatMap(g => (0 to 3).map(h => u32(s"bf$h:$g") % m))
+      def hits(g: String) = (0 to 3).forall(h => occ(u32(s"bf$h:$g") % m))
+      val nFp = tOnly.count(hits).toLong
+      b.toLong -> ((m, bench.size.toLong, occ.size.toLong,
+        1000L * occ.size / m, tOnly.size.toLong, nFp,
+        if (tOnly.nonEmpty) 1000000L * nFp / tOnly.size else 0L,
+        bench.forall(hits)))
+    }.toMap
+    val got = SparkEntry.queries("bloom_fpr_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(9)))).toMap
+    assert(got == expected)
+    // the theorem and the calibration story
+    assert(got.values.forall(_._8), "false negative — bloom theorem broken")
+    val fprs = CorpusOps.bloomSweepGrid.map(b => got(b.toLong)._7)
+    assert(fprs == fprs.sorted.reverse, "FPR must fall as width grows")
+  }
 }
