@@ -2366,10 +2366,13 @@ object SimilarityOps {
     var cents = c0
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 0 to kppRounds) {
-      val dmin = e.crossJoin(broadcast(cents))
-        .withColumn("dd",
-          col("nrm") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn"))
-        .groupBy(col("vec_id")).agg(min(col("dd")).as("d2"))
+      // cached per round: dmin feeds φ, the sampling filter, the sampled
+      // count and (via cents) the next round — four consumers, one pass
+      val dmin = Util.cachedRelation(s, dir, s"kppDmin$r", "")(
+        e.crossJoin(broadcast(cents))
+          .withColumn("dd",
+            col("nrm") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn"))
+          .groupBy(col("vec_id")).agg(min(col("dd")).as("d2")))
       val phi = dmin.agg(sum(col("d2")).as("phi"))
       val nc = cents.agg(count(lit(1)).as("n_centers"))
       if (r < kppRounds) {
@@ -2382,9 +2385,15 @@ object SimilarityOps {
           .crossJoin(broadcast(sampled.agg(count(lit(1)).as("n_sampled"))))
           .select(lit(r.toLong).as("r"), col("n_centers"), col("phi"),
             col("n_sampled"))
-        cents = cents.unionAll(
-          e.join(sampled, "vec_id").select(col("vec_id").as("cent_id"),
-            col("q").as("cq"), col("nrm").as("cn")))
+        // session-cache each (tiny) center generation: without it,
+        // cents_r's lineage embeds dmin_{r-1} ⋈ phi_{r-1} which itself
+        // re-derives dmin_{r-1} — a 2^r recompute chain over the base
+        // (measured 38.6 s at the 10× corpus; caching collapses it to
+        // one distance pass per round)
+        cents = Util.cachedRelation(s, dir, s"kppCents${r + 1}", "")(
+          cents.unionAll(
+            e.join(sampled, "vec_id").select(col("vec_id").as("cent_id"),
+              col("q").as("cq"), col("nrm").as("cn"))))
       } else {
         rows += nc.crossJoin(phi)
           .select(lit(r.toLong).as("r"), col("n_centers"), col("phi"),
