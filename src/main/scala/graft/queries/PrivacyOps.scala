@@ -156,10 +156,25 @@ object PrivacyOps {
     * the cumulative sum is one window per group over ≤ m rows. NULL
     * event_type buckets as '' (the l-audit rule); NULL values order
     * first via a sentinel bucket. */
+  /** NULL-hour sentinel: NULL ts rows must still form their own QI group,
+    * but a NULL JOIN KEY is poison for the oracle — DuckDB 1.0's
+    * IS-NULL handling of `date_trunc(ts)` is broken in predicates
+    * (`WHERE date_trunc('hour', ts) IS NULL` returns 0 rows while the
+    * GROUP BY emits a NULL group; an IS NOT DISTINCT FROM join on it is
+    * NONDETERMINISTIC across runs — caught by fuzz seed 58). Every stage
+    * therefore keys on a sentinel hour (year 1, outside any event
+    * domain), mapped back to NULL only in the final projection. */
+  private val tCloseNullHour = "0001-01-01 00:00:00"
+
   private def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // coalesce the RAW ts, then truncate: DuckDB 1.0's null tracking of
+    // date_trunc output is broken (COALESCE over it never fires, IS NULL
+    // on it returns false) while NULL checks on the raw column work
     val g = t(s, dir, "events").select(
-      date_trunc("hour", col("ts")).as("ts_hour"),
+      date_trunc("hour",
+        coalesce(col("ts"), to_timestamp(lit(tCloseNullHour))))
+        .as("ts_hour"),
       coalesce(col("event_type"), lit("")).as("event_type"),
       coalesce(
         (floor(expr("CAST(round(value * 100) AS BIGINT)") / lit(10000.0))
@@ -174,10 +189,9 @@ object PrivacyOps {
       .agg(sum(col("pc")).as("n"))
     val gp = groups.select(col("ts_hour").as("p_ts"),
       col("event_type").as("p_et"), col("sv").as("p_sv"), col("pc"))
-    // null-safe on ts_hour: a NULL-hour group must match its own counts
-    // (the oracle's IS NOT DISTINCT FROM)
+    // plain equality is safe: the sentinel made every hour key non-NULL
     val aligned = groupTot.crossJoin(global)
-      .join(gp, col("p_ts") <=> col("ts_hour") &&
+      .join(gp, col("p_ts") === col("ts_hour") &&
         col("p_et") === col("event_type") && col("p_sv") === col("sv"),
         "left")
       .crossJoin(broadcast(tot))
@@ -192,8 +206,11 @@ object PrivacyOps {
       .groupBy(col("ts_hour"), col("event_type"), col("n"),
         col("m_buckets"))
       .agg(sum(abs(col("cum"))).as("work"))
-      .select(col("ts_hour"), col("event_type"), col("n"),
-        col("m_buckets"),
+      .select(
+        when(col("ts_hour") === to_timestamp(lit(tCloseNullHour)),
+          lit(null).cast("timestamp")).otherwise(col("ts_hour"))
+          .as("ts_hour"),
+        col("event_type"), col("n"), col("m_buckets"),
         expr("CASE WHEN m_buckets > 1 THEN work div (m_buckets - 1) " +
           "ELSE 0 END").as("emd_micro"))
       .withColumn("emd_ok", col("emd_micro") >= 0)
@@ -203,7 +220,8 @@ object PrivacyOps {
 
   private val tClosenessAuditSql =
     s"""WITH g AS (
-       |  SELECT date_trunc('hour', ts) AS ts_hour,
+       |  SELECT date_trunc('hour',
+       |      COALESCE(ts, TIMESTAMP '$tCloseNullHour')) AS ts_hour,
        |    COALESCE(event_type, '') AS event_type,
        |    COALESCE(CAST(floor(CAST(round(value * 100) AS BIGINT)
        |      / 10000.0) AS BIGINT) * 100, ${-(1L << 40)}) AS sv
@@ -224,7 +242,7 @@ object PrivacyOps {
        |    (1000000 * COALESCE(p.pc, 0)) // t.n
        |      - (1000000 * gl.gc) // o.n_tot AS d
        |  FROM grptot t CROSS JOIN global_ gl
-       |  LEFT JOIN grp p ON p.ts_hour IS NOT DISTINCT FROM t.ts_hour
+       |  LEFT JOIN grp p ON p.ts_hour = t.ts_hour
        |    AND p.event_type = t.event_type AND p.sv = gl.sv
        |  CROSS JOIN tot o),
        |cums AS (
@@ -239,11 +257,14 @@ object PrivacyOps {
        |      THEN CAST(SUM(abs(cum)) AS BIGINT) // (m_buckets - 1)
        |      ELSE 0 END AS emd_micro
        |  FROM cums GROUP BY 1, 2, 3, 4)
-       |SELECT ts_hour, event_type, n, m_buckets, emd_micro,
+       |SELECT CASE WHEN ts_hour = TIMESTAMP '$tCloseNullHour' THEN NULL
+       |    ELSE ts_hour END AS ts_hour,
+       |  event_type, n, m_buckets, emd_micro,
        |  emd_micro >= 0 AS emd_ok,
        |  emd_micro <= $tCloseMicro AS t_ok
        |FROM emd
-       |ORDER BY ts_hour NULLS LAST, event_type""".stripMargin
+       |ORDER BY CASE WHEN ts_hour = TIMESTAMP '$tCloseNullHour' THEN NULL
+       |  ELSE ts_hour END NULLS LAST, event_type""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("pii_anonymize", piiAnonymize, Some(piiAnonymizeSql)),
