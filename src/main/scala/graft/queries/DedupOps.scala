@@ -1946,10 +1946,16 @@ object DedupOps {
     * materializes window arrays) and exists for the audit, not the
     * deployment plan. NULL doc_ids are excluded (no stable position
     * identity), NULL texts tokenize to nothing on both engines. */
-  private def dupSpanDoubling(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+  /** Token-position document view shared by the doubling family. */
+  private def dblDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** The cached class levels 0..[[dblRounds]] — ONE copy of the doubling
+    * math, shared by the audit and the span extractor (build/probe drift
+    * would silently decouple the theorem from the spans). */
+  private def dblLevels(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val docs = dblDocs(s, dir)
     val toks = Util.cachedRelation(s, dir, "dupDblToks", "")(
       docs.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -1958,7 +1964,7 @@ object DedupOps {
     val c0 = toks.join(
         toks.groupBy(col("tok")).agg(min(col("gid")).as("cls")), "tok")
       .select(col("doc_id"), col("pos"), col("cls"))
-    val levels = (1 to dblRounds).scanLeft(c0) { (prev, k) =>
+    (1 to dblRounds).scanLeft(c0) { (prev, k) =>
       Util.cachedRelation(s, dir, s"dupDblCls$k", "") {
         val right = prev.select(col("doc_id"),
           (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
@@ -1972,6 +1978,12 @@ object DedupOps {
           .select(col("doc_id"), col("pos"), col("cls"))
       }
     }
+  }
+
+  private def dupSpanDoubling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = dblDocs(s, dir)
+    val levels = dblLevels(s, dir)
     def statsOf(cls: DataFrame, k: Int): DataFrame = {
       val sizes = cls.groupBy(col("cls")).agg(count(lit(1)).as("n"))
       val agg = sizes.agg(
@@ -2052,8 +2064,91 @@ object DedupOps {
        |FROM rows_ ORDER BY k""".stripMargin
   }
 
+  /** Top duplicated spans emitted by [[dupSpanDoubling]]'s extraction
+    * consumer. */
+  val dblTopSpans = 100
+
+  /** The ACTIONABLE output of the doubling tier: the top-[[dblTopSpans]]
+    * duplicated 8-token spans themselves — what a substring-dedup pass
+    * cuts, ranked by how many positions carry them. Rides the cached
+    * final class level; the span text is recovered WITHOUT any window
+    * grouping: a class id IS its min-position representative
+    * (gid = doc_id·2²⁰ + pos), so decoding it addresses the
+    * representative's document and the span is one array slice — the
+    * payoff of representative-based class ids over dense ranks.
+    * Truncated-at-doc-end spans surface with their actual (< 8-token)
+    * text, consistent with the doubling tier's truncation semantics.
+    *
+    * Scale shape: one count aggregate over the cached level, a
+    * TakeOrdered top-N (never a single-partition window), one
+    * broadcast-able join against the N representatives' documents.
+    * Output is capped by construction ([[dblTopSpans]] rows, (count,
+    * class) tiebreak) — the top of the ranking is what a dedup pass
+    * reads first at any corpus size. */
+  private def dupSpanExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = dblDocs(s, dir)
+    val last = dblLevels(s, dir).last
+    val dup = last.groupBy(col("cls")).agg(count(lit(1)).as("n_pos"))
+      .filter(col("n_pos") >= 2)
+      .select(col("cls"), col("n_pos"),
+        expr("cls div 1048576").as("doc_id"),
+        (col("cls") % 1048576L).as("pos"))
+    // FULL windows only: a truncated (doc-end) window can never share a
+    // class with a full one (its right-half sentinel classes differ), so
+    // filtering on the representative's remaining length keeps exactly
+    // the full-span classes — without it, short truncated tails (one
+    // duplicated closing word) drown the ranking a dedup pass reads
+    dup.join(docs, "doc_id")
+      .filter(size(col("w")) - col("pos") >= (1 << dblRounds))
+      .select(col("cls"), col("n_pos"),
+        concat_ws(" ", slice(col("w"), col("pos") + 1,
+          lit(1 << dblRounds))).as("span"))
+      .withColumn("span_ok", col("n_pos") >= 2)
+      .orderBy(col("n_pos").desc, col("cls")).limit(dblTopSpans)
+  }
+
+  private def dupSpanExtractSql = {
+    def level(k: Int): String = {
+      val d = 1L << (k - 1)
+      s"""p$k AS (
+         |  SELECT a.doc_id, a.pos, a.cls AS lc, COALESCE(b.cls, -1) AS rc
+         |  FROM c${k - 1} a LEFT JOIN c${k - 1} b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + $d),
+         |c$k AS (
+         |  SELECT p.doc_id, p.pos, m.cls
+         |  FROM p$k p JOIN (
+         |    SELECT lc, rc, MIN(doc_id * 1048576 + pos) AS cls
+         |    FROM p$k GROUP BY 1, 2) m USING (lc, rc))""".stripMargin
+    }
+    s"""WITH docs_ AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |tt AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
+       |    doc_id * 1048576 + i AS gid
+       |  FROM docs_, UNNEST(range(len(w))) u(i)),
+       |c0 AS (
+       |  SELECT t.doc_id, t.pos, m.cls
+       |  FROM tt t JOIN (
+       |    SELECT tok, MIN(gid) AS cls FROM tt GROUP BY 1) m USING (tok)),
+       |${(1 to dblRounds).map(level).mkString(",\n")},
+       |dup AS (
+       |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pos,
+       |    cls // 1048576 AS doc_id, cls % 1048576 AS pos
+       |  FROM c$dblRounds GROUP BY 1
+       |  HAVING COUNT(*) >= 2)
+       |SELECT t.cls, t.n_pos,
+       |  array_to_string(d.w[t.pos + 1 : t.pos + ${1 << dblRounds}], ' ')
+       |    AS span,
+       |  t.n_pos >= 2 AS span_ok
+       |FROM dup t JOIN docs_ d USING (doc_id)
+       |WHERE len(d.w) - t.pos >= ${1 << dblRounds}
+       |ORDER BY t.n_pos DESC, t.cls LIMIT $dblTopSpans""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("dup_span_doubling", dupSpanDoubling, Some(dupSpanDoublingSql)),
+    Q("dup_span_extract", dupSpanExtract, Some(dupSpanExtractSql)),
     Q("minhash_band_sweep", minhashBandSweep, Some(minhashBandSweepSql)),
     Q("minhash_estimate_audit", minhashEstimateAudit,
       Some(minhashEstimateAuditSql)),

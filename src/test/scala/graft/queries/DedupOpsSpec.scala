@@ -278,6 +278,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.size == DedupOps.dblRounds + 1)
   }
 
+  test("dup_span_extract: spans are the representative's own window, " +
+    "full-length only, counts match the window recount") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("dup_span_extract")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= DedupOps.dblTopSpans)
+    assert(rows.forall(_.getAs[Boolean]("span_ok")))
+    // JVM ground truth: group FULL 8-token windows, count per window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Array.empty[String]
+        else r.getString(1).split(" ", -1)))
+    val winCount = docs.flatMap { case (_, w) =>
+      (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val span = r.getAs[String]("span")
+      assert(span.split(" ", -1).length == 8, s"truncated span leaked: $span")
+      assert(winCount(span) == r.getAs[Long]("n_pos"),
+        s"count mismatch for '$span'")
+    }
+    // the ranking is the true top of the full-window counts
+    val expectedTop = winCount.filter(_._2 >= 2).values.toSeq
+      .sortBy(-_).take(rows.length)
+    assert(rows.map(_.getAs[Long]("n_pos")).toSeq == expectedTop)
+  }
+
   test("dup_span_doubling ≡ direct window grouping on the real corpus " +
     "(the per-row theorem) plus plain-Scala recount at k=3") {
     val dir = "/root/testdata/sf0.001"
