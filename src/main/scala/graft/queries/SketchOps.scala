@@ -1810,9 +1810,121 @@ object SketchOps {
        |ORDER BY g""".stripMargin
   }
 
+  /** Depth grid of the CountSketch sweep — odd depths only (the median
+    * stays an order statistic at every grid point). */
+  val csDepthGrid: Seq[Int] = Seq(1, 3, 5)
+
+  /** CountSketch depth calibration sweep — the memory/accuracy knob the
+    * signed sketch has that CMS lacks a twin for (more rows shrink the
+    * MEDIAN's two-sided noise as the per-row variance stays F₂/w):
+    * per depth d ∈ [[csDepthGrid]], the exact top-[[csTopK]] grams'
+    * median-of-d estimates and the summed/worst absolute error. The
+    * whole grid rides ONE build: a depth-d sketch is the first d rows
+    * of the depth-[[csDepth]] sketch (independent seeds), so the sweep
+    * reuses the audit's cells and medians PREFIXES of the same row
+    * estimates — no second counter table exists at any grid point.
+    * `med_in_rows` pins the order-statistic property per grid row
+    * (every median is one of the d row estimates — exact int64, never
+    * an interpolated midpoint).
+    *
+    * Scale shape: identical to the audit — vocabulary-sized cached
+    * counts into d·w cells, probes broadcast; the grid multiplies only
+    * the k·|grid| probe rows. */
+  private def countsketchDepthSweep(s: SparkSession, dir: String): DataFrame = {
+    val gc = gramCounts(s, dir)
+    val cells = gc.select(col("cnt"), explode(array((0 until csDepth).map(i =>
+        struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+          csSign(i, col("g")).as("sgn"))): _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(sum(col("c.sgn") * col("cnt")).as("cnt"))
+    val exact = gc.select(col("g"), col("cnt").as("exact"))
+      .orderBy(col("exact").desc, col("g")).limit(csTopK)
+    val probes = exact.select(col("g"), col("exact"),
+        explode(array((0 until csDepth).map(i =>
+          struct(lit(i).as("row"), csBucket(i, col("g")).as("bucket"),
+            csSign(i, col("g")).as("sgn"))): _*)).as("p"))
+      .select(col("g"), col("exact"), col("p.row").as("row"),
+        col("p.bucket").as("bucket"), col("p.sgn").as("sgn"))
+    val rowEsts = probes.join(cells, Seq("row", "bucket"))
+      .select(col("g"), col("exact"), col("row"),
+        (col("sgn") * col("cnt")).as("e"))
+    val grid = s.createDataFrame(csDepthGrid.map(Tuple1(_))).toDF("d")
+      .select(col("d").cast("long").as("d"))
+    val perKey = rowEsts.crossJoin(grid).filter(col("row") < col("d"))
+      .groupBy(col("d"), col("g"), col("exact"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("d"), col("g"), col("exact"),
+        element_at(col("es"), ((col("d") + 1L) / 2L).cast("int")).as("est"),
+        array_contains(col("es"),
+          element_at(col("es"), ((col("d") + 1L) / 2L).cast("int")))
+          .as("med_in_rows"))
+    grid.join(perKey.groupBy(col("d")).agg(
+        count(lit(1)).as("n_keys"),
+        sum(abs(col("est") - col("exact"))).as("sum_abs_err"),
+        max(abs(col("est") - col("exact"))).as("max_abs_err"),
+        min(when(col("med_in_rows"), 1L).otherwise(0L)).as("mir")),
+      Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("sum_abs_err"), lit(0L)).as("sum_abs_err"),
+        coalesce(col("max_abs_err"), lit(0L)).as("max_abs_err"),
+        (coalesce(col("mir"), lit(1L)) === 1L).as("med_in_rows"))
+      .orderBy("d")
+  }
+
+  private def countsketchDepthSweepSql = {
+    val cellUnion = (0 until csDepth).map(i =>
+      s"SELECT $i AS row, ${csBucketSql(i, "g")} AS bucket, " +
+        s"${csSignSql(i, "g")} AS sgn, cnt FROM gc")
+      .mkString("\n  UNION ALL ")
+    val probeUnion = (0 until csDepth).map(i =>
+      s"SELECT g, exact, $i AS row, ${csBucketSql(i, "g")} AS bucket, " +
+        s"${csSignSql(i, "g")} AS sgn FROM exact")
+      .mkString("\n  UNION ALL ")
+    val gridSql = csDepthGrid.map(d => s"SELECT CAST($d AS BIGINT) AS d")
+      .mkString(" UNION ALL ")
+    s"""WITH gs0 AS (
+       |  SELECT s AS g
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents) dd,
+       |  UNNEST(list_transform(range(greatest(len(w) - 2, 0)),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) t(s)),
+       |gc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM gs0 GROUP BY 1),
+       |cells AS (
+       |  SELECT row, bucket, CAST(SUM(sgn * cnt) AS BIGINT) AS cnt FROM (
+       |  $cellUnion) GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT g, cnt AS exact FROM gc ORDER BY exact DESC, g LIMIT $csTopK),
+       |rowests AS (
+       |  SELECT p.g, p.exact, p.row, p.sgn * c.cnt AS e
+       |  FROM ($probeUnion) p JOIN cells c USING (row, bucket)),
+       |grid AS ($gridSql),
+       |perkey AS (
+       |  SELECT d, g, exact,
+       |    (list_sort(list(e)))[CAST((d + 1) // 2 AS INT)] AS est,
+       |    list_contains(list_sort(list(e)),
+       |      (list_sort(list(e)))[CAST((d + 1) // 2 AS INT)]) AS mir
+       |  FROM rowests r CROSS JOIN grid
+       |  WHERE r.row < grid.d
+       |  GROUP BY 1, 2, 3)
+       |SELECT grid.d,
+       |  COALESCE(a.n_keys, 0) AS n_keys,
+       |  COALESCE(a.sum_abs_err, 0) AS sum_abs_err,
+       |  COALESCE(a.max_abs_err, 0) AS max_abs_err,
+       |  COALESCE(a.mir, 1) = 1 AS med_in_rows
+       |FROM grid LEFT JOIN (
+       |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(abs(est - exact)) AS BIGINT) AS sum_abs_err,
+       |    CAST(MAX(abs(est - exact)) AS BIGINT) AS max_abs_err,
+       |    MIN(CASE WHEN mir THEN 1 ELSE 0 END) AS mir
+       |  FROM perkey GROUP BY 1) a USING (d)
+       |ORDER BY grid.d""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("countsketch_topk_audit", countsketchTopkAudit,
       Some(countsketchTopkAuditSql)),
+    Q("countsketch_depth_sweep", countsketchDepthSweep,
+      Some(countsketchDepthSweepSql)),
     Q("ams_f2_audit", amsF2Audit, Some(amsF2AuditSql)),
     Q("cms_rank_audit", cmsRankAudit, Some(cmsRankAuditSql)),
     Q("cms_rank_merge_audit", cmsRankMergeAudit,

@@ -589,4 +589,36 @@ class SketchOpsSpec extends SparkSpec {
     // CMS one-sided law holds on every audited key
     assert(got.values.forall(_._6), "cms_ok violated")
   }
+
+  test("countsketch_depth_sweep ≡ plain-Scala prefix medians; error " +
+    "falls as depth grows on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = docs(dir).flatMap(x => trigrams(x._2))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bkt(i: Int, g: String): Long = u32(s"cs$i:$g") % SketchOps.csWidth
+    def sgn(i: Int, g: String): Long = 1L - 2L * (u32(s"css$i:$g") % 2L)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (g <- stream; i <- 0 until SketchOps.csDepth) {
+      val k = (i, bkt(i, g))
+      cells(k) = cells.getOrElse(k, 0L) + sgn(i, g)
+    }
+    val topk = exact.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(SketchOps.csTopK)
+    val expected = SketchOps.csDepthGrid.map { d =>
+      val errs = topk.map { case (g, c) =>
+        val es = (0 until d)
+          .map(i => sgn(i, g) * cells.getOrElse((i, bkt(i, g)), 0L)).sorted
+        math.abs(es((d + 1) / 2 - 1) - c)
+      }
+      d.toLong -> ((topk.size.toLong, errs.sum, errs.max, true))
+    }.toMap
+    val got = SparkEntry.queries("countsketch_depth_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expected)
+    assert(got.size == SketchOps.csDepthGrid.size)
+    // the calibration story on the real corpus: deeper medians never
+    // read worse in total than the single row
+    assert(got(5L)._2 <= got(1L)._2)
+  }
 }
