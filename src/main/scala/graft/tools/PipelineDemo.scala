@@ -76,8 +76,14 @@ object PipelineDemo {
 
     val audit = pipeline.archive()
     println(s"[archive] moved=${audit.moved} batch_id=${audit.batchId}")
+    // archive() creates the hist dir even when it moves 0 rows (an
+    // all-quarantined run) — an empty dir must read as 0, not crash the
+    // demo with UNABLE_TO_INFER_SCHEMA
+    val histHasFiles = Files.exists(work.resolve("hist")) &&
+      Files.list(work.resolve("hist")).anyMatch(p =>
+        p.toString.endsWith(".parquet"))
     val histRows =
-      if (Files.exists(work.resolve("hist")))
+      if (histHasFiles)
         spark.read.parquet(work.resolve("hist").toString).count()
       else 0L
     println(s"[hist] rows=$histRows")
