@@ -1478,8 +1478,11 @@ object CorpusOps {
     * known exactly: none belong), and report the measured FPR beside
     * the closed-form bound. Emitted per row: occupancy (set bits/m),
     * measured fpr_micro, the (kn/m)^k upper bound in micro via a nested
-    * integer-division ladder (overflow-free and libm-free — it
-    * dominates 1−e^(−kn/m) so it bounds the expected FPR), and the
+    * integer-division ladder with a least(10^6, ·) cap on EVERY stage
+    * (overflow-free at any corpus size and libm-free; the per-stage cap
+    * is exact because a stage grows only when kn ≥ m, where the true
+    * bound already exceeds 10^6 — it dominates 1−e^(−kn/m) so it bounds
+    * the expected FPR), and the
     * defining NO-FALSE-NEGATIVE theorem (`no_fn`: every inserted bench
     * gram still probes positive) hash-pinned per width.
     *
@@ -1539,10 +1542,20 @@ object CorpusOps {
         expr("CASE WHEN n_probes > 0 THEN " +
           "(1000000 * coalesce(n_fp, 0)) div n_probes ELSE 0 END")
           .as("fpr_micro"),
-        // ((((10^6·kn div m)·kn div m)·kn div m)·kn div m), capped at 10^6
-        expr("least(1000000, ((((((1000000 * (4 * n_bench)) div m) " +
+        // (kn/m)^k in micro via a PER-STAGE-capped integer ladder:
+        // b_{i+1} = least(10^6, b_i·kn div m), b_0 = 10^6. The cap is
+        // exact, not an approximation: a stage grows only when kn ≥ m,
+        // where the true bound is already ≥ 10^6 (and integer div keeps
+        // b_i·kn div m ≥ b_i there, so once capped it stays capped);
+        // when kn < m no cap ever binds and the ladder equals the
+        // uncapped one. Capping each stage keeps every intermediate
+        // product ≤ 10^6·4·n_bench — no int64 overflow at any corpus
+        // size below ~2.3e12 bench grams (the uncapped ladder overflowed
+        // once kn/m > 1 at n_bench ≈ 3e5, m = 2^10).
+        expr("least(1000000, (least(1000000, (least(1000000, " +
+          "(least(1000000, (1000000 * (4 * n_bench)) div m) " +
           "* (4 * n_bench)) div m) * (4 * n_bench)) div m) " +
-          "* (4 * n_bench) div m)").as("bound_micro"),
+          "* (4 * n_bench)) div m)").as("bound_micro"),
         (coalesce(col("n_bench_hit"), lit(0L)) === col("n_bench"))
           .as("no_fn"))
       .orderBy("log2m")
@@ -1596,9 +1609,10 @@ object CorpusOps {
        |  COALESCE(n_fp, 0) AS n_fp,
        |  CASE WHEN n_probes > 0 THEN
        |    (1000000 * COALESCE(n_fp, 0)) // n_probes ELSE 0 END AS fpr_micro,
-       |  least(1000000, ((((((1000000 * (4 * n_bench)) // gr.m)
+       |  least(1000000, (least(1000000, (least(1000000,
+       |    (least(1000000, (1000000 * (4 * n_bench)) // gr.m)
        |    * (4 * n_bench)) // gr.m) * (4 * n_bench)) // gr.m)
-       |    * (4 * n_bench) // gr.m) AS bound_micro,
+       |    * (4 * n_bench)) // gr.m) AS bound_micro,
        |  COALESCE(n_bench_hit, 0) = n_bench AS no_fn
        |FROM grid gr
        |LEFT JOIN nset USING (log2m)

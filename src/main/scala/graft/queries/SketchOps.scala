@@ -1823,9 +1823,10 @@ object SketchOps {
     * of the depth-[[csDepth]] sketch (independent seeds), so the sweep
     * reuses the audit's cells and medians PREFIXES of the same row
     * estimates — no second counter table exists at any grid point.
-    * `med_in_rows` pins the order-statistic property per grid row
-    * (every median is one of the d row estimates — exact int64, never
-    * an interpolated midpoint).
+    * `rows_complete` pins per grid row that every probed gram collected
+    * exactly d row estimates, so index (d+1)/2 is a genuine order
+    * statistic over d values — exact int64, never an interpolated
+    * midpoint (a probe row that missed its cell would fail the pin).
     *
     * Scale shape: identical to the audit — vocabulary-sized cached
     * counts into d·w cells, probes broadcast; the grid multiplies only
@@ -1855,20 +1856,21 @@ object SketchOps {
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(col("d"), col("g"), col("exact"),
         element_at(col("es"), ((col("d") + 1L) / 2L).cast("int")).as("est"),
-        array_contains(col("es"),
-          element_at(col("es"), ((col("d") + 1L) / 2L).cast("int")))
-          .as("med_in_rows"))
+        // falsifiable pin: all d row estimates were collected, so index
+        // (d+1)/2 is a genuine order statistic over d values (a probe row
+        // that missed its cell would make size(es) < d and fail this)
+        (size(col("es")).cast("long") === col("d")).as("rows_complete"))
     grid.join(perKey.groupBy(col("d")).agg(
         count(lit(1)).as("n_keys"),
         sum(abs(col("est") - col("exact"))).as("sum_abs_err"),
         max(abs(col("est") - col("exact"))).as("max_abs_err"),
-        min(when(col("med_in_rows"), 1L).otherwise(0L)).as("mir")),
+        min(when(col("rows_complete"), 1L).otherwise(0L)).as("rc")),
       Seq("d"), "left")
       .select(col("d"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"),
         coalesce(col("sum_abs_err"), lit(0L)).as("sum_abs_err"),
         coalesce(col("max_abs_err"), lit(0L)).as("max_abs_err"),
-        (coalesce(col("mir"), lit(1L)) === 1L).as("med_in_rows"))
+        (coalesce(col("rc"), lit(1L)) === 1L).as("rows_complete"))
       .orderBy("d")
   }
 
@@ -1901,8 +1903,7 @@ object SketchOps {
        |perkey AS (
        |  SELECT d, g, exact,
        |    (list_sort(list(e)))[CAST((d + 1) // 2 AS INT)] AS est,
-       |    list_contains(list_sort(list(e)),
-       |      (list_sort(list(e)))[CAST((d + 1) // 2 AS INT)]) AS mir
+       |    CAST(COUNT(*) AS BIGINT) = d AS rc
        |  FROM rowests r CROSS JOIN grid
        |  WHERE r.row < grid.d
        |  GROUP BY 1, 2, 3)
@@ -1910,12 +1911,12 @@ object SketchOps {
        |  COALESCE(a.n_keys, 0) AS n_keys,
        |  COALESCE(a.sum_abs_err, 0) AS sum_abs_err,
        |  COALESCE(a.max_abs_err, 0) AS max_abs_err,
-       |  COALESCE(a.mir, 1) = 1 AS med_in_rows
+       |  COALESCE(a.rc, 1) = 1 AS rows_complete
        |FROM grid LEFT JOIN (
        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_keys,
        |    CAST(SUM(abs(est - exact)) AS BIGINT) AS sum_abs_err,
        |    CAST(MAX(abs(est - exact)) AS BIGINT) AS max_abs_err,
-       |    MIN(CASE WHEN mir THEN 1 ELSE 0 END) AS mir
+       |    MIN(CASE WHEN rc THEN 1 ELSE 0 END) AS rc
        |  FROM perkey GROUP BY 1) a USING (d)
        |ORDER BY grid.d""".stripMargin
   }

@@ -79,9 +79,11 @@ object PipelineDemo {
     // archive() creates the hist dir even when it moves 0 rows (an
     // all-quarantined run) — an empty dir must read as 0, not crash the
     // demo with UNABLE_TO_INFER_SCHEMA
-    val histHasFiles = Files.exists(work.resolve("hist")) &&
-      Files.list(work.resolve("hist")).anyMatch(p =>
-        p.toString.endsWith(".parquet"))
+    val histHasFiles = Files.exists(work.resolve("hist")) && {
+      val st = Files.list(work.resolve("hist"))
+      try st.anyMatch(p => p.toString.endsWith(".parquet"))
+      finally st.close()
+    }
     val histRows =
       if (histHasFiles)
         spark.read.parquet(work.resolve("hist").toString).count()

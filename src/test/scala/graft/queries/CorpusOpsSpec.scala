@@ -428,18 +428,25 @@ class CorpusOpsSpec extends SparkSpec {
       val occ = bench.flatMap(g => (0 to 3).map(h => u32(s"bf$h:$g") % m))
       def hits(g: String) = (0 to 3).forall(h => occ(u32(s"bf$h:$g") % m))
       val nFp = tOnly.count(hits).toLong
+      // the per-stage-capped (kn/m)^4 ladder — exact and overflow-free
+      def bound(n: Long, mm: Long): Long = {
+        var bb = 1000000L
+        for (_ <- 0 until 4) bb = math.min(1000000L, bb * (4 * n) / mm)
+        bb
+      }
       b.toLong -> ((m, bench.size.toLong, occ.size.toLong,
         1000L * occ.size / m, tOnly.size.toLong, nFp,
         if (tOnly.nonEmpty) 1000000L * nFp / tOnly.size else 0L,
+        bound(bench.size.toLong, m),
         bench.forall(hits)))
     }.toMap
     val got = SparkEntry.queries("bloom_fpr_sweep")(spark, dir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7), r.getBoolean(9)))).toMap
+        r.getLong(7), r.getLong(8), r.getBoolean(9)))).toMap
     assert(got == expected)
     // the theorem and the calibration story
-    assert(got.values.forall(_._8), "false negative — bloom theorem broken")
+    assert(got.values.forall(_._9), "false negative — bloom theorem broken")
     val fprs = CorpusOps.bloomSweepGrid.map(b => got(b.toLong)._7)
     assert(fprs == fprs.sorted.reverse, "FPR must fall as width grows")
   }
