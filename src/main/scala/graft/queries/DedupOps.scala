@@ -1954,13 +1954,18 @@ object DedupOps {
   /** The cached class levels 0..[[dblRounds]] — ONE copy of the doubling
     * math, shared by the audit and the span extractor (build/probe drift
     * would silently decouple the theorem from the spans). */
-  private def dblLevels(s: SparkSession, dir: String): Seq[DataFrame] = {
-    val docs = dblDocs(s, dir)
-    val toks = Util.cachedRelation(s, dir, "dupDblToks", "")(
-      docs.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+  /** The cached token-position relation (doc_id, pos, tok, gid) shared
+    * by the doubling levels and the substring-dedup apply pass. */
+  private def dblToks(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "dupDblToks", "")(
+      dblDocs(s, dir)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("tok"),
           (col("doc_id") * 1048576L + col("pos")).as("gid")))
+
+  private def dblLevels(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val toks = dblToks(s, dir)
     val c0 = toks.join(
         toks.groupBy(col("tok")).agg(min(col("gid")).as("cls")), "tok")
       .select(col("doc_id"), col("pos"), col("cls"))
@@ -2146,9 +2151,204 @@ object DedupOps {
        |ORDER BY t.n_pos DESC, t.cls LIMIT $dblTopSpans""".stripMargin
   }
 
+  /** Substring-dedup APPLY — the doubling tier's transformation pass
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better": cut every duplicated substring occurrence except
+    * one): per document, every token covered by a NON-representative
+    * occurrence of a duplicated full 2^[[dblRounds]]-token window is
+    * removed; the class representative (the min-gid occurrence the
+    * class id itself decodes to) is the kept copy. Rides the SAME
+    * cached [[dblLevels]] as the detector and extractor, so detection
+    * and surgery cannot drift.
+    *
+    * Output per doc: token counts before/removed, the number of maximal
+    * cut runs (`n_cut_spans`), the surviving maximal kept runs joined
+    * by newline (`cleaned_text` — cut points SPLIT the document,
+    * Lee et al.'s form, so no window ever spans a cut), and the
+    * corpus-level recount `remaining_dup`: duplicated-window mass
+    * re-measured by direct window grouping over the kept segments.
+    * `clean_ok` pins remaining_dup = 0 — a THEOREM under these
+    * semantics, because a window intact inside a kept segment is an
+    * original full window (segments preserve original adjacency), two
+    * identical full windows share a doubling class, every non-rep
+    * occurrence of a duplicated class had all its tokens cut, and a
+    * class has exactly one representative. Overlap is resolved the
+    * honest way: a representative overlapped by some OTHER class's
+    * non-rep occurrence loses those tokens too (the cut set is a
+    * union), which only removes more — never breaks the theorem.
+    *
+    * Scale shape: the cut set is ≤ W·(duplicated non-rep starts) rows
+    * (map-side-combined distinct), kept tokens are one anti-join off
+    * the cached token relation, segment ids are per-doc windows
+    * (partition-by-doc, doc-bounded), and the recount is the direct
+    * window-grouping audit — the one deliberately expensive audit leg,
+    * same as the detector's `direct_dup`. Deployment cuts without the
+    * recount; the theorem column exists to be checked, not shipped. */
+  private def substringDedupApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 1 << dblRounds
+    val toks = dblToks(s, dir)
+    val last = dblLevels(s, dir).last
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val sizes = last.groupBy(col("cls")).agg(count(lit(1)).as("n_pos"))
+    val nonrep = last.join(sizes.filter(col("n_pos") >= 2), "cls")
+      .join(lens, "doc_id")
+      .filter(col("pos") + W <= col("len") &&
+        col("doc_id") * 1048576L + col("pos") =!= col("cls"))
+    val cut = Util.cachedRelation(s, dir, "dupApplyCut", "")(
+      nonrep.select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+        .distinct())
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val kept = toks.join(cut.withColumnRenamed("tp", "pos"),
+      Seq("doc_id", "pos"), "left_anti")
+    val segtxt = Util.cachedRelation(s, dir, "dupApplySegs", "")(
+      kept
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1L, 0L)
+            .otherwise(1L))
+        .withColumn("seg", sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("tok")))), x => x("tok")).as("sw"))
+        .select(col("doc_id"), col("seg"), col("sw"),
+          size(col("sw")).cast("long").as("slen")))
+    val remain = segtxt
+      .select(posexplode(col("sw")).as(Seq("i", "tok0")), col("sw"),
+        col("slen"))
+      .filter(col("i") + W <= col("slen"))
+      .select(slice(col("sw"), col("i") + 1, lit(W)).as("win"))
+      .groupBy(col("win")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") >= 2, col("n")).otherwise(0L)),
+        lit(0L)).as("remaining_dup"))
+    val perdoc = segtxt.groupBy(col("doc_id")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("seg"),
+          concat_ws(" ", col("sw")).as("st")))), x => x("st")), "\n")
+        .as("cleaned_text"),
+      count(lit(1)).as("n_segments"))
+    val cuts = cut
+      .withColumn("prev", lag(col("tp"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tp"))))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("tokens_removed"),
+        sum(when(col("tp") - col("prev") === 1L, 0L).otherwise(1L))
+          .as("n_cut_spans"))
+    dblDocs(s, dir).select(col("doc_id"))
+      .join(lens, Seq("doc_id"), "left")
+      .join(cuts, Seq("doc_id"), "left")
+      .join(perdoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(remain))
+      .select(col("doc_id"),
+        coalesce(col("len"), lit(0L)).as("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("remaining_dup"),
+        (col("remaining_dup") === 0L).as("clean_ok"))
+      .orderBy("doc_id")
+  }
+
+  private def substringDedupApplySql = {
+    val W = 1 << dblRounds
+    def level(k: Int): String = {
+      val d = 1L << (k - 1)
+      s"""p$k AS (
+         |  SELECT a.doc_id, a.pos, a.cls AS lc, COALESCE(b.cls, -1) AS rc
+         |  FROM c${k - 1} a LEFT JOIN c${k - 1} b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + $d),
+         |c$k AS (
+         |  SELECT p.doc_id, p.pos, m.cls
+         |  FROM p$k p JOIN (
+         |    SELECT lc, rc, MIN(doc_id * 1048576 + pos) AS cls
+         |    FROM p$k GROUP BY 1, 2) m USING (lc, rc))""".stripMargin
+    }
+    s"""WITH docs_ AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |tt AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
+       |    doc_id * 1048576 + i AS gid
+       |  FROM docs_, UNNEST(range(len(w))) u(i)),
+       |c0 AS (
+       |  SELECT t.doc_id, t.pos, m.cls
+       |  FROM tt t JOIN (
+       |    SELECT tok, MIN(gid) AS cls FROM tt GROUP BY 1) m USING (tok)),
+       |${(1 to dblRounds).map(level).mkString(",\n")},
+       |lens AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tt GROUP BY 1),
+       |nonrep AS (
+       |  SELECT c.doc_id, c.pos
+       |  FROM c$dblRounds c
+       |  JOIN (SELECT cls FROM c$dblRounds GROUP BY 1
+       |        HAVING COUNT(*) >= 2) s USING (cls)
+       |  JOIN lens USING (doc_id)
+       |  WHERE c.pos + $W <= lens.len
+       |    AND c.doc_id * 1048576 + c.pos <> c.cls),
+       |cut AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, pos + o AS tp
+       |  FROM nonrep, UNNEST(range($W)) u(o)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM tt t ANTI JOIN cut c
+       |    ON t.doc_id = c.doc_id AND t.pos = c.tp),
+       |brk AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN pos - lag(pos) OVER
+       |      (PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS b
+       |  FROM kept),
+       |seg AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS BIGINT) AS seg
+       |  FROM brk),
+       |segtxt AS MATERIALIZED (
+       |  SELECT doc_id, seg, list(tok ORDER BY pos) AS sw,
+       |    CAST(COUNT(*) AS BIGINT) AS slen
+       |  FROM seg GROUP BY 1, 2),
+       |remain AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END), 0)
+       |    AS BIGINT) AS remaining_dup
+       |  FROM (
+       |    SELECT sw[i+1 : i+$W] AS win, COUNT(*) AS n
+       |    FROM segtxt, UNNEST(range(greatest(slen - ${W - 1}, 0))) u(i)
+       |    GROUP BY 1)),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    string_agg(array_to_string(sw, ' '), chr(10) ORDER BY seg)
+       |      AS cleaned_text,
+       |    CAST(COUNT(*) AS BIGINT) AS n_segments
+       |  FROM segtxt GROUP BY 1),
+       |cuts AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tokens_removed,
+       |    CAST(SUM(CASE WHEN tp - prev = 1 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_cut_spans
+       |  FROM (SELECT doc_id, tp,
+       |          lag(tp) OVER (PARTITION BY doc_id ORDER BY tp) AS prev
+       |        FROM cut)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(l.len, 0) AS n_tokens,
+       |  COALESCE(c.tokens_removed, 0) AS tokens_removed,
+       |  COALESCE(c.n_cut_spans, 0) AS n_cut_spans,
+       |  COALESCE(p.n_segments, 0) AS n_segments,
+       |  COALESCE(p.cleaned_text, '') AS cleaned_text,
+       |  r.remaining_dup,
+       |  r.remaining_dup = 0 AS clean_ok
+       |FROM docs_ d
+       |LEFT JOIN lens l USING (doc_id)
+       |LEFT JOIN cuts c USING (doc_id)
+       |LEFT JOIN perdoc p USING (doc_id)
+       |CROSS JOIN remain r
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("dup_span_doubling", dupSpanDoubling, Some(dupSpanDoublingSql)),
     Q("dup_span_extract", dupSpanExtract, Some(dupSpanExtractSql)),
+    Q("substring_dedup_apply", substringDedupApply,
+      Some(substringDedupApplySql)),
     Q("minhash_band_sweep", minhashBandSweep, Some(minhashBandSweepSql)),
     Q("minhash_estimate_audit", minhashEstimateAudit,
       Some(minhashEstimateAuditSql)),

@@ -307,6 +307,76 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pos")).toSeq == expectedTop)
   }
 
+  test("substring_dedup_apply: hand-computed cut fixture — non-rep " +
+    "occurrences cut, representative kept, doc split at cut points") {
+    val dir = java.nio.file.Files.createTempDirectory("dupapply").toString
+    import spark.implicits._
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")
+    // doc 1 holds the REPRESENTATIVE occurrence (min gid) of the
+    // duplicated window t1..t8; doc 2 carries it mid-doc (cut → split
+    // into two segments); doc 3 is untouched; doc 4 is the window twice
+    // back-to-back (both occurrences non-rep → fully gutted).
+    Seq((1L, s"$eight z1"), (2L, s"y1 $eight y2"),
+      (3L, (1 to 9).map(i => s"u$i").mkString(" ")),
+      (4L, s"$eight $eight"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("substring_dedup_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    assert(got(1L) == ((9L, 0L, 0L, 1L, s"$eight z1", 0L, true)))
+    assert(got(2L) == ((10L, 8L, 1L, 2L, "y1\ny2", 0L, true)))
+    assert(got(3L) == ((9L, 0L, 0L, 1L,
+      (1 to 9).map(i => s"u$i").mkString(" "), 0L, true)))
+    assert(got(4L) == ((16L, 16L, 1L, 0L, "", 0L, true)))
+    assert(got.size == 4)
+  }
+
+  test("substring_dedup_apply ≡ plain-Scala cut replay on the real " +
+    "corpus; zero remaining duplicated windows (the theorem)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("substring_dedup_apply")(spark, dir)
+      .collect()
+    assert(rows.forall(_.getAs[Boolean]("clean_ok")))
+    assert(rows.forall(_.getAs[Long]("remaining_dup") == 0L))
+    // independent JVM replay of the full semantics
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Array.empty[String]
+        else r.getString(1).split(" ", -1)))
+    val byClass = docs.flatMap { case (id, w) =>
+      (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ") ->
+        (id * 1048576L + i)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val cutPos: Set[(Long, Long)] = byClass.values.filter(_.length >= 2)
+      .flatMap(_.tail) // every occurrence but the min-gid representative
+      .flatMap(g => (0 until 8).map(o => (g / 1048576L, g % 1048576L + o)))
+      .toSet
+    val cutByDoc: Map[Long, Set[Int]] = cutPos.groupBy(_._1)
+      .view.mapValues(_.map(_._2.toInt)).toMap
+    val expected = docs.map { case (id, w) =>
+      val cut = cutByDoc.getOrElse(id, Set.empty)
+      val runs = cut.toSeq.sorted.foldLeft(0) { (acc, p) =>
+        if (cut.contains(p - 1)) acc else acc + 1 }
+      val segs = w.indices.filterNot(cut).foldLeft(List.empty[List[Int]]) {
+        (acc, p) => acc match {
+          case h :: t if h.last == p - 1 => (h :+ p) :: t
+          case _ => List(p) :: acc
+        }
+      }.reverse
+      id -> ((w.length.toLong, cut.size.toLong, runs.toLong,
+        segs.length.toLong,
+        segs.map(_.map(w).mkString(" ")).mkString("\n")))
+    }.toMap
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got == expected)
+    // the pass cut real mass on the real corpus
+    assert(rows.map(_.getAs[Long]("tokens_removed")).sum > 0L)
+  }
+
   test("dup_span_doubling ≡ direct window grouping on the real corpus " +
     "(the per-row theorem) plus plain-Scala recount at k=3") {
     val dir = "/root/testdata/sf0.001"
