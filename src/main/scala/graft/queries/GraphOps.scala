@@ -482,6 +482,16 @@ object GraphOps {
   val hanfRhoBits = 28
   /** Propagation rounds (ball radius audited). */
   val hanfRounds = 3
+  /** Max propagation rounds for the effective-diameter run (the audit
+    * stops at [[hanfRounds]]; the diameter consumer keeps merging until
+    * the curve flattens or this bound). */
+  val hanfMaxRounds = 8
+  /** Early-stop threshold: a round whose N̂(t)/N̂(t−1) ≤ this (milli) adds
+    * < 0.5% new reachable mass — the curve has flattened and N̂(t) stands
+    * in for N̂(∞) (Boldi–Rosa–Vigna run HyperANF exactly this way: iterate
+    * until the relative increase is negligible, then read the diameter
+    * off the saturated curve). */
+  val hanfStopMilli = 1005L
 
   /** HyperANF neighborhood-function audit (Boldi–Rosa–Vigna 2011): the
     * cross-tier operator where the graph family meets the sketch family.
@@ -513,16 +523,26 @@ object GraphOps {
     * session-cached because level t feeds both its own estimate and
     * level t+1 (without the cache the t-th round recomputes all prior
     * joins — the O(t²) recompute a deployment would never accept). */
-  private def graphHyperanfAudit(s: SparkSession, dir: String): DataFrame = {
-    val rhoW = 1L << hanfRhoBits
-    val m = hanfRegisters
-    val pairs = t(s, dir, "lineitem")
+  /** Distinct-pair bipartite edge set (both directions), session-cached —
+    * shared by the audit and the diameter run so their graphs cannot
+    * drift. */
+  private def hanfPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = Util.cachedRelation(s, dir, "hanfEdges", "")(
+
+  private def hanfEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = hanfPairs(s, dir)
+    Util.cachedRelation(s, dir, "hanfEdges", "")(
       pairs.select(col("p").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("p").as("dst"))))
-    val r0 = edges.select(col("src").as("node")).distinct()
+  }
+
+  /** Round-0 registers: every node's own hash split into (register j,
+    * rho). */
+  private def hanfR0(edges: DataFrame): DataFrame = {
+    val rhoW = 1L << hanfRhoBits
+    edges.select(col("src").as("node")).distinct()
       .withColumn("h",
         conv(substring(md5(concat(lit("hanf:"), col("node").cast("string"))),
           1, 8), 16, 10).cast("long"))
@@ -530,14 +550,25 @@ object GraphOps {
         when(col("h") % rhoW === 0, lit(hanfRhoBits + 1).cast("long"))
           .otherwise(lit(hanfRhoBits + 1) -
             length(bin(col("h") % rhoW))).cast("long").as("rho"))
-    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
-      Util.cachedRelation(s, dir, s"hanfRegs$tt", "")(
-        prev.union(edges.join(prev, edges("dst") === prev("node"))
-            .select(edges("src").as("node"), prev("j"), prev("rho")))
-          .groupBy(col("node"), col("j")).agg(max(col("rho")).as("rho")))
-    }
+  }
+
+  /** One max-merge propagation round, session-cached under the SAME key
+    * for the audit and the diameter run (level t is level t whoever asks
+    * first). */
+  private def hanfLevel(s: SparkSession, dir: String, edges: DataFrame,
+      prev: DataFrame, tt: Int): DataFrame =
+    Util.cachedRelation(s, dir, s"hanfRegs$tt", "")(
+      prev.union(edges.join(prev, edges("dst") === prev("node"))
+          .select(edges("src").as("node"), prev("j"), prev("rho")))
+        .groupBy(col("node"), col("j")).agg(max(col("rho")).as("rho")))
+
+  /** The (t, N̂(t)) estimate row of one register level — the HLL
+    * estimator with the m=16 linear-counting branch, ONE copy shared by
+    * the audit and the diameter run. */
+  private def hanfNhat(regs: DataFrame, tt: Int): DataFrame = {
+    val m = hanfRegisters
     val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
-    def nhatOf(regs: DataFrame, tt: Int): DataFrame = regs
+    regs
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_present"),
         sum(call_function("shiftleft", lit(1L),
@@ -552,8 +583,17 @@ object GraphOps {
           s"${CurationOps.lg("v_empty")}) * 693147) div 1000000000 " +
           "ELSE est_raw END").as("est"))
       .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
+  }
+
+  private def graphHyperanfAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = hanfPairs(s, dir)
+    val edges = hanfEdges(s, dir)
+    val r0 = hanfR0(edges)
+    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
+      hanfLevel(s, dir, edges, prev, tt)
+    }
     val curve = levels.zipWithIndex
-      .map { case (regs, tt) => nhatOf(regs, tt) }
+      .map { case (regs, tt) => hanfNhat(regs, tt) }
       .reduce(_.unionAll(_))
     val nNodes = edges.select(col("src")).distinct()
       .agg(count(lit(1)).as("n_nodes"))
@@ -639,9 +679,188 @@ object GraphOps {
        |FROM c2 ORDER BY t""".stripMargin
   }
 
+  /** HyperANF run to saturation + the effective diameter — the headline
+    * number Boldi–Rosa–Vigna's users actually read (`graph_hyperanf_audit`
+    * pins the estimator against its exact anchors; THIS query is the
+    * consumer: merge until the neighborhood function flattens, then report
+    * t90, the interpolated radius at which 90% of all reachable pairs are
+    * within distance t — Palmer et al. 2002's effective-diameter
+    * definition on the HyperANF curve).
+    *
+    * Early stop, cross-engine identical: rounds run until
+    * N̂(t)/N̂(t−1) ≤ [[hanfStopMilli]] (in exact milli) or
+    * [[hanfMaxRounds]]; the Spark side genuinely stops (one bounded
+    * scalar read per round — the trainers' convergence pattern), the
+    * oracle computes the full chain and truncates relationally at the
+    * same first-flat round, so both emit the identical retained curve.
+    * N̂(n_rounds) then stands in for N̂(∞) and
+    * t90 = (t*−1) + (0.9·N̂_f − N̂(t*−1)) / (N̂(t*) − N̂(t*−1)) at the
+    * first t* with N̂(t*) ≥ 0.9·N̂_f, in exact integer milli (all
+    * comparisons ×10, the division as one integer div). t* minimal
+    * guarantees N̂(t*) > N̂(t*−1), so the division is defined and lands in
+    * ((t*−1)·1000, t*·1000] — pinned per row as `t90_ok` (t* = 0 → 0).
+    *
+    * Scale shape: identical to the audit (ONE edges⋈registers max-merge
+    * per round over session-cached levels — levels ≤ [[hanfRounds]] are
+    * THE SAME cached relations the audit built, so running both costs the
+    * extra rounds only); the early stop means a flat graph pays 1 round
+    * past flatness, never the max. The curve post-processing windows run
+    * on ≤ 9 rows. */
+  private def graphEffectiveDiameter(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = hanfEdges(s, dir)
+    val r0 = hanfR0(edges)
+    def nhatScalar(regs: DataFrame, tt: Int): Option[Long] = {
+      val row = hanfNhat(regs, tt).collect().head
+      if (row.isNullAt(1)) None else Some(row.getLong(1))
+    }
+    val frames = scala.collection.mutable.ArrayBuffer(hanfNhat(r0, 0))
+    var prev = r0
+    var prevN = nhatScalar(r0, 0)
+    var tt = 1
+    var flat = false
+    while (tt <= hanfMaxRounds && !flat) {
+      val regs = hanfLevel(s, dir, edges, prev, tt)
+      val nh = nhatScalar(regs, tt)
+      frames += hanfNhat(regs, tt)
+      // growth is defined only when both estimates exist and the
+      // predecessor is positive — the oracle's CASE guard, mirrored so an
+      // empty/degenerate graph runs (and emits) the full curve on both
+      // engines
+      flat = (for (p <- prevN.filter(_ > 0); n <- nh)
+        yield 1000L * n / p <= hanfStopMilli).getOrElse(false)
+      prevN = nh
+      prev = regs
+      tt += 1
+    }
+    val wOrd = Window.orderBy(col("t"))
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    frames.reduce(_.unionAll(_))
+      .withColumn("growth_milli", expr(
+        "CASE WHEN lag(nhat, 1) OVER (ORDER BY t) > 0 THEN " +
+          "(1000 * nhat) div (lag(nhat, 1) OVER (ORDER BY t)) END"))
+      .withColumn("prev_nhat", lag(col("nhat"), 1).over(wOrd))
+      .withColumn("nhat_final", last(col("nhat")).over(wAll))
+      .withColumn("n_rounds", last(col("t")).over(wAll))
+      .withColumn("tstar",
+        min(when(col("nhat") * 10 >= col("nhat_final") * 9, col("t")))
+          .over(wAll))
+      .withColumn("t90_at", when(col("t") === col("tstar"),
+        when(col("t") === 0, lit(0L)).otherwise(expr(
+          "1000 * (t - 1) + (1000 * (9 * nhat_final - 10 * prev_nhat))" +
+            " div (10 * nhat - 10 * prev_nhat)"))))
+      .withColumn("t90_milli", max(col("t90_at")).over(wAll))
+      .select(col("t"), col("nhat"), col("growth_milli"),
+        coalesce(col("growth_milli") <= hanfStopMilli, lit(false))
+          .as("converged"),
+        col("n_rounds"), col("tstar"), col("t90_milli"),
+        when(col("tstar") === 0, col("t90_milli") === 0)
+          .otherwise(col("t90_milli") > (col("tstar") - 1) * 1000 &&
+            col("t90_milli") <= col("tstar") * 1000).as("t90_ok"))
+      .orderBy("t")
+  }
+
+  private def graphEffectiveDiameterSql = {
+    val rhoW = 1L << hanfRhoBits
+    val m = hanfRegisters
+    val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
+    // AS MATERIALIZED: each level feeds the next level (twice: union +
+    // join) and its own estimate — uninlined, the 8-round chain is a 3^8
+    // plan, the kcore analyzer blowup
+    def step(prev: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, j, MAX(rho) AS rho FROM (
+         |    SELECT node, j, rho FROM $prev
+         |    UNION ALL
+         |    SELECT e.src AS node, r.j, r.rho
+         |    FROM edges e JOIN $prev r ON e.dst = r.node)
+         |  GROUP BY 1, 2)"""
+    def nhat(lvl: String, tt: Int) =
+      s"""SELECT CAST($tt AS BIGINT) AS t, CAST(SUM(est) AS BIGINT) AS nhat
+         |  FROM (
+         |    SELECT CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN
+         |        ($m * (${CurationOps.lgSql(m.toString)} -
+         |          ${CurationOps.lgSql("v_empty")}) * 693147) // 1000000000
+         |      ELSE est_raw END AS est
+         |    FROM (
+         |      SELECT $estNum // (1000 *
+         |          (($m - COUNT(*)) * ${1L << 30} +
+         |           SUM(CAST(1 AS BIGINT) << CAST(30 - rho AS INTEGER))))
+         |        AS est_raw,
+         |        $m - COUNT(*) AS v_empty
+         |      FROM $lvl GROUP BY node))"""
+    val steps = (1 to hanfMaxRounds)
+      .map(r => step(if (r == 1) "r0" else s"r${r - 1}", s"r$r"))
+      .mkString(",\n")
+    val curveArms = (0 to hanfMaxRounds)
+      .map(r => nhat(s"r$r", r)).mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT p AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h AS (
+       |  SELECT node, CAST('0x' || substr(md5('hanf:' ||
+       |    CAST(node AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, h // $rhoW AS j,
+       |    CAST(CASE WHEN h % $rhoW = 0 THEN ${hanfRhoBits + 1}
+       |      ELSE ${hanfRhoBits + 1} - length(bin(h % $rhoW)) END
+       |      AS BIGINT) AS rho
+       |  FROM h),
+       |$steps,
+       |curve AS (
+       |  $curveArms),
+       |g AS (
+       |  SELECT t, nhat,
+       |    CASE WHEN lag(nhat) OVER (ORDER BY t) > 0 THEN
+       |      (1000 * nhat) // (lag(nhat) OVER (ORDER BY t)) END
+       |      AS growth_milli
+       |  FROM curve),
+       |conv AS (
+       |  SELECT COALESCE(
+       |    MIN(CASE WHEN growth_milli <= $hanfStopMilli THEN t END),
+       |    $hanfMaxRounds) AS tc
+       |  FROM g),
+       |kept AS (
+       |  SELECT g.t, g.nhat, g.growth_milli,
+       |    lag(g.nhat) OVER (ORDER BY g.t) AS prev_nhat
+       |  FROM g CROSS JOIN conv WHERE g.t <= conv.tc),
+       |fin AS (
+       |  SELECT t AS n_rounds, nhat AS nhat_final FROM kept
+       |  ORDER BY t DESC LIMIT 1),
+       |tst AS (
+       |  SELECT MIN(CASE WHEN 10 * k.nhat >= 9 * f.nhat_final
+       |    THEN k.t END) AS tstar
+       |  FROM kept k CROSS JOIN fin f),
+       |t90 AS (
+       |  SELECT CASE WHEN t.tstar = 0 THEN 0 ELSE (
+       |    SELECT 1000 * (k.t - 1) +
+       |      (1000 * (9 * f.nhat_final - 10 * k.prev_nhat)) //
+       |      (10 * k.nhat - 10 * k.prev_nhat)
+       |    FROM kept k CROSS JOIN fin f WHERE k.t = t.tstar) END
+       |    AS t90_milli
+       |  FROM tst t)
+       |SELECT k.t, k.nhat, k.growth_milli,
+       |  COALESCE(k.growth_milli <= $hanfStopMilli, FALSE) AS converged,
+       |  f.n_rounds, t.tstar, CAST(t9.t90_milli AS BIGINT) AS t90_milli,
+       |  CASE WHEN t.tstar = 0 THEN t9.t90_milli = 0
+       |    ELSE t9.t90_milli > 1000 * (t.tstar - 1)
+       |      AND t9.t90_milli <= 1000 * t.tstar END AS t90_ok
+       |FROM kept k CROSS JOIN fin f CROSS JOIN tst t CROSS JOIN t90 t9
+       |ORDER BY k.t""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("graph_hyperanf_audit", graphHyperanfAudit,
       Some(graphHyperanfAuditSql)),
+    Q("graph_effective_diameter", graphEffectiveDiameter,
+      Some(graphEffectiveDiameterSql)),
     Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
     Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
     Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),

@@ -144,4 +144,90 @@ class GraphOpsSpec extends SparkSpec {
     // on this corpus (sketch saturation, the HyperANF invariant)
     assert(nhats.toSeq == nhats.toSeq.scanLeft(0L)(math.max).tail)
   }
+
+  /** Path-graph fixture for the effective-diameter run: lineitem pairs
+    * (1,1), (2,1), (2,2), (3,2) give the 5-node path
+    * p1(2)—s1(3)—p2(4)—s2(5)—p3(6), graph diameter 4 — the register
+    * propagation NEEDS rounds past the audit's fixed 3 to saturate, so
+    * this exercises exactly the extension (t ≥ 4, early stop, t90). */
+  test("graph_effective_diameter ≡ plain-Scala propagation to convergence" +
+    " on a diameter-4 path; t90 interpolation law") {
+    val dir = java.nio.file.Files.createTempDirectory("hanfdiam").toString
+    import spark.implicits._
+    Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val pairs = Seq((2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val nodes = edges.map(_._1).distinct
+    val inbound = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val m = GraphOps.hanfRegisters
+    val rhoW = 1L << GraphOps.hanfRhoBits
+    def reg0(v: Long): Map[Long, Long] = {
+      val h = u32(s"hanf:$v")
+      val r = h % rhoW
+      val rho = if (r == 0) GraphOps.hanfRhoBits + 1L
+        else GraphOps.hanfRhoBits + 1L -
+          (64 - java.lang.Long.numberOfLeadingZeros(r))
+      Map((h / rhoW) -> rho)
+    }
+    def lg(c: Long): Long = graft.queries.SketchOps.lgJvm(c)
+    val estNum = graft.queries.SketchOps.hllAlphaMilliFor(m) *
+      m * m * (1L << 30)
+    def estOf(regs: Map[Long, Long]): Long = {
+      val vEmpty = m - regs.size
+      val z = vEmpty.toLong * (1L << 30) +
+        regs.values.map(rho => 1L << (30 - rho).toInt).sum
+      val raw = estNum / (1000L * z)
+      if (raw <= 5 * m / 2 && vEmpty > 0)
+        m * (lg(m.toLong) - lg(vEmpty.toLong)) * 693147L / 1000000000L
+      else raw
+    }
+    // propagate to convergence with the query's own early-stop rule
+    var level: Map[Long, Map[Long, Long]] = nodes.map(v => v -> reg0(v)).toMap
+    val nhats = scala.collection.mutable.ArrayBuffer(
+      nodes.map(v => estOf(level(v))).sum)
+    var flat = false
+    var tt = 1
+    while (tt <= GraphOps.hanfMaxRounds && !flat) {
+      level = nodes.map { v =>
+        val merged = (level(v) +: inbound.getOrElse(v, Nil).map(level))
+          .flatten.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        v -> merged
+      }.toMap
+      val nh = nodes.map(v => estOf(level(v))).sum
+      nhats += nh
+      flat = nhats(tt - 1) > 0 &&
+        1000L * nh / nhats(tt - 1) <= GraphOps.hanfStopMilli
+      tt += 1
+    }
+    val nRounds = nhats.size - 1L
+    val nhatFinal = nhats.last
+    val tstar = nhats.indexWhere(n => 10 * n >= 9 * nhatFinal).toLong
+    val t90 = if (tstar == 0) 0L
+      else 1000L * (tstar - 1) +
+        1000L * (9 * nhatFinal - 10 * nhats(tstar.toInt - 1)) /
+          (10 * nhats(tstar.toInt) - 10 * nhats(tstar.toInt - 1))
+    val expected = (0L to nRounds).map { t =>
+      val growth = if (t == 0 || nhats(t.toInt - 1) <= 0) None
+        else Some(1000L * nhats(t.toInt) / nhats(t.toInt - 1))
+      (t, nhats(t.toInt), growth, growth.exists(_ <= GraphOps.hanfStopMilli),
+        nRounds, tstar, t90, true)
+    }
+    val got = SparkEntry.queries("graph_effective_diameter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    assert(got == expected)
+    // the path needs > 3 rounds: the diameter run went past the audit's
+    // fixed radius (the reason this query exists)
+    assert(nRounds >= 4L)
+    // t90 lands in ((tstar-1)·1000, tstar·1000] — the interpolation law
+    assert(t90 > 1000 * (tstar - 1) && t90 <= 1000 * tstar)
+  }
 }
