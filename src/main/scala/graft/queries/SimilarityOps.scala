@@ -868,13 +868,29 @@ object SimilarityOps {
     * once. */
   private val kmeansTrainRoundsK = 4
   private val kmeansTrainCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Long, Long, Long, Option[Long])]]
+    .empty[(SparkSession, String, String),
+      Seq[(Long, Long, Long, Option[Long])]]
   private val kmeansTrainLock = new Object
 
+  /** The ad-hoc (build-rule) seeded trainer — `kmeans_train_rounds`'
+    * loop, now one instantiation of [[lloydRows]]. */
   private def kmeansTrainRows(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Option[Long])] =
+    lloydRows(s, dir, "adhoc",
+      quantizedBase(s, dir)
+        .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nrm").as("cn")))
+
+  /** [[kmeansTrainRoundsK]] Lloyd rounds from an arbitrary seed set —
+    * per round (round, inertia, n_active, n_moved). Results are cached
+    * per (session, dir, seedKey) so Verify/bench pay each arm's loop
+    * once; everything else is the original trainer unchanged. */
+  private def lloydRows(s: SparkSession, dir: String, seedKey: String,
+      seedCents: => DataFrame)
       : Seq[(Long, Long, Long, Option[Long])] = kmeansTrainLock.synchronized {
     kmeansTrainCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    kmeansTrainCache.getOrElseUpdate((s, dir), {
+    kmeansTrainCache.getOrElseUpdate((s, dir, seedKey), {
       graft.functions.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       def release(df: DataFrame): Unit =
@@ -895,9 +911,7 @@ object SimilarityOps {
           .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"),
             col("dot"), col("cn"))
       }
-      var cents = e.filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("nrm").as("cn"))
+      var cents = seedCents
       var prevCents: DataFrame = null
       var prevAssign: DataFrame = null
       val out = scala.collection.mutable.ArrayBuffer
@@ -2352,9 +2366,14 @@ object SimilarityOps {
     * the unpersisted lineage re-derives earlier rounds' tiny aggregates
     * (bounded by rounds², trivial); a deployment looping to larger k
     * checkpoints the center relation per round. */
-  private def kmeansppInitAudit(s: SparkSession, dir: String): DataFrame = {
+  /** ONE copy of the k-means|| oversampling chain — the per-round
+    * boundary-row frames (the audit's output) and the FINAL center set
+    * (the seed `kmeans_seeded_convergence` feeds to Lloyd). Shared so the
+    * audit and the seeded trainer read the identical chain (and the
+    * identical session-cached center relations). */
+  private def kppChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     val e = quantizedBase(s, dir)
     def u32(seed: String) =
       conv(substring(md5(concat(lit(seed), col("vec_id").cast("string"))),
@@ -2400,6 +2419,12 @@ object SimilarityOps {
             lit(null).cast("long").as("n_sampled"))
       }
     }
+    (rows.toSeq, cents)
+  }
+
+  private def kmeansppInitAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (rows, _) = kppChain(s, dir)
     rows.reduce(_.unionAll(_))
       // vacuously true on the first boundary (no predecessor) — a
       // nullable BOOLEAN degrades to NaN in pandas-dtype replays
@@ -2409,7 +2434,10 @@ object SimilarityOps {
       .orderBy("r")
   }
 
-  private val kmeansppInitAuditSql = {
+  /** The k-means|| WITH-body (e, cents0 … cents[[kppRounds]] and the
+    * per-round d/phi/nc/s relations) — ONE copy shared by the audit and
+    * the seeded-convergence oracle (the ivfSqlCtes discipline). */
+  private val kppSqlCtes = {
     def dotSql(a: String, b: String) =
       s"CAST(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) AS BIGINT)"
     def u32(seed: String) =
@@ -2435,14 +2463,7 @@ object SimilarityOps {
          |nc$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_centers FROM cents$r)
          |$sample""".stripMargin
     }
-    val rowSelects = (0 to kppRounds).map { r =>
-      val ns = if (r < kppRounds)
-        s"(SELECT CAST(COUNT(*) AS BIGINT) FROM s${r + 1})"
-      else "CAST(NULL AS BIGINT)"
-      s"SELECT CAST($r AS BIGINT) AS r, n_centers, phi, $ns AS n_sampled " +
-        s"FROM nc$r CROSS JOIN phi$r"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT * FROM (
        |    SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |    FROM (SELECT vec_id, $qvecSql AS q FROM embeddings))
@@ -2453,7 +2474,18 @@ object SimilarityOps {
        |      AS rn
        |    FROM e)
        |  WHERE rn = 1),
-       |${(0 to kppRounds).map(round).mkString(",\n")},
+       |${(0 to kppRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val kmeansppInitAuditSql = {
+    val rowSelects = (0 to kppRounds).map { r =>
+      val ns = if (r < kppRounds)
+        s"(SELECT CAST(COUNT(*) AS BIGINT) FROM s${r + 1})"
+      else "CAST(NULL AS BIGINT)"
+      s"SELECT CAST($r AS BIGINT) AS r, n_centers, phi, $ns AS n_sampled " +
+        s"FROM nc$r CROSS JOIN phi$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $kppSqlCtes,
        |rows_ AS (
        |  $rowSelects)
        |SELECT r, n_centers, phi, n_sampled,
@@ -2461,9 +2493,124 @@ object SimilarityOps {
        |FROM rows_ ORDER BY r""".stripMargin
   }
 
+  /** k-means|| seeds → Lloyd, measured against the ad-hoc seed — the
+    * experiment Bahmani et al. 2012 run in their Table 1, closing the
+    * clustering tier end-to-end: `kmeanspp_init_audit` certifies HOW the
+    * seed set is built, `kmeans_train_rounds` certifies the Lloyd loop
+    * from the build-rule's ad-hoc seed; this runs the SAME
+    * [[kmeansTrainRoundsK]]-round Lloyd loop from BOTH seeds and emits
+    * the per-round inertia side by side. The seeded arm starts from
+    * [[kppChain]]'s final center set (the identical session-cached
+    * relations the audit built); the ad-hoc arm IS `kmeans_train_rounds`'
+    * cached row set, so running all three queries pays each loop once.
+    *
+    * `ratio_milli` (seeded/ad-hoc inertia) and `seeded_wins` are DATA,
+    * not pinned laws: the oversampled seed set holds ~1 + rounds·ℓ
+    * centers vs the ad-hoc 8, so lower seeded inertia is the expected
+    * outcome Bahmani measure, not a theorem (the spec pins it on a
+    * fixture where it is provable). `active_*` keeps the center-count
+    * asymmetry honest in the same row.
+    *
+    * Scale shape: two instances of the trainer's per-round plan (one
+    * broadcast assignment argmax + one dim-bounded centroid update over
+    * the session-cached base); the comparison itself is a zip of two
+    * ≤ K-row metric sets. */
+  private def kmeansSeededConvergence(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val seedCents = kppChain(s, dir)._2
+    val seeded = lloydRows(s, dir, "kpp", seedCents)
+    val adhoc = kmeansTrainRows(s, dir)
+    val sk = seedCents.count()
+    val ak = quantizedBase(s, dir)
+      .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0).count()
+    seeded.zip(adhoc).map { case ((r, si, sa, _), (_, ai, aa, _)) =>
+      (r, sk, si, sa, ak, ai, aa,
+        if (ai > 0) Some(1000L * si / ai) else None, si <= ai)
+    }.toDF("round", "seeded_k", "inertia_seeded", "active_seeded",
+      "adhoc_k", "inertia_adhoc", "active_adhoc", "ratio_milli",
+      "seeded_wins")
+      .orderBy("round")
+  }
+
+  /** One Lloyd WITH-chain from a seed CTE (initial assignment + K−1
+    * update/assign rounds), CTE names prefixed per arm — the
+    * kmeans_train_rounds oracle math, parameterized so the two arms of
+    * the seeded-convergence oracle are one copy. Assignments are
+    * MATERIALIZED: each feeds its metric row and the next round. */
+  private def lloydSqlChain(seedCte: String, pfx: String): String = {
+    def assignSql(centsCte: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, cent_id, q, nrm, cn, dot FROM (
+         |    SELECT e.vec_id, c.cent_id, e.q, e.nrm, c.cn,
+         |      CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS dot,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(range(len(e.q)), i -> e.q[i+1]*c.cq[i+1])) AS BIGINT) AS DOUBLE)
+         |          / sqrt(CAST(e.nrm*c.cn AS DOUBLE)) DESC, c.cent_id) AS arn
+         |    FROM e CROSS JOIN $centsCte c)
+         |  WHERE arn = 1)""".stripMargin
+    val a0 = assignSql(seedCte, s"${pfx}a0")
+    val rounds = (1 to kmeansTrainRoundsK - 1).map { r =>
+      val prevA = s"${pfx}a${r - 1}"
+      val prevC = if (r == 1) seedCte else s"${pfx}c${r - 1}"
+      s"""${pfx}s$r AS (SELECT cent_id, COUNT(*) AS n_members FROM $prevA GROUP BY 1),
+         |${pfx}nd$r AS (
+         |  SELECT cent_id, d, CAST(floor(1.0 * sx / n_members) AS BIGINT) AS ndv
+         |  FROM (SELECT cent_id, i AS d, CAST(SUM(q[i+1]) AS BIGINT) AS sx
+         |        FROM $prevA, UNNEST(range(len(q))) t(i) GROUP BY 1, 2)
+         |  JOIN ${pfx}s$r USING (cent_id)),
+         |${pfx}c$r AS (
+         |  SELECT c.cent_id, COALESCE(n.nq, c.cq) AS cq,
+         |    COALESCE(n.nn, c.cn) AS cn
+         |  FROM $prevC c LEFT JOIN (
+         |    SELECT cent_id, nq,
+         |      CAST(list_sum(list_transform(nq, x -> x*x)) AS BIGINT) AS nn
+         |    FROM (SELECT cent_id, list(ndv ORDER BY d) AS nq
+         |          FROM ${pfx}nd$r GROUP BY 1)) n USING (cent_id)),
+         |${assignSql(s"${pfx}c$r", s"${pfx}a$r")}""".stripMargin
+    }
+    (a0 +: rounds).mkString(",\n")
+  }
+
+  /** Per-round (round, inertia, n_active) metric arms over one Lloyd
+    * chain's assignments. */
+  private def lloydSqlMetrics(pfx: String, iCol: String, aCol: String)
+      : String =
+    (1 to kmeansTrainRoundsK).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COALESCE(SUM(nrm - 2*dot + cn), 0) AS BIGINT)
+         |     FROM ${pfx}a${r - 1}) AS $iCol,
+         |  (SELECT CAST(COUNT(DISTINCT cent_id) AS BIGINT)
+         |     FROM ${pfx}a${r - 1}) AS $aCol""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val kmeansSeededConvergenceSql =
+    s"""WITH $kppSqlCtes,
+       |aseed AS (
+       |  SELECT vec_id AS cent_id, q AS cq, nrm AS cn FROM e
+       |  WHERE vec_id < 10 AND vec_id % 5 <> 0),
+       |${lloydSqlChain(s"cents$kppRounds", "sd")},
+       |${lloydSqlChain("aseed", "ah")},
+       |sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS seeded_k
+       |       FROM cents$kppRounds),
+       |ak AS (SELECT CAST(COUNT(*) AS BIGINT) AS adhoc_k FROM aseed),
+       |smet AS (
+       |  ${lloydSqlMetrics("sd", "inertia_seeded", "active_seeded")}),
+       |amet AS (
+       |  ${lloydSqlMetrics("ah", "inertia_adhoc", "active_adhoc")})
+       |SELECT round, seeded_k, inertia_seeded, active_seeded,
+       |  adhoc_k, inertia_adhoc, active_adhoc,
+       |  CASE WHEN inertia_adhoc > 0 THEN
+       |    (1000 * inertia_seeded) // inertia_adhoc END AS ratio_milli,
+       |  inertia_seeded <= inertia_adhoc AS seeded_wins
+       |FROM smet JOIN amet USING (round) CROSS JOIN sk CROSS JOIN ak
+       |ORDER BY round""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("kmeanspp_init_audit", kmeansppInitAudit,
       Some(kmeansppInitAuditSql)),
+    Q("kmeans_seeded_convergence", kmeansSeededConvergence,
+      Some(kmeansSeededConvergenceSql)),
     Q("ann_graph_greedy_audit", annGraphGreedyAudit,
       Some(annGraphGreedyAuditSql)),
     Q("ann_graph_beam_sweep", annGraphBeamSweep, Some(annGraphBeamSweepSql)),
