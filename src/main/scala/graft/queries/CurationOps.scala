@@ -903,15 +903,29 @@ object CurationOps {
     * doc_id; rounds stop early when every gram is covered (every
     * remaining marginal gain is 0 — emitted rows always have gain ≥ 1).
     *
+    * The CELF columns (Leskovec et al. 2007 lazy greedy): submodularity
+    * makes every candidate's marginal gain non-increasing across rounds,
+    * so a doc's PREVIOUS-round gain upper-bounds its current one.
+    * `bound_df` is the winner's stale gain (pinned `bound_ok`:
+    * bound ≥ gain, the lazy-greedy correctness theorem; vacuous at round
+    * 1), and `n_skippable` counts candidates whose stale gain is already
+    * below the round's winning gain — every one of them a candidate a
+    * lazy-greedy deployment provably never re-evaluates. At 100 TB this
+    * column IS the case for CELF: it reports how much of each round's
+    * candidate scan the bound would have saved.
+    *
     * Scale shape: token-scale work is ONE cached incidence relation
     * ([[covDocGrams]]); each of the ≤ [[covK]] rounds is a broadcast-able
     * anti-join against the covered set (bounded by the selected docs'
     * gram union — doc-scale, not corpus-scale), a map-side-combining
     * per-doc sum, and a 1-row driver argmax (the bounded-scalar class the
-    * trainers use), with generation-by-generation checkpoint release. A
-    * 100 TB deployment selecting large k switches to stochastic-greedy
-    * sampling (Mirzasoleiman et al. 2015) — same per-round plan over a
-    * sampled candidate slice, which changes only the candidate filter. */
+    * trainers use), with generation-by-generation checkpoint release (the
+    * per-doc gain relation is checkpointed per round — doc-scale — so the
+    * CELF lookups read materialized state instead of re-running the
+    * round). A 100 TB deployment selecting large k switches to
+    * stochastic-greedy sampling (Mirzasoleiman et al. 2015) — same
+    * per-round plan over a sampled candidate slice, which changes only
+    * the candidate filter. */
   private def coverageGreedyRounds(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
@@ -919,34 +933,48 @@ object CurationOps {
     val total = dgw.count()
     val rows =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long,
-        Long, Long)]
+        Long, Long, Option[Long], Option[Long])]
     var covered = Seq.empty[String].toDF("g").localCheckpoint()
+    var prevGains: DataFrame = null
     var cum = 0L
     var round = 1
     var done = false
     while (round <= covK && !done) {
-      val top = covArgmax(dgw.join(covered, Seq("g"), "left_anti")
+      val gains = dgw.join(covered, Seq("g"), "left_anti")
         .groupBy("doc_id")
-        .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new")))
-      if (top.isEmpty) done = true
+        .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new"))
+        .localCheckpoint()
+      val top = covArgmax(gains)
+      if (top.isEmpty) { releaseGen(gains); done = true }
       else {
         val r0 = top(0)
         val id = r0.getLong(0)
-        cum += r0.getLong(1)
-        rows += ((round.toLong, id, r0.getLong(1), r0.getLong(2), cum,
-          1000L * cum / total))
+        val gain = r0.getLong(1)
+        cum += gain
+        val (bound, nSkip) =
+          if (prevGains == null) (None, None)
+          else (prevGains.where(col("doc_id") === id)
+            .collect().headOption.map(_.getLong(1)),
+            Some(prevGains.where(col("gain") < gain).count()))
+        rows += ((round.toLong, id, gain, r0.getLong(2), cum,
+          1000L * cum / total, bound, nSkip))
         val next = covered
           .union(dgw.where(col("doc_id") === id).select("g"))
           .localCheckpoint()
         releaseGen(covered)
         covered = next
+        if (prevGains != null) releaseGen(prevGains)
+        prevGains = gains
         round += 1
       }
     }
     releaseGen(covered)
+    if (prevGains != null) releaseGen(prevGains)
     rows.toSeq
       .toDF("round", "doc_id", "gain_df", "n_new_grams", "cum_df",
-        "coverage_milli")
+        "coverage_milli", "bound_df", "n_skippable")
+      .withColumn("bound_ok",
+        coalesce(col("bound_df") >= col("gain_df"), lit(true)))
       .orderBy("round")
   }
 
@@ -1064,19 +1092,34 @@ object CurationOps {
     * oracle's greedy math. */
   private def coverageGreedyRoundsSql: String = {
     val rounds = (1 to covK).map { k =>
-      s"""s$k AS MATERIALIZED (
+      s"""g$k AS MATERIALIZED (
          |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS gain,
          |    CAST(COUNT(*) AS BIGINT) AS n_new
          |  FROM dg JOIN wts USING (g)
          |  WHERE g NOT IN (SELECT g FROM c${k - 1})
-         |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |  GROUP BY 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id, gain, n_new
+         |  FROM g$k ORDER BY gain DESC, doc_id LIMIT 1),
          |c$k AS MATERIALIZED (
          |  SELECT g FROM c${k - 1}
          |  UNION SELECT dg.g FROM dg JOIN s$k USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    val arms = (1 to covK).map(k =>
-      s"SELECT $k AS round, doc_id, gain, n_new FROM s$k")
-      .mkString("\n  UNION ALL ")
+    // CELF columns per arm: the winner's stale gain in the previous
+    // round's FULL gain relation (NULL at round 1) and how many
+    // candidates that stale bound already rules out
+    val arms = (1 to covK).map { k =>
+      val (bound, skip) = if (k == 1)
+        ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      else (
+        s"(SELECT p.gain FROM g${k - 1} p WHERE p.doc_id = s.doc_id)",
+        s"""(SELECT CAST(COUNT(*) AS BIGINT) FROM g${k - 1} p
+           |     WHERE p.gain < s.gain)""".stripMargin)
+      s"""SELECT $k AS round, s.doc_id, s.gain, s.n_new,
+         |  $bound AS bound_df,
+         |  $skip AS n_skippable
+         |FROM s$k s""".stripMargin
+    }.mkString("\n  UNION ALL ")
     s"""WITH dgo AS (
        |  SELECT doc_id, s AS g
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1094,7 +1137,9 @@ object CurationOps {
        |  n_new AS n_new_grams,
        |  CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_df,
        |  CAST((1000 * SUM(gain) OVER (ORDER BY round)) // total AS BIGINT)
-       |    AS coverage_milli
+       |    AS coverage_milli,
+       |  bound_df, n_skippable,
+       |  COALESCE(bound_df >= gain, TRUE) AS bound_ok
        |FROM u, tot ORDER BY round""".stripMargin
   }
 

@@ -38,9 +38,11 @@ class CurationOpsSpec extends SparkSpec {
     val total = df.values.sum
     var covered = Set.empty[String]
     val expected = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Long, Long)]
+      .empty[(Long, Long, Long, Long, Long, Long, Option[Long],
+        Option[Long], Boolean)]
     var cum = 0L
     var stop = false
+    var prevGains: Map[Long, Long] = null
     for (round <- 1 to CurationOps.covK if !stop) {
       val gains = byDoc.toSeq.map { case (id, gs) =>
         val fresh = gs -- covered
@@ -50,13 +52,24 @@ class CurationOpsSpec extends SparkSpec {
       else {
         val (id, gain, nNew) = gains.minBy { case (d, g, _) => (-g, d) }
         cum += gain
-        expected += ((round.toLong, id, gain, nNew, cum, 1000L * cum / total))
+        // CELF columns: the winner's stale (previous-round) gain and the
+        // candidates whose stale gain already rules them out
+        val (bound, nSkip) = if (prevGains == null) (None, None)
+          else (prevGains.get(id),
+            Some(prevGains.values.count(_ < gain).toLong))
+        expected += ((round.toLong, id, gain, nNew, cum,
+          1000L * cum / total, bound, nSkip,
+          bound.forall(_ >= gain)))
         covered ++= byDoc(id)
+        prevGains = gains.map(t => t._1 -> t._2).toMap
       }
     }
     val got = SparkEntry.queries("coverage_greedy_rounds")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getBoolean(8))).toSeq
     assert(got == expected.toSeq, s"got $got\nexpected $expected")
     // submodularity: greedy marginal gains never increase across rounds
     assert(got.map(_._3) == got.map(_._3).sortBy(-_),
@@ -65,6 +78,11 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == got.size)
     assert(got.map(_._6) == got.map(_._6).sorted && got.last._6 <= 1000L)
     assert(got.nonEmpty && got.head._3 > 0L)
+    // the lazy-greedy bound law holds on every row (vacuous at round 1),
+    // and rounds past the first carry both CELF columns
+    assert(got.forall(_._9))
+    assert(got.head._7.isEmpty && got.head._8.isEmpty)
+    assert(got.tail.forall(r => r._7.nonEmpty && r._8.nonEmpty))
   }
 
   test("coverage_stochastic_rounds ≡ plain-Scala stochastic greedy; picks in slice") {
