@@ -96,6 +96,17 @@ object SketchOps {
     docs.select(split(col("text"), " ").as("w"))
       .select(explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
 
+  /** Per-occurrence (source, trigram) projection of a doc frame — the TV
+    * drift monitor's input grain
+    * ([[graft.streaming.StreamingPipeline.tvDriftStream]]); ONE copy of
+    * the source-coalesce + gram rule with the batch [[gramCountsBySrc]],
+    * so the stream's per-source counts and `source_tv_drift`'s cannot
+    * drift. */
+  def gramOccBySrc(docs: DataFrame): DataFrame =
+    docs.select(coalesce(col("source"), lit("")).as("source"),
+      split(col("text"), " ").as("w"))
+      .select(col("source"), explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+
   /** JVM twin of `CurationOps.lg` — the integer milli-log₂
     * (1000·(bits−1) + 1000·c/2^(bits−1) − 1000, truncating division,
     * c ≥ 1). Positive operands only, so it matches both engines' SQL

@@ -1217,6 +1217,93 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  case class TvDriftRow(source: String, n_grams: Long, n_tok: Long,
+      tv_micro: Long, tv_ok: Boolean, top_gram: String,
+      top_diff_micro: Long, upd: Long)
+
+  /** Streaming per-source total-variation DRIFT monitor — the twin of the
+    * batch `source_tv_drift` (the mixing tier's pre-flight): after every
+    * micro-batch, each source's TV distance from the corpus-so-far over
+    * the trigram vocabulary, in the batch query's exact integer micro
+    * units, plus the argmax-drift witness gram. A training-data ingest
+    * watches a source's `tv_micro` trajectory: a feed that starts
+    * converging to the corpus (tv → 0) has stopped adding distributional
+    * coverage; one that diverges is drifting — both long before any
+    * per-document gate fires.
+    *
+    * State is the per-source gram-count map — EXACT, so the parity
+    * contract is total (StreamingPipelineSpec pins it): after any batch,
+    * each source's emitted row equals the batch `source_tv_drift` row
+    * over the same documents, bit for bit (same integer p/q micro masses,
+    * same absent-gram identity Σ|p−q| over absent grams = qtot − sq, same
+    * (ad DESC, g) witness rule). Unlike the Space-Saving zipf monitor the
+    * state here is vocabulary-scale (|sources|·|grams| — the size of the
+    * batch relation itself): TV is a full-distribution distance, and
+    * capping the state would silently change the metric. At 100 TB the
+    * feed this monitors is the post-gate ingest SAMPLE (the zipf
+    * monitor's deployment note), where vocabulary-scale state is the
+    * accepted cost of an exact distribution monitor; the bounded
+    * alternative is sketching both sides, which turns TV into an
+    * estimate — a different operator.
+    *
+    * Scale: deliberately a SINGLE group like the zipf monitor — TV needs
+    * the corpus totals, which no per-source group can see. */
+  def tvDriftStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val occ = graft.queries.SketchOps.gramOccBySrc(docs)
+      .as[(String, String)]
+    occ.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[String, Map[String, Long]], Long),
+        TvDriftRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(String, String)],
+            state: GroupState[(Map[String, Map[String, Long]], Long)]) =>
+          val (held, upd0) =
+            state.getOption.getOrElse(
+              (Map.empty[String, Map[String, Long]], 0L))
+          val counts = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.Map[String, Long]]
+          held.foreach { case (src, gs) =>
+            counts(src) = scala.collection.mutable.Map.empty ++ gs
+          }
+          it.foreach { case (src, g) =>
+            val m = counts.getOrElseUpdate(src,
+              scala.collection.mutable.Map.empty)
+            m(g) = m.getOrElse(g, 0L) + 1L
+          }
+          val upd = upd0 + 1L
+          state.update((counts.view.mapValues(_.toMap).toMap, upd))
+          // the batch query's integer math, row-local: corpus gram mass
+          // q_g = 10⁶·dg div dt, per-source p_g = 10⁶·cnt div ct,
+          // tv = (Σ|p−q| + (qtot − Σ_src q)) div 2
+          val dg = scala.collection.mutable.Map.empty[String, Long]
+          counts.valuesIterator.foreach(_.foreach { case (g, c) =>
+            dg(g) = dg.getOrElse(g, 0L) + c
+          })
+          val dt = dg.valuesIterator.sum
+          if (dt <= 0) Iterator.empty
+          else {
+            val q = dg.map { case (g, d) => g -> 1000000L * d / dt }
+            val qtot = q.valuesIterator.sum
+            counts.toSeq.sortBy(_._1).iterator.map { case (src, gs) =>
+              val ct = gs.valuesIterator.sum
+              var sad = 0L
+              var sq = 0L
+              var topG: String = null
+              var topAd = -1L
+              gs.toSeq.sortBy(_._1).foreach { case (g, c) =>
+                val ad = math.abs(1000000L * c / ct - q(g))
+                sad += ad
+                sq += q(g)
+                if (ad > topAd) { topAd = ad; topG = g }
+              }
+              val tv = (sad + qtot - sq) / 2
+              TvDriftRow(src, gs.size.toLong, ct, tv,
+                tv >= 0L && tv <= 1000000L, topG, topAd, upd)
+            }
+          }
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion
     * (test/local harness). Returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,

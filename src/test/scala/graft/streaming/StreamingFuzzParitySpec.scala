@@ -755,6 +755,65 @@ class StreamingFuzzParitySpec extends SparkSpec {
     }
   }
 
+  for (seed <- Seq(747, 848)) {
+    test(s"fuzz seed $seed: tvDriftStream, batch source_tv_drift, and the" +
+        " JVM TV recount agree on a dirty corpus") {
+      val root = Files.createTempDirectory(s"tvfuzz$seed")
+      val full = dirtyDocs(seed, 250).map { case (id, t) =>
+        (id, t, "en", if (id % 7 == 0) null else s"s${id % 3}",
+          Option(t).map(_.length.toLong).getOrElse(0L))
+      }
+      val docs = full.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val path = root.resolve("documents.parquet").toString
+      docs.write.parquet(path)
+      def trigrams(t: String): Seq[String] = {
+        val w = Option(t).getOrElse("").split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }
+      // independent JVM recount of the exact integer TV math (NULL
+      // source buckets as '', the batch coalesce rule)
+      val occ = full.flatMap { case (_, t, _, src, _) =>
+        trigrams(t).map(g => (Option(src).getOrElse(""), g))
+      }
+      val bySrc = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dg = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val dt = occ.size.toLong
+      val q = dg.map { case (g, d) => g -> 1000000L * d / dt }
+      val qtot = q.valuesIterator.sum
+      val expected = occ.map(_._1).distinct.map { src =>
+        val gs = bySrc.collect {
+          case ((s, g), c) if s == src => (g, c) }.toSeq
+        val ct = gs.map(_._2).sum
+        val ads = gs.map { case (g, c) =>
+          (g, math.abs(1000000L * c / ct - q(g))) }
+        val sad = ads.map(_._2).sum
+        val sq = gs.map(g => q(g._1)).sum
+        val tv = (sad + qtot - sq) / 2
+        val (topG, topAd) = ads.minBy { case (g, ad) => (-ad, g) }
+        src -> ((gs.size.toLong, ct, tv, tv >= 0 && tv <= 1000000L,
+          topG, topAd))
+      }.toMap
+      assert(expected.size >= 3, "dirty corpus must exercise several sources")
+      // stream side (one AvailableNow batch over the whole dirty corpus)
+      val streamed = StreamingPipeline.runToMemory(spark,
+        StreamingPipeline.tvDriftStream(
+          spark.readStream.schema(docs.schema).parquet(path)),
+        s"tvfuzz$seed").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6))))
+        .toMap
+      assert(streamed == expected, "tv stream vs JVM recount")
+      // batch side on the same dirty table
+      val batch = graft.SparkEntry.queries("source_tv_drift")(
+        spark, root.toString).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6))))
+        .toMap
+      assert(batch == expected, "batch source_tv_drift vs JVM recount")
+    }
+  }
+
   for (seed <- Seq(545, 646)) {
     test(s"fuzz seed $seed: cms/kmv sketch streams, the batch sketches," +
         " and the JVM recount agree on a dirty corpus") {

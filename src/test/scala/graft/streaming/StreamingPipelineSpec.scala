@@ -608,6 +608,61 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(small(0).getLong(3) == 8L && !small(0).isNullAt(4))
   }
 
+  test("tvDriftStream: final emissions ≡ batch source_tv_drift; " +
+    "mid-stream rows are the half-corpus's own exact TV") {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("tvstream")
+    val src = Files.createDirectories(root.resolve("docs"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // NULL-safe md5-coin halving (the kmv lesson: a doc_id parity split
+    // aliases with source = id % 20 and starves the second batch)
+    val coin = coalesce(expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) % 2"),
+      lit("0"))
+    corpus.filter(coin === "0").coalesce(1)
+      .write.parquet(root.resolve("a").toString)
+    corpus.filter(coin =!= "0").coalesce(1)
+      .write.parquet(root.resolve("b").toString)
+    Files.list(root.resolve("a")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("a.parquet")))
+    val stream = spark.readStream.schema(corpus.schema).parquet(src.toString)
+    val q = StreamingPipeline.tvDriftStream(stream).writeStream
+      .format("memory").queryName("tv_drift").outputMode("append").start()
+    q.processAllAvailable()
+    Files.list(root.resolve("b")).forEach(p => if (p.toString.endsWith(".parquet"))
+      Files.copy(p, src.resolve("b.parquet")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tv_drift").collect()
+    def asMap(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6)))).toMap
+    val batches = rows.groupBy(_.getLong(7))
+    assert(batches.keySet == Set(1L, 2L)) // one emission set per batch
+    // final emissions ≡ the batch query over the SAME full corpus,
+    // bit for bit (shared gram rule + integer micro math)
+    val expected = graft.SparkEntry.queries("source_tv_drift")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6)))).toMap
+    assert(asMap(batches(2L)) == expected)
+    assert(expected.nonEmpty)
+    // the mid-stream emission is the HALF corpus's own exact TV: replay
+    // the batch query on batch a's documents alone
+    val half = Files.createTempDirectory("tvhalf")
+    corpus.filter(coin === "0")
+      .write.parquet(half.resolve("documents.parquet").toString)
+    val halfExpected = graft.SparkEntry
+      .queries("source_tv_drift")(spark, half.toString)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getString(5), r.getLong(6)))).toMap
+    assert(asMap(batches(1L)) == halfExpected)
+    // drift genuinely measured: at least one source's TV moved between
+    // the half corpus and the full one
+    assert(halfExpected.exists { case (s, h) =>
+      expected.get(s).exists(_._3 != h._3) })
+  }
+
   test("kmvSketchStream: final per-source sketch ≡ batch bottom-k recount") {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
     val sf = "/root/testdata/sf0.001"
