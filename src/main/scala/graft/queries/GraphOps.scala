@@ -562,10 +562,10 @@ object GraphOps {
           .select(edges("src").as("node"), prev("j"), prev("rho")))
         .groupBy(col("node"), col("j")).agg(max(col("rho")).as("rho")))
 
-  /** The (t, N̂(t)) estimate row of one register level — the HLL
+  /** Per-node ball estimate (node, est) of one register level — the HLL
     * estimator with the m=16 linear-counting branch, ONE copy shared by
-    * the audit and the diameter run. */
-  private def hanfNhat(regs: DataFrame, tt: Int): DataFrame = {
+    * the audit, the diameter run and the harmonic-centrality consumer. */
+  private def hanfNodeEst(regs: DataFrame): DataFrame = {
     val m = hanfRegisters
     val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
     regs
@@ -573,17 +573,24 @@ object GraphOps {
       .agg(count(lit(1)).as("n_present"),
         sum(call_function("shiftleft", lit(1L),
           (lit(30) - col("rho")).cast("int"))).as("z_present"))
-      .select(expr(s"(${m}L - n_present) * ${1L << 30}L + z_present")
-        .as("z_scaled"), expr(s"${m}L - n_present").as("v_empty"))
-      .select(expr(s"${estNum}L div (1000 * z_scaled)").as("est_raw"),
+      .select(col("node"),
+        expr(s"(${m}L - n_present) * ${1L << 30}L + z_present")
+          .as("z_scaled"), expr(s"${m}L - n_present").as("v_empty"))
+      .select(col("node"),
+        expr(s"${estNum}L div (1000 * z_scaled)").as("est_raw"),
         col("v_empty"))
-      .select(expr(
+      .select(col("node"), expr(
         s"CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN " +
           s"($m * (${CurationOps.lg(m.toString)} - " +
           s"${CurationOps.lg("v_empty")}) * 693147) div 1000000000 " +
           "ELSE est_raw END").as("est"))
-      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
   }
+
+  /** The (t, N̂(t)) estimate row of one register level — the per-node
+    * estimates summed. */
+  private def hanfNhat(regs: DataFrame, tt: Int): DataFrame =
+    hanfNodeEst(regs)
+      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
 
   private def graphHyperanfAudit(s: SparkSession, dir: String): DataFrame = {
     val pairs = hanfPairs(s, dir)
@@ -856,11 +863,147 @@ object GraphOps {
        |ORDER BY k.t""".stripMargin
   }
 
+  /** How many nodes the centrality consumer reports. */
+  val hanfTopK = 20
+
+  /** Approximate harmonic centrality by HyperBall (Boldi–Vigna 2014,
+    * "In-core computation of geometric centralities with HyperBall"):
+    * C_H(v) = Σ_{u≠v} 1/d(u,v), estimated from the SAME register levels
+    * the HyperANF audit propagates — the shell between radius t−1 and t
+    * contributes (|ball(v,t)| − |ball(v,t−1)|)/t, so the whole centrality
+    * of every node falls out of the levels that already exist, with ZERO
+    * extra propagation (levels are the session-cached relations the audit
+    * built; this query adds per-node joins only). Truncated at radius
+    * [[hanfRounds]], the audit's horizon — the paper's construction
+    * truncates at curve convergence; on this graph the diameter run shows
+    * ≥ 97% of pair mass is inside radius 3, and contributions shrink as
+    * 1/t.
+    *
+    * Integer contract: per-node ball estimates are the audit's exact
+    * integer HLL math ([[hanfNodeEst]] — b₀ = 1 for EVERY node by the
+    * m = 16 one-element anchor, pinned per row as `b0_ok`); shell sizes
+    * are clamped at 0 (registers only grow, so a negative shell can only
+    * be a raw↔linear-counting estimator-switch artifact, and a shell is a
+    * set difference — never negative in truth); hc_milli =
+    * Σ_t (1000·shell_t) div t. Harmonic weights lie in [1/R, 1], so
+    * 1000·Σshells bounds hc_milli above and its third (minus the ≤ 3
+    * floor losses) below — pinned per row as `hc_ok`.
+    *
+    * Scale shape: reads the cached |V|·m register levels; per level one
+    * (node)-keyed aggregate, then an R-way join on node and a top-k —
+    * all vocabulary-scale, no new edge pass. */
+  private def graphHarmonicCentrality(s: SparkSession, dir: String)
+      : DataFrame = {
+    val edges = hanfEdges(s, dir)
+    val r0 = hanfR0(edges)
+    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
+      hanfLevel(s, dir, edges, prev, tt)
+    }
+    val ests = levels.zipWithIndex.map { case (regs, tt) =>
+      hanfNodeEst(regs).select(col("node"), col("est").as(s"b$tt"))
+    }
+    val joined = ests.reduce(_.join(_, "node"))
+    val shells = (1 to hanfRounds).map(tt =>
+      greatest(lit(0L), col(s"b$tt") - col(s"b${tt - 1}")).as(s"s$tt"))
+    val withShells = joined.select(col("node") +:
+      (0 to hanfRounds).map(tt => col(s"b$tt")) ++: shells: _*)
+    val hc = (1 to hanfRounds)
+      .map(tt => expr(s"(1000 * s$tt) div $tt"))
+      .reduce(_ + _)
+    val sTot = (1 to hanfRounds).map(tt => col(s"s$tt")).reduce(_ + _)
+    withShells
+      .withColumn("hc_milli", hc)
+      .withColumn("b0_ok", col("b0") === 1L)
+      .withColumn("hc_ok",
+        col("hc_milli") <= sTot * 1000L &&
+          col("hc_milli") + 3L >= expr(s"(1000 * (${(1 to hanfRounds)
+            .map(tt => s"s$tt").mkString(" + ")})) div $hanfRounds"))
+      .orderBy(col("hc_milli").desc, col("node"))
+      .limit(hanfTopK)
+      .select((col("node") +: col("hc_milli") +:
+        (1 to hanfRounds).map(tt => col(s"b$tt"))) :+
+        col("b0_ok") :+ col("hc_ok"): _*)
+  }
+
+  private def graphHarmonicCentralitySql = {
+    val rhoW = 1L << hanfRhoBits
+    val m = hanfRegisters
+    val estNum = SketchOps.hllAlphaMilliFor(m) * m * m * (1L << 30)
+    def step(prev: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, j, MAX(rho) AS rho FROM (
+         |    SELECT node, j, rho FROM $prev
+         |    UNION ALL
+         |    SELECT e.src AS node, r.j, r.rho
+         |    FROM edges e JOIN $prev r ON e.dst = r.node)
+         |  GROUP BY 1, 2)"""
+    def nodeEst(lvl: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN est_raw <= ${5 * m / 2} AND v_empty > 0 THEN
+         |        ($m * (${CurationOps.lgSql(m.toString)} -
+         |          ${CurationOps.lgSql("v_empty")}) * 693147) // 1000000000
+         |      ELSE est_raw END AS est
+         |    FROM (
+         |      SELECT node, $estNum // (1000 *
+         |          (($m - COUNT(*)) * ${1L << 30} +
+         |           SUM(CAST(1 AS BIGINT) << CAST(30 - rho AS INTEGER))))
+         |        AS est_raw,
+         |        $m - COUNT(*) AS v_empty
+         |      FROM $lvl GROUP BY node))"""
+    val steps = (1 to hanfRounds)
+      .map(r => step(if (r == 1) "r0" else s"r${r - 1}", s"r$r"))
+      .mkString(",\n")
+    val ests = (0 to hanfRounds)
+      .map(r => nodeEst(s"r$r", s"est$r")).mkString(",\n")
+    val shellDefs = (1 to hanfRounds)
+      .map(tt => s"greatest(0, e$tt.est - e${tt - 1}.est) AS s$tt")
+      .mkString(",\n    ")
+    val estJoins = (1 to hanfRounds)
+      .map(tt => s"JOIN est$tt e$tt USING (node)").mkString(" ")
+    val hcExpr = (1 to hanfRounds)
+      .map(tt => s"(1000 * s$tt) // $tt").mkString(" + ")
+    val sTot = (1 to hanfRounds).map(tt => s"s$tt").mkString(" + ")
+    val bCols = (1 to hanfRounds).map(tt => s"b$tt").mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT p AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h AS (
+       |  SELECT node, CAST('0x' || substr(md5('hanf:' ||
+       |    CAST(node AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, h // $rhoW AS j,
+       |    CAST(CASE WHEN h % $rhoW = 0 THEN ${hanfRhoBits + 1}
+       |      ELSE ${hanfRhoBits + 1} - length(bin(h % $rhoW)) END
+       |      AS BIGINT) AS rho
+       |  FROM h),
+       |$steps,
+       |$ests,
+       |sh AS (
+       |  SELECT e0.node, e0.est AS b0,
+       |    ${(1 to hanfRounds).map(tt => s"e$tt.est AS b$tt").mkString(", ")},
+       |    $shellDefs
+       |  FROM est0 e0 $estJoins)
+       |SELECT node, CAST($hcExpr AS BIGINT) AS hc_milli, $bCols,
+       |  b0 = 1 AS b0_ok,
+       |  $hcExpr <= ($sTot) * 1000
+       |    AND $hcExpr + 3 >= (1000 * ($sTot)) // $hanfRounds AS hc_ok
+       |FROM sh
+       |ORDER BY hc_milli DESC, node LIMIT $hanfTopK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("graph_hyperanf_audit", graphHyperanfAudit,
       Some(graphHyperanfAuditSql)),
     Q("graph_effective_diameter", graphEffectiveDiameter,
       Some(graphEffectiveDiameterSql)),
+    Q("graph_harmonic_centrality", graphHarmonicCentrality,
+      Some(graphHarmonicCentralitySql)),
     Q("kcore_peel", kcorePeel, Some(kcorePeelSql)),
     Q("pagerank_links", pagerankLinks, Some(pagerankLinksSql)),
     Q("part_cooccurrence", partCooccurrence, Some(partCooccurrenceSql)),

@@ -53,11 +53,33 @@ object ScaleGen {
     s"z$lo"
   }
 
-  private def baseWords(id: Long, zipf: Boolean): Array[String] = {
+  // --heaps mode: an EFFECTIVELY UNBOUNDED vocabulary whose observed size
+  // grows with the corpus — the regime the fixed 31-word and 2000-word
+  // vocabularies can never reach (both SATURATE at the 100× corpus, which
+  // empties good_turing_audit's count classes and shrinks bloom_fpr_sweep's
+  // train-only probe set to ~2 grams — the round-14 SCALECHECK caveat).
+  // Ranks are drawn with p(r) ∝ r^(−s) via the continuous-Pareto inverse
+  // CDF (rank = ⌊u^(−1/(s−1))⌋); a power-law frequency curve observed
+  // through N draws yields Heaps-law vocabulary growth V(N) ~ N^(1/s)
+  // (s = 1.4 → β ≈ 0.71), so the low-count classes and the unseen-gram
+  // tail GROW with corpus size the way a real heavy-tailed crawl's do.
+  private val heapsS = 1.4
+  private def heapsWord(r: java.util.Random): String = {
+    val u = 1.0 - r.nextDouble() // (0, 1]: u = 0 would blow the pole
+    val rank = math.min(math.pow(u, -1.0 / (heapsS - 1.0)), 1e12).toLong
+    s"h$rank"
+  }
+
+  private def word(mode: String, r: java.util.Random): String = mode match {
+    case "zipf" => zipfWord(r)
+    case "heaps" => heapsWord(r)
+    case _ => vocab(r.nextInt(vocab.size))
+  }
+
+  private def baseWords(id: Long, mode: String): Array[String] = {
     val r = new java.util.Random(id * 1000003L + 7)
     val n = 10 + r.nextInt(91)
-    if (zipf) Array.fill(n)(zipfWord(r))
-    else Array.fill(n)(vocab(r.nextInt(vocab.size)))
+    Array.fill(n)(word(mode, r))
   }
 
   /** ~8% of docs are near-duplicates: copy the doc ONE id earlier and
@@ -68,18 +90,21 @@ object ScaleGen {
     * (id−13 ≡ 5 mod 13 too), which silently reduced the whole corpus to
     * ONE true pair; the uniform 31-word vocabulary masked it with random
     * collisions, the zipf corpus exposed it. */
-  private def docWords(id: Long, zipf: Boolean): Array[String] =
+  private def docWords(id: Long, mode: String): Array[String] =
     if (id % 13 == 5 && id >= 13) {
-      val w = baseWords(id - 1, zipf).clone()
+      val w = baseWords(id - 1, mode).clone()
       val r = new java.util.Random(id * 7919L + 3)
       for (k <- w.indices) if (r.nextInt(10) == 0)
-        w(k) = if (zipf) zipfWord(r) else vocab(r.nextInt(vocab.size))
+        w(k) = word(mode, r)
       w
-    } else baseWords(id, zipf)
+    } else baseWords(id, mode)
 
   def main(args: Array[String]): Unit = {
-    val zipf = args.contains("--zipf")
-    val posArgs = args.filterNot(_ == "--zipf")
+    val mode =
+      if (args.contains("--heaps")) "heaps"
+      else if (args.contains("--zipf")) "zipf"
+      else "uniform"
+    val posArgs = args.filterNot(a => a == "--zipf" || a == "--heaps")
     val out = posArgs.headOption.getOrElse("/root/repo/scale10")
     val mult = posArgs.lift(1).map(_.toInt).getOrElse(10)
     val nDocs = 5000L * mult
@@ -94,7 +119,7 @@ object ScaleGen {
     import spark.implicits._
 
     spark.range(nDocs).map { id =>
-      val words = docWords(id, zipf)
+      val words = docWords(id, mode)
       val text = words.mkString(" ")
       (id, text, langs((id % langs.size).toInt), s"src${id % 20}",
         text.length.toLong)
@@ -176,7 +201,7 @@ object ScaleGen {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders (+lineitem) to $out (mult=$mult, zipf=$zipf)")
+    println(s"[scale-gen] wrote $nDocs docs + $nVecs embeddings + $nEvents events + $nOrders orders (+lineitem) to $out (mult=$mult, mode=$mode)")
     spark.stop()
   }
 }

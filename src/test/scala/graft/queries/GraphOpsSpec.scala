@@ -230,4 +230,79 @@ class GraphOpsSpec extends SparkSpec {
     // t90 lands in ((tstar-1)·1000, tstar·1000] — the interpolation law
     assert(t90 > 1000 * (tstar - 1) && t90 <= 1000 * tstar)
   }
+
+  /** Harmonic centrality on the same path fixture: per-node ball
+    * estimates replayed in plain Scala through radius 3, shells clamped,
+    * hc = Σ (1000·shell_t) div t — and the path's CENTER must rank
+    * first (its true harmonic centrality strictly dominates on a path,
+    * and the HLL estimates of 1–5 element balls preserve the order). */
+  test("graph_harmonic_centrality ≡ plain-Scala HyperBall replay; " +
+    "center of the path ranks first") {
+    val dir = java.nio.file.Files.createTempDirectory("hanfhc").toString
+    import spark.implicits._
+    Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val pairs = Seq((2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val nodes = edges.map(_._1).distinct
+    val inbound = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val m = GraphOps.hanfRegisters
+    val rhoW = 1L << GraphOps.hanfRhoBits
+    def reg0(v: Long): Map[Long, Long] = {
+      val h = u32(s"hanf:$v")
+      val r = h % rhoW
+      val rho = if (r == 0) GraphOps.hanfRhoBits + 1L
+        else GraphOps.hanfRhoBits + 1L -
+          (64 - java.lang.Long.numberOfLeadingZeros(r))
+      Map((h / rhoW) -> rho)
+    }
+    def lg(c: Long): Long = graft.queries.SketchOps.lgJvm(c)
+    val estNum = graft.queries.SketchOps.hllAlphaMilliFor(m) *
+      m * m * (1L << 30)
+    def estOf(regs: Map[Long, Long]): Long = {
+      val vEmpty = m - regs.size
+      val z = vEmpty.toLong * (1L << 30) +
+        regs.values.map(rho => 1L << (30 - rho).toInt).sum
+      val raw = estNum / (1000L * z)
+      if (raw <= 5 * m / 2 && vEmpty > 0)
+        m * (lg(m.toLong) - lg(vEmpty.toLong)) * 693147L / 1000000000L
+      else raw
+    }
+    var level: Map[Long, Map[Long, Long]] = nodes.map(v => v -> reg0(v)).toMap
+    val balls = scala.collection.mutable.ArrayBuffer(
+      nodes.map(v => v -> estOf(level(v))).toMap)
+    for (_ <- 1 to GraphOps.hanfRounds) {
+      level = nodes.map { v =>
+        val merged = (level(v) +: inbound.getOrElse(v, Nil).map(level))
+          .flatten.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        v -> merged
+      }.toMap
+      balls += nodes.map(v => v -> estOf(level(v))).toMap
+    }
+    val expected = nodes.map { v =>
+      val b = (0 to GraphOps.hanfRounds).map(t => balls(t)(v))
+      val shells = (1 to GraphOps.hanfRounds)
+        .map(t => math.max(0L, b(t) - b(t - 1)))
+      val hc = (1 to GraphOps.hanfRounds)
+        .map(t => 1000L * shells(t - 1) / t).sum
+      (v, hc, b(1), b(2), b(3), b(0) == 1L,
+        hc <= shells.sum * 1000L && hc + 3 >= 1000L * shells.sum / 3)
+    }.sortBy(x => (-x._2, x._1)).take(GraphOps.hanfTopK)
+    val got = SparkEntry.queries("graph_harmonic_centrality")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSeq
+    assert(got == expected)
+    // path 2—3—4—5—6: node 4 is the center; true C_H = 3.0 strictly
+    // dominates (ends: 1 + 1/2 + 1/3; off-center: 2 + 1/2 + 1/3)
+    assert(got.head._1 == 4L)
+    // every row passes both pinned laws
+    assert(got.forall(r => r._6 && r._7))
+  }
 }
