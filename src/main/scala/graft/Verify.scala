@@ -41,7 +41,7 @@ object Verify {
     Seq("graft.cap.lshBucket", "graft.cap.semCluster",
       "graft.cap.simhashBucket", "graft.cap.tokenDf", "graft.cap.ccBucket",
       "graft.cap.basket", "graft.cap.kmvExactDf", "graft.cap.ivfCentroids",
-      "graft.bloom.log2bits",
+      "graft.bloom.log2bits", "graft.bloom.sweepGrid",
       "graft.knn.probeMod",
       "graft.lsh.probeMod", "graft.minSupport").foreach { k =>
       require(spark.conf.getOption(k).isEmpty,

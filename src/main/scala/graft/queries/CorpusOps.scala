@@ -1471,6 +1471,26 @@ object CorpusOps {
     * measured point on the same (kn/m)^k curve the sweep traces. */
   val bloomSweepGrid: Seq[Int] = Seq(10, 12, 14)
 
+  /** The sweep grid, session-overridable via `graft.bloom.sweepGrid`
+    * (comma-joined log₂ widths) — the ivfCentroids pattern: the DEFAULT
+    * grid makes false positives measurable on the sf corpora, but a
+    * heavy-tailed scale corpus (ScaleGen --heaps at 100× carries ~6M
+    * distinct train grams) saturates every default width to occupancy
+    * 1000‰ / FPR 10⁶, which is a true reading of "all widths too small"
+    * and teaches nothing; a ScaleCheck run passes a grid sized to its
+    * corpus (kn/m around 1) to measure the DISCRIMINATIVE regime at
+    * scale. ENGINE SIDE ONLY: the DuckDB oracle interpolates the
+    * default, so Verify refuses oracle replay under an override. */
+  def bloomSweepGridFor(s: SparkSession): Seq[Int] =
+    s.conf.getOption("graft.bloom.sweepGrid") match {
+      case None => bloomSweepGrid
+      case Some(raw) =>
+        val g = raw.split(",").toSeq.map(_.trim.toInt)
+        require(g.nonEmpty && g.forall(b => b >= 6 && b <= 62),
+          s"graft.bloom.sweepGrid=$raw out of range [6, 62]")
+        g
+    }
+
   /** Bloom false-positive-rate calibration sweep — the sizing audit for
     * the [[decontaminateBloom]] gate (the cms_width_sweep contract on
     * the membership filter): per width m ∈ 2^[[bloomSweepGrid]], insert
@@ -1510,7 +1530,7 @@ object CorpusOps {
     val tOnly = Util.cachedRelation(s, dir, "bloomSweepTrainOnly", "")(
       g.filter(col("doc_id") % 97 =!= 0).select(col("g")).distinct()
         .join(bench, Seq("g"), "left_anti"))
-    val grid = s.createDataFrame(bloomSweepGrid.map(b =>
+    val grid = s.createDataFrame(bloomSweepGridFor(s).map(b =>
       Tuple2(b.toLong, 1L << b))).toDF("log2m", "m")
     def positions(grams: DataFrame): DataFrame = grams.crossJoin(grid)
       .select(col("g"), col("log2m"), col("m"),

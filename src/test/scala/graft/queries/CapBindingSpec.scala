@@ -217,6 +217,30 @@ class CapBindingSpec extends SparkSpec {
     assert(SimilarityOps.ivfServeCents(spark, dir).count() == 8L)
   }
 
+  test("bloom sweepGrid conf binds: the FPR sweep re-grids with the override") {
+    assert(CorpusOps.bloomSweepGridFor(spark) == Seq(10, 12, 14))
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("graft.bloom.sweepGrid", "8, 16")
+    try {
+      assert(CorpusOps.bloomSweepGridFor(spark) == Seq(8, 16))
+      // the grid relation honors the conf — the lever a heavy-tailed
+      // scale corpus pulls to keep kn/m near 1 (the discriminative
+      // regime) instead of saturating every default width
+      val widths = SparkEntry.queries("bloom_fpr_sweep")(spark, dir)
+        .collect().map(_.getAs[Long]("log2m")).sorted.toSeq
+      assert(widths == Seq(8L, 16L))
+      // out-of-range grids refuse loudly
+      spark.conf.set("graft.bloom.sweepGrid", "4")
+      intercept[IllegalArgumentException] {
+        CorpusOps.bloomSweepGridFor(spark)
+      }
+    } finally {
+      spark.conf.unset("graft.bloom.sweepGrid")
+      graft.queries.Util.releaseCaches(spark)
+    }
+    assert(CorpusOps.bloomSweepGridFor(spark) == Seq(10, 12, 14))
+  }
+
   test("kmv exact-baseline df cap binds: shared grams dropped, sketch side untouched") {
     assert(SketchOps.kmvExactDf(spark) == 1000)
     val dir = "/root/testdata/sf0.001"
