@@ -266,9 +266,128 @@ object PrivacyOps {
        |ORDER BY CASE WHEN ts_hour = TIMESTAMP '$tCloseNullHour' THEN NULL
        |  ELSE ts_hour END NULLS LAST, event_type""".stripMargin
 
+  /** Laplace-scale sweep (ε in milli): 0.1, 0.5, 2.0 — spanning the
+    * strong-privacy / strong-utility tradeoff two decades wide. */
+  val dpEpsGrid: Seq[Long] = Seq(100L, 500L, 2000L)
+  /** milli-log₂ of the micro unit (2²⁰ > 10⁶ > 2¹⁹): the max-noise bound's
+    * log term, lg(10⁶) computed once by the shared integer-lg rule. */
+  private val lgMicro = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(1000000L)
+    1000L * (bits - 1) + (1000L * 1000000L) / (1L << (bits - 1)) - 1000L
+  }
+
+  /** ε-differential-privacy release of the per-type event histogram by
+    * the Laplace mechanism (Dwork–McSherry–Nissim–Smith 2006) — the
+    * rung ABOVE the k → l → t ladder: those audit what a release leaks
+    * structurally; this releases counts with calibrated noise and audits
+    * the MECHANISM's arithmetic. Each bin's count (sensitivity 1 under
+    * add/remove-one-event adjacency) gets noise b·sgn(u−½)·ln(1−2|u−½|)
+    * with b = 1/ε — the exact inverse-CDF Laplace draw — swept over
+    * [[dpEpsGrid]] with the SAME uniform draw per bin so the
+    * noise-vs-budget monotonicity is a per-row law, not a statistical
+    * claim.
+    *
+    * Integer contract, fully cross-engine: u_micro is an md5 coin in
+    * [0, 10⁶); t_micro = max(1, 10⁶ − 2|u − 5·10⁵|) (the 1-clamp is the
+    * coin's resolution floor — it also bounds the max noise);
+    * ln(1/t) via the shared milli-log₂ rule × ln2, giving
+    * noise_micro = (lgdiff · 693147) div (eps_milli · 1000). Laws pinned
+    * per row: `bound_ok` (noise ≤ the t = 1 micro ceiling
+    * (lg(10⁶)·693147) div (eps·1000)) and `mono_ok` (same draw, bigger
+    * ε ⇒ no more noise — b = 1/ε monotone survives the integer floor
+    * because only the denominator grows). released_micro may go negative
+    * (a DP release does; post-processing clamps are the consumer's
+    * choice and would not change ε).
+    *
+    * Deterministic md5 coins are the audit stand-in for the mechanism's
+    * CSPRNG (the kmeanspp/stochastic-greedy convention): what is being
+    * certified is the CALIBRATION — that the engine adds exactly the
+    * noise the budget prescribes — which is the part of a DP pipeline a
+    * cross-engine oracle can pin. A deployment swaps the coin for secure
+    * randomness; ε accounting is unchanged.
+    *
+    * Scale shape: ONE map-side-combining aggregate on event_type
+    * (|bins| rows), then a |bins|·|grid| projection and a |bins|-window —
+    * nothing corpus-scale after the count. */
+  private def dpHistogramRelease(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(s, dir, "events")
+      .select(coalesce(col("event_type"), lit("")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val grid = s.createDataFrame(dpEpsGrid.map(Tuple1(_)))
+      .toDF("eps_milli")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("eps_milli"))
+    hist.crossJoin(broadcast(grid))
+      .withColumn("u_micro",
+        conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+          16, 10).cast("long") % 1000000L)
+      .withColumn("t_micro",
+        greatest(lit(1L), lit(1000000L) -
+          lit(2L) * abs(col("u_micro") - 500000L)))
+      .withColumn("noise_abs_micro",
+        expr(s"((${CurationOps.lg("t_micro")} * -1L + ${lgMicro}L) * 693147L)" +
+          " div (eps_milli * 1000L)"))
+      .withColumn("noise_micro",
+        when(col("u_micro") >= 500000L, col("noise_abs_micro"))
+          .otherwise(-col("noise_abs_micro")))
+      .withColumn("released_micro",
+        col("n_true") * 1000000L + col("noise_micro"))
+      .withColumn("bound_micro",
+        expr(s"(${lgMicro}L * 693147L) div (eps_milli * 1000L)"))
+      .withColumn("bound_ok", col("noise_abs_micro") <= col("bound_micro"))
+      .withColumn("mono_ok", coalesce(
+        col("noise_abs_micro") <= lag(col("noise_abs_micro"), 1).over(w),
+        lit(true)))
+      .select(col("event_type"), col("eps_milli"), col("n_true"),
+        col("u_micro"), col("noise_micro"), col("released_micro"),
+        col("bound_micro"), col("bound_ok"), col("mono_ok"))
+      .orderBy("event_type", "eps_milli")
+  }
+
+  private val dpHistogramReleaseSql = {
+    val gridSql = dpEpsGrid
+      .map(e => s"SELECT CAST($e AS BIGINT) AS eps_milli")
+      .mkString(" UNION ALL ")
+    s"""WITH hist AS (
+       |  SELECT COALESCE(event_type, '') AS event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM events GROUP BY 1),
+       |grid AS ($gridSql),
+       |noised AS (
+       |  SELECT event_type, eps_milli, n_true, u_micro,
+       |    ((CAST($lgMicro AS BIGINT) - ${CurationOps.lgSql("t_micro")})
+       |       * CAST(693147 AS BIGINT))
+       |      // (eps_milli * 1000) AS noise_abs_micro
+       |  FROM (
+       |    SELECT event_type, eps_milli, n_true, u_micro,
+       |      greatest(1, 1000000 - 2 * abs(u_micro - 500000)) AS t_micro
+       |    FROM (
+       |      SELECT h.event_type, g.eps_milli, h.n_true,
+       |        CAST('0x' || substr(md5('dp:' || event_type), 1, 8)
+       |          AS BIGINT) % 1000000 AS u_micro
+       |      FROM hist h CROSS JOIN grid g)))
+       |SELECT event_type, eps_milli, n_true, u_micro,
+       |  CAST(CASE WHEN u_micro >= 500000 THEN noise_abs_micro
+       |    ELSE -noise_abs_micro END AS BIGINT) AS noise_micro,
+       |  CAST(n_true * 1000000 + CASE WHEN u_micro >= 500000
+       |    THEN noise_abs_micro ELSE -noise_abs_micro END AS BIGINT)
+       |    AS released_micro,
+       |  CAST((CAST($lgMicro AS BIGINT) * 693147) // (eps_milli * 1000) AS BIGINT)
+       |    AS bound_micro,
+       |  noise_abs_micro <= (CAST($lgMicro AS BIGINT) * 693147) // (eps_milli * 1000)
+       |    AS bound_ok,
+       |  COALESCE(noise_abs_micro <= lag(noise_abs_micro)
+       |    OVER (PARTITION BY event_type ORDER BY eps_milli), TRUE)
+       |    AS mono_ok
+       |FROM noised
+       |ORDER BY event_type, eps_milli""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pii_anonymize", piiAnonymize, Some(piiAnonymizeSql)),
     Q("k_anonymity_audit", kAnonymityAudit, Some(kAnonymityAuditSql)),
     Q("l_diversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
-    Q("t_closeness_audit", tClosenessAudit, Some(tClosenessAuditSql)))
+    Q("t_closeness_audit", tClosenessAudit, Some(tClosenessAuditSql)),
+    Q("dp_histogram_release", dpHistogramRelease,
+      Some(dpHistogramReleaseSql)))
 }
