@@ -1053,37 +1053,39 @@ object SimilarityOps {
        |               ORDER BY cos DESC, neighbor_id) AS rk FROM tp)
        |       WHERE rk = 1)""".stripMargin
 
-  /** Spark twin of [[graphServeCtes]]: (quantized base, cached self-loop
-    * graph, start state h0 with entry_id + zeroed moves). */
-  private def graphServeParts(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
-    val e = quantizedBase(s, dir)
+  /** Symmetric scored candidate edges (node, nbr, cos) off the capped
+    * LSH pair relation — shared by the flat serve graph and the layered
+    * audit's upper-layer graph. */
+  private def graphScoredEdges(s: SparkSession, dir: String): DataFrame = {
     val p = annLshCosine(s, dir)
-    val ed = p.select(col("a_id").as("node"), col("b_id").as("nbr"), col("cos"))
+    p.select(col("a_id").as("node"), col("b_id").as("nbr"), col("cos"))
       .unionByName(
         p.select(col("b_id").as("node"), col("a_id").as("nbr"), col("cos")))
+  }
+
+  /** Top-[[graphDegree]] graph + self-loops over a scored edge relation —
+    * ONE copy of the graph-build rule for every layer. */
+  private def topDegreeGraph(ed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = ed
       .withColumn("rk", row_number().over(
         Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
       .filter(col("rk") <= graphDegree).select("node", "nbr")
-    // the graph is node·degree-sized and read once per hop per consumer —
-    // session-cached, keyed by the LSH knobs like the pair relation
-    val g2 = Util.cachedRelation(s, dir, "greedyGraph",
-      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
-      g.unionByName(
-        g.select(col("node")).distinct()
-          .select(col("node"), col("node").as("nbr")))
-    }
-    val qs = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("nrm").as("qn"))
-    val low2 = g2.select("node").distinct().orderBy("node").limit(2)
+    g.unionByName(
+      g.select(col("node")).distinct()
+        .select(col("node"), col("node").as("nbr")))
+  }
+
+  /** Entry state for a walk on `graph`: each query starts at the graph's
+    * lowest node (second-lowest if the query IS that node), entry_id and
+    * a zeroed moves column riding along. */
+  private def entryState(e: DataFrame, graph: DataFrame, qs: DataFrame)
+      : DataFrame = {
+    val low2 = graph.select("node").distinct().orderBy("node").limit(2)
       .agg(min("node").as("n1"), max("node").as("n2"))
     val en = e.select(col("vec_id").as("cur"), col("q").as("cq"),
       col("nrm").as("cn"))
-    val h0 = qs.crossJoin(broadcast(low2)) // two-scalar broadcast
+    qs.crossJoin(broadcast(low2)) // two-scalar broadcast
       .withColumn("cur",
         when(col("query_id") === col("n1"), col("n2")).otherwise(col("n1")))
       .join(en, "cur")
@@ -1092,7 +1094,54 @@ object SimilarityOps {
         (dotQ(col("qq"), col("cq")).cast("double") /
           sqrt((col("qn") * col("cn")).cast("double"))).as("ccos"),
         lit(0L).as("moves"))
-    (e, g2, h0)
+  }
+
+  /** The greedy strict-improvement walk, [[graphHops]] unrolled hops on
+    * an arbitrary graph — the annGraphGreedyAudit loop factored so every
+    * layer of the layered audit replays the identical rule. */
+  private def greedyWalk(e: DataFrame, graph: DataFrame, h0: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var h = h0
+    for (_ <- 1 to graphHops) {
+      val wH = Window.partitionBy("query_id")
+        .orderBy(col("ncos").desc, (col("nbr") === col("cur0")).desc,
+          col("nbr"))
+      h = h
+        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
+          col("cur").as("cur0"), col("moves"))
+        .join(graph, col("node") === col("cur0"))
+        .filter(col("nbr") =!= col("query_id")) // cur0 ≠ query, loop survives
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+          col("nrm").as("nn")), "nbr")
+        .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
+          sqrt((col("qn") * col("nn")).cast("double")))
+        .withColumn("rk", row_number().over(wH))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
+          col("nbr").as("cur"), col("ncos").as("ccos"),
+          (col("moves") +
+            when(col("nbr") =!= col("cur0"), 1L).otherwise(0L)).as("moves"))
+    }
+    h
+  }
+
+  /** Spark twin of [[graphServeCtes]]: (quantized base, cached self-loop
+    * graph, start state h0 with entry_id + zeroed moves). */
+  private def graphServeParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    // the graph is node·degree-sized and read once per hop per consumer —
+    // session-cached, keyed by the LSH knobs like the pair relation
+    val g2 = Util.cachedRelation(s, dir, "greedyGraph",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      topDegreeGraph(graphScoredEdges(s, dir))
+    }
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    (e, g2, entryState(e, g2, qs))
   }
 
   /** Rank-1 brute truth shared by the graph family's reconciliations. */
@@ -2255,40 +2304,89 @@ object SimilarityOps {
     * knn_brute_cosine. Nothing corpus-quadratic anywhere. */
 
   private def annGraphGreedyAudit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // "stay" is modeled as a SELF-LOOP candidate rather than a second
     // reference to the walk state: each hop then reads h exactly ONCE, so
     // the unrolled plan is linear (the first formulation referenced h
     // twice per hop — 2^hops copies of the walk subtree, measured 8.8 s
     // of pure stage overhead on 5 rows). Ranking (ncos DESC, self-first,
     // nbr ASC) is exactly "move only on strict improvement": a neighbor
-    // tying the current cosine ranks below the self candidate.
+    // tying the current cosine ranks below the self candidate. The walk
+    // itself is the shared [[greedyWalk]].
     val (e, g2, h0) = graphServeParts(s, dir)
-    var h = h0
-    for (_ <- 1 to graphHops) {
-      val wH = Window.partitionBy("query_id")
-        .orderBy(col("ncos").desc, (col("nbr") === col("cur0")).desc,
-          col("nbr"))
-      h = h
-        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
-          col("cur").as("cur0"), col("moves"))
-        .join(g2, col("node") === col("cur0"))
-        .filter(col("nbr") =!= col("query_id")) // cur0 ≠ query, loop survives
-        .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
-          col("nrm").as("nn")), "nbr")
-        .withColumn("ncos", dotQ(col("qq"), col("nq")).cast("double") /
-          sqrt((col("qn") * col("nn")).cast("double")))
-        .withColumn("rk", row_number().over(wH))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
-          col("nbr").as("cur"), col("ncos").as("ccos"),
-          (col("moves") +
-            when(col("nbr") =!= col("cur0"), 1L).otherwise(0L)).as("moves"))
-    }
-    h.join(bruteTruth(s, dir), "query_id")
+    greedyWalk(e, g2, h0).join(bruteTruth(s, dir), "query_id")
       .select(col("query_id"), col("entry_id"), col("cur").as("final_id"),
         col("ccos").as("final_cos"), col("true_nn_id"), col("true_cos"),
         (col("cur") === col("true_nn_id")).as("found_exact"), col("moves"))
+      .orderBy("query_id")
+  }
+
+  /** Upper-layer membership coin: ~1/[[layerMod]] of nodes promote to
+    * layer 1 (HNSW's geometric level assignment at one level, md5 so
+    * both engines draw the identical layer). */
+  private val layerMod = 4L
+
+  /** Layered (hierarchical) graph serve audit — the HNSW shape (Malkov &
+    * Yashunin 2016) the flat audits explicitly defer: a sparse UPPER
+    * layer (each node promoted with probability 1/[[layerMod]] by an md5
+    * coin — the paper's geometric level assignment truncated to two
+    * levels) is walked first from its own lowest-node entry, and the
+    * landing node becomes the LOWER layer's entry — the long-range
+    * routing that makes a graph serve's entry cost logarithmic instead
+    * of one fixed global entry crossing the whole space. Both layers
+    * replay the IDENTICAL strict-improvement greedy rule ([[greedyWalk]],
+    * the single shared copy) on graphs built by the IDENTICAL
+    * top-[[graphDegree]] rule ([[topDegreeGraph]]) — layer 1 over the
+    * same capped LSH candidate edges restricted to promoted endpoints.
+    *
+    * Emits per query: the layer-1 entry and landing, the final layer-0
+    * landing vs brute truth, per-layer move counts, the flat (single-
+    * layer) walk's final cosine for the SAME query, and two columns the
+    * audit exists for: `descent_ok` (layer-0 walk never degrades the
+    * layer-1 landing cosine — the strict-improvement law, pinned) and
+    * `layered_ge_flat` (DATA: does hierarchical entry beat the fixed
+    * global entry on this corpus — HNSW's Figure-3 claim as a
+    * measurement).
+    *
+    * Scale shape: the layer-1 graph is |promoted|·degree rows off the
+    * SAME cached pair relation (no second candidate pass); each hop on
+    * each layer touches |queries|·degree rows; the flat baseline rides
+    * the session-cached g2. */
+  private def annGraphLayeredAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (e, g2, h0flat) = graphServeParts(s, dir)
+    def promoted(c: Column) =
+      conv(substring(md5(concat(lit("lvl:"), c.cast("string"))), 1, 6),
+        16, 10).cast("long") % layerMod === 0
+    val ed = graphScoredEdges(s, dir)
+    val g1 = Util.cachedRelation(s, dir, "layerOneGraph",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      topDegreeGraph(ed.filter(promoted(col("node")) && promoted(col("nbr"))))
+    }
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val w1 = greedyWalk(e, g1, entryState(e, g1, qs))
+    val h0l0 = w1.select(col("query_id"), col("qq"), col("qn"),
+      col("cur").as("entry_id"), col("cur"), col("ccos"),
+      lit(0L).as("moves"))
+    val w0 = greedyWalk(e, g2, h0l0)
+    val flat = greedyWalk(e, g2, h0flat)
+      .select(col("query_id"), col("ccos").as("flat_cos"))
+    w1.select(col("query_id"), col("entry_id").as("l1_entry_id"),
+        col("cur").as("l1_final_id"), col("ccos").as("l1_cos"),
+        col("moves").as("moves_l1"))
+      .join(w0.select(col("query_id"), col("cur").as("final_id"),
+        col("ccos").as("final_cos"), col("moves").as("moves_l0")),
+        "query_id")
+      .join(flat, "query_id")
+      .join(bruteTruth(s, dir), "query_id")
+      .select(col("query_id"), col("l1_entry_id"), col("l1_final_id"),
+        col("moves_l1"), col("final_id"), col("final_cos"),
+        col("moves_l0"), col("true_nn_id"), col("true_cos"),
+        (col("final_id") === col("true_nn_id")).as("found_exact"),
+        col("flat_cos"),
+        (col("final_cos") >= col("l1_cos")).as("descent_ok"),
+        (col("final_cos") >= col("flat_cos")).as("layered_ge_flat"))
       .orderBy("query_id")
   }
 
@@ -2321,6 +2419,77 @@ object SimilarityOps {
        |  h.cur = nn.true_nn_id AS found_exact, CAST(h.moves AS BIGINT) AS moves
        |FROM h$graphHops h JOIN nn USING (query_id) ORDER BY query_id"""
       .stripMargin
+  }
+
+  /** One layer's [[graphHops]] hop blocks for the layered oracle — the
+    * greedy audit's hop template, parameterized by graph and state
+    * prefix (generated from the same loop as [[greedyWalk]]'s fold). */
+  private def layerHopsSql(graph: String, inState: String, pfx: String)
+      : String =
+    (1 to graphHops).map { k =>
+      val prev = if (k == 1) inState else s"$pfx${k - 1}"
+      s"""${pfx}c$k AS (
+         |  SELECT h.query_id, h.qq, h.qn, h.entry_id, h.cur AS cur0,
+         |    h.moves, c.nbr,
+         |    ${graphCosSql("h.qq", "h.qn", "e.q", "e.nrm")} AS ncos
+         |  FROM $prev h JOIN $graph c ON c.node = h.cur
+         |  JOIN e ON e.vec_id = c.nbr
+         |  WHERE c.nbr <> h.query_id),
+         |$pfx$k AS (
+         |  SELECT query_id, qq, qn, entry_id, nbr AS cur, ncos AS ccos,
+         |    moves + CASE WHEN nbr <> cur0 THEN 1 ELSE 0 END AS moves
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY ncos DESC, (nbr = cur0) DESC, nbr) AS rk
+         |        FROM ${pfx}c$k) WHERE rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private val annGraphLayeredAuditSql = {
+    def coin(x: String) =
+      s"CAST('0x' || substr(md5('lvl:' || CAST($x AS VARCHAR)), 1, 6) " +
+        s"AS BIGINT) % $layerMod = 0"
+    s"""WITH $lshBandsCtes,
+       |$graphServeCtes,
+       |l1e AS (
+       |  SELECT node, nbr, cos FROM ed
+       |  WHERE ${coin("node")} AND ${coin("nbr")}),
+       |g1a AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr, row_number() OVER (PARTITION BY node
+       |      ORDER BY cos DESC, nbr) AS rk FROM l1e)
+       |  WHERE rk <= $graphDegree),
+       |g1 AS (SELECT node, nbr FROM g1a
+       |       UNION ALL SELECT DISTINCT node, node FROM g1a),
+       |low2a AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |            SELECT DISTINCT node FROM g1 ORDER BY node LIMIT 2)),
+       |i0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${graphCosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low2a l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |${layerHopsSql("g1", "i0", "a")},
+       |j0 AS (
+       |  SELECT query_id, qq, qn, cur AS entry_id, cur, ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM a$graphHops),
+       |${layerHopsSql("g2", "j0", "b")},
+       |${layerHopsSql("g2", "h0", "f")}
+       |SELECT a.query_id, a.entry_id AS l1_entry_id, a.cur AS l1_final_id,
+       |  CAST(a.moves AS BIGINT) AS moves_l1,
+       |  b.cur AS final_id, b.ccos AS final_cos,
+       |  CAST(b.moves AS BIGINT) AS moves_l0,
+       |  nn.true_nn_id, nn.true_cos,
+       |  b.cur = nn.true_nn_id AS found_exact,
+       |  f.ccos AS flat_cos,
+       |  b.ccos >= a.ccos AS descent_ok,
+       |  b.ccos >= f.ccos AS layered_ge_flat
+       |FROM a$graphHops a JOIN b$graphHops b USING (query_id)
+       |JOIN f$graphHops f USING (query_id)
+       |JOIN nn USING (query_id)
+       |ORDER BY a.query_id""".stripMargin
   }
 
   // ------------------------------------------------ k-means|| init
@@ -2613,6 +2782,8 @@ object SimilarityOps {
       Some(kmeansSeededConvergenceSql)),
     Q("ann_graph_greedy_audit", annGraphGreedyAudit,
       Some(annGraphGreedyAuditSql)),
+    Q("ann_graph_layered_audit", annGraphLayeredAudit,
+      Some(annGraphLayeredAuditSql)),
     Q("ann_graph_beam_sweep", annGraphBeamSweep, Some(annGraphBeamSweepSql)),
     Q("pca_power_step", pcaPowerStep, Some(pcaPowerStepSql)),
     Q("embedding_anisotropy", embeddingAnisotropy,

@@ -78,6 +78,89 @@ class GraphGreedySpec extends SparkSpec {
       "no movement and no exact hits — degenerate graph, check the build")
   }
 
+  test("ann_graph_layered_audit: full JVM replay of both layers; " +
+    "descent law; flat column reconciles with the greedy audit") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_graph_layered_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("l1_entry_id"), r.getAs[Long]("l1_final_id"),
+          r.getAs[Long]("moves_l1"), r.getAs[Long]("final_id"),
+          r.getAs[Double]("final_cos"), r.getAs[Long]("moves_l0"),
+          r.getAs[Double]("flat_cos"), r.getAs[Boolean]("descent_ok"),
+          r.getAs[Boolean]("layered_ge_flat")))).toMap
+    assert(out.nonEmpty)
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def promoted(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"lvl:$id").take(6), 16) % 4 == 0
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).map(_ =>
+          r.getAs[Long]("vec_id") -> quant(r.getSeq[Float](
+            r.fieldIndex("embedding"))))
+      }.toMap
+    val nrm = emb.map { case (id, q) => id -> dot(q, q) }
+    val live = emb.filter { case (id, _) => nrm(id) > 0 }
+    def cos(a: Long, b: Long): Double =
+      dot(live(a), live(b)).toDouble / math.sqrt((nrm(a) * nrm(b)).toDouble)
+
+    val pairs = SparkEntry.queries("ann_lsh_cosine")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos")))
+    def topAdj(es: Seq[(Long, Long, Double)]): Map[Long, Seq[Long]] =
+      es.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+        .groupBy(_._1).map { case (n, xs) =>
+          n -> xs.sortBy { case (_, nbr, c) => (-c, nbr) }.take(4)
+            .map(_._2).toSeq
+        }
+    val adj = topAdj(pairs.toSeq)
+    val adj1 = topAdj(pairs.toSeq.filter { case (a, b, _) =>
+      promoted(a) && promoted(b) })
+    assert(adj1.nonEmpty, "no promoted edges — coin degenerate, re-check")
+
+    def walk(g: Map[Long, Seq[Long]], qid: Long, start: Long)
+        : (Long, Double, Long) = {
+      var cur = start
+      var ccos = cos(qid, cur)
+      var moves = 0L
+      for (_ <- 1 to 3) {
+        val cands = g.getOrElse(cur, Seq.empty).filter(_ != qid)
+        if (cands.nonEmpty) {
+          val best = cands.map(n => (n, cos(qid, n)))
+            .minBy { case (n, c) => (-c, n) }
+          if (best._2 > ccos) { cur = best._1; ccos = best._2; moves += 1 }
+        }
+      }
+      (cur, ccos, moves)
+    }
+    val n0 = adj.keys.toSeq.sorted
+    val n1s = adj1.keys.toSeq.sorted
+    for (qid <- live.keys.filter(_ < 5).toSeq.sorted) {
+      val l1Entry = if (qid == n1s(0) && n1s.size > 1) n1s(1) else n1s(0)
+      val (l1Cur, l1Cos, l1Moves) = walk(adj1, qid, l1Entry)
+      val (fCur, fCos, fMoves) = walk(adj, qid, l1Cur)
+      val flatEntry = if (qid == n0(0)) n0(1) else n0(0)
+      val (_, flatCos, _) = walk(adj, qid, flatEntry)
+      val got = out(qid)
+      assert(got == ((l1Entry, l1Cur, l1Moves, fCur, fCos, fMoves,
+        flatCos, fCos >= l1Cos, fCos >= flatCos)),
+        s"query $qid: got $got, replay ${(l1Entry, l1Cur, l1Moves, fCur,
+          fCos, fMoves, flatCos, fCos >= l1Cos, fCos >= flatCos)}")
+      // the strict-improvement law can never fail by construction of the
+      // walk — pin that the emitted column agrees
+      assert(got._8, s"descent violated at $qid")
+    }
+    // flat_cos must reconcile with the flat greedy audit row for row
+    val greedy = SparkEntry.queries("ann_graph_greedy_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("final_cos")).toMap
+    out.foreach { case (q, g) => assert(g._7 == greedy(q),
+      s"flat column drifted from the greedy audit at $q") }
+  }
+
   test("ann_graph_beam_sweep: beam-1 cos parity with the greedy walk; widening never hurts") {
     val dir = "/root/testdata/sf0.001"
     val sweep = SparkEntry.queries("ann_graph_beam_sweep")(spark, dir)
