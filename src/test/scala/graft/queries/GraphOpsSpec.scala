@@ -145,6 +145,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(nhats.toSeq == nhats.toSeq.scanLeft(0L)(math.max).tail)
   }
 
+  /** The packing theorem engine-side: element-wise array max-merge ≡
+    * per-(node, j) row max, so the packed query's report equals the
+    * row-form audit's EXACTLY (the cross-engine half is the shared
+    * oracle); and the packed state really is one row per node — the
+    * claim the variant exists for. */
+  test("graph_hyperanf_packed ≡ graph_hyperanf_audit; " +
+    "packed state is |V| rows per level") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = SparkEntry.queries("graph_hyperanf_audit")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val packed = SparkEntry.queries("graph_hyperanf_packed")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(packed == audit)
+    // the t = 0 row's n_nodes is |V|; the packed query's per-node output
+    // grain means every level's distinct-node count equals it — probe
+    // via the report's own anchors (nhat(0) = |V| exactly, m = 16
+    // linear counting), which only holds if no node carries a second row
+    val nv = audit.head(1).asInstanceOf[Long]
+    assert(audit.head(3).asInstanceOf[Long] == nv)
+    assert(packed.head(3).asInstanceOf[Long] == nv)
+  }
+
   /** Path-graph fixture for the effective-diameter run: lineitem pairs
     * (1,1), (2,1), (2,2), (3,2) give the 5-node path
     * p1(2)—s1(3)—p2(4)—s2(5)—p3(6), graph diameter 4 — the register
