@@ -1024,7 +1024,11 @@ object GraphOps {
     val hcExpr = (1 to hanfRounds)
       .map(tt => s"(1000 * s$tt) // $tt").mkString(" + ")
     val sTot = (1 to hanfRounds).map(tt => s"s$tt").mkString(" + ")
-    val bCols = (1 to hanfRounds).map(tt => s"b$tt").mkString(", ")
+    // explicit BIGINT: the est expressions multiply BIGINTs, which DuckDB
+    // widens to HUGEINT (pandas float64) — the dtype-exact driver mirror
+    // rejects that even though values match
+    val bCols = (1 to hanfRounds)
+      .map(tt => s"CAST(b$tt AS BIGINT) AS b$tt").mkString(", ")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
        |  FROM lineitem),
