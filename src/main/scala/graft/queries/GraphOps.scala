@@ -525,9 +525,15 @@ object GraphOps {
     * joins — the O(t²) recompute a deployment would never accept). */
   /** Distinct-pair bipartite edge set (both directions), session-cached —
     * shared by the audit and the diameter run so their graphs cannot
-    * drift. */
+    * drift. NULL keys are excluded: a NULL-keyed "node" is not a graph
+    * node, and keeping it produced a real wart the fuzz gate surfaced —
+    * its own register row carries a NULL rho (SUM skips it but COUNT
+    * doesn't), so n_present exceeds m, v_empty goes negative, and the
+    * node contributes a NEGATIVE estimate to every N̂(t ≥ 1); it also
+    * polluted the t = 1 exact anchor's pair count. */
   private def hanfPairs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .where(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
 
@@ -658,6 +664,11 @@ object GraphOps {
     val m = hanfRegisters
     val edges = hanfEdges(s, dir)
     val regMax = udaf(new graft.functions.RegisterMax(m))
+    // NULL keys never reach here: [[hanfPairs]] excludes them at the
+    // graph build (the seed-65/66 fuzz finding — a NULL-keyed node's
+    // null-rho register made the ROW-FORM path count n_present > m and
+    // emit a NEGATIVE estimate, which no packed encoding can represent;
+    // the graph-level exclusion fixed both variants at the source)
     val r0 = hanfR0(edges).select(col("node"),
       expr(s"transform(sequence(0, ${m - 1}), " +
         "i -> CASE WHEN i = j THEN rho ELSE 0L END)").as("regs"))
@@ -708,7 +719,8 @@ object GraphOps {
          |      FROM $lvl GROUP BY node))"""
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
        |edges AS (
        |  SELECT p AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
@@ -865,7 +877,8 @@ object GraphOps {
       .map(r => nhat(s"r$r", r)).mkString("\n  UNION ALL ")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
        |edges AS MATERIALIZED (
        |  SELECT p AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
@@ -1031,7 +1044,8 @@ object GraphOps {
       .map(tt => s"CAST(b$tt AS BIGINT) AS b$tt").mkString(", ")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
        |edges AS MATERIALIZED (
        |  SELECT p AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
