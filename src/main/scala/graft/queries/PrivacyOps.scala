@@ -290,10 +290,12 @@ object PrivacyOps {
     * Integer contract, fully cross-engine: u_micro is an md5 coin in
     * [0, 10⁶); t_micro = max(1, 10⁶ − 2|u − 5·10⁵|) (the 1-clamp is the
     * coin's resolution floor — it also bounds the max noise);
-    * ln(1/t) via the shared milli-log₂ rule × ln2, giving
-    * noise_micro = (lgdiff · 693147) div (eps_milli · 1000). Laws pinned
-    * per row: `bound_ok` (noise ≤ the t = 1 micro ceiling
-    * (lg(10⁶)·693147) div (eps·1000)) and `mono_ok` (same draw, bigger
+    * ln(1/t) via the shared milli-log₂ rule × ln2: lgdiff·693147 is
+    * ln(1/t) in NANO units (milli-log₂ × ln2·10⁶), and eps_milli is ε
+    * in MILLI units, so the micro-unit draw is their plain quotient —
+    * noise_micro = (lgdiff · 693147) div eps_milli (nano/milli = micro).
+    * Laws pinned per row: `bound_ok` (noise ≤ the t = 1 micro ceiling
+    * (lg(10⁶)·693147) div eps_milli) and `mono_ok` (same draw, bigger
     * ε ⇒ no more noise — b = 1/ε monotone survives the integer floor
     * because only the denominator grows). released_micro may go negative
     * (a DP release does; post-processing clamps are the consumer's
@@ -326,14 +328,14 @@ object PrivacyOps {
           lit(2L) * abs(col("u_micro") - 500000L)))
       .withColumn("noise_abs_micro",
         expr(s"((${CurationOps.lg("t_micro")} * -1L + ${lgMicro}L) * 693147L)" +
-          " div (eps_milli * 1000L)"))
+          " div eps_milli"))
       .withColumn("noise_micro",
         when(col("u_micro") >= 500000L, col("noise_abs_micro"))
           .otherwise(-col("noise_abs_micro")))
       .withColumn("released_micro",
         col("n_true") * 1000000L + col("noise_micro"))
       .withColumn("bound_micro",
-        expr(s"(${lgMicro}L * 693147L) div (eps_milli * 1000L)"))
+        expr(s"(${lgMicro}L * 693147L) div eps_milli"))
       .withColumn("bound_ok", col("noise_abs_micro") <= col("bound_micro"))
       .withColumn("mono_ok", coalesce(
         col("noise_abs_micro") <= lag(col("noise_abs_micro"), 1).over(w),
@@ -357,7 +359,7 @@ object PrivacyOps {
        |  SELECT event_type, eps_milli, n_true, u_micro,
        |    ((CAST($lgMicro AS BIGINT) - ${CurationOps.lgSql("t_micro")})
        |       * CAST(693147 AS BIGINT))
-       |      // (eps_milli * 1000) AS noise_abs_micro
+       |      // eps_milli AS noise_abs_micro
        |  FROM (
        |    SELECT event_type, eps_milli, n_true, u_micro,
        |      greatest(1, 1000000 - 2 * abs(u_micro - 500000)) AS t_micro
@@ -372,9 +374,9 @@ object PrivacyOps {
        |  CAST(n_true * 1000000 + CASE WHEN u_micro >= 500000
        |    THEN noise_abs_micro ELSE -noise_abs_micro END AS BIGINT)
        |    AS released_micro,
-       |  CAST((CAST($lgMicro AS BIGINT) * 693147) // (eps_milli * 1000) AS BIGINT)
+       |  CAST((CAST($lgMicro AS BIGINT) * 693147) // eps_milli AS BIGINT)
        |    AS bound_micro,
-       |  noise_abs_micro <= (CAST($lgMicro AS BIGINT) * 693147) // (eps_milli * 1000)
+       |  noise_abs_micro <= (CAST($lgMicro AS BIGINT) * 693147) // eps_milli
        |    AS bound_ok,
        |  COALESCE(noise_abs_micro <= lag(noise_abs_micro)
        |    OVER (PARTITION BY event_type ORDER BY eps_milli), TRUE)

@@ -62,14 +62,12 @@ object SketchOps {
   /** Per-source gram counts (source, g, cnt) — the finer grain the AMS
     * merge-law audit needs; the corpus-level [[gramCounts]] derives from
     * it, so the session pays ONE token-scale aggregate for the whole
-    * sketch family. */
+    * sketch family. The occurrence projection is [[gramOccBySrc]]
+    * itself — counts ARE that relation grouped — so the batch and the
+    * streaming twin share the rule by construction, not by parity. */
   private[queries] def gramCountsBySrc(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "sketchGramCountsBySrc", "")(
-      t(s, dir, "documents")
-        .select(coalesce(col("source"), lit("")).as("source"),
-          split(col("text"), " ").as("w"))
-        .select(col("source"),
-          explode(CorpusOps.wordGrams(col("w"), 3)).as("g"))
+      gramOccBySrc(t(s, dir, "documents"))
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt")))
 
   /** (row, bucket) CMS cell keys of a doc frame's trigram occurrences —

@@ -9,14 +9,28 @@ import org.apache.spark.sql.SparkSession
   * conf overrides because its DuckDB oracles interpolate the defaults —
   * a value dump has no oracle side, so the override is fine here).
   *
-  * Usage: runMain graft.tools.ShowQ <dataDir> [key=value ...] <query ...>
+  * Usage: runMain graft.tools.ShowQ <dataDir> [key=value ...] <query ...> [n]
+  * (a trailing integer is the row limit, default 100 — the historical
+  * positional form; unknown query names fail with a usage message
+  * instead of a bare NoSuchElementException).
   */
 object ShowQ {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       throw new IllegalArgumentException(
-        "usage: ShowQ <dataDir> [key=value ...] <query ...>"))
-    val (confs, names) = args.drop(1).toSeq.partition(_.contains("="))
+        "usage: ShowQ <dataDir> [key=value ...] <query ...> [rowLimit]"))
+    val rest = args.drop(1).toSeq
+    val (limitArg, nonLimit) = rest.lastOption.filter(_.forall(_.isDigit)) match {
+      case Some(n) => (n.toInt, rest.init)
+      case None    => (100, rest)
+    }
+    val (confs, names) = nonLimit.partition(_.contains("="))
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (names.isEmpty || unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        (if (unknown.nonEmpty) s"unknown queries: ${unknown.mkString(", ")}. "
+         else "no queries named. ") +
+          "usage: ShowQ <dataDir> [key=value ...] <query ...> [rowLimit]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +46,7 @@ object ShowQ {
     }
     names.foreach { name =>
       println(s"== $name")
-      graft.SparkEntry.queries(name)(spark, dir).show(100, truncate = false)
+      graft.SparkEntry.queries(name)(spark, dir).show(limitArg, truncate = false)
     }
     spark.stop()
   }

@@ -180,9 +180,9 @@ class PrivacyOpsSpec extends SparkSpec {
       val tMicro = math.max(1L, 1000000L - 2L * math.abs(u - 500000L))
       PrivacyOps.dpEpsGrid.map { eps =>
         val absN = (lgMicro - graft.queries.SketchOps.lgJvm(tMicro)) *
-          693147L / (eps * 1000L)
+          693147L / eps
         val noise = if (u >= 500000L) absN else -absN
-        val bound = lgMicro * 693147L / (eps * 1000L)
+        val bound = lgMicro * 693147L / eps
         (et, eps, n, u, noise, n * 1000000L + noise, bound,
           absN <= bound)
       }

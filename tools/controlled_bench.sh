@@ -102,8 +102,19 @@ def min_merge(files):
 
 base = min_merge(basefiles)
 head = min_merge(headfiles)
-json.dump(json.load(open(headfiles[0])), open(f"{prefix}_head.json", "w"))
-json.dump(json.load(open(basefiles[0])), open(f"{prefix}_base.json", "w"))
+
+# Persist the MIN-MERGED per-query maps as the saved head/base records —
+# the same numbers ratio.json's totals use — so the artifacts reproduce
+# the verdict math (the per-pair raw files <prefix>_{base,head}_<i>.json
+# stay on disk alongside them).
+def dump_merged(first_file, merged, out):
+    rec = json.load(open(first_file))
+    rec["queries"] = {q: round(t, 4) for q, t in sorted(merged.items())}
+    rec["value"] = round(sum(merged.values()), 2)
+    rec["merged_from_pairs"] = len(basefiles)
+    json.dump(rec, open(out, "w"))
+dump_merged(headfiles[0], head, f"{prefix}_head.json")
+dump_merged(basefiles[0], base, f"{prefix}_base.json")
 common = sorted(set(base) & set(head))
 bt = sum(base[q] for q in common)
 ht = sum(head[q] for q in common)
