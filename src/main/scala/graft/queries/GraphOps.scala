@@ -129,6 +129,21 @@ object GraphOps {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
 
+  /** Unpersist + drop this session's HyperANF register family — the
+    * cached propagation levels (`hanfRegs1..hanfMaxRounds`) and their
+    * packed-array twins (`hanfPacked*`). These are the largest
+    * session-cached relations the graph tier builds (|V|·m rows per
+    * level, MEMORY_AND_DISK), shared by the audit, the packed variant,
+    * the effective-diameter run, and harmonic centrality — and consumed
+    * by NOTHING else, so once the graph wave is done they are pure
+    * displacement pressure on every later query's warm state (the r15
+    * measured effect on pagerank_links). `hanfEdges` is deliberately
+    * kept: it is edge-list-sized and cheap to rebuild, but leaving it
+    * makes an accidental re-entry into the family cheap too. Correctness
+    * is untouched — the next hanf consumer rebuilds levels lazily. */
+  def releaseHanfCaches(s: SparkSession): Int =
+    Util.releaseFamily(s, "hanfRegs", "hanfPacked")
+
   /** Unpersist + drop this session's basket/pair caches — the
     * [[Util.releaseCaches]] ladder's hook into this file's registries. */
   private[queries] def releaseGraphCaches(s: SparkSession): Unit = {

@@ -385,11 +385,183 @@ object PrivacyOps {
        |ORDER BY event_type, eps_milli""".stripMargin
   }
 
+  /** How many event types the exponential-mechanism release selects. */
+  val dpTopK = 3
+  /** milli-log₂ of the nano unit (for the Gumbel double-log). */
+  private val lgNano = SketchOps.lgJvm(1000000000L)
+  /** Bounds of the integer Gumbel draw, from the coin's resolution:
+    * max at −ln u = the 1-clamp floor (lg = 0), min at u_micro = 1
+    * (−ln u = ln 10⁶, the largest the coin can express). */
+  private val gumbelMaxNano = lgNano * 693147L
+  private val gumbelMinNano =
+    (lgNano - SketchOps.lgJvm(lgMicro * 693147L)) * 693147L
+
+  /** ε-DP top-k selection of event types by the EXPONENTIAL mechanism
+    * (McSherry–Talwar 2007) — the second classical release primitive
+    * next to [[dpHistogramRelease]]'s Laplace rung: instead of noising
+    * every count, SELECT k types with probability ∝ exp(ε·u/2Δu),
+    * utility u = the type's count (sensitivity 1). Implemented one-shot
+    * via the Gumbel-max equivalence (Durfee–Rogers 2019, "Practical
+    * differentially private top-k selection"): adding an independent
+    * Gumbel draw to each ε·u/2 and taking the top k IS the k-round
+    * peeling exponential mechanism, so the whole release is ONE
+    * rank-window over |bins| rows — no per-round renormalization loop.
+    *
+    * Integer contract, fully cross-engine:
+    *  - Gumbel draw G = −ln(−ln u) by composing the shared milli-log₂
+    *    rule twice: −ln u in NANO units is (lg(10⁶) − lg(u_micro))·
+    *    693147 (clamped ≥ 1 — the coin's resolution floor, as the
+    *    histogram's t-clamp), then g_nano = (lg(10⁹) − lg(lnu_nano))·
+    *    693147. Both lg operands are positive, so truncating division
+    *    never sees a negative (the div/floor cross-engine trap).
+    *  - score_nano = eps_milli·n_true·500000 + g_nano (ε·u/2 in nano).
+    *    `sel_rank` = the per-ε rank by (score desc, type); selected ⇔
+    *    rank ≤ [[dpTopK]].
+    *  - Round-1 selection PROBABILITIES in exact integer micro, the
+    *    max-shifted stable form: the log-weight deficit of a bin vs the
+    *    argmax count is mag_micro = eps_milli·(n_max−n)·500 ≥ 0; its
+    *    milli-log₂ is l2 = (mag·1000) div 693147, and the weight is the
+    *    EXACT INVERSE of the lg rule's in-octave interpolation,
+    *    w_micro = 10⁹ div ((1000 + l2 mod 1000) << (l2 div 1000))
+    *    (0 once l2 ≥ 20000 — the shift that floors below 1 micro, so no
+    *    overflow and no libm exp anywhere); p_micro = w·10⁶ div Σw.
+    *
+    * Laws pinned per row: `prob_sum_ok` (per ε, 10⁶ − Σp ∈ [0, |bins|] —
+    * floor losses only), `mono_ok` (same draw, bigger ε ⇒ the argmax
+    * bin's p never falls and every other bin's weight never rises —
+    * the mechanism's concentration direction, exact under the integer
+    * floor because w is monotone in l2 across octave wraps), and `g_ok`
+    * (the Gumbel draw lands in the coin-resolution bounds). The md5
+    * coin stands in for the CSPRNG exactly as in the histogram release;
+    * what the oracle certifies is the calibration arithmetic and the
+    * selection rule.
+    *
+    * Scale shape: ONE map-side-combining aggregate on event_type
+    * (|bins| rows), then |bins|·|grid| projection + two windows — nothing
+    * corpus-scale after the count. */
+  private def dpTopkRelease(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(s, dir, "events")
+      .select(coalesce(col("event_type"), lit("")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val grid = s.createDataFrame(dpEpsGrid.map(Tuple1(_)))
+      .toDF("eps_milli")
+    val wEps = Window.partitionBy(col("eps_milli"))
+    val wRank = Window.partitionBy(col("eps_milli"))
+      .orderBy(col("score_nano").desc, col("event_type"))
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("eps_milli"))
+    hist.crossJoin(broadcast(grid))
+      .withColumn("u_micro",
+        greatest(lit(1L),
+          conv(substring(md5(concat(lit("dptk:"), col("event_type"))), 1, 8),
+            16, 10).cast("long") % 1000000L))
+      .withColumn("lnu_nano",
+        greatest(lit(1L),
+          expr(s"(${lgMicro}L - ${CurationOps.lg("u_micro")}) * 693147L")))
+      .withColumn("g_nano",
+        expr(s"(${lgNano}L - ${CurationOps.lg("lnu_nano")}) * 693147L"))
+      .withColumn("score_nano",
+        col("eps_milli") * col("n_true") * 500000L + col("g_nano"))
+      .withColumn("rk", rank().over(wRank).cast("long"))
+      .withColumn("sel_rank", when(col("rk") <= dpTopK, col("rk")))
+      .withColumn("mag_micro",
+        col("eps_milli") * (max(col("n_true")).over(wEps) - col("n_true"))
+          * 500L)
+      .withColumn("l2_milli", expr("(mag_micro * 1000L) div 693147L"))
+      .withColumn("w_micro", when(col("l2_milli") >= 20000L, lit(0L))
+        .otherwise(expr("1000000000L div ((1000L + l2_milli % 1000L) * " +
+          "shiftleft(1L, CAST(l2_milli div 1000L AS INT)))")))
+      .withColumn("p_micro",
+        expr("(w_micro * 1000000L) div " +
+          "(sum(w_micro) OVER (PARTITION BY eps_milli))"))
+      .withColumn("p_sum", sum(col("p_micro")).over(wEps))
+      .withColumn("prob_sum_ok",
+        col("p_sum") <= 1000000L &&
+          lit(1000000L) - col("p_sum") <= count(lit(1)).over(wEps))
+      .withColumn("mono_ok", coalesce(
+        when(col("mag_micro") === 0L,
+          col("p_micro") >= lag(col("p_micro"), 1).over(wType))
+          .otherwise(col("w_micro") <= lag(col("w_micro"), 1).over(wType)),
+        lit(true)))
+      .withColumn("g_ok",
+        col("g_nano") <= gumbelMaxNano && col("g_nano") >= gumbelMinNano)
+      .select(col("event_type"), col("eps_milli"), col("n_true"),
+        col("u_micro"), col("g_nano"), col("score_nano"), col("sel_rank"),
+        col("w_micro"), col("p_micro"), col("prob_sum_ok"), col("mono_ok"),
+        col("g_ok"))
+      .orderBy("eps_milli", "event_type")
+  }
+
+  private val dpTopkReleaseSql = {
+    val gridSql = dpEpsGrid
+      .map(e => s"SELECT CAST($e AS BIGINT) AS eps_milli")
+      .mkString(" UNION ALL ")
+    s"""WITH hist AS (
+       |  SELECT COALESCE(event_type, '') AS event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM events GROUP BY 1),
+       |grid AS ($gridSql),
+       |coins AS (
+       |  SELECT event_type, eps_milli, n_true,
+       |    greatest(1, CAST('0x' || substr(md5('dptk:' || event_type), 1, 8)
+       |      AS BIGINT) % 1000000) AS u_micro
+       |  FROM hist CROSS JOIN grid),
+       |lnu AS (
+       |  SELECT *, greatest(1,
+       |      (CAST($lgMicro AS BIGINT) - ${CurationOps.lgSql("u_micro")})
+       |        * 693147) AS lnu_nano
+       |  FROM coins),
+       |gum AS (
+       |  SELECT *, (CAST($lgNano AS BIGINT) - ${CurationOps.lgSql("lnu_nano")})
+       |      * 693147 AS g_nano
+       |  FROM lnu),
+       |scored AS (
+       |  SELECT *, eps_milli * n_true * 500000 + g_nano AS score_nano,
+       |    eps_milli * ((MAX(n_true) OVER (PARTITION BY eps_milli)) - n_true)
+       |      * 500 AS mag_micro
+       |  FROM gum),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(rank() OVER (PARTITION BY eps_milli
+       |      ORDER BY score_nano DESC, event_type) AS BIGINT) AS rk,
+       |    (mag_micro * 1000) // 693147 AS l2_milli
+       |  FROM scored),
+       |weighted AS (
+       |  SELECT *,
+       |    CASE WHEN l2_milli >= 20000 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(1000000000 AS BIGINT) //
+       |        ((1000 + l2_milli % 1000) *
+       |         (CAST(1 AS BIGINT) << CAST(l2_milli // 1000 AS INTEGER)))
+       |    END AS w_micro
+       |  FROM ranked),
+       |probs AS (
+       |  SELECT *,
+       |    (w_micro * 1000000) //
+       |      (SUM(w_micro) OVER (PARTITION BY eps_milli)) AS p_micro
+       |  FROM weighted)
+       |SELECT event_type, eps_milli, n_true, u_micro, g_nano, score_nano,
+       |  CASE WHEN rk <= $dpTopK THEN rk END AS sel_rank,
+       |  w_micro, p_micro,
+       |  SUM(p_micro) OVER (PARTITION BY eps_milli) <= 1000000
+       |    AND 1000000 - SUM(p_micro) OVER (PARTITION BY eps_milli)
+       |      <= COUNT(*) OVER (PARTITION BY eps_milli) AS prob_sum_ok,
+       |  COALESCE(CASE WHEN mag_micro = 0
+       |      THEN p_micro >= lag(p_micro) OVER
+       |        (PARTITION BY event_type ORDER BY eps_milli)
+       |      ELSE w_micro <= lag(w_micro) OVER
+       |        (PARTITION BY event_type ORDER BY eps_milli) END,
+       |    TRUE) AS mono_ok,
+       |  g_nano <= $gumbelMaxNano AND g_nano >= $gumbelMinNano AS g_ok
+       |FROM probs
+       |ORDER BY eps_milli, event_type""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pii_anonymize", piiAnonymize, Some(piiAnonymizeSql)),
     Q("k_anonymity_audit", kAnonymityAudit, Some(kAnonymityAuditSql)),
     Q("l_diversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
     Q("t_closeness_audit", tClosenessAudit, Some(tClosenessAuditSql)),
     Q("dp_histogram_release", dpHistogramRelease,
-      Some(dpHistogramReleaseSql)))
+      Some(dpHistogramReleaseSql)),
+    Q("dp_topk_release", dpTopkRelease, Some(dpTopkReleaseSql)))
 }

@@ -105,6 +105,18 @@ object SimilarityOps {
       if (k._1 eq s) { dfs.foreach(_.unpersist()); false } else true
     }
   }
+  /** Unpersist + drop this session's graph-serve caches — the greedy/beam
+    * serve graph (`greedyGraph`), its shared hop-1 candidate pool
+    * (`graphHop1`), and the layered serve's promoted layer-1 subgraph
+    * (`layerOneGraph`). All three are consumed ONLY by the `ann_graph_*`
+    * wave, so after its last query they are displacement pressure with no
+    * future reader — the same finding as
+    * [[graft.queries.GraphOps.releaseHanfCaches]], on the serve side. The
+    * quantized base is deliberately NOT released: kmeans/knn/pq/ivf
+    * consumers run later in any sorted walk. */
+  def releaseServeGraphCaches(s: SparkSession): Int =
+    Util.releaseFamily(s, "greedyGraph", "graphHop1", "layerOneGraph")
+
   private[queries] def quantizedBase(s: SparkSession, dir: String): DataFrame = {
     // evict entries whose session is gone so the map can't pin stopped
     // sessions (and their cached blocks) for the JVM lifetime

@@ -112,6 +112,27 @@ object Util {
     UnigramOps.releaseWpCache(s)
   }
 
+  /** Family-scoped release: unpersist + drop this session's
+    * [[cachedRelation]] entries whose NAME starts with one of the given
+    * prefixes, leaving every other family's warm state alone. The
+    * all-or-nothing [[releaseCaches]] is the end-of-phase ladder; this is
+    * the end-of-FAMILY one — the r15 finding: the HyperANF register
+    * levels (|V|·m rows × up to [[graft.queries.GraphOps.hanfMaxRounds]]
+    * MEMORY_AND_DISK levels) stayed resident for the whole session after
+    * their last consumer ran, and the measured cost was displacement of
+    * unrelated queries' warm state (pagerank_links 2.6 → 5.6 s in-suite),
+    * not their own runtime. Returns how many entries were released so a
+    * caller (Bench's family boundary, CacheAudit) can log the action. */
+  def releaseFamily(s: SparkSession, namePrefixes: String*): Int = {
+    var released = 0
+    relCache.filterInPlace { case (k, df) =>
+      if ((k._1 eq s) && namePrefixes.exists(k._3.startsWith)) {
+        df.unpersist(); released += 1; false
+      } else true
+    }
+    released
+  }
+
   /** Read one testdata table.
     *
     * `events.ts` has shipped in two layouts across driver testdata

@@ -42,21 +42,6 @@ object CacheAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    names.foreach { n =>
-      if (n == "RELEASE") {
-        // phase boundary: the unpersist ladder between work phases — the
-        // mitigation the audit prescribes when residency + the next
-        // query's working set exceed the heap
-        graft.queries.Util.releaseCaches(spark)
-        System.err.println("[cache-audit] RELEASE: ladder ran")
-      } else {
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(n)(spark, dir).count()
-        System.err.println(f"[cache-audit] $n: $rows rows, " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-      }
-    }
-
     def storage(): (Long, Long, Seq[String]) = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val mem = infos.map(_.memSize).sum
@@ -70,6 +55,37 @@ object CacheAudit {
       }
       (mem, disk, rows)
     }
+
+    names.foreach { n =>
+      if (n == "RELEASE") {
+        // phase boundary: the unpersist ladder between work phases — the
+        // mitigation the audit prescribes when residency + the next
+        // query's working set exceed the heap
+        graft.queries.Util.releaseCaches(spark)
+        System.err.println("[cache-audit] RELEASE: ladder ran")
+      } else if (n == "RELEASE_HANF") {
+        // family boundary: drop just the HyperANF register levels (the
+        // Bench boundary's hook, runnable here to measure the footprint
+        // delta in the storage report)
+        val k = graft.queries.GraphOps.releaseHanfCaches(spark)
+        val (m, d, _) = storage()
+        System.err.println(s"[cache-audit] RELEASE_HANF: $k relations " +
+          s"released; storage now mem=${m / 1024 / 1024} MB " +
+          s"disk=${d / 1024 / 1024} MB")
+      } else if (n == "RELEASE_SERVE") {
+        val k = graft.queries.SimilarityOps.releaseServeGraphCaches(spark)
+        val (m, d, _) = storage()
+        System.err.println(s"[cache-audit] RELEASE_SERVE: $k relations " +
+          s"released; storage now mem=${m / 1024 / 1024} MB " +
+          s"disk=${d / 1024 / 1024} MB")
+      } else {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        System.err.println(f"[cache-audit] $n: $rows rows, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
     val (memUsed, diskUsed, perRdd) = storage()
     val maxStorage = spark.sparkContext.getExecutorMemoryStatus.values
       .map(_._1).sum // max storage+execution memory per executor

