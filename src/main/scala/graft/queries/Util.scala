@@ -106,6 +106,7 @@ object Util {
       if (k._1 eq s) { df.unpersist(); false } else true
     }
     SimilarityOps.releaseBase(s)
+    SimilarityOps.releaseServeGraphCaches(s) // ckpt'd built graphs too
     DedupOps.releaseCcCaches(s)
     GraphOps.releaseGraphCaches(s)
     TextOps.releaseBpeCache(s)

@@ -78,8 +78,51 @@ class GraphGreedySpec extends SparkSpec {
       "no movement and no exact hits — degenerate graph, check the build")
   }
 
-  test("ann_graph_layered_audit: full JVM replay of both layers; " +
-    "descent law; flat column reconciles with the greedy audit") {
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala HNSW build off the public LSH pair relation: insert
+    * clock, per-node top-8 earlier-inserted candidate pool, the
+    * Malkov–Yashunin greedy prune, symmetric built edges (duplicates
+    * preserved — the engine unions without distinct). Returns
+    * (candidates by node in rank order with cos, kept nbrs by node in
+    * rank order, symmetric built edge list). */
+  private def replayBuild(pairs: Seq[(Long, Long, Double)],
+      cos: (Long, Long) => Double)
+      : (Map[Long, Seq[(Long, Double)]], Map[Long, Seq[Long]],
+         Seq[(Long, Long, Double)]) = {
+    def insH(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ins:$id").take(12), 16)
+    val dire = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter { case (n, nbr, _) =>
+        val (hn, hb) = (insH(n), insH(nbr))
+        hb < hn || (hb == hn && nbr < n)
+      }
+    val cand = dire.groupBy(_._1).map { case (n, es) =>
+      n -> es.sortBy { case (_, nbr, c) => (-c, nbr) }.take(8)
+        .map(e => (e._2, e._3))
+    }
+    val kept = cand.map { case (n, cs) =>
+      val k = scala.collection.mutable.ArrayBuffer[Long]()
+      for ((nbr, cq) <- cs)
+        if (!k.exists(s => cos(nbr, s) >= cq)) k += nbr
+      n -> k.toSeq
+    }
+    val bsym = kept.toSeq.flatMap { case (n, ks) =>
+      ks.flatMap(nbr => Seq((n, nbr, cos(n, nbr)), (nbr, n, cos(n, nbr))))
+    }
+    (cand, kept, bsym)
+  }
+
+  private def topAdj4(es: Seq[(Long, Long, Double)]): Map[Long, Seq[Long]] =
+    es.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.sortBy { case (_, nbr, c) => (-c, nbr) }.take(4)
+        .map(_._2).toSeq
+    }
+
+  test("ann_graph_layered_audit: full JVM replay — HNSW build, both " +
+    "layer walks, flat baseline; descent law") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("ann_graph_layered_audit")(spark, dir)
       .collect().map(r => r.getAs[Long]("query_id") ->
@@ -90,9 +133,6 @@ class GraphGreedySpec extends SparkSpec {
           r.getAs[Boolean]("layered_ge_flat")))).toMap
     assert(out.nonEmpty)
 
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def promoted(id: Long): Boolean =
       java.lang.Long.parseLong(md5hex(s"lvl:$id").take(6), 16) % 4 == 0
 
@@ -109,17 +149,13 @@ class GraphGreedySpec extends SparkSpec {
 
     val pairs = SparkEntry.queries("ann_lsh_cosine")(spark, dir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
-        r.getAs[Double]("cos")))
-    def topAdj(es: Seq[(Long, Long, Double)]): Map[Long, Seq[Long]] =
-      es.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
-        .groupBy(_._1).map { case (n, xs) =>
-          n -> xs.sortBy { case (_, nbr, c) => (-c, nbr) }.take(4)
-            .map(_._2).toSeq
-        }
-    val adj = topAdj(pairs.toSeq)
-    val adj1 = topAdj(pairs.toSeq.filter { case (a, b, _) =>
+        r.getAs[Double]("cos"))).toSeq
+    val (_, kept, bsym) = replayBuild(pairs, cos)
+    assert(kept.nonEmpty, "empty build — no candidates, re-check")
+    val adj = topAdj4(bsym)
+    val adj1 = topAdj4(bsym.filter { case (a, b, _) =>
       promoted(a) && promoted(b) })
-    assert(adj1.nonEmpty, "no promoted edges — coin degenerate, re-check")
+    assert(adj1.nonEmpty, "no promoted built edges — coin degenerate")
 
     def walk(g: Map[Long, Seq[Long]], qid: Long, start: Long)
         : (Long, Double, Long) = {
@@ -153,12 +189,75 @@ class GraphGreedySpec extends SparkSpec {
       // walk — pin that the emitted column agrees
       assert(got._8, s"descent violated at $qid")
     }
-    // flat_cos must reconcile with the flat greedy audit row for row
-    val greedy = SparkEntry.queries("ann_graph_greedy_audit")(spark, dir)
-      .collect().map(r => r.getAs[Long]("query_id") ->
-        r.getAs[Double]("final_cos")).toMap
-    out.foreach { case (q, g) => assert(g._7 == greedy(q),
-      s"flat column drifted from the greedy audit at $q") }
+  }
+
+  test("ann_graph_insert_audit: full JVM replay of the build — insert " +
+    "clock, candidate pools, greedy prune, decile stats and laws") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_graph_insert_audit")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).map(_ =>
+          r.getAs[Long]("vec_id") -> quant(r.getSeq[Float](
+            r.fieldIndex("embedding"))))
+      }.toMap
+    val nrm = emb.map { case (id, q) => id -> dot(q, q) }
+    val live = emb.filter { case (id, _) => nrm(id) > 0 }
+    def cos(a: Long, b: Long): Double =
+      dot(live(a), live(b)).toDouble / math.sqrt((nrm(a) * nrm(b)).toDouble)
+    val pairs = SparkEntry.queries("ann_lsh_cosine")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos"))).toSeq
+    val (cand, kept, _) = replayBuild(pairs, cos)
+
+    def insH(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ins:$id").take(12), 16)
+    def cm(c: Double): Long = math.floor(c * 1000).toLong + 1000L
+    case class Agg(var n: Long = 0, var nc: Long = 0, var nk: Long = 0,
+      var maxDeg: Long = 0, var degZero: Long = 0,
+      var keptSum: Long = 0, var keptN: Long = 0,
+      var topSum: Long = 0, var topN: Long = 0)
+    val byDecile = scala.collection.mutable.Map.empty[Long, Agg]
+    for (node <- live.keys) {
+      val d = insH(node) * 10 / (1L << 48)
+      val a = byDecile.getOrElseUpdate(d, Agg())
+      val cs = cand.getOrElse(node, Seq.empty)
+      val ks = kept.getOrElse(node, Seq.empty)
+      a.n += 1; a.nc += cs.length; a.nk += ks.length
+      a.maxDeg = math.max(a.maxDeg, ks.length.toLong)
+      if (cs.nonEmpty && ks.isEmpty) a.degZero += 1
+      // pairwise cosines among the KEPT set and among the same-size
+      // top-by-cos prefix of the candidate pool
+      for (i <- ks.indices; j <- 0 until i) {
+        a.keptSum += cm(cos(ks(i), ks(j))); a.keptN += 1
+      }
+      val top = cs.take(ks.length).map(_._1)
+      for (i <- top.indices; j <- 0 until i) {
+        a.topSum += cm(cos(top(i), top(j))); a.topN += 1
+      }
+    }
+    val expected = byDecile.toSeq.sortBy(_._1).map { case (d, a) =>
+      (d, a.n, a.nc, a.nk, 1000 * a.nc / a.n, 1000 * a.nk / a.n,
+        if (a.nc > 0) 1000 * (a.nc - a.nk) / a.nc else 0L,
+        if (a.keptN > 0) Some(a.keptSum / a.keptN - 1000) else None,
+        if (a.topN > 0) Some(a.topSum / a.topN - 1000) else None,
+        if (a.keptN > 0 && a.topN > 0)
+          a.keptSum / a.keptN <= a.topSum / a.topN else true,
+        a.maxDeg <= 8 && a.nk <= a.nc && a.degZero == 0)
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      if (r.isNullAt(7)) None else Some(r.getLong(7)),
+      if (r.isNullAt(8)) None else Some(r.getLong(8)),
+      r.getBoolean(9), r.getBoolean(10))).toSeq
+    assert(got == expected)
+    // laws hold everywhere; the prune demonstrably fired somewhere
+    assert(out.forall(_.getAs[Boolean]("deg_ok")))
+    assert(out.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_cand")),
+      "the heuristic never pruned anything — degenerate corpus?")
   }
 
   test("ann_graph_beam_sweep: beam-1 cos parity with the greedy walk; widening never hurts") {
