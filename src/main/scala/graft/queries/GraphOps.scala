@@ -142,7 +142,7 @@ object GraphOps {
     * makes an accidental re-entry into the family cheap too. Correctness
     * is untouched — the next hanf consumer rebuilds levels lazily. */
   def releaseHanfCaches(s: SparkSession): Int =
-    Util.releaseFamily(s, "hanfRegs", "hanfPacked")
+    Util.releaseFamily(s, "hanfRegs", "hanfPacked", "hanfSwar")
 
   /** Unpersist + drop this session's basket/pair caches — the
     * [[Util.releaseCaches]] ladder's hook into this file's registries. */
@@ -674,8 +674,13 @@ object GraphOps {
     * Scale: the Aggregator is not codegen'd, but it runs ONE pass per
     * round with bounded 16-long buffers and partial aggregation; what it
     * buys is the m× smaller shuffle and the contiguous per-node state a
-    * real deployment needs. */
-  private def graphHyperanfPacked(s: SparkSession, dir: String): DataFrame = {
+    * real deployment needs. Since round 16 this Aggregator form is the
+    * MEASURED BASELINE (`graph_hyperanf_packed_udaf`); the shipped
+    * packed variant is [[graphHyperanfPacked]], whose merge decomposes
+    * into builtin lane-extraction MAX aggregates — same state shape,
+    * whole-stage codegen instead of Aggregator serde. */
+  private def graphHyperanfPackedUdaf(s: SparkSession, dir: String)
+      : DataFrame = {
     val m = hanfRegisters
     val edges = hanfEdges(s, dir)
     val regMax = udaf(new graft.functions.RegisterMax(m))
@@ -700,6 +705,72 @@ object GraphOps {
         expr("aggregate(filter(regs, r -> r > 0), 0L, " +
           "(acc, r) -> acc + shiftleft(1L, CAST(30 - r AS INT)))")
           .as("z_present")))
+        .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
+    hanfReport(s, dir, levels.zipWithIndex
+      .map { case (regs, tt) => nhatOf(regs, tt) }
+      .reduce(_.unionAll(_)))
+  }
+
+  /** HyperANF with BIT-PACKED registers and a fully codegen'd merge —
+    * the round-15 "SWAR registers" task, solved the Spark-native way:
+    * rho ≤ [[hanfRhoBits]]+1 = 29 fits 5 bits, so the m = 16 register
+    * bank packs into TWO BIGINTs (8 byte-aligned lanes each; the top
+    * lane's value peaks at bit 60, so arithmetic shifts never touch the
+    * sign bit). The per-round max-merge DECOMPOSES per lane: MAX over
+    * the group of `(p >> 8k) & 255`, repacked by shift+sum in the same
+    * projection — 16 builtin MAX aggregates over primitive longs,
+    * hash-aggregated map-side inside WholeStageCodegen, where the
+    * [[graft.functions.RegisterMax]] Aggregator form
+    * (`graph_hyperanf_packed_udaf`, kept as the measured baseline) pays
+    * array-encoder serde on every row. A literal in-lane SWAR max would
+    * still need a custom AGGREGATE (Spark has no lane-max aggregate);
+    * lane decomposition reaches the same 2-long shuffle state with zero
+    * non-builtin code in the hot path — per-round shuffle rows are
+    * (node, p0, p1), 16× skinnier than the row form and 8× fewer longs
+    * than the array form.
+    *
+    * Output ≡ the row-form audit's report (lane extract → the shared
+    * [[hanfEstFrom]] estimator math), so the oracle is the row-form
+    * chain — packed ≡ unpacked pinned cross-engine per round, the same
+    * theorem the udaf variant pins. */
+  private def graphHyperanfPacked(s: SparkSession, dir: String): DataFrame = {
+    val m = hanfRegisters
+    val lanes = m / 2
+    val edges = hanfEdges(s, dir)
+    val r0 = hanfR0(edges).select(col("node"),
+      when(col("j") < lanes,
+        expr("shiftleft(rho, CAST(8 * j AS INT))")).otherwise(0L).as("p0"),
+      when(col("j") >= lanes,
+        expr(s"shiftleft(rho, CAST(8 * (j - $lanes) AS INT))"))
+        .otherwise(0L).as("p1"))
+    def laneMaxes(pcol: String, pfx: String) = (0 until lanes).map(k =>
+      max(expr(s"shiftright($pcol, ${8 * k}) & 255L")).as(s"$pfx$k"))
+    def repack(pfx: String) = (0 until lanes).map(k =>
+      expr(s"shiftleft($pfx$k, ${8 * k})")).reduce(_ + _)
+    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
+      Util.cachedRelation(s, dir, s"hanfSwar$tt", "")(
+        prev.union(edges.join(prev, edges("dst") === prev("node"))
+            .select(edges("src").as("node"), prev("p0"), prev("p1")))
+          .groupBy(col("node"))
+          .agg((laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).head,
+            (laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).tail: _*)
+          .select(col("node"), repack("a").as("p0"), repack("b").as("p1")))
+    }
+    def nhatOf(regs: DataFrame, tt: Int): DataFrame =
+      hanfEstFrom(regs
+        .select(col("node"), expr(
+          s"""concat(
+             |  transform(sequence(0, ${lanes - 1}),
+             |    k -> shiftright(p0, CAST(8 * k AS INT)) & 255L),
+             |  transform(sequence(0, ${lanes - 1}),
+             |    k -> shiftright(p1, CAST(8 * k AS INT)) & 255L))"""
+            .stripMargin).as("regs"))
+        .select(col("node"),
+          expr("size(filter(regs, r -> r > 0))").cast("long")
+            .as("n_present"),
+          expr("aggregate(filter(regs, r -> r > 0), 0L, " +
+            "(acc, r) -> acc + shiftleft(1L, CAST(30 - r AS INT)))")
+            .as("z_present")))
         .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
     hanfReport(s, dir, levels.zipWithIndex
       .map { case (regs, tt) => nhatOf(regs, tt) }
@@ -1099,12 +1170,17 @@ object GraphOps {
   val all: Seq[Q] = Seq(
     Q("graph_hyperanf_audit", graphHyperanfAudit,
       Some(graphHyperanfAuditSql)),
-    // the packed variant's oracle IS the row-form chain: emitting the
+    // the packed variants' oracle IS the row-form chain: emitting the
     // identical report is the packing theorem, hash-pinned cross-engine
     Q("graph_hyperanf_packed", graphHyperanfPacked,
       Some(graphHyperanfAuditSql
         // anchor on the final clause only: "ORDER BY t" alone also
         // matches the growth window's OVER (ORDER BY t)
+        .replace("FROM c2 ORDER BY t",
+          "FROM c2 ORDER BY t -- same oracle as graph_hyperanf_audit:" +
+            " the bit-packed lane-max plan must emit the identical report"))),
+    Q("graph_hyperanf_packed_udaf", graphHyperanfPackedUdaf,
+      Some(graphHyperanfAuditSql
         .replace("FROM c2 ORDER BY t",
           "FROM c2 ORDER BY t -- same oracle as graph_hyperanf_audit:" +
             " the packed RegisterMax plan must emit the identical report"))),

@@ -1239,15 +1239,29 @@ object StreamingPipeline {
     * (ad DESC, g) witness rule). Unlike the Space-Saving zipf monitor the
     * state here is vocabulary-scale (|sources|·|grams| — the size of the
     * batch relation itself): TV is a full-distribution distance, and
-    * capping the state would silently change the metric. At 100 TB the
-    * feed this monitors is the post-gate ingest SAMPLE (the zipf
-    * monitor's deployment note), where vocabulary-scale state is the
-    * accepted cost of an exact distribution monitor; the bounded
-    * alternative is sketching both sides, which turns TV into an
-    * estimate — a different operator.
+    * capping the state would silently change the metric.
     *
-    * Scale: deliberately a SINGLE group like the zipf monitor — TV needs
-    * the corpus totals, which no per-source group can see. */
+    * STATE-SHAPE DECISION (round 16, recorded): the single group is
+    * RETAINED as the exactness contract, not an oversight. TV(src) =
+    * ½Σ_g |p_src(g) − q(g)| needs the CORPUS distribution q — a global
+    * view no per-source state group can hold, and Structured Streaming
+    * gives a stateful operator no cross-group reads. Re-keying per
+    * source would force q to come from a second stateful stage joined
+    * back per batch — an append-mode join of two stateful aggregates,
+    * which SS rejects without watermark semantics that would change
+    * WHICH rows the monitor sees; sketching both sides (CMS for q,
+    * per-source CMS for p) bounds state but turns TV into an estimate —
+    * a DIFFERENT operator, not this twin. The deployment bound that
+    * follows, stated plainly: state bytes ≈ Σ_src |vocab_src| ·
+    * (gram bytes + 8) in ONE state object updated by ONE task per batch
+    * — at the sf0.1 shape (31-word vocabulary) that is ~30k grams × a
+    * few sources ≈ single-digit MB and update cost is per-batch token
+    * count; on an UNBOUNDED vocabulary (Heaps-law feed) it grows with
+    * corpus vocabulary, so the monitor's feed contract is the post-gate
+    * ingest SAMPLE (the zipf monitor's deployment note), and the batch
+    * `source_tv_drift` over the full corpus remains the real path. A
+    * feed that cannot be sampled needs the sketched estimator, which
+    * this repo deliberately has not badged as "TV". */
   def tvDriftStream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val occ = graft.queries.SketchOps.gramOccBySrc(docs)

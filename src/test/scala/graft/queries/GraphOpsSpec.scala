@@ -165,6 +165,12 @@ class GraphOpsSpec extends SparkSpec {
     val nv = audit.head(1).asInstanceOf[Long]
     assert(audit.head(3).asInstanceOf[Long] == nv)
     assert(packed.head(3).asInstanceOf[Long] == nv)
+    // the Aggregator baseline emits the identical report too — the
+    // bit-packed lane-max rewrite (round 16) cannot have changed the
+    // semantics it was rewritten from
+    val udaf = SparkEntry.queries("graph_hyperanf_packed_udaf")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(udaf == audit)
   }
 
   /** Path-graph fixture for the effective-diameter run: lineitem pairs
