@@ -734,47 +734,67 @@ object GraphOps {
     * chain — packed ≡ unpacked pinned cross-engine per round, the same
     * theorem the udaf variant pins. */
   private def graphHyperanfPacked(s: SparkSession, dir: String): DataFrame = {
-    val m = hanfRegisters
-    val lanes = m / 2
     val edges = hanfEdges(s, dir)
-    val r0 = hanfR0(edges).select(col("node"),
+    val levels = (1 to hanfRounds).scanLeft(hanfSwarR0(edges)) { (prev, tt) =>
+      hanfSwarLevel(s, dir, edges, prev, tt)
+    }
+    hanfReport(s, dir, levels.zipWithIndex
+      .map { case (regs, tt) => hanfSwarNhat(regs, tt) }
+      .reduce(_.unionAll(_)))
+  }
+
+  /** Round-0 packed registers: each node's single (j, rho) seed placed
+    * into its byte lane of (p0, p1). */
+  private def hanfSwarR0(edges: DataFrame): DataFrame = {
+    val lanes = hanfRegisters / 2
+    hanfR0(edges).select(col("node"),
       when(col("j") < lanes,
         expr("shiftleft(rho, CAST(8 * j AS INT))")).otherwise(0L).as("p0"),
       when(col("j") >= lanes,
         expr(s"shiftleft(rho, CAST(8 * (j - $lanes) AS INT))"))
         .otherwise(0L).as("p1"))
+  }
+
+  /** One packed propagation round, session-cached under the SAME key for
+    * the packed audit and the effective-diameter run — the codegen'd
+    * lane-max merge described on [[graphHyperanfPacked]]. */
+  private def hanfSwarLevel(s: SparkSession, dir: String, edges: DataFrame,
+      prev: DataFrame, tt: Int): DataFrame = {
+    val lanes = hanfRegisters / 2
     def laneMaxes(pcol: String, pfx: String) = (0 until lanes).map(k =>
       max(expr(s"shiftright($pcol, ${8 * k}) & 255L")).as(s"$pfx$k"))
     def repack(pfx: String) = (0 until lanes).map(k =>
       expr(s"shiftleft($pfx$k, ${8 * k})")).reduce(_ + _)
-    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
-      Util.cachedRelation(s, dir, s"hanfSwar$tt", "")(
-        prev.union(edges.join(prev, edges("dst") === prev("node"))
-            .select(edges("src").as("node"), prev("p0"), prev("p1")))
-          .groupBy(col("node"))
-          .agg((laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).head,
-            (laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).tail: _*)
-          .select(col("node"), repack("a").as("p0"), repack("b").as("p1")))
-    }
-    def nhatOf(regs: DataFrame, tt: Int): DataFrame =
-      hanfEstFrom(regs
-        .select(col("node"), expr(
-          s"""concat(
-             |  transform(sequence(0, ${lanes - 1}),
-             |    k -> shiftright(p0, CAST(8 * k AS INT)) & 255L),
-             |  transform(sequence(0, ${lanes - 1}),
-             |    k -> shiftright(p1, CAST(8 * k AS INT)) & 255L))"""
-            .stripMargin).as("regs"))
-        .select(col("node"),
-          expr("size(filter(regs, r -> r > 0))").cast("long")
-            .as("n_present"),
-          expr("aggregate(filter(regs, r -> r > 0), 0L, " +
-            "(acc, r) -> acc + shiftleft(1L, CAST(30 - r AS INT)))")
-            .as("z_present")))
-        .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
-    hanfReport(s, dir, levels.zipWithIndex
-      .map { case (regs, tt) => nhatOf(regs, tt) }
-      .reduce(_.unionAll(_)))
+    Util.cachedRelation(s, dir, s"hanfSwar$tt", "")(
+      prev.union(edges.join(prev, edges("dst") === prev("node"))
+          .select(edges("src").as("node"), prev("p0"), prev("p1")))
+        .groupBy(col("node"))
+        .agg((laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).head,
+          (laneMaxes("p0", "a") ++ laneMaxes("p1", "b")).tail: _*)
+        .select(col("node"), repack("a").as("p0"), repack("b").as("p1")))
+  }
+
+  /** The (t, N̂(t)) estimate row of one PACKED level — lanes unpacked to
+    * the register array, then the SAME [[hanfEstFrom]] integer math as
+    * the row form (packed ≡ row-form is the pinned theorem both packed
+    * consumers ride). */
+  private def hanfSwarNhat(regs: DataFrame, tt: Int): DataFrame = {
+    val lanes = hanfRegisters / 2
+    hanfEstFrom(regs
+      .select(col("node"), expr(
+        s"""concat(
+           |  transform(sequence(0, ${lanes - 1}),
+           |    k -> shiftright(p0, CAST(8 * k AS INT)) & 255L),
+           |  transform(sequence(0, ${lanes - 1}),
+           |    k -> shiftright(p1, CAST(8 * k AS INT)) & 255L))"""
+          .stripMargin).as("regs"))
+      .select(col("node"),
+        expr("size(filter(regs, r -> r > 0))").cast("long")
+          .as("n_present"),
+        expr("aggregate(filter(regs, r -> r > 0), 0L, " +
+          "(acc, r) -> acc + shiftleft(1L, CAST(30 - r AS INT)))")
+          .as("z_present")))
+      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
   }
 
   private def graphHyperanfAuditSql = {
@@ -865,34 +885,41 @@ object GraphOps {
     * guarantees N̂(t*) > N̂(t*−1), so the division is defined and lands in
     * ((t*−1)·1000, t*·1000] — pinned per row as `t90_ok` (t* = 0 → 0).
     *
-    * Scale shape: identical to the audit (ONE edges⋈registers max-merge
-    * per round over session-cached levels — levels ≤ [[hanfRounds]] are
-    * THE SAME cached relations the audit built, so running both costs the
-    * extra rounds only); the early stop means a flat graph pays 1 round
-    * past flatness, never the max, and each level's N̂ aggregate runs
-    * ONCE — the output curve is a local relation over the collected
+    * Scale shape: ONE edges⋈registers lane-max merge per round over the
+    * session-cached PACKED levels (levels ≤ [[hanfRounds]] are THE SAME
+    * cached relations `graph_hyperanf_packed` uses, so running both
+    * costs the extra rounds only, and each round's shuffle carries
+    * (node, p0, p1) — 2 longs per node, the deployment's network
+    * shape); the early stop means a flat graph pays 1 round past
+    * flatness, never the max, and each level's N̂ aggregate runs ONCE —
+    * the output curve is a local relation over the collected
     * exact-integer scalars, not a second pass over the cached levels.
     * The curve post-processing windows run on ≤ 9 rows. */
   private def graphEffectiveDiameter(s: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = hanfEdges(s, dir)
-    val r0 = hanfR0(edges)
+    val r0 = hanfSwarR0(edges)
     def nhatScalar(regs: DataFrame, tt: Int): Option[Long] = {
-      val row = hanfNhat(regs, tt).collect().head
+      val row = hanfSwarNhat(regs, tt).collect().head
       if (row.isNullAt(1)) None else Some(row.getLong(1))
     }
     // each level's N̂ is collected ONCE (the early-stop test needs the
     // scalar anyway) and the output curve is rebuilt from those exact
     // integers as a local relation — re-aggregating every cached
     // |V|·m-row level a second time through a lazy union doubled the
-    // query's cost for identical output (the r15 verdict's top item)
+    // query's cost for identical output (the r15 verdict's top item).
+    // Propagation rides the PACKED levels (the lane-max merge shared
+    // with graph_hyperanf_packed — 2 longs per node per round instead
+    // of m rows): packed ≡ row-form is the pinned theorem, so the N̂
+    // integers, the stop round, and the hash are unchanged, while the
+    // per-round shuffle is the network shape a deployment ships.
     val curvePts = scala.collection.mutable.ArrayBuffer(0L -> nhatScalar(r0, 0))
     var prev = r0
     var tt = 1
     var flat = false
     while (tt <= hanfMaxRounds && !flat) {
-      val regs = hanfLevel(s, dir, edges, prev, tt)
+      val regs = hanfSwarLevel(s, dir, edges, prev, tt)
       val nh = nhatScalar(regs, tt)
       // growth is defined only when both estimates exist and the
       // predecessor is positive — the oracle's CASE guard, mirrored so an
