@@ -774,11 +774,11 @@ object GraphOps {
         .select(col("node"), repack("a").as("p0"), repack("b").as("p1")))
   }
 
-  /** The (t, N̂(t)) estimate row of one PACKED level — lanes unpacked to
-    * the register array, then the SAME [[hanfEstFrom]] integer math as
-    * the row form (packed ≡ row-form is the pinned theorem both packed
-    * consumers ride). */
-  private def hanfSwarNhat(regs: DataFrame, tt: Int): DataFrame = {
+  /** Per-node ball estimate (node, est) of one PACKED level — lanes
+    * unpacked to the register array, then the SAME [[hanfEstFrom]]
+    * integer math as the row form (packed ≡ row-form is the pinned
+    * theorem every packed consumer rides). */
+  private def hanfSwarNodeEst(regs: DataFrame): DataFrame = {
     val lanes = hanfRegisters / 2
     hanfEstFrom(regs
       .select(col("node"), expr(
@@ -794,8 +794,12 @@ object GraphOps {
         expr("aggregate(filter(regs, r -> r > 0), 0L, " +
           "(acc, r) -> acc + shiftleft(1L, CAST(30 - r AS INT)))")
           .as("z_present")))
-      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
   }
+
+  /** The (t, N̂(t)) estimate row of one PACKED level. */
+  private def hanfSwarNhat(regs: DataFrame, tt: Int): DataFrame =
+    hanfSwarNodeEst(regs)
+      .agg(lit(tt.toLong).as("t"), sum(col("est")).as("nhat"))
 
   private def graphHyperanfAuditSql = {
     val rhoW = 1L << hanfRhoBits
@@ -1060,8 +1064,10 @@ object GraphOps {
 
   /** Approximate harmonic centrality by HyperBall (Boldi–Vigna 2014,
     * "In-core computation of geometric centralities with HyperBall"):
-    * C_H(v) = Σ_{u≠v} 1/d(u,v), estimated from the SAME register levels
-    * the HyperANF audit propagates — the shell between radius t−1 and t
+    * C_H(v) = Σ_{u≠v} 1/d(u,v), estimated from the SAME session-cached
+    * register levels the packed HyperANF family propagates (the
+    * lane-packed `hanfSwar*` relations shared with the diameter run and
+    * `graph_hyperanf_packed`) — the shell between radius t−1 and t
     * contributes (|ball(v,t)| − |ball(v,t−1)|)/t, so the whole centrality
     * of every node falls out of the levels that already exist, with ZERO
     * extra propagation (levels are the session-cached relations the audit
@@ -1087,12 +1093,18 @@ object GraphOps {
   private def graphHarmonicCentrality(s: SparkSession, dir: String)
       : DataFrame = {
     val edges = hanfEdges(s, dir)
-    val r0 = hanfR0(edges)
-    val levels = (1 to hanfRounds).scanLeft(r0) { (prev, tt) =>
-      hanfLevel(s, dir, edges, prev, tt)
+    // since round 16 the ball estimates read off the PACKED levels (the
+    // lane-max family shared with the diameter run and the packed
+    // audit) through the same hanfEstFrom integer math — identical est
+    // integers by the pinned packed ≡ row-form theorem, and the
+    // centrality pass adds zero propagation to a session where the
+    // diameter already ran (the row-form levels stay the audit's
+    // independent arm)
+    val levels = (1 to hanfRounds).scanLeft(hanfSwarR0(edges)) { (prev, tt) =>
+      hanfSwarLevel(s, dir, edges, prev, tt)
     }
     val ests = levels.zipWithIndex.map { case (regs, tt) =>
-      hanfNodeEst(regs).select(col("node"), col("est").as(s"b$tt"))
+      hanfSwarNodeEst(regs).select(col("node"), col("est").as(s"b$tt"))
     }
     val joined = ests.reduce(_.join(_, "node"))
     val shells = (1 to hanfRounds).map(tt =>
