@@ -536,8 +536,9 @@ object PrivacyOps {
        |  FROM ranked),
        |probs AS (
        |  SELECT *,
-       |    (w_micro * 1000000) //
-       |      (SUM(w_micro) OVER (PARTITION BY eps_milli)) AS p_micro
+       |    CAST((w_micro * 1000000) //
+       |      CAST(SUM(w_micro) OVER (PARTITION BY eps_milli) AS BIGINT)
+       |      AS BIGINT) AS p_micro
        |  FROM weighted)
        |SELECT event_type, eps_milli, n_true, u_micro, g_nano, score_nano,
        |  CASE WHEN rk <= $dpTopK THEN rk END AS sel_rank,
