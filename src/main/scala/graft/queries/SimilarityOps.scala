@@ -2827,6 +2827,78 @@ object SimilarityOps {
       .orderBy("decile")
   }
 
+  /** Built-vs-static serve A/B — the switch decision the build audit
+    * leads to: for each serve query, the SAME strict-improvement greedy
+    * walk ([[greedyWalk]], one shared copy) run on (a) the BUILT
+    * HNSW-pruned graph ([[hnswGraph]]) and (b) the static top-degree
+    * graph every pre-round-16 serve audit used, both from their own
+    * lowest-node entry, against brute truth. Emits both landings,
+    * cosines, move counts, exact-hit flags, the milli cosine delta and
+    * `built_ge_static` — whether insert-ordered construction + the
+    * diversity prune serves at least as well as the static stand-in on
+    * this corpus, as DATA (the honest form: on tiny graphs either can
+    * win a given query; the measurement is the point). No new build
+    * work: both graphs and the truth relation are session-cached by
+    * their existing owners.
+    *
+    * Scale shape: two |queries|·degree-per-hop walks + one
+    * query-count-bounded join — audit cost tracks queries × degree,
+    * never corpus size. */
+  private def annGraphBuildVsStatic(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (e, g2, h0) = graphServeParts(s, dir)
+    val gb = hnswGraph(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val wStatic = greedyWalk(e, g2, h0)
+    val wBuilt = greedyWalk(e, gb, entryState(e, gb, qs))
+    wBuilt.select(col("query_id"), col("cur").as("built_id"),
+        col("ccos").as("built_cos"), col("moves").as("built_moves"))
+      .join(wStatic.select(col("query_id"), col("cur").as("static_id"),
+        col("ccos").as("static_cos"), col("moves").as("static_moves")),
+        "query_id")
+      .join(bruteTruth(s, dir), "query_id")
+      .select(col("query_id"), col("built_id"), col("built_cos"),
+        col("built_moves"), col("static_id"), col("static_cos"),
+        col("static_moves"), col("true_nn_id"), col("true_cos"),
+        (col("built_id") === col("true_nn_id")).as("built_exact"),
+        (col("static_id") === col("true_nn_id")).as("static_exact"),
+        floor((col("built_cos") - col("static_cos")) * 1000).cast("long")
+          .as("delta_milli"),
+        (col("built_cos") >= col("static_cos")).as("built_ge_static"))
+      .orderBy("query_id")
+  }
+
+  private val annGraphBuildVsStaticSql =
+    s"""WITH $lshBandsCtes,
+       |$graphServeCtes,
+       |$hnswBuildCtes,
+       |${layerHopsSql("g2", "h0", "s")},
+       |low0b AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |            SELECT DISTINCT node FROM gb ORDER BY node LIMIT 2)),
+       |f0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${graphCosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low0b l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |${layerHopsSql("gb", "f0", "b")}
+       |SELECT b.query_id, b.cur AS built_id, b.ccos AS built_cos,
+       |  CAST(b.moves AS BIGINT) AS built_moves,
+       |  s.cur AS static_id, s.ccos AS static_cos,
+       |  CAST(s.moves AS BIGINT) AS static_moves,
+       |  nn.true_nn_id, nn.true_cos,
+       |  b.cur = nn.true_nn_id AS built_exact,
+       |  s.cur = nn.true_nn_id AS static_exact,
+       |  CAST(FLOOR((b.ccos - s.ccos) * 1000) AS BIGINT) AS delta_milli,
+       |  b.ccos >= s.ccos AS built_ge_static
+       |FROM b$graphHops b JOIN s$graphHops s USING (query_id)
+       |JOIN nn USING (query_id)
+       |ORDER BY b.query_id""".stripMargin
+
   private val annGraphInsertAuditSql =
     s"""WITH $lshBandsCtes,
        |$graphServeCtes,
@@ -3172,6 +3244,8 @@ object SimilarityOps {
       Some(kmeansSeededConvergenceSql)),
     Q("ann_graph_greedy_audit", annGraphGreedyAudit,
       Some(annGraphGreedyAuditSql)),
+    Q("ann_graph_build_vs_static", annGraphBuildVsStatic,
+      Some(annGraphBuildVsStaticSql)),
     Q("ann_graph_insert_audit", annGraphInsertAudit,
       Some(annGraphInsertAuditSql)),
     Q("ann_graph_layered_audit", annGraphLayeredAudit,

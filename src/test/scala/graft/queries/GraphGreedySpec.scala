@@ -191,6 +191,31 @@ class GraphGreedySpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_build_vs_static reconciles with both parent walks") {
+    val dir = "/root/testdata/sf0.001"
+    val ab = SparkEntry.queries("ann_graph_build_vs_static")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Double]("built_cos"), r.getAs[Double]("static_cos"),
+          r.getAs[Long]("built_moves"), r.getAs[Long]("static_moves"),
+          r.getAs[Boolean]("built_ge_static")))).toMap
+    assert(ab.nonEmpty)
+    // built arm ≡ the layered audit's flat column: same walk, same
+    // built graph, same lowest-node entry rule
+    val flat = SparkEntry.queries("ann_graph_layered_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("flat_cos")).toMap
+    // static arm ≡ the flat greedy audit's final cosine
+    val greedy = SparkEntry.queries("ann_graph_greedy_audit")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Double]("final_cos"), r.getAs[Long]("moves")))).toMap
+    ab.foreach { case (q, (bc, sc, _, sm, ge)) =>
+      assert(bc == flat(q), s"built arm drifted from layered flat at $q")
+      assert((sc, sm) == greedy(q),
+        s"static arm drifted from the greedy audit at $q")
+      assert(ge == (bc >= sc), s"built_ge_static inconsistent at $q")
+    }
+  }
+
   test("ann_graph_insert_audit: full JVM replay of the build — insert " +
     "clock, candidate pools, greedy prune, decile stats and laws") {
     val dir = "/root/testdata/sf0.001"
