@@ -395,6 +395,13 @@ object PrivacyOps {
   private val gumbelMaxNano = lgNano * 693147L
   private val gumbelMinNano =
     (lgNano - SketchOps.lgJvm(lgMicro * 693147L)) * 693147L
+  /** Shift making every Gumbel draw non-negative before the nano→micro
+    * truncating division: g_nano ∈ [gumbelMinNano, gumbelMaxNano] and
+    * gumbelMinNano < 0, so (g_nano + gumbelShiftNano) ≥ 0 — Spark's
+    * `div` (truncate toward zero) and DuckDB's `//` (floor) agree on
+    * non-negative operands, the div/floor cross-engine trap. The shift
+    * is constant per row, so per-ε score RANKS are unchanged by it. */
+  private[queries] val gumbelShiftNano = -gumbelMinNano
 
   /** ε-DP top-k selection of event types by the EXPONENTIAL mechanism
     * (McSherry–Talwar 2007) — the second classical release primitive
@@ -414,7 +421,15 @@ object PrivacyOps {
     *    histogram's t-clamp), then g_nano = (lg(10⁹) − lg(lnu_nano))·
     *    693147. Both lg operands are positive, so truncating division
     *    never sees a negative (the div/floor cross-engine trap).
-    *  - score_nano = eps_milli·n_true·500000 + g_nano (ε·u/2 in nano).
+    *  - score_micro = eps_milli·n_true·500 + (g_nano +
+    *    [[gumbelShiftNano]]) div 1000 (ε·u/2 in MICRO units; the shift
+    *    keeps the dividend non-negative so truncate ≡ floor, and being
+    *    constant per row it never reorders a per-ε rank). Micro scale
+    *    buys 1000× count headroom over the nano form: the product
+    *    eps_milli·n_true·500 stays inside BIGINT up to n_true ≈ 9.2·10¹²
+    *    at the grid max ε = 2.0 (the nano form overflowed at ≈ 9.2·10⁹,
+    *    where Spark wraps silently while DuckDB raises — the engines
+    *    would diverge exactly at the scale this engine targets).
     *    `sel_rank` = the per-ε rank by (score desc, type); selected ⇔
     *    rank ≤ [[dpTopK]].
     *  - Round-1 selection PROBABILITIES in exact integer micro, the
@@ -448,7 +463,7 @@ object PrivacyOps {
       .toDF("eps_milli")
     val wEps = Window.partitionBy(col("eps_milli"))
     val wRank = Window.partitionBy(col("eps_milli"))
-      .orderBy(col("score_nano").desc, col("event_type"))
+      .orderBy(col("score_micro").desc, col("event_type"))
     val wType = Window.partitionBy(col("event_type")).orderBy(col("eps_milli"))
     hist.crossJoin(broadcast(grid))
       .withColumn("u_micro",
@@ -460,8 +475,9 @@ object PrivacyOps {
           expr(s"(${lgMicro}L - ${CurationOps.lg("u_micro")}) * 693147L")))
       .withColumn("g_nano",
         expr(s"(${lgNano}L - ${CurationOps.lg("lnu_nano")}) * 693147L"))
-      .withColumn("score_nano",
-        col("eps_milli") * col("n_true") * 500000L + col("g_nano"))
+      .withColumn("score_micro",
+        col("eps_milli") * col("n_true") * 500L +
+          expr(s"(g_nano + ${gumbelShiftNano}L) div 1000"))
       .withColumn("rk", rank().over(wRank).cast("long"))
       .withColumn("sel_rank", when(col("rk") <= dpTopK, col("rk")))
       .withColumn("mag_micro",
@@ -486,7 +502,7 @@ object PrivacyOps {
       .withColumn("g_ok",
         col("g_nano") <= gumbelMaxNano && col("g_nano") >= gumbelMinNano)
       .select(col("event_type"), col("eps_milli"), col("n_true"),
-        col("u_micro"), col("g_nano"), col("score_nano"), col("sel_rank"),
+        col("u_micro"), col("g_nano"), col("score_micro"), col("sel_rank"),
         col("w_micro"), col("p_micro"), col("prob_sum_ok"), col("mono_ok"),
         col("g_ok"))
       .orderBy("eps_milli", "event_type")
@@ -516,14 +532,15 @@ object PrivacyOps {
        |      * 693147 AS g_nano
        |  FROM lnu),
        |scored AS (
-       |  SELECT *, eps_milli * n_true * 500000 + g_nano AS score_nano,
+       |  SELECT *, eps_milli * n_true * 500
+       |      + (g_nano + $gumbelShiftNano) // 1000 AS score_micro,
        |    eps_milli * ((MAX(n_true) OVER (PARTITION BY eps_milli)) - n_true)
        |      * 500 AS mag_micro
        |  FROM gum),
        |ranked AS (
        |  SELECT *,
        |    CAST(rank() OVER (PARTITION BY eps_milli
-       |      ORDER BY score_nano DESC, event_type) AS BIGINT) AS rk,
+       |      ORDER BY score_micro DESC, event_type) AS BIGINT) AS rk,
        |    (mag_micro * 1000) // 693147 AS l2_milli
        |  FROM scored),
        |weighted AS (
@@ -540,7 +557,8 @@ object PrivacyOps {
        |      CAST(SUM(w_micro) OVER (PARTITION BY eps_milli) AS BIGINT)
        |      AS BIGINT) AS p_micro
        |  FROM weighted)
-       |SELECT event_type, eps_milli, n_true, u_micro, g_nano, score_nano,
+       |SELECT event_type, eps_milli, n_true, u_micro, g_nano,
+       |  CAST(score_micro AS BIGINT) AS score_micro,
        |  CASE WHEN rk <= $dpTopK THEN rk END AS sel_rank,
        |  w_micro, p_micro,
        |  SUM(p_micro) OVER (PARTITION BY eps_milli) <= 1000000

@@ -107,8 +107,9 @@ object SimilarityOps {
   }
   /** Unpersist + drop this session's graph-serve caches — the greedy/beam
     * serve graph (`greedyGraph`), its shared hop-1 candidate pool
-    * (`graphHop1`), and the layered serve's promoted layer-1 subgraph
-    * (`layerOneGraph`). All three are consumed ONLY by the `ann_graph_*`
+    * (`graphHop1`), the `hnsw*`-prefixed cached relations, and the
+    * checkpointed built graphs (`hnswGraph`/`hnswLayerOne` in
+    * `hnswCkptCache`). All are consumed ONLY by the `ann_graph_*`
     * wave, so after its last query they are displacement pressure with no
     * future reader — the same finding as
     * [[graft.queries.GraphOps.releaseHanfCaches]], on the serve side. The

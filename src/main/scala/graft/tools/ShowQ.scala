@@ -20,7 +20,8 @@ object ShowQ {
       throw new IllegalArgumentException(
         "usage: ShowQ <dataDir> [key=value ...] <query ...> [rowLimit]"))
     val rest = args.drop(1).toSeq
-    val (limitArg, nonLimit) = rest.lastOption.filter(_.forall(_.isDigit)) match {
+    val (limitArg, nonLimit) = rest.lastOption
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)) match {
       case Some(n) => (n.toInt, rest.init)
       case None    => (100, rest)
     }

@@ -230,7 +230,7 @@ class PrivacyOpsSpec extends SparkSpec {
         val u = math.max(1L, u32(s"dptk:$et") % 1000000L)
         val lnu = math.max(1L, (lgMicro - lg(u)) * 693147L)
         val g = (lgNano - lg(lnu)) * 693147L
-        val score = eps * n * 500000L + g
+        val score = eps * n * 500L + (g + PrivacyOps.gumbelShiftNano) / 1000L
         val mag = eps * (nMax - n) * 500L
         val l2 = mag * 1000L / 693147L
         val w = if (l2 >= 20000L) 0L
