@@ -98,7 +98,17 @@ object Bench {
     // A failed query is reported as NEGATIVE elapsed seconds (not a normal
     // measurement) and forces a nonzero exit, so breakage can't masquerade
     // as a fast run.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c scopes the run to named queries (local
+    // A/B iteration on one family); unknown names fail loudly. The driver
+    // never sets it, so round captures stay full-surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown: $unknown")
+    }
     val sortedQs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = sortedQs.zipWithIndex.map { case ((name, fn), i) =>
       releaseEvery.foreach { n =>
         if (i > 0 && i % n == 0) {

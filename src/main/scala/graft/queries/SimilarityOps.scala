@@ -892,25 +892,41 @@ object SimilarityOps {
       Seq[(Long, Long, Long, Option[Long])]]
   private val kmeansTrainLock = new Object
 
+  /** The ad-hoc (build-rule) seed set — `kmeans_train_rounds`' seed. */
+  private def adhocSeed(s: SparkSession, dir: String): DataFrame =
+    quantizedBase(s, dir)
+      .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nrm").as("cn"))
+
   /** The ad-hoc (build-rule) seeded trainer — `kmeans_train_rounds`'
     * loop, now one instantiation of [[lloydRows]]. */
   private def kmeansTrainRows(s: SparkSession, dir: String)
       : Seq[(Long, Long, Long, Option[Long])] =
-    lloydRows(s, dir, "adhoc",
-      quantizedBase(s, dir)
-        .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0)
-        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-          col("nrm").as("cn")))
+    lloydRows(s, dir, Seq("adhoc" -> (() => adhocSeed(s, dir))))("adhoc")
 
-  /** [[kmeansTrainRoundsK]] Lloyd rounds from an arbitrary seed set —
-    * per round (round, inertia, n_active, n_moved). Results are cached
-    * per (session, dir, seedKey) so Verify/bench pay each arm's loop
-    * once; everything else is the original trainer unchanged. */
-  private def lloydRows(s: SparkSession, dir: String, seedKey: String,
-      seedCents: => DataFrame)
-      : Seq[(Long, Long, Long, Option[Long])] = kmeansTrainLock.synchronized {
+  /** [[kmeansTrainRoundsK]] Lloyd rounds from arbitrary seed sets — per
+    * arm, per round (round, inertia, n_active, n_moved). Results are
+    * cached per (session, dir, armKey) so Verify/bench pay each arm's
+    * loop once.
+    *
+    * Uncached arms run FUSED (the round-16 verdict's loop fusion): seed
+    * sets union under an `arm` tag, assignment ranks per (arm, vec_id),
+    * metrics and centroid updates group by (arm, …) — so each round is
+    * ONE assignment job + ONE metric collect + ONE moved count over
+    * every arm instead of a sequential loop per arm, halving the
+    * job count that dominates at small SF and the driver round-trips at
+    * any scale. Per-arm math is unchanged by construction: ranking
+    * within (arm = const, vec_id) IS the per-arm ranking, and every
+    * aggregate carries arm in its key, so the fused loop's per-arm rows
+    * equal the sequential loop's bit-for-bit. */
+  private def lloydRows(s: SparkSession, dir: String,
+      arms: Seq[(String, () => DataFrame)])
+      : Map[String, Seq[(Long, Long, Long, Option[Long])]] =
+    kmeansTrainLock.synchronized {
     kmeansTrainCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    kmeansTrainCache.getOrElseUpdate((s, dir, seedKey), {
+    val missing = arms.filterNot(a => kmeansTrainCache.contains((s, dir, a._1)))
+    if (missing.nonEmpty) {
       graft.functions.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       def release(df: DataFrame): Unit =
@@ -921,66 +937,86 @@ object SimilarityOps {
         }
       val e = quantizedBase(s, dir)
       def assign(cents: DataFrame): DataFrame = {
-        val wA = Window.partitionBy(col("vec_id"))
+        val wA = Window.partitionBy(col("arm"), col("vec_id"))
           .orderBy(col("ccos").desc, col("cent_id"))
         e.crossJoin(broadcast(cents))
           .withColumn("dot", dotQ(col("q"), col("cq")))
           .withColumn("ccos", col("dot").cast("double") /
             sqrt((col("nrm") * col("cn")).cast("double")))
           .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
-          .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"),
-            col("dot"), col("cn"))
+          .select(col("arm"), col("vec_id"), col("cent_id"), col("q"),
+            col("nrm"), col("dot"), col("cn"))
       }
-      var cents = seedCents
+      var cents = missing
+        .map { case (key, mk) => mk().withColumn("arm", lit(key)) }
+        .reduce(_.unionByName(_))
       var prevCents: DataFrame = null
       var prevAssign: DataFrame = null
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Long, Option[Long])]
+      val out = missing.map { case (key, _) =>
+        key -> scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Option[Long])]
+      }.toMap
       for (r <- 1 to kmeansTrainRoundsK) {
         val a = assign(cents)
-        val st = a.agg(
+        // groupBy(arm) drops arms whose assignment is empty (degenerate
+        // corpora) — the map default keeps the sequential loop's
+        // (0, 0) row for them
+        val st = a.groupBy(col("arm")).agg(
           coalesce(sum(col("nrm") - lit(2L) * col("dot") + col("cn")), lit(0L))
             .as("inertia"),
-          countDistinct(col("cent_id")).as("n_active")).collect().head
-        val moved: Option[Long] =
-          if (prevAssign == null) None
-          else Some(a.select(col("vec_id"), col("cent_id"))
-            .join(prevAssign.select(col("vec_id"), col("cent_id").as("pc")),
-              "vec_id")
-            .filter(col("cent_id") =!= col("pc")).count())
-        out += ((r.toLong, st.getLong(0), st.getLong(1), moved))
+          countDistinct(col("cent_id")).as("n_active")).collect()
+          .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+          .withDefaultValue((0L, 0L))
+        val moved: Map[String, Long] =
+          if (prevAssign == null) Map.empty
+          else a.select(col("arm"), col("vec_id"), col("cent_id"))
+            .join(prevAssign.select(col("arm"), col("vec_id"),
+              col("cent_id").as("pc")), Seq("arm", "vec_id"))
+            .filter(col("cent_id") =!= col("pc"))
+            .groupBy(col("arm")).count().collect()
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+            .withDefaultValue(0L)
+        missing.foreach { case (key, _) =>
+          out(key) += ((r.toLong, st(key)._1, st(key)._2,
+            if (prevAssign == null) None else Some(moved(key))))
+        }
         prevAssign = a
         // the LAST round's metrics are already recorded — its centroid
         // update would never be read, and it costs a full corpus-scale
         // aggregate + an eager checkpoint job (review finding: the SQL
         // oracle correctly generates only K−1 update rounds)
         if (r < kmeansTrainRoundsK) {
-          val stats = a.groupBy("cent_id").agg(count(lit(1)).as("n_members"))
+          val stats = a.groupBy("arm", "cent_id")
+            .agg(count(lit(1)).as("n_members"))
           val newC = a
-            .select(col("cent_id"), posexplode(col("q")).as(Seq("d", "x")))
-            .groupBy("cent_id", "d").agg(sum(col("x")).as("sx"))
-            .join(stats, "cent_id")
+            .select(col("arm"), col("cent_id"),
+              posexplode(col("q")).as(Seq("d", "x")))
+            .groupBy("arm", "cent_id", "d").agg(sum(col("x")).as("sx"))
+            .join(stats, Seq("arm", "cent_id"))
             .withColumn("ndv",
               floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
-            .groupBy("cent_id").agg(
+            .groupBy("arm", "cent_id").agg(
               transform(array_sort(collect_list(struct(col("d"), col("ndv")))),
                 x => x("ndv")).as("nq"))
             .withColumn("nn", graft.functions.GraftFunctions
               .quantized_dot(col("nq"), col("nq")))
           val merged = cents
-            .join(newC, Seq("cent_id"), "left")
-            .select(col("cent_id"),
+            .join(newC, Seq("arm", "cent_id"), "left")
+            .select(col("arm"), col("cent_id"),
               coalesce(col("nq"), col("cq")).as("cq"),
               coalesce(col("nn"), col("cn")).as("cn"))
           if (prevCents != null) release(prevCents)
           prevCents = cents
-          cents = merged.localCheckpoint() // 8 rows, eager
+          cents = merged.localCheckpoint() // |arms|·8 rows, eager
         }
       }
       if (prevCents != null) release(prevCents)
       release(cents)
-      out.toSeq
-    })
+      out.foreach { case (key, buf) =>
+        kmeansTrainCache((s, dir, key)) = buf.toSeq
+      }
+    }
+    arms.map(a => a._1 -> kmeansTrainCache((s, dir, a._1))).toMap
   }
 
   private def kmeansTrainRounds(s: SparkSession, dir: String): DataFrame = {
@@ -1118,19 +1154,32 @@ object SimilarityOps {
 
   /** The greedy strict-improvement walk, [[graphHops]] unrolled hops on
     * an arbitrary graph — the annGraphGreedyAudit loop factored so every
-    * layer of the layered audit replays the identical rule. */
-  private def greedyWalk(e: DataFrame, graph: DataFrame, h0: DataFrame)
-      : DataFrame = {
+    * layer of the layered audit replays the identical rule.
+    *
+    * With `armed = true` the graph and state carry an `arm` tag column
+    * and ONE walk serves every arm at once: the graph join also matches
+    * on arm and the per-hop rank window partitions by (query_id, arm),
+    * which is definitionally the same ranking each per-arm walk computes
+    * alone — so an A/B pair of walks collapses to half the hop joins and
+    * windows with bit-identical per-arm results (the round-16 verdict's
+    * shared-walk rewrite). Unarmed callers get the exact pre-rewrite
+    * plan: the arm branches add no nodes when `armed = false`. */
+  private def greedyWalk(e: DataFrame, graph: DataFrame, h0: DataFrame,
+      armed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val armCols = if (armed) Seq(col("arm")) else Nil
+    val g = if (armed) graph.withColumnRenamed("arm", "g_arm") else graph
     var h = h0
     for (_ <- 1 to graphHops) {
-      val wH = Window.partitionBy("query_id")
+      val wH = Window.partitionBy(col("query_id") +: armCols: _*)
         .orderBy(col("ncos").desc, (col("nbr") === col("cur0")).desc,
           col("nbr"))
       h = h
-        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
-          col("cur").as("cur0"), col("moves"))
-        .join(graph, col("node") === col("cur0"))
+        .select(Seq(col("query_id")) ++ armCols ++ Seq(col("qq"), col("qn"),
+          col("entry_id"), col("cur").as("cur0"), col("moves")): _*)
+        .join(g, if (armed)
+          col("node") === col("cur0") && col("g_arm") === col("arm")
+        else col("node") === col("cur0"))
         .filter(col("nbr") =!= col("query_id")) // cur0 ≠ query, loop survives
         .join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
           col("nrm").as("nn")), "nbr")
@@ -1138,10 +1187,11 @@ object SimilarityOps {
           sqrt((col("qn") * col("nn")).cast("double")))
         .withColumn("rk", row_number().over(wH))
         .filter(col("rk") === 1)
-        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
-          col("nbr").as("cur"), col("ncos").as("ccos"),
+        .select(Seq(col("query_id")) ++ armCols ++ Seq(col("qq"), col("qn"),
+          col("entry_id"), col("nbr").as("cur"), col("ncos").as("ccos"),
           (col("moves") +
-            when(col("nbr") =!= col("cur0"), 1L).otherwise(0L)).as("moves"))
+            when(col("nbr") =!= col("cur0"), 1L).otherwise(0L))
+            .as("moves")): _*)
     }
     h
   }
@@ -2842,7 +2892,15 @@ object SimilarityOps {
     * work: both graphs and the truth relation are session-cached by
     * their existing owners.
     *
-    * Scale shape: two |queries|·degree-per-hop walks + one
+    * The two arms run as ONE armed [[greedyWalk]] (the round-16
+    * verdict's shared-walk rewrite): the built and static edge
+    * relations union under an `arm` tag, the walk keys on
+    * (query_id, arm), and a |queries|-row conditional-max pivot
+    * recovers the A/B columns — per hop ONE graph join + ONE rank
+    * window instead of two unrolled chains, with per-arm results
+    * unchanged by construction (the window partitions by arm).
+    *
+    * Scale shape: one |arms|·|queries|·degree-per-hop walk + one
     * query-count-bounded join — audit cost tracks queries × degree,
     * never corpus size. */
   private def annGraphBuildVsStatic(s: SparkSession, dir: String)
@@ -2852,13 +2910,19 @@ object SimilarityOps {
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nrm").as("qn"))
-    val wStatic = greedyWalk(e, g2, h0)
-    val wBuilt = greedyWalk(e, gb, entryState(e, gb, qs))
-    wBuilt.select(col("query_id"), col("cur").as("built_id"),
-        col("ccos").as("built_cos"), col("moves").as("built_moves"))
-      .join(wStatic.select(col("query_id"), col("cur").as("static_id"),
-        col("ccos").as("static_cos"), col("moves").as("static_moves")),
-        "query_id")
+    val gU = g2.select(col("node"), col("nbr"), lit("s").as("arm"))
+      .unionByName(gb.select(col("node"), col("nbr"), lit("b").as("arm")))
+    val h0U = h0.withColumn("arm", lit("s"))
+      .unionByName(entryState(e, gb, qs).withColumn("arm", lit("b")))
+    val w = greedyWalk(e, gU, h0U, armed = true)
+    def armMax(a: String, c: String) = max(when(col("arm") === a, col(c)))
+    w.groupBy("query_id").agg(
+        armMax("b", "cur").as("built_id"),
+        armMax("b", "ccos").as("built_cos"),
+        armMax("b", "moves").as("built_moves"),
+        armMax("s", "cur").as("static_id"),
+        armMax("s", "ccos").as("static_cos"),
+        armMax("s", "moves").as("static_moves"))
       .join(bruteTruth(s, dir), "query_id")
       .select(col("query_id"), col("built_id"), col("built_cos"),
         col("built_moves"), col("static_id"), col("static_cos"),
@@ -3151,8 +3215,13 @@ object SimilarityOps {
       : DataFrame = {
     import s.implicits._
     val seedCents = kppChain(s, dir)._2
-    val seeded = lloydRows(s, dir, "kpp", seedCents)
-    val adhoc = kmeansTrainRows(s, dir)
+    // ONE fused Lloyd loop serves both arms (and populates
+    // kmeans_train_rounds' cache entry for free)
+    val armRows = lloydRows(s, dir, Seq(
+      "kpp" -> (() => seedCents),
+      "adhoc" -> (() => adhocSeed(s, dir))))
+    val seeded = armRows("kpp")
+    val adhoc = armRows("adhoc")
     val sk = seedCents.count()
     val ak = quantizedBase(s, dir)
       .filter(col("vec_id") < 10 && col("vec_id") % 5 =!= 0).count()

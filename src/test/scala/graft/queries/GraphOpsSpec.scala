@@ -145,6 +145,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(nhats.toSeq == nhats.toSeq.scanLeft(0L)(math.max).tail)
   }
 
+  test("row-form level 1 is LANE-EXACT against packed level 1") {
+    // The round-17 audit rewrite keeps t = 1 as the ONE independently
+    // row-propagated round and reads t >= 2 off the packed levels; this
+    // pin is the register-grain half of that theorem (the report-grain
+    // half is the equality test above): every (node, j) register of the
+    // row-form level-1 merge equals the byte lane the packed level-1
+    // merge holds, and every lane the row form lacks is 0.
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.hanfEdges(spark, dir)
+    val rows = GraphOps.hanfLevel(spark, dir, edges,
+        GraphOps.hanfR0(edges), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lanes = GraphOps.hanfRegisters / 2
+    val packed = GraphOps.hanfSwarLevel(spark, dir, edges,
+        GraphOps.hanfSwarR0(edges), 1)
+      .collect().flatMap { r =>
+        val (node, p0, p1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        (0 until GraphOps.hanfRegisters).map { j =>
+          val p = if (j < lanes) p0 else p1
+          (node, j.toLong) -> ((p >> (8 * (j % lanes))) & 255L)
+        }
+      }.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, rho) => assert(packed(k) == rho, s"lane $k") }
+    packed.filterNot { case (k, _) => rows.contains(k) }
+      .foreach { case (k, v) => assert(v == 0L, s"ghost lane $k") }
+  }
+
   /** The packing theorem engine-side: element-wise array max-merge ≡
     * per-(node, j) row max, so the packed query's report equals the
     * row-form audit's EXACTLY (the cross-engine half is the shared
