@@ -958,27 +958,29 @@ object SimilarityOps {
       }.toMap
       for (r <- 1 to kmeansTrainRoundsK) {
         val a = assign(cents)
+        // moved-count rides the SAME aggregate as the metrics (one
+        // driver action per round, not two): every vector is assigned
+        // every round, so the inner join against the previous round's
+        // assignment keeps all rows and the joined relation's inertia
+        // equals the unjoined one
+        val am = if (prevAssign == null) a.withColumn("pc", col("cent_id"))
+          else a.join(prevAssign.select(col("arm"), col("vec_id"),
+            col("cent_id").as("pc")), Seq("arm", "vec_id"))
         // groupBy(arm) drops arms whose assignment is empty (degenerate
         // corpora) — the map default keeps the sequential loop's
-        // (0, 0) row for them
-        val st = a.groupBy(col("arm")).agg(
+        // (0, 0, 0) row for them
+        val st = am.groupBy(col("arm")).agg(
           coalesce(sum(col("nrm") - lit(2L) * col("dot") + col("cn")), lit(0L))
             .as("inertia"),
-          countDistinct(col("cent_id")).as("n_active")).collect()
-          .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
-          .withDefaultValue((0L, 0L))
-        val moved: Map[String, Long] =
-          if (prevAssign == null) Map.empty
-          else a.select(col("arm"), col("vec_id"), col("cent_id"))
-            .join(prevAssign.select(col("arm"), col("vec_id"),
-              col("cent_id").as("pc")), Seq("arm", "vec_id"))
-            .filter(col("cent_id") =!= col("pc"))
-            .groupBy(col("arm")).count().collect()
-            .map(x => x.getString(0) -> x.getLong(1)).toMap
-            .withDefaultValue(0L)
+          countDistinct(col("cent_id")).as("n_active"),
+          sum(when(col("cent_id") =!= col("pc"), 1L).otherwise(0L))
+            .as("n_moved")).collect()
+          .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+            x.getLong(3)))).toMap
+          .withDefaultValue((0L, 0L, 0L))
         missing.foreach { case (key, _) =>
           out(key) += ((r.toLong, st(key)._1, st(key)._2,
-            if (prevAssign == null) None else Some(moved(key))))
+            if (prevAssign == null) None else Some(st(key)._3)))
         }
         prevAssign = a
         // the LAST round's metrics are already recorded — its centroid
