@@ -2344,9 +2344,191 @@ object DedupOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Corpus-side doubling state for the INCREMENTAL span rung: the
+    * established corpus (doc_id % 10 ≠ 0, [[dedupIncremental]]'s split)
+    * gets its own class chain, and — the part the incremental consumer
+    * actually reads — the per-round PAIR MAPS ((lc, rc) → class id;
+    * round 0 is the token map). In a deployment these maps ARE the
+    * precomputed substring-dedup state maintained next to the corpus
+    * (the [[dedupIncremental]] recipe at the span tier); here they are
+    * session-cached so the increment pass pays them once. Returns maps
+    * 0..[[dblRounds]]. */
+  private def dblIncCorpusMaps(s: SparkSession, dir: String)
+      : Seq[DataFrame] = {
+    val toks = Util.cachedRelation(s, dir, "dupDblIncToks", "")(
+      dblDocs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tok"), (col("doc_id") * 1048576L + col("pos")).as("gid")))
+    val map0 = Util.cachedRelation(s, dir, "dupDblIncMap0", "")(
+      toks.groupBy(col("tok")).agg(min(col("gid")).as("cls")))
+    var level = toks.join(map0, "tok")
+      .select(col("doc_id"), col("pos"), col("cls"))
+    val maps = Seq.newBuilder[DataFrame]
+    maps += map0
+    for (k <- 1 to dblRounds) {
+      val right = level.select(col("doc_id"),
+        (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
+      val paired = level.join(right, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("cls").as("lc"),
+          coalesce(col("rc"), lit(-1L)).as("rc"))
+      val mapK = Util.cachedRelation(s, dir, s"dupDblIncMap$k", "")(
+        paired.groupBy(col("lc"), col("rc"))
+          .agg(min(col("doc_id") * 1048576L + col("pos")).as("cls")))
+      maps += mapK
+      level = Util.cachedRelation(s, dir, s"dupDblIncCls$k", "")(
+        paired.join(mapK, Seq("lc", "rc"))
+          .select(col("doc_id"), col("pos"), col("cls")))
+    }
+    maps.result()
+  }
+
+  /** INCREMENTAL substring dedup — the span family's missing rung (every
+    * other dedup tier has one: [[dedupIncremental]], cc_incremental,
+    * semdedup_increment): classify each INCREMENT doc's token windows
+    * (doc_id % 10 = 0, "today's crawl") against the ESTABLISHED corpus's
+    * doubling state WITHOUT re-running the doubling on the merged
+    * corpus. Round 0 maps increment tokens through the corpus token map
+    * (novel tokens → sentinel −2, which no corpus map contains, so
+    * novelty propagates through every later round by join miss); round
+    * k maps each position's (class(pos), class(pos+2^{k−1})) pair
+    * through the corpus pair map, with the corpus's own −1 sentinel for
+    * beyond-doc-end right halves — after round [[dblRounds]] an
+    * increment position carries a corpus class IFF its full
+    * 2^[[dblRounds]]-token window occurs verbatim in the corpus (the
+    * doubling theorem, incremental form). The DuckDB oracle computes
+    * the SAME matches by DIRECT window-content equality (materialized
+    * slices, min-gid representative) — the hash compare IS the
+    * chain ≡ direct theorem, cross-engine, like the batch audit's
+    * `direct_match` column but across the corpus/increment split.
+    *
+    * Output is INCREMENT-sized, one row per increment doc: token/window
+    * counts, matched-window count, covered-token mass (any token inside
+    * ≥ 1 matched full window — what a cut pass would remove),
+    * `min_dup_cls` (the smallest matched corpus class id — decodes to
+    * the corpus representative, the extractor's trick), `cover_milli`,
+    * `has_dup`, and the accounting law `law_ok` (cover ≤ tokens,
+    * matches ≤ windows).
+    *
+    * Scale shape: per round ONE keyed join of increment-sized position
+    * rows against the cached corpus map — classification work ∝
+    * increment tokens, never corpus tokens (the corpus maps are the
+    * precomputed state; their one-time build is linear and amortized
+    * across increments); coverage explodes ≤ W rows per matched window.
+    * The corpus's windows are never materialized on the Spark side —
+    * constant-width class ids all the way, the 100 TB argument of the
+    * batch tier carried over. */
+  private def dupSpanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val maps = dblIncCorpusMaps(s, dir)
+    val incD = dblDocs(s, dir).filter(col("doc_id") % 10 === 0)
+    val incToks = incD
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    var ic = incToks.join(maps(0), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("cls"), lit(-2L)).as("cls"))
+    for (k <- 1 to dblRounds) {
+      val right = ic.select(col("doc_id"),
+        (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
+      val paired = ic.join(right, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("cls").as("lc"),
+          coalesce(col("rc"), lit(-1L)).as("rc"))
+      ic = paired.join(maps(k), Seq("lc", "rc"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("cls"), lit(-2L)).as("cls"))
+    }
+    val w = 1 << dblRounds
+    val lens = incD.select(col("doc_id"),
+      coalesce(size(col("w")).cast("long"), lit(0L)).as("n_tokens"))
+    val matched = ic.join(lens, "doc_id")
+      .filter(col("cls") >= 0L && col("pos") <= col("n_tokens") - w)
+      .select(col("doc_id"), col("pos"), col("cls"))
+    val dupw = matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"), min("cls").as("min_dup_cls"))
+    val cover = matched
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_cover"))
+    lens
+      .join(dupw, Seq("doc_id"), "left")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(lit(0L), col("n_tokens") - (w - 1)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_cover"), lit(0L)).as("dup_cover"),
+        col("min_dup_cls"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"), col("dup_cover"), col("min_dup_cls"),
+        when(col("n_tokens") > 0L,
+          expr("(1000 * dup_cover) div n_tokens")).otherwise(0L)
+          .as("cover_milli"),
+        (col("n_dup_windows") > 0L).as("has_dup"),
+        (col("dup_cover") <= col("n_tokens") &&
+          col("n_dup_windows") <= col("n_windows")).as("law_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle = the INDEPENDENT direct formulation: materialize full
+    * corpus and increment windows, match by list equality, take the
+    * min-gid corpus representative — no doubling anywhere, so the hash
+    * compare certifies the incremental chain against first-principles
+    * window semantics. */
+  private val dupSpanIncrementalSql = {
+    val w = 1 << dblRounds
+    s"""WITH docs_ AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |incd AS (SELECT doc_id, w FROM docs_ WHERE doc_id % 10 = 0),
+       |corpd AS (SELECT doc_id, w FROM docs_ WHERE doc_id % 10 <> 0),
+       |wc AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1 : i+$w] AS win
+       |  FROM corpd, UNNEST(range(len(w))) u(i)
+       |  WHERE len(w) - i >= $w),
+       |wi AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1 : i+$w] AS win
+       |  FROM incd, UNNEST(range(len(w))) u(i)
+       |  WHERE len(w) - i >= $w),
+       |m AS (
+       |  SELECT wi.doc_id, wi.pos,
+       |    MIN(wc.doc_id * 1048576 + wc.pos) AS cls
+       |  FROM wi JOIN wc ON wc.win = wi.win
+       |  GROUP BY 1, 2),
+       |lens AS (
+       |  SELECT doc_id, CAST(COALESCE(len(w), 0) AS BIGINT) AS n_tokens
+       |  FROM incd),
+       |dupw AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+       |    MIN(cls) AS min_dup_cls
+       |  FROM m GROUP BY 1),
+       |cov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_cover FROM (
+       |    SELECT DISTINCT doc_id, pos + j AS cp
+       |    FROM m, UNNEST(range($w)) t(j))
+       |  GROUP BY 1)
+       |SELECT l.doc_id, l.n_tokens,
+       |  GREATEST(CAST(0 AS BIGINT), l.n_tokens - ${w - 1}) AS n_windows,
+       |  COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       |  COALESCE(c.dup_cover, 0) AS dup_cover,
+       |  d.min_dup_cls,
+       |  CASE WHEN l.n_tokens > 0
+       |    THEN (1000 * COALESCE(c.dup_cover, 0)) // l.n_tokens
+       |    ELSE CAST(0 AS BIGINT) END AS cover_milli,
+       |  COALESCE(d.n_dup_windows, 0) > 0 AS has_dup,
+       |  COALESCE(c.dup_cover, 0) <= l.n_tokens
+       |    AND COALESCE(d.n_dup_windows, 0) <=
+       |      GREATEST(CAST(0 AS BIGINT), l.n_tokens - ${w - 1}) AS law_ok
+       |FROM lens l
+       |LEFT JOIN dupw d USING (doc_id)
+       |LEFT JOIN cov c USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("dup_span_doubling", dupSpanDoubling, Some(dupSpanDoublingSql)),
     Q("dup_span_extract", dupSpanExtract, Some(dupSpanExtractSql)),
+    Q("dup_span_incremental", dupSpanIncremental,
+      Some(dupSpanIncrementalSql)),
     Q("substring_dedup_apply", substringDedupApply,
       Some(substringDedupApplySql)),
     Q("minhash_band_sweep", minhashBandSweep, Some(minhashBandSweepSql)),

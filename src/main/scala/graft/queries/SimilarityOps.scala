@@ -2471,27 +2471,60 @@ object SimilarityOps {
         .select(col("node"), col("nbr"), col("cos"), col("cr"))
     }
 
-  /** Candidate-candidate cosines per node: (node, ci, cj, ciq, cij) for
-    * every ranked pair cj < ci — the distances the pruning heuristic
-    * consults. ≤ C(C−1)/2 rows per node, linear in |V|. */
+  /** Candidate-candidate cosines per node over ANY ranked candidate
+    * pool (node, nbr, cos, cr): (node, ci, cj, ciq, cij) for every
+    * ranked pair cj < ci — the distances the pruning heuristic
+    * consults. ≤ C(C−1)/2 rows per node, linear in |V|. ONE copy for
+    * the insert build and the delete repair. */
+  private def candPairsOf(e: DataFrame, cand: DataFrame): DataFrame =
+    cand.select(col("node"), col("cr").as("ci"), col("nbr").as("ni"),
+        col("cos").as("ciq"))
+      .join(cand.select(col("node"), col("cr").as("cj"),
+        col("nbr").as("nj")), "node")
+      .filter(col("cj") < col("ci"))
+      .join(e.select(col("vec_id").as("ni"), col("q").as("qi"),
+        col("nrm").as("nrmi")), "ni")
+      .join(e.select(col("vec_id").as("nj"), col("q").as("qj"),
+        col("nrm").as("nrmj")), "nj")
+      .withColumn("cij", dotQ(col("qi"), col("qj")).cast("double") /
+        sqrt((col("nrmi") * col("nrmj")).cast("double")))
+      .select(col("node"), col("ci"), col("cj"), col("ciq"), col("cij"))
+
   private def hnswCandPairs(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "hnswPairs",
       s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
-      val e = quantizedBase(s, dir)
-      val cand = hnswCand(s, dir)
-      cand.select(col("node"), col("cr").as("ci"), col("nbr").as("ni"),
-          col("cos").as("ciq"))
-        .join(cand.select(col("node"), col("cr").as("cj"),
-          col("nbr").as("nj")), "node")
-        .filter(col("cj") < col("ci"))
-        .join(e.select(col("vec_id").as("ni"), col("q").as("qi"),
-          col("nrm").as("nrmi")), "ni")
-        .join(e.select(col("vec_id").as("nj"), col("q").as("qj"),
-          col("nrm").as("nrmj")), "nj")
-        .withColumn("cij", dotQ(col("qi"), col("qj")).cast("double") /
-          sqrt((col("nrmi") * col("nrmj")).cast("double")))
-        .select(col("node"), col("ci"), col("cj"), col("ciq"), col("cij"))
+      candPairsOf(quantizedBase(s, dir), hnswCand(s, dir))
     }
+
+  /** Malkov–Yashunin Alg. 4 as ONE `aggregate` higher-order function
+    * over any ranked candidate pool + its pair cosines: walk candidates
+    * in rank order, KEEP c iff no already-KEPT s has cos(c,s) ≥
+    * cos(c, anchor). Shared verbatim by the insert build ([[hnswKept]])
+    * and the delete repair ([[annGraphDeleteAudit]]) — "the SAME
+    * diversity prune" is one function, not a convention. */
+  private def diversityPrune(cand: DataFrame, pairs: DataFrame)
+      : DataFrame = {
+    val pj = pairs
+      .groupBy(col("node"), col("ci"))
+      .agg(array_sort(collect_list(struct(col("cj"), col("cij"))))
+        .as("ps"))
+      .select(col("node"), col("ci").as("cr"),
+        expr("transform(ps, p -> p.cij)").as("cijs"))
+    val keptCrs = cand.join(pj, Seq("node", "cr"), "left")
+      .select(col("node"), struct(col("cr"), col("cos"),
+        coalesce(col("cijs"), expr("CAST(array() AS array<double>)"))
+          .as("cijs")).as("c"))
+      .groupBy("node").agg(array_sort(collect_list(col("c"))).as("cs"))
+      .select(col("node"), expr(
+        """aggregate(cs, CAST(array() AS array<bigint>),
+          |  (acc, c) -> CASE WHEN exists(acc,
+          |      s -> element_at(c.cijs, CAST(s AS int)) >= c.cos)
+          |    THEN acc ELSE concat(acc, array(c.cr)) END)"""
+          .stripMargin).as("kept_crs"))
+    cand.join(keptCrs.select(col("node"),
+        explode(col("kept_crs")).as("cr")), Seq("node", "cr"))
+      .select(col("node"), col("nbr"), col("cos"), col("cr"))
+  }
 
   /** The HNSW neighbor-selection heuristic (Malkov–Yashunin Alg. 4) over
     * each node's candidate pool: walk candidates in rank order, KEEP c
@@ -2510,27 +2543,7 @@ object SimilarityOps {
   private def hnswKept(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "hnswKept",
       s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
-      val cand = hnswCand(s, dir)
-      val pj = hnswCandPairs(s, dir)
-        .groupBy(col("node"), col("ci"))
-        .agg(array_sort(collect_list(struct(col("cj"), col("cij"))))
-          .as("ps"))
-        .select(col("node"), col("ci").as("cr"),
-          expr("transform(ps, p -> p.cij)").as("cijs"))
-      val keptCrs = cand.join(pj, Seq("node", "cr"), "left")
-        .select(col("node"), struct(col("cr"), col("cos"),
-          coalesce(col("cijs"), expr("CAST(array() AS array<double>)"))
-            .as("cijs")).as("c"))
-        .groupBy("node").agg(array_sort(collect_list(col("c"))).as("cs"))
-        .select(col("node"), expr(
-          """aggregate(cs, CAST(array() AS array<bigint>),
-            |  (acc, c) -> CASE WHEN exists(acc,
-            |      s -> element_at(c.cijs, CAST(s AS int)) >= c.cos)
-            |    THEN acc ELSE concat(acc, array(c.cr)) END)"""
-            .stripMargin).as("kept_crs"))
-      cand.join(keptCrs.select(col("node"),
-          explode(col("kept_crs")).as("cr")), Seq("node", "cr"))
-        .select(col("node"), col("nbr"), col("cos"), col("cr"))
+      diversityPrune(hnswCand(s, dir), hnswCandPairs(s, dir))
     }
 
   /** Built-graph symmetric edges: kept out-edges plus their reverses
@@ -2966,6 +2979,282 @@ object SimilarityOps {
        |JOIN nn USING (query_id)
        |ORDER BY b.query_id""".stripMargin
 
+  /** HNSW delete/repair audit — the build story's missing half: real
+    * pipelines DELETE (takedowns, dedup-driven removals), and HNSW's
+    * repair rule reconnects each deleted node's neighbors among
+    * themselves through the SAME diversity prune the insert used
+    * (Malkov–Yashunin 2016 §4; [[diversityPrune]] is literally the one
+    * shared function). The deleted set is the md5 insert clock's LAST
+    * decile ([[insHash]] decile 9 — the newest inserts, a deterministic
+    * 10% sample); the intact graph is the build's kept-edge adjacency
+    * (symmetric kept edges, duplicate-free). For each surviving node u
+    * adjacent to a deleted v, the repair candidate pool is u's
+    * surviving neighbors ∪ the surviving neighbors of every deleted v
+    * adjacent to u (v's adjacency donated to its orphans), scored
+    * fresh, capped at [[insertEfC]] by (cos DESC, id) — the insert pool
+    * rule — then pruned by the shared heuristic. The oracle recomputes
+    * the repair's kept set by the independent rank-unrolled NOT-EXISTS
+    * chain (the insert audit's discipline), so cross-engine agreement
+    * checks the repair SEMANTICS, not shared code.
+    *
+    * Emits one row per SURVIVOR decile (0–8 — bounded output at any
+    * corpus size): survivor/affected counts, lost-edge mass, repair
+    * candidate/kept mass with the prune rate, mean degree of affected
+    * nodes before/after repair (milli), `conn_milli` — the share of
+    * affected nodes that reconnect (the connectivity delta) — and the
+    * mean neighbor cosine of intact vs repaired neighborhoods (milli;
+    * floor(cos·1000)+1000 per edge BEFORE summing, the insert audit's
+    * order-independent integer convention — the recall-side delta).
+    * `law_ok` pins the accounting: kept ≤ candidates, and every
+    * affected node WITH candidates reconnects (rank 1 is always kept).
+    *
+    * Scale shape: everything is keyed per node with bounded fan — the
+    * donated pools are ≤ degree² per deleted node off the kept-edge
+    * relation, candidates cap at C, pairs at C(C−1)/2 — linear in |V|,
+    * never all-pairs; the decile report is a ≤9-group aggregate. The
+    * repair relations are session-cached under the `hnsw` prefix, so
+    * the serve-family release boundary reclaims them. */
+  private def annGraphDeleteAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    val lshKey = s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}"
+    // checkpointed, not cached: every repair relation references the
+    // adjacency several times, and each pre-materialization reference
+    // embeds the FULL build lineage (LSH chain -> pools -> prune HOF) —
+    // the exact plan blowup [[hnswCkpt]] exists for (the layered-audit
+    // finding); the adjacency is |kept edges|-sized, the ccEdges class
+    val adj = hnswCkpt(s, dir, "hnswDelAdj") {
+      val kept = hnswKept(s, dir)
+      kept.select(col("node"), col("nbr"), col("cos"))
+        .unionByName(kept.select(col("nbr").as("node"),
+          col("node").as("nbr"), col("cos")))
+        .distinct()
+    }
+    val nodes = e.select(col("vec_id").as("node"))
+      .withColumn("h", insHash(col("node")))
+      .withColumn("decile", expr(s"(h * 10) div ${1L << 48}"))
+      .select("node", "decile")
+    val dels = nodes.filter(col("decile") === 9).select("node")
+    val surv = nodes.filter(col("decile") < 9)
+    val lost = adj
+      .join(surv.select(col("node")), "node")
+      .join(dels.select(col("node").as("nbr")), "nbr")
+      .select(col("node"), col("nbr"))
+    val aff = lost.select("node").distinct()
+    val oldc = adj.join(aff, "node")
+      .join(surv.select(col("node").as("nbr")), "nbr")
+      .select("node", "nbr")
+    val newc = lost
+      .select(col("node"), col("nbr").as("v"))
+      .join(adj.select(col("node").as("v"), col("nbr").as("w")), "v")
+      .filter(col("w") =!= col("node"))
+      .join(surv.select(col("node").as("w")), "w")
+      .select(col("node"), col("w").as("nbr"))
+    val rcand = Util.cachedRelation(s, dir, "hnswDelCand", lshKey) {
+      oldc.unionByName(newc).distinct()
+        .join(e.select(col("vec_id").as("node"), col("q").as("uq"),
+          col("nrm").as("un")), "node")
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("wq"),
+          col("nrm").as("wn")), "nbr")
+        .withColumn("cos", dotQ(col("uq"), col("wq")).cast("double") /
+          sqrt((col("un") * col("wn")).cast("double")))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy("node").orderBy(col("cos").desc, col("nbr")))
+          .cast("long"))
+        .filter(col("cr") <= insertEfC)
+        .select(col("node"), col("nbr"), col("cos"), col("cr"))
+    }
+    val rkept = Util.cachedRelation(s, dir, "hnswDelKept", lshKey) {
+      diversityPrune(rcand, candPairsOf(e, rcand))
+    }
+    def cm(c: Column) = (floor(c * 1000) + 1000).cast("long")
+    val perNode = aff
+      .join(rcand.groupBy("node").agg(count(lit(1)).as("n_cand")),
+        Seq("node"), "left")
+      .join(rkept.groupBy("node").agg(count(lit(1)).as("n_kept")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    val affD = perNode.join(nodes, "node").groupBy("decile").agg(
+      count(lit(1)).as("n_affected"),
+      sum("n_cand").as("cand_n"),
+      sum("n_kept").as("kept_n"),
+      sum(when(col("n_kept") > 0L, 1L).otherwise(0L)).as("n_reconn"),
+      sum(when(col("n_cand") > 0L, 1L).otherwise(0L)).as("n_with_cand"))
+    val lostD = lost.join(nodes, "node").groupBy("decile")
+      .agg(count(lit(1)).as("lost_edges"))
+    val beforeD = adj.join(aff, "node").join(nodes, "node")
+      .select(col("decile"), cm(col("cos")).as("cmv"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("before_edges"), sum("cmv").as("before_cm"))
+    val afterD = rkept.join(nodes, "node")
+      .select(col("decile"), cm(col("cos")).as("cmv"))
+      .groupBy("decile").agg(sum("cmv").as("kept_cm"))
+    surv.groupBy("decile").agg(count(lit(1)).as("n_nodes"))
+      .join(affD, Seq("decile"), "left")
+      .join(lostD, Seq("decile"), "left")
+      .join(beforeD, Seq("decile"), "left")
+      .join(afterD, Seq("decile"), "left")
+      .select(col("decile"), col("n_nodes"),
+        coalesce(col("n_affected"), lit(0L)).as("n_affected"),
+        coalesce(col("lost_edges"), lit(0L)).as("lost_edges"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"),
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"),
+        coalesce(col("n_reconn"), lit(0L)).as("n_reconn"),
+        coalesce(col("n_with_cand"), lit(0L)).as("n_with_cand"),
+        coalesce(col("before_edges"), lit(0L)).as("before_edges"),
+        col("before_cm"), col("kept_cm"))
+      .select(col("decile"), col("n_nodes"), col("n_affected"),
+        col("lost_edges"), col("cand_n"), col("kept_n"),
+        when(col("cand_n") > 0L,
+          expr("(1000 * (cand_n - kept_n)) div cand_n")).otherwise(0L)
+          .as("prune_milli"),
+        when(col("n_affected") > 0L,
+          expr("(1000 * before_edges) div n_affected")).otherwise(0L)
+          .as("deg_before_milli"),
+        when(col("n_affected") > 0L,
+          expr("(1000 * kept_n) div n_affected")).otherwise(0L)
+          .as("deg_after_milli"),
+        when(col("n_affected") > 0L,
+          expr("(1000 * n_reconn) div n_affected")).otherwise(0L)
+          .as("conn_milli"),
+        when(col("before_edges") > 0L,
+          expr("(before_cm div before_edges) - 1000L"))
+          .as("cos_intact_milli"),
+        when(col("kept_n") > 0L,
+          expr("(kept_cm div kept_n) - 1000L")).as("cos_repair_milli"),
+        (col("kept_n") <= col("cand_n") &&
+          col("n_reconn") === col("n_with_cand")).as("law_ok"))
+      .orderBy("decile")
+  }
+
+  private val annGraphDeleteAuditSql = {
+    val rkaSteps = (2 to insertEfC).map { r =>
+      s"""rka$r AS MATERIALIZED (
+         |  SELECT * FROM rka${r - 1}
+         |  UNION ALL
+         |  SELECT c.node, c.nbr, c.cos, c.cr FROM rcand c
+         |  WHERE c.cr = $r AND NOT EXISTS (
+         |    SELECT 1 FROM rpair p JOIN rka${r - 1} k
+         |      ON k.node = p.node AND k.cr = p.cj
+         |    WHERE p.node = c.node AND p.ci = $r AND p.cij >= p.ciq))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandsCtes,
+       |$graphServeCtes,
+       |$hnswBuildCtes,
+       |nodesdel AS (
+       |  SELECT e.vec_id AS node, (ih.h * 10) // ${1L << 48} AS decile
+       |  FROM e JOIN ih ON ih.vec_id = e.vec_id),
+       |kadj AS MATERIALIZED (SELECT DISTINCT node, nbr, cos FROM bsym),
+       |survn AS (SELECT node, decile FROM nodesdel WHERE decile < 9),
+       |deln AS (SELECT node FROM nodesdel WHERE decile = 9),
+       |lost AS (
+       |  SELECT a.node, a.nbr FROM kadj a
+       |  JOIN survn s ON s.node = a.node
+       |  JOIN deln d ON d.node = a.nbr),
+       |aff AS (SELECT DISTINCT node FROM lost),
+       |oldc AS (
+       |  SELECT a.node, a.nbr FROM kadj a
+       |  JOIN aff USING (node)
+       |  JOIN survn w ON w.node = a.nbr),
+       |newc AS (
+       |  SELECT l.node, b.nbr FROM lost l
+       |  JOIN kadj b ON b.node = l.nbr
+       |  JOIN survn w ON w.node = b.nbr
+       |  WHERE b.nbr <> l.node),
+       |mc AS (SELECT DISTINCT node, nbr FROM
+       |  (SELECT * FROM oldc UNION ALL SELECT * FROM newc)),
+       |rc0 AS (
+       |  SELECT m.node, m.nbr,
+       |    ${graphCosSql("eu.q", "eu.nrm", "ew.q", "ew.nrm")} AS cos
+       |  FROM mc m JOIN e eu ON eu.vec_id = m.node
+       |  JOIN e ew ON ew.vec_id = m.nbr),
+       |rcand AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT node, nbr, cos,
+       |      CAST(row_number() OVER (PARTITION BY node
+       |        ORDER BY cos DESC, nbr) AS BIGINT) AS cr
+       |    FROM rc0)
+       |  WHERE cr <= $insertEfC),
+       |rpair AS MATERIALIZED (
+       |  SELECT i.node, i.cr AS ci, j.cr AS cj, i.cos AS ciq,
+       |    ${graphCosSql("ei.q", "ei.nrm", "ej.q", "ej.nrm")} AS cij
+       |  FROM rcand i JOIN rcand j ON j.node = i.node AND j.cr < i.cr
+       |  JOIN e ei ON ei.vec_id = i.nbr
+       |  JOIN e ej ON ej.vec_id = j.nbr),
+       |rka1 AS (SELECT node, nbr, cos, cr FROM rcand WHERE cr = 1),
+       |$rkaSteps,
+       |rkept AS (SELECT * FROM rka$insertEfC),
+       |pnd AS (
+       |  SELECT a.node,
+       |    COALESCE(c.n_cand, 0) AS n_cand,
+       |    COALESCE(k.n_kept, 0) AS n_kept
+       |  FROM aff a
+       |  LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |             FROM rcand GROUP BY 1) c USING (node)
+       |  LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |             FROM rkept GROUP BY 1) k USING (node)),
+       |affd AS (
+       |  SELECT n.decile, CAST(COUNT(*) AS BIGINT) AS n_affected,
+       |    CAST(SUM(n_cand) AS BIGINT) AS cand_n,
+       |    CAST(SUM(n_kept) AS BIGINT) AS kept_n,
+       |    CAST(SUM(CASE WHEN n_kept > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_reconn,
+       |    CAST(SUM(CASE WHEN n_cand > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_with_cand
+       |  FROM pnd JOIN survn n USING (node) GROUP BY 1),
+       |lostd AS (
+       |  SELECT n.decile, CAST(COUNT(*) AS BIGINT) AS lost_edges
+       |  FROM lost JOIN survn n USING (node) GROUP BY 1),
+       |befd AS (
+       |  SELECT n.decile, CAST(COUNT(*) AS BIGINT) AS before_edges,
+       |    CAST(SUM(CAST(FLOOR(a.cos * 1000) + 1000 AS BIGINT)) AS BIGINT)
+       |      AS before_cm
+       |  FROM kadj a JOIN aff USING (node) JOIN survn n USING (node)
+       |  GROUP BY 1),
+       |aftd AS (
+       |  SELECT n.decile,
+       |    CAST(SUM(CAST(FLOOR(k.cos * 1000) + 1000 AS BIGINT)) AS BIGINT)
+       |      AS kept_cm
+       |  FROM rkept k JOIN survn n USING (node) GROUP BY 1),
+       |based AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM survn GROUP BY 1)
+       |SELECT b.decile, b.n_nodes,
+       |  COALESCE(a.n_affected, 0) AS n_affected,
+       |  COALESCE(l.lost_edges, 0) AS lost_edges,
+       |  COALESCE(a.cand_n, 0) AS cand_n,
+       |  COALESCE(a.kept_n, 0) AS kept_n,
+       |  CASE WHEN COALESCE(a.cand_n, 0) > 0
+       |    THEN (1000 * (a.cand_n - a.kept_n)) // a.cand_n
+       |    ELSE CAST(0 AS BIGINT) END AS prune_milli,
+       |  CASE WHEN COALESCE(a.n_affected, 0) > 0
+       |    THEN (1000 * f.before_edges) // a.n_affected
+       |    ELSE CAST(0 AS BIGINT) END AS deg_before_milli,
+       |  CASE WHEN COALESCE(a.n_affected, 0) > 0
+       |    THEN (1000 * a.kept_n) // a.n_affected
+       |    ELSE CAST(0 AS BIGINT) END AS deg_after_milli,
+       |  CASE WHEN COALESCE(a.n_affected, 0) > 0
+       |    THEN (1000 * a.n_reconn) // a.n_affected
+       |    ELSE CAST(0 AS BIGINT) END AS conn_milli,
+       |  CASE WHEN f.before_edges > 0
+       |    THEN (f.before_cm // f.before_edges) - 1000 END AS cos_intact_milli,
+       |  CASE WHEN COALESCE(a.kept_n, 0) > 0
+       |    THEN (t.kept_cm // a.kept_n) - 1000 END AS cos_repair_milli,
+       |  COALESCE(a.kept_n, 0) <= COALESCE(a.cand_n, 0)
+       |    AND COALESCE(a.n_reconn, 0) = COALESCE(a.n_with_cand, 0) AS law_ok
+       |FROM based b
+       |LEFT JOIN affd a USING (decile)
+       |LEFT JOIN lostd l USING (decile)
+       |LEFT JOIN befd f USING (decile)
+       |LEFT JOIN aftd t USING (decile)
+       |ORDER BY b.decile""".stripMargin
+  }
+
   private val annGraphInsertAuditSql =
     s"""WITH $lshBandsCtes,
        |$graphServeCtes,
@@ -3318,6 +3607,8 @@ object SimilarityOps {
       Some(annGraphGreedyAuditSql)),
     Q("ann_graph_build_vs_static", annGraphBuildVsStatic,
       Some(annGraphBuildVsStaticSql)),
+    Q("ann_graph_delete_audit", annGraphDeleteAudit,
+      Some(annGraphDeleteAuditSql)),
     Q("ann_graph_insert_audit", annGraphInsertAudit,
       Some(annGraphInsertAuditSql)),
     Q("ann_graph_layered_audit", annGraphLayeredAudit,

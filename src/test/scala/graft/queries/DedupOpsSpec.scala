@@ -307,6 +307,69 @@ class DedupOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pos")).toSeq == expectedTop)
   }
 
+  test("dup_span_incremental: hand fixture — one matched window, novel " +
+    "token blocks a 7/8 overlap, null text counts zero") {
+    val dir = java.nio.file.Files.createTempDirectory("dupspaninc").toString
+    import spark.implicits._
+    Seq(
+      // corpus (doc_id % 10 != 0): 10 tokens → 3 full 8-token windows
+      (Some(1L), Some("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")),
+      // increment: window w2..w9 matches corpus pos 1; the next window
+      // ends in novel z → unmatched
+      (Some(10L), Some("w2 w3 w4 w5 w6 w7 w8 w9 z")),
+      (Some(20L), Some("x1 x2 x3 x4 x5 x6 x7 x8")), // all novel
+      // 7 shared tokens + one novel: no full window matches
+      (Some(30L), Some("w1 w2 w3 w4 w5 w6 w7 z8")),
+      (Some(40L), Option.empty[String]))               // null text
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dup_span_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(out(10L) ==
+      ((9L, 2L, 1L, 8L, Some(1L * 1048576L + 1L), 1000L * 8 / 9, true, true)))
+    assert(out(20L) == ((8L, 1L, 0L, 0L, None, 0L, false, true)))
+    assert(out(30L) == ((8L, 1L, 0L, 0L, None, 0L, false, true)))
+    assert(out(40L) == ((0L, 0L, 0L, 0L, None, 0L, false, true)))
+    assert(out.size == 4)
+  }
+
+  test("dup_span_incremental ≡ direct JVM window matching on the real " +
+    "corpus (chain ≡ direct, incremental form)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dup_span_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Array.empty[String]
+         else r.getString(1).split(" ", -1)))
+    val corpusWins = docs.filter(_._1 % 10 != 0)
+      .flatMap { case (id, w) =>
+        (0 to w.length - 8).map(i =>
+          w.slice(i, i + 8).toSeq -> (id * 1048576L + i))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = docs.filter(_._1 % 10 == 0).map { case (id, w) =>
+      val n = w.length.toLong
+      val wins = (0 to w.length - 8)
+        .map(i => i.toLong -> corpusWins.get(w.slice(i, i + 8).toSeq))
+      val hit = wins.collect { case (p, Some(c)) => (p, c) }
+      val cover = hit.flatMap { case (p, _) => p until p + 8 }.distinct.size
+      id -> ((n, math.max(0L, n - 7), hit.size.toLong, cover.toLong,
+        if (hit.nonEmpty) Some(hit.map(_._2).min) else None,
+        if (n > 0) 1000L * cover / n else 0L, hit.nonEmpty, true))
+    }.toMap
+    assert(out == expected)
+    // the increment genuinely contains corpus-duplicate spans (the
+    // seeded ~8% near-dup structure) AND clean docs
+    assert(out.values.exists(_._7) && out.values.exists(!_._7))
+  }
+
   test("substring_dedup_apply: hand-computed cut fixture — non-rep " +
     "occurrences cut, representative kept, doc split at cut points") {
     val dir = java.nio.file.Files.createTempDirectory("dupapply").toString

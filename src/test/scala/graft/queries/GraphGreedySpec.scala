@@ -216,6 +216,90 @@ class GraphGreedySpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_delete_audit: full JVM replay — decile-9 delete, " +
+    "donated candidate pools, shared prune repair, per-decile deltas") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_graph_delete_audit")(spark, dir)
+      .collect()
+    assert(out.length == 9)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).map(_ =>
+          r.getAs[Long]("vec_id") -> quant(r.getSeq[Float](
+            r.fieldIndex("embedding"))))
+      }.toMap
+    val nrm = emb.map { case (id, q) => id -> dot(q, q) }
+    val live = emb.filter { case (id, _) => nrm(id) > 0 }
+    def cos(a: Long, b: Long): Double =
+      dot(live(a), live(b)).toDouble / math.sqrt((nrm(a) * nrm(b)).toDouble)
+    val pairs = SparkEntry.queries("ann_lsh_cosine")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos"))).toSeq
+    val (_, _, bsym) = replayBuild(pairs, cos)
+    // duplicate-free symmetric kept adjacency
+    val adjSet = bsym.map { case (n, b, _) => (n, b) }.toSet
+    val adjBy = adjSet.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def insH(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ins:$id").take(12), 16)
+    def dec(id: Long): Long = insH(id) * 10 / (1L << 48)
+    def cm(c: Double): Long = math.floor(c * 1000).toLong + 1000L
+    val dels = live.keys.filter(dec(_) == 9L).toSet
+    val surv = live.keys.filterNot(dels).toSet
+    case class Agg(var n: Long = 0, var aff: Long = 0, var lost: Long = 0,
+      var nc: Long = 0, var nk: Long = 0, var reconn: Long = 0,
+      var withCand: Long = 0, var befE: Long = 0, var befCm: Long = 0,
+      var keptCm: Long = 0)
+    val byDec = scala.collection.mutable.Map.empty[Long, Agg]
+    surv.foreach(u => byDec.getOrElseUpdate(dec(u), Agg()).n += 1)
+    for (u <- surv; nbrs = adjBy.getOrElse(u, Set.empty)
+         if nbrs.exists(dels)) {
+      val a = byDec(dec(u))
+      a.aff += 1
+      a.lost += nbrs.count(dels)
+      a.befE += nbrs.size
+      nbrs.foreach(w => a.befCm += cm(cos(u, w)))
+      val oldc = nbrs.filter(surv)
+      val newc = for (v <- nbrs if dels(v);
+                      w <- adjBy.getOrElse(v, Set.empty)
+                      if w != u && surv(w)) yield w
+      val rcand = (oldc ++ newc).toSeq.distinct
+        .map(w => (w, cos(u, w)))
+        .sortBy { case (w, c) => (-c, w) }.take(8)
+      val rkept = {
+        val k = scala.collection.mutable.ArrayBuffer[Long]()
+        for ((w, cq) <- rcand)
+          if (!k.exists(s => cos(w, s) >= cq)) k += w
+        k.toSeq
+      }
+      a.nc += rcand.length; a.nk += rkept.length
+      if (rcand.nonEmpty) a.withCand += 1
+      if (rkept.nonEmpty) a.reconn += 1
+      rkept.foreach(w => a.keptCm += cm(cos(u, w)))
+    }
+    val expected = byDec.toSeq.sortBy(_._1).map { case (d, a) =>
+      (d, a.n, a.aff, a.lost, a.nc, a.nk,
+        if (a.nc > 0) 1000 * (a.nc - a.nk) / a.nc else 0L,
+        if (a.aff > 0) 1000 * a.befE / a.aff else 0L,
+        if (a.aff > 0) 1000 * a.nk / a.aff else 0L,
+        if (a.aff > 0) 1000 * a.reconn / a.aff else 0L,
+        if (a.befE > 0) Some(a.befCm / a.befE - 1000) else None,
+        if (a.nk > 0) Some(a.keptCm / a.nk - 1000) else None,
+        a.nk <= a.nc && a.reconn == a.withCand)
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8), r.getLong(9),
+      if (r.isNullAt(10)) None else Some(r.getLong(10)),
+      if (r.isNullAt(11)) None else Some(r.getLong(11)),
+      r.getBoolean(12))).toSeq
+    assert(got == expected)
+    // accounting laws hold in every decile, and deletes genuinely bit:
+    // some decile lost edges and repaired through non-empty pools
+    assert(got.forall(_._13))
+    assert(got.map(_._4).sum > 0 && got.map(_._6).sum > 0)
+  }
+
   test("ann_graph_insert_audit: full JVM replay of the build — insert " +
     "clock, candidate pools, greedy prune, decile stats and laws") {
     val dir = "/root/testdata/sf0.001"
