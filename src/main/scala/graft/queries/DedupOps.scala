@@ -2376,9 +2376,12 @@ object DedupOps {
         paired.groupBy(col("lc"), col("rc"))
           .agg(min(col("doc_id") * 1048576L + col("pos")).as("cls")))
       maps += mapK
-      level = Util.cachedRelation(s, dir, s"dupDblIncCls$k", "")(
-        paired.join(mapK, Seq("lc", "rc"))
-          .select(col("doc_id"), col("pos"), col("cls")))
+      // the final level feeds nothing (classification reads the MAPS) —
+      // don't register a cache entry that no consumer will materialize
+      if (k < dblRounds)
+        level = Util.cachedRelation(s, dir, s"dupDblIncCls$k", "")(
+          paired.join(mapK, Seq("lc", "rc"))
+            .select(col("doc_id"), col("pos"), col("cls")))
     }
     maps.result()
   }
