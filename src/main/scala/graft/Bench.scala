@@ -7,6 +7,41 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted name order after a small uncounted JVM warm-up so
   * first-query JIT noise doesn't land on an arbitrary query. */
 object Bench {
+  /** The measured action: force FULL-ROW evaluation by hashing every
+    * column into one aggregate (ScaleCheck's ForceQ rule). A bare
+    * `.count()` is NOT an honest measure: Catalyst deletes left joins
+    * against grouped-by-key relations (and the columns feeding them)
+    * when no output column is consumed — a round-17 probe found 47 of
+    * 248 queries lose joins under count(), 15 of them COLLAPSING to a
+    * bare scan (dup_span_incremental's count-plan was one parquet scan
+    * of doc_id — the bench would have reported a 22 s classification
+    * query as 2.4 s). Map-typed columns are excluded from the hash
+    * (xxhash64 rejects MapType); if nothing is hashable the action
+    * falls back to count(). SPARK_GRAFT_BENCH_COUNTRULE=1 restores the
+    * pre-round-17 count() rule for apples-to-apples continuity
+    * captures against old trees. */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+  }
+  private val countRule = sys.env.get("SPARK_GRAFT_BENCH_COUNTRULE")
+    .exists(_ == "1")
+  private def benchAction(df: org.apache.spark.sql.DataFrame): Unit = {
+    val hashable = df.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => s"`${f.name}`")
+    if (countRule || hashable.isEmpty) { df.count(); () }
+    else {
+      df.selectExpr(s"bit_xor(xxhash64(${hashable.mkString(", ")})) AS h",
+        "count(*) AS n").collect()
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,7 +153,7 @@ object Bench {
       }
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { benchAction(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

@@ -2427,18 +2427,28 @@ object DedupOps {
     val incToks = incD
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    var ic = incToks.join(maps(0), Seq("tok"), "left")
-      .select(col("doc_id"), col("pos"),
-        coalesce(col("cls"), lit(-2L)).as("cls"))
+    // every round's state is session-cached: the shift self-join
+    // references the previous round TWICE, so an uncached chain
+    // re-derives round k−1 twice per round — a 2^k recompute multiplier
+    // (the same trap the corpus chain's kppCents note documents; each
+    // recomputed copy drags its corpus-map join along). The states are
+    // increment-sized, so the cache cost is the increment, not the
+    // corpus.
+    var ic = Util.cachedRelation(s, dir, "dupSpanIncState0", "")(
+      incToks.join(maps(0), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("cls"), lit(-2L)).as("cls")))
     for (k <- 1 to dblRounds) {
-      val right = ic.select(col("doc_id"),
+      val prev = ic
+      val right = prev.select(col("doc_id"),
         (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
-      val paired = ic.join(right, Seq("doc_id", "pos"), "left")
+      val paired = prev.join(right, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("cls").as("lc"),
           coalesce(col("rc"), lit(-1L)).as("rc"))
-      ic = paired.join(maps(k), Seq("lc", "rc"), "left")
-        .select(col("doc_id"), col("pos"),
-          coalesce(col("cls"), lit(-2L)).as("cls"))
+      ic = Util.cachedRelation(s, dir, s"dupSpanIncState$k", "")(
+        paired.join(maps(k), Seq("lc", "rc"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("cls"), lit(-2L)).as("cls")))
     }
     val w = 1 << dblRounds
     val lens = incD.select(col("doc_id"),
