@@ -296,6 +296,61 @@ object StreamingPipeline {
         coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
+  /** Corpus full-window index for the streaming span-dedup gate: every
+    * full 2^[[graft.queries.DedupOps.dblRounds]]-token window of the
+    * established corpus, keyed by window CONTENT, valued by its min-gid
+    * representative (gid = doc_id·2²⁰ + pos — the batch doubling tier's
+    * class id for full windows, the theorem `dup_span_incremental`'s
+    * oracle certifies). This is the store a streaming span-dedup service
+    * ships: the batch incremental rung classifies through constant-width
+    * class-pair maps (the right shape for a corpus-scale BUILD), but a
+    * per-arriving-doc gate wants one content-keyed lookup per window —
+    * and the doubling's shift self-join is inherently multi-row-per-doc,
+    * which a stateless stream can't express. Built batch-side, re-read
+    * per micro-batch like [[pruneStream]]'s canon index. */
+  def corpusWindowIndex(corpus: DataFrame): DataFrame = {
+    val w = 1 << graft.queries.DedupOps.dblRounds
+    corpus
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $w), i -> struct(" +
+          "CAST(i AS BIGINT) AS pos, " +
+          s"concat_ws(' ', slice(tk, i + 1, $w)) AS win))")).as("pw"))
+      .select(col("pw.win").as("win"),
+        (col("doc_id") * 1048576L + col("pw.pos")).as("gid"))
+      .groupBy("win").agg(min(col("gid")).as("cls"))
+  }
+
+  /** Streaming span-dedup CUT LIST — the continuous twin of
+    * `dup_span_incremental`: every ARRIVING doc emits one row per full
+    * window that occurs verbatim in the established corpus — exactly
+    * the positions a substring-dedup pass cuts, with the corpus class
+    * id (min-gid representative) for span recovery. Stateless: explode
+    * the doc's full windows row-locally, ONE stream-static inner join
+    * against [[corpusWindowIndex]] — no watermark, no state store,
+    * append-safe; docs with no duplicated window emit nothing (the
+    * cut-list shape, not the per-doc report — per-doc aggregation is
+    * the batch rung's job). Per-doc parity with the batch query's
+    * matched-window count and min class is pinned in
+    * StreamingPipelineSpec. */
+  def spanCutStream(docs: DataFrame, winIdx: DataFrame): DataFrame = {
+    val w = 1 << graft.queries.DedupOps.dblRounds
+    docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $w), i -> struct(" +
+          "CAST(i AS BIGINT) AS pos, " +
+          s"concat_ws(' ', slice(tk, i + 1, $w)) AS win))")).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"),
+        col("pw.win").as("win"))
+      .join(winIdx, Seq("win"))
+      .select(col("doc_id"), col("pos"), col("cls"))
+  }
+
   /** Streaming dedup with bounded state: drop duplicate (user_id, event_id)
     * arrivals within the watermark horizon — the streaming analog of the
     * batch latest-per-key dedup for at-least-once upstream feeds. State for

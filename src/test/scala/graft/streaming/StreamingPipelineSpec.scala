@@ -829,6 +829,48 @@ class StreamingPipelineSpec extends SparkSpec {
     (0 until 4).foreach(m => assert(out2((100L, m)) == ((2L, 400L)), s"m=$m"))
   }
 
+  test("spanCutStream: per-doc parity with dup_span_incremental's " +
+    "matched-window count and min class on real sf0.001 data") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val winIdx = StreamingPipeline.corpusWindowIndex(
+      all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0))
+    val src = Files.createTempDirectory("spancutparity").resolve("docs")
+    Files.createDirectories(src)
+    // arrivals = the increment slice, as its own parquet dir
+    all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .write.parquet(src.toString + "/inc.parquet")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString + "/inc.parquet").schema)
+      .parquet(src.toString + "/inc.parquet")
+    val cuts = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.spanCutStream(stream, winIdx), "span_cut_stream")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("cls")))
+    val byDoc = cuts.groupBy(_._1).map { case (id, rs) =>
+      id -> ((rs.length.toLong, rs.map(_._3).min))
+    }
+    val batch = graft.SparkEntry.queries("dup_span_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_windows"),
+          Option(r.getAs[java.lang.Long]("min_dup_cls"))))).toMap
+    assert(batch.nonEmpty)
+    // every batch doc with matches is in the stream with the same count
+    // and min class; clean docs emit nothing
+    batch.foreach { case (id, (n, minCls)) =>
+      if (n > 0) {
+        val (gotN, gotMin) = byDoc(id)
+        assert(gotN == n, s"doc $id window count")
+        assert(minCls.contains(gotMin), s"doc $id min class")
+      } else assert(!byDoc.contains(id), s"doc $id should emit nothing")
+    }
+    assert(byDoc.keySet == batch.filter(_._2._1 > 0).keySet)
+    // the gate must have bitten or the parity is vacuous
+    assert(cuts.nonEmpty)
+  }
+
   test("lineDedupStream: exact batch parity with line_dedup on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
     // the file stream source wants a DIRECTORY; testdata ships one file
