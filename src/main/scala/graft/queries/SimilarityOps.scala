@@ -1256,14 +1256,14 @@ object SimilarityOps {
       .select(col("bw"), col("query_id"), col("qq"), col("qn"),
         col("nbr").as("cur"), col("ncos").as("ccos"))
     for (_ <- 2 to graphHops) {
-      // path-independence dedup WITHOUT a full-pool distinct: a node's
-      // score doesn't depend on the path that reached it, so duplicate
-      // (bw, query, nbr) rows are exact ties on the rank keys —
-      // dense_rank gives them one rank and distinct neighbors
-      // consecutive ranks (≡ ranking the distinct pool), the bw-prefix
-      // filter shrinks the pool to ≤ bw rows per (bw, query), and the
-      // dedup happens on THAT bounded set. One corpus-pool shuffle per
-      // hop instead of two (the pre-rank distinct was the second).
+      // path-independent: dedup (bw, query, node) BEFORE ranking. A
+      // dense_rank form (rank duplicates as ties, dedup the ≤ bw
+      // survivors) was tried in round 17 and measured SLOWER in
+      // controlled pairs (+1.4 s both pairs at sf0.1): the pre-rank
+      // distinct's partial aggregate combines duplicates map-side, so
+      // both the shuffle bytes AND the window's sort input shrink —
+      // worth more than the shuffle it costs, here and on a real
+      // network.
       hb = hb
         .join(g2, col("node") === col("cur"))
         .filter(col("nbr") =!= col("query_id"))
@@ -1273,9 +1273,9 @@ object SimilarityOps {
           sqrt((col("qn") * col("nn")).cast("double")))
         .select(col("bw"), col("query_id"), col("qq"), col("qn"),
           col("nbr"), col("ncos"))
-        .withColumn("rk", dense_rank().over(wB))
+        .distinct()
+        .withColumn("rk", row_number().over(wB))
         .filter(col("rk") <= col("bw"))
-        .dropDuplicates(Seq("bw", "query_id", "nbr"))
         .select(col("bw"), col("query_id"), col("qq"), col("qn"),
           col("nbr").as("cur"), col("ncos").as("ccos"))
     }
