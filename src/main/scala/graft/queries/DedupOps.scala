@@ -1288,9 +1288,15 @@ object DedupOps {
     val exact = inc.select(col("doc_id"), md5(col("text")).as("h"))
       .join(corpusHash, Seq("h"), "left")
       .select(col("doc_id"), col("exact_of"))
-    // near tier: increment bands ⋈ corpus bands on the bucket key
-    val cand = minhashBands(inc).as("x")
-      .join(minhashBands(corpus).as("y"),
+    // near tier: increment bands ⋈ corpus bands on the bucket key.
+    // ONE session-cached signature pass over ALL docs, filtered per
+    // side — signatures are per-doc, so bands(slice) ≡
+    // bands(all).filter(slice), and the 16-seed md5 aggregate (the
+    // tier's dominant cost) runs once instead of once per side.
+    val bandsAll = Util.cachedRelation(s, dir, "incDedupBands", "")(
+      minhashBands(all))
+    val cand = bandsAll.filter(col("doc_id") % 10 === 0).as("x")
+      .join(bandsAll.filter(col("doc_id") % 10 =!= 0).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_sig") === col("y.band_sig"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("cand_id"))
