@@ -32,8 +32,11 @@ object Bench {
   private val countRule = sys.env.get("SPARK_GRAFT_BENCH_COUNTRULE")
     .exists(_ == "1")
   private def benchAction(df: org.apache.spark.sql.DataFrame): Unit = {
+    // escape backticks inside names: a raw backtick would terminate the
+    // quoted identifier early and misreport the query as FAILED
     val hashable = df.schema.fields
-      .filterNot(f => hasMap(f.dataType)).map(f => s"`${f.name}`")
+      .filterNot(f => hasMap(f.dataType))
+      .map(f => s"`${f.name.replace("`", "``")}`")
     if (countRule || hashable.isEmpty) { df.count(); () }
     else {
       df.selectExpr(s"bit_xor(xxhash64(${hashable.mkString(", ")})) AS h",

@@ -1952,9 +1952,17 @@ object DedupOps {
     * materializes window arrays) and exists for the audit, not the
     * deployment plan. NULL doc_ids are excluded (no stable position
     * identity), NULL texts tokenize to nothing on both engines. */
-  /** Token-position document view shared by the doubling family. */
+  /** Token-position document view shared by the doubling family.
+    * doc_id >= 0 is LOAD-BEARING, not cosmetic: the whole family encodes
+    * positions as gid = doc_id·2²⁰ + pos and reserves NEGATIVE values as
+    * sentinels (−1 truncated right half, −2 novel increment token, and
+    * the `cls >= 0` matched-window filter) — a negative doc_id would
+    * collide with the sentinel space and silently misclassify windows.
+    * Filtered here and mirrored in all four family oracles
+    * (`WHERE doc_id IS NOT NULL AND doc_id >= 0`). */
   private def dblDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id").isNotNull)
+    t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("doc_id") >= 0L)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
 
   /** The cached class levels 0..[[dblRounds]] — ONE copy of the doubling
@@ -2054,7 +2062,7 @@ object DedupOps {
          |      FROM tt GROUP BY 1)) d""".stripMargin
     s"""WITH docs_ AS (
        |  SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |tt AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
        |    doc_id * 1048576 + i AS gid, w
@@ -2133,7 +2141,7 @@ object DedupOps {
     }
     s"""WITH docs_ AS (
        |  SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |tt AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
        |    doc_id * 1048576 + i AS gid
@@ -2272,7 +2280,7 @@ object DedupOps {
     }
     s"""WITH docs_ AS (
        |  SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |tt AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok,
        |    doc_id * 1048576 + i AS gid
@@ -2497,7 +2505,7 @@ object DedupOps {
     val w = 1 << dblRounds
     s"""WITH docs_ AS (
        |  SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |incd AS (SELECT doc_id, w FROM docs_ WHERE doc_id % 10 = 0),
        |corpd AS (SELECT doc_id, w FROM docs_ WHERE doc_id % 10 <> 0),
        |wc AS (

@@ -400,7 +400,12 @@ object PrivacyOps {
     * gumbelMinNano < 0, so (g_nano + gumbelShiftNano) ≥ 0 — Spark's
     * `div` (truncate toward zero) and DuckDB's `//` (floor) agree on
     * non-negative operands, the div/floor cross-engine trap. The shift
-    * is constant per row, so per-ε score RANKS are unchanged by it. */
+    * is constant per row, so per-ε score RANKS are unchanged BY THE
+    * SHIFT — but the accompanying nano→micro rescale coarsens the
+    * Gumbel term 1000×, so selected sets can legitimately differ from
+    * the round-≤16 nano-form history even without overflow: micro
+    * quantization is a semantic change (both engines + the spec were
+    * updated in lockstep), and round-≤16 outputs are NOT comparable. */
   private[queries] val gumbelShiftNano = -gumbelMinNano
 
   /** ε-DP top-k selection of event types by the EXPONENTIAL mechanism

@@ -2938,14 +2938,21 @@ object SimilarityOps {
     val h0U = h0.withColumn("arm", lit("s"))
       .unionByName(entryState(e, gb, qs).withColumn("arm", lit("b")))
     val w = greedyWalk(e, gU, h0U, armed = true)
-    def armMax(a: String, c: String) = max(when(col("arm") === a, col(c)))
+    // pivot per arm on ONE struct, not per-column maxes: the walk yields
+    // exactly one row per (query_id, arm) today (topDegreeGraph appends
+    // self-loops so no arm dies), but a per-column max would silently mix
+    // fields from DIFFERENT rows if greedyWalk were ever re-armed with a
+    // graph lacking that guarantee — the struct max keeps each arm's
+    // (cur, ccos, moves) from a single row by construction
+    def armRow(a: String) = max(when(col("arm") === a,
+      struct(col("cur"), col("ccos"), col("moves"))))
     w.groupBy("query_id").agg(
-        armMax("b", "cur").as("built_id"),
-        armMax("b", "ccos").as("built_cos"),
-        armMax("b", "moves").as("built_moves"),
-        armMax("s", "cur").as("static_id"),
-        armMax("s", "ccos").as("static_cos"),
-        armMax("s", "moves").as("static_moves"))
+        armRow("b").as("rb"), armRow("s").as("rs"))
+      .select(col("query_id"),
+        col("rb.cur").as("built_id"), col("rb.ccos").as("built_cos"),
+        col("rb.moves").as("built_moves"),
+        col("rs.cur").as("static_id"), col("rs.ccos").as("static_cos"),
+        col("rs.moves").as("static_moves"))
       .join(bruteTruth(s, dir), "query_id")
       .select(col("query_id"), col("built_id"), col("built_cos"),
         col("built_moves"), col("static_id"), col("static_cos"),
