@@ -240,7 +240,7 @@ object CorpusOps {
     * corpus reports describe) that exact grams miss once a few words
     * change, at lexical rather than embedding cost. Train and bench
     * splits are banded with the SAME 16-seed / 4-band MinHash scheme as
-    * the dedup tier ([[DedupOps.minhashBands]] — one copy of the
+    * the dedup tier ([[DedupOps.minhashBandsOfShingles]] — one copy of the
     * signature math), candidates are band-bucket collisions between the
     * two sides, and each candidate is verified with exact word-set
     * Jaccard on row-local arrays. One row per train doc: candidate

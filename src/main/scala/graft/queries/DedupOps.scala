@@ -246,15 +246,25 @@ object DedupOps {
   private[queries] def minhashBandsOfShingles(sh: DataFrame): DataFrame =
     bandsOfSigs(sigsOfShingles(sh))
 
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSignaturesOf(t(s, dir, "documents"))
-
-  /** Long-form MinHash LSH band relation (doc_id, band, band_sig): the 16
-    * minhashes in 4 bands of 4, one md5 signature per band. Shared by the
-    * band-stats cost model and connected-components edge discovery — the
-    * "join on bucket, never all-pairs" key for the whole MinHash family. */
-  private[queries] def minhashBands(docs: DataFrame): DataFrame =
-    bandsOfSigs(minhashSignaturesOf(docs))
+  /** THE session-cached 16-seed signature relation over the FULL
+    * documents table — one copy of the family's dominant cost (the
+    * word explode + 16-column min-md5 aggregate). Every word-unigram
+    * MinHash consumer derives from this one relation: the cluster
+    * query reads it directly, band consumers run [[bandsOfSigs]] over
+    * it (4 md5s per doc — trivial against the in-memory cache), and
+    * the %10-sampled audits FILTER it (signatures are per-doc
+    * aggregates keyed by doc_id, so sigs(docs.filter(P)) ≡
+    * sigs(docs).filter(P) exactly — same rows, same values). Before
+    * round 18 the suite ran this aggregate six times per session
+    * (three full-corpus copies + three subset copies); a scoped
+    * single-audit run now pays the full-corpus pass where it paid a
+    * subset pass — the right trade for the full-suite/service session
+    * shape this cache exists for. Oracles are untouched: each query's
+    * SQL twin still recomputes its own signatures, so the hash compare
+    * keeps certifying the derivation, not shared code. */
+  private def sharedMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "minhashSigs", "")(
+      minhashSignaturesOf(t(s, dir, "documents")))
 
   /** Band relation from an ALREADY-BUILT signature frame — split out so a
     * caller holding a cached m0..m15 relation (the estimator audit) can
@@ -288,7 +298,7 @@ object DedupOps {
     val sig = md5(concat_ws("|",
       (0 until minhashSeeds).map(i => col(s"m$i")): _*))
     val w = Window.partitionBy(col("sig"))
-    minhashSignatures(s, dir)
+    sharedMinhashSigs(s, dir)
       .withColumn("sig", sig)
       .select(col("doc_id"), col("sig"),
         min(col("doc_id")).over(w).as("canonical_id"),
@@ -311,7 +321,7 @@ object DedupOps {
     * (Σ k·(k−1)/2). This is the cost model of the LSH join — the number the
     * scale path actually needs — without materializing the pairs. */
   private def lshBandStats(s: SparkSession, dir: String): DataFrame = {
-    minhashBands(t(s, dir, "documents"))
+    bandsOfSigs(sharedMinhashSigs(s, dir))
       .groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("band"))
@@ -534,8 +544,9 @@ object DedupOps {
 
   /** Connected components over the near-duplicate graph: nodes are sampled
     * docs; edges are MinHash-LSH candidate pairs (≥ 1 shared band of the
-    * 16-seed / 4-band signature — the same [[minhashBands]] relation as
-    * `lsh_band_stats`) verified at word-set Jaccard ≥ 0.5 in exact milli
+    * 16-seed / 4-band signature — [[bandsOfSigs]] over the same
+    * [[sharedMinhashSigs]] relation as `lsh_band_stats`) verified at
+    * word-set Jaccard ≥ 0.5 in exact milli
     * units; components come from iterative min-label propagation — the
     * Pregel-style loop that dedups transitively linked clusters at 100 TB
     * where a single groupBy on signature can't (A~B, B~C, A≁C must still
@@ -572,11 +583,15 @@ object DedupOps {
     // bucket key (band, band_sig), buckets beyond maxCcBucket dropped from
     // one side (bucket membership is a key property, so one side kills the
     // pair) with the drop logged via the graft_drop_* observation
-    // the band relation (token explode + 16-column min-md5 aggregate) feeds
-    // three consumers (bucket sizes, the eligible semi-join, the y join
-    // side): LAZY persist so the heavy subtree evaluates once — same
-    // construction-safe pattern as the simhash `bands` persist above
-    val bl = minhashBands(docs).persist()
+    // the band relation feeds three consumers (bucket sizes, the eligible
+    // semi-join, the y join side): LAZY persist so the banding evaluates
+    // once — same construction-safe pattern as the simhash `bands` persist
+    // above. The signatures underneath come from the ONE shared cached
+    // full-corpus relation, filtered to the %10 sample (per-doc
+    // invariance, see [[sharedMinhashSigs]]) — the 16-seed aggregate no
+    // longer reruns per consumer family.
+    val bl = bandsOfSigs(
+      sharedMinhashSigs(s, dir).filter(col("doc_id") % 10 === 0)).persist()
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_cc_bucket",
@@ -1289,12 +1304,14 @@ object DedupOps {
       .join(corpusHash, Seq("h"), "left")
       .select(col("doc_id"), col("exact_of"))
     // near tier: increment bands ⋈ corpus bands on the bucket key.
-    // ONE session-cached signature pass over ALL docs, filtered per
-    // side — signatures are per-doc, so bands(slice) ≡
-    // bands(all).filter(slice), and the 16-seed md5 aggregate (the
-    // tier's dominant cost) runs once instead of once per side.
-    val bandsAll = Util.cachedRelation(s, dir, "incDedupBands", "")(
-      minhashBands(all))
+    // ONE signature pass over ALL docs, filtered per side — signatures
+    // are per-doc, so bands(slice) ≡ bands(all).filter(slice). Since
+    // round 18 the signatures are the family-wide [[sharedMinhashSigs]]
+    // cache (the round-17 query-local `incDedupBands` cache was the
+    // same relation, computed a second time when the cluster/band-stats
+    // queries had already run); banding is a 4-md5 projection over the
+    // in-memory cache, cheap enough to derive per side.
+    val bandsAll = bandsOfSigs(sharedMinhashSigs(s, dir))
     val cand = bandsAll.filter(col("doc_id") % 10 === 0).as("x")
       .join(bandsAll.filter(col("doc_id") % 10 =!= 0).as("y"),
         col("x.band") === col("y.band") &&
@@ -1645,7 +1662,8 @@ object DedupOps {
   private def recallBandRel(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "recallAuditBands",
       s"ccBucket=${maxCcBucket(s)}") {
-      minhashBands(t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+      bandsOfSigs(sharedMinhashSigs(s, dir)
+        .filter(col("doc_id") % 10 === 0))
     }
 
   private def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
@@ -1826,8 +1844,12 @@ object DedupOps {
     * Audit output is ≤ 11 rows at any corpus size. */
   private def minhashEstimateAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val minh = Util.cachedRelation(s, dir, "mhAuditSigs", "")(
-      minhashSignaturesOf(docs))
+    // subset signatures FILTER the shared full-corpus cache (per-doc
+    // invariance, [[sharedMinhashSigs]]); the filter projection over the
+    // in-memory relation is cheap enough that the former query-local
+    // `mhAuditSigs` copy of the subset is gone
+    val minh = sharedMinhashSigs(s, dir)
+      .filter(col("doc_id") % 10 === 0)
     val bl = bandsOfSigs(minh)
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
