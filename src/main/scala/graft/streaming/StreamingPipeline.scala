@@ -298,10 +298,19 @@ object StreamingPipeline {
 
   /** Corpus full-window index for the streaming span-dedup gate: every
     * full 2^[[graft.queries.DedupOps.dblRounds]]-token window of the
-    * established corpus, keyed by window CONTENT, valued by its min-gid
-    * representative (gid = doc_id·2²⁰ + pos — the batch doubling tier's
-    * class id for full windows, the theorem `dup_span_incremental`'s
-    * oracle certifies). This is the store a streaming span-dedup service
+    * established corpus, keyed by a 96-bit CONTENT DIGEST (two 48-bit
+    * md5 halves of the space-joined window — the repo's md5-clock
+    * idiom), valued by its min-gid representative (gid = doc_id·2²⁰ +
+    * pos — the batch doubling tier's class id for full windows, the
+    * theorem `dup_span_incremental`'s oracle certifies). The digest key
+    * is the deployment-scale choice: keyed by the full window STRING
+    * the store is ~W× corpus bytes (every token appears in W windows);
+    * keyed by the digest it is 16 B + 8 B per distinct window, and the
+    * arriving side computes the same digest row-locally before the
+    * equi-join. A 96-bit collision (≈2⁻⁹⁶ per pair) could map a novel
+    * window to a corpus class — the same false-positive class a Bloom
+    * gate accepts by design, far below any plausible window count.
+    * This is the store a streaming span-dedup service
     * ships: the batch incremental rung classifies through constant-width
     * class-pair maps (the right shape for a corpus-scale BUILD), but a
     * per-arriving-doc gate wants one content-keyed lookup per window —
@@ -317,10 +326,12 @@ object StreamingPipeline {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(tk) - $w), i -> struct(" +
           "CAST(i AS BIGINT) AS pos, " +
-          s"concat_ws(' ', slice(tk, i + 1, $w)) AS win))")).as("pw"))
-      .select(col("pw.win").as("win"),
+          s"md5(concat_ws(' ', slice(tk, i + 1, $w))) AS wh))")).as("pw"))
+      .select(
+        conv(substring(col("pw.wh"), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(col("pw.wh"), 13, 12), 16, 10).cast("long").as("h2"),
         (col("doc_id") * 1048576L + col("pw.pos")).as("gid"))
-      .groupBy("win").agg(min(col("gid")).as("cls"))
+      .groupBy("h1", "h2").agg(min(col("gid")).as("cls"))
   }
 
   /** Streaming span-dedup CUT LIST — the continuous twin of
@@ -328,8 +339,9 @@ object StreamingPipeline {
     * window that occurs verbatim in the established corpus — exactly
     * the positions a substring-dedup pass cuts, with the corpus class
     * id (min-gid representative) for span recovery. Stateless: explode
-    * the doc's full windows row-locally, ONE stream-static inner join
-    * against [[corpusWindowIndex]] — no watermark, no state store,
+    * and DIGEST the doc's full windows row-locally (the same 96-bit
+    * md5-halves key the index is stored under), ONE stream-static inner
+    * join against [[corpusWindowIndex]] — no watermark, no state store,
     * append-safe; docs with no duplicated window emit nothing (the
     * cut-list shape, not the per-doc report — per-doc aggregation is
     * the batch rung's job). Per-doc parity with the batch query's
@@ -344,10 +356,13 @@ object StreamingPipeline {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(tk) - $w), i -> struct(" +
           "CAST(i AS BIGINT) AS pos, " +
-          s"concat_ws(' ', slice(tk, i + 1, $w)) AS win))")).as("pw"))
+          s"md5(concat_ws(' ', slice(tk, i + 1, $w))) AS wh))")).as("pw"))
+      // identical md5-halves digest rule as [[corpusWindowIndex]]: the
+      // stream-static equi-join ships 16-byte keys, never window text
       .select(col("doc_id"), col("pw.pos").as("pos"),
-        col("pw.win").as("win"))
-      .join(winIdx, Seq("win"))
+        conv(substring(col("pw.wh"), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(col("pw.wh"), 13, 12), 16, 10).cast("long").as("h2"))
+      .join(winIdx, Seq("h1", "h2"))
       .select(col("doc_id"), col("pos"), col("cls"))
   }
 
