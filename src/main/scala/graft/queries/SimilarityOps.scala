@@ -2599,15 +2599,40 @@ object SimilarityOps {
     }
   }
 
+  /** THE checkpointed symmetric built adjacency, stored DISTINCT with an
+    * edge multiplicity column: [[hnswSymEdges]] duplicates a row when
+    * both directions of a link were kept (a→b and b→a each contribute
+    * (a,b) after symmetrization, bit-identical cos — the dot/norm
+    * arithmetic is commutative), so `(node, nbr, cos, mult ∈ {1,2})` is
+    * a lossless encoding of the multiset. One checkpoint now feeds BOTH
+    * consumer shapes: the serve graphs re-expand by `mult` (preserving
+    * topDegreeGraph's exact rank arithmetic — a doubled edge occupies
+    * two rank slots, as it always did) and the delete audit reads the
+    * distinct rows directly (its former `hnswDelAdj` checkpoint was
+    * this same relation, materialized a second time from the kept-edge
+    * relation whenever the serve wave had already built its graphs). */
+  private def hnswSymAdj(s: SparkSession, dir: String): DataFrame =
+    hnswCkpt(s, dir, "hnswSymAdj")(
+      hnswSymEdges(s, dir).groupBy(col("node"), col("nbr"), col("cos"))
+        .agg(count(lit(1)).as("mult")))
+
+  /** The exact [[hnswSymEdges]] multiset, re-expanded from the
+    * checkpointed distinct+mult adjacency. */
+  private def hnswSymExpanded(s: SparkSession, dir: String): DataFrame =
+    hnswSymAdj(s, dir)
+      .select(col("node"), col("nbr"), col("cos"),
+        explode(sequence(lit(1L), col("mult"))).as("_m"))
+      .drop("_m")
+
   /** Layer-0 serve graph over the BUILT structure (degree-capped +
     * self-loops by the shared [[topDegreeGraph]] rule). */
   private def hnswGraph(s: SparkSession, dir: String): DataFrame =
-    hnswCkpt(s, dir, "hnswGraph")(topDegreeGraph(hnswSymEdges(s, dir)))
+    hnswCkpt(s, dir, "hnswGraph")(topDegreeGraph(hnswSymExpanded(s, dir)))
 
   /** Layer-1 serve graph: built edges restricted to promoted endpoints. */
   private def hnswLayerOne(s: SparkSession, dir: String): DataFrame =
     hnswCkpt(s, dir, "hnswLayerOne")(
-      topDegreeGraph(hnswSymEdges(s, dir)
+      topDegreeGraph(hnswSymExpanded(s, dir)
         .filter(promotedCol(col("node")) && promotedCol(col("nbr")))))
 
   private def annGraphLayeredAudit(s: SparkSession, dir: String)
@@ -3029,24 +3054,29 @@ object SimilarityOps {
     * never all-pairs; the decile report is a ≤9-group aggregate. The
     * repair relations are session-cached under the `hnsw` prefix, so
     * the serve-family release boundary reclaims them. */
-  private def annGraphDeleteAudit(s: SparkSession, dir: String)
-      : DataFrame = {
+  /** The delete/repair relations shared by [[annGraphDeleteAudit]] and
+    * [[annGraphMaintainAudit]] — ONE copy of the deletion rule (insert-
+    * clock decile 9), the orphan discovery, and the Alg.-4 repair over
+    * donated candidate pools. `rcand`/`rkept` are session-cached under
+    * the `hnsw` prefix, so whichever audit runs first builds them and
+    * the other reads the cache. */
+  private final case class RepairParts(adj: DataFrame, nodes: DataFrame,
+      dels: DataFrame, surv: DataFrame, lost: DataFrame, aff: DataFrame,
+      rcand: DataFrame, rkept: DataFrame)
+  private def hnswRepairParts(s: SparkSession, dir: String): RepairParts = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(s)
     val e = quantizedBase(s, dir)
     val lshKey = s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}"
     // checkpointed, not cached: every repair relation references the
     // adjacency several times, and each pre-materialization reference
     // embeds the FULL build lineage (LSH chain -> pools -> prune HOF) —
     // the exact plan blowup [[hnswCkpt]] exists for (the layered-audit
-    // finding); the adjacency is |kept edges|-sized, the ccEdges class
-    val adj = hnswCkpt(s, dir, "hnswDelAdj") {
-      val kept = hnswKept(s, dir)
-      kept.select(col("node"), col("nbr"), col("cos"))
-        .unionByName(kept.select(col("nbr").as("node"),
-          col("node").as("nbr"), col("cos")))
-        .distinct()
-    }
+    // finding). Since round 18 the distinct adjacency IS the shared
+    // [[hnswSymAdj]] checkpoint (mult projected away): when the serve
+    // wave already built its graphs these audits pay ZERO adjacency
+    // materialization, and a delete-only session builds the one
+    // checkpoint the serve wave would reuse.
+    val adj = hnswSymAdj(s, dir).select("node", "nbr", "cos")
     val nodes = e.select(col("vec_id").as("node"))
       .withColumn("h", insHash(col("node")))
       .withColumn("decile", expr(s"(h * 10) div ${1L << 48}"))
@@ -3084,6 +3114,15 @@ object SimilarityOps {
     val rkept = Util.cachedRelation(s, dir, "hnswDelKept", lshKey) {
       diversityPrune(rcand, candPairsOf(e, rcand))
     }
+    RepairParts(adj, nodes, dels, surv, lost, aff, rcand, rkept)
+  }
+
+  private def annGraphDeleteAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = hnswRepairParts(s, dir)
+    val (adj, nodes, surv, lost, aff, rcand, rkept) =
+      (p.adj, p.nodes, p.surv, p.lost, p.aff, p.rcand, p.rkept)
     def cm(c: Column) = (floor(c * 1000) + 1000).cast("long")
     val perNode = aff
       .join(rcand.groupBy("node").agg(count(lit(1)).as("n_cand")),
@@ -3146,7 +3185,13 @@ object SimilarityOps {
       .orderBy("decile")
   }
 
-  private val annGraphDeleteAuditSql = {
+  /** The deletion + Alg.-4 repair as a WITH-chain — ONE copy shared by
+    * the delete audit's oracle and the maintenance audit's oracle (the
+    * [[hnswBuildCtes]] discipline). Depends on `e`/`ih`/`bsym` from the
+    * build CTEs; yields `survn`/`deln`/`aff`/`lost`/`kadj` and the
+    * repaired kept set `rkept` via the independent rank-unrolled
+    * NOT-EXISTS chain. */
+  private val hnswRepairCtes = {
     val rkaSteps = (2 to insertEfC).map { r =>
       s"""rka$r AS MATERIALIZED (
          |  SELECT * FROM rka${r - 1}
@@ -3158,10 +3203,7 @@ object SimilarityOps {
          |    WHERE p.node = c.node AND p.ci = $r AND p.cij >= p.ciq))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $lshBandsCtes,
-       |$graphServeCtes,
-       |$hnswBuildCtes,
-       |nodesdel AS (
+    s"""nodesdel AS (
        |  SELECT e.vec_id AS node, (ih.h * 10) // ${1L << 48} AS decile
        |  FROM e JOIN ih ON ih.vec_id = e.vec_id),
        |kadj AS MATERIALIZED (SELECT DISTINCT node, nbr, cos FROM bsym),
@@ -3203,7 +3245,14 @@ object SimilarityOps {
        |  JOIN e ej ON ej.vec_id = j.nbr),
        |rka1 AS (SELECT node, nbr, cos, cr FROM rcand WHERE cr = 1),
        |$rkaSteps,
-       |rkept AS (SELECT * FROM rka$insertEfC),
+       |rkept AS (SELECT * FROM rka$insertEfC)""".stripMargin
+  }
+
+  private val annGraphDeleteAuditSql = {
+    s"""WITH $lshBandsCtes,
+       |$graphServeCtes,
+       |$hnswBuildCtes,
+       |$hnswRepairCtes,
        |pnd AS (
        |  SELECT a.node,
        |    COALESCE(c.n_cand, 0) AS n_cand,
