@@ -3319,6 +3319,226 @@ object SimilarityOps {
        |ORDER BY b.decile""".stripMargin
   }
 
+  /** Index-maintenance serve A/B — the cycle a real deployment runs:
+    * DELETE the insert-clock's last decile, REPAIR the survivors'
+    * neighborhoods (the delete audit's Alg.-4 pass, literally shared:
+    * [[hnswRepairParts]]), RE-INSERT the deleted nodes through the same
+    * [[diversityPrune]], then serve the same query set on the intact
+    * vs maintained graphs with ONE armed [[greedyWalk]] (the
+    * build-vs-static pattern, third arm shape).
+    *
+    * The re-insert candidate pool is the node's pre-delete partners
+    * among survivors (its tombstoned links — what a deployment logs at
+    * delete time), ranked by stored cos and capped at [[insertEfC]],
+    * then pruned by the shared heuristic; kept edges are added
+    * bidirectionally and the maintained layer-0 graph is
+    * [[topDegreeGraph]] over unaffected survivor neighborhoods ∪
+    * repaired neighborhoods ∪ re-insert edges. Emits one row per serve
+    * query: intact/maintained landings, cosines, move counts vs brute
+    * truth, the milli delta, and the maintenance accounting (deleted /
+    * re-inserted counts; `law_ok` pins kept ⊆ candidates per node and
+    * every deleted node WITH candidates re-entering — rank 1 is always
+    * kept). The oracle replays delete + repair + re-insert + both
+    * walks independently (rank-unrolled NOT-EXISTS chains, unrolled
+    * hops), so agreement certifies the maintenance semantics.
+    *
+    * Scale shape: rides the checkpointed [[hnswSymAdj]] adjacency and
+    * the session-cached repair relations — re-insert pools are
+    * degree-bounded per deleted node, maintained-graph ranking is the
+    * same per-node window as every serve build, and the walk cost is
+    * queries × degree × hops; nothing touches corpus-scale relations
+    * beyond the one adjacency scan. An EMPTY delete decile (possible
+    * on tiny corpora — the degenerate fuzz seed) degrades to
+    * maintained ≡ intact with n_deleted = 0 and law_ok true. */
+  private def annGraphMaintainAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    val lshKey = s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}"
+    val p = hnswRepairParts(s, dir)
+    // maintained layer-0 edge multiset: unaffected survivors keep their
+    // neighborhoods verbatim; affected survivors get their repaired
+    // (pruned) neighborhoods; deleted nodes re-enter via their kept
+    // re-insert edges, bidirectionally (the paper's link step — the
+    // degree re-cap happens in topDegreeGraph, shrink-if-full)
+    val unaff = p.adj
+      .join(p.surv.select("node"), "node")
+      .join(p.surv.select(col("node").as("nbr")), "nbr")
+      .join(p.aff, Seq("node"), "left_anti")
+      .select("node", "nbr", "cos")
+    val icand = Util.cachedRelation(s, dir, "hnswMaintCand", lshKey) {
+      p.adj
+        .join(p.dels.select("node"), "node")
+        .join(p.surv.select(col("node").as("nbr")), "nbr")
+        .withColumn("cr", row_number().over(
+          Window.partitionBy("node").orderBy(col("cos").desc, col("nbr")))
+          .cast("long"))
+        .filter(col("cr") <= insertEfC)
+        .select(col("node"), col("nbr"), col("cos"), col("cr"))
+    }
+    val ikept = Util.cachedRelation(s, dir, "hnswMaintKept", lshKey) {
+      diversityPrune(icand, candPairsOf(e, icand))
+    }
+    val medges = unaff
+      .unionByName(p.rkept.select("node", "nbr", "cos"))
+      .unionByName(ikept.select("node", "nbr", "cos"))
+      .unionByName(ikept.select(col("nbr").as("node"),
+        col("node").as("nbr"), col("cos")))
+    val gm = hnswCkpt(s, dir, "hnswMaintGraph")(topDegreeGraph(medges))
+    val gb = hnswGraph(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val gU = gb.select(col("node"), col("nbr"), lit("i").as("arm"))
+      .unionByName(gm.select(col("node"), col("nbr"), lit("m").as("arm")))
+    val h0U = entryState(e, gb, qs).withColumn("arm", lit("i"))
+      .unionByName(entryState(e, gm, qs).withColumn("arm", lit("m")))
+    val w = greedyWalk(e, gU, h0U, armed = true)
+    def armRow(a: String) = max(when(col("arm") === a,
+      struct(col("cur"), col("ccos"), col("moves"))))
+    val law = p.dels.select(col("node"))
+      .join(icand.groupBy("node").agg(count(lit(1)).as("nc")),
+        Seq("node"), "left")
+      .join(ikept.groupBy("node").agg(count(lit(1)).as("nk")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nk"), lit(0L)).as("nk"))
+      .agg(count(lit(1)).as("n_deleted"),
+        coalesce(sum(when(col("nk") > 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_reinserted"),
+        coalesce(sum(when(col("nk") > col("nc"), 1L).otherwise(0L)),
+          lit(0L)).as("bad_kept"),
+        coalesce(sum(when(col("nc") > 0L && col("nk") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("bad_reconn"))
+    w.groupBy("query_id").agg(armRow("i").as("ri"), armRow("m").as("rm"))
+      .select(col("query_id"),
+        col("ri.cur").as("intact_id"), col("ri.ccos").as("intact_cos"),
+        col("ri.moves").as("intact_moves"),
+        col("rm.cur").as("maint_id"), col("rm.ccos").as("maint_cos"),
+        col("rm.moves").as("maint_moves"))
+      .join(bruteTruth(s, dir), "query_id")
+      .crossJoin(broadcast(law))
+      .select(col("query_id"),
+        col("intact_id"), col("intact_cos"), col("intact_moves"),
+        col("maint_id"), col("maint_cos"), col("maint_moves"),
+        col("true_nn_id"), col("true_cos"),
+        (col("intact_id") === col("true_nn_id")).as("intact_exact"),
+        (col("maint_id") === col("true_nn_id")).as("maint_exact"),
+        floor((col("maint_cos") - col("intact_cos")) * 1000).cast("long")
+          .as("delta_milli"),
+        (col("maint_cos") >= col("intact_cos")).as("maint_ge_intact"),
+        col("n_deleted"), col("n_reinserted"),
+        (col("bad_kept") === 0L && col("bad_reconn") === 0L).as("law_ok"))
+      .orderBy("query_id")
+  }
+
+  private val annGraphMaintainAuditSql = {
+    val ikaSteps = (2 to insertEfC).map { r =>
+      s"""ika$r AS MATERIALIZED (
+         |  SELECT * FROM ika${r - 1}
+         |  UNION ALL
+         |  SELECT c.node, c.nbr, c.cos, c.cr FROM icand c
+         |  WHERE c.cr = $r AND NOT EXISTS (
+         |    SELECT 1 FROM ipair p JOIN ika${r - 1} k
+         |      ON k.node = p.node AND k.cr = p.cj
+         |    WHERE p.node = c.node AND p.ci = $r AND p.cij >= p.ciq))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandsCtes,
+       |$graphServeCtes,
+       |$hnswBuildCtes,
+       |$hnswRepairCtes,
+       |unaffe AS (
+       |  SELECT a.node, a.nbr, a.cos FROM kadj a
+       |  JOIN survn s ON s.node = a.node
+       |  JOIN survn w ON w.node = a.nbr
+       |  WHERE NOT EXISTS (SELECT 1 FROM aff f WHERE f.node = a.node)),
+       |icand AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT a.node, a.nbr, a.cos,
+       |      CAST(row_number() OVER (PARTITION BY a.node
+       |        ORDER BY a.cos DESC, a.nbr) AS BIGINT) AS cr
+       |    FROM kadj a
+       |    JOIN deln d ON d.node = a.node
+       |    JOIN survn w ON w.node = a.nbr)
+       |  WHERE cr <= $insertEfC),
+       |ipair AS MATERIALIZED (
+       |  SELECT i.node, i.cr AS ci, j.cr AS cj, i.cos AS ciq,
+       |    ${graphCosSql("ei.q", "ei.nrm", "ej.q", "ej.nrm")} AS cij
+       |  FROM icand i JOIN icand j ON j.node = i.node AND j.cr < i.cr
+       |  JOIN e ei ON ei.vec_id = i.nbr
+       |  JOIN e ej ON ej.vec_id = j.nbr),
+       |ika1 AS (SELECT node, nbr, cos, cr FROM icand WHERE cr = 1),
+       |$ikaSteps,
+       |ikept AS (SELECT * FROM ika$insertEfC),
+       |medges AS (
+       |  SELECT node, nbr, cos FROM unaffe
+       |  UNION ALL SELECT node, nbr, cos FROM rkept
+       |  UNION ALL SELECT node, nbr, cos FROM ikept
+       |  UNION ALL SELECT nbr, node, cos FROM ikept),
+       |gma AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr, row_number() OVER (PARTITION BY node
+       |      ORDER BY cos DESC, nbr) AS rk FROM medges)
+       |  WHERE rk <= $graphDegree),
+       |gm AS (SELECT node, nbr FROM gma
+       |       UNION ALL SELECT DISTINCT node, node FROM gma),
+       |low0b AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |            SELECT DISTINCT node FROM gb ORDER BY node LIMIT 2)),
+       |f0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${graphCosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low0b l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |${layerHopsSql("gb", "f0", "b")},
+       |low0m AS (SELECT MIN(node) AS n1, MAX(node) AS n2 FROM (
+       |            SELECT DISTINCT node FROM gm ORDER BY node LIMIT 2)),
+       |m0 AS (
+       |  SELECT q.query_id, q.qq, q.qn,
+       |    e.vec_id AS entry_id, e.vec_id AS cur,
+       |    ${graphCosSql("q.qq", "q.qn", "e.q", "e.nrm")} AS ccos,
+       |    CAST(0 AS BIGINT) AS moves
+       |  FROM qs q CROSS JOIN low0m l
+       |  JOIN e ON e.vec_id =
+       |    CASE WHEN q.query_id = l.n1 THEN l.n2 ELSE l.n1 END),
+       |${layerHopsSql("gm", "m0", "m")},
+       |ilaw AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+       |    CAST(COALESCE(SUM(CASE WHEN nk > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_reinserted,
+       |    CAST(COALESCE(SUM(CASE WHEN nk > nc THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS bad_kept,
+       |    CAST(COALESCE(SUM(CASE WHEN nc > 0 AND nk = 0 THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS bad_reconn
+       |  FROM (
+       |    SELECT d.node, COALESCE(c.nc, 0) AS nc, COALESCE(k.nk, 0) AS nk
+       |    FROM deln d
+       |    LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS nc
+       |               FROM icand GROUP BY 1) c USING (node)
+       |    LEFT JOIN (SELECT node, CAST(COUNT(*) AS BIGINT) AS nk
+       |               FROM ikept GROUP BY 1) k USING (node)))
+       |SELECT i.query_id,
+       |  i.cur AS intact_id, i.ccos AS intact_cos,
+       |  CAST(i.moves AS BIGINT) AS intact_moves,
+       |  m.cur AS maint_id, m.ccos AS maint_cos,
+       |  CAST(m.moves AS BIGINT) AS maint_moves,
+       |  nn.true_nn_id, nn.true_cos,
+       |  i.cur = nn.true_nn_id AS intact_exact,
+       |  m.cur = nn.true_nn_id AS maint_exact,
+       |  CAST(FLOOR((m.ccos - i.ccos) * 1000) AS BIGINT) AS delta_milli,
+       |  m.ccos >= i.ccos AS maint_ge_intact,
+       |  w.n_deleted, w.n_reinserted,
+       |  w.bad_kept = 0 AND w.bad_reconn = 0 AS law_ok
+       |FROM b$graphHops i JOIN m$graphHops m USING (query_id)
+       |JOIN nn USING (query_id)
+       |CROSS JOIN ilaw w
+       |ORDER BY i.query_id""".stripMargin
+  }
+
   private val annGraphInsertAuditSql =
     s"""WITH $lshBandsCtes,
        |$graphServeCtes,
@@ -3671,6 +3891,8 @@ object SimilarityOps {
       Some(annGraphGreedyAuditSql)),
     Q("ann_graph_build_vs_static", annGraphBuildVsStatic,
       Some(annGraphBuildVsStaticSql)),
+    Q("ann_graph_maintain_audit", annGraphMaintainAudit,
+      Some(annGraphMaintainAuditSql)),
     Q("ann_graph_delete_audit", annGraphDeleteAudit,
       Some(annGraphDeleteAuditSql)),
     Q("ann_graph_insert_audit", annGraphInsertAudit,

@@ -216,6 +216,55 @@ class GraphGreedySpec extends SparkSpec {
     }
   }
 
+  test("ann_graph_maintain_audit: intact arm ≡ built arm; maintenance " +
+    "accounting laws; deletes genuinely bit") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_graph_maintain_audit")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    // the intact arm IS build_vs_static's built arm: same checkpointed
+    // graph, same armed walk, same lowest-node entry rule
+    val ab = SparkEntry.queries("ann_graph_build_vs_static")(spark, dir)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Double]("built_cos"), r.getAs[Long]("built_moves"))))
+      .toMap
+    // independent decile-9 count straight off the embeddings file (the
+    // audit's deletion rule, recomputed JVM-side)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def insDecile(id: Long): Long = {
+      val h = md.digest(s"ins:$id".getBytes("UTF-8"))
+        .take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (h * 10) >> 48
+    }
+    // quantizedBase's validity rule, replayed: quantize then norm > 0
+    val validIds = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).flatMap { _ =>
+          val q = quant(r.getSeq[Float](r.fieldIndex("embedding")))
+          if (dot(q, q) > 0L) Some(r.getAs[Long]("vec_id")) else None
+        }
+      }.toSet
+    val expDeleted = validIds.count(insDecile(_) == 9).toLong
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert((r.getAs[Double]("intact_cos"),
+        r.getAs[Long]("intact_moves")) == ab(q),
+        s"intact arm drifted from build_vs_static's built arm at $q")
+      assert(r.getAs[Long]("n_deleted") == expDeleted,
+        s"n_deleted != independent decile-9 count at $q")
+      assert(r.getAs[Long]("n_reinserted") <= expDeleted)
+      assert(r.getAs[Boolean]("law_ok"), s"law_ok false at $q")
+      assert(r.getAs[Boolean]("maint_ge_intact") ==
+        (r.getAs[Double]("maint_cos") >= r.getAs[Double]("intact_cos")))
+      assert(r.getAs[Long]("delta_milli") ==
+        math.floor((r.getAs[Double]("maint_cos") -
+          r.getAs[Double]("intact_cos")) * 1000).toLong)
+    }
+    // the cycle must genuinely bite or the A/B is vacuous
+    assert(expDeleted > 0, "degenerate corpus: empty delete decile")
+    assert(out.map(_.getAs[Long]("n_reinserted")).head > 0)
+  }
+
   test("ann_graph_delete_audit: full JVM replay — decile-9 delete, " +
     "donated candidate pools, shared prune repair, per-decile deltas") {
     val dir = "/root/testdata/sf0.001"
