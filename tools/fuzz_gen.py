@@ -6,7 +6,10 @@ the fixed testdata never shows it — NULL keys, unicode, negatives, duplicate
 ids, empty/whitespace texts, empty vectors, malformed JSON.
 
 Every value is a pure function of (seed, row); re-running reproduces the
-corpus bit-for-bit. Usage:
+corpus bit-for-bit. Seed 0 is special: a tiny DEGENERATE-graph corpus
+(empty HNSW delete decile, isolated vectors, single-doc increment,
+sub-window docs) aimed at the edge laws of the graph/window queries.
+Usage:
 
     tools/fuzz_gen.py <outDir> [seed]
 
@@ -42,6 +45,14 @@ TYPES = ["click", "view", "signup", "purchase", "error"]
 def main():
     out = sys.argv[1]
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # seed 0 = the DEGENERATE-graph corpus: tiny tables pinning the edge
+    # laws the big dirty seeds can't reach — an EMPTY HNSW delete decile
+    # (vec_ids 5..14: md5("ins:"+id) puts none in decile 9), isolated
+    # vectors (10 random dim-16 vectors rarely share an LSH bucket →
+    # empty candidate graphs), a SINGLE-doc increment (docs 0 and 10 are
+    # the %10 slice; doc 0's text is NULL), sub-window docs (< 8 tokens),
+    # an exactly-8-token doc and its verbatim cross-doc duplicate.
+    degen = seed == 0
     rng = np.random.default_rng(seed)
     import os
     os.makedirs(out, exist_ok=True)
@@ -70,7 +81,7 @@ def main():
             [99 if i % 11 == 10 else i % 5 for i in nk], pa.int32())})
 
     # ---- customer / supplier: negative + NULL balances, orphan nations
-    nc = 300
+    nc = 30 if degen else 300
     ck = list(range(1, nc + 1)) + [5, 6]  # duplicate keys 5, 6
     write("customer",
         pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
@@ -85,7 +96,7 @@ def main():
             pa.float64()),
          "c_mktsegment": opt(
             [rng.choice(["BUILDING", "AUTO", "", "MACHINERY"]) for _ in ck], 0.05)})
-    ns_ = 20
+    ns_ = 5 if degen else 20
     sk = list(range(1, ns_ + 1))
     write("supplier",
         pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
@@ -98,7 +109,7 @@ def main():
             pa.float64())})
 
     # ---- part
-    np_ = 400
+    np_ = 40 if degen else 400
     pk = list(range(1, np_ + 1))
     write("part",
         pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
@@ -114,7 +125,7 @@ def main():
             pa.float64())})
 
     # ---- orders: ms timestamps, NULL/negative/zero prices, dup + orphan keys
-    no = 3000
+    no = 120 if degen else 3000
     ok = list(range(1, no + 1)) + [7, 7]  # triple key 7
     base_ms = 1704067200000  # 2024-01-01 UTC
     write("orders",
@@ -137,7 +148,7 @@ def main():
                          "5-LOW", "dirty 🚀"]) for _ in ok], 0.03)})
 
     # ---- lineitem: dirty measures, orphan FKs, duplicate line ids
-    nl = 12000
+    nl = 400 if degen else 12000
     lo = [int(rng.integers(1, no + 60)) for _ in range(nl)]
     write("lineitem",
         pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
@@ -172,7 +183,7 @@ def main():
 
     # ---- events: ns timestamps in a 10-day window (hour grids stay small),
     # negative + huge-ish values, malformed JSON, NULL types
-    ne = 20000
+    ne = 800 if degen else 20000
     base_ns = 1704067200 * 10**9
     write("events",
         pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
@@ -197,9 +208,36 @@ def main():
 
     # ---- documents: dirty texts — empty, whitespace, unicode, punct/case
     # variants (canonical-dedup bait), degenerate repeats, exact dups
-    nd = 500
+    if degen:
+        # 12 docs pinning window/increment edge laws: the %10 increment
+        # slice is {0, 10}; doc 0 is NULL → a SINGLE live increment doc.
+        # W = 8 (2^dblRounds): docs 3/5 are below the window width, doc 4
+        # is EXACTLY one window, doc 6 repeats it verbatim (cross-doc
+        # full-window dup), doc 7 embeds it mid-text (span-extract bait).
+        w8 = "alpha beta gamma delta epsilon zeta eta theta"
+        d9 = " ".join(rng.choice(VOCAB, 30))
+        dtexts = [
+            None,                                    # 0: poisoned increment
+            "",                                      # 1
+            "   ",                                   # 2
+            "alpha",                                 # 3: single token
+            w8,                                      # 4: exactly W tokens
+            "iota kappa lambda mu nu xi omicron",    # 5: W-1 tokens
+            w8,                                      # 6: verbatim dup of 4
+            " ".join(rng.choice(VOCAB, 12)) + " " + w8 + " "
+                + " ".join(rng.choice(VOCAB, 12)),   # 7: window mid-doc
+            " ".join(["dup"] * 100),                 # 8: degenerate repeat
+            d9,                                      # 9
+            d9,                                      # 10: THE increment doc
+            " ".join(rng.choice(VOCAB, 15)) + " héllo 中文",  # 11
+        ]
+        nd = len(dtexts)
+    else:
+        nd = 500
     texts = []
-    for i in range(nd):
+    if degen:
+        texts = dtexts
+    for i in range(0 if degen else nd):
         r = rng.random()
         if r < 0.03:
             texts.append(None)
@@ -235,6 +273,28 @@ def main():
 
     # ---- embeddings: dim-16 floats, a NULL vector, empty vectors, a
     # ragged (dim-8) vector, NULL labels
+    if degen:
+        # vec_ids {0..3} ∪ {5..14} carry the only VALID vectors:
+        # md5("ins:"+id) lands none of them in insert-clock decile 9
+        # (id 4 — the one small id in decile 9 — is deliberately
+        # ABSENT), so the HNSW delete/maintain audits see an EMPTY
+        # delete decile while the serve queries (vec_id < 5: ids 0..3)
+        # still exist; 14 random vectors also rarely share an LSH
+        # bucket (isolated nodes → empty candidate graphs). ids 15/16
+        # are NULL/empty dirt, filtered out of every quantized base.
+        vids = [0, 1, 2, 3] + list(range(5, 17))
+        vecs = [[float(x) for x in rng.uniform(-1, 1, 16)]
+                for _ in range(14)] + [None, []]
+        write("embeddings",
+            pa.schema([("vec_id", pa.int64()),
+                       ("embedding", pa.list_(pa.float32())),
+                       ("label", pa.int32())]),
+            {"vec_id": pa.array(vids, pa.int64()),
+             "embedding": pa.array(vecs, pa.list_(pa.float32())),
+             "label": pa.array(opt([int(i % 3) for i in vids], 0.2),
+                               pa.int32())})
+        print(f"[fuzz-gen] seed={seed} wrote 10 DEGENERATE tables to {out}")
+        return
     nv = 400
     vecs = []
     for i in range(nv):
