@@ -83,6 +83,50 @@ object SimilarityOps {
         col("nrm").as("bn")).as("b"))
       .agg(sort_array(collect_list(col("b"))).as("bench"))
 
+  /** The walk's hop count, shared with the streaming serve twin so both
+    * run the same depth. */
+  private[graft] def serveGraphHops: Int = graphHops
+
+  /** Neighbor-BLOCK serve index for the streaming ANN twin
+    * ([[graft.streaming.StreamingPipeline]] `annServeStream`): one row
+    * per serve-graph node with the node's full adjacency inlined —
+    * `(node, nbrs: array<struct<nbr, nq, nn>>)`, sorted by nbr so any
+    * fold over it is order-deterministic. This is the shape a serving
+    * system ships (DiskANN/HNSW serve = fetch the current node's
+    * neighbor block, score row-locally, move): each hop of a stateless
+    * stream walk is ONE stream-static equi-join on `cur` + a row-local
+    * argmax, no rank window (unsupported on append streams) and no
+    * per-edge shuffle. Block size is degree-bounded (≤ graphDegree + 1
+    * entries × dim int64 + ids), so the index is |V|-row with
+    * constant-size payloads — the scale shape of a serving store. Built
+    * over the SAME static top-degree graph + quantized base the batch
+    * greedy audit walks, so the stream twin's parity pin is exact. */
+  def graphNeighborIndex(s: SparkSession, dir: String): DataFrame = {
+    val (e, g2, _) = graphServeParts(s, dir)
+    g2.join(e.select(col("vec_id").as("nbr"), col("q").as("nq"),
+        col("nrm").as("nn")), "nbr")
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(struct(col("nbr"), col("nq"),
+        col("nn")))).as("nbrs"))
+  }
+
+  /** The serve graph's entry rule collapsed to ONE broadcastable row:
+    * the two lowest graph nodes with their quantized vectors —
+    * `(n1, q1, m1, n2, q2, m2)`. The stream twin starts every arriving
+    * query at n1 (n2 if the query IS node n1 — the batch
+    * [[entryState]] rule, which external query ids never trigger). */
+  def graphEntryRow(s: SparkSession, dir: String): DataFrame = {
+    val (e, g2, _) = graphServeParts(s, dir)
+    g2.select("node").distinct().orderBy("node").limit(2)
+      .agg(min("node").as("n1"), max("node").as("n2"))
+      .join(e.select(col("vec_id").as("n1"), col("q").as("q1"),
+        col("nrm").as("m1")), "n1")
+      .join(e.select(col("vec_id").as("n2"), col("q").as("q2"),
+        col("nrm").as("m2")), "n2")
+      .select(col("n1"), col("q1"), col("m1"), col("n2"), col("q2"),
+        col("m2"))
+  }
+
   /** Quantized corpus (vec_id, q, nrm), persisted once per (session, dir):
     * five similarity queries share this base, and within one query the
     * LSH/IVF plans reference it up to three times — caching turns those

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -460,6 +460,87 @@ object StreamingPipeline {
       .filter(col("best").isNotNull) // empty quantizer: nothing to assign to
       .select(col("vec_id"), col("best.cent_id").as("cent_id"),
         col("best.ccos").as("ccos"))
+  }
+
+  /** Streaming graph-ANN serve — the query-side twin of the batch
+    * `ann_graph_greedy_audit` walk: every ARRIVING query vector is
+    * quantized row-locally, enters the serve graph at the batch entry
+    * rule's node (ONE-row broadcast,
+    * [[graft.queries.SimilarityOps.graphEntryRow]]), and walks
+    * [[graft.queries.SimilarityOps.serveGraphHops]] strict-improvement
+    * hops, each hop ONE stream-static equi-join against the
+    * neighbor-BLOCK index
+    * ([[graft.queries.SimilarityOps.graphNeighborIndex]]: one row per
+    * node, adjacency inlined) + a row-local argmax fold — the
+    * fetch-block-score-move loop a real ANN serving tier runs per
+    * query. Stateless end to end: no rank window (unsupported on
+    * append streams), no state store, no watermark; a refreshed index
+    * takes effect on the next micro-batch like every other gate's
+    * static side.
+    *
+    * The fold replays the batch walk's ranking EXACTLY — (ncos DESC,
+    * self-loop-first, nbr ASC): candidates iterate in ascending nbr
+    * order (the index array is sorted), a candidate replaces the
+    * accumulator only on strictly higher cosine or on an equal cosine
+    * when the candidate is the stay-put self-loop and the accumulator
+    * is not — so equal-cosine groups keep their lowest nbr and "stay"
+    * outranks any tying move, the greedy audit's move-only-on-strict-
+    * improvement rule. Per-query parity with the batch audit (entry,
+    * landing, cosine, moves) is pinned in StreamingPipelineSpec.
+    * Zero-norm arrivals drop (the shared quantize contract); arriving
+    * ids equal to the entry node start at the second-lowest node, the
+    * batch rule. */
+  def annServeStream(vecs: DataFrame, idx: DataFrame, entry: DataFrame)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = graft.queries.SimilarityOps.quantize(vecs)
+    def cosOf(qq: Column, qn: Column, nq: Column, nn: Column): Column =
+      graft.functions.GraftFunctions.quantized_dot(qq, nq).cast("double") /
+        sqrt((qn * nn).cast("double"))
+    var h = q.crossJoin(broadcast(entry)) // static side is ONE row
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"),
+        when(col("vec_id") === col("n1"), col("n2")).otherwise(col("n1"))
+          .as("cur"),
+        when(col("vec_id") === col("n1"), col("q2")).otherwise(col("q1"))
+          .as("cq"),
+        when(col("vec_id") === col("n1"), col("m2")).otherwise(col("m1"))
+          .as("cn"))
+      .select(col("query_id"), col("qq"), col("qn"),
+        col("cur").as("entry_id"), col("cur"),
+        cosOf(col("qq"), col("qn"), col("cq"), col("cn")).as("ccos"),
+        lit(0L).as("moves"))
+    val accT = "struct<nbr:bigint,ncos:double,iscur:boolean>"
+    for (_ <- 1 to graft.queries.SimilarityOps.serveGraphHops) {
+      h = h
+        .join(idx.withColumnRenamed("node", "cur"), Seq("cur"))
+        .withColumn("best", aggregate(
+          filter(col("nbrs"), n => n.getField("nbr") =!= col("query_id")),
+          lit(null).cast(accT),
+          (acc, n) => {
+            val ncos = cosOf(col("qq"), col("qn"),
+              n.getField("nq"), n.getField("nn"))
+            val cand = struct(n.getField("nbr").as("nbr"), ncos.as("ncos"),
+              (n.getField("nbr") === col("cur")).as("iscur"))
+            when(acc.isNull, cand)
+              .when(ncos > acc.getField("ncos"), cand)
+              .when(ncos === acc.getField("ncos") &&
+                (n.getField("nbr") === col("cur")) &&
+                !acc.getField("iscur"), cand)
+              .otherwise(acc)
+          }))
+        // best is null only if every neighbor was the query itself —
+        // impossible off a self-looped serve graph (cur ≠ query by the
+        // entry rule and by induction); keep cur defensively anyway
+        .select(col("query_id"), col("qq"), col("qn"), col("entry_id"),
+          coalesce(col("best.nbr"), col("cur")).as("ncur"),
+          coalesce(col("best.ncos"), col("ccos")).as("ccos"),
+          (col("moves") + when(col("best.nbr").isNotNull &&
+            col("best.nbr") =!= col("cur"), 1L).otherwise(0L)).as("moves"))
+        .withColumnRenamed("ncur", "cur")
+    }
+    h.select(col("query_id"), col("entry_id"), col("cur").as("final_id"),
+      col("ccos").as("final_cos"), col("moves"))
   }
 
   /** Streaming naive-Bayes quality scoring — the crawl-side quality gate

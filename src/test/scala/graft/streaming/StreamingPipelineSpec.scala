@@ -829,6 +829,51 @@ class StreamingPipelineSpec extends SparkSpec {
     (0 until 4).foreach(m => assert(out2((100L, m)) == ((2L, 400L)), s"m=$m"))
   }
 
+  test("annServeStream: per-query parity with ann_graph_greedy_audit's " +
+    "walk (entry, landing, IEEE cosine, moves) on real sf0.001 data") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val idx = graft.queries.SimilarityOps.graphNeighborIndex(spark, sf)
+    val entry = graft.queries.SimilarityOps.graphEntryRow(spark, sf)
+    val src = Files.createTempDirectory("annserve").resolve("vecs")
+    // arrivals = the whole embeddings table (every valid vector is a
+    // query), plus one planted zero-norm row that must drop
+    // (the parquet write below creates src itself)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = {
+      val r = emb.filter(col("embedding").isNotNull).limit(1).collect()(0)
+      r.getSeq[Float](r.fieldIndex("embedding")).length
+    }
+    emb.unionByName(Seq((99999L, Array.fill(dim)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.annServeStream(stream, idx, entry), "ann_serve")
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("entry_id"), r.getAs[Long]("final_id"),
+          r.getAs[Double]("final_cos"), r.getAs[Long]("moves")))).toMap
+    assert(!out.contains(99999L), "zero-norm arrival must drop")
+    assert(out.size >= 5)
+    // the batch audit's five queries: the stream must land identically
+    val batch = graft.SparkEntry.queries("ann_graph_greedy_audit")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("entry_id"), r.getAs[Long]("final_id"),
+          r.getAs[Double]("final_cos"), r.getAs[Long]("moves")))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (q, exp) =>
+      assert(out(q) == exp, s"stream walk drifted from batch at query $q")
+    }
+    // every emitted cosine is a cosine
+    out.values.foreach { case (_, _, c, _) =>
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+  }
+
   test("spanCutStream: per-doc parity with dup_span_incremental's " +
     "matched-window count and min class on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
