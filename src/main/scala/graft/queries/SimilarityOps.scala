@@ -110,6 +110,45 @@ object SimilarityOps {
         col("nn")))).as("nbrs"))
   }
 
+  /** The random-hyperplane LSH matrix collapsed to ONE broadcastable
+    * row for the streaming insert gate: `planes` is bit-major ascending
+    * — element i holds hyperplane i's 64 ±1 signs ([[sign]], the
+    * md5-portable family) — so an ARRIVING vector's signature is a
+    * row-local fold (bit i = sign of Σ q·planes[i]), identical exact-int
+    * math to the corpus-side signature aggregate. */
+  def lshPlanesRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val nBits = lshBitsFor(s, dir)
+    Seq(Tuple1((0 until nBits).map(i =>
+      (0 until dims).map(j => sign(i, j).toLong)))).toDF("planes")
+  }
+
+  /** LSH bucket-MEMBERSHIP index for the streaming insert gate: one row
+    * per (band, sig) bucket with the members inlined —
+    * `(band, sig, members: array<struct<vec_id, q, nrm>>)`, sorted by
+    * vec_id for order-deterministic folds, over-cap buckets
+    * ([[maxLshBucket]]) excluded exactly as the batch candidate
+    * discipline excludes them from pairing. Unlike the pair relation,
+    * SINGLETON buckets stay: a lone corpus vector is still a valid
+    * candidate for an arriving query. This is the write-path serving
+    * store: an insert gate looks up the arrival's ≤2 band buckets,
+    * scores the inlined members row-locally, and commits kept edges —
+    * no corpus-side work per arrival. */
+  def lshBucketMembersIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = quantizedBase(s, dir)
+    val bands = lshBands(s, dir)
+    val ok = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxLshBucket(s))
+      .select(col("band"), col("sig"))
+    bands.join(ok, Seq("band", "sig"), "left_semi")
+      .join(e, "vec_id")
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("q"),
+        col("nrm")))).as("members"))
+  }
+
   /** The serve graph's entry rule collapsed to ONE broadcastable row:
     * the two lowest graph nodes with their quantized vectors —
     * `(n1, q1, m1, n2, q2, m2)`. The stream twin starts every arriving

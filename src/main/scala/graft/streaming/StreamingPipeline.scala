@@ -543,6 +543,98 @@ object StreamingPipeline {
       col("ccos").as("final_cos"), col("moves"))
   }
 
+  /** Streaming HNSW INSERT gate — the write-path twin of
+    * [[annServeStream]]: every ARRIVING vector computes its LSH band
+    * signatures row-locally (one fold per hyperplane against the
+    * broadcast [[graft.queries.SimilarityOps.lshPlanesRow]] matrix —
+    * identical exact-int math to the corpus signature aggregate), looks
+    * up its ≤2 band buckets in the bucket-MEMBERSHIP index
+    * ([[graft.queries.SimilarityOps.lshBucketMembersIndex]], members
+    * inlined), and commits the edges an HNSW insert would: candidates =
+    * the union of its buckets' members minus itself, ranked (cos DESC,
+    * vec_id ASC) and capped at
+    * [[graft.queries.SimilarityOps.insertEfC]], then pruned by the
+    * Malkov–Yashunin Alg.-4 diversity rule as a row-local fold — keep c
+    * iff no already-kept s is at least as close to c as c is to the
+    * arrival (the batch [[graft.queries.SimilarityOps]] diversityPrune
+    * semantics, candidate-pair cosines computed inline over the ≤efC
+    * pool). Emits one row per KEPT edge: (vec_id, nbr, cos, cr).
+    *
+    * Stateless end to end: two stream-static LEFT equi-joins (an
+    * arrival whose buckets don't exist yet gets an empty pool and
+    * emits nothing — the cold-bucket insert, exactly what a real gate
+    * does before the next index rebuild absorbs it), all scoring and
+    * pruning row-local, no state store, no watermark, append-safe.
+    * StreamingPipelineSpec pins a full independent JVM replay
+    * (signatures from the md5 definition, rank, prune) over every
+    * corpus vector replayed as an arrival. */
+  def annInsertStream(vecs: DataFrame, planes: DataFrame,
+      idx: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val q = graft.queries.SimilarityOps.quantize(vecs)
+    val efC = graft.queries.SimilarityOps.insertEfC
+    val mT = "array<struct<vec_id:bigint,q:array<bigint>,nrm:bigint>>"
+    val idx0 = broadcast(idx.filter(col("band") === 0)
+      .select(col("sig").as("sig0"), col("members").as("m0")))
+    val idx1 = broadcast(idx.filter(col("band") === 1)
+      .select(col("sig").as("sig1"), col("members").as("m1")))
+    q.crossJoin(broadcast(planes)) // static side is ONE row
+      // bit i = sign of the exact-int hyperplane dot; pack each half
+      // into a band signature (bit k of band b is hyperplane
+      // b*bandBits+k's sign, weight 2^k — the corpus packing)
+      .withColumn("bits", expr(
+        """transform(planes, p ->
+          |  CASE WHEN aggregate(zip_with(q, p, (a, b) -> a * b),
+          |    CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin))
+      .withColumn("bb", (size(col("planes")) / 2).cast("int"))
+      .withColumn("sig0", expr(
+        """aggregate(sequence(0, bb - 1), CAST(0 AS BIGINT),
+          |  (acc, k) -> acc + element_at(bits, k + 1) * shiftleft(CAST(1 AS BIGINT), k))"""
+          .stripMargin))
+      .withColumn("sig1", expr(
+        """aggregate(sequence(0, bb - 1), CAST(0 AS BIGINT),
+          |  (acc, k) -> acc + element_at(bits, bb + k + 1) * shiftleft(CAST(1 AS BIGINT), k))"""
+          .stripMargin))
+      .join(idx0, Seq("sig0"), "left")
+      .join(idx1, Seq("sig1"), "left")
+      .withColumn("cand", array_union(
+        coalesce(col("m0"), expr(s"CAST(array() AS $mT)")),
+        coalesce(col("m1"), expr(s"CAST(array() AS $mT)"))))
+      // score row-locally; negated cosine first so array_sort's
+      // field-order compare IS the batch ranking (cos DESC, vec_id ASC)
+      .withColumn("ranked", expr(
+        s"""transform(slice(array_sort(transform(
+           |  filter(cand, m -> m.vec_id != vec_id),
+           |  m -> struct(
+           |    -(CAST(${qdotSql("q", "m.q")} AS DOUBLE) /
+           |       sqrt(CAST(nrm * m.nrm AS DOUBLE))) AS negc,
+           |    m.vec_id AS nbr, m.q AS nq, m.nrm AS nn))), 1, $efC),
+           |  (c, i) -> struct(c.negc AS negc, c.nbr AS nbr, c.nq AS nq,
+           |    c.nn AS nn, CAST(i + 1 AS BIGINT) AS cr))"""
+          .stripMargin))
+      // Alg.-4 diversity prune: walk rank order, keep c iff no kept s
+      // has cos(c, s) >= cos(c, arrival); cr stays the ORIGINAL
+      // candidate rank (the batch diversityPrune convention)
+      .withColumn("kept", expr(
+        s"""aggregate(ranked,
+           |  CAST(array() AS array<struct<negc:double,nbr:bigint,nq:array<bigint>,nn:bigint,cr:bigint>>),
+           |  (acc, c) -> CASE WHEN exists(acc, s ->
+           |      CAST(${qdotSql("c.nq", "s.nq")} AS DOUBLE) /
+           |        sqrt(CAST(c.nn * s.nn AS DOUBLE)) >= -c.negc)
+           |    THEN acc ELSE concat(acc, array(c)) END)""".stripMargin))
+      .select(col("vec_id"), explode(col("kept")).as("k"))
+      .select(col("vec_id"), col("k.nbr").as("nbr"),
+        (-col("k.negc")).as("cos"), col("k.cr").as("cr"))
+  }
+
+  /** SQL text of the exact int64 dot of two quantized vector columns —
+    * the [[graft.functions.GraftFunctions]] quantized_dot expression by
+    * name, usable inside `expr` lambdas. */
+  private def qdotSql(a: String, b: String): String =
+    s"quantized_dot($a, $b)"
+
   /** Streaming naive-Bayes quality scoring — the crawl-side quality gate
     * as a stream-static projection: every ARRIVING doc scores row-locally
     * against the trained weight map held as ONE broadcast row

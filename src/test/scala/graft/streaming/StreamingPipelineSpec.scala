@@ -874,6 +874,99 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("annInsertStream: full independent JVM replay — row-local LSH " +
+    "signatures, bucket lookup, rank, Alg.-4 prune — on real sf0.001 data") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val planes = graft.queries.SimilarityOps.lshPlanesRow(spark, sf)
+    val idx = graft.queries.SimilarityOps.lshBucketMembersIndex(spark, sf)
+    val src = Files.createTempDirectory("anninsert").resolve("vecs")
+    spark.read.parquet(s"$sf/embeddings.parquet").write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.annInsertStream(stream, planes, idx), "ann_insert")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr")) ->
+        ((r.getAs[Double]("cos"), r.getAs[Long]("cr")))).toMap
+    assert(out.nonEmpty)
+
+    // ---- independent JVM replay, from the published definitions
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sgn(bit: Int, dim: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${bit}_$dim".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    val base = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[Any]("embedding")).flatMap { _ =>
+          val q = quant(r.getSeq[Float](r.fieldIndex("embedding")))
+          val n = dot(q, q)
+          if (n > 0L) Some((r.getAs[Long]("vec_id"), q, n)) else None
+        }
+      }.sortBy(_._1)
+    val nBits = 16; val bb = nBits / 2
+    def sigs(q: Array[Long]): (Long, Long) = {
+      val bits = (0 until nBits).map { i =>
+        val s = (q.indices).map(j => q(j) * sgn(i, j)).sum
+        if (s >= 0L) 1L else 0L
+      }
+      ((0 until bb).map(k => bits(k) << k).sum,
+        (0 until bb).map(k => bits(bb + k) << k).sum)
+    }
+    val bySig = base.map { case (id, q, n) => (id, sigs(q)) }.toMap
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, Long), List[Long]].withDefaultValue(Nil)
+    base.foreach { case (id, _, _) =>
+      val (s0, s1) = bySig(id)
+      buckets((0, s0)) ::= id; buckets((1, s1)) ::= id
+    }
+    val okBuckets = buckets.filter(_._2.size <= 1024)
+    val vec = base.map { case (id, q, n) => id -> ((q, n)) }.toMap
+    val expected = base.flatMap { case (a, qa, na) =>
+      val (s0, s1) = bySig(a)
+      val cand = (okBuckets.getOrElse((0, s0), Nil) ++
+        okBuckets.getOrElse((1, s1), Nil)).distinct.filter(_ != a)
+      val ranked = cand.map { c =>
+        val (qc, nc) = vec(c)
+        (dot(qa, qc).toDouble / math.sqrt((na * nc).toDouble), c)
+      }.sortBy { case (c, id) => (-c, id) }.take(8).zipWithIndex
+        .map { case ((cos, id), i) => (id, cos, (i + 1).toLong) }
+      val kept = ranked.foldLeft(List.empty[(Long, Double, Long)]) {
+        case (acc, (id, cos, cr)) =>
+          val (qc, nc) = vec(id)
+          val blocked = acc.exists { case (sid, _, _) =>
+            val (qs, ns) = vec(sid)
+            dot(qc, qs).toDouble / math.sqrt((nc * ns).toDouble) >= cos
+          }
+          if (blocked) acc else acc :+ ((id, cos, cr))
+      }
+      kept.map { case (id, cos, cr) => (a, id) -> ((cos, cr)) }
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"edge sets differ: stream-only=${(out.keySet -- expected.keySet).take(5)} " +
+        s"replay-only=${(expected.keySet -- out.keySet).take(5)}")
+    expected.foreach { case (k, v) =>
+      assert(out(k) == v, s"edge $k: stream ${out(k)} vs replay $v")
+    }
+    // the prune genuinely bit somewhere or the replay is vacuous
+    val rankedTotal = base.map { case (a, _, _) =>
+      val (s0, s1) = bySig(a)
+      math.min(8, (okBuckets.getOrElse((0, s0), Nil) ++
+        okBuckets.getOrElse((1, s1), Nil)).distinct.count(_ != a))
+    }.sum
+    assert(out.size < rankedTotal, "diversity prune never bit")
+  }
+
   test("spanCutStream: per-doc parity with dup_span_incremental's " +
     "matched-window count and min class on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
