@@ -134,10 +134,19 @@ object SimilarityOps {
     * candidate for an arriving query. This is the write-path serving
     * store: an insert gate looks up the arrival's ≤2 band buckets,
     * scores the inlined members row-locally, and commits kept edges —
-    * no corpus-side work per arrival. */
-  def lshBucketMembersIndex(s: SparkSession, dir: String): DataFrame = {
+    * no corpus-side work per arrival. With `corpusOnly` the index holds
+    * only the ESTABLISHED corpus (vec_id % 10 ≠ 0 — the increment
+    * family's split), the store a deployment serves while the %10
+    * increment arrives: the stream gate over that index is then
+    * row-for-row the batch `ann_insert_gate` query
+    * (StreamingPipelineSpec pins it). Per-vector band signatures are
+    * independent of other vectors, so the filtered index IS the index
+    * of the filtered corpus — same invariance as the MinHash sharing. */
+  def lshBucketMembersIndex(s: SparkSession, dir: String,
+      corpusOnly: Boolean = false): DataFrame = {
     val e = quantizedBase(s, dir)
-    val bands = lshBands(s, dir)
+    val all = lshBands(s, dir)
+    val bands = if (corpusOnly) all.filter(col("vec_id") % 10 =!= 0) else all
     val ok = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("k"))
       .filter(col("k") <= maxLshBucket(s))
@@ -3516,6 +3525,106 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** Incremental INSERT gate at the vector tier — the batch twin of the
+    * streaming [[graft.streaming.StreamingPipeline]] `annInsertStream`
+    * gate and the third member of the increment family
+    * (`dedup_incremental` / `semdedup_increment` split convention:
+    * arrivals = vec_id % 10 = 0, established corpus = the rest): for
+    * each arriving vector, emit the edges its HNSW insert would commit
+    * against the corpus. Candidates are LSH band-bucket collisions
+    * (corpus-side buckets capped at [[maxLshBucket]]; SINGLETON corpus
+    * buckets stay — a lone corpus vector is a valid candidate for an
+    * arrival, unlike the pair relation where k > 1 is definitional),
+    * ranked (cos DESC, id ASC) and capped at [[insertEfC]] — the
+    * insert pool rule — then pruned by the LITERAL shared
+    * [[diversityPrune]] (one copy of Alg. 4 across insert build,
+    * delete repair, maintenance re-insert and this gate). One row per
+    * KEPT edge, ≤ efC × |arrivals| — bounded output, and per-arrival
+    * cost is bucket-bounded: nothing touches corpus-scale relations
+    * beyond the session-cached band/base reads. The oracle replays
+    * banding, bucket-cap, rank and the prune independently
+    * (rank-unrolled NOT-EXISTS chain). */
+  private def annInsertGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = quantizedBase(s, dir)
+    val bands = lshBands(s, dir)
+    val cb = bands.filter(col("vec_id") % 10 =!= 0)
+    val ab = bands.filter(col("vec_id") % 10 === 0)
+    val ok = cb.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxLshBucket(s))
+      .select(col("band"), col("sig"))
+    val pool = ab.join(ok, Seq("band", "sig"), "left_semi").as("x")
+      .join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.vec_id").as("node"), col("y.vec_id").as("nbr"))
+      .distinct()
+    val cand = Util.cachedRelation(s, dir, "insGateCand",
+      s"${lshBitsFor(s, dir)}_${maxLshBucket(s)}") {
+      pool
+        .join(e.select(col("vec_id").as("node"), col("q").as("uq"),
+          col("nrm").as("un")), "node")
+        .join(e.select(col("vec_id").as("nbr"), col("q").as("wq"),
+          col("nrm").as("wn")), "nbr")
+        .withColumn("cos", dotQ(col("uq"), col("wq")).cast("double") /
+          sqrt((col("un") * col("wn")).cast("double")))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy("node").orderBy(col("cos").desc, col("nbr")))
+          .cast("long"))
+        .filter(col("cr") <= insertEfC)
+        .select(col("node"), col("nbr"), col("cos"), col("cr"))
+    }
+    diversityPrune(cand, candPairsOf(e, cand))
+      .select(col("node").as("vec_id"), col("nbr"), col("cos"), col("cr"))
+      .orderBy("vec_id", "cr")
+  }
+
+  private val annInsertGateSql = {
+    val gikaSteps = (2 to insertEfC).map { r =>
+      s"""gika$r AS MATERIALIZED (
+         |  SELECT * FROM gika${r - 1}
+         |  UNION ALL
+         |  SELECT c.node, c.nbr, c.cos, c.cr FROM gicand c
+         |  WHERE c.cr = $r AND NOT EXISTS (
+         |    SELECT 1 FROM gipair p JOIN gika${r - 1} k
+         |      ON k.node = p.node AND k.cr = p.cj
+         |    WHERE p.node = c.node AND p.ci = $r AND p.cij >= p.ciq))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshBandsCtes,
+       |cbands AS (SELECT * FROM bands WHERE vec_id % 10 <> 0),
+       |abands AS (SELECT * FROM bands WHERE vec_id % 10 = 0),
+       |giok AS (SELECT band, sig FROM cbands GROUP BY band, sig
+       |         HAVING COUNT(*) <= $maxLshBucketDefault),
+       |gipool AS (
+       |  SELECT DISTINCT a.vec_id AS node, c.vec_id AS nbr
+       |  FROM abands a JOIN giok USING (band, sig)
+       |  JOIN cbands c USING (band, sig)),
+       |gic0 AS (
+       |  SELECT g.node, g.nbr,
+       |    ${graphCosSql("ea.q", "ea.nrm", "ec.q", "ec.nrm")} AS cos
+       |  FROM gipool g JOIN e ea ON ea.vec_id = g.node
+       |  JOIN e ec ON ec.vec_id = g.nbr),
+       |gicand AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT node, nbr, cos,
+       |      CAST(row_number() OVER (PARTITION BY node
+       |        ORDER BY cos DESC, nbr) AS BIGINT) AS cr
+       |    FROM gic0)
+       |  WHERE cr <= $insertEfC),
+       |gipair AS MATERIALIZED (
+       |  SELECT i.node, i.cr AS ci, j.cr AS cj, i.cos AS ciq,
+       |    ${graphCosSql("ei.q", "ei.nrm", "ej.q", "ej.nrm")} AS cij
+       |  FROM gicand i JOIN gicand j ON j.node = i.node AND j.cr < i.cr
+       |  JOIN e ei ON ei.vec_id = i.nbr
+       |  JOIN e ej ON ej.vec_id = j.nbr),
+       |gika1 AS (SELECT node, nbr, cos, cr FROM gicand WHERE cr = 1),
+       |$gikaSteps
+       |SELECT node AS vec_id, nbr, cos, cr FROM gika$insertEfC
+       |ORDER BY vec_id, cr""".stripMargin
+  }
+
   private val annGraphMaintainAuditSql = {
     val ikaSteps = (2 to insertEfC).map { r =>
       s"""ika$r AS MATERIALIZED (
@@ -3974,6 +4083,7 @@ object SimilarityOps {
       Some(annGraphGreedyAuditSql)),
     Q("ann_graph_build_vs_static", annGraphBuildVsStatic,
       Some(annGraphBuildVsStaticSql)),
+    Q("ann_insert_gate", annInsertGate, Some(annInsertGateSql)),
     Q("ann_graph_maintain_audit", annGraphMaintainAudit,
       Some(annGraphMaintainAuditSql)),
     Q("ann_graph_delete_audit", annGraphDeleteAudit,

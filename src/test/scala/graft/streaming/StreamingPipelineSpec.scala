@@ -967,6 +967,39 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(out.size < rankedTotal, "diversity prune never bit")
   }
 
+  test("annInsertStream over the corpus-only index ≡ the batch " +
+    "ann_insert_gate query (the stream ≡ batch ≡ DuckDB chain)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val planes = graft.queries.SimilarityOps.lshPlanesRow(spark, sf)
+    val idx = graft.queries.SimilarityOps
+      .lshBucketMembersIndex(spark, sf, corpusOnly = true)
+    val src = Files.createTempDirectory("anninsgate").resolve("vecs")
+    // arrivals = the increment slice, the batch query's split
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0)
+      .write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val out = StreamingPipeline.runToMemory(spark,
+      StreamingPipeline.annInsertStream(stream, planes, idx), "ann_ins_gate")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr")) ->
+        ((r.getAs[Double]("cos"), r.getAs[Long]("cr")))).toMap
+    val batch = graft.SparkEntry.queries("ann_insert_gate")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr")) ->
+        ((r.getAs[Double]("cos"), r.getAs[Long]("cr")))).toMap
+    assert(batch.nonEmpty)
+    assert(out.keySet == batch.keySet,
+      s"edge sets differ: stream-only=${(out.keySet -- batch.keySet).take(5)} " +
+        s"batch-only=${(batch.keySet -- out.keySet).take(5)}")
+    batch.foreach { case (k, v) =>
+      assert(out(k) == v, s"edge $k: stream ${out(k)} vs batch $v")
+    }
+  }
+
   test("spanCutStream: per-doc parity with dup_span_incremental's " +
     "matched-window count and min class on real sf0.001 data") {
     val sf = "/root/testdata/sf0.001"
