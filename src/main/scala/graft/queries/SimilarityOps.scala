@@ -616,14 +616,16 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     Util.cachedRelation(s, dir, "ivfServeAssigned", s"K=${ivfCentroids(s)}") {
       val e = quantizedBase(s, dir)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
+      // argmax via max_by — the lloydRows assign rewrite (map-side
+      // combine, no sort; identical row by the total (ccos, −cent_id)
+      // order)
       e.crossJoin(broadcast(ivfServeCents(s, dir)))
         .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
           sqrt((col("nrm") * col("cn")).cast("double")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("q"), col("nrm")),
+          struct(col("ccos"), (-col("cent_id")).as("nid"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id"), col("m.q"), col("m.nrm"))
     }
   }
 
@@ -747,10 +749,13 @@ object SimilarityOps {
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") /
         sqrt((col("nrm") * col("cn")).cast("double")))
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
+    // argmax via max_by — the lloydRows assign rewrite (map-side
+    // combine, no sort; identical row by the total (ccos, −cent_id)
+    // order)
     val assigned = scored
-      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), (-col("cent_id")).as("nid"))).as("cent_id"))
       .select(col("cent_id"), (col("vec_id") % 5 === 0).as("is_inc"))
     val agg = assigned.groupBy("cent_id").agg(
       sum(when(!col("is_inc"), 1L).otherwise(0L)).as("n_base"),
@@ -911,11 +916,17 @@ object SimilarityOps {
       .withColumn("dot", dotQ(col("q"), col("cq")))
       .withColumn("ccos", col("dot").cast("double") /
         sqrt((col("nrm") * col("cn")).cast("double")))
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
+    // argmax as a map-side-combining max_by aggregate (K× fewer shuffled
+    // rows, no sort) — same row as the former row_number()=1 window: the
+    // (ccos, −cent_id) order is total and ccos never NULL on the nrm>0
+    // base (the lloydRows assign rewrite, one round's worth)
     val assigned = scored
-      .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
-      .select(col("cent_id"), col("q"), col("nrm"), col("dot"), col("cn"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("q"), col("nrm"), col("dot"), col("cn")),
+        struct(col("ccos"), (-col("cent_id")).as("nid"))).as("m"))
+      .select(col("m.cent_id"), col("m.q"), col("m.nrm"), col("m.dot"),
+        col("m.cn"))
     val stats = assigned.groupBy("cent_id").agg(
       count(lit(1)).as("n_members"),
       sum(col("nrm") - lit(2L) * col("dot") + col("cn")).as("inertia"))
@@ -1028,17 +1039,26 @@ object SimilarityOps {
           case _ => ()
         }
       val e = quantizedBase(s, dir)
-      def assign(cents: DataFrame): DataFrame = {
-        val wA = Window.partitionBy(col("arm"), col("vec_id"))
-          .orderBy(col("ccos").desc, col("cent_id"))
+      // argmax as ONE map-side-combining hash aggregate (max_by over the
+      // (ccos, −cent_id) order — identical row to the former
+      // row_number()=1 window: cent_id is unique within a (arm, vec_id)
+      // group so the order is total, and ccos is never NULL/NaN on the
+      // nrm>0 base), replacing Exchange+Sort+Window: the partial
+      // aggregate combines the K scored rows per vector BEFORE the
+      // shuffle, so K× fewer bytes cross the wire and no sort runs —
+      // guide §2.3/§2.4 (measured in-suite: see OPTIMIZATION_r18.md).
+      def assign(cents: DataFrame): DataFrame =
         e.crossJoin(broadcast(cents))
           .withColumn("dot", dotQ(col("q"), col("cq")))
           .withColumn("ccos", col("dot").cast("double") /
             sqrt((col("nrm") * col("cn")).cast("double")))
-          .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
-          .select(col("arm"), col("vec_id"), col("cent_id"), col("q"),
-            col("nrm"), col("dot"), col("cn"))
-      }
+          .groupBy(col("arm"), col("vec_id"))
+          .agg(max_by(
+            struct(col("cent_id"), col("q"), col("nrm"), col("dot"),
+              col("cn")),
+            struct(col("ccos"), (-col("cent_id")).as("nid"))).as("m"))
+          .select(col("arm"), col("vec_id"), col("m.cent_id"), col("m.q"),
+            col("m.nrm"), col("m.dot"), col("m.cn"))
       var cents = missing
         .map { case (key, mk) => mk().withColumn("arm", lit(key)) }
         .reduce(_.unionByName(_))
@@ -1049,7 +1069,15 @@ object SimilarityOps {
           .empty[(Long, Long, Long, Option[Long])]
       }.toMap
       for (r <- 1 to kmeansTrainRoundsK) {
-        val a = assign(cents)
+        // each round's assignment is persisted: it feeds the metric
+        // aggregate, the NEXT round's moved-count join AND (twice) the
+        // centroid update — uncached, every consumer re-ran the
+        // crossJoin+argmax, i.e. ~4 corpus passes per round instead of 1
+        // (the kppCents recompute trap, assignment-sized; measured in
+        // ProfileQ as the Lloyd loop's dominant job count). Superseded
+        // generations unpersist as soon as their last reader (the next
+        // round's metric collect) is done.
+        val a = assign(cents).persist()
         // moved-count rides the SAME aggregate as the metrics (one
         // driver action per round, not two): every vector is assigned
         // every round, so the inner join against the previous round's
@@ -1074,19 +1102,27 @@ object SimilarityOps {
           out(key) += ((r.toLong, st(key)._1, st(key)._2,
             if (prevAssign == null) None else Some(st(key)._3)))
         }
+        // the metric collect above was the previous assignment's last
+        // reader (the centroid update below reads only this round's)
+        if (prevAssign != null) prevAssign.unpersist(blocking = false)
         prevAssign = a
         // the LAST round's metrics are already recorded — its centroid
         // update would never be read, and it costs a full corpus-scale
         // aggregate + an eager checkpoint job (review finding: the SQL
         // oracle correctly generates only K−1 update rounds)
         if (r < kmeansTrainRoundsK) {
-          val stats = a.groupBy("arm", "cent_id")
-            .agg(count(lit(1)).as("n_members"))
+          // n_members rides the SAME per-(arm, cent, d) aggregate as the
+          // dimension sums: posexplode emits exactly one row per member
+          // per dimension, so count(*) within (arm, cent_id, d) IS the
+          // member count — the former separate count aggregate + join
+          // was a second pass over the assignment for a value this
+          // aggregate already knows (guide §1.2 step 1: don't compute
+          // things twice).
           val newC = a
             .select(col("arm"), col("cent_id"),
               posexplode(col("q")).as(Seq("d", "x")))
-            .groupBy("arm", "cent_id", "d").agg(sum(col("x")).as("sx"))
-            .join(stats, Seq("arm", "cent_id"))
+            .groupBy("arm", "cent_id", "d").agg(sum(col("x")).as("sx"),
+              count(lit(1)).as("n_members"))
             .withColumn("ndv",
               floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
             .groupBy("arm", "cent_id").agg(
@@ -1106,6 +1142,8 @@ object SimilarityOps {
       }
       if (prevCents != null) release(prevCents)
       release(cents)
+      // the final round's assignment has no reader past its metric row
+      if (prevAssign != null) prevAssign.unpersist(blocking = false)
       out.foreach { case (key, buf) =>
         kmeansTrainCache((s, dir, key)) = buf.toSeq
       }
