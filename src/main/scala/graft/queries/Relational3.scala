@@ -324,19 +324,29 @@ object Relational3 {
         // run over non-null quantities, and a NULL-quantity row would
         // shift them in engine-dependent NULL order (fuzz gate finding)
         count(col("l_quantity")).as("n"))
-    // exact discrete quantiles at ranks ceil(0.49·n)/ceil(0.51·n) —
-    // formulated as row_number over value order in BOTH engines (value at a
-    // rank is deterministic under ties regardless of tie order)
-    val rk = li.select(col("l_returnflag"), col("l_quantity"))
+    // exact discrete quantiles at ranks ceil(0.49·n)/ceil(0.51·n). The
+    // value at ascending rank r equals MIN v whose cumulative value-count
+    // reaches r, so the rank selection runs over the (flag, quantity)
+    // VALUE HISTOGRAM — a map-side-combining aggregate plus a window over
+    // ~|distinct quantities| rows per flag — instead of a row_number
+    // window over every row of a ≤|flags|-partition sort (guide §2.5:
+    // with 3 flags that window was 3 whole-corpus single-task sorts; at
+    // 100 TB, 3 stragglers sorting a third of the fact table each).
+    // Identical output: value-at-rank is deterministic under ties either
+    // way, and n (the per-flag non-null count) is unchanged.
+    val vc = li.select(col("l_returnflag"), col("l_quantity"))
       .filter(col("l_quantity").isNotNull)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
-    val qb = rk.join(agg.select(col("l_returnflag"), col("n")), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qb = vc.join(agg.select(col("l_returnflag"), col("n")), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rk") === ceil(col("n") * lit(0.49)).cast("long"),
+        min(when(col("cum") >= ceil(col("n") * lit(0.49)).cast("long"),
           col("l_quantity"))).as("qlo"),
-        max(when(col("rk") === ceil(col("n") * lit(0.51)).cast("long"),
+        min(when(col("cum") >= ceil(col("n") * lit(0.51)).cast("long"),
           col("l_quantity"))).as("qhi"))
     agg.join(qb, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("n"),
