@@ -2000,6 +2000,22 @@ object DedupOps {
           col("tok"),
           (col("doc_id") * 1048576L + col("pos")).as("gid")))
 
+  /** One doubling round's (doc_id, pos, lc, rc) pair rows from the
+    * previous level: rc = class at pos + 2^{k−1}, −1 past doc end.
+    * Positions are DENSE per doc (posexplode emits 0..len−1), so the
+    * shifted lookup is `lead(cls, shift)` over the doc-keyed window —
+    * one exchange + sort instead of the former (doc_id, pos−shift)
+    * self-join's second scan + join of the level (guide §2.4: the
+    * window and the join compute the identical pairing; the window
+    * reads the level ONCE). */
+  private def dblPaired(prev: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    prev.select(col("doc_id"), col("pos"), col("cls").as("lc"),
+      coalesce(lead(col("cls"), 1 << (k - 1)).over(byDoc), lit(-1L))
+        .as("rc"))
+  }
+
   private def dblLevels(s: SparkSession, dir: String): Seq[DataFrame] = {
     val toks = dblToks(s, dir)
     val c0 = toks.join(
@@ -2007,11 +2023,7 @@ object DedupOps {
       .select(col("doc_id"), col("pos"), col("cls"))
     (1 to dblRounds).scanLeft(c0) { (prev, k) =>
       Util.cachedRelation(s, dir, s"dupDblCls$k", "") {
-        val right = prev.select(col("doc_id"),
-          (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
-        val paired = prev.join(right, Seq("doc_id", "pos"), "left")
-          .select(col("doc_id"), col("pos"), col("cls").as("lc"),
-            coalesce(col("rc"), lit(-1L)).as("rc"))
+        val paired = dblPaired(prev, k)
         paired.join(
             paired.groupBy(col("lc"), col("rc"))
               .agg(min(col("doc_id") * 1048576L + col("pos")).as("cls")),
@@ -2467,11 +2479,9 @@ object DedupOps {
     val maps = Seq.newBuilder[DataFrame]
     maps += map0
     for (k <- 1 to dblRounds) {
-      val right = level.select(col("doc_id"),
-        (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
-      val paired = level.join(right, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("cls").as("lc"),
-          coalesce(col("rc"), lit(-1L)).as("rc"))
+      // lead() over the doc-keyed window replaces the (doc_id, pos−2^k)
+      // self-join — positions are dense per doc, see [[dblPaired]]
+      val paired = dblPaired(level, k)
       val mapK = Util.cachedRelation(s, dir, s"dupDblIncMap$k", "")(
         paired.groupBy(col("lc"), col("rc"))
           .agg(min(col("doc_id") * 1048576L + col("pos")).as("cls")))
@@ -2527,29 +2537,25 @@ object DedupOps {
     val incToks = incD
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    // every round's state is session-cached: the shift self-join
-    // references the previous round TWICE, so an uncached chain
-    // re-derives round k−1 twice per round — a 2^k recompute multiplier
-    // (the same trap the corpus chain's kppCents note documents; each
-    // recomputed copy drags its corpus-map join along). The states are
-    // increment-sized, so the cache cost is the increment, not the
-    // corpus.
-    var ic = Util.cachedRelation(s, dir, "dupSpanIncState0", "")(
-      incToks.join(maps(0), Seq("tok"), "left")
-        .select(col("doc_id"), col("pos"),
-          coalesce(col("cls"), lit(-2L)).as("cls")))
+    // Each round's shifted lookup is a lead() window over the previous
+    // state ([[dblPaired]] — positions are dense per doc), so every
+    // intermediate is referenced exactly ONCE and the round-17 per-round
+    // caches are no longer needed: the former shift SELF-join read its
+    // round twice (the 2^k recompute trap those caches existed to
+    // break). Only the FINAL state is session-cached — it feeds two
+    // consumers (the window counts and the coverage explode) — so the
+    // whole chain evaluates once per session instead of materializing
+    // four increment-sized relations.
+    var ic = incToks.join(maps(0), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("cls"), lit(-2L)).as("cls"))
     for (k <- 1 to dblRounds) {
-      val prev = ic
-      val right = prev.select(col("doc_id"),
-        (col("pos") - (1L << (k - 1))).as("pos"), col("cls").as("rc"))
-      val paired = prev.join(right, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("cls").as("lc"),
-          coalesce(col("rc"), lit(-1L)).as("rc"))
-      ic = Util.cachedRelation(s, dir, s"dupSpanIncState$k", "")(
-        paired.join(maps(k), Seq("lc", "rc"), "left")
-          .select(col("doc_id"), col("pos"),
-            coalesce(col("cls"), lit(-2L)).as("cls")))
+      val paired = dblPaired(ic, k)
+      ic = paired.join(maps(k), Seq("lc", "rc"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("cls"), lit(-2L)).as("cls"))
     }
+    ic = Util.cachedRelation(s, dir, s"dupSpanIncState$dblRounds", "")(ic)
     val w = 1 << dblRounds
     val lens = incD.select(col("doc_id"),
       coalesce(size(col("w")).cast("long"), lit(0L)).as("n_tokens"))
