@@ -951,11 +951,20 @@ object CurationOps {
         val id = r0.getLong(0)
         val gain = r0.getLong(1)
         cum += gain
+        // ONE aggregate job serves both CELF lookups (winner's stale
+        // gain + skippable count) — they read the same checkpointed
+        // doc-scale relation, and as separate collect()s each paid its
+        // own job's fixed cost every round
         val (bound, nSkip) =
           if (prevGains == null) (None, None)
-          else (prevGains.where(col("doc_id") === id)
-            .collect().headOption.map(_.getLong(1)),
-            Some(prevGains.where(col("gain") < gain).count()))
+          else {
+            val r = prevGains.agg(
+              max(when(col("doc_id") === id, col("gain"))).as("bound"),
+              sum(when(col("gain") < gain, 1L).otherwise(0L)).as("nskip"))
+              .collect().head
+            (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+              Some(if (r.isNullAt(1)) 0L else r.getLong(1)))
+          }
         rows += ((round.toLong, id, gain, r0.getLong(2), cum,
           1000L * cum / total, bound, nSkip))
         val next = covered
