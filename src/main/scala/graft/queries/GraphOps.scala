@@ -47,9 +47,16 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
     // one relation carrying (src, dst, outd): all 4 iterations re-join it,
     // and the session-keyed registry (the kcoreEdges discipline) keeps
-    // repeated invocations from stacking one persisted copy per call
+    // repeated invocations from stacking one persisted copy per call.
+    // Cached PRE-PARTITIONED on the join key: InMemoryRelation preserves
+    // the repartition's hashpartitioning(src), so each iteration's join
+    // shuffles only the mass side (|V| rows) instead of re-exchanging the
+    // edge relation (|E| rows) every round — with 4 rounds that is the
+    // difference between 1 and 4 edge-table shuffles (guide §2.4: two
+    // operations keyed the same way share one exchange; partition count
+    // stays the session's shuffle setting, scale-adaptive).
     val edgesW = Util.cachedRelation(s, dir, "pagerankEdges", "") {
-      edges.join(deg, "src")
+      edges.join(deg, "src").repartition(col("src"))
     }
     var mass = deg.select(col("src").as("node"), lit(1000L).as("mass"))
     for (_ <- 1 to 4) {
