@@ -27,10 +27,22 @@ class ProbePlanGateSpec extends SparkSpec {
 
   /** Queries whose count-plan is KNOWN to lose every join (probed at
     * sf0.001, round 18). All are honest plans for their real consumers
-    * — the collapse only afflicts actions that consume no columns. */
+    * — the collapse only afflicts actions that consume no columns.
+    *
+    * The three `*_recall/quality_audit` entries joined the set in round
+    * 18 when their shared brute-truth relation ([[SimilarityOps]]'
+    * `knnBruteCosine`) became session-cached: the 50-row ground truth
+    * now enters their plans as an InMemoryRelation leaf, and with no
+    * output column consumed Catalyst deletes the reconciliation joins
+    * above it exactly as it does for the grouped-by-key cases below.
+    * Deliberate allowlist, not a fix-needed: Bench's full-row rule (the
+    * bit_xor(xxhash64(...)) action) consumes every column, so the
+    * measured plans keep all joins — only count()-style probes of these
+    * three measure a bare cache scan. */
   private val knownCollapsed = Set(
     "ann_graph_delete_audit",
     "ann_graph_insert_audit",
+    "ann_recall_audit",
     "asof_snapshot",
     "countsketch_depth_sweep",
     "decontaminate_bloom",
@@ -41,7 +53,9 @@ class ProbePlanGateSpec extends SparkSpec {
     "line_dedup",
     "ngram_novelty",
     "range_join_count",
+    "retrieval_quality_audit",
     "semantic_dedup",
+    "sq8_recall_audit",
     "text_repetition",
     "triangle_count")
 
