@@ -129,9 +129,65 @@ object Bench {
     // (the r15 finding: resident hanf register levels displaced
     // pagerank_links' warm state, 2.6 → 5.6 s in-suite, with zero code
     // change). The release runs OUTSIDE any query's timed window.
-    val familyBoundaries: Seq[(String, SparkSession => Int)] = Seq(
-      "ann_graph_" -> (sp => graft.queries.SimilarityOps.releaseServeGraphCaches(sp)),
-      "graph_" -> (sp => graft.queries.GraphOps.releaseHanfCaches(sp)))
+    //
+    // Round 19 extends the two original boundaries to the whole session
+    // registry (the round-18 verdict's item 2: new caches — insGateCand,
+    // knnBrute, the shared MinHash signatures, the span-doubling levels —
+    // stayed resident for the remaining walk and the 8 GB heap paid for
+    // them). Each prefix's release list names ONLY caches whose last
+    // consumer sorts inside that prefix wave (consumer map in
+    // OPTIMIZATION_r19.md); a wrongly-released cache would silently
+    // rebuild inside a later query's timed window, so additions here must
+    // re-verify the map.
+    val familyBoundaries: Seq[(String, SparkSession => Int)] = {
+      import graft.queries.{Util => QU}
+      Seq(
+        "ann_graph_" -> ((sp: SparkSession) =>
+          graft.queries.SimilarityOps.releaseServeGraphCaches(sp)),
+        // the batch insert gate is the candidate pool's only consumer
+        "ann_insert_gate" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "insGateCand")),
+        "bloom_fpr_sweep" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "bloomSweep")),
+        // rankValCounts/BySrc feed only the two cms_rank_* audits
+        "cms_rank_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "rankValCounts")),
+        "coverage_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "covDocGram")),
+        // the increment chain's token/map caches end with dup_span_incremental
+        "dup_" -> ((sp: SparkSession) => QU.releaseFamily(sp, "dupDblInc")),
+        "dsir_" -> ((sp: SparkSession) => QU.releaseFamily(sp, "dsirOcc")),
+        "epoch_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "epochSlices")),
+        "graph_" -> ((sp: SparkSession) =>
+          graft.queries.GraphOps.releaseHanfCaches(sp)),
+        // full + sampled signature relations and the recall-audit bands:
+        // last consumers are minhash_band_sweep / minhash_estimate_audit
+        "minhash_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "minhashSigs", "recallAudit")),
+        "pagerank_links" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "pagerankEdges")),
+        // the PQ codebooks and the IVF serve index end with pq_residual_gain
+        "pq_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "pqEncoded", "pqResidualEncoded",
+            "ivfServeAssigned")),
+        // knFrame/selfFrame span ccnet→rho_excess_select (LmOps)
+        "rho_excess_select" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "knPplFrame", "knTrainCounts")),
+        "semdedup_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "semanticDedupAssigned")),
+        // last embedding-family consumer in the sorted walk
+        "sq8_" -> ((sp: SparkSession) =>
+          graft.queries.SimilarityOps.releaseBase(sp) +
+            QU.releaseFamily(sp, "knnBrute")),
+        // span-doubling levels + apply segments end with substring_dedup_*
+        "substring_" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "dupDbl", "dupApply")),
+        "tfidf_topk" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "tfRelation")),
+        "word_bigram_surprisal" -> ((sp: SparkSession) =>
+          QU.releaseFamily(sp, "bigramSurprisal")))
+    }
 
     // A failed query is reported as NEGATIVE elapsed seconds (not a normal
     // measurement) and forces a nonzero exit, so breakage can't masquerade

@@ -266,6 +266,22 @@ object DedupOps {
     Util.cachedRelation(s, dir, "minhashSigs", "")(
       minhashSignaturesOf(t(s, dir, "documents")))
 
+  /** The %10-SAMPLE signature relation the CC/audit consumers actually
+    * read — its own cache entry built from the FILTERED documents scan,
+    * not a filter over the full-corpus cache. Signatures are per-doc
+    * aggregates, so sigs(docs.filter(P)) ≡ sigs(docs).filter(P) exactly
+    * (same rows, same values — the [[sharedMinhashSigs]] invariance),
+    * but the build cost is 10% of the corpus instead of 100%: round 18
+    * charged the FULL word-explode + 16-seed aggregate to the first
+    * sampled consumer in any sorted walk (`cc_incremental`, the round-18
+    * verdict's item 3) because the shared relation filtered AFTER the
+    * aggregate. Full-corpus consumers (clusters, band stats, the
+    * incremental dedup) still share the one full cache. */
+  private def sharedMinhashSigsSampled(s: SparkSession, dir: String): DataFrame =
+    Util.cachedRelation(s, dir, "minhashSigsCc", "")(
+      minhashSignaturesOf(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0)))
+
   /** Band relation from an ALREADY-BUILT signature frame — split out so a
     * caller holding a cached m0..m15 relation (the estimator audit) can
     * band it without re-running the token explode + 16-column aggregate. */
@@ -586,12 +602,11 @@ object DedupOps {
     // the band relation feeds three consumers (bucket sizes, the eligible
     // semi-join, the y join side): LAZY persist so the banding evaluates
     // once — same construction-safe pattern as the simhash `bands` persist
-    // above. The signatures underneath come from the ONE shared cached
-    // full-corpus relation, filtered to the %10 sample (per-doc
-    // invariance, see [[sharedMinhashSigs]]) — the 16-seed aggregate no
-    // longer reruns per consumer family.
-    val bl = bandsOfSigs(
-      sharedMinhashSigs(s, dir).filter(col("doc_id") % 10 === 0)).persist()
+    // above. The signatures underneath come from the SAMPLED shared cache
+    // ([[sharedMinhashSigsSampled]]): per-doc invariance makes it row-equal
+    // to filtering the full relation, at 10% of the build cost — round 18
+    // built the full corpus's signatures here and cc_incremental paid it.
+    val bl = bandsOfSigs(sharedMinhashSigsSampled(s, dir)).persist()
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))
     val okBuckets = withDropMetric(s, bucketSizes, "graft_drop_cc_bucket",
@@ -1662,8 +1677,9 @@ object DedupOps {
   private def recallBandRel(s: SparkSession, dir: String): DataFrame =
     Util.cachedRelation(s, dir, "recallAuditBands",
       s"ccBucket=${maxCcBucket(s)}") {
-      bandsOfSigs(sharedMinhashSigs(s, dir)
-        .filter(col("doc_id") % 10 === 0))
+      // sampled signature cache, not a filter over the full one — see
+      // sharedMinhashSigsSampled (row-equal by per-doc invariance)
+      bandsOfSigs(sharedMinhashSigsSampled(s, dir))
     }
 
   private def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
@@ -1844,12 +1860,11 @@ object DedupOps {
     * Audit output is ≤ 11 rows at any corpus size. */
   private def minhashEstimateAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    // subset signatures FILTER the shared full-corpus cache (per-doc
-    // invariance, [[sharedMinhashSigs]]); the filter projection over the
-    // in-memory relation is cheap enough that the former query-local
-    // `mhAuditSigs` copy of the subset is gone
-    val minh = sharedMinhashSigs(s, dir)
-      .filter(col("doc_id") % 10 === 0)
+    // the sampled signature cache (per-doc invariance,
+    // [[sharedMinhashSigsSampled]]): row-equal to filtering the full
+    // relation, without charging a full-corpus 16-seed aggregate to the
+    // %10 audit when it runs first in a sorted walk
+    val minh = sharedMinhashSigsSampled(s, dir)
     val bl = bandsOfSigs(minh)
     val bucketSizes = bl.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("k"))

@@ -189,13 +189,20 @@ object SimilarityOps {
   /** Unpersist + drop this session's quantized-base and LSH-state
     * entries — the [[Util.releaseCaches]] ladder's hook into this
     * file's registries. */
-  private[queries] def releaseBase(s: SparkSession): Unit = {
+  /** Unpersist + drop this session's quantized base and LSH band caches.
+    * Public and counting since round 19: Bench's family boundary after
+    * the last embedding-family consumer (`sq8_recall_audit` in a sorted
+    * walk) calls this, mirroring [[releaseServeGraphCaches]]. */
+  def releaseBase(s: SparkSession): Int = {
+    var released = 0
     baseCache.filterInPlace { case (k, df) =>
-      if (k._1 eq s) { df.unpersist(); false } else true
+      if (k._1 eq s) { df.unpersist(); released += 1; false } else true
     }
     lshCache.filterInPlace { case (k, dfs) =>
-      if (k._1 eq s) { dfs.foreach(_.unpersist()); false } else true
+      if (k._1 eq s) { dfs.foreach(_.unpersist()); released += 1; false }
+      else true
     }
+    released
   }
   /** Unpersist + drop this session's graph-serve caches — the greedy/beam
     * serve graph (`greedyGraph`), its shared hop-1 candidate pool

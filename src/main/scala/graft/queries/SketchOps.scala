@@ -1265,10 +1265,36 @@ object SketchOps {
       rankValCountsBySrc(s, dir)
         .groupBy("v").agg(sum(col("cnt")).as("cnt")))
 
+  /** The (level, seed-row) dimension relation of the dyadic sketch —
+    * rankLevels × cmsDepth rows, broadcast into the cell builds so the
+    * per-row index math is ONE md5 expression instead of the 64 inlined
+    * trees of [[rankCellIdxArray]] (whose generated hashAgg function
+    * exceeded janino's method limits: ERROR CodeGenerator + interpreted
+    * fallback, and the failed giant-class compile re-ran on every
+    * action — the round-19 profile's cms_rank cost). Same cells: the
+    * dimension join enumerates exactly the (l, i) pairs the array
+    * enumerated, through the same [[cmsBucket]]/[[rankKey]] math. */
+  private def rankDims(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for { l <- 0 until rankLevels; i <- 0 until cmsDepth }
+      yield (l.toLong, i.toLong)).toDF("l", "i0")
+  }
+
+  /** Packed cell index of (v, l, i0) rows — the dynamic single-md5 twin
+    * of one [[rankCellIdxArray]] element: (l·d + i)·w + bucket_i(l:v≫l).
+    * The seed prefix renders identically (i0 ∈ 0..3 casts to the same
+    * "i:" string the literal form embeds), so indices are bit-equal. */
+  private def rankCellIdxDyn: Column =
+    (col("l") * cmsDepth + col("i0")) * cmsWidth +
+      conv(substring(md5(concat(col("i0").cast("string"), lit(":"),
+        rankKey(col("l"), expr("shiftright(v, CAST(l AS INT))")))), 1, 8),
+        16, 10).cast("long") % cmsWidth
+
   /** Corpus sketch cells (i, cnt) from a (v, cnt) histogram — the build
     * half shared by the audit and the merge audit's corpus side. */
   private def rankCellsOf(vc: DataFrame): DataFrame =
-    vc.select(col("cnt"), explode(rankCellIdxArray(col("v"))).as("i"))
+    vc.crossJoin(broadcast(rankDims(vc.sparkSession)))
+      .select(col("cnt"), rankCellIdxDyn.as("i"))
       .groupBy(col("i")).agg(sum(col("cnt")).as("cnt"))
 
   /** Dense-pack a (i, cnt) cell relation into one [[rankCells]]-long
@@ -1330,6 +1356,54 @@ object SketchOps {
         rankPointQ(arr, l, shiftright(x, l + 1) * 2L)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** [[rankPointQ]] as a SQL fragment with DYNAMIC level/prefix
+    * subexpressions — the HOF-descent building block. Identical math:
+    * min over the [[cmsDepth]] seed rows of the dense-array probe at
+    * (l·d + i)·w + bucket_i("l:p"). */
+  private def pointqSqlDyn(l: String, p: String): String =
+    (0 until cmsDepth).map { i =>
+      s"element_at(arr, CAST(($l * $cmsDepth + $i) * $cmsWidth + " +
+        s"CAST(conv(substring(md5('$i:' || CAST($l AS STRING) || ':' || " +
+        s"CAST($p AS STRING)), 1, 8), 16, 10) AS BIGINT) % $cmsWidth + 1 " +
+        "AS INT))"
+    }.mkString("least(", ", ", ")")
+
+  /** The 16-level greedy root-to-leaf descent as ONE `aggregate()`
+    * higher-order-function expression over the level sequence, returning
+    * the leaf value p. Replaces the former 16 chained projections: those
+    * inlined 64 md5 probe trees into the enclosing whole-stage-codegen
+    * function, which grew beyond the JVM's 64 KB method limit ("Code
+    * grows beyond 64 KB", ERROR CodeGenerator) — the plan then ran
+    * interpreted anyway AND re-attempted the failed giant compile on
+    * every action (janino failures are not cached). The HOF is
+    * CodegenFallback by design: interpreted once per row over a ≤
+    * |sources|-row relation, with no giant class to compile. State is
+    * (p, cur) exactly as the loop carried it; the probe value is the
+    * same [[pointqSqlDyn]] expression evaluated at (l, 2p), duplicated
+    * across the branch arms (deterministic, so recomputation is exact).
+    * Requires columns `arr` and `r` in scope. */
+  private def rankDescentExpr: Column = {
+    val pq = pointqSqlDyn("l", "(2 * st.p)")
+    expr(
+      s"""aggregate(sequence(${rankLevels - 1}, 0, -1),
+         |  named_struct('p', CAST(0 AS BIGINT), 'cur', CAST(0 AS BIGINT)),
+         |  (st, l) -> CASE WHEN st.cur + $pq < r
+         |    THEN named_struct('p', 2 * st.p + 1, 'cur', st.cur + $pq)
+         |    ELSE named_struct('p', 2 * st.p, 'cur', st.cur) END).p"""
+        .stripMargin)
+  }
+
+  /** [[rankEstExpr]] as one `aggregate()` HOF over the level sequence —
+    * same 64-KB-method rationale as [[rankDescentExpr]], same dyadic
+    * decomposition values (NULL handling stays with the caller's outer
+    * `when`, exactly as the inlined form relied on it). */
+  private def rankEstHofExpr(x: String): Column =
+    expr(
+      s"""aggregate(sequence(0, ${rankLevels - 1}), CAST(0 AS BIGINT),
+         |  (acc, l) -> acc + CASE WHEN (shiftright($x, l) & 1) = 1
+         |    THEN ${pointqSqlDyn("l", s"(2 * shiftright($x, l + 1))")}
+         |    ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+
   /** Dyadic Count-Min rank/quantile sketch audit — the QUANTILE member
     * of the mergeable-sketch tier (Cormode & Muthukrishnan 2005 §4,
     * "range queries and quantiles": one CMS per dyadic level of a
@@ -1379,18 +1453,13 @@ object SketchOps {
         cum.select(col("v"), (col("cum") - col("cnt")).as("exact_rank")),
         col("v") === col("exact_v"), "left")
       .drop("v")
-    var d = withRank.crossJoin(broadcast(arr))
-      .withColumn("p", lit(0L)).withColumn("cur", lit(0L))
-    for (lvl <- (rankLevels - 1) to 0 by -1) {
-      d = d.withColumn("c_", rankPointQ(col("arr"), lvl, col("p") * 2L))
-        .withColumn("take_", col("cur") + col("c_") < col("r"))
-        .withColumn("p", col("p") * 2L + when(col("take_"), 1L).otherwise(0L))
-        .withColumn("cur",
-          col("cur") + when(col("take_"), col("c_")).otherwise(0L))
-        .drop("c_", "take_")
-    }
+    // descent + rank estimate as interpreted HOF expressions — see
+    // rankDescentExpr: the chained-projection form blew the 64 KB
+    // codegen method limit and re-ran the failed compile per action
+    val d = withRank.crossJoin(broadcast(arr))
+      .withColumn("p", rankDescentExpr)
     val estRank = when(col("exact_v").isNull, lit(null).cast("long"))
-      .otherwise(rankEstExpr(col("arr"), col("exact_v")))
+      .otherwise(rankEstHofExpr("exact_v"))
     val estV = when(col("n_docs") === 0L, lit(null).cast("long"))
       .otherwise(col("p"))
     d.withColumn("est_rank", estRank)
@@ -1491,9 +1560,12 @@ object SketchOps {
     * over |sources| rows. */
   private def cmsRankMergeAudit(s: SparkSession, dir: String): DataFrame = {
     val vcs = rankValCountsBySrc(s, dir)
-    val cs = vcs
-      .select(col("source"), col("cnt"),
-        explode(rankCellIdxArray(col("v"))).as("i"))
+    // dimension-join cell build (see rankCellIdxDyn): one md5 per row,
+    // codegen-compilable — the exploded 64-tree array form made this
+    // hashAgg fail janino and run interpreted, with the failed compile
+    // re-attempted per action
+    val cs = vcs.crossJoin(broadcast(rankDims(s)))
+      .select(col("source"), col("cnt"), rankCellIdxDyn.as("i"))
       .groupBy(col("source"), col("i")).agg(sum(col("cnt")).as("cnt"))
     // merge law: per-source cells summed ≡ corpus cells built in one pass
     val mergeOk = cs.groupBy(col("i")).agg(sum(col("cnt")).as("mcnt"))
@@ -1519,18 +1591,13 @@ object SketchOps {
         col("src2") === col("source") && col("v") === col("exact_med"),
         "left")
       .drop("src2", "v")
-    var d = withRank.join(arrs, "source")
-    d = d.withColumn("p", lit(0L)).withColumn("cur", lit(0L))
-    for (lvl <- (rankLevels - 1) to 0 by -1) {
-      d = d.withColumn("c_", rankPointQ(col("arr"), lvl, col("p") * 2L))
-        .withColumn("take_", col("cur") + col("c_") < col("r"))
-        .withColumn("p", col("p") * 2L + when(col("take_"), 1L).otherwise(0L))
-        .withColumn("cur",
-          col("cur") + when(col("take_"), col("c_")).otherwise(0L))
-        .drop("c_", "take_")
-    }
+    // same HOF descent/estimate as the corpus audit (rankDescentExpr):
+    // one interpreted expression per row instead of 16 chained projects
+    // whose codegen exceeded the 64 KB method limit
+    val d = withRank.join(arrs, "source")
+      .withColumn("p", rankDescentExpr)
     val estRank = when(col("exact_med").isNull, lit(null).cast("long"))
-      .otherwise(rankEstExpr(col("arr"), col("exact_med")))
+      .otherwise(rankEstHofExpr("exact_med"))
     d.withColumn("est_rank", estRank)
       .crossJoin(broadcast(mergeOk))
       .select(col("source"), col("n_docs"), col("exact_med"),
