@@ -52,6 +52,21 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Scan-parallelism floor (guide §6): the test tables are single
+      // parquet files of a few MB, far below maxPartitionBytes (128 MB),
+      // so without a floor EVERY scan-side stage — scan + expand +
+      // partial aggregate + explode, i.e. the bulk of most queries —
+      // planned as ONE task and ran single-threaded on a 32-core
+      // session (round-19 profile: approx_sketches spent 8 s in 18
+      // tasks). minPartitionNum is scale-adaptive by construction
+      // (derived from the session's core count, not a tuned constant):
+      // bytesPerCore = totalBytes/minPartitionNum only LOWERS the split
+      // size when files are small relative to cores — at production
+      // scale splits abound and the floor is a no-op, and the 512 KB
+      // open-cost keeps genuinely tiny tables at one task. Same floor
+      // as a cluster deployment would set (defaultParallelism).
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

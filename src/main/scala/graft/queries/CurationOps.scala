@@ -926,6 +926,20 @@ object CurationOps {
     * stochastic-greedy sampling (Mirzasoleiman et al. 2015) — same
     * per-round plan over a sampled candidate slice, which changes only
     * the candidate filter. */
+  /** Per-round uncovered incidence: the covered-gram set is derived
+    * INLINE from the ≤ [[covK]] selected doc ids (an isin filter over
+    * the cached incidence + distinct — doc-scale), not maintained as a
+    * per-round checkpointed union: the union checkpoint cost one job
+    * per round for a relation the cached incidence can reproduce with
+    * zero extra actions, and the anti-join result is row-identical
+    * (covered(sel) = ∪_{d ∈ sel} grams(d) either way). Round 19, guide
+    * §2.6: the coverage loops were job-count-bound, 4 jobs/round. */
+  private def covUncovered(dgw: DataFrame, selected: Seq[Long]): DataFrame =
+    if (selected.isEmpty) dgw
+    else dgw.join(
+      dgw.where(col("doc_id").isin(selected: _*)).select("g").distinct(),
+      Seq("g"), "left_anti")
+
   private def coverageGreedyRounds(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
@@ -934,50 +948,58 @@ object CurationOps {
     val rows =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long,
         Long, Long, Option[Long], Option[Long])]
-    var covered = Seq.empty[String].toDF("g").localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
     var prevGains: DataFrame = null
     var cum = 0L
     var round = 1
     var done = false
     while (round <= covK && !done) {
-      val gains = dgw.join(covered, Seq("g"), "left_anti")
+      val gains = covUncovered(dgw, selected.toSeq)
         .groupBy("doc_id")
         .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new"))
         .localCheckpoint()
-      val top = covArgmax(gains)
-      if (top.isEmpty) { releaseGen(gains); done = true }
+      // ONE action per round serves the argmax AND both CELF lookups:
+      // the winner aggregate rides a broadcast 1-row cross join into the
+      // stale-gain scan of the PREVIOUS round's checkpointed gains, so
+      // the winner's stale bound and the skippable count come out of the
+      // same job (they were a second collect per round — guide §2.6,
+      // fewer/bigger jobs; the aggregates are unchanged).
+      val winnerAgg = gains.agg(count(lit(1)).as("n_cand"),
+        min(struct((-col("gain")).as("ng"), col("doc_id"), col("gain"),
+          col("n_new"))).as("m"))
+      val r0 =
+        if (prevGains == null)
+          winnerAgg.select(col("n_cand"), col("m.doc_id"), col("m.gain"),
+            col("m.n_new"), lit(null).cast("long").as("bound"),
+            lit(null).cast("long").as("nskip"))
+            .collect().head
+        else
+          prevGains.crossJoin(broadcast(winnerAgg))
+            .agg(min(col("n_cand")).as("n_cand"), min(col("m")).as("m2"),
+              max(when(col("doc_id") === col("m.doc_id"), col("gain")))
+                .as("bound"),
+              sum(when(col("gain") < col("m.gain"), 1L).otherwise(0L))
+                .as("nskip"))
+            .select(col("n_cand"), col("m2.doc_id"), col("m2.gain"),
+              col("m2.n_new"), col("bound"), col("nskip"))
+            .collect().head
+      if (r0.getLong(0) == 0L) { releaseGen(gains); done = true }
       else {
-        val r0 = top(0)
-        val id = r0.getLong(0)
-        val gain = r0.getLong(1)
+        val id = r0.getLong(1)
+        val gain = r0.getLong(2)
         cum += gain
-        // ONE aggregate job serves both CELF lookups (winner's stale
-        // gain + skippable count) — they read the same checkpointed
-        // doc-scale relation, and as separate collect()s each paid its
-        // own job's fixed cost every round
-        val (bound, nSkip) =
-          if (prevGains == null) (None, None)
-          else {
-            val r = prevGains.agg(
-              max(when(col("doc_id") === id, col("gain"))).as("bound"),
-              sum(when(col("gain") < gain, 1L).otherwise(0L)).as("nskip"))
-              .collect().head
-            (if (r.isNullAt(0)) None else Some(r.getLong(0)),
-              Some(if (r.isNullAt(1)) 0L else r.getLong(1)))
-          }
-        rows += ((round.toLong, id, gain, r0.getLong(2), cum,
+        val bound = if (r0.isNullAt(4)) None else Some(r0.getLong(4))
+        val nSkip =
+          if (prevGains == null) None
+          else Some(if (r0.isNullAt(5)) 0L else r0.getLong(5))
+        rows += ((round.toLong, id, gain, r0.getLong(3), cum,
           1000L * cum / total, bound, nSkip))
-        val next = covered
-          .union(dgw.where(col("doc_id") === id).select("g"))
-          .localCheckpoint()
-        releaseGen(covered)
-        covered = next
+        selected += id
         if (prevGains != null) releaseGen(prevGains)
         prevGains = gains
         round += 1
       }
     }
-    releaseGen(covered)
     if (prevGains != null) releaseGen(prevGains)
     rows.toSeq
       .toDF("round", "doc_id", "gain_df", "n_new_grams", "cum_df",
@@ -1021,14 +1043,17 @@ object CurationOps {
     val rows =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long,
         Long, Long, Long)]
-    var covered = Seq.empty[String].toDF("g").localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
     var cum = 0L
     for (round <- 1 to covK) {
       val coin = conv(substring(md5(concat(lit(s"$round:"),
         col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") %
         lit(1000L)
-      val top = covArgmax(dgw.where(coin < covSampleMilli)
-        .join(covered, Seq("g"), "left_anti")
+      // covered grams derived inline from the selected ids (see
+      // covUncovered) — the sampled slice filters BEFORE the anti-join
+      // exactly as before, so the candidate pool is unchanged
+      val top = covArgmax(covUncovered(dgw, selected.toSeq)
+        .where(coin < covSampleMilli)
         .groupBy("doc_id")
         .agg(sum(col("w")).as("gain"), count(lit(1)).as("n_new")))
       if (top.nonEmpty) {
@@ -1037,14 +1062,9 @@ object CurationOps {
         cum += r0.getLong(1)
         rows += ((round.toLong, id, r0.getLong(1), r0.getLong(2), cum,
           1000L * cum / total, r0.getLong(3)))
-        val next = covered
-          .union(dgw.where(col("doc_id") === id).select("g"))
-          .localCheckpoint()
-        releaseGen(covered)
-        covered = next
+        selected += id
       }
     }
-    releaseGen(covered)
     rows.toSeq
       .toDF("round", "doc_id", "gain_df", "n_new_grams", "cum_df",
         "coverage_milli", "n_candidates")

@@ -315,15 +315,27 @@ object Relational3 {
   private def approxSketches(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
-    val agg = li.groupBy(col("l_returnflag"))
+    // The exact-distinct leg runs as its OWN aggregate, joined back on
+    // the ≤|flags|-row key: combined with the object-buffered sketches
+    // in one groupBy, Catalyst's distinct rewrite keys the FIRST
+    // aggregate by (flag, partkey) — which builds and merges an HLL
+    // sketch and a percentile buffer PER DISTINCT PARTKEY (~200 k
+    // object buffers at sf0.1; measured 5.8–10.8 s for an aggregate
+    // whose four functions cost 1–1.7 s EACH when planned alone). Two
+    // single-purpose aggregates over the same scan are each map-side-
+    // combining with 3-group final states; the join is broadcast-sized.
+    // Output values are identical — same functions, same groups.
+    val sketchAgg = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
         // count the QUANTITY values, not rows: the quantile ranks below
         // run over non-null quantities, and a NULL-quantity row would
         // shift them in engine-dependent NULL order (fuzz gate finding)
         count(col("l_quantity")).as("n"))
+    val exactAgg = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val agg = sketchAgg.join(exactAgg, "l_returnflag")
     // exact discrete quantiles at ranks ceil(0.49·n)/ceil(0.51·n). The
     // value at ascending rank r equals MIN v whose cumulative value-count
     // reaches r, so the rank selection runs over the (flag, quantity)
