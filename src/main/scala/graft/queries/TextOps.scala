@@ -950,6 +950,11 @@ object TextOps {
         var exhausted = false
         while (round <= bpeMergeRoundsK && !exhausted) {
           val syms = split(col("s"), "·")
+          // top-1 argmax as a 1-row broadcast subquery riding the fold's
+          // checkpoint action — one heavy action per round instead of a
+          // take(1) plus a separate fold checkpoint (the wpTrained
+          // fusion, guide §2.6); the picked pair is read back from the
+          // checkpointed frame's constant columns by a local head()
           val top = vocab
             .select(col("freq"), syms.as("a"))
             .select(col("freq"), col("a"), explode(expr(
@@ -959,21 +964,25 @@ object TextOps {
               element_at(col("a"), col("i") + 1).as("r"), col("freq"))
             .groupBy("l", "r").agg(sum("freq").as("cnt"))
             .orderBy(col("cnt").desc, col("l"), col("r"))
-            .take(1)
-          if (top.isEmpty) exhausted = true // every word fused to one symbol
+            .limit(1)
+          val folded = aggregate(syms, lit(""), (acc, x) =>
+            when(acc === "", x)
+              .when((acc === col("l") ||
+                acc.endsWith(concat(lit("·"), col("l")))) && x === col("r"),
+                concat(acc, x))
+              .otherwise(concat(acc, lit("·"), x)))
+          val next = vocab.crossJoin(broadcast(top))
+            .select(col("word"), col("freq"), folded.as("s"), col("l"),
+              col("r"), col("cnt"))
+            .localCheckpoint()
+          val h = next.select("l", "r", "cnt").head(1)
+          if (h.isEmpty) { release(next); exhausted = true }
           else {
             val (l, r, cnt) =
-              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+              (h(0).getString(0), h(0).getString(1), h(0).getLong(2))
             merges += ((round, l, r, l + r, cnt))
-            val folded = aggregate(syms, lit(""), (acc, x) =>
-              when(acc === "", x)
-                .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
-                  x === lit(r), concat(acc, x))
-                .otherwise(concat(acc, lit("·"), x)))
-            val next = vocab.select(col("word"), col("freq"), folded.as("s"))
-              .localCheckpoint()
             release(vocab)
-            vocab = next
+            vocab = next.select("word", "freq", "s")
             round += 1
           }
         }

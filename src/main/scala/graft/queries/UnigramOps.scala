@@ -882,6 +882,14 @@ object UnigramOps {
               element_at(col("a"), col("i") + 1).as("r"), col("freq"))
           val sc = pp.filter(col("l") =!= "^")
             .groupBy(col("l").as("sym")).agg(sum("freq").as("scnt"))
+          // the top-1 argmax stays a 1-ROW SUBQUERY instead of a collect:
+          // broadcast-cross-joined into the fold, ONE localCheckpoint
+          // action per round computes pair stats, argmax and the folded
+          // next state together (the round's former two heavy actions —
+          // a take(1) over the scored pairs and then the fold checkpoint
+          // — each re-ran the pair aggregate's input; guide §2.6). The
+          // picked pair's columns ride the checkpointed frame as
+          // constants and are read back by a trivial local head().
           val top = pp.filter(col("l") =!= "^" && col("r") =!= "$")
             .groupBy("l", "r").agg(sum("freq").as("cnt"))
             .join(sc.select(col("sym").as("l"), col("scnt").as("lcnt")), "l")
@@ -889,23 +897,30 @@ object UnigramOps {
             .withColumn("score_nano",
               expr(s"(cnt * $wpScoreScale) div (lcnt * rcnt)"))
             .orderBy(col("score_nano").desc, col("l"), col("r"))
-            .take(1)
-          if (top.isEmpty) exhausted = true // every word fused to one symbol
+            .limit(1)
+          // identical fold, with the pair as COLUMNS of the broadcast row
+          val folded = aggregate(syms, lit(""), (acc, x) =>
+            when(acc === "", x)
+              .when((acc === col("l") ||
+                acc.endsWith(concat(lit("·"), col("l")))) && x === col("r"),
+                concat(acc, x))
+              .otherwise(concat(acc, lit("·"), x)))
+          val next = vocab.crossJoin(broadcast(top))
+            .select(col("word"), col("freq"), folded.as("s"), col("l"),
+              col("r"), col("cnt"), col("lcnt"), col("rcnt"),
+              col("score_nano"))
+            .localCheckpoint()
+          val h = next.select("l", "r", "cnt", "lcnt", "rcnt", "score_nano")
+            .head(1)
+          if (h.isEmpty) { release(next); exhausted = true }
           else {
-            val r0 = top(0)
+            val r0 = h(0)
             val (l, r) = (r0.getAs[String]("l"), r0.getAs[String]("r"))
             merges += ((round, l, r, l + r, r0.getAs[Long]("cnt"),
               r0.getAs[Long]("lcnt"), r0.getAs[Long]("rcnt"),
               r0.getAs[Long]("score_nano")))
-            val folded = aggregate(syms, lit(""), (acc, x) =>
-              when(acc === "", x)
-                .when((acc === lit(l) || acc.endsWith(lit("·" + l))) &&
-                  x === lit(r), concat(acc, x))
-                .otherwise(concat(acc, lit("·"), x)))
-            val next = vocab.select(col("word"), col("freq"), folded.as("s"))
-              .localCheckpoint()
             release(vocab)
-            vocab = next
+            vocab = next.select("word", "freq", "s")
             round += 1
           }
         }
