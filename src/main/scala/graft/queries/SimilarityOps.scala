@@ -1127,23 +1127,32 @@ object SimilarityOps {
         // aggregate + an eager checkpoint job (review finding: the SQL
         // oracle correctly generates only K−1 update rounds)
         if (r < kmeansTrainRoundsK) {
-          // n_members rides the SAME per-(arm, cent, d) aggregate as the
-          // dimension sums: posexplode emits exactly one row per member
-          // per dimension, so count(*) within (arm, cent_id, d) IS the
-          // member count — the former separate count aggregate + join
-          // was a second pass over the assignment for a value this
-          // aggregate already knows (guide §1.2 step 1: don't compute
-          // things twice).
+          // n_members still rides the SAME per-(arm, cent, d) aggregate
+          // as the dimension sums (no separate count pass — the round-18
+          // fusion), but the DIVISOR is the per-CENTROID member count,
+          // not the per-dimension row count: on a dirty corpus with
+          // ragged embedding arrays a dimension absent from some member
+          // made count(*) within (arm, cent_id, d) smaller than the
+          // member count, silently shifting that dimension's mean — the
+          // round-19 fuzz gate caught rounds 2..4 of both trainer
+          // queries diverging from the oracle (which divides every
+          // dimension by the member count, as the pre-fusion code did).
+          // Every member has dimension 0 (the nrm > 0 base excludes
+          // empty vectors), so the d = 0 group's count IS the member
+          // count, read in the pack aggregate and applied to every
+          // dimension.
           val newC = a
             .select(col("arm"), col("cent_id"),
               posexplode(col("q")).as(Seq("d", "x")))
             .groupBy("arm", "cent_id", "d").agg(sum(col("x")).as("sx"),
-              count(lit(1)).as("n_members"))
-            .withColumn("ndv",
-              floor(lit(1.0) * col("sx") / col("n_members")).cast("long"))
+              count(lit(1)).as("cnt"))
             .groupBy("arm", "cent_id").agg(
-              transform(array_sort(collect_list(struct(col("d"), col("ndv")))),
-                x => x("ndv")).as("nq"))
+              max(when(col("d") === 0, col("cnt"))).as("n_members"),
+              array_sort(collect_list(struct(col("d"), col("sx"))))
+                .as("ws"))
+            .select(col("arm"), col("cent_id"), expr(
+              "transform(ws, w -> CAST(floor(1.0 * w.sx / n_members)" +
+                " AS BIGINT))").as("nq"))
             .withColumn("nn", graft.functions.GraftFunctions
               .quantized_dot(col("nq"), col("nq")))
           val merged = cents
